@@ -1,0 +1,221 @@
+"""Loaders and domain derivations over the driver's synthetic tables.
+
+The correctness gate runs every declared query on Spark AND on a DuckDB
+oracle over the same parquet tables (``/root/testdata/sf*/``), so the rail
+domain of the reference (``disruptions`` / ``stations``) is derived
+DETERMINISTICALLY from the synthetic ``events`` and ``nation`` tables.  The
+derivation is defined twice — once as a DataFrame-API builder (Spark side),
+once as an ANSI-SQL CTE fragment (DuckDB side) — and unit tests assert the
+two agree.
+
+Derivation contract (mirrors the reference's cleaned ``disruptions`` table,
+``/root/reference/src/storage/schema.sql:15-35``):
+
+    disruption_id     = event_id as string
+    type              = event_type mapped {error->calamity, view->maintenance,
+                        click->disruption, purchase->cancellation,
+                        signup->disruption}
+    start_time        = ts
+    end_time          = ts + round(value*60) seconds, NULL when event_id%5=0
+                        (the ~20%% "ongoing" path of the reference)
+    duration_minutes  = round(value*60)/60.0 double, NULL with end_time
+    affected_stations = sorted, de-duplicated CSV of 1-2 synthetic station
+                        codes 'S00'..'S39', NULL when event_id%7=0
+    impact_level      = the reference's impact rules
+                        (/root/reference/src/transformation/cleaners.py:133-171)
+    is_resolved       = end_time is not null
+
+Station dimension (mirrors ``schema.sql:38-45``): codes 'S00'..'S24' from
+``nation`` — CSV codes S25..S39 intentionally have no dim row, exercising the
+left-join null path of the reference's station enrichment
+(``aggregators.py:118``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): surfaced as bigint nanos under
+    # spark.sql.legacy.parquet.nanosAsLong (session.py).  Integer-divide to
+    # micros — truncation, bit-identical to DuckDB's ns->us narrowing.
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view (same names DuckDB uses)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side derivation (DataFrame API — the idiomatic engine path)
+# ---------------------------------------------------------------------------
+
+_TYPE_MAP = {
+    "error": "calamity",
+    "view": "maintenance",
+    "click": "disruption",
+    "purchase": "cancellation",
+    "signup": "disruption",
+}
+
+
+def _station_code(expr):
+    return F.concat(F.lit("S"), F.lpad(expr.cast("string"), 2, "0"))
+
+
+def impact_level_col(type_col, duration_col):
+    """The reference's impact rules as a native when-chain (no UDF).
+
+    Mirrors ``cleaners.py:133-171``: calamity->5; type containing 'cancel'->5;
+    maintenance-> 4 if dur>240 else 3; disruption-> 4/3/2 at >120/>60; else 2;
+    null duration treated as 0; clipped to [1,5].
+    """
+    dur = F.coalesce(duration_col, F.lit(0.0))
+    raw = (
+        F.when(type_col == "calamity", 5)
+        .when(type_col.contains("cancel"), 5)
+        .when(type_col == "maintenance", F.when(dur > 240, 4).otherwise(3))
+        .when(
+            type_col == "disruption",
+            F.when(dur > 120, 4).when(dur > 60, 3).otherwise(2),
+        )
+        .otherwise(2)
+    )
+    return F.least(F.greatest(raw, F.lit(1)), F.lit(5)).cast("int")
+
+
+def disruptions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the ``disruptions`` warehouse table from ``events``."""
+    ev = load_table(spark, sf_dir, "events")
+    type_col = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in _TYPE_MAP.items() for x in kv]),
+            F.col("event_type"),
+        ),
+        F.col("event_type"),
+    )
+    dur_secs = F.round(F.col("value") * 60).cast("bigint")
+    ongoing = F.col("event_id") % 5 == 0
+    codes = F.when(
+        F.col("event_id") % 3 == 0,
+        F.array(
+            _station_code(F.col("user_id") % 40),
+            _station_code((F.col("user_id") + F.col("event_id")) % 40),
+        ),
+    ).otherwise(F.array(_station_code(F.col("user_id") % 40)))
+
+    df = ev.select(
+        F.col("event_id").cast("string").alias("disruption_id"),
+        type_col.alias("type"),
+        F.col("ts").alias("start_time"),
+        F.when(ongoing, F.lit(None).cast("timestamp"))
+        .otherwise(F.timestamp_add("SECOND", dur_secs, F.col("ts")))
+        .alias("end_time"),
+        F.when(ongoing, F.lit(None).cast("double"))
+        .otherwise(dur_secs / F.lit(60.0))
+        .alias("duration_minutes"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.array_join(F.array_sort(F.array_distinct(codes)), ","))
+        .alias("affected_stations"),
+    )
+    return df.withColumn(
+        "impact_level", impact_level_col(F.col("type"), F.col("duration_minutes"))
+    ).withColumn("is_resolved", F.col("end_time").isNotNull())
+
+
+def stations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the 25-row ``stations`` dimension from ``nation``."""
+    return load_table(spark, sf_dir, "nation").select(
+        _station_code(F.col("n_nationkey")).alias("station_code"),
+        F.col("n_name").alias("station_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-side derivation (ANSI SQL CTE fragments for the oracle)
+# ---------------------------------------------------------------------------
+
+# Inner SELECT before impact_level (duration is referenced by the impact rules).
+_DISRUPTIONS_BASE_SQL = """
+    SELECT
+        CAST(event_id AS VARCHAR) AS disruption_id,
+        CASE event_type
+            WHEN 'error'    THEN 'calamity'
+            WHEN 'view'     THEN 'maintenance'
+            WHEN 'click'    THEN 'disruption'
+            WHEN 'purchase' THEN 'cancellation'
+            WHEN 'signup'   THEN 'disruption'
+            ELSE event_type END AS type,
+        ts AS start_time,
+        CASE WHEN event_id % 5 = 0 THEN NULL
+             ELSE ts + to_seconds(CAST(round(value * 60) AS BIGINT)) END AS end_time,
+        CASE WHEN event_id % 5 = 0 THEN NULL
+             ELSE CAST(round(value * 60) AS BIGINT) / 60.0 END AS duration_minutes,
+        CASE WHEN event_id % 7 = 0 THEN NULL
+             ELSE array_to_string(list_sort(list_distinct(
+                 CASE WHEN event_id % 3 = 0
+                      THEN ['S' || lpad(CAST(user_id % 40 AS VARCHAR), 2, '0'),
+                            'S' || lpad(CAST((user_id + event_id) % 40 AS VARCHAR), 2, '0')]
+                      ELSE ['S' || lpad(CAST(user_id % 40 AS VARCHAR), 2, '0')] END
+             )), ',') END AS affected_stations
+    FROM events
+"""
+
+DISRUPTIONS_CTE = f"""
+disruptions AS (
+    SELECT
+        disruption_id, type, start_time, end_time, duration_minutes,
+        affected_stations,
+        CAST(LEAST(GREATEST(
+            CASE
+                WHEN type = 'calamity' THEN 5
+                WHEN type LIKE '%cancel%' THEN 5
+                WHEN type = 'maintenance' THEN
+                    CASE WHEN COALESCE(duration_minutes, 0) > 240 THEN 4 ELSE 3 END
+                WHEN type = 'disruption' THEN
+                    CASE WHEN COALESCE(duration_minutes, 0) > 120 THEN 4
+                         WHEN COALESCE(duration_minutes, 0) > 60 THEN 3
+                         ELSE 2 END
+                ELSE 2
+            END, 1), 5) AS INTEGER) AS impact_level,
+        end_time IS NOT NULL AS is_resolved
+    FROM ({_DISRUPTIONS_BASE_SQL})
+)
+"""
+
+STATIONS_CTE = """
+stations AS (
+    SELECT 'S' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS station_code,
+           n_name AS station_name
+    FROM nation
+)
+"""
+
+
+def rail_oracle_prelude(*, with_stations: bool = False) -> str:
+    """``WITH ...`` prelude deriving the rail tables for a DuckDB oracle query."""
+    ctes = [DISRUPTIONS_CTE.strip()]
+    if with_stations:
+        ctes.append(STATIONS_CTE.strip())
+    return "WITH " + ",\n".join(ctes)

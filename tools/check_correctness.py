@@ -1,0 +1,130 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column names,
+and an order-insensitive value hash (columns sorted by name, rows sorted,
+values canonicalized).  Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def table_sig(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from nl_railtraffic_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("correctness-check", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            sn, sh = table_sig(scols, srows)
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"OK?   {name}: rows={sn} (no oracle — rows-only check) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+            on, oh = table_sig(ocols, orows)
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL  {name}: columns differ spark={sorted(scols)} "
+                  f"oracle={sorted(ocols)}")
+            failures.append(name)
+        elif sn != on:
+            print(f"FAIL  {name}: rowcount spark={sn} oracle={on}")
+            failures.append(name)
+        elif sh != oh:
+            print(f"FAIL  {name}: hash mismatch (rows={sn})")
+            _diff(scols, srows, ocols, orows)
+            failures.append(name)
+        else:
+            print(f"PASS  {name}: rows={sn} hash={sh} [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed"
+          + (f"; FAILED: {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+def _diff(scols, srows, ocols, orows, k: int = 3) -> None:
+    """Print the first few differing canonical rows for debugging."""
+    so = sorted(range(len(scols)), key=lambda i: scols[i])
+    oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    sl = sorted("|".join(canon(r[i]) for i in so) for r in srows)
+    ol = sorted("|".join(canon(r[i]) for i in oo) for r in orows)
+    shown = 0
+    for a, b in zip(sl, ol):
+        if a != b:
+            print(f"      cols : {[scols[i] for i in so]}")
+            print(f"      spark: {a}\n      duck : {b}")
+            shown += 1
+            if shown >= k:
+                break
+
+
+if __name__ == "__main__":
+    sys.exit(main())
