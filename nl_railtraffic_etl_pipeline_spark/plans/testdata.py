@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cleaning import impact_level_col
+
 TABLES = (
     "region",
     "nation",
@@ -82,27 +84,6 @@ _TYPE_MAP = {
 
 def _station_code(expr):
     return F.concat(F.lit("S"), F.lpad(expr.cast("string"), 2, "0"))
-
-
-def impact_level_col(type_col, duration_col):
-    """The reference's impact rules as a native when-chain (no UDF).
-
-    Mirrors ``cleaners.py:133-171``: calamity->5; type containing 'cancel'->5;
-    maintenance-> 4 if dur>240 else 3; disruption-> 4/3/2 at >120/>60; else 2;
-    null duration treated as 0; clipped to [1,5].
-    """
-    dur = F.coalesce(duration_col, F.lit(0.0))
-    raw = (
-        F.when(type_col == "calamity", 5)
-        .when(type_col.contains("cancel"), 5)
-        .when(type_col == "maintenance", F.when(dur > 240, 4).otherwise(3))
-        .when(
-            type_col == "disruption",
-            F.when(dur > 120, 4).when(dur > 60, 3).otherwise(2),
-        )
-        .otherwise(2)
-    )
-    return F.least(F.greatest(raw, F.lit(1)), F.lit(5)).cast("int")
 
 
 def disruptions_df(spark: SparkSession, sf_dir: str) -> DataFrame:

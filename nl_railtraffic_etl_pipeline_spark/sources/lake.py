@@ -1,0 +1,80 @@
+"""Partitioned Parquet/JSON lake writers — the engine's sink surface.
+
+Maps the reference's five sinks (SURVEY §2.1 S2-S5) onto Spark's native
+output formats.  The Hive-style ``year/month/day`` S3 layout the reference
+assembles by hand (api_client.py:119,160) is Spark's ``partitionBy`` — which
+also buys partition pruning on every downstream date-filtered read, the same
+access path the Glue partition projection provides (athena/main.tf:35-48).
+
+At 100 TB: date partitioning bounds each daily write to its own directory,
+`maxRecordsPerFile` caps file sizes, and readers prune to the queried days.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_date_partitions(df: DataFrame, ts_col: str = "fetched_at") -> DataFrame:
+    """Add string year/month/day partition columns from a timestamp column.
+
+    Zero-padded to match the reference's key format '%Y/%m/%d'
+    (api_client.py:119) and the Glue partition values.
+    """
+    return (
+        df.withColumn("year", F.date_format(ts_col, "yyyy"))
+        .withColumn("month", F.date_format(ts_col, "MM"))
+        .withColumn("day", F.date_format(ts_col, "dd"))
+    )
+
+
+def write_raw_archive(
+    df: DataFrame, path: str, run_ts: _dt.datetime, fmt: str = "json"
+) -> None:
+    """S2/S3/S4: archive the (verbatim) payload under date partitions.
+
+    Keeps one ``raw_json`` string column per record (the reference archives
+    byte-verbatim JSON) alongside the ingest timestamp.
+    """
+    out = df.select(
+        F.to_json(F.struct(*[c for c in df.columns if c != "_corrupt_record"])).alias(
+            "raw_json"
+        ),
+        F.lit(run_ts).alias("fetched_at"),
+    )
+    (
+        with_date_partitions(out)
+        .write.mode("append")
+        .partitionBy("year", "month", "day")
+        .format(fmt)
+        .save(path)
+    )
+
+
+def write_clean_lake(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Cleaned warehouse table as date-partitioned parquet.
+
+    Partitioned on the event date (the reference's queries all filter or
+    group on DATE(start_time) — partition pruning covers the same access
+    paths its four B-tree indexes did, SURVEY §4).
+    """
+    (
+        df.withColumn("event_date", F.to_date("start_time"))
+        .repartition("event_date")
+        .write.mode(mode)
+        .option("maxRecordsPerFile", 5_000_000)
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def write_csv_snapshot(df: DataFrame, path: str) -> None:
+    """S5: single-file CSV snapshot of the cleaned frame (pipeline.py:103-110).
+
+    coalesce(1) deliberately: snapshot fidelity over parallelism, exactly the
+    reference's one-file-per-run contract.  Not for big outputs.
+    """
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)

@@ -1,0 +1,14 @@
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from nl_railtraffic_etl_pipeline_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s

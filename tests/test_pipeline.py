@@ -1,0 +1,48 @@
+"""End-to-end SparkETLPipeline over the reference's archived payloads:
+extract -> clean -> idempotent dual load -> report, re-run idempotence."""
+
+import datetime as dt
+
+import pytest
+
+from nl_railtraffic_etl_pipeline_spark.pipeline import SparkETLPipeline
+
+PAYLOAD_1 = "/root/reference/data/raw/disruptions_20260214_111810.json"
+PAYLOAD_2 = "/root/reference/data/raw/disruptions_20260213_152133.json"
+RUN_TS = dt.datetime(2026, 2, 14, 11, 18, 10)
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    return str(tmp_path / "lake")
+
+
+def test_run_end_to_end(spark, lake):
+    p = SparkETLPipeline(spark, lake)
+    stats = p.run(PAYLOAD_1, RUN_TS)
+    assert stats["raw_total"] == 125
+    assert stats["clean_total"] == 125
+    report = stats["report"]
+    assert report["total_records"] == 125
+    assert report["max_impact_level"] == 5
+    assert report["maintenance"] > 0
+
+
+def test_rerun_is_idempotent(spark, lake):
+    p = SparkETLPipeline(spark, lake)
+    first = p.run(PAYLOAD_1, RUN_TS)
+    second = p.run(PAYLOAD_1, RUN_TS)
+    assert first["raw_total"] == second["raw_total"] == 125
+    assert first["clean_total"] == second["clean_total"] == 125
+
+
+def test_second_payload_upserts(spark, lake):
+    p = SparkETLPipeline(spark, lake)
+    p.run(PAYLOAD_1, RUN_TS)
+    stats = p.run(PAYLOAD_2, RUN_TS + dt.timedelta(hours=1))
+    disruptions = spark.read.parquet(f"{lake}/disruptions")
+    # keys are unioned across runs; every key unique
+    assert stats["clean_total"] == disruptions.select("disruption_id").distinct().count()
+    # rows present in both payloads carry the second run's updated_at
+    both = disruptions.filter("updated_at > timestamp'2026-02-14 12:00:00'")
+    assert both.count() > 0
