@@ -1,0 +1,93 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with a typed
+metadata struct; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` (the only place Python touches the data — everything before
+and after stays JVM-side).  The decode itself is STUBBED deterministically
+(no image/audio libraries in this environment, see ``decode_image_meta``);
+the Spark-side plumbing — schema, batch iteration, partitioning — is real
+and oracle-tested.
+
+At 100 TB: binary columns ride in parquet alongside metadata, so filters on
+metadata (format, size, dims) prune row groups WITHOUT decoding payloads;
+``mapInPandas`` batches bound Python memory via
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Output schema of the stubbed decoder.
+IMAGE_META = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def with_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a deterministic binary payload column (UTF-8 bytes of the
+    text — the stand-in for real image bytes) plus a media-type tag."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decoder: real implementations would call PIL/ffmpeg here.
+
+    Deterministic fake: dimensions derived from the byte length, so the
+    full Arrow round-trip (binary in, typed struct out) is exercised and
+    oracle-checkable.  Raises nothing — a real decoder would quarantine
+    failures into a null row instead of failing the task.
+    """
+    for pdf in batches:
+        n = pdf["payload"].map(len).astype("int32")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n,
+                "width": (n % 64 + 1).astype("int32"),
+                "height": (n // 64 % 64 + 1).astype("int32"),
+                "format": "fake",
+            }
+        )
+
+
+def decode_image_meta(df_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched decode of binary payloads into typed image metadata."""
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        _decode_batch, IMAGE_META
+    )
+
+
+def sample_frames(
+    df_with_payload: DataFrame, every_n_bytes: int = 97
+) -> DataFrame:
+    """Frame-sampling stand-in: take every Nth byte of the payload as a
+    'frame' marker — demonstrates the explode-from-binary pattern used for
+    video frame extraction (JVM-side, no Python)."""
+    n = F.length("payload")
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(every_n_bytes))
+    return df_with_payload.select(
+        "doc_id",
+        F.posexplode(idx).alias("frame_no", "byte_offset"),
+    ).select(
+        "doc_id",
+        "frame_no",
+        F.col("byte_offset").cast("int").alias("byte_offset"),
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis column expressions for large-scale document pipelines.
+
+All pure ``pyspark.sql.functions`` compositions (JVM-side, whole-stage
+codegen): tokenization, n-gram shingles, quality features, stopword-based
+language scoring, and md5-derived document fingerprints.  Cross-engine
+deterministic — every expression has an exact DuckDB twin used by the
+correctness oracles (plans/ml_queries.py).
+
+Hash family: ``h(s) = int(md5(s)[:8], 16)`` — 32-bit, identical in Spark
+(``conv(substr(md5(x),1,8),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,8))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small marker-stopword profiles for the language-ID heuristic (public
+#: high-frequency function words).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit"],
+    "fr": ["le", "la", "les", "et", "un", "est", "dans"],
+    "es": ["el", "los", "las", "y", "un", "es", "en"],
+}
+
+#: Stopwords for the quality-scoring ratio (english core).
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, space-joined.
+
+    Rows with fewer than ``n`` tokens yield an empty array.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, gram))
+    )
+
+
+def hash32(col: Column) -> Column:
+    """Deterministic 32-bit hash shared with the DuckDB oracle dialect."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def fingerprint(text: Column) -> Column:
+    """128-bit content fingerprint of whitespace-normalized lowercase text."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+
+
+def stopword_ratio(toks: Column) -> Column:
+    hits = F.size(
+        F.filter(
+            toks, lambda t: F.array_contains(F.array(*map(F.lit, STOPWORDS)), t)
+        )
+    )
+    return hits / F.size(toks)
+
+
+def avg_token_len(toks: Column) -> Column:
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return total / F.size(toks)
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Marker-overlap score per language over distinct tokens."""
+    d = F.array_distinct(toks)
+    return {
+        lang: F.size(F.array_intersect(d, F.array(*map(F.lit, markers))))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(toks: Column) -> Column:
+    """Argmax language with a fixed preference order (en>de>fr>es) on ties."""
+    scores = lang_scores(toks)
+    order = list(LANG_MARKERS)
+    expr = None
+    best = F.greatest(*scores.values())
+    for lang in order:
+        cond = scores[lang] == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr

@@ -1,0 +1,303 @@
+"""Gate queries exercising the engine's ETL operators over the synthetic
+tables directly (FIXTURES.md §6): upsert/dedup semantics, conditional
+aggregates, multi-join star queries, sessionization, JSON extraction, and
+the daily_stats roll-up.
+
+Registered into the driver-facing registry (plans/registry.py) with DuckDB
+oracles.  Cross-engine parity rules documented in registry.py apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.rollup import build_daily_stats
+from ..operators.upsert import dedup_batch, upsert_latest_wins
+from .registry import query
+from .testdata import disruptions_df, load_table, rail_oracle_prelude
+
+
+# ---------------------------------------------------------------------------
+# daily_stats roll-up (SURVEY §2.6 A9) over the derived disruptions table
+# ---------------------------------------------------------------------------
+@query(
+    "rail_daily_stats",
+    rail_oracle_prelude()
+    + """,
+base AS (
+    SELECT CAST(start_time AS DATE) AS date, *
+    FROM disruptions WHERE start_time IS NOT NULL
+),
+core AS (
+    SELECT date,
+           CAST(COUNT(*) AS INTEGER) AS total_disruptions,
+           CAST(SUM(CASE WHEN type = 'cancellation' THEN 1 ELSE 0 END)
+                AS INTEGER) AS total_cancellations,
+           ROUND(AVG(duration_minutes), 3) AS avg_duration_minutes,
+           CAST(trunc(MAX(duration_minutes)) AS INTEGER) AS max_duration_minutes
+    FROM base GROUP BY date
+),
+station_counts AS (
+    SELECT date, TRIM(s.code) AS value, COUNT(*) AS cnt
+    FROM base, unnest(string_split(affected_stations, ',')) AS s(code)
+    WHERE affected_stations IS NOT NULL
+    GROUP BY date, value
+),
+smode AS (
+    SELECT date, value AS most_affected_station FROM (
+        SELECT date, value,
+               ROW_NUMBER() OVER (PARTITION BY date ORDER BY cnt DESC, value)
+                   AS rn
+        FROM station_counts
+    ) WHERE rn = 1
+),
+hour_counts AS (
+    SELECT date, CAST(strftime(start_time, '%H') AS INTEGER) AS value,
+           COUNT(*) AS cnt
+    FROM base GROUP BY date, value
+),
+hmode AS (
+    SELECT date, value AS peak_hour FROM (
+        SELECT date, value,
+               ROW_NUMBER() OVER (PARTITION BY date ORDER BY cnt DESC, value)
+                   AS rn
+        FROM hour_counts
+    ) WHERE rn = 1
+)
+SELECT core.date, total_disruptions, total_cancellations,
+       avg_duration_minutes, max_duration_minutes,
+       most_affected_station, peak_hour
+FROM core
+LEFT JOIN smode ON core.date = smode.date
+LEFT JOIN hmode ON core.date = hmode.date
+""",
+)
+def _daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = build_daily_stats(disruptions_df(spark, sf_dir))
+    return out.drop("calculated_at").withColumn(
+        "avg_duration_minutes", F.round("avg_duration_minutes", 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Upsert semantics as a query (S7/J4): latest-wins merge of two event slices
+# ---------------------------------------------------------------------------
+@query(
+    "etl_upsert_latest_wins",
+    """
+WITH existing AS (
+    SELECT event_id, event_type, value, ts FROM events WHERE event_id % 2 = 0
+),
+batch AS (
+    SELECT event_id, event_type, value * 2 AS value, ts
+    FROM events WHERE event_id % 3 = 0
+),
+tagged AS (
+    SELECT *, 0 AS prio FROM existing
+    UNION ALL
+    SELECT *, 1 AS prio FROM batch
+)
+SELECT event_id, event_type, value, ts FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY prio DESC, ts DESC
+    ) AS rn FROM tagged
+) WHERE rn = 1
+""",
+)
+def _upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    existing = ev.filter(F.col("event_id") % 2 == 0)
+    batch = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    return upsert_latest_wins(existing, batch, ["event_id"], "ts")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup with deterministic winner (J5 / dedup_batch)
+# ---------------------------------------------------------------------------
+@query(
+    "etl_dedup_latest_order_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey
+           ) AS rn
+    FROM orders
+) WHERE rn = 1
+""",
+)
+def _dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return dedup_batch(
+        orders, ["o_custkey"], [F.desc("o_orderdate"), F.asc("o_orderkey")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregates over lineitem (A3/A7/M2 at TPC-H shape)
+# ---------------------------------------------------------------------------
+@query(
+    "agg_pricing_summary",
+    """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    ROUND(SUM(l_quantity), 2) AS sum_qty,
+    ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+    ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+        AS sum_charge,
+    ROUND(AVG(l_quantity), 2) AS avg_qty,
+    ROUND(AVG(l_extendedprice), 2) AS avg_price,
+    ROUND(AVG(l_discount), 4) AS avg_disc,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def _pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star-schema join: revenue by nation (J1 broadcast pattern at fact scale)
+# ---------------------------------------------------------------------------
+@query(
+    "join_revenue_by_nation",
+    """
+SELECT n_name AS nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS line_count
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-based session ids via lag + running sum (W8 pattern)
+# ---------------------------------------------------------------------------
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "events_sessionize",
+    f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts,
+           CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_id
+    FROM ordered
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sessioned
+GROUP BY user_id, session_id
+""",
+)
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev)) > gap_us),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (F11 inverse): props -> typed column -> aggregate
+# ---------------------------------------------------------------------------
+@query(
+    "events_json_props",
+    """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 2) AS avg_value
+FROM events
+GROUP BY k
+""",
+)
+def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+    )

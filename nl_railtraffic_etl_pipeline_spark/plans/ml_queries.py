@@ -1,0 +1,356 @@
+"""Gate queries for the training-data operators (dedup, similarity search,
+text analysis, multimodal) over ``documents`` and ``embeddings``.
+
+Every oracle replicates the Spark expression EXACTLY (same tokenization,
+same md5-derived hash family, same cast/round order) — see functions/text.py
+for the shared hash contract.  LSH queries replicate the full LSH algorithm
+in SQL, not just its output shape, so candidate recall is compared too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup, multimodal, simsearch
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    avg_token_len,
+    fingerprint,
+    predicted_lang,
+    punct_count,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from .registry import query
+from .testdata import load_table
+
+# Shared DuckDB fragments mirroring functions/text.py exactly.
+_TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_H32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+shingles AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                for i in range(1, len(w) - 1)]
+           )) AS shingle
+    FROM toks WHERE len(w) >= 3
+)
+"""
+_EXACT_JACCARD_SQL = """
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT doc_a, doc_b,
+           ROUND(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+_SW = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@query(
+    "text_quality_features",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       ROUND(list_sum(list_transform(toks, x -> length(x)))
+             / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+       ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+       ROUND(len(list_filter(toks, x -> list_contains({_SW}, x)))
+             / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+       CASE WHEN len(toks) < 5 THEN 'too_short'
+            WHEN len(list_filter(toks, x -> list_contains({_SW}, x)))
+                 / CAST(len(toks) AS DOUBLE) > 0.5 THEN 'low_content'
+            ELSE 'ok' END AS quality_bucket
+FROM t
+""",
+)
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    swr = stopword_ratio(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.round(avg_token_len(toks), 4).alias("avg_token_len"),
+        F.round(punct_count(F.col("text")) / F.length("text"), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(swr, 4).alias("stopword_ratio"),
+        F.when(token_count(F.col("text")) < 5, "too_short")
+        .when(swr > 0.5, "low_content")
+        .otherwise("ok")
+        .alias("quality_bucket"),
+    )
+
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in LANG_MARKERS.items()
+}
+_SCORE_SQL = {
+    lang: f"len(list_intersect(list_distinct(toks), {m}))"
+    for lang, m in _MARKER_SQL.items()
+}
+_BEST_SQL = "GREATEST(" + ", ".join(_SCORE_SQL[x] for x in LANG_MARKERS) + ")"
+_PRED_SQL = "CASE " + " ".join(
+    f"WHEN {_SCORE_SQL[lang]} = {_BEST_SQL} THEN '{lang}'"
+    for lang in LANG_MARKERS
+) + " END"
+
+
+@query(
+    "text_language_id",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       {_PRED_SQL} AS predicted_lang,
+       CAST({_BEST_SQL} AS INTEGER) AS marker_hits
+FROM t
+""",
+)
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    from ..functions.text import lang_scores
+
+    best = F.greatest(*lang_scores(toks).values())
+    return d.select(
+        "doc_id",
+        predicted_lang(toks).alias("predicted_lang"),
+        best.cast("int").alias("marker_hits"),
+    )
+
+
+@query(
+    "text_fingerprints",
+    """
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+)
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_groups",
+    """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS representative_id
+FROM documents
+GROUP BY fp
+""",
+)
+def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"WITH {_SHINGLES_CTE.strip()}, {_EXACT_JACCARD_SQL.strip()}"
+    + """
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2
+""",
+)
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+_MH = _H32.format(x="CAST(seed AS VARCHAR) || ':' || shingle")
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"WITH {_SHINGLES_CTE.strip()}, {_EXACT_JACCARD_SQL.strip()}"
+    + f""",
+sigs AS (
+    SELECT doc_id, s.seed, MIN({_MH}) AS mh
+    FROM shingles, unnest(range(0, 12)) AS s(seed)
+    GROUP BY doc_id, s.seed
+),
+bands AS (
+    SELECT doc_id, seed // 3 AS band,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+    FROM sigs GROUP BY doc_id, band
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT j.doc_a, j.doc_b, j.jaccard
+FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= 0.2
+""",
+)
+def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+_SIMHASH_BITS_SQL = ", ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(32)
+)
+_SIMHASH_SUM_SQL = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(32)
+)
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, {_H32.format(x='tok')} AS h FROM toks),
+votes AS (SELECT doc_id, {_SIMHASH_BITS_SQL} FROM hashed GROUP BY doc_id),
+sims AS (
+    SELECT doc_id AS doc, CAST({_SIMHASH_SUM_SQL} AS BIGINT) AS simhash
+    FROM votes
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sims a JOIN sims b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+)
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=1
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+_COS_SQL = """
+ROUND(
+  list_sum(list_transform(list_zip(a.{va}, b.{vb}),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(a.{va}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.{vb}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+6)
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_SQL.format(va='embedding', vb='embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(va='embedding', vb='embedding')} > 0.35
+""",
+)
+def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+_KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@query(
+    "sim_knn_bruteforce",
+    f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WHERE vec_id IN ({", ".join(map(str, _KNN_QUERY_IDS))})
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL.format(va='qv', vb='embedding').replace('a.', 'q.').replace('b.', 'c.')} AS cosine
+    FROM embeddings c CROSS JOIN q
+    WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank
+    FROM scored
+) WHERE rank <= 10
+""",
+)
+def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.knn_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), _KNN_QUERY_IDS, k=10
+    )
+
+
+@query("sim_knn_lsh")  # LSH recall subset — no SQL oracle (rows-only check)
+def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return simsearch.lsh_bucket_topk(emb, _KNN_QUERY_IDS, dim=dim, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (Arrow/Pandas-UDF path)
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_image_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) // 64 % 64 + 1 AS INTEGER) AS height,
+       'fake' AS format
+FROM documents
+""",
+)
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_image_meta(
+        multimodal.with_binary_payload(d)
+    )
+
+
+@query(
+    "mm_sample_frames",
+    """
+SELECT doc_id,
+       CAST(g.i AS INTEGER) AS frame_no,
+       CAST(1 + g.i * 97 AS INTEGER) AS byte_offset
+FROM documents,
+     unnest(range(0, (octet_length(encode(text)) + 96) // 97)) AS g(i)
+""",
+)
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.with_binary_payload(d))

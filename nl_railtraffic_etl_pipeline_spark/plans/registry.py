@@ -292,3 +292,9 @@ LIMIT 50
 )
 def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rq.overlapping_disruptions(disruptions_df(spark, sf_dir))
+
+
+# Register the ETL-operator and training-data query families (each module
+# calls @query at import time).  Imported last: they need `query` above.
+from . import etl_queries  # noqa: E402,F401  (registration side-effect)
+from . import ml_queries  # noqa: E402,F401  (registration side-effect)

@@ -1,0 +1,104 @@
+"""Invariant tests for the training-data operators (cross-engine parity is
+covered by tools/check_correctness.py; these cover semantics)."""
+
+from pyspark.sql import Row, functions as F
+
+from nl_railtraffic_etl_pipeline_spark.functions import dedup, multimodal, simsearch
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, ["a b c", "A  b   C", "x y z"])  # 0,1 normalize equal
+    out = dedup.exact_dup_groups(df, "text", "doc_id").collect()
+    groups = {r.representative_id: r.n_docs for r in out}
+    assert groups == {0: 2, 2: 1}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = _docs(spark, ["one two three four five", "one two three four five", "alpha beta gamma delta"])
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(out) == 1
+    assert (out[0].doc_a, out[0].doc_b, out[0].jaccard) == (0, 1, 1.0)
+
+
+def test_minhash_recall_of_exact_pairs(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different words entirely unrelated content here now",
+    ]
+    df = _docs(spark, texts)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    assert (0, 1) in exact
+    assert lsh <= exact  # LSH output is a verified subset
+    assert (0, 1) in lsh  # near-identical docs must survive banding
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = _docs(spark, ["same words here", "same words here", "other stuff"])
+    pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def test_embedding_near_dup_and_knn(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.99, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    near = dedup.embedding_near_dup_pairs(df, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in near] == [(0, 1)]
+
+    knn = simsearch.knn_bruteforce(df, [0], k=2).collect()
+    assert [r.neighbor_id for r in knn] == [1, 2]  # cosine order
+    assert knn[0].rank == 1
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    bf = simsearch.knn_bruteforce(df, [0], k=40)
+    approx = simsearch.lsh_bucket_topk(df, [0], dim=8, k=40, num_planes=4)
+    bf_scores = {r.neighbor_id: r.cosine for r in bf.collect()}
+    for r in approx.collect():
+        assert bf_scores[r.neighbor_id] == r.cosine  # same scoring
+
+
+def test_multimodal_decode_roundtrip(spark):
+    df = _docs(spark, ["hello world", "abc"])
+    out = (
+        multimodal.decode_image_meta(multimodal.with_binary_payload(df))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert out[0].n_bytes == 11 and out[1].n_bytes == 3
+    assert out[0].width == 11 % 64 + 1
+    assert out[0].format == "fake"
+
+
+def test_registry_oracle_coverage():
+    """Every registered query has an oracle unless explicitly rows-only."""
+    from nl_railtraffic_etl_pipeline_spark.plans.registry import ORACLES, QUERIES
+
+    rows_only = {"sim_knn_lsh"}
+    assert set(QUERIES) - set(ORACLES) == rows_only
