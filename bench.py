@@ -1,0 +1,59 @@
+"""Benchmark runner: times every registered query at the bench scale factor.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Config via env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32).  Each query is fully executed (collect) and
+timed individually after a warm-up of the input file listing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry_mod
+    from nl_railtraffic_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink: full materialization of every output column (a bare
+        # count() would let Catalyst prune unused expressions away).
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: done in {dt:.2f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -58,12 +58,20 @@ def ngram_jaccard_pairs(
 
     Inverted-index plan: explode shingles -> self-join on shingle (equi-join,
     hash-partitioned) -> shared counts -> join per-doc sizes -> filter.
+    Per-doc sizes come straight from the shingle-array length (no second
+    explode+groupBy shuffle).
     """
-    sh = _shingled(df, text_col, id_col, n)
+    arrays = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
+    )
+    sh = arrays.select("doc", F.explode("sh_arr").alias("shingle"))
     if df_cap is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > df_cap)
         sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+        sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    else:
+        sizes = arrays.select("doc", F.size("sh_arr").alias("sz"))
 
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -107,28 +115,38 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = _shingled(df, text_col, id_col, n)
-    seeded = sh.select(
+    # All num_hashes minhashes in ONE aggregation pass (no seed explode:
+    # that would push num_hashes x as many rows through the shuffle).
+    sigs = sh.groupBy("doc").agg(
+        *[
+            F.min(hash32(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(
+                f"mh{s}"
+            )
+            for s in range(num_hashes)
+        ]
+    )
+    bands_df = sigs.select(
         "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
-    )
-    sigs = seeded.groupBy("doc", "seed").agg(
-        F.min(
-            hash32(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-        ).alias("mh")
-    )
-    band_rows = sigs.withColumn(
-        "band", F.floor(F.col("seed") / rows_per_band)
-    )
-    bands_df = band_rows.groupBy("doc", "band").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("seed", "mh"))),
-                lambda s: s["mh"].cast("string"),
-            ),
-        ).alias("band_key")
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{band * rows_per_band + r}").cast(
+                                    "string"
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.band_key")
     a, b = bands_df.alias("a"), bands_df.alias("b")
     cands = (
         a.join(
@@ -140,13 +158,22 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        df, text_col, id_col, n, threshold=0.0
-    ).withColumnRenamed("jaccard", "jaccard")
+    # Verify CANDIDATES ONLY: join each side's shingle array and compute
+    # exact Jaccard via array_intersect — work proportional to the candidate
+    # set, not to the full shared-shingle pair space.
+    arrays = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
+    )
+    aa = arrays.select(F.col("doc").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+    bb = arrays.select(F.col("doc").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+    shared = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = shared / (F.size("arr_a") + F.size("arr_b") - shared)
     return (
-        cands.join(exact, ["doc_a", "doc_b"], "inner")
+        cands.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -241,6 +268,16 @@ def cosine(a, b) -> F.Column:
     return dot / (na * nb)
 
 
+def _norm(vec_double) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_double, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -250,11 +287,27 @@ def embedding_near_dup_pairs(
     """Embedding near-duplicates: cosine > threshold over id-ordered pairs.
 
     Exact all-pairs baseline (the verification-quality reference);
-    ``simsearch.lsh_bucket_pairs`` is the sub-quadratic scale path.
+    ``simsearch.lsh_bucket_topk`` shows the sub-quadratic scale path.
+    Norms are computed ONCE per row before the pair join (the naive form
+    recomputes both norms for each of the O(n²) pairs — 3× the flops);
+    the dot/(na*nb) combination order matches the oracle exactly.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    normed = df.select(
+        F.col(id_col).alias("id"), vd.alias("v"), _norm(vd).alias("nrm")
+    )
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cosine"))

@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import cosine
-from .text import hash32
 
 
 def knn_bruteforce(
@@ -57,13 +56,22 @@ def knn_bruteforce(
 
 def _hyperplane(dim: int, plane_idx: int) -> F.Column:
     """Deterministic pseudo-random hyperplane: component j of plane i is
-    ``h32("p<i>:<j>")`` mapped to [-1, 1] — reproducible on any engine."""
-    return F.array(
-        *[
-            (hash32(F.lit(f"p{plane_idx}:{j}")) % 2001 - 1000) / 1000.0
-            for j in range(dim)
-        ]
-    )
+    ``h32("p<i>:<j>")`` mapped to [-1, 1] — reproducible on any engine.
+
+    Components are evaluated driver-side with the same md5 formula (rather
+    than as 64 constant-folding expression trees per plane, which bloats the
+    plan): plain float literals reach the executors.
+    """
+    import hashlib
+
+    comps = [
+        (int(hashlib.md5(f"p{plane_idx}:{j}".encode()).hexdigest()[:8], 16))
+        % 2001
+        / 1000.0
+        - 1.0
+        for j in range(dim)
+    ]
+    return F.array(*[F.lit(c) for c in comps])
 
 
 def lsh_signature(vec, dim: int, num_planes: int = 8) -> F.Column:

@@ -176,16 +176,42 @@ def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shingles occurring in more than DF_CAP rows are dropped before Jaccard —
+#: boilerplate removal + skew control (functions/dedup.py docstring).
+_DF_CAP = 100
+
+
 @query(
     "dedup_ngram_jaccard",
-    f"WITH {_SHINGLES_CTE.strip()}, {_EXACT_JACCARD_SQL.strip()}"
-    + """
+    f"WITH {_SHINGLES_CTE.strip()}"
+    + f""",
+hot AS (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) > {_DF_CAP}
+),
+kept AS (
+    SELECT s.doc_id, s.shingle FROM shingles s
+    WHERE s.shingle NOT IN (SELECT shingle FROM hot)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM kept a JOIN kept b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT doc_a, doc_b,
+           ROUND(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2
 """,
 )
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.2
+        load_table(spark, sf_dir, "documents"), threshold=0.2, df_cap=_DF_CAP
     )
 
 
