@@ -39,10 +39,50 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition tiny inputs up to the session's default parallelism.
+
+    Small parquet files arrive as one input split, which would serialize
+    every downstream stage; the exchange also materializes the projection
+    beneath it exactly once, so expression trees referenced by several
+    downstream branches aren't recomputed per branch.  At real scale the
+    input already has >= defaultParallelism partitions and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute-once barrier for intermediates consumed by several branches.
+
+    Self-join plans reference the same subtree from both sides (and often a
+    third aggregation branch); Catalyst's exchange reuse does not reliably
+    kick in across AQE-replanned join branches, so the subtree would be
+    recomputed per consumer.  ``localCheckpoint`` materializes it exactly
+    once.  Eager on purpose: a lazy checkpoint is racy when several join
+    branches of the SAME action hit it concurrently — each branch then
+    recomputes the full subtree.  All checkpointed intermediates here are
+    small by construction (signatures / per-doc arrays, not pair sets); at
+    persistent-cluster scale a persisted table serves the same role.
+    """
+    return df.localCheckpoint(eager=True)
+
+
+def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc, sh_arr) with the shingle array materialized behind an exchange."""
+    return _spread(
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
+        )
+    )
+
+
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+    return _shingle_arrays(df, text_col, id_col, n).select(
+        "doc", F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -61,14 +101,11 @@ def ngram_jaccard_pairs(
     Per-doc sizes come straight from the shingle-array length (no second
     explode+groupBy shuffle).
     """
-    arrays = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
-    )
+    arrays = _materialize(_shingle_arrays(df, text_col, id_col, n))
     sh = arrays.select("doc", F.explode("sh_arr").alias("shingle"))
     if df_cap is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > df_cap)
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+        sh = _materialize(sh.join(hot.select("shingle"), "shingle", "left_anti"))
         sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     else:
         sizes = arrays.select("doc", F.size("sh_arr").alias("sz"))
@@ -114,7 +151,8 @@ def minhash_lsh_pairs(
     ``ngram_jaccard_pairs``.
     """
     rows_per_band = num_hashes // bands
-    sh = _shingled(df, text_col, id_col, n)
+    arrays = _materialize(_shingle_arrays(df, text_col, id_col, n))
+    sh = arrays.select("doc", F.explode("sh_arr").alias("shingle"))
     # All num_hashes minhashes in ONE aggregation pass (no seed explode:
     # that would push num_hashes x as many rows through the shuffle).
     sigs = sh.groupBy("doc").agg(
@@ -125,7 +163,7 @@ def minhash_lsh_pairs(
             for s in range(num_hashes)
         ]
     )
-    bands_df = sigs.select(
+    bands_df = _materialize(sigs).select(
         "doc",
         F.explode(
             F.array(
@@ -158,13 +196,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # Verify CANDIDATES ONLY: join each side's shingle array and compute
-    # exact Jaccard via array_intersect — work proportional to the candidate
+    # Verify CANDIDATES ONLY: join each side's shingle array (shared with
+    # the signature pass via the checkpoint above) and compute exact
+    # Jaccard via array_intersect — work proportional to the candidate
     # set, not to the full shared-shingle pair space.
-    arrays = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
-    )
     aa = arrays.select(F.col("doc").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
     bb = arrays.select(F.col("doc").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
     shared = F.size(F.array_intersect("arr_a", "arr_b"))
@@ -179,10 +214,14 @@ def minhash_lsh_pairs(
 
 def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """32-bit SimHash over distinct tokens (sign-aggregated bit votes)."""
-    tok = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", hash32(F.col("tok")))
+    tok = _spread(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+        )
+    ).select("doc", F.explode("toks").alias("tok")).withColumn(
+        "h", hash32(F.col("tok"))
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
@@ -209,7 +248,7 @@ def simhash_pairs(
     one identical 8-bit band), then exact bit_count verification — the
     banded join is the 100 TB path; no cross product is formed.
     """
-    sims = simhash32(df, text_col, id_col)
+    sims = _materialize(simhash32(df, text_col, id_col))
     banded = sims.select(
         "doc",
         "simhash",
@@ -278,23 +317,46 @@ def _norm(vec_double) -> F.Column:
     )
 
 
+def _dot(va, vb, dim: int | None) -> F.Column:
+    """Sequential left-fold dot product, bit-identical across formulations.
+
+    With ``dim`` known the sum is unrolled into plain ``+``/``*`` arithmetic
+    (whole-stage-codegen friendly; higher-order ``aggregate`` lambdas are
+    interpreted per element).  The unrolled chain starts at ``0.0`` so its
+    association order ((0.0+x0)+x1)+... is exactly the fold's.
+    """
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(va, vb, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    dot = F.lit(0.0)
+    for j in range(1, dim + 1):
+        dot = dot + F.element_at(va, j) * F.element_at(vb, j)
+    return dot
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.35,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine > threshold over id-ordered pairs.
 
     Exact all-pairs baseline (the verification-quality reference);
     ``simsearch.lsh_bucket_topk`` shows the sub-quadratic scale path.
-    Norms are computed ONCE per row before the pair join (the naive form
-    recomputes both norms for each of the O(n²) pairs — 3× the flops);
-    the dot/(na*nb) combination order matches the oracle exactly.
+    Norms are computed ONCE per row before the pair join — the exchange
+    under ``_spread`` materializes (v, norm) so neither is recomputed per
+    O(n²) pair — and the dot/(na*nb) combination order matches the oracle
+    exactly.  Pass ``dim`` to unroll the dot product into codegen'd
+    arithmetic (~10x over the interpreted higher-order fold).
     """
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    normed = df.select(
-        F.col(id_col).alias("id"), vd.alias("v"), _norm(vd).alias("nrm")
+    normed = _spread(
+        df.select(F.col(id_col).alias("id"), vd.alias("v"), _norm(vd).alias("nrm"))
     )
     a = normed.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -302,14 +364,87 @@ def embedding_near_dup_pairs(
     b = normed.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col("va"), F.col("vb"), dim)
     cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") > threshold)
     )
+
+
+def embedding_near_dup_pairs_blocked(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Block-nested-loop embedding near-dup with a vectorized Arrow kernel.
+
+    Same semantics as ``embedding_near_dup_pairs``; this is the fast path.
+    The build side is collected once and broadcast as a numpy matrix (the
+    same data movement a broadcast join performs); the probe side streams
+    through ``mapInPandas`` in Arrow batches.  The dot/norm accumulations
+    run per-DIMENSION across the whole block in float64, so every pair's
+    value is the same left-fold ((0.0+x1)+x2)+... the SQL form and the
+    DuckDB oracle compute — bit-identical, just vectorized.
+
+    The Python node is also a pushdown barrier: Catalyst cannot fold the
+    threshold predicate into a nested-loop join condition (which made the
+    pure-expression plan evaluate the full dot product once per ORDERED
+    pair inside the join and again in the projection).  The kernel emits a
+    conservative superset (margin 1e-3 below the threshold, raw cosine);
+    the exact round-then-compare happens in Spark expressions above it.
+
+    At 100 TB the build side no longer fits one broadcast: chunk it and
+    union the per-chunk outputs (kernel unchanged); the probe side scales
+    horizontally as-is.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    build = src.collect()
+    b_ids = np.array([r["id"] for r in build], dtype=np.int64)
+    b_mat = np.array([list(r["v"]) for r in build], dtype=np.float64)
+    ndim = b_mat.shape[1]
+    b_norm = np.zeros(len(b_ids))
+    for j in range(ndim):
+        b_norm += b_mat[:, j] * b_mat[:, j]
+    b_norm = np.sqrt(b_norm)
+    bc = df.sparkSession.sparkContext.broadcast((b_ids, b_mat, b_norm))
+    margin = threshold - 1e-3
+
+    def kernel(batches):
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_all = pdf["id"].to_numpy(dtype=np.int64)
+            mat_all = np.array(list(pdf["v"]), dtype=np.float64)
+            for s in range(0, len(ids_all), block_rows):
+                ids_a = ids_all[s : s + block_rows]
+                mat_a = mat_all[s : s + block_rows]
+                dot = np.zeros((len(ids_a), len(ids_b)))
+                norm_a = np.zeros(len(ids_a))
+                for j in range(ndim):
+                    dot += mat_a[:, j : j + 1] * mat_b[None, :, j]
+                    norm_a += mat_a[:, j] * mat_a[:, j]
+                cos = dot / (np.sqrt(norm_a)[:, None] * norm_b[None, :])
+                keep = (ids_a[:, None] < ids_b[None, :]) & (cos > margin)
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids_a[ai],
+                        "id_b": ids_b[bi],
+                        "cos_raw": cos[ai, bi],
+                    }
+                )
+
+    out = _spread(src).mapInPandas(
+        kernel, "id_a bigint, id_b bigint, cos_raw double"
+    )
+    return out.select(
+        "id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cosine")
+    ).filter(F.col("cosine") > threshold)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine
+from .dedup import _materialize, _spread, cosine
 
 
 def knn_bruteforce(
@@ -35,8 +35,10 @@ def knn_bruteforce(
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = _spread(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
     )
     cos = F.round(cosine(F.col("qv"), F.col("cv")), 6)
     scored = (
@@ -111,8 +113,17 @@ def lsh_bucket_topk(
     tunable via ``num_planes`` (fewer planes = bigger buckets).
     """
     sig = lsh_signature(F.col(vec_col), dim, num_planes)
-    tagged = embeddings.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")
+    # Signatures are consumed by both the corpus and the (filtered) query
+    # branch of the join — materialize once instead of recomputing the
+    # 8-plane interpreted fold per branch.
+    tagged = _materialize(
+        _spread(
+            embeddings.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                sig.alias("_sig"),
+            )
+        )
     )
     q = tagged.filter(F.col("_id").isin(query_ids)).select(
         F.col("_id").alias("query_id"),

@@ -42,14 +42,24 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles, space-joined.
 
     Rows with fewer than ``n`` tokens yield an empty array.
+
+    Formulated as ``zip_with`` over ``n`` shifted ``slice``s so the
+    (possibly expensive) ``toks`` child expression is evaluated O(n) times
+    per row, not once per gram: ``element_at(toks, i)`` inside a lambda
+    re-evaluates the whole child per access (higher-order-function lambdas
+    bind only their loop variables), which makes the naive
+    ``transform(sequence(...), i -> ...)`` formulation quadratic when
+    ``toks`` is itself a regex split.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(F.transform(idx, gram))
-    )
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(grams)
 
 
 def hash32(col: Column) -> Column:

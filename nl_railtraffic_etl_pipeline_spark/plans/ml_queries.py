@@ -301,7 +301,7 @@ WHERE {_COS_SQL.format(va='embedding', vb='embedding')} > 0.35
 """,
 )
 def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_dup_pairs(
+    return dedup.embedding_near_dup_pairs_blocked(
         load_table(spark, sf_dir, "embeddings"), threshold=0.35
     )
 
