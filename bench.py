@@ -29,6 +29,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed warm-up: JVM/codegen/parquet-reader/Python-worker initialization
+    # would otherwise be attributed to whichever query happens to run first.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy(
+        "n_regionkey"
+    ).count().write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.rollup import build_daily_stats
+from ..operators.rollup import build_daily_stats, run_report
 from ..operators.upsert import dedup_batch, upsert_latest_wins
 from .registry import query
 from .testdata import disruptions_df, load_table, rail_oracle_prelude
@@ -81,8 +81,32 @@ def _daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Upsert semantics as a query (S7/J4): latest-wins merge of two event slices
+# Run report (A7 / pipeline.py:318-330): one-row "today" aggregate.  The
+# derived disruptions table has no created_at; the report day is anchored on
+# start_time with as-of = max(start_time) date (registry determinism rules).
 # ---------------------------------------------------------------------------
+@query(
+    "rail_report",
+    rail_oracle_prelude()
+    + """
+SELECT COUNT(*) AS total_records,
+       CAST(SUM(CASE WHEN type = 'disruption' THEN 1 ELSE 0 END) AS BIGINT)
+           AS disruptions,
+       CAST(SUM(CASE WHEN type = 'maintenance' THEN 1 ELSE 0 END) AS BIGINT)
+           AS maintenance,
+       CAST(SUM(CASE WHEN type = 'calamity' THEN 1 ELSE 0 END) AS BIGINT)
+           AS calamities,
+       ROUND(AVG(duration_minutes), 1) AS avg_duration_minutes,
+       MAX(impact_level) AS max_impact_level
+FROM disruptions
+WHERE CAST(start_time AS DATE) =
+      (SELECT CAST(max(start_time) AS DATE) FROM disruptions)
+""",
+)
+def _report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = disruptions_df(spark, sf_dir)
+    as_of = d.agg(F.max(F.to_date("start_time"))).first()[0]
+    return run_report(d.withColumn("created_at", F.col("start_time")), as_of)
 @query(
     "etl_upsert_latest_wins",
     """

@@ -1,0 +1,168 @@
+"""Structured-Streaming view of the reference's daily batch pipeline.
+
+The reference has no streaming code: its incremental model is a daily cron
+re-running the whole batch with idempotent upserts as the correctness
+contract (``/root/reference/.github/workflows/daily_pipeline.yml:4-5``,
+``src/pipeline.py:137-142`` — SURVEY §2.11).  This module is the
+Spark-native continuous formulation of exactly that contract:
+
+- ``read_disruption_stream``: the archive directory (one JSON payload file
+  per fetch, the reference's ``data/raw/disruptions_<ts>.json`` layout)
+  becomes a file-source stream — every new archive file is one micro-batch.
+- ``start_incremental_load``: ``foreachBatch`` runs the SAME clean + upsert
+  the batch pipeline uses, so replays/restarts are safe for the same reason
+  re-running the cron is: the merge is idempotent.  Checkpointing makes each
+  file exactly-once on top of that.
+- ``streaming_daily_counts``: the ``daily_stats`` roll-up as a watermarked
+  windowed aggregation — late events inside the watermark still land in
+  their day bucket; older ones are dropped deterministically.
+- ``sessionize_stream``: custom stateful operator via
+  ``applyInPandasWithState`` (gap-based sessionization) — the pattern for
+  semantics Spark's built-in windows cannot express.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.cleaning import clean
+from ..schemas import RAW_DISRUPTION
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events int"
+)
+_SESSION_STATE_SCHEMA = "session_start timestamp, last_ts timestamp, n int"
+
+
+def read_disruption_stream(
+    spark: SparkSession, raw_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the raw-payload archive directory.
+
+    Schema is pinned (no streaming inference); ``multiLine`` because each
+    archive file is one pretty-printed JSON array (``api_client.py:105-110``).
+    """
+    reader = spark.readStream.schema(RAW_DISRUPTION).option("multiLine", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(raw_dir)
+
+
+def start_incremental_load(
+    spark: SparkSession,
+    raw_dir: str,
+    lake_path: str,
+    checkpoint_dir: str,
+    run_ts: _dt.datetime | None = None,
+    available_now: bool = True,
+):
+    """Continuously clean + idempotently merge every arriving archive file.
+
+    ``foreachBatch`` reuses the batch pipeline's load stage verbatim, so the
+    lake state after streaming N files equals the batch pipeline run N times
+    — property the tests assert.  ``availableNow`` drains the backlog and
+    stops (the cron-replacement mode); pass ``available_now=False`` for a
+    long-running tail.
+    """
+    from ..pipeline import SparkETLPipeline
+
+    pipe = SparkETLPipeline(spark, lake_path)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        raw = batch_df.filter(F.col("id").isNotNull() & (F.col("id") != ""))
+        if raw.isEmpty():
+            return
+        ts = run_ts or _dt.datetime.now(_dt.timezone.utc)
+        pipe.load(raw, pipe.transform(raw, ts), ts)
+
+    stream = read_disruption_stream(spark, raw_dir, max_files_per_trigger=1)
+    writer = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_daily_counts(
+    cleaned: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """daily_stats as a continuous windowed aggregation (A9, streaming form).
+
+    Watermark bounds state: a day's bucket stays open ``watermark`` past the
+    newest observed ``start_time``, then finalizes; later stragglers are
+    dropped rather than silently corrupting history.
+    """
+    return (
+        cleaned.withWatermark("start_time", watermark)
+        .groupBy(
+            F.window("start_time", "1 day").start.cast("date").alias("date"),
+            "type",
+        )
+        .agg(
+            F.count("*").alias("total_disruptions"),
+            F.avg("duration_minutes").alias("avg_duration_minutes"),
+            F.max("impact_level").alias("max_impact_level"),
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful operator.
+
+    ``applyInPandasWithState`` keeps (session_start, last_ts, n) per user;
+    an event more than ``gap_minutes`` after the previous one closes the
+    open session (emitted downstream) and starts a new one.  State is
+    per-key and bounded; the operator scales by hash partitioning on the
+    key like any shuffle.
+    """
+    import pandas as pd
+
+    gap = _dt.timedelta(minutes=gap_minutes)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed: list[tuple] = []
+        stamps: list = []
+        for pdf in pdfs:
+            stamps.extend(pdf[ts_col].tolist())
+        for ts in sorted(stamps):
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if last is not None and ts - last > gap:
+                closed.append((uid, start, last, n))
+                start, n = None, 0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+        state.update((start, last, n))
+        yield pd.DataFrame(closed, columns=cols)
+
+    return (
+        events.select(F.col(id_col).alias("user_id"), F.col(ts_col))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,123 @@
+"""Structured-Streaming layer: incremental load equivalence with the batch
+pipeline, watermarked daily counts, and the stateful sessionizer."""
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nl_railtraffic_etl_pipeline_spark.functions.cleaning import clean
+from nl_railtraffic_etl_pipeline_spark.sources.json_source import read_payload
+from nl_railtraffic_etl_pipeline_spark.streaming import (
+    sessionize_stream,
+    start_incremental_load,
+    streaming_daily_counts,
+)
+
+PAYLOAD_1 = "/root/reference/data/raw/disruptions_20260214_111810.json"
+PAYLOAD_2 = "/root/reference/data/raw/disruptions_20260213_152133.json"
+RUN_TS = dt.datetime(2026, 2, 14, 11, 18, 10)
+
+
+def test_incremental_load_matches_batch_contract(spark, tmp_path):
+    """Streaming N archive files == running the batch pipeline N times:
+    same keys, exactly-once per file, replay-safe."""
+    raw_dir = tmp_path / "raw"
+    raw_dir.mkdir()
+    shutil.copy(PAYLOAD_1, raw_dir / "disruptions_a.json")
+
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_incremental_load(spark, str(raw_dir), lake, ckpt, RUN_TS)
+    q.awaitTermination(120)
+
+    disruptions = spark.read.parquet(f"{lake}/disruptions")
+    assert disruptions.count() == 125
+    assert disruptions.select("disruption_id").distinct().count() == 125
+
+    # second file arrives (overlapping keys) -> upsert, not duplicate
+    shutil.copy(PAYLOAD_2, raw_dir / "disruptions_b.json")
+    q = start_incremental_load(
+        spark, str(raw_dir), lake, ckpt, RUN_TS + dt.timedelta(hours=1)
+    )
+    q.awaitTermination(120)
+
+    disruptions = spark.read.parquet(f"{lake}/disruptions")
+    assert (
+        disruptions.count()
+        == disruptions.select("disruption_id").distinct().count()
+    )
+    # restart with no new files: checkpoint makes it a no-op
+    before = disruptions.count()
+    q = start_incremental_load(
+        spark, str(raw_dir), lake, ckpt, RUN_TS + dt.timedelta(hours=2)
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{lake}/disruptions").count() == before
+
+
+def test_streaming_daily_counts_matches_batch(spark, tmp_path):
+    cleaned = clean(read_payload(spark, PAYLOAD_1), RUN_TS)
+    src = str(tmp_path / "cleaned")
+    cleaned.write.parquet(src)
+
+    stream = spark.readStream.schema(cleaned.schema).parquet(src)
+    q = (
+        streaming_daily_counts(stream)
+        .writeStream.format("memory")
+        .queryName("daily_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.table("daily_counts")
+    # time windows have no bucket for null timestamps; batch twin filters too
+    want = (
+        cleaned.filter(F.col("start_time").isNotNull())
+        .groupBy(F.to_date("start_time").alias("date"), "type")
+        .agg(F.count("*").alias("total_disruptions"))
+    )
+    assert got.count() == want.count()
+    merged = got.join(want, ["date", "type"], "inner").filter(
+        got["total_disruptions"] == want["total_disruptions"]
+    )
+    assert merged.count() == want.count()
+
+
+def test_sessionize_stream_closes_on_gap(spark, tmp_path):
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=5)),
+        (1, t0 + dt.timedelta(minutes=60)),  # closes session 1 (gap > 30)
+        (1, t0 + dt.timedelta(minutes=65)),
+        (2, t0),
+        (2, t0 + dt.timedelta(minutes=90)),  # closes user 2's first session
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, "user_id bigint, ts timestamp").write.parquet(
+        src
+    )
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    closed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sessions").collect()
+    }
+    assert closed == {
+        (1, t0, t0 + dt.timedelta(minutes=5), 2),
+        (2, t0, t0, 1),
+    }
