@@ -56,24 +56,27 @@ def knn_bruteforce(
     )
 
 
-def _hyperplane(dim: int, plane_idx: int) -> F.Column:
+def hyperplane_components(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j of plane i is
     ``h32("p<i>:<j>")`` mapped to [-1, 1] — reproducible on any engine.
 
-    Components are evaluated driver-side with the same md5 formula (rather
-    than as 64 constant-folding expression trees per plane, which bloats the
-    plan): plain float literals reach the executors.
+    Evaluated driver-side with the md5 formula shared with the oracle
+    dialect (functions/text.py docstring); the same float literals are
+    embedded in the Spark plan and in the DuckDB oracle SQL.
     """
     import hashlib
 
-    comps = [
+    return [
         (int(hashlib.md5(f"p{plane_idx}:{j}".encode()).hexdigest()[:8], 16))
         % 2001
         / 1000.0
         - 1.0
         for j in range(dim)
     ]
-    return F.array(*[F.lit(c) for c in comps])
+
+
+def _hyperplane(dim: int, plane_idx: int) -> F.Column:
+    return F.array(*[F.lit(c) for c in hyperplane_components(dim, plane_idx)])
 
 
 def lsh_signature(vec, dim: int, num_planes: int = 8) -> F.Column:

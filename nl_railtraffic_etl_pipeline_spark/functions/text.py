@@ -72,6 +72,33 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
 
 
+#: BPE-ish pre-tokenization: word runs and single non-space punctuation,
+#: the unit a byte-pair encoder would merge within (token-budget estimates).
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Subword-ready token pieces via the BPE-ish pre-tokenizer regex."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream.
+
+    ``h = fold(tokens[1:], h32(tokens[0]), (acc, t) -> (acc*31 + h32(t)) mod
+    2^31-1)`` — left fold from the first element so the DuckDB twin can use
+    ``list_reduce`` (which seeds from the head).  Unlike the md5
+    ``fingerprint`` this hash is incremental: streaming ingest can extend it
+    token-by-token without re-reading the document.
+    """
+    hashed = F.transform(toks, hash32)
+    return F.aggregate(
+        F.slice(hashed, 2, F.greatest(F.size(hashed) - 1, F.lit(0))),
+        F.element_at(hashed, 1),
+        lambda acc, h: (acc * 31 + h) % F.lit(2147483647),
+    )
+
+
 def punct_count(text: Column) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
 

@@ -107,6 +107,11 @@ def _report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = disruptions_df(spark, sf_dir)
     as_of = d.agg(F.max(F.to_date("start_time"))).first()[0]
     return run_report(d.withColumn("created_at", F.col("start_time")), as_of)
+
+
+# ---------------------------------------------------------------------------
+# Upsert semantics as a query (S7/J4): latest-wins merge of two event slices
+# ---------------------------------------------------------------------------
 @query(
     "etl_upsert_latest_wins",
     """
@@ -130,7 +135,7 @@ SELECT event_id, event_type, value, ts FROM (
 """,
 )
 def _upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", spread=True).select(
         "event_id", "event_type", "value", "ts"
     )
     existing = ev.filter(F.col("event_id") % 2 == 0)
@@ -157,7 +162,7 @@ SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
 """,
 )
 def _dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders", spread=True).select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
     return dedup_batch(
@@ -189,7 +194,7 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def _pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -225,8 +230,8 @@ GROUP BY n_name
 )
 def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -276,7 +281,7 @@ GROUP BY user_id, session_id
 """,
 )
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=True)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     prev = F.lag("ts").over(w)
@@ -314,7 +319,7 @@ GROUP BY k
 """,
 )
 def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=True)
     return (
         ev.select(
             F.get_json_object("props", "$.k").cast("int").alias("k"), "value"

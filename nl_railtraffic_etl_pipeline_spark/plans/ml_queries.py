@@ -86,7 +86,7 @@ FROM t
 """,
 )
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     toks = tokens(F.col("text"))
     swr = stopword_ratio(toks)
     return d.select(
@@ -131,7 +131,7 @@ FROM t
 """,
 )
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     toks = tokens(F.col("text"))
     from ..functions.text import lang_scores
 
@@ -154,6 +154,33 @@ FROM documents
 def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@query(
+    "text_token_stats",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks,
+                  regexp_extract_all(lower(text), '\\w+|[^\\w\\s]') AS bpe
+           FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_ws_tokens,
+       CAST(len(bpe) AS INTEGER) AS n_bpe_tokens,
+       list_reduce(list_transform(toks, t -> {_H32.format(x='t')}),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
+FROM t
+""",
+)
+def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import bpe_ish_tokens, rolling_fingerprint
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).cast("int").alias("n_bpe_tokens"),
+        rolling_fingerprint(toks).alias("rolling_fp"),
     )
 
 
@@ -339,11 +366,62 @@ def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_knn_lsh")  # LSH recall subset — no SQL oracle (rows-only check)
+_EMB_DIM = 64  # all driver SFs ship 64-dim embeddings (TESTDATA.md)
+
+
+def _lsh_sig_sql(vec_expr: str, dim: int = _EMB_DIM, planes: int = 8) -> str:
+    """DuckDB twin of ``simsearch.lsh_signature``: same md5-derived plane
+    literals, same zip/transform/sum fold, same >=0 sign rule."""
+    terms = []
+    for i in range(planes):
+        comps = simsearch.hyperplane_components(dim, i)
+        arr = "[" + ", ".join(repr(c) for c in comps) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip({vec_expr}, {arr}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {2 ** i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+_LSH_COS_SQL = """
+ROUND(
+  list_sum(list_transform(list_zip(q.qv, c._v),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(c._v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+6)
+"""
+
+
+@query(
+    "sim_knn_lsh",
+    f"""
+WITH tagged AS (
+    SELECT vec_id AS _id, embedding AS _v,
+           {_lsh_sig_sql('embedding')} AS _sig
+    FROM embeddings
+),
+q AS (
+    SELECT _id AS query_id, _v AS qv, _sig FROM tagged
+    WHERE _id IN ({", ".join(map(str, _KNN_QUERY_IDS))})
+),
+scored AS (
+    SELECT q.query_id, c._id AS neighbor_id, {_LSH_COS_SQL} AS cosine
+    FROM tagged c JOIN q ON c._sig = q._sig
+    WHERE c._id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank
+    FROM scored
+) WHERE rank <= 10
+""",
+)
 def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    return simsearch.lsh_bucket_topk(emb, _KNN_QUERY_IDS, dim=dim, k=10)
+    return simsearch.lsh_bucket_topk(emb, _KNN_QUERY_IDS, dim=_EMB_DIM, k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -52,7 +52,9 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS): surfaced as bigint nanos under
     # spark.sql.legacy.parquet.nanosAsLong (session.py).  Integer-divide to
@@ -60,6 +62,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        # Bench-scale files arrive as one input split, serializing the first
+        # stage of every consumer; no-op when the scan is already parallel.
+        from ..functions.dedup import _spread
+
+        df = _spread(df)
     return df
 
 
@@ -88,7 +96,15 @@ def _station_code(expr):
 
 def disruptions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the ``disruptions`` warehouse table from ``events``."""
-    ev = load_table(spark, sf_dir, "events")
+    from ..functions.dedup import _spread
+
+    # Prune to the derivation's inputs BEFORE spreading: the repartition
+    # exchange then carries 5 narrow columns instead of the whole scan.
+    ev = _spread(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts", "value", "user_id"
+        )
+    )
     type_col = F.coalesce(
         F.element_at(
             F.create_map(*[F.lit(x) for kv in _TYPE_MAP.items() for x in kv]),

@@ -100,5 +100,5 @@ def test_registry_oracle_coverage():
     """Every registered query has an oracle unless explicitly rows-only."""
     from nl_railtraffic_etl_pipeline_spark.plans.registry import ORACLES, QUERIES
 
-    rows_only = {"sim_knn_lsh"}
+    rows_only: set[str] = set()  # every query is currently fully oracled
     assert set(QUERIES) - set(ORACLES) == rows_only
