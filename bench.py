@@ -31,6 +31,13 @@ def main() -> None:
 
     # Untimed warm-up: JVM/codegen/parquet-reader/Python-worker initialization
     # would otherwise be attributed to whichever query happens to run first.
+    # Run the flagship query shape at the smallest SF so window execution,
+    # exchanges, and timestamp conversion are all compiled before timing.
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        entry_mod.queries()["rail_q1_rolling_trend"](spark, warm_sf).write.format(
+            "noop"
+        ).mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy(
         "n_regionkey"
     ).count().write.format("noop").mode("overwrite").save()

@@ -136,9 +136,18 @@ def disruptions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array_join(F.array_sort(F.array_distinct(codes)), ","))
         .alias("affected_stations"),
     )
-    return df.withColumn(
-        "impact_level", impact_level_col(F.col("type"), F.col("duration_minutes"))
-    ).withColumn("is_resolved", F.col("end_time").isNotNull())
+    from ..functions.dedup import _materialize
+
+    # Materialized: every rail query consumes the derivation 1-3 times
+    # (aggregation branches, window branches, self-joins); computing the
+    # 600k-row expression pipeline once per query call beats recomputing it
+    # per consumer branch.
+    return _materialize(
+        df.withColumn(
+            "impact_level",
+            impact_level_col(F.col("type"), F.col("duration_minutes")),
+        ).withColumn("is_resolved", F.col("end_time").isNotNull())
+    )
 
 
 def stations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
