@@ -16,6 +16,7 @@ __all__ = [
     "hour_bucket",
     "julianday_minutes",
     "safe_div",
+    "exact_avg",
     "csv_unnest",
     "least_",
     "greatest_",
@@ -47,6 +48,21 @@ def julianday_minutes(start: Column, end: Column) -> Column:
 def safe_div(num: Column, den: Column) -> Column:
     """``num / NULLIF(den, 0)`` (ref: aggregators.py:162,284)."""
     return num / F.nullif(den, F.lit(0))
+
+
+def exact_avg(col: Column) -> Column:
+    """Order-independent AVG of a double expression.
+
+    ``AVG(double)`` sums in partition order, so two engines (or two runs at
+    different parallelism) can disagree in the last ulps — which flips
+    ``ROUND`` at a half boundary and breaks cross-engine hash parity.
+    Quantizing each value to DECIMAL(24,6) makes the sum exact and
+    associative; the final divide is a single deterministic double op.  The
+    DuckDB oracle twin is
+    ``CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE) / COUNT(x)``.
+    """
+    d = col.cast("decimal(24,6)")
+    return F.sum(d).cast("double") / F.count(d)
 
 
 def csv_unnest(csv: Column) -> Column:

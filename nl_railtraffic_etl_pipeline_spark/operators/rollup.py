@@ -16,7 +16,7 @@ import datetime as _dt
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import csv_unnest, hour_bucket
+from ..functions.compat import csv_unnest, exact_avg, hour_bucket
 
 
 def build_daily_stats(
@@ -38,7 +38,7 @@ def build_daily_stats(
         F.sum(F.when(F.col("type") == "cancellation", 1).otherwise(0))
         .cast("int")
         .alias("total_cancellations"),
-        F.avg("duration_minutes").alias("avg_duration_minutes"),
+        exact_avg(F.col("duration_minutes")).alias("avg_duration_minutes"),
         F.max("duration_minutes").cast("int").alias("max_duration_minutes"),
     )
 
@@ -105,6 +105,6 @@ def run_report(disruptions: DataFrame, as_of_date=None) -> DataFrame:
         F.sum(F.when(F.col("type") == "calamity", 1).otherwise(0)).alias(
             "calamities"
         ),
-        F.round(F.avg("duration_minutes"), 1).alias("avg_duration_minutes"),
+        F.round(exact_avg(F.col("duration_minutes")), 1).alias("avg_duration_minutes"),
         F.max("impact_level").alias("max_impact_level"),
     )

@@ -34,7 +34,7 @@ core AS (
            CAST(COUNT(*) AS INTEGER) AS total_disruptions,
            CAST(SUM(CASE WHEN type = 'cancellation' THEN 1 ELSE 0 END)
                 AS INTEGER) AS total_cancellations,
-           ROUND(AVG(duration_minutes), 3) AS avg_duration_minutes,
+           ROUND((CAST(SUM(CAST(duration_minutes AS DECIMAL(24,6))) AS DOUBLE) / COUNT(duration_minutes)), 3) AS avg_duration_minutes,
            CAST(trunc(MAX(duration_minutes)) AS INTEGER) AS max_duration_minutes
     FROM base GROUP BY date
 ),
@@ -96,7 +96,7 @@ SELECT COUNT(*) AS total_records,
            AS maintenance,
        CAST(SUM(CASE WHEN type = 'calamity' THEN 1 ELSE 0 END) AS BIGINT)
            AS calamities,
-       ROUND(AVG(duration_minutes), 1) AS avg_duration_minutes,
+       ROUND((CAST(SUM(CAST(duration_minutes AS DECIMAL(24,6))) AS DOUBLE) / COUNT(duration_minutes)), 1) AS avg_duration_minutes,
        MAX(impact_level) AS max_impact_level
 FROM disruptions
 WHERE CAST(start_time AS DATE) =
@@ -313,12 +313,15 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
        COUNT(*) AS n,
-       ROUND(AVG(value), 2) AS avg_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value),
+             2) AS avg_value
 FROM events
 GROUP BY k
 """,
 )
 def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.compat import exact_avg
+
     ev = load_table(spark, sf_dir, "events", spread=True)
     return (
         ev.select(
@@ -327,6 +330,6 @@ def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.round(exact_avg(F.col("value")), 2).alias("avg_value"),
         )
     )

@@ -424,6 +424,74 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.lsh_bucket_topk(emb, _KNN_QUERY_IDS, dim=_EMB_DIM, k=10)
 
 
+def _cos6(va: str, na: str, vb: str, nb: str) -> str:
+    """ROUND(dot/(na*nb), 6) — DuckDB twin of simsearch's rounded cosine."""
+    return (
+        f"ROUND(list_sum(list_transform(list_zip({va}, {vb}), "
+        f"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) "
+        f"/ ({na} * {nb}), 6)"
+    )
+
+
+_IVF_NORM = (
+    "sqrt(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@query(
+    "sim_knn_ivf",
+    f"""
+WITH base AS (
+    SELECT vec_id AS _id, embedding AS _v, {_IVF_NORM} AS _n FROM embeddings
+),
+cents AS (
+    SELECT _id AS centroid_id, _v AS cv, _n AS cn
+    FROM base WHERE _id % 61 = 0 ORDER BY _id LIMIT 8
+),
+assigned AS (
+    SELECT _id, _v, _n, centroid_id FROM (
+        SELECT b._id, b._v, b._n, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b._id
+                   ORDER BY {_cos6('b._v', 'b._n', 'c.cv', 'c.cn')} DESC,
+                            c.centroid_id
+               ) AS rn
+        FROM base b CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+q AS (
+    SELECT _id AS query_id, _v AS qv, _n AS qn FROM base
+    WHERE _id IN ({", ".join(map(str, _KNN_QUERY_IDS))})
+),
+probes AS (
+    SELECT query_id, qv, qn, centroid_id FROM (
+        SELECT q.query_id, q.qv, q.qn, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos6('q.qv', 'q.qn', 'c.cv', 'c.cn')} DESC,
+                            c.centroid_id
+               ) AS rn
+        FROM q CROSS JOIN cents c
+    ) WHERE rn <= 2
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT p.query_id, a._id AS neighbor_id,
+           {_cos6('p.qv', 'p.qn', 'a._v', 'a._n')} AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {_cos6('p.qv', 'p.qn', 'a._v', 'a._n')} DESC, a._id
+           ) AS rank
+    FROM probes p JOIN assigned a USING (centroid_id)
+    WHERE a._id <> p.query_id
+) WHERE rank <= 10
+""",
+)
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simsearch.ivf_topk(emb, _KNN_QUERY_IDS, k=10, dim=_EMB_DIM)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (Arrow/Pandas-UDF path)
 # ---------------------------------------------------------------------------

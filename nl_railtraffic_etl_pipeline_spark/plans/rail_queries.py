@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.compat import (
     csv_unnest,
     day_name,
+    exact_avg,
     hour_bucket,
     julianday_minutes,
     safe_div,
@@ -67,7 +68,7 @@ def rolling_trend(disruptions: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("incident_count"),
-            F.avg("duration_minutes").alias("_avg_dur"),
+            exact_avg(F.col("duration_minutes")).alias("_avg_dur"),
         )
     )
     w = (
@@ -104,7 +105,7 @@ def station_severity(disruptions: DataFrame, stations: DataFrame) -> DataFrame:
     )
     agg = unnested.groupBy("station_code").agg(
         F.countDistinct("disruption_id").alias("total_disruptions"),
-        F.avg("duration_minutes").alias("_avg_dur"),
+        exact_avg(F.col("duration_minutes")).alias("_avg_dur"),
         F.avg("impact_level").alias("_avg_impact"),
         F.max("impact_level").alias("max_impact_level"),
     )
@@ -154,7 +155,7 @@ def day_over_day(disruptions: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("type") == "calamity", 1).otherwise(0)).alias("calamities"),
         F.sum(F.when(F.col("type") == "maintenance", 1).otherwise(0)).alias("maintenance"),
         F.sum(F.when(F.col("type") == "disruption", 1).otherwise(0)).alias("disruptions"),
-        F.round(F.avg("duration_minutes"), 1).alias("avg_duration"),
+        F.round(exact_avg(F.col("duration_minutes")), 1).alias("avg_duration"),
         F.max("impact_level").alias("max_impact"),
     )
     w = Window.orderBy("disruption_date")
@@ -191,7 +192,7 @@ def peak_hours(disruptions: DataFrame, limit: int = 20) -> DataFrame:
         )
         .agg(
             F.count("*").alias("disruption_count"),
-            F.round(F.avg("duration_minutes"), 1).alias("avg_duration"),
+            F.round(exact_avg(F.col("duration_minutes")), 1).alias("avg_duration"),
             F.round(F.avg("impact_level"), 2).alias("avg_impact"),
         )
     )
@@ -236,7 +237,10 @@ def complex_analytics(disruptions: DataFrame) -> DataFrame:
         .groupBy(F.to_date("start_time").alias("disruption_date"), "type")
         .agg(
             F.count("*").alias("incident_count"),
-            F.avg(
+            # exact_avg, not AVG: the julianday minutes are non-terminating
+            # decimals and a partition-order double sum flips ROUND at half
+            # boundaries vs the oracle (observed at sf0.001).
+            exact_avg(
                 julianday_minutes(F.col("start_time"), F.col("end_time"))
             ).alias("_avg_dur"),
         )
@@ -257,12 +261,15 @@ def complex_analytics(disruptions: DataFrame) -> DataFrame:
         .withColumnRenamed("count", "disruption_count")
     )
     pr = F.percent_rank().over(Window.orderBy("disruption_count"))
+    # first() over the limited frame instead of the bare limit(1): a scalar
+    # subquery yields NULL when empty, but crossJoin with a 0-row frame
+    # would wipe the whole output — the agg always produces exactly 1 row.
     worst = (
         station_counts.withColumn("severity_percentile", pr)
         .filter(F.col("severity_percentile") > 0.9)
         .orderBy(F.desc("disruption_count"), "station_code")
         .limit(1)
-        .select(F.col("station_code").alias("worst_station"))
+        .agg(F.first("station_code").alias("worst_station"))
     )
 
     w_date = Window.partitionBy("disruption_date")

@@ -54,7 +54,7 @@ daily_counts AS (
     SELECT CAST(start_time AS DATE) AS disruption_date,
            type,
            COUNT(*) AS incident_count,
-           AVG(duration_minutes) AS avg_dur
+           (CAST(SUM(CAST(duration_minutes AS DECIMAL(24,6))) AS DOUBLE) / COUNT(duration_minutes)) AS avg_dur
     FROM disruptions
     WHERE start_time >= (SELECT CAST(max(start_time) AS DATE) - INTERVAL 30 DAY
                          FROM disruptions)
@@ -92,7 +92,7 @@ unnested AS (
 station_aggregates AS (
     SELECT station_code,
            COUNT(DISTINCT disruption_id) AS total_disruptions,
-           AVG(duration_minutes) AS avg_dur,
+           (CAST(SUM(CAST(duration_minutes AS DECIMAL(24,6))) AS DOUBLE) / COUNT(duration_minutes)) AS avg_dur,
            AVG(impact_level) AS avg_impact,
            MAX(impact_level) AS max_impact_level
     FROM unnested
@@ -138,7 +138,7 @@ daily_summary AS (
                AS maintenance,
            CAST(SUM(CASE WHEN type = 'disruption' THEN 1 ELSE 0 END) AS BIGINT)
                AS disruptions,
-           ROUND(AVG(duration_minutes), 1) AS avg_duration,
+           ROUND((CAST(SUM(CAST(duration_minutes AS DECIMAL(24,6))) AS DOUBLE) / COUNT(duration_minutes)), 1) AS avg_duration,
            MAX(impact_level) AS max_impact
     FROM disruptions
     GROUP BY 1
@@ -173,7 +173,7 @@ hourly_stats AS (
     SELECT strftime(start_time, '%H') AS hour_of_day,
            CAST(dayofweek(start_time) AS VARCHAR) AS day_of_week,
            COUNT(*) AS disruption_count,
-           ROUND(AVG(duration_minutes), 1) AS avg_duration,
+           ROUND((CAST(SUM(CAST(duration_minutes AS DECIMAL(24,6))) AS DOUBLE) / COUNT(duration_minutes)), 1) AS avg_duration,
            ROUND(AVG(impact_level), 2) AS avg_impact
     FROM disruptions
     WHERE start_time IS NOT NULL
@@ -216,8 +216,11 @@ disruption_metrics AS (
     SELECT CAST(start_time AS DATE) AS disruption_date,
            type,
            COUNT(*) AS incident_count,
-           AVG((date_part('epoch', end_time) - date_part('epoch', start_time))
-               / 60.0) AS avg_dur,
+           CAST(SUM(CAST((date_part('epoch', end_time)
+                          - date_part('epoch', start_time)) / 60.0
+                     AS DECIMAL(24,6))) AS DOUBLE)
+               / COUNT((date_part('epoch', end_time)
+                        - date_part('epoch', start_time)) / 60.0) AS avg_dur,
            CAST(SUM(COUNT(*)) OVER (
                ORDER BY CAST(start_time AS DATE), type {_ROLLING_FRAME}
            ) AS BIGINT) AS rolling_7day_total

@@ -84,6 +84,30 @@ def test_lsh_topk_subset_of_bruteforce(spark):
         assert bf_scores[r.neighbor_id] == r.cosine  # same scoring
 
 
+def test_ivf_topk_scores_match_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows)
+    bf_scores = {
+        r.neighbor_id: r.cosine
+        for r in simsearch.knn_bruteforce(df, [0], k=50).collect()
+    }
+    got = simsearch.ivf_topk(
+        df, [0], k=10, n_centroids=4, nprobe=2, stride=7, dim=8
+    ).collect()
+    assert got, "IVF returned no candidates"
+    ranks = [r.rank for r in got]
+    assert ranks == sorted(ranks) and ranks[0] == 1
+    for r in got:
+        assert r.neighbor_id != 0
+        assert bf_scores[r.neighbor_id] == r.cosine  # same scoring, subset
+
+
 def test_multimodal_decode_roundtrip(spark):
     df = _docs(spark, ["hello world", "abc"])
     out = (
