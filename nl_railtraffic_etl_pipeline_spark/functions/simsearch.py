@@ -142,8 +142,10 @@ def ivf_topk(
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
+    # probes is |queries| x nprobe rows — always the broadcast side; the
+    # assigned corpus streams (SMJ here would shuffle the whole corpus).
     return (
-        probes.join(assigned, "centroid_id")
+        assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -1,0 +1,126 @@
+"""Lake writers (S2-S5) and the REST source's retry policy."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nl_railtraffic_etl_pipeline_spark.sources import rest_source
+from nl_railtraffic_etl_pipeline_spark.sources.json_source import (
+    read_payload,
+    read_jsonl,
+)
+from nl_railtraffic_etl_pipeline_spark.sources.lake import (
+    with_date_partitions,
+    write_csv_snapshot,
+    write_raw_archive,
+)
+
+PAYLOAD = "/root/reference/data/raw/disruptions_20260214_111810.json"
+RUN_TS = dt.datetime(2026, 2, 14, 11, 18, 10)
+
+
+def test_raw_archive_hive_layout_and_pruning(spark, tmp_path):
+    raw = read_payload(spark, PAYLOAD)
+    path = str(tmp_path / "archive")
+    write_raw_archive(raw, path, RUN_TS)
+
+    # Hive layout: year=/month=/day= directories, zero-padded values
+    assert os.path.isdir(f"{path}/year=2026/month=02/day=14")
+
+    back = spark.read.json(path)
+    assert back.count() == raw.count()
+    # partition pruning reaches the scan: filtering on partition columns
+    # must not list other days' directories
+    pruned = back.filter(
+        (F.col("year") == "2026") & (F.col("month") == "02") & (F.col("day") == "14")
+    )
+    assert pruned.count() == raw.count()
+    none = back.filter(F.col("day") == "15")
+    assert none.count() == 0
+
+
+def test_date_partition_columns_zero_padded(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2026, 3, 5, 1, 2, 3),)], "fetched_at timestamp"
+    )
+    row = with_date_partitions(df).first()
+    assert (row.year, row.month, row.day) == ("2026", "03", "05")
+
+
+def test_csv_snapshot_single_file_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    )
+    path = str(tmp_path / "snap")
+    write_csv_snapshot(df, path)
+    files = [f for f in os.listdir(path) if f.endswith(".csv")]
+    assert len(files) == 1  # the reference's one-file-per-run contract
+    back = spark.read.option("header", True).csv(path)
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [
+        ("1", "a"),
+        ("2", "b"),
+    ]
+
+
+def test_read_jsonl_permissive(spark, tmp_path):
+    p = tmp_path / "x.jsonl"
+    p.write_text(
+        '{"id": "a", "title": "Works at Amsterdam"}\n'
+        '{"id": "b", "type": "MAINTENANCE"}\n'
+        "{not json at all\n"  # malformed -> _corrupt_record, not a failure
+    )
+    df = read_jsonl(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    ok = {r.id for r in rows if r.id is not None}
+    assert ok == {"a", "b"}
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 1  # Glue ignore.malformed.json equivalence
+
+
+class _FakeResp:
+    def __init__(self, status, payload=None):
+        self.status_code = status
+        self._payload = payload
+
+    def raise_for_status(self):
+        if self.status_code >= 400:
+            import requests
+
+            err = requests.HTTPError(f"{self.status_code}")
+            err.response = self
+            raise err
+
+    def json(self):
+        return self._payload
+
+
+def test_rest_source_retries_then_succeeds(monkeypatch):
+    requests = pytest.importorskip("requests")
+    calls = []
+
+    def fake_get(url, **kw):
+        calls.append(url)
+        return _FakeResp(500) if len(calls) < 3 else _FakeResp(200, [{"id": "x"}])
+
+    monkeypatch.setattr(requests, "get", fake_get)
+    monkeypatch.setattr(rest_source.time, "sleep", lambda s: None)
+    out = rest_source.fetch_disruptions("key", max_retries=3)
+    assert out == [{"id": "x"}] and len(calls) == 3
+
+
+def test_rest_source_aborts_on_auth(monkeypatch):
+    requests = pytest.importorskip("requests")
+    calls = []
+
+    def fake_get(url, **kw):
+        calls.append(url)
+        return _FakeResp(401)
+
+    monkeypatch.setattr(requests, "get", fake_get)
+    monkeypatch.setattr(rest_source.time, "sleep", lambda s: None)
+    with pytest.raises(RuntimeError):
+        rest_source.fetch_disruptions("key", max_retries=3)
+    assert len(calls) == 1  # 401 short-circuits, no retries
