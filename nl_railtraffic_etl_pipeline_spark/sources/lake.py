@@ -71,6 +71,34 @@ def write_clean_lake(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    keys: list[str],
+    num_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed+sorted managed table: the co-located-join storage layout.
+
+    Two tables bucketed on the same keys into the same bucket count join
+    with NO shuffle and NO sort — each task zips bucket i with bucket i
+    (verified by plan assertion in tests).  This is how the repeated-join
+    keys of the warehouse (disruption_id, station_code) avoid re-shuffling
+    the fact table on every query at 100 TB; the upsert operators work
+    unchanged since bucket layout is preserved under same-key rewrites.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*keys)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def write_csv_snapshot(df: DataFrame, path: str) -> None:
     """S5: single-file CSV snapshot of the cleaned frame (pipeline.py:103-110).
 

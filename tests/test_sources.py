@@ -80,6 +80,33 @@ def test_read_jsonl_permissive(spark, tmp_path):
     assert len(corrupt) == 1  # Glue ignore.malformed.json equivalence
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    from nl_railtraffic_etl_pipeline_spark.sources.lake import write_bucketed
+
+    a = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "bkt_a", ["k"], 8, path=str(tmp_path / "a"))
+    write_bucketed(b, "bkt_b", ["k"], 8, path=str(tmp_path / "b"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "simple"
+        )
+        # co-located: bucket i zips with bucket i — no shuffle, no sort
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
 class _FakeResp:
     def __init__(self, status, payload=None):
         self.status_code = status
