@@ -42,15 +42,21 @@ def main() -> None:
         "n_regionkey"
     ).count().write.format("noop").mode("overwrite").save()
 
+    # min-of-N per query: single-shot timings on this box vary +/-50% on the
+    # heavy queries (GC, virtio jitter); the min is the stable signal.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # noop sink: full materialization of every output column (a bare
-        # count() would let Catalyst prune unused expressions away).
-        df.write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # noop sink: full materialization of every output column (a bare
+            # count() would let Catalyst prune unused expressions away).
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        dt = round(best, 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: done in {dt:.2f}s", file=sys.stderr)

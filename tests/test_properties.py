@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the engine's trickiest invariants.
+
+One SparkSession round-trip per property with a batched example set: Spark
+job latency makes per-example @given impractical, so each property draws a
+list of examples, evaluates them in ONE DataFrame, and compares against a
+plain-Python reference implementation row by row.
+"""
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from nl_railtraffic_etl_pipeline_spark.functions.text import (
+    tokens,
+    word_shingles,
+)
+from nl_railtraffic_etl_pipeline_spark.operators.upsert import (
+    insert_ignore,
+    upsert_latest_wins,
+)
+
+# Printable-ish text including whitespace runs and unicode
+TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs", "Cc"), include_characters=" \t"
+    ),
+    max_size=80,
+)
+
+
+def _py_shingles(text: str, n: int = 3) -> list[str]:
+    toks = [t for t in __import__("re").split(r"\s+", text.strip().lower())]
+    if len(toks) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i : i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=25))
+def test_word_shingles_matches_python_reference(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: list(r.s)
+        for r in df.select(
+            "i", word_shingles(tokens(F.col("t")), 3).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_shingles(t, 3), repr(t)
+
+
+KEYS = st.integers(min_value=0, max_value=20)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(KEYS, st.integers(0, 100)), max_size=30),
+    st.lists(st.tuples(KEYS, st.integers(0, 100)), max_size=30),
+)
+def test_upsert_properties(spark, existing_rows, batch_rows):
+    schema = "k int, ts int"
+    existing = spark.createDataFrame(existing_rows, schema).dropDuplicates(["k"])
+    batch = spark.createDataFrame(batch_rows, schema)
+
+    # insert_ignore: existing keys keep their rows; new keys appear once
+    ins = insert_ignore(existing, batch, ["k"]).collect()
+    ex_map = {r.k: r.ts for r in existing.collect()}
+    ins_map = {}
+    for r in ins:
+        assert r.k not in ins_map, "duplicate key after insert_ignore"
+        ins_map[r.k] = r.ts
+    for k, ts in ex_map.items():
+        assert ins_map[k] == ts  # existing wins
+    assert set(ins_map) == set(ex_map) | {k for k, _ in batch_rows}
+
+    # upsert_latest_wins: batch replaces; within batch max-ts row survives;
+    # applying the same batch twice is idempotent
+    up1 = upsert_latest_wins(existing, batch, ["k"], "ts")
+    up2 = upsert_latest_wins(up1, batch, ["k"], "ts")
+    m1 = {r.k: r.ts for r in up1.collect()}
+    m2 = {r.k: r.ts for r in up2.collect()}
+    assert m1 == m2, "upsert not idempotent"
+    batch_best = {}
+    for k, ts in batch_rows:
+        batch_best[k] = max(ts, batch_best.get(k, -1))
+    for k, ts in batch_best.items():
+        assert m1[k] == ts  # batch wins with its latest row
+    for k, ts in ex_map.items():
+        if k not in batch_best:
+            assert m1[k] == ts  # untouched keys survive
