@@ -107,6 +107,26 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
+def test_python_datasource_raw_zone(spark):
+    from nl_railtraffic_etl_pipeline_spark.schemas import RAW_DISRUPTION
+    from nl_railtraffic_etl_pipeline_spark.sources import rest_datasource
+
+    rest_datasource.register(spark)
+    df = (
+        spark.read.format("ns_disruptions")
+        .option("payload_path", PAYLOAD)
+        .option("fetched_at", "2026-02-14T11:18:10")
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        "struct<id:string,raw_json:string,fetched_at:timestamp>"
+    )
+    assert df.count() == 125
+    # raw_json round-trips through the nested schema the cleaner consumes
+    parsed = df.select(F.from_json("raw_json", RAW_DISRUPTION).alias("r"))
+    assert parsed.filter(F.col("r.id").isNull()).count() == 0
+
+
 class _FakeResp:
     def __init__(self, status, payload=None):
         self.status_code = status
