@@ -52,9 +52,32 @@ TABLES = (
 )
 
 
+#: Runtime session confs the loaders depend on — set defensively so the
+#: registry works under ANY SparkSession (the driver passes its own, which
+#: need not come from session.get_spark):
+#: - nanosAsLong: events.parquet stores TIMESTAMP(NANOS); a bare session
+#:   fails the read with PARQUET_TYPE_ILLEGAL otherwise.
+#: - UTC timezone: timestamp<->date semantics must match the DuckDB oracle.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            current = spark.conf.get(k)
+        except Exception:
+            current = None
+        if current != v:
+            spark.conf.set(k, v)
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS): surfaced as bigint nanos under
     # spark.sql.legacy.parquet.nanosAsLong (session.py).  Integer-divide to
