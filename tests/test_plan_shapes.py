@@ -1,0 +1,61 @@
+"""Plan-shape regression guards: the scale properties PLANS.md documents
+must survive future edits.  Asserts on the optimized physical plan text at
+sf0.001 (plan shape, not timing — cheap)."""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_no_cartesian_products_anywhere(spark):
+    for name in entry_mod.queries():
+        assert "CartesianProduct" not in plan_of(spark, name), name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_pairs",
+     "sim_knn_lsh", "rail_q6_overlapping"],
+)
+def test_pair_generators_are_equi_joins(spark, name):
+    """Candidate generation must never fall back to a nested-loop pair scan.
+    (1-row as-of broadcasts in rail_q6 are fine; a BNLJ whose build side is
+    the exploded bucket/band/shingle table is not.)"""
+    txt = plan_of(spark, name)
+    hash_joins = len(re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt))
+    assert hash_joins >= 1, f"{name}: no equi-join found"
+    if name != "rail_q6_overlapping":
+        assert "BroadcastNestedLoopJoin" not in txt, name
+
+
+def test_dimension_joins_broadcast(spark):
+    # station enrichment (25-row dim) must broadcast, not shuffle the fact
+    assert "BroadcastHashJoin" in plan_of(spark, "rail_q2_station_severity")
+    assert "BroadcastHashJoin" in plan_of(spark, "join_revenue_by_nation")
+
+
+def test_pricing_filter_pushed_to_scan(spark):
+    txt = plan_of(spark, "agg_pricing_summary")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", txt)
+    assert pushed and "l_shipdate" in pushed.group(1), pushed
+
+
+def test_python_only_in_arrow_kernels(spark):
+    for name in entry_mod.queries():
+        txt = plan_of(spark, name)
+        has_python = re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", txt)
+        if name in ("dedup_embedding_cosine", "mm_decode_image_meta"):
+            assert has_python, name
+        else:
+            assert not has_python, f"{name}: unexpected Python eval node"
