@@ -1,0 +1,127 @@
+"""Structured-Streaming gate queries.
+
+The reference's incremental model is a daily cron re-running the batch
+pipeline (SURVEY §2.11); `streaming/incremental.py` is its continuous
+formulation.  These entries surface that layer through the driver gate by
+draining a file-source stream with `trigger(availableNow=True)` into a
+memory sink and returning the sink table:
+
+- ``streaming_daily_counts``: watermarked 1-day windowed aggregation over
+  the streamed ``disruptions`` derivation.  In complete mode the drained
+  result equals the batch group-by, so it gets a FULL DuckDB oracle — the
+  streaming engine is hash-checked against ANSI SQL, not just smoke-run.
+- ``streaming_sessionize``: the `applyInPandasWithState` gap sessionizer —
+  custom per-key state Spark's built-in windows can't express.  No SQL
+  oracle (closed-session emission depends on streaming state semantics);
+  the driver records the weaker rows-only check, and `test_streaming.py`
+  asserts batch-equivalence of the operator itself.
+
+Scale note: at cluster scale the same plans run unbounded (drop
+`availableNow`, real sink) — watermarks bound window state, sessionizer
+state is per-key and gap-bounded, and the memory sink here only ever holds
+the aggregated frame (days × types / closed sessions), never raw input.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import exact_avg
+from ..streaming.incremental import sessionize_stream
+from .registry import query
+from .testdata import derive_disruptions, ensure_session_confs, rail_oracle_prelude
+
+_DRAIN_TIMEOUT_S = 300
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the synthetic events table (pinned schema).
+
+    The file source requires a *directory* to monitor; the testdata tables
+    are single read-only files, so stage a symlink directory (the archive-
+    directory layout `streaming/incremental.py` streams in production).
+    """
+    ensure_session_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "nl_spark_stream", sf_tag, "events"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    ev = spark.readStream.schema(schema).parquet(stream_dir)
+    for field in ev.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def _drain_to_memory(result: DataFrame, name: str, output_mode: str) -> None:
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(_DRAIN_TIMEOUT_S):
+            raise TimeoutError(f"{name}: stream did not drain in {_DRAIN_TIMEOUT_S}s")
+    finally:
+        if q.isActive:
+            q.stop()
+    if q.exception() is not None:
+        raise q.exception()
+
+
+@query(
+    "streaming_daily_counts",
+    rail_oracle_prelude()
+    + """
+SELECT
+    CAST(start_time AS DATE) AS stat_date,
+    type,
+    COUNT(*) AS total_disruptions,
+    ROUND(CAST(SUM(CAST(duration_minutes AS DECIMAL(24,6))) AS DOUBLE)
+          / COUNT(duration_minutes), 1) AS avg_duration_minutes,
+    MAX(impact_level) AS max_impact_level
+FROM disruptions
+GROUP BY 1, 2
+""",
+)
+def _streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dis = derive_disruptions(
+        _events_stream(spark, sf_dir).select(
+            "event_id", "event_type", "ts", "value", "user_id"
+        )
+    )
+    agg = (
+        dis.withWatermark("start_time", "1 day")
+        .groupBy(
+            F.window("start_time", "1 day").start.cast("date").alias("stat_date"),
+            "type",
+        )
+        .agg(
+            F.count("*").alias("total_disruptions"),
+            F.round(exact_avg(F.col("duration_minutes")), 1).alias(
+                "avg_duration_minutes"
+            ),
+            F.max("impact_level").alias("max_impact_level"),
+        )
+    )
+    _drain_to_memory(agg, "streaming_daily_counts_result", "complete")
+    return spark.table("streaming_daily_counts_result")
+
+
+@query("streaming_sessionize")  # stateful custom operator: rows-only check
+def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = sessionize_stream(_events_stream(spark, sf_dir), gap_minutes=30)
+    _drain_to_memory(sessions, "streaming_sessionize_result", "append")
+    return spark.table("streaming_sessionize_result")

@@ -117,17 +117,13 @@ def _station_code(expr):
     return F.concat(F.lit("S"), F.lpad(expr.cast("string"), 2, "0"))
 
 
-def disruptions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive the ``disruptions`` warehouse table from ``events``."""
-    from ..functions.dedup import _spread
+def derive_disruptions(ev: DataFrame) -> DataFrame:
+    """Pure events → disruptions derivation (batch- and streaming-safe).
 
-    # Prune to the derivation's inputs BEFORE spreading: the repartition
-    # exchange then carries 5 narrow columns instead of the whole scan.
-    ev = _spread(
-        load_table(spark, sf_dir, "events").select(
-            "event_id", "event_type", "ts", "value", "user_id"
-        )
-    )
+    Only map-side expressions — no shuffle, no checkpoint — so the same
+    function defines the warehouse table for `disruptions_df` (batch) and
+    for the Structured-Streaming gate queries (`plans/streaming_queries.py`).
+    """
     type_col = F.coalesce(
         F.element_at(
             F.create_map(*[F.lit(x) for kv in _TYPE_MAP.items() for x in kv]),
@@ -159,18 +155,28 @@ def disruptions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array_join(F.array_sort(F.array_distinct(codes)), ","))
         .alias("affected_stations"),
     )
-    from ..functions.dedup import _materialize
+    return df.withColumn(
+        "impact_level",
+        impact_level_col(F.col("type"), F.col("duration_minutes")),
+    ).withColumn("is_resolved", F.col("end_time").isNotNull())
 
+
+def disruptions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the ``disruptions`` warehouse table from ``events``."""
+    from ..functions.dedup import _materialize, _spread
+
+    # Prune to the derivation's inputs BEFORE spreading: the repartition
+    # exchange then carries 5 narrow columns instead of the whole scan.
+    ev = _spread(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts", "value", "user_id"
+        )
+    )
     # Materialized: every rail query consumes the derivation 1-3 times
     # (aggregation branches, window branches, self-joins); computing the
     # 600k-row expression pipeline once per query call beats recomputing it
     # per consumer branch.
-    return _materialize(
-        df.withColumn(
-            "impact_level",
-            impact_level_col(F.col("type"), F.col("duration_minutes")),
-        ).withColumn("is_resolved", F.col("end_time").isNotNull())
-    )
+    return _materialize(derive_disruptions(ev))
 
 
 def stations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
