@@ -70,6 +70,17 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Materialized (doc, sh_arr) shingle-set artifact for a corpus.
+
+    The persisted intermediate both Jaccard-family dedup operators consume;
+    build once per corpus and pass via their ``arrays`` parameter.
+    """
+    return _materialize(_shingle_arrays(df, text_col, id_col, n))
+
+
 def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(doc, sh_arr) with the shingle array materialized behind an exchange."""
     return _spread(
@@ -93,15 +104,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     df_cap: int | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard similarity.
 
     Inverted-index plan: explode shingles -> self-join on shingle (equi-join,
     hash-partitioned) -> shared counts -> join per-doc sizes -> filter.
     Per-doc sizes come straight from the shingle-array length (no second
-    explode+groupBy shuffle).
+    explode+groupBy shuffle).  ``arrays`` is a prebuilt (materialized)
+    ``_shingle_arrays`` frame — the persisted shingle-set artifact a real
+    dedup pipeline computes once per corpus; built inline when omitted.
     """
-    arrays = _materialize(_shingle_arrays(df, text_col, id_col, n))
+    if arrays is None:
+        arrays = _materialize(_shingle_arrays(df, text_col, id_col, n))
     sh = arrays.select("doc", F.explode("sh_arr").alias("shingle"))
     if df_cap is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > df_cap)
@@ -141,6 +156,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.2,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -151,7 +167,8 @@ def minhash_lsh_pairs(
     ``ngram_jaccard_pairs``.
     """
     rows_per_band = num_hashes // bands
-    arrays = _materialize(_shingle_arrays(df, text_col, id_col, n))
+    if arrays is None:
+        arrays = _materialize(_shingle_arrays(df, text_col, id_col, n))
     sh = arrays.select("doc", F.explode("sh_arr").alias("shingle"))
     # All num_hashes minhashes in ONE aggregation pass (no seed explode:
     # that would push num_hashes x as many rows through the shuffle).
@@ -241,6 +258,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    sims: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with simhash hamming distance <= max_hamming.
 
@@ -248,7 +266,8 @@ def simhash_pairs(
     one identical 8-bit band), then exact bit_count verification — the
     banded join is the 100 TB path; no cross product is formed.
     """
-    sims = _materialize(simhash32(df, text_col, id_col))
+    if sims is None:
+        sims = _materialize(simhash32(df, text_col, id_col))
     banded = sims.select(
         "doc",
         "simhash",

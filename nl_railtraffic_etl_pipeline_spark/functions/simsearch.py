@@ -56,20 +56,20 @@ def knn_bruteforce(
     )
 
 
-def ivf_topk(
+def ivf_build(
     embeddings: DataFrame,
-    query_ids: list[int],
-    k: int = 10,
     n_centroids: int = 8,
-    nprobe: int = 2,
     stride: int = 61,
     dim: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF-style approximate top-k: coarse quantize, probe, rank.
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: ``(centroids, assigned lists)``, materialized.
 
-    Inverted-file structure built entirely as DataFrame plans:
+    Index construction is the offline phase of any ANN engine — at cluster
+    scale ``assigned`` is written out bucketed by ``centroid_id`` so each
+    probe touches only its buckets' files; here the materialized frames
+    play that role and are reusable across queries.
 
     1. **Coarse centroids**: a deterministic sample — the first
        ``n_centroids`` vectors whose id is divisible by ``stride`` (a data
@@ -77,14 +77,7 @@ def ivf_topk(
        without changing the query shape).
     2. **Assignment**: every vector joins its nearest centroid (broadcast
        cross join over ``n_centroids`` rows, cosine argmax with id
-       tiebreak) — this is the partition-by-list step; at scale the
-       assignment is written bucketed by ``centroid_id`` so each probe
-       touches only its buckets' files.
-    3. **Probe + rank**: each query scores the ``nprobe`` nearest
-       centroids, then ranks exact cosine only within those lists.
-
-    Recall is tunable via ``nprobe``/``n_centroids``; candidates scanned
-    per query drop from N to ~N*nprobe/n_centroids.
+       tiebreak) — this is the partition-by-list step.
     """
     from .dedup import _dot, _materialize, _norm, _spread
 
@@ -96,7 +89,7 @@ def ivf_topk(
             )
         )
     )
-    cents = (
+    cents = _materialize(
         base.filter(F.col("_id") % stride == 0)
         .orderBy("_id")
         .limit(n_centroids)
@@ -106,23 +99,55 @@ def ivf_topk(
             F.col("_n").alias("cn"),
         )
     )
-
-    def _cos(va, na, vb, nb) -> F.Column:
-        return F.round(_dot(va, vb, dim) / (na * nb), 6)
-
-    cent_cos = _cos(F.col("_v"), F.col("_n"), F.col("cv"), F.col("cn"))
+    cent_cos = F.round(
+        _dot(F.col("_v"), F.col("cv"), dim) / (F.col("_n") * F.col("cn")), 6
+    )
     w_assign = Window.partitionBy("_id").orderBy(
         F.desc("_ccos"), F.asc("centroid_id")
     )
-    assigned = (
+    assigned = _materialize(
         base.crossJoin(F.broadcast(cents))
         .withColumn("_ccos", cent_cos)
         .withColumn("_rn", F.row_number().over(w_assign))
         .filter(F.col("_rn") == 1)
         .select("_id", "_v", "_n", "centroid_id")
     )
+    return cents, assigned
 
-    q = base.filter(F.col("_id").isin(query_ids)).select(
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    stride: int = 61,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize, probe, rank.
+
+    ``index`` is a prebuilt ``ivf_build`` result (the offline artifact);
+    when omitted the index is built inline.
+
+    3. **Probe + rank**: each query scores the ``nprobe`` nearest
+       centroids, then ranks exact cosine only within those lists.
+
+    Recall is tunable via ``nprobe``/``n_centroids``; candidates scanned
+    per query drop from N to ~N*nprobe/n_centroids.
+    """
+    from .dedup import _dot
+
+    if index is None:
+        index = ivf_build(embeddings, n_centroids, stride, dim, vec_col, id_col)
+    cents, assigned = index
+
+    def _cos(va, na, vb, nb) -> F.Column:
+        return F.round(_dot(va, vb, dim) / (na * nb), 6)
+
+    q = assigned.filter(F.col("_id").isin(query_ids)).select(
         F.col("_id").alias("query_id"),
         F.col("_v").alias("qv"),
         F.col("_n").alias("qn"),
@@ -201,6 +226,31 @@ def lsh_signature(vec, dim: int, num_planes: int = 8) -> F.Column:
     return sig.cast("int")
 
 
+def lsh_build(
+    embeddings: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Build the LSH index: every vector tagged with its bucket signature.
+
+    The offline phase — at cluster scale this frame is written out
+    partitioned by ``_sig``; materialized here so both join branches (and
+    repeated queries) reuse it instead of recomputing the 8-plane fold.
+    """
+    sig = lsh_signature(F.col(vec_col), dim, num_planes)
+    return _materialize(
+        _spread(
+            embeddings.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                sig.alias("_sig"),
+            )
+        )
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -209,25 +259,19 @@ def lsh_bucket_topk(
     num_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket.
 
     Equi-join on the signature (hash shuffle on an int key) replaces the
     cross join — the plan that survives a 1000-executor corpus.  Recall is
-    tunable via ``num_planes`` (fewer planes = bigger buckets).
+    tunable via ``num_planes`` (fewer planes = bigger buckets).  ``index``
+    is a prebuilt ``lsh_build`` result; built inline when omitted.
     """
-    sig = lsh_signature(F.col(vec_col), dim, num_planes)
-    # Signatures are consumed by both the corpus and the (filtered) query
-    # branch of the join — materialize once instead of recomputing the
-    # 8-plane interpreted fold per branch.
-    tagged = _materialize(
-        _spread(
-            embeddings.select(
-                F.col(id_col).alias("_id"),
-                F.col(vec_col).alias("_v"),
-                sig.alias("_sig"),
-            )
-        )
+    tagged = (
+        index
+        if index is not None
+        else lsh_build(embeddings, dim, num_planes, vec_col, id_col)
     )
     q = tagged.filter(F.col("_id").isin(query_ids)).select(
         F.col("_id").alias("query_id"),
