@@ -64,13 +64,26 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain_to_memory(result: DataFrame, name: str, output_mode: str) -> None:
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Stateful operators allocate one state-store instance (and, for the
+    # Pandas sessionizer, one Python worker) per shuffle partition, fixed at
+    # query start.  These drains hold days×types / per-user-session state —
+    # 8 stores cover it; 32 would be per-drain startup overhead.  The conf
+    # is restored after start (captured at start time); an unbounded
+    # deployment sizes this to its key cardinality instead.
+    spark = result.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set(key, prev)
     try:
         if not q.awaitTermination(_DRAIN_TIMEOUT_S):
             raise TimeoutError(f"{name}: stream did not drain in {_DRAIN_TIMEOUT_S}s")
