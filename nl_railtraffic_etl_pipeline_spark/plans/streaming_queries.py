@@ -11,10 +11,11 @@ memory sink and returning the sink table:
   result equals the batch group-by, so it gets a FULL DuckDB oracle — the
   streaming engine is hash-checked against ANSI SQL, not just smoke-run.
 - ``streaming_sessionize``: the `applyInPandasWithState` gap sessionizer —
-  custom per-key state Spark's built-in windows can't express.  No SQL
-  oracle (closed-session emission depends on streaming state semantics);
-  the driver records the weaker rows-only check, and `test_streaming.py`
-  asserts batch-equivalence of the operator itself.
+  custom per-key state Spark's built-in windows can't express.  Under the
+  availableNow drain its emission (every session except each key's open
+  final one) is a deterministic function of the input, so it carries a
+  FULL gaps-and-islands DuckDB oracle; `test_streaming.py` additionally
+  asserts the operator's own closing semantics.
 
 Scale note: at cluster scale the same plans run unbounded (drop
 `availableNow`, real sink) — watermarks bound window state, sessionizer
@@ -133,7 +134,47 @@ def _streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("streaming_daily_counts_result")
 
 
-@query("streaming_sessionize")  # stateful custom operator: rows-only check
+@query(
+    "streaming_sessionize",
+    # The availableNow drain (single archive file -> single micro-batch,
+    # stamps sorted per key) emits exactly the batch gaps-and-islands
+    # sessions MINUS each user's final session, which stays open in state.
+    # That set IS ANSI-SQL-expressible, so the stateful operator gets a full
+    # hash-checked oracle: LAG + cumulative session ids, aggregate, then
+    # anti-select each key's max session id.
+    """
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sid
+    FROM ordered
+),
+agg AS (
+    SELECT user_id, sid,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS INTEGER) AS n_events
+    FROM sessioned
+    GROUP BY user_id, sid
+),
+open_session AS (
+    SELECT user_id, MAX(sid) AS max_sid FROM agg GROUP BY user_id
+)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events
+FROM agg a
+JOIN open_session o ON a.user_id = o.user_id AND a.sid < o.max_sid
+""",
+)
 def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize_stream(_events_stream(spark, sf_dir), gap_minutes=30)
     _drain_to_memory(sessions, "streaming_sessionize_result", "append")

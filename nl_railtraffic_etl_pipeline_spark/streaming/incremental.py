@@ -119,6 +119,7 @@ def sessionize_stream(
     gap_minutes: int = 30,
     id_col: str = "user_id",
     ts_col: str = "ts",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful operator.
 
@@ -127,14 +128,33 @@ def sessionize_stream(
     open session (emitted downstream) and starts a new one.  State is
     per-key and bounded; the operator scales by hash partitioning on the
     key like any shuffle.
+
+    Out-of-order handling: events within one micro-batch are sorted by
+    event time; an event OLDER than the stored ``last_ts`` (late across
+    micro-batches, beyond what state can reorder) is dropped rather than
+    rewinding the open session — late data never inflates history.
+
+    ``watermark`` (e.g. ``"1 hour"``) switches the operator to
+    ``EventTimeTimeout``: when the watermark passes ``last_ts + gap`` the
+    idle session is emitted and its state removed, so a long-running
+    stream both flushes idle users downstream and expires their state.
+    Without it (drain/replay mode) state lives for the query's lifetime
+    and only gap-closed sessions are emitted — the deterministic contract
+    the batch oracle checks.
     """
     import pandas as pd
 
     gap = _dt.timedelta(minutes=gap_minutes)
+    gap_ms = gap_minutes * 60 * 1000
     cols = ["user_id", "session_start", "session_end", "n_events"]
 
     def fn(key, pdfs, state: GroupState):
         (uid,) = key
+        if watermark is not None and state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(uid, start, last, n)], columns=cols)
+            return
         if state.exists:
             start, last, n = state.get
         else:
@@ -145,6 +165,8 @@ def sessionize_stream(
             stamps.extend(pdf[ts_col].tolist())
         for ts in sorted(stamps):
             ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if last is not None and ts < last:
+                continue  # cross-batch late arrival: drop, never rewind
             if last is not None and ts - last > gap:
                 closed.append((uid, start, last, n))
                 start, n = None, 0
@@ -153,16 +175,28 @@ def sessionize_stream(
             last = ts
             n += 1
         state.update((start, last, n))
+        if watermark is not None and last is not None:
+            # Arrow hands the worker NAIVE stamps in the session tz (UTC);
+            # .timestamp() would re-interpret them in the worker's local tz.
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=last.tzinfo)
+            last_ms = int((last - epoch).total_seconds() * 1000)
+            # Timeout stamps must sit beyond the current watermark.
+            state.setTimeoutTimestamp(
+                max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(closed, columns=cols)
 
-    return (
-        events.select(F.col(id_col).alias("user_id"), F.col(ts_col))
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=SESSION_SCHEMA,
-            stateStructType=_SESSION_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    src = events.select(F.col(id_col).alias("user_id"), F.col(ts_col))
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if watermark is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -121,3 +121,45 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path):
         (1, t0, t0 + dt.timedelta(minutes=5), 2),
         (2, t0, t0, 1),
     }
+
+
+def test_sessionize_stream_timeout_flushes_idle(spark, tmp_path):
+    """With a watermark, idle users' open sessions are emitted (and their
+    state expired) once the watermark passes last_ts + gap."""
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    src = tmp_path / "events"
+    src.mkdir()
+    ddl = "user_id bigint, ts timestamp"
+
+    def write(rows):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # file 1: user 1 has a short session then goes idle forever
+    write([(1, t0), (1, t0 + dt.timedelta(minutes=5))])
+    # files 2-3: another user keeps the stream (and the watermark) moving
+    write([(9, t0 + dt.timedelta(hours=3))])
+    write([(9, t0 + dt.timedelta(hours=6))])
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("timeout_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("timeout_sessions").collect()
+    }
+    # user 1's idle session was flushed by timeout, not by a gap event
+    assert (1, t0, t0 + dt.timedelta(minutes=5), 2) in emitted
