@@ -397,17 +397,24 @@ def embedding_near_dup_pairs_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.35,
-    block_rows: int = 1024,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Block-nested-loop embedding near-dup with a vectorized Arrow kernel.
 
     Same semantics as ``embedding_near_dup_pairs``; this is the fast path.
-    The build side is collected once and broadcast as a numpy matrix (the
-    same data movement a broadcast join performs); the probe side streams
-    through ``mapInPandas`` in Arrow batches.  The dot/norm accumulations
-    run per-DIMENSION across the whole block in float64, so every pair's
-    value is the same left-fold ((0.0+x1)+x2)+... the SQL form and the
-    DuckDB oracle compute — bit-identical, just vectorized.
+    Entirely executor-side — NO corpus data ever touches the driver:
+
+    1. Both sides are grouped into ``n_blocks`` id-hash blocks
+       (``collect_list`` per block — a plain aggregation).
+    2. The probe blocks fan out over every build-block id and meet the
+       build blocks through a shuffle-hash equi-join (hinted, so Catalyst
+       never swaps in a driver-collecting broadcast), yielding
+       ``n_blocks²`` block-pair rows.
+    3. An Arrow kernel unpacks each block pair into numpy matrices and
+       computes the block product.  The dot/norm accumulations run
+       per-DIMENSION across the whole block in float64, so every pair's
+       value is the same left-fold ((0.0+x1)+x2)+... the SQL form and the
+       DuckDB oracle compute — bit-identical, just vectorized.
 
     The Python node is also a pushdown barrier: Catalyst cannot fold the
     threshold predicate into a nested-loop join condition (which made the
@@ -416,41 +423,48 @@ def embedding_near_dup_pairs_blocked(
     conservative superset (margin 1e-3 below the threshold, raw cosine);
     the exact round-then-compare happens in Spark expressions above it.
 
-    At 100 TB the build side no longer fits one broadcast: chunk it and
-    union the per-chunk outputs (kernel unchanged); the probe side scales
-    horizontally as-is.
+    Every unordered pair lands in exactly one block pair (probe block is a
+    function of id_a, build block of id_b), so no dedup pass is needed.
+    At 100 TB size ``n_blocks`` so one block is a few hundred MB; work and
+    shuffle volume are the inherent O(n²/n_blocks) of exact all-pairs —
+    ``embedding_lsh_pairs`` is the sub-quadratic path.
     """
     import numpy as np
     import pandas as pd
 
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    build = src.collect()
-    b_ids = np.array([r["id"] for r in build], dtype=np.int64)
-    b_mat = np.array([list(r["v"]) for r in build], dtype=np.float64)
-    ndim = b_mat.shape[1]
-    b_norm = np.zeros(len(b_ids))
-    for j in range(ndim):
-        b_norm += b_mat[:, j] * b_mat[:, j]
-    b_norm = np.sqrt(b_norm)
-    bc = df.sparkSession.sparkContext.broadcast((b_ids, b_mat, b_norm))
+    src = _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+
+    def blocked(key: str) -> DataFrame:
+        return src.groupBy(
+            F.pmod(F.col("id"), F.lit(n_blocks)).alias(key)
+        ).agg(
+            F.collect_list("id").alias(f"ids_{key}"),
+            F.collect_list("v").alias(f"vecs_{key}"),
+        )
+
+    pairs = (
+        blocked("pid")
+        .withColumn("cid", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .join(blocked("cid").hint("shuffle_hash"), "cid")
+    )
     margin = threshold - 1e-3
 
     def kernel(batches):
-        ids_b, mat_b, norm_b = bc.value
         for pdf in batches:
-            if not len(pdf):
-                continue
-            ids_all = pdf["id"].to_numpy(dtype=np.int64)
-            mat_all = np.array(list(pdf["v"]), dtype=np.float64)
-            for s in range(0, len(ids_all), block_rows):
-                ids_a = ids_all[s : s + block_rows]
-                mat_a = mat_all[s : s + block_rows]
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["ids_pid"], dtype=np.int64)
+                ids_b = np.asarray(row["ids_cid"], dtype=np.int64)
+                mat_a = np.array(list(row["vecs_pid"]), dtype=np.float64)
+                mat_b = np.array(list(row["vecs_cid"]), dtype=np.float64)
+                ndim = mat_a.shape[1]
                 dot = np.zeros((len(ids_a), len(ids_b)))
                 norm_a = np.zeros(len(ids_a))
+                norm_b = np.zeros(len(ids_b))
                 for j in range(ndim):
                     dot += mat_a[:, j : j + 1] * mat_b[None, :, j]
                     norm_a += mat_a[:, j] * mat_a[:, j]
-                cos = dot / (np.sqrt(norm_a)[:, None] * norm_b[None, :])
+                    norm_b += mat_b[:, j] * mat_b[:, j]
+                cos = dot / (np.sqrt(norm_a)[:, None] * np.sqrt(norm_b)[None, :])
                 keep = (ids_a[:, None] < ids_b[None, :]) & (cos > margin)
                 ai, bi = np.nonzero(keep)
                 yield pd.DataFrame(
@@ -461,9 +475,75 @@ def embedding_near_dup_pairs_blocked(
                     }
                 )
 
-    out = _spread(src).mapInPandas(
-        kernel, "id_a bigint, id_b bigint, cos_raw double"
-    )
+    out = pairs.mapInPandas(kernel, "id_a bigint, id_b bigint, cos_raw double")
     return out.select(
         "id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cosine")
     ).filter(F.col("cosine") > threshold)
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    num_planes: int = 8,
+    bands: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """LSH-prefiltered embedding near-dup: the sub-quadratic 100 TB path.
+
+    Candidate pairs form ONLY inside hyperplane-LSH buckets (banded: the
+    ``num_planes`` sign bits split into ``bands`` keys; a pair is a
+    candidate when ANY band matches — equi-join on (band, key), hash
+    shuffle, no cross product).  Candidates are then verified with the
+    exact rounded cosine, so the output is a deterministic (LSH-recall)
+    subset of ``embedding_near_dup_pairs``.  ``index`` is a prebuilt
+    ``simsearch.lsh_build`` frame — the same offline artifact the ANN
+    queries probe; built inline when omitted.
+    """
+    from .simsearch import lsh_build
+
+    tagged = (
+        index
+        if index is not None
+        else lsh_build(df, dim, num_planes, vec_col, id_col)
+    )
+    bits_per_band = num_planes // bands
+    mask = (1 << bits_per_band) - 1
+    banded = tagged.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("_sig"), b * bits_per_band)
+                        .bitwiseAND(mask)
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = tagged.select(F.col("_id").alias("id_a"), F.col("_v").alias("arr_a"))
+    vb = tagged.select(F.col("_id").alias("id_b"), F.col("_v").alias("arr_b"))
+    cos = F.round(cosine(F.col("arr_a"), F.col("arr_b")), 6)
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") > threshold)
+    )

@@ -458,6 +458,60 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Banded hyperplane-LSH candidates (8 sign bits -> 2 bands of 4), exact
+# cosine verify — the sub-quadratic scale path for embedding dedup, whose
+# full algorithm (planes, banding, verify) is replicated by the oracle.
+# Lives with the ANN queries because it probes the SAME lsh_build artifact.
+_EMB_LSH_BANDS = 2
+_EMB_LSH_PLANES = 8
+
+
+def _emb_lsh_oracle() -> str:
+    bits = _EMB_LSH_PLANES // _EMB_LSH_BANDS
+    mask = (1 << bits) - 1
+    band_rows = ", ".join(str(b) for b in range(_EMB_LSH_BANDS))
+    band_key = " ".join(
+        f"WHEN {b} THEN (_sig >> {b * bits}) & {mask}"
+        for b in range(_EMB_LSH_BANDS)
+    )
+    return f"""
+WITH tagged AS (
+    SELECT vec_id AS _id, {_lsh_sig_sql('embedding')} AS _sig FROM embeddings
+),
+banded AS (
+    SELECT _id, g.band, CASE g.band {band_key} END AS key
+    FROM tagged, unnest([{band_rows}]) AS g(band)
+),
+cands AS (
+    SELECT DISTINCT x._id AS id_a, y._id AS id_b
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.key = y.key AND x._id < y._id
+)
+SELECT c.id_a, c.id_b,
+       {_COS_SQL.format(va='embedding', vb='embedding')} AS cosine
+FROM cands c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE {_COS_SQL.format(va='embedding', vb='embedding')} > 0.35
+"""
+
+
+@query("dedup_embedding_lsh", _emb_lsh_oracle())
+def _emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _artifact(
+        spark, sf_dir, "lsh_index", lambda: simsearch.lsh_build(emb, _EMB_DIM)
+    )
+    return dedup.embedding_lsh_pairs(
+        emb,
+        dim=_EMB_DIM,
+        threshold=0.35,
+        num_planes=_EMB_LSH_PLANES,
+        bands=_EMB_LSH_BANDS,
+        index=idx,
+    )
+
+
 def _cos6(va: str, na: str, vb: str, nb: str) -> str:
     """ROUND(dot/(na*nb), 6) — DuckDB twin of simsearch's rounded cosine."""
     return (

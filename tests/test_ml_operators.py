@@ -68,6 +68,54 @@ def test_embedding_near_dup_and_knn(spark):
     assert knn[0].rank == 1
 
 
+def test_embedding_blocked_matches_exact(spark):
+    """The executor-side blocked kernel must emit exactly the expression
+    plan's pair set, values bit-identical, for any block count."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_near_dup_pairs(df, threshold=0.3).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        blocked = {
+            (r.id_a, r.id_b): r.cosine
+            for r in dedup.embedding_near_dup_pairs_blocked(
+                df, threshold=0.3, n_blocks=n_blocks
+            ).collect()
+        }
+        assert blocked == exact, f"n_blocks={n_blocks}"
+
+
+def test_embedding_lsh_subset_of_exact(spark):
+    """LSH-prefiltered near-dup: a subset of the exact pair set with
+    identical cosines on every emitted pair."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_near_dup_pairs(df, threshold=0.3).collect()
+    }
+    got = dedup.embedding_lsh_pairs(
+        df, dim=8, threshold=0.3, num_planes=4, bands=2
+    ).collect()
+    assert got, "LSH pre-filter returned no pairs"
+    for r in got:
+        assert exact[(r.id_a, r.id_b)] == r.cosine
+
+
 def test_lsh_topk_subset_of_bruteforce(spark):
     import random
 
@@ -121,11 +169,7 @@ def test_multimodal_decode_roundtrip(spark):
 
 
 def test_registry_oracle_coverage():
-    """Every registered query has an oracle unless explicitly rows-only."""
+    """Every registered query has a full DuckDB oracle — no rows-only gaps."""
     from nl_railtraffic_etl_pipeline_spark.plans.registry import ORACLES, QUERIES
 
-    # streaming_sessionize: applyInPandasWithState emission is state-driven,
-    # not SQL-expressible — driver records the rows-only check (documented in
-    # plans/streaming_queries.py).
-    rows_only = {"streaming_sessionize"}
-    assert set(QUERIES) - set(ORACLES) == rows_only
+    assert set(QUERIES) == set(ORACLES)

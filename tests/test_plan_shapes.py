@@ -26,7 +26,7 @@ def test_no_cartesian_products_anywhere(spark):
 @pytest.mark.parametrize(
     "name",
     ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_pairs",
-     "sim_knn_lsh", "rail_q6_overlapping"],
+     "dedup_embedding_lsh", "sim_knn_lsh", "rail_q6_overlapping"],
 )
 def test_pair_generators_are_equi_joins(spark, name):
     """Candidate generation must never fall back to a nested-loop pair scan.
@@ -49,6 +49,21 @@ def test_pricing_filter_pushed_to_scan(spark):
     txt = plan_of(spark, "agg_pricing_summary")
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", txt)
     assert pushed and "l_shipdate" in pushed.group(1), pushed
+
+
+def test_blocked_embedding_kernel_is_executor_side(spark):
+    """The exact all-pairs kernel must meet its build side through a
+    shuffle join of grouped blocks — never a driver-collecting broadcast
+    (VERDICT r01: `src.collect()` was the one scale-killer here)."""
+    txt = plan_of(spark, "dedup_embedding_cosine")
+    assert "ShuffledHashJoin" in txt
+    assert "BroadcastExchange" not in txt
+    import inspect
+
+    from nl_railtraffic_etl_pipeline_spark.functions import dedup
+
+    src = inspect.getsource(dedup)
+    assert ".collect()" not in src, "corpus collect() reintroduced in dedup"
 
 
 def test_python_only_in_arrow_kernels(spark):
