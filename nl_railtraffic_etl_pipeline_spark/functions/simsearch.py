@@ -56,13 +56,96 @@ def knn_bruteforce(
     )
 
 
+def _assign_to_centroids(
+    base: DataFrame, cents: DataFrame, dim: int | None
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    cosine argmax with centroid_id tiebreak — the partition-by-list step."""
+    from .dedup import _dot
+
+    cent_cos = F.round(
+        _dot(F.col("_v"), F.col("cv"), dim) / (F.col("_n") * F.col("cn")), 6
+    )
+    w_assign = Window.partitionBy("_id").orderBy(
+        F.desc("_ccos"), F.asc("centroid_id")
+    )
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("_ccos", cent_cos)
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "_v", "_n", "centroid_id")
+    )
+
+
+def kmeans_centroids(
+    base: DataFrame,
+    n_centroids: int = 8,
+    max_iter: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means over (_id, _v, _n) rows.
+
+    Public algorithm (Lloyd 1982), Spark-first: each iteration is one
+    broadcast-assignment (cosine argmax, centroid_id tiebreak) plus one
+    elementwise-mean aggregation — per-position DECIMAL(38,18) sums, so
+    the result is bit-identical under ANY partitioning / AQE replan (double
+    addition does not commute; decimal addition does).  Init is the
+    ``n_centroids`` lowest-id vectors (deterministic; a k-means|| sampler
+    would slot in without changing the contract).  Empty clusters keep
+    their previous centroid.  Each iteration's 8-row centroid table is
+    checkpointed so the plan stays flat across iterations.
+    """
+    from .dedup import _materialize, _norm
+
+    w_init = Window.orderBy("_id")
+    cents = _materialize(
+        base.orderBy("_id")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(w_init) - 1).alias("centroid_id"),
+            F.col("_v").alias("cv"),
+            F.col("_n").alias("cn"),
+        )
+    )
+    for _ in range(max_iter):
+        memb = _assign_to_centroids(base, cents, dim)
+        means = (
+            memb.select("centroid_id", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+        )
+        newc = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("cv")
+        )
+        cents = _materialize(
+            cents.select("centroid_id", F.col("cv").alias("_prev_cv"))
+            .join(newc, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("cv", "_prev_cv").alias("cv"),
+            )
+            .withColumn("cn", _norm(F.col("cv")))
+        )
+    return cents
+
+
 def ivf_build(
     embeddings: DataFrame,
     n_centroids: int = 8,
-    stride: int = 61,
+    max_iter: int = 5,
     dim: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids_path: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: ``(centroids, assigned lists)``, materialized.
 
@@ -71,15 +154,19 @@ def ivf_build(
     probe touches only its buckets' files; here the materialized frames
     play that role and are reusable across queries.
 
-    1. **Coarse centroids**: a deterministic sample — the first
-       ``n_centroids`` vectors whose id is divisible by ``stride`` (a data
-       split any engine reproduces; a k-means refinement would slot in here
-       without changing the query shape).
+    1. **Coarse centroids**: deterministic Lloyd's k-means
+       (``kmeans_centroids``) — real cluster centers, so probe recall is a
+       property of the data, not of an id-sampling accident.
     2. **Assignment**: every vector joins its nearest centroid (broadcast
        cross join over ``n_centroids`` rows, cosine argmax with id
        tiebreak) — this is the partition-by-list step.
+
+    ``centroids_path`` materializes the centroid table as parquet — the
+    published index artifact.  Downstream (and the DuckDB correctness
+    oracle) consume the WRITTEN table, so both engines score against the
+    same centroid bits.
     """
-    from .dedup import _dot, _materialize, _norm, _spread
+    from .dedup import _materialize, _norm, _spread
 
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = _materialize(
@@ -89,29 +176,15 @@ def ivf_build(
             )
         )
     )
-    cents = _materialize(
-        base.filter(F.col("_id") % stride == 0)
-        .orderBy("_id")
-        .limit(n_centroids)
-        .select(
-            F.col("_id").alias("centroid_id"),
-            F.col("_v").alias("cv"),
-            F.col("_n").alias("cn"),
+    cents = kmeans_centroids(base, n_centroids, max_iter, dim)
+    if centroids_path is not None:
+        cents.write.mode("overwrite").parquet(centroids_path)
+        # Re-read then checkpoint: the index serves the exact bits the
+        # published artifact holds, independent of later writes to the path.
+        cents = _materialize(
+            embeddings.sparkSession.read.parquet(centroids_path)
         )
-    )
-    cent_cos = F.round(
-        _dot(F.col("_v"), F.col("cv"), dim) / (F.col("_n") * F.col("cn")), 6
-    )
-    w_assign = Window.partitionBy("_id").orderBy(
-        F.desc("_ccos"), F.asc("centroid_id")
-    )
-    assigned = _materialize(
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("_ccos", cent_cos)
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select("_id", "_v", "_n", "centroid_id")
-    )
+    assigned = _materialize(_assign_to_centroids(base, cents, dim))
     return cents, assigned
 
 
@@ -121,7 +194,6 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 2,
-    stride: int = 61,
     dim: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -141,7 +213,9 @@ def ivf_topk(
     from .dedup import _dot
 
     if index is None:
-        index = ivf_build(embeddings, n_centroids, stride, dim, vec_col, id_col)
+        index = ivf_build(
+            embeddings, n_centroids, dim=dim, vec_col=vec_col, id_col=id_col
+        )
     cents, assigned = index
 
     def _cos(va, na, vb, nb) -> F.Column:

