@@ -51,10 +51,16 @@ def dedup_batch(
 
 
 def insert_ignore(
-    existing: DataFrame, batch: DataFrame, keys: Sequence[str]
+    existing: DataFrame, batch: DataFrame, keys: Sequence[str], order_col=None
 ) -> DataFrame:
-    """``INSERT OR IGNORE`` semantics: existing rows win, new keys append."""
-    new_rows = dedup_batch(batch, keys).join(
+    """``INSERT OR IGNORE`` semantics: existing rows win, new keys append.
+
+    ``order_col`` picks the deterministic within-batch survivor among rows
+    sharing a key (see ``dedup_batch``); without it the survivor is
+    engine-arbitrary, which is fine only for callers whose batches are
+    already key-unique.
+    """
+    new_rows = dedup_batch(batch, keys, order_col).join(
         existing.select(*keys).distinct(), list(keys), "left_anti"
     )
     return existing.unionByName(new_rows)

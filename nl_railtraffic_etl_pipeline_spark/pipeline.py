@@ -8,28 +8,46 @@ the only IR and one action per sink (SURVEY §3.1):
     load      idempotent upserts into a parquet lake (operators/upsert.py)
     report    one-row aggregate (operators/rollup.py)
 
-The lake layout is two parquet zones + the station dim:
+The lake layout is the reference warehouse's four tables
+(``/root/reference/src/storage/schema.sql:7-57``) as parquet zones:
 
     <lake>/raw_disruptions/   (disruption_id, raw_json, fetched_at)
     <lake>/disruptions/       cleaned 12-column table
+    <lake>/stations/          6-row seed dimension (schema.sql:79-86)
+    <lake>/daily_stats/       per-date roll-up, rebuilt each run
+
+All path probing and swaps go through the Hadoop FileSystem API, so the
+same code runs against ``file://``, ``hdfs://`` or ``s3a://`` lakes (a
+local ``os.path`` check would silently report remote zones as absent and
+overwrite them with the bare batch).
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 import logging
-import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.cleaning import clean
-from .operators.rollup import run_report
+from .operators.rollup import build_daily_stats, run_report
 from .operators.upsert import insert_ignore, upsert_latest_wins
-from .schemas import CLEAN_DISRUPTION
+from .schemas import CLEAN_DISRUPTION, STATIONS
 from .sources.json_source import read_payload
 
 logger = logging.getLogger(__name__)
+
+#: The reference's station seed (schema.sql:79-86), country default 'NL'
+#: (schema.sql:41).
+SEED_STATIONS = [
+    ("ASD", "Amsterdam Centraal", "NL", 52.3791, 4.9003),
+    ("UTR", "Utrecht Centraal", "NL", 52.0894, 5.1101),
+    ("RTD", "Rotterdam Centraal", "NL", 51.9249, 4.4690),
+    ("EHV", "Eindhoven Centraal", "NL", 51.4433, 5.4814),
+    ("GVC", "Den Haag Centraal", "NL", 52.0808, 4.3247),
+    ("LEDN", "Leiden Centraal", "NL", 52.1664, 4.4817),
+]
 
 
 class SparkETLPipeline:
@@ -38,6 +56,17 @@ class SparkETLPipeline:
     def __init__(self, spark: SparkSession, lake_path: str):
         self.spark = spark
         self.lake = lake_path.rstrip("/")
+
+    # -- Hadoop FileSystem helpers (scheme-agnostic path ops) ---------------
+    def _fs_path(self, path: str):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, hpath
+
+    def _exists(self, path: str) -> bool:
+        fs, hpath = self._fs_path(path)
+        return fs.exists(hpath)
 
     # -- stage 1: extract ---------------------------------------------------
     def extract(self, payload_path: str) -> DataFrame:
@@ -52,7 +81,7 @@ class SparkETLPipeline:
     # -- stage 3: load ------------------------------------------------------
     def _read_zone(self, name: str, like: DataFrame) -> DataFrame:
         path = f"{self.lake}/{name}"
-        if os.path.exists(path):
+        if self._exists(path):
             return self.spark.read.parquet(path)
         return self.spark.createDataFrame([], like.schema)
 
@@ -66,7 +95,11 @@ class SparkETLPipeline:
             F.lit(run_ts).alias("fetched_at"),
         )
         raw_existing = self._read_zone("raw_disruptions", raw_rows)
-        merged_raw = insert_ignore(raw_existing, raw_rows, ["disruption_id"])
+        # raw_json is the within-batch tiebreak: dropDuplicates alone would
+        # keep an arbitrary survivor, breaking raw-zone reproducibility.
+        merged_raw = insert_ignore(
+            raw_existing, raw_rows, ["disruption_id"], order_col="raw_json"
+        )
         raw_total = self._overwrite("raw_disruptions", merged_raw)
 
         clean_existing = self._read_zone(
@@ -78,21 +111,41 @@ class SparkETLPipeline:
         clean_total = self._overwrite("disruptions", merged_clean)
         return {"raw_total": raw_total, "clean_total": clean_total}
 
+    def ensure_stations(self, run_ts: _dt.datetime) -> int:
+        """Seed the station dimension, ``INSERT ... ON CONFLICT DO NOTHING``
+        semantics (schema.sql:79-86): existing rows win, new codes append."""
+        seed = self.spark.createDataFrame(
+            [(*row, run_ts) for row in SEED_STATIONS], STATIONS
+        )
+        existing = self._read_zone("stations", seed)
+        return self._overwrite(
+            "stations", insert_ignore(existing, seed, ["station_code"])
+        )
+
     def _overwrite(self, name: str, df: DataFrame) -> int:
-        """Stage-then-swap overwrite (parquet reads are lazy; writing over the
-        input path directly would corrupt it mid-read).  Returns the final
-        row count, taken from the swapped files — the merged plan's lineage
-        still points at the pre-overwrite input and must not be re-executed.
+        """Single-write stage + atomic rename swap.
+
+        The merged plan's lineage reads the CURRENT zone files (parquet
+        reads are lazy), so the zone cannot be overwritten in place.  The
+        plan is written ONCE to a staging dir — the row count rides along
+        as an ``observe`` metric, no second read — then the swap is two
+        filesystem metadata ops (delete + rename; atomic on local/HDFS).
+        A crash between them leaves the complete staged copy on disk for
+        recovery (``__stage`` is only ever removed by the rename).  On
+        rename-as-copy stores (S3A) a table format (Delta/Iceberg) replaces
+        this swap; the call sites would not change.
         """
         path, tmp = f"{self.lake}/{name}", f"{self.lake}/{name}__stage"
-        df.write.mode("overwrite").parquet(tmp)
-        staged = self.spark.read.parquet(tmp)
-        staged.write.mode("overwrite").parquet(path)
-        count = self.spark.read.parquet(path).count()
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        return count
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        fs, target = self._fs_path(path)
+        _, stage = self._fs_path(tmp)
+        if fs.exists(target):
+            fs.delete(target, True)
+        fs.rename(stage, target)
+        return obs.get["rows"]
 
     # -- stage 4: report ----------------------------------------------------
     def report(self, as_of_date=None) -> DataFrame:
@@ -108,6 +161,13 @@ class SparkETLPipeline:
             logger.warning("no data extracted; stopping run")
             return {"raw_total": 0, "clean_total": 0}
         cleaned = self.transform(raw, run_ts)
+        self.ensure_stations(run_ts)
         stats = self.load(raw, cleaned, run_ts)
+        stats["daily_stats_total"] = self._overwrite(
+            "daily_stats",
+            build_daily_stats(
+                self.spark.read.parquet(f"{self.lake}/disruptions"), run_ts
+            ),
+        )
         stats["report"] = self.report(run_ts.date()).collect()[0].asDict()
         return stats

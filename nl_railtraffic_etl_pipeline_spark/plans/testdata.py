@@ -194,10 +194,21 @@ def disruptions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive the 25-row ``stations`` dimension from ``nation``."""
+    """Derive the 25-row ``stations`` dimension from ``nation``.
+
+    Full reference column set (schema.sql:38-45): country defaults 'NL',
+    coordinates are a deterministic function of the key (synthetic stand-in
+    for the seed's real coordinates), last_updated a fixed stamp — all
+    mirrored by STATIONS_CTE so oracles may join any column.
+    """
+    key = F.col("n_nationkey")
     return load_table(spark, sf_dir, "nation").select(
-        _station_code(F.col("n_nationkey")).alias("station_code"),
+        _station_code(key).alias("station_code"),
         F.col("n_name").alias("station_name"),
+        F.lit("NL").alias("country"),
+        (F.lit(50.0) + key * 0.1).alias("latitude"),
+        (F.lit(3.0) + key * 0.1).alias("longitude"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("last_updated"),
     )
 
 
@@ -256,7 +267,11 @@ disruptions AS (
 STATIONS_CTE = """
 stations AS (
     SELECT 'S' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS station_code,
-           n_name AS station_name
+           n_name AS station_name,
+           'NL' AS country,
+           50.0 + n_nationkey * 0.1 AS latitude,
+           3.0 + n_nationkey * 0.1 AS longitude,
+           TIMESTAMP '2024-01-01 00:00:00' AS last_updated
     FROM nation
 )
 """

@@ -57,15 +57,11 @@ class _DisruptionsReader(DataSourceReader):
             with open(opts["payload_path"], encoding="utf-8") as fh:
                 records = json.load(fh)
         else:
-            from .rest_source import fetch_disruptions
+            from .rest_source import DEFAULT_URL, fetch_disruptions
 
             records = fetch_disruptions(
                 api_key=opts.get("api_key", ""),
-                url=opts.get("url", None) or opts.get("endpoint", None)
-                or __import__(
-                    "nl_railtraffic_etl_pipeline_spark.sources.rest_source",
-                    fromlist=["DEFAULT_URL"],
-                ).DEFAULT_URL,
+                url=opts.get("url") or opts.get("endpoint") or DEFAULT_URL,
             )
         for rec in records:
             rid = rec.get("id")
