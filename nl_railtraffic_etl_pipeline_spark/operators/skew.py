@@ -11,9 +11,15 @@ rows.
 ``salted_join`` scatters the fact side's rows across ``salt`` sub-keys and
 replicates the dimension side once per sub-key, so a key holding N rows
 shuffles into ``salt`` partitions of N/salt instead of one hot partition.
-The salt is deterministic (hash of the whole fact row, not ``rand()``) —
-re-runs produce identical partition placement, keeping the engine's
-reproducibility contract.
+No ``rand()`` in the plan: the salt comes either from a caller-supplied
+column subset (content-deterministic across runs AND plans) or, by
+default, from ``monotonically_increasing_id`` — which differs across
+IDENTICAL duplicate rows (a whole-row hash would send every copy of a
+duplicated hot row to one partition, defeating the mitigation) and never
+chokes on unhashable column types (maps).  The default is
+plan-deterministic: the same plan over the same files yields the same
+placement; a different scan partitioning redistributes rows but never
+changes the join RESULT, which is salt-invariant by construction.
 """
 
 from __future__ import annotations
@@ -30,6 +36,7 @@ def salted_join(
     on: Sequence[str],
     salt: int = 16,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join ``fact`` with ``dim`` on ``on``, salted ``salt`` ways.
 
@@ -38,14 +45,22 @@ def salted_join(
     fact-preserving types (inner / left / left_semi / left_anti) — salting
     replicates ``dim``, so dim-preserving joins (right/full) would need the
     symmetric construction.
+
+    ``salt_cols`` names fact columns whose hash spreads the hot key (pick
+    high-cardinality payload columns); omitted, the salt is
+    ``monotonically_increasing_id() % salt``, which splits even hot keys
+    whose rows are byte-identical duplicates.
     """
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join does not support how={how!r}")
     keys = list(on)
-    # Content-hash salt: uniform, deterministic, no rand() in the plan.
-    fact_s = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt))
-    )
+    if salt_cols is not None:
+        salt_expr = F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt)
+        )
+    else:
+        salt_expr = F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    fact_s = fact.withColumn("_salt", salt_expr)
     dim_s = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

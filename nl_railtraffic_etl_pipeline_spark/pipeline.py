@@ -33,8 +33,8 @@ from pyspark.sql import functions as F
 from .functions.cleaning import clean
 from .operators.rollup import build_daily_stats, run_report
 from .operators.upsert import insert_ignore, upsert_latest_wins
-from .schemas import CLEAN_DISRUPTION, STATIONS
-from .sources.json_source import read_payload
+from .schemas import CLEAN_DISRUPTION, RAW_DISRUPTION, STATIONS
+from .sources.rest_datasource import register as register_rest_source
 
 logger = logging.getLogger(__name__)
 
@@ -70,9 +70,23 @@ class SparkETLPipeline:
 
     # -- stage 1: extract ---------------------------------------------------
     def extract(self, payload_path: str) -> DataFrame:
-        df = read_payload(self.spark, payload_path)
-        # Skip records with falsy id during raw load (pipeline.py:147-149).
-        return df.filter(F.col("id").isNotNull() & (F.col("id") != ""))
+        """Payload -> parsed frame CARRYING the verbatim record string.
+
+        The ``ns_disruptions`` DataSource yields each record exactly as the
+        reference's raw zone stores it (``json.dumps(item,
+        ensure_ascii=False)``, reference pipeline.py:151) plus the falsy-id
+        skip; the typed columns the cleaner consumes are a ``from_json``
+        over that same string, so raw-zone archiving never re-serializes.
+        """
+        register_rest_source(self.spark)
+        rows = (
+            self.spark.read.format("ns_disruptions")
+            .option("payload_path", payload_path)
+            .load()
+        )
+        return rows.select(
+            "raw_json", F.from_json("raw_json", RAW_DISRUPTION).alias("_rec")
+        ).select("raw_json", "_rec.*")
 
     # -- stage 2: transform -------------------------------------------------
     def transform(self, raw: DataFrame, run_ts: _dt.datetime) -> DataFrame:
@@ -86,12 +100,22 @@ class SparkETLPipeline:
         return self.spark.createDataFrame([], like.schema)
 
     def load(self, raw: DataFrame, cleaned: DataFrame, run_ts: _dt.datetime) -> dict:
-        """Idempotent dual load: insert-ignore raw zone, latest-wins clean zone."""
+        """Idempotent dual load: insert-ignore raw zone, latest-wins clean zone.
+
+        The raw zone stores the VERBATIM record string when the extract
+        carried one (``raw_json`` column); only parsed-only inputs (e.g.
+        the archive file stream) fall back to re-serialization.
+        """
+        raw_json = (
+            F.col("raw_json")
+            if "raw_json" in raw.columns
+            else F.to_json(
+                F.struct(*[c for c in raw.columns if c != "_corrupt_record"])
+            )
+        )
         raw_rows = raw.select(
             F.col("id").alias("disruption_id"),
-            F.to_json(F.struct(*[c for c in raw.columns if c != "_corrupt_record"])).alias(
-                "raw_json"
-            ),
+            raw_json.alias("raw_json"),
             F.lit(run_ts).alias("fetched_at"),
         )
         raw_existing = self._read_zone("raw_disruptions", raw_rows)

@@ -34,15 +34,23 @@ def with_date_partitions(df: DataFrame, ts_col: str = "fetched_at") -> DataFrame
 def write_raw_archive(
     df: DataFrame, path: str, run_ts: _dt.datetime, fmt: str = "json"
 ) -> None:
-    """S2/S3/S4: archive the (verbatim) payload under date partitions.
+    """S2/S3/S4: archive the verbatim payload under date partitions.
 
-    Keeps one ``raw_json`` string column per record (the reference archives
-    byte-verbatim JSON) alongside the ingest timestamp.
+    Keeps one ``raw_json`` string column per record alongside the ingest
+    timestamp.  When the frame already carries ``raw_json`` (the raw-zone
+    shape the ``ns_disruptions`` DataSource yields) the string is archived
+    BYTE-VERBATIM — the reference's archive contract (api_client.py:105-110);
+    parsed-only frames fall back to a canonical ``to_json`` re-serialization.
     """
+    raw_json = (
+        F.col("raw_json")
+        if "raw_json" in df.columns
+        else F.to_json(
+            F.struct(*[c for c in df.columns if c != "_corrupt_record"])
+        )
+    )
     out = df.select(
-        F.to_json(F.struct(*[c for c in df.columns if c != "_corrupt_record"])).alias(
-            "raw_json"
-        ),
+        raw_json.alias("raw_json"),
         F.lit(run_ts).alias("fetched_at"),
     )
     (
@@ -99,10 +107,35 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
-def write_csv_snapshot(df: DataFrame, path: str) -> None:
+def write_csv_snapshot(df: DataFrame, path: str, bom: bool = True) -> None:
     """S5: single-file CSV snapshot of the cleaned frame (pipeline.py:103-110).
 
     coalesce(1) deliberately: snapshot fidelity over parallelism, exactly the
     reference's one-file-per-run contract.  Not for big outputs.
+
+    ``bom=True`` prepends the UTF-8 BOM — the reference writes
+    ``encoding='utf-8-sig'`` (pipeline.py:109) so Excel-bound consumers get
+    the byte-identical file head.  Spark's CSV writer has no BOM option;
+    the single part file is re-headed through the Hadoop FileSystem API
+    (scheme-agnostic, and the snapshot is one small file by contract).
     """
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    if not bom:
+        return
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not (name.startswith("part-") and name.endswith(".csv")):
+            continue
+        src = status.getPath()
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/_bom_{name}")
+        out = fs.create(tmp, True)
+        out.write(bytearray(b"\xef\xbb\xbf"))
+        # copyBytes(close=True) closes both streams.
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(fs.open(src), out, hconf, True)
+        fs.delete(src, False)
+        fs.rename(tmp, src)

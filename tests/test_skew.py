@@ -35,3 +35,23 @@ def test_salted_join_rejects_right(spark, skewed):
     fact, dim = skewed
     with pytest.raises(ValueError):
         salted_join(fact, dim, ["k"], how="right")
+
+
+def test_salted_join_splits_identical_duplicate_rows(spark):
+    """A hot key whose rows are byte-identical must still scatter across
+    salts (a whole-row hash would give every copy the same salt), and map
+    columns must not break the salt expression."""
+    fact = spark.range(8_000).select(
+        F.lit(1).alias("k"),
+        F.lit("same").alias("payload"),
+        F.create_map(F.lit("a"), F.lit(1)).alias("props"),  # unhashable type
+    )
+    dim = spark.createDataFrame([(1, "d1")], "k bigint, name string")
+    salted = fact.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(8))
+    )
+    assert salted.select("_salt").distinct().count() > 1
+
+    got = salted_join(fact, dim, ["k"], salt=8)
+    assert got.count() == 8_000
+    assert got.select("name").distinct().collect()[0].name == "d1"

@@ -64,6 +64,52 @@ def test_csv_snapshot_single_file_roundtrip(spark, tmp_path):
     ]
 
 
+def test_raw_archive_verbatim_record_bytes(spark, tmp_path):
+    """S2 fidelity: a raw-zone frame's record string survives the archive
+    BYTE-identically (the reference stores json.dumps(item,
+    ensure_ascii=False) untouched — reference pipeline.py:151)."""
+    import json
+
+    from nl_railtraffic_etl_pipeline_spark.sources.rest_datasource import (
+        register,
+    )
+
+    register(spark)
+    rows = (
+        spark.read.format("ns_disruptions")
+        .option("payload_path", PAYLOAD)
+        .option("fetched_at", RUN_TS.isoformat())
+        .load()
+    )
+    path = str(tmp_path / "archive")
+    write_raw_archive(rows, path, RUN_TS)
+
+    with open(PAYLOAD, encoding="utf-8") as fh:
+        records = {r["id"]: r for r in json.load(fh) if r.get("id")}
+    back = spark.read.json(path)
+    got = back.select("raw_json").limit(5).collect()
+    assert got
+    for r in got:
+        rec_id = json.loads(r.raw_json)["id"]
+        assert r.raw_json == json.dumps(records[rec_id], ensure_ascii=False)
+
+
+def test_csv_snapshot_utf8_sig_bom(spark, tmp_path):
+    """S5 fidelity: the snapshot head carries the UTF-8 BOM, matching the
+    reference's encoding='utf-8-sig' (reference pipeline.py:109)."""
+    df = spark.createDataFrame([(1, "café")], "id bigint, name string")
+    path = str(tmp_path / "snap")
+    write_csv_snapshot(df, path)
+    files = [f for f in os.listdir(path) if f.endswith(".csv")]
+    assert len(files) == 1
+    blob = open(f"{path}/{files[0]}", "rb").read()
+    assert blob.startswith(b"\xef\xbb\xbf")
+    # content after the BOM is the ordinary UTF-8 CSV
+    assert blob[3:].decode("utf-8").splitlines()[1] == "1,café"
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 1
+
+
 def test_read_jsonl_permissive(spark, tmp_path):
     p = tmp_path / "x.jsonl"
     p.write_text(
