@@ -306,6 +306,76 @@ def simhash_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc, cluster_rep).
+
+    The step after pair generation in every dedup pipeline: transitively
+    connected docs form one duplicate cluster; the representative is the
+    cluster's minimum id (the keep-one policy).  Iterative min-label
+    propagation (public algorithm; the DataFrame cousin of
+    large-star/small-star): each round, every node takes the min of its
+    own label and its neighbors' labels — one key-shuffle join + one
+    aggregation per round, labels checkpointed, converging in O(distance
+    from each node to its component's min) rounds.  Near-dup clusters are
+    shallow (most are pairs/triangles), so rounds stay single-digit at any
+    corpus size; the per-round convergence check is a LIMIT-1 count on the
+    changed set, not a collect.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = _materialize(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = _materialize(
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("doc", "src"), "src")
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = _materialize(
+            labels.join(nbr_min, "doc", "left").select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "_old"), "doc"
+            )
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("cluster_rep"))
+
+
+def keep_representatives(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every clustered doc except its representative (anti-join on the
+    loser set) — docs in no cluster pass through untouched."""
+    losers = clusters.filter(F.col("doc") != F.col("cluster_rep")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def cosine(a, b) -> F.Column:
     """Exact double-precision cosine, element-order-stable summation.
 

@@ -265,9 +265,10 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH = _H32.format(x="CAST(seed AS VARCHAR) || ':' || shingle")
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"WITH {_SHINGLES_CTE.strip()}, {_EXACT_JACCARD_SQL.strip()}"
+#: Shared CTE chain ending in `mh_pairs` (the verified MinHash-LSH pair
+#: set) — consumed by the pairs gate AND the clustering gate's oracle.
+_MINHASH_CTES = (
+    f"{_SHINGLES_CTE.strip()}, {_EXACT_JACCARD_SQL.strip()}"
     + f""",
 sigs AS (
     SELECT doc_id, s.seed, MIN({_MH}) AS mh
@@ -283,18 +284,55 @@ cands AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+mh_pairs AS (
+    SELECT j.doc_a, j.doc_b, j.jaccard
+    FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= 0.2
+)"""
 )
-SELECT j.doc_a, j.doc_b, j.jaccard
-FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-WHERE j.jaccard >= 0.2
-""",
-)
-def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     arrays = _artifact(
         spark, sf_dir, "doc_shingles_3", lambda: dedup.shingle_arrays(docs)
     )
     return dedup.minhash_lsh_pairs(docs, threshold=0.2, arrays=arrays)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"WITH {_MINHASH_CTES}\nSELECT doc_a, doc_b, jaccard FROM mh_pairs",
+)
+def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs_df(spark, sf_dir)
+
+
+@query(
+    "dedup_clusters",
+    # Duplicate clusters = connected components over the near-dup pair
+    # graph; the oracle walks reachability with a recursive CTE and takes
+    # each node's minimum reachable id — exactly the min-label fixpoint
+    # the Spark operator converges to.
+    f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lab) AS (
+    SELECT doc, doc FROM nodes
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc
+)
+SELECT doc, MIN(lab) AS cluster_rep FROM reach GROUP BY doc
+""",
+)
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_clusters(_minhash_pairs_df(spark, sf_dir))
 
 
 _SIMHASH_BITS_SQL = ", ".join(

@@ -68,6 +68,41 @@ def test_embedding_near_dup_and_knn(spark):
     assert knn[0].rank == 1
 
 
+def test_duplicate_clusters_connected_components(spark):
+    """Chains collapse transitively to the min id; disjoint pairs keep
+    their own representative; the corpus filter keeps exactly one doc per
+    cluster plus all unclustered docs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a bigint, doc_b bigint",
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    got = {r.doc: r.cluster_rep for r in clusters.collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+    corpus = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]], "doc_id bigint"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.keep_representatives(corpus, clusters).collect()
+    )
+    assert kept == [1, 10, 20, 99]
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 30-node path graph needs many propagation rounds — the fixpoint
+    loop must converge, not stop after a fixed round count."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a bigint, doc_b bigint"
+    )
+    clusters = dedup.duplicate_clusters(pairs, max_iter=64)
+    assert {r.cluster_rep for r in clusters.collect()} == {0}
+
+
 def test_embedding_blocked_matches_exact(spark):
     """The executor-side blocked kernel must emit exactly the expression
     plan's pair set, values bit-identical, for any block count."""
