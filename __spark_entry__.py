@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship rolling-trend query at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the full registry from
 ``nl_railtraffic_etl_pipeline_spark.plans.registry`` — one entry per
-implemented operator from SURVEY.md §2, each with a DuckDB oracle where the
-semantics are SQL-expressible.
+implemented operator from SURVEY.md §2/§2.12, EVERY entry carrying a full
+DuckDB oracle (r2: the streaming sessionizer and duplicate clustering gates
+included, via gaps-and-islands and recursive-CTE reachability).
 """
 
 from __future__ import annotations

@@ -92,8 +92,22 @@ class SparkETLPipeline:
     def transform(self, raw: DataFrame, run_ts: _dt.datetime) -> DataFrame:
         return clean(raw, run_ts)
 
+    def _recover_zone(self, name: str) -> None:
+        """Finish an interrupted swap: a crash between delete and rename
+        leaves the zone absent with the complete staged copy on disk —
+        promote it.  (An orphaned stage NEXT TO a live zone is a crashed
+        write before the swap began; the fresh write's overwrite replaces
+        it, so only the target-missing case needs action.)"""
+        path, tmp = f"{self.lake}/{name}", f"{self.lake}/{name}__stage"
+        if not self._exists(path) and self._exists(tmp):
+            logger.warning("recovering zone %s from staged copy", name)
+            fs, target = self._fs_path(path)
+            _, stage = self._fs_path(tmp)
+            fs.rename(stage, target)
+
     # -- stage 3: load ------------------------------------------------------
     def _read_zone(self, name: str, like: DataFrame) -> DataFrame:
+        self._recover_zone(name)
         path = f"{self.lake}/{name}"
         if self._exists(path):
             return self.spark.read.parquet(path)

@@ -70,6 +70,23 @@ def test_run_materializes_all_reference_tables(spark, lake):
     assert spark.sql(STATION_SEVERITY_QUERY).count() == 0
 
 
+def test_crashed_swap_recovers_from_stage(spark, lake):
+    """A crash between delete and rename leaves only the staged copy; the
+    next run must promote it instead of merging against an empty zone."""
+    import shutil
+
+    p = SparkETLPipeline(spark, lake)
+    p.run(PAYLOAD_1, RUN_TS)
+    # simulate the crash window: zone deleted, stage present
+    shutil.move(f"{lake}/disruptions", f"{lake}/disruptions__stage")
+    stats = p.run(PAYLOAD_2, RUN_TS + dt.timedelta(hours=1))
+    disruptions = spark.read.parquet(f"{lake}/disruptions")
+    # both payloads' keys survived: the staged copy was recovered first
+    assert stats["clean_total"] == disruptions.count() >= 125
+    assert disruptions.select("disruption_id").distinct().count() == stats["clean_total"]
+    assert not spark._jvm.java.io.File(f"{lake}/disruptions__stage").exists()
+
+
 def test_second_payload_upserts(spark, lake):
     p = SparkETLPipeline(spark, lake)
     p.run(PAYLOAD_1, RUN_TS)

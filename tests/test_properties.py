@@ -95,3 +95,45 @@ def test_upsert_properties(spark, existing_rows, batch_rows):
     for k, ts in ex_map.items():
         if k not in batch_best:
             assert m1[k] == ts  # untouched keys survive
+
+
+def _py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference: node -> component minimum."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_duplicate_clusters_matches_union_find(spark, raw_edges):
+    from nl_railtraffic_etl_pipeline_spark.functions.dedup import (
+        duplicate_clusters,
+    )
+
+    edges = [(min(a, b), max(a, b)) for a, b in raw_edges]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {
+        r.doc: r.cluster_rep
+        for r in duplicate_clusters(pairs, max_iter=64).collect()
+    }
+    assert got == _py_components(edges)
