@@ -1,0 +1,73 @@
+"""End-to-end corpus hygiene: the composed pipeline a training-data run
+executes over a raw document corpus, built entirely from this engine's
+operators:
+
+    1. exact dedup      — keep the min-id representative per content
+                          fingerprint (``dedup.exact_dup_groups``);
+    2. near-dup dedup   — MinHash-LSH pair graph -> connected components ->
+                          keep-one (``dedup.duplicate_clusters`` +
+                          ``keep_representatives``);
+    3. quality filter   — drop too-short and low-content docs
+                          (``text`` quality signals, the 'ok' bucket).
+
+Each stage is a declarative plan over the previous one, so Catalyst fuses
+the projections and the whole pipeline runs as: one fingerprint shuffle +
+the pair-graph joins + a map-side filter.  At 100 TB the near-dup pair set
+comes from the persisted LSH artifacts; everything else is embarrassingly
+parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    duplicate_clusters,
+    exact_dup_groups,
+    keep_representatives,
+    minhash_lsh_pairs,
+)
+from .text import stopword_ratio, token_count, tokens
+
+__all__ = ["clean_corpus"]
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.5,
+) -> DataFrame:
+    """Raw corpus -> cleaned training corpus (doc_id, n_tokens).
+
+    ``clusters`` is the converged ``duplicate_clusters`` frame (the
+    corpus-level artifact a production run persists); ``pairs`` a prebuilt
+    near-dup pair graph to cluster when ``clusters`` is absent; with
+    neither, the MinHash-LSH pairs are built inline.  Near-dup clusters
+    are computed over the FULL corpus (exact duplicates are themselves
+    near-dups, so the two stages commute on survivors); quality thresholds
+    mirror ``text_quality_features``'s 'ok' bucket.
+    """
+    reps = exact_dup_groups(docs, text_col, id_col).select(
+        F.col("representative_id").alias(id_col)
+    )
+    exact_kept = docs.join(reps, id_col, "left_semi")
+
+    if clusters is None:
+        if pairs is None:
+            pairs = minhash_lsh_pairs(docs, text_col, id_col)
+        clusters = duplicate_clusters(pairs)
+    survivors = keep_representatives(exact_kept, clusters, id_col)
+
+    toks = tokens(F.col(text_col))
+    n_tokens = token_count(F.col(text_col))
+    return (
+        survivors.filter(
+            (n_tokens >= min_tokens) & (stopword_ratio(toks) <= max_stopword_ratio)
+        )
+        .select(F.col(id_col), n_tokens.cast("int").alias("n_tokens"))
+    )

@@ -331,8 +331,67 @@ reach(doc, lab) AS (
 SELECT doc, MIN(lab) AS cluster_rep FROM reach GROUP BY doc
 """,
 )
+def _clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged duplicate-cluster labels — a corpus-level artifact like the
+    LSH/IVF indexes (the fixpoint loop runs once per application)."""
+    return _artifact(
+        spark,
+        sf_dir,
+        "dup_clusters",
+        lambda: dedup._materialize(
+            dedup.duplicate_clusters(_minhash_pairs_df(spark, sf_dir))
+        ),
+    )
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.duplicate_clusters(_minhash_pairs_df(spark, sf_dir))
+    return _clusters_df(spark, sf_dir)
+
+
+@query(
+    "corpus_clean",
+    # The composed hygiene pipeline: exact-dedup representatives, minus
+    # near-dup cluster losers (recursive-CTE components over mh_pairs),
+    # minus low-quality docs — the full training-corpus prep as ONE query.
+    f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lab) AS (
+    SELECT doc, doc FROM nodes
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc
+),
+losers AS (
+    SELECT doc FROM (SELECT doc, MIN(lab) AS rep FROM reach GROUP BY doc)
+    WHERE doc <> rep
+),
+exact_reps AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+),
+t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_tokens
+FROM t
+JOIN exact_reps k ON k.doc_id = t.doc_id
+WHERE t.doc_id NOT IN (SELECT doc FROM losers)
+  AND len(t.toks) >= 5
+  AND len(list_filter(t.toks, x -> list_contains({_SW}, x)))
+      / CAST(len(t.toks) AS DOUBLE) <= 0.5
+""",
+)
+def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.corpus import clean_corpus
+
+    return clean_corpus(
+        load_table(spark, sf_dir, "documents"),
+        clusters=_clusters_df(spark, sf_dir),
+    )
 
 
 _SIMHASH_BITS_SQL = ", ".join(

@@ -103,6 +103,27 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert {r.cluster_rep for r in clusters.collect()} == {0}
 
 
+def test_clean_corpus_drops_dups_and_junk(spark):
+    """Exact-dup loser, near-dup cluster loser, and a too-short doc all
+    fall out; survivors carry their token counts."""
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import clean_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(
+        spark,
+        [
+            base,                      # 0: survivor (rep of exact pair 0/1)
+            base.upper(),              # 1: exact dup of 0 (fingerprint-equal)
+            base + " extra tail",      # 2: near-dup of 0 (shares shingles)
+            "tiny",                    # 3: too short
+            "completely different content about spark engines and parquet files",  # 4: survivor
+        ],
+    )
+    got = {r.doc_id: r.n_tokens for r in clean_corpus(docs).collect()}
+    assert set(got) == {0, 4}
+    assert got[0] == 12
+
+
 def test_embedding_blocked_matches_exact(spark):
     """The executor-side blocked kernel must emit exactly the expression
     plan's pair set, values bit-identical, for any block count."""
