@@ -42,22 +42,41 @@ def build_daily_stats(
         F.max("duration_minutes").cast("int").alias("max_duration_minutes"),
     )
 
-    station_mode = _mode_pick(
-        base.filter(F.col("affected_stations").isNotNull()).select(
-            "date", csv_unnest(F.col("affected_stations")).alias("value")
-        ),
-        "most_affected_station",
-    )
-    hour_mode = _mode_pick(
+    # Both mode picks in ONE shuffle: union (date, kind, value) pairs,
+    # one groupBy count, one (date, kind)-partitioned rank, pivot back by
+    # kind.  The zero-padded 'HH' hour bucket makes lexical tiebreak order
+    # equal numeric order, so the pick matches the per-kind formulation.
+    pairs = base.filter(F.col("affected_stations").isNotNull()).select(
+        "date",
+        F.lit("station").alias("kind"),
+        csv_unnest(F.col("affected_stations")).alias("value"),
+    ).unionByName(
         base.select(
-            "date", hour_bucket(F.col("start_time")).cast("int").alias("value")
+            "date",
+            F.lit("hour").alias("kind"),
+            hour_bucket(F.col("start_time")).alias("value"),
+        )
+    )
+    w = Window.partitionBy("date", "kind").orderBy(
+        F.desc("count"), F.asc("value")
+    )
+    picks = (
+        pairs.groupBy("date", "kind", "value")
+        .count()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    modes = picks.groupBy("date").agg(
+        F.max(F.when(F.col("kind") == "station", F.col("value"))).alias(
+            "most_affected_station"
         ),
-        "peak_hour",
+        F.max(F.when(F.col("kind") == "hour", F.col("value")))
+        .cast("int")
+        .alias("peak_hour"),
     )
 
     return (
-        core.join(station_mode, "date", "left")
-        .join(hour_mode, "date", "left")
+        core.join(modes, "date", "left")
         .withColumn("calculated_at", F.lit(run_ts))
         .select(
             "date",
@@ -69,17 +88,6 @@ def build_daily_stats(
             "peak_hour",
             "calculated_at",
         )
-    )
-
-
-def _mode_pick(pairs: DataFrame, out_name: str) -> DataFrame:
-    """Per-date modal value of ``value`` with a deterministic tiebreak."""
-    counts = pairs.groupBy("date", "value").count()
-    w = Window.partitionBy("date").orderBy(F.desc("count"), F.asc("value"))
-    return (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("date", F.col("value").alias(out_name))
     )
 
 

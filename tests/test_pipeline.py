@@ -40,8 +40,6 @@ def test_run_materializes_all_reference_tables(spark, lake):
     """One run populates the reference warehouse's full table set
     (schema.sql:7-57): raw archive, cleaned, stations seed, daily_stats."""
     from nl_railtraffic_etl_pipeline_spark.plans.sql_queries import (
-        DAY_OVER_DAY_QUERY,
-        STATION_SEVERITY_QUERY,
         register_warehouse_views,
     )
     from nl_railtraffic_etl_pipeline_spark.schemas import STATIONS
@@ -63,11 +61,15 @@ def test_run_materializes_all_reference_tables(spark, lake):
     assert spark.read.parquet(f"{lake}/stations").count() == 6
 
     # the SQL-text surface runs against the materialized lake warehouse
+    from nl_railtraffic_etl_pipeline_spark.plans.sql_queries import SQL_QUERIES
+
     register_warehouse_views(spark, lake_path=lake)
-    assert spark.sql(DAY_OVER_DAY_QUERY).count() > 0
-    # Q2 runs too; the archived payloads carry no station lists (golden
-    # test asserts all-null affected_stations), so its result is empty.
-    assert spark.sql(STATION_SEVERITY_QUERY).count() == 0
+    counts = {name: spark.sql(sql).count() for name, sql in SQL_QUERIES.items()}
+    assert counts["rail_q3_day_over_day"] > 0
+    assert counts["rail_q1_rolling_trend"] > 0
+    # Q2/Q5's station branches are empty: the archived payloads carry no
+    # station lists (golden test asserts all-null affected_stations).
+    assert counts["rail_q2_station_severity"] == 0
 
 
 def test_crashed_swap_recovers_from_stage(spark, lake):
