@@ -212,6 +212,28 @@ def test_ivf_topk_scores_match_bruteforce(spark):
         assert bf_scores[r.neighbor_id] == r.cosine  # same scoring, subset
 
 
+def test_kmeans_bit_identical_across_partitioning(spark):
+    """The decimal-exact means must make Lloyd's reproducible to the BIT
+    under any input partitioning — the property the file-published oracle
+    contract rests on (double sums would differ in the last ulps)."""
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(80)
+    ]
+
+    def centroids(n_parts):
+        df = spark.createDataFrame(rows).repartition(n_parts)
+        cents, _ = simsearch.ivf_build(df, n_centroids=4, dim=8)
+        return sorted(
+            (r.centroid_id, tuple(r.cv), r.cn) for r in cents.collect()
+        )
+
+    assert centroids(1) == centroids(13)
+
+
 def test_kmeans_recovers_separated_clusters(spark):
     """Lloyd's must put one centroid per well-separated direction cluster,
     and IVF probe recall on such data must be total for in-cluster
