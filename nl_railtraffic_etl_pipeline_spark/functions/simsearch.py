@@ -83,6 +83,7 @@ def kmeans_centroids(
     n_centroids: int = 8,
     max_iter: int = 5,
     dim: int | None = None,
+    train_mod: int | None = None,
 ) -> DataFrame:
     """Deterministic distributed Lloyd's k-means over (_id, _v, _n) rows.
 
@@ -95,9 +96,19 @@ def kmeans_centroids(
     would slot in without changing the contract).  Empty clusters keep
     their previous centroid.  Each iteration's 8-row centroid table is
     checkpointed so the plan stays flat across iterations.
+
+    ``train_mod``: at 100 TB Lloyd's does not iterate the full corpus —
+    train on the deterministic 1/train_mod id-hash sample
+    (``xxhash64(_id) % train_mod == 0``; reproducible under ANY
+    partitioning, unlike ``DataFrame.sample``), then assign ALL vectors
+    once.  ``None`` trains on everything (the gate setting).
     """
     from .dedup import _materialize, _norm
 
+    if train_mod is not None:
+        base = base.filter(
+            F.pmod(F.xxhash64(F.col("_id")), F.lit(train_mod)) == 0
+        )
     w_init = Window.orderBy("_id")
     cents = _materialize(
         base.orderBy("_id")
@@ -146,6 +157,7 @@ def ivf_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids_path: str | None = None,
+    train_mod: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: ``(centroids, assigned lists)``, materialized.
 
@@ -176,7 +188,7 @@ def ivf_build(
             )
         )
     )
-    cents = kmeans_centroids(base, n_centroids, max_iter, dim)
+    cents = kmeans_centroids(base, n_centroids, max_iter, dim, train_mod)
     if centroids_path is not None:
         cents.write.mode("overwrite").parquet(centroids_path)
         # Re-read then checkpoint: the index serves the exact bits the

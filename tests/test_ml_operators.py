@@ -234,6 +234,22 @@ def test_kmeans_bit_identical_across_partitioning(spark):
     assert centroids(1) == centroids(13)
 
 
+def test_kmeans_train_sample_still_assigns_everything(spark):
+    """The deterministic id-hash training sample (the 100 TB lever) trains
+    on a fraction but the index still covers the whole corpus."""
+    import random
+
+    rng = random.Random(19)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows)
+    cents, assigned = simsearch.ivf_build(df, n_centroids=3, dim=8, train_mod=4)
+    assert cents.count() == 3
+    assert assigned.count() == 80  # every vector lands in a list
+
+
 def test_kmeans_recovers_separated_clusters(spark):
     """Lloyd's must put one centroid per well-separated direction cluster,
     and IVF probe recall on such data must be total for in-cluster
