@@ -47,10 +47,14 @@ def clean_corpus(
     ``clusters`` is the converged ``duplicate_clusters`` frame (the
     corpus-level artifact a production run persists); ``pairs`` a prebuilt
     near-dup pair graph to cluster when ``clusters`` is absent; with
-    neither, the MinHash-LSH pairs are built inline.  Near-dup clusters
-    are computed over the FULL corpus (exact duplicates are themselves
-    near-dups, so the two stages commute on survivors); quality thresholds
-    mirror ``text_quality_features``'s 'ok' bucket.
+    neither, the MinHash-LSH pairs are built inline over the EXACT-KEPT
+    docs.  Exact-first ordering is the scale-critical choice: identical
+    docs always LSH-collide, so a duplicate-heavy corpus otherwise blows
+    the candidate set quadratically in the copy count (measured 35x on a
+    4x-duplicated corpus — SCALE.md).  The final survivor set is the same
+    either way: exact duplicates share every shingle, so any bridge
+    between content classes exists among representatives too.  Quality
+    thresholds mirror ``text_quality_features``'s 'ok' bucket.
     """
     reps = exact_dup_groups(docs, text_col, id_col).select(
         F.col("representative_id").alias(id_col)
@@ -59,7 +63,7 @@ def clean_corpus(
 
     if clusters is None:
         if pairs is None:
-            pairs = minhash_lsh_pairs(docs, text_col, id_col)
+            pairs = minhash_lsh_pairs(exact_kept, text_col, id_col)
         clusters = duplicate_clusters(pairs)
     survivors = keep_representatives(exact_kept, clusters, id_col)
 

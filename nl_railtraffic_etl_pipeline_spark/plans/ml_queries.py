@@ -351,10 +351,20 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_clean",
     # The composed hygiene pipeline: exact-dedup representatives, minus
-    # near-dup cluster losers (recursive-CTE components over mh_pairs),
-    # minus low-quality docs — the full training-corpus prep as ONE query.
+    # near-dup cluster losers (recursive-CTE components over the MinHash
+    # pair graph of the EXACT-KEPT docs — the exact-first ordering the
+    # Spark operator uses), minus low-quality docs — the full
+    # training-corpus prep as ONE query.
     f"""
-WITH RECURSIVE {_MINHASH_CTES},
+WITH RECURSIVE exact_reps AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+),
+corpus_docs AS (
+    SELECT d.* FROM documents d JOIN exact_reps k ON k.doc_id = d.doc_id
+),
+{_MINHASH_CTES.replace("FROM documents", "FROM corpus_docs")},
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
     UNION ALL
@@ -370,11 +380,6 @@ losers AS (
     SELECT doc FROM (SELECT doc, MIN(lab) AS rep FROM reach GROUP BY doc)
     WHERE doc <> rep
 ),
-exact_reps AS (
-    SELECT MIN(doc_id) AS doc_id
-    FROM documents
-    GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
-),
 t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)
 SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_tokens
 FROM t
@@ -388,10 +393,29 @@ WHERE t.doc_id NOT IN (SELECT doc FROM losers)
 def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.corpus import clean_corpus
 
-    return clean_corpus(
-        load_table(spark, sf_dir, "documents"),
-        clusters=_clusters_df(spark, sf_dir),
+    # Exact-first clusters are their own corpus artifact (distinct from the
+    # full-corpus `dup_clusters` the standalone clustering gate audits).
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = _artifact(
+        spark,
+        sf_dir,
+        "dup_clusters_exact_first",
+        lambda: dedup._materialize(
+            dedup.duplicate_clusters(
+                dedup.minhash_lsh_pairs(
+                    docs.join(
+                        dedup.exact_dup_groups(docs, "text", "doc_id").select(
+                            F.col("representative_id").alias("doc_id")
+                        ),
+                        "doc_id",
+                        "left_semi",
+                    ),
+                    threshold=0.2,
+                )
+            )
+        ),
     )
+    return clean_corpus(docs, clusters=clusters)
 
 
 _SIMHASH_BITS_SQL = ", ".join(
