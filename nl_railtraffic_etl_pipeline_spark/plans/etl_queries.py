@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.asof import asof_join
 from ..operators.rollup import build_daily_stats, run_report
 from ..operators.upsert import dedup_batch, upsert_latest_wins
 from .registry import query
@@ -332,4 +333,53 @@ def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(exact_avg(F.col("value")), 2).alias("avg_value"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof.py): latest purchase at-or-before each event.
+# DuckDB ships a native ASOF JOIN, so the oracle checks the operator's
+# semantics against an independent first-class implementation.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_last_purchase",
+    """
+WITH purchases AS (
+    SELECT user_id, ts, purchase_event_id, purchase_value FROM (
+        SELECT user_id, ts, event_id AS purchase_event_id,
+               value AS purchase_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       p.purchase_event_id,
+       p.purchase_value,
+       p.ts AS _asof_ts
+FROM events e
+ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+)
+def _asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    purchases = dedup_batch(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id", "ts"],
+        order_col="event_id",
+    ).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on=["user_id"],
+        payload_cols=["purchase_event_id", "purchase_value"],
     )

@@ -55,3 +55,38 @@ def test_dedup_batch_deterministic_winner(spark):
     )
     out = dedup_batch(batch, ["k"], "ts").collect()
     assert len(out) == 1 and out[0].v == 2  # max ts wins
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: equal stamps match (<=), later rights don't, misses
+    are NULL, tolerance nulls out stale matches."""
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(1, t(0)), (1, t(10)), (1, t(30)), (2, t(5))],
+        "k bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(0), "a"), (1, t(10), "b"), (1, t(20), "c")],
+        "k bigint, ts timestamp, tag string",
+    )
+    out = {
+        (r.k, r.ts): (r.tag, r._asof_ts)
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    assert out[(1, t(0))] == ("a", t(0))     # equal stamp matches
+    assert out[(1, t(10))] == ("b", t(10))   # latest at-or-before
+    assert out[(1, t(30))] == ("c", t(20))
+    assert out[(2, t(5))] == (None, None)    # key never seen on right
+
+    tol = {
+        (r.k, r.ts): r.tag
+        for r in asof_join(
+            left, right, on=["k"], tolerance_seconds=300
+        ).collect()
+    }
+    assert tol[(1, t(30))] is None           # 10 min > 5 min tolerance
+    assert tol[(1, t(10))] == "b"
