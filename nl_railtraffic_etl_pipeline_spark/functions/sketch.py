@@ -1,0 +1,93 @@
+"""Deterministic sketches: KMV distinct-count estimation and bottom-k
+hash sampling.
+
+Spark's built-in ``approx_count_distinct`` (HLL++) is fast but its binary
+sketch is engine-internal — no independent oracle can replay it.  These
+operators build on the repo-wide md5 hash contract (``functions/text.py``)
+instead, so every estimate and every sample is bit-reproducible on any
+engine, any partitioning, any cluster size:
+
+- ``kmv_distinct``: the K-Minimum-Values estimator (Bar-Yossef et al.
+  2002).  Per group keep the k smallest distinct 32-bit hash values; with
+  ``n >= k`` distinct values the k-th smallest hash ``h_k`` estimates the
+  cardinality as ``(k-1) * 2^32 / h_k`` (below k, the count is exact).
+  One distinct + one top-k-per-group pass — the sketch state is k ints per
+  group regardless of input size.
+- ``bottom_k_sample``: the same machinery as a DETERMINISTIC uniform
+  sample — the k rows with the smallest key hashes form an unbiased
+  sample that is stable across runs, partitionings, and engines (unlike
+  ``DataFrame.sample``, whose output depends on the physical split).
+  This is the training-data sampling primitive: hold-out sets and eval
+  slices drawn this way are reproducible forever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import hash32
+
+__all__ = ["kmv_distinct", "bottom_k_sample"]
+
+_HASH_SPACE = float(2**32)
+
+
+def _rank_hash(col: Column, salt: str) -> Column:
+    return hash32(F.concat(F.lit(f"{salt}:"), col.cast("string")))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group distinct-count estimate: (group_cols..., distinct_estimate).
+
+    Exact when a group holds fewer than ``k`` distinct hashes; the KMV
+    estimate (rounded to 2) otherwise.
+    """
+    keys = list(group_cols)
+    hashed = df.select(
+        *keys, _rank_hash(F.col(value_col), salt).alias("_h")
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy("_h")
+    ranked = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    est = (k - 1) * _HASH_SPACE / F.col("_hk")
+    return (
+        ranked.groupBy(*keys)
+        .agg(F.count("*").alias("_n"), F.max("_h").alias("_hk"))
+        .select(
+            *keys,
+            F.when(F.col("_n") < k, F.col("_n").cast("double"))
+            .otherwise(F.round(est, 2))
+            .alias("distinct_estimate"),
+        )
+    )
+
+
+def bottom_k_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    group_cols: Sequence[str] | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """The k rows with the smallest key hashes (per group when given).
+
+    Adds ``sample_rank`` (1-based by hash, id tiebreak).  Uniform over
+    keys, deterministic everywhere the md5 contract holds.
+    """
+    keys = list(group_cols or [])
+    h = _rank_hash(F.col(id_col), salt)
+    w = Window.partitionBy(*keys).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -1,0 +1,77 @@
+"""Range join: points joined to the intervals containing them.
+
+Spark plans a raw ``p.ts BETWEEN i.start AND i.end`` predicate as a
+nested-loop cross product — O(points × intervals).  Spark-first strategy
+(same family as rail_q6's interval-overlap self-join,
+``plans/rail_queries.py``): explode each interval into coarse time buckets,
+bucket the points, and equi-join on the bucket with the exact BETWEEN
+predicate as a residual filter.  A point lies in exactly one bucket, so no
+dedup guard is needed — each (point, interval) match is produced once.
+
+Cost: O(points + Σ interval-buckets + matches) through a hash shuffle on
+the bucket key.  ``bucket_minutes`` trades interval replication (long
+intervals explode into more buckets) against bucket density; AQE splits
+skewed buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["point_in_interval_join"]
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    how: str = "inner",
+    bucket_minutes: int = 360,
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= ts <= end`` (NULL-bounded intervals never match).
+
+    Output = all ``points`` columns + all ``intervals`` columns; callers
+    project.  ``how='inner'`` (matches only) or ``'left'`` (keep pointless
+    points with NULL interval columns — implemented as inner + anti union
+    so the bucket equi-join still drives the plan).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"point_in_interval_join supports inner/left, not {how!r}")
+    secs = bucket_minutes * 60
+    p_bucket = F.floor(F.unix_timestamp(F.col(point_ts)) / secs)
+    pts = points.withColumn("_bucket", p_bucket)
+    ivs = intervals.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / secs),
+                F.floor(F.unix_timestamp(F.col(end_col)) / secs),
+            )
+        ),
+    )
+    cond = (
+        (pts["_bucket"] == ivs["_bucket"])
+        & (pts[point_ts] >= ivs[start_col])
+        & (pts[point_ts] <= ivs[end_col])
+    )
+    inner = pts.join(ivs, cond).drop("_bucket")
+    if how == "inner":
+        return inner
+    matched_keys = inner.select(*points.columns)
+    misses = pts.drop("_bucket").join(
+        matched_keys, on=list(points.columns), how="left_anti"
+    )
+    null_iv = misses.select(
+        "*",
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in intervals.schema.fields
+        ],
+    )
+    return inner.unionByName(null_iv)

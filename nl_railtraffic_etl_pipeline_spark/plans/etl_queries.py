@@ -383,3 +383,77 @@ def _asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["user_id"],
         payload_cols=["purchase_event_id", "purchase_value"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join (operators/range_join.py): events inside disruption intervals,
+# aggregated per impact level.  The oracle runs the plain theta join DuckDB
+# is happy to nested-loop at this scale; the Spark side must produce the
+# identical match set through the bucketed equi-join plan.
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_containment",
+    rail_oracle_prelude()
+    + """
+SELECT d.impact_level,
+       COUNT(*) AS n_matches,
+       COUNT(DISTINCT e.event_id) AS n_events
+FROM events e
+JOIN disruptions d
+  ON e.ts >= d.start_time AND e.ts <= d.end_time
+GROUP BY 1
+""",
+)
+def _range_join_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import point_in_interval_join
+
+    ev = load_table(spark, sf_dir, "events", spread=True).select(
+        "event_id", "ts"
+    )
+    dis = disruptions_df(spark, sf_dir).select(
+        "disruption_id", "start_time", "end_time", "impact_level"
+    )
+    return (
+        point_in_interval_join(ev, dis, "ts", "start_time", "end_time")
+        .groupBy("impact_level")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.countDistinct("event_id").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style multi-granularity rollup (continuous-aggregate shape):
+# ONE pass produces the hour, day, month, and grand-total grains via
+# ROLLUP/GROUPING SETS — partial aggregation is shared across grains
+# instead of re-scanning per granularity.
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_multi_granularity",
+    rail_oracle_prelude()
+    + """
+SELECT strftime(start_time, '%Y-%m') AS month,
+       CAST(start_time AS DATE) AS day,
+       strftime(start_time, '%H') AS hour,
+       COUNT(*) AS n_disruptions,
+       MAX(impact_level) AS max_impact
+FROM disruptions
+WHERE start_time IS NOT NULL
+GROUP BY ROLLUP(month, day, hour)
+""",
+)
+def _rollup_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.compat import hour_bucket
+
+    d = disruptions_df(spark, sf_dir).filter(F.col("start_time").isNotNull())
+    return (
+        d.withColumn("month", F.date_format("start_time", "yyyy-MM"))
+        .withColumn("day", F.to_date("start_time"))
+        .withColumn("hour", hour_bucket(F.col("start_time")))
+        .rollup("month", "day", "hour")
+        .agg(
+            F.count("*").alias("n_disruptions"),
+            F.max("impact_level").alias("max_impact"),
+        )
+    )

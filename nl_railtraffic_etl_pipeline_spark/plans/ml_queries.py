@@ -753,3 +753,66 @@ FROM documents,
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.with_binary_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketches (functions/sketch.py): KMV distinct estimation and
+# bottom-k hash sampling — unlike HLL++/DataFrame.sample, both replay
+# bit-identically on any engine via the shared md5 hash contract, so the
+# oracle checks the sketch VALUES, not just their shape.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_H = _H32.format(x="'kmv:' || CAST(user_id AS VARCHAR)")
+
+
+@query(
+    "sketch_kmv_distinct",
+    f"""
+WITH hashed AS (
+    SELECT DISTINCT event_type, {_KMV_H} AS h FROM events
+),
+ranked AS (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+)
+SELECT event_type,
+       CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE ROUND({_KMV_K - 1} * 4294967296.0 / MAX(h), 2)
+       END AS distinct_estimate
+FROM ranked
+WHERE rn <= {_KMV_K}
+GROUP BY event_type
+""",
+)
+def _kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import kmv_distinct
+
+    return kmv_distinct(
+        load_table(spark, sf_dir, "events", spread=True),
+        ["event_type"],
+        "user_id",
+        k=_KMV_K,
+    )
+
+
+_SAMPLE_K = 25
+_SAMPLE_H = _H32.format(x="'sample:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "sample_bottom_k",
+    f"""
+SELECT doc_id, CAST(rn AS INTEGER) AS sample_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY {_SAMPLE_H}, doc_id) AS rn
+    FROM documents
+) WHERE rn <= {_SAMPLE_K}
+""",
+)
+def _bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import bottom_k_sample
+
+    return bottom_k_sample(
+        load_table(spark, sf_dir, "documents"), _SAMPLE_K, "doc_id"
+    ).select("doc_id", "sample_rank")

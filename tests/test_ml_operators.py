@@ -304,3 +304,34 @@ def test_registry_oracle_coverage():
     from nl_railtraffic_etl_pipeline_spark.plans.registry import ORACLES, QUERIES
 
     assert set(QUERIES) == set(ORACLES)
+
+
+def test_kmv_distinct_exact_below_k_and_close_above(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import kmv_distinct
+
+    rows = [(g, v % (30 if g == "small" else 5000))
+            for g in ("small", "big") for v in range(20000)]
+    df = spark.createDataFrame(rows, "grp string, val bigint")
+    got = {r.grp: r.distinct_estimate for r in
+           kmv_distinct(df, ["grp"], "val", k=64).collect()}
+    assert got["small"] == 30.0            # below k: exact
+    assert abs(got["big"] - 5000) / 5000 < 0.25   # KMV error ~1/sqrt(k)
+
+
+def test_bottom_k_sample_deterministic_across_partitioning(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        bottom_k_sample,
+    )
+
+    base = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    pick = lambda parts: sorted(
+        (r.doc_id, r.sample_rank)
+        for r in bottom_k_sample(
+            base.repartition(parts), 50, "doc_id"
+        ).collect()
+    )
+    one = pick(1)
+    assert one == pick(17)
+    assert len(one) == 50
+    ids = [d for d, _ in one]
+    assert ids != sorted(range(50))  # hash order, not id order
