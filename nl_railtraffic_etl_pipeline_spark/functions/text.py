@@ -138,3 +138,46 @@ def predicted_lang(toks: Column) -> Column:
         cond = scores[lang] == best
         expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
     return expr
+
+
+def top_salient_terms(
+    docs, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+):
+    """Per-doc top-k salient terms: tf x corpus rarity (TF-IDF-shaped).
+
+    The rarity weight is the RATIONAL ``n_docs / df`` instead of the
+    classic ``log(n_docs/df)``: transcendental functions are not correctly
+    rounded and differ across engines' libm in the last ulp, while
+    ``CAST(tf * n_docs AS DOUBLE) / df`` is one exact integer product and
+    one IEEE division — bit-reproducible anywhere.  Per-doc ranking (the
+    thing keyword extraction consumes) is what the weight drives; ties
+    break on the term.
+
+    Plan: tokenize+explode (map-side), one (doc,term) tf aggregation, one
+    term df aggregation, equi-join on term, 1-row corpus count broadcast,
+    per-doc rank window.  All shuffles key on doc or term — no collects.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col), "term", "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -457,3 +457,32 @@ def _rollup_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("impact_level").alias("max_impact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles (sort-based percentile with linear interpolation — Spark
+# `percentile` and DuckDB `quantile_cont` implement the same formula, so
+# the oracle checks the interpolation bit-for-bit).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_value_quantiles",
+    """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       quantile_cont(value, 0.9) AS p90,
+       COUNT(value) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def _value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.count("value").alias("n"),
+    )

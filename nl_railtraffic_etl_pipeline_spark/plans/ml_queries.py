@@ -816,3 +816,38 @@ def _bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottom_k_sample(
         load_table(spark, sf_dir, "documents"), _SAMPLE_K, "doc_id"
     ).select("doc_id", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction: per-doc top-k salient terms (tf x rational rarity —
+# log-free so the score itself hash-matches across engines, see
+# functions/text.py::top_salient_terms).
+# ---------------------------------------------------------------------------
+@query(
+    "text_top_terms",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (
+    SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok)
+    GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rank FROM (
+    SELECT tf.doc_id, tf.term,
+           CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC,
+                        tf.term
+           ) AS rn
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+) WHERE rn <= 3
+""",
+)
+def _top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import top_salient_terms
+
+    return top_salient_terms(
+        load_table(spark, sf_dir, "documents", spread=True), k=3
+    )
