@@ -486,3 +486,52 @@ def _value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.9).alias("p90"),
         F.count("value").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Built-in session windows (the native complement of the custom
+# applyInPandasWithState sessionizer): session_window(ts, gap) groups rows
+# into gap-bounded sessions engine-side; window end = last event + gap.
+# ---------------------------------------------------------------------------
+@query(
+    "events_session_window",
+    f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sid
+    FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessioned
+GROUP BY user_id, sid
+""",
+)
+def _session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
