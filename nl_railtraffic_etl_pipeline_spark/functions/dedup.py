@@ -337,6 +337,7 @@ def duplicate_clusters(
         .distinct()
         .withColumn("label", F.col("doc"))
     )
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("doc", "src"), "src")
@@ -362,6 +363,12 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Unconverged labels are silently-wrong clusters; refuse them.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            "(component deeper than max_iter) — raise max_iter"
+        )
     return labels.select("doc", F.col("label").alias("cluster_rep"))
 
 

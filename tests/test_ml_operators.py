@@ -335,3 +335,13 @@ def test_bottom_k_sample_deterministic_across_partitioning(spark):
     assert len(one) == 50
     ids = [d for d, _ in one]
     assert ids != sorted(range(50))  # hash order, not id order
+
+
+def test_duplicate_clusters_raises_when_unconverged(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iter=2)
