@@ -11,7 +11,11 @@ already bounded the pairs):
   generation, exact-Jaccard verification of candidates only.
 - SimHash: 32-bit sign-aggregated fingerprint, 4-band pigeonhole candidate
   join (hamming<=3 guarantees a shared band), bit_count verification.
-- embedding cosine: exact double-precision cosine over id-ordered pairs.
+- embedding cosine: exact double-precision cosine over id-ordered pairs —
+  expression plan, executor-side blocked Arrow kernel, and a banded
+  hyperplane-LSH sub-quadratic path.
+- clustering: connected components over any pair graph (min-label
+  propagation) + the keep-one corpus filter.
 
 At 100 TB the candidate-generation joins shuffle on shingle/band keys, so
 hot shingles (very common n-grams) are the skew risk — ``ngram_jaccard``
