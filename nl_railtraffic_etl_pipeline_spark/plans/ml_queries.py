@@ -851,3 +851,32 @@ def _top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_salient_terms(
         load_table(spark, sf_dir, "documents", spread=True), k=3
     )
+
+
+_STRAT_K = 5
+_STRAT_H = _H32.format(x="'sample:' || CAST(event_id AS VARCHAR)")
+
+
+@query(
+    "sample_stratified",
+    # bottom-k per group = deterministic stratified sampling (equal-size
+    # slice per event_type regardless of stratum skew).
+    f"""
+SELECT event_type, event_id, CAST(rn AS INTEGER) AS sample_rank FROM (
+    SELECT event_type, event_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY {_STRAT_H}, event_id
+           ) AS rn
+    FROM events
+) WHERE rn <= {_STRAT_K}
+""",
+)
+def _stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import bottom_k_sample
+
+    return bottom_k_sample(
+        load_table(spark, sf_dir, "events", spread=True),
+        _STRAT_K,
+        "event_id",
+        group_cols=["event_type"],
+    ).select("event_type", "event_id", "sample_rank")
