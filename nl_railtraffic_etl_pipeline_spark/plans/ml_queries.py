@@ -796,6 +796,35 @@ def _kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_kmv_global",
+    f"""
+WITH hashed AS (
+    SELECT DISTINCT {_KMV_H} AS h FROM events
+),
+ranked AS (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hashed
+)
+SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE ROUND({_KMV_K - 1} * 4294967296.0 / MAX(h), 2)
+       END AS distinct_estimate
+FROM ranked
+WHERE rn <= {_KMV_K}
+""",
+)
+def _kmv_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus KMV — exercises the distributed global path
+    (TakeOrderedAndProject, not a single-partition window)."""
+    from ..functions.sketch import kmv_distinct
+
+    return kmv_distinct(
+        load_table(spark, sf_dir, "events", spread=True),
+        [],
+        "user_id",
+        k=_KMV_K,
+    )
+
+
 _SAMPLE_K = 25
 _SAMPLE_H = _H32.format(x="'sample:' || CAST(doc_id AS VARCHAR)")
 

@@ -66,6 +66,21 @@ def test_blocked_embedding_kernel_is_executor_side(spark):
     assert ".collect()" not in src, "corpus collect() reintroduced in dedup"
 
 
+@pytest.mark.parametrize("name", ["sample_bottom_k", "sketch_kmv_global"])
+def test_global_sketch_paths_are_distributed_topk(spark, name):
+    """Ungrouped bottom-k/KMV must compile to TakeOrderedAndProject
+    (per-partition top-k, driver merges k rows), never an
+    empty-partitionBy window that funnels the raw table through one
+    partition (VERDICT r02 'What's wrong' #1)."""
+    txt = plan_of(spark, name)
+    assert "TakeOrderedAndProject" in txt, name
+    # any Window node may only run over the k-row limited result, which
+    # appears AFTER the TakeOrderedAndProject in the formatted plan tree;
+    # assert no Window consumes a raw relation scan directly by checking
+    # the single-partition sort signature is absent.
+    assert not re.search(r"Window .*\n.*Scan parquet", txt), name
+
+
 def test_python_only_in_arrow_kernels(spark):
     for name in entry_mod.queries():
         txt = plan_of(spark, name)

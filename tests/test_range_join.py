@@ -72,3 +72,40 @@ def test_left_join_keeps_misses(spark):
         intervals,
         (points.ts >= intervals.start_time) & (points.ts <= intervals.end_time),
     ).count()  # no misses when every point is covered
+
+
+def test_left_join_null_point_columns_not_duplicated(spark):
+    """A matched point carrying a NULL column must appear ONLY matched —
+    null-rejecting anti equality used to emit it twice (ADVICE r02)."""
+    points, intervals = _fixtures(spark)
+    tagged = points.withColumn(
+        "tag", F.when(F.col("pid") != 1, F.col("pid")).cast("long")
+    )  # p1 (matched by interval 10) gets tag=NULL
+    out = point_in_interval_join(
+        tagged,
+        intervals.filter(F.col("iid") != 11),
+        "ts", "start_time", "end_time", how="left", bucket_minutes=60,
+    )
+    by_pid = {}
+    for r in out.collect():
+        by_pid.setdefault(r.pid, []).append(r.iid)
+    assert by_pid[1] == [10]          # matched once, never null-padded
+    assert by_pid[4] == [None]        # genuine miss with NULL tag path OK
+    assert sum(len(v) for v in by_pid.values()) == 4
+
+
+def test_left_join_duplicate_point_rows_kept_symmetrically(spark):
+    """Identical duplicate point rows both match (or both miss) — the
+    null-safe anti-join must not collapse them."""
+    points, intervals = _fixtures(spark)
+    doubled = points.union(points)
+    out = point_in_interval_join(
+        doubled,
+        intervals.filter(F.col("iid") != 11),
+        "ts", "start_time", "end_time", how="left", bucket_minutes=60,
+    )
+    by_pid = {}
+    for r in out.collect():
+        by_pid.setdefault(r.pid, []).append(r.iid)
+    assert sorted(by_pid[1]) == [10, 10]
+    assert by_pid[4] == [None, None]
