@@ -585,6 +585,14 @@ def embedding_lsh_pairs(
     """
     from .simsearch import lsh_build
 
+    if num_planes % bands:
+        # Integer division would silently drop the high sign bits (8 planes
+        # / 3 bands → only 6 bits banded), quietly lowering candidate recall
+        # and desynchronizing the banding from any oracle built with all
+        # planes.  Fail loud instead.
+        raise ValueError(
+            f"num_planes ({num_planes}) must be divisible by bands ({bands})"
+        )
     tagged = (
         index
         if index is not None

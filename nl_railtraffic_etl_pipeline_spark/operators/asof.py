@@ -52,7 +52,11 @@ def asof_join(
         *[F.col(c) for c in payload_cols],
         F.col(right_ts).cast("timestamp").alias("_asof_ts"),
     )
-    rt = right.select(
+    # A NULL right_ts would cast to NULL _ord, sort FIRST under the
+    # ascending window order, and its payload would become the running-last
+    # match for left rows with no real predecessor — ASOF semantics
+    # (right_ts <= left_ts) can never match a NULL stamp, so drop them.
+    rt = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).cast("timestamp").alias("_ord"),
         F.lit(0).alias("_side"),

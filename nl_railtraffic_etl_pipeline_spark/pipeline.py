@@ -34,6 +34,7 @@ from .functions.cleaning import clean
 from .operators.rollup import build_daily_stats, run_report
 from .operators.upsert import insert_ignore, upsert_latest_wins
 from .schemas import CLEAN_DISRUPTION, RAW_DISRUPTION, STATIONS
+from .sources.lake import write_csv_snapshot, write_raw_archive
 from .sources.rest_datasource import register as register_rest_source
 
 logger = logging.getLogger(__name__)
@@ -103,7 +104,8 @@ class SparkETLPipeline:
             logger.warning("recovering zone %s from staged copy", name)
             fs, target = self._fs_path(path)
             _, stage = self._fs_path(tmp)
-            fs.rename(stage, target)
+            if not fs.rename(stage, target):
+                raise IOError(f"zone recovery: failed to promote {tmp} -> {path}")
 
     # -- stage 3: load ------------------------------------------------------
     def _read_zone(self, name: str, like: DataFrame) -> DataFrame:
@@ -180,10 +182,43 @@ class SparkETLPipeline:
         ).parquet(tmp)
         fs, target = self._fs_path(path)
         _, stage = self._fs_path(tmp)
-        if fs.exists(target):
-            fs.delete(target, True)
-        fs.rename(stage, target)
+        # Hadoop FileSystem reports many delete/rename failures by returning
+        # false, not throwing — a silent false here would leave the zone
+        # deleted while the run still reports success (ADVICE r02).
+        if fs.exists(target) and not fs.delete(target, True):
+            raise IOError(f"zone swap: failed to delete {path}")
+        if not fs.rename(stage, target):
+            raise IOError(f"zone swap: failed to promote {tmp} -> {path}")
         return obs.get["rows"]
+
+    # -- per-run side-effect artifacts --------------------------------------
+    def write_run_artifacts(
+        self, raw: DataFrame, cleaned: DataFrame, run_ts: _dt.datetime
+    ) -> dict:
+        """The reference's per-run side effects (reference pipeline.py:103-110,
+        api_client.py:90-171), as lake artifacts:
+
+        - ``archive/raw/``    S2/S3: date-prefixed verbatim raw archive.  The
+          record string is carried byte-verbatim from the DataSource (never
+          re-serialized) under the same ``YYYY/MM/DD`` layout the reference
+          assembles by hand for S3.
+        - ``archive/athena/`` S4: the Athena-facing JSONL dual-write — one
+          compact JSON object per line, date-partitioned so the external
+          table prunes day partitions.
+        - ``processed/cleaned_<ts>/`` S5: single-file CSV snapshot of the
+          cleaned batch with the UTF-8 BOM (``utf-8-sig``) for Excel-bound
+          consumers.
+        """
+        stamp = run_ts.strftime("%Y%m%d_%H%M%S")
+        paths = {
+            "archive_raw": f"{self.lake}/archive/raw",
+            "archive_athena": f"{self.lake}/archive/athena",
+            "csv_snapshot": f"{self.lake}/processed/cleaned_{stamp}",
+        }
+        write_raw_archive(raw, paths["archive_raw"], run_ts, fmt="json")
+        write_raw_archive(raw, paths["archive_athena"], run_ts, fmt="json")
+        write_csv_snapshot(cleaned, paths["csv_snapshot"], bom=True)
+        return paths
 
     # -- stage 4: report ----------------------------------------------------
     def report(self, as_of_date=None) -> DataFrame:
@@ -192,7 +227,12 @@ class SparkETLPipeline:
         )
 
     # -- orchestration ------------------------------------------------------
-    def run(self, payload_path: str, run_ts: _dt.datetime | None = None) -> dict:
+    def run(
+        self,
+        payload_path: str,
+        run_ts: _dt.datetime | None = None,
+        artifacts: bool = True,
+    ) -> dict:
         run_ts = run_ts or _dt.datetime.now(_dt.timezone.utc)
         raw = self.extract(payload_path)
         if raw.isEmpty():
@@ -201,6 +241,8 @@ class SparkETLPipeline:
         cleaned = self.transform(raw, run_ts)
         self.ensure_stations(run_ts)
         stats = self.load(raw, cleaned, run_ts)
+        if artifacts:
+            stats["artifacts"] = self.write_run_artifacts(raw, cleaned, run_ts)
         stats["daily_stats_total"] = self._overwrite(
             "daily_stats",
             build_daily_stats(

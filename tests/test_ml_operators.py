@@ -1,6 +1,7 @@
 """Invariant tests for the training-data operators (cross-engine parity is
 covered by tools/check_correctness.py; these cover semantics)."""
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 from nl_railtraffic_etl_pipeline_spark.functions import dedup, multimodal, simsearch
@@ -170,6 +171,11 @@ def test_embedding_lsh_subset_of_exact(spark):
     assert got, "LSH pre-filter returned no pairs"
     for r in got:
         assert exact[(r.id_a, r.id_b)] == r.cosine
+
+    # num_planes not divisible by bands would silently drop sign bits and
+    # lower recall — must refuse instead.
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.embedding_lsh_pairs(df, dim=8, num_planes=8, bands=3)
 
 
 def test_lsh_topk_subset_of_bruteforce(spark):

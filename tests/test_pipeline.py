@@ -72,6 +72,68 @@ def test_run_materializes_all_reference_tables(spark, lake):
     assert counts["rail_q2_station_severity"] == 0
 
 
+def test_run_writes_reference_side_effect_artifacts(spark, lake):
+    """Every run must leave the reference's full side-effect set
+    (reference pipeline.py:103-110, api_client.py:90-171): date-prefixed
+    verbatim raw archive, Athena JSONL dual-write, BOM CSV snapshot."""
+    import glob
+    import json
+    import os
+
+    p = SparkETLPipeline(spark, lake)
+    stats = p.run(PAYLOAD_1, RUN_TS)
+    arts = stats["artifacts"]
+
+    # S3-style YYYY/MM/DD partition layout on both archive writes
+    for key in ("archive_raw", "archive_athena"):
+        assert os.path.isdir(
+            f"{arts[key]}/year=2026/month=02/day=14"
+        ), key
+
+    # archived records byte-equal the DataSource's verbatim strings
+    with open(PAYLOAD_1, encoding="utf-8") as fh:
+        payload = json.load(fh)
+    want = {
+        json.dumps(rec, ensure_ascii=False)
+        for rec in payload
+        if rec.get("id") not in (None, "")
+    }
+    archived = spark.read.text(
+        glob.glob(f"{arts['archive_raw']}/year=2026/month=02/day=14/part-*")
+    )
+    got = {
+        json.loads(r.value)["raw_json"] for r in archived.collect()
+    }
+    assert got == want
+    # JSONL dual-write: one compact JSON object per line, same record set
+    athena = spark.read.json(arts["archive_athena"])
+    assert athena.count() == len(want)
+
+    # CSV snapshot: single part file, UTF-8 BOM head, full cleaned batch
+    parts = glob.glob(f"{arts['csv_snapshot']}/part-*.csv")
+    assert len(parts) == 1
+    with open(parts[0], "rb") as fh:
+        assert fh.read(3) == b"\xef\xbb\xbf"
+    snap = spark.read.option("header", True).option(
+        "multiLine", True
+    ).csv(arts["csv_snapshot"])
+    assert snap.count() == stats["clean_total"] == 125
+
+    # a second run APPENDS to the archive (one file set per run) but
+    # replaces nothing — the raw archive is immutable history
+    p.run(PAYLOAD_1, RUN_TS + dt.timedelta(hours=1))
+    archived2 = spark.read.json(f"{arts['archive_raw']}")
+    assert archived2.count() == 2 * len(want)
+
+    # artifacts=False suppresses the side effects
+    lake2 = lake + "_noart"
+    stats2 = SparkETLPipeline(spark, lake2).run(
+        PAYLOAD_1, RUN_TS, artifacts=False
+    )
+    assert "artifacts" not in stats2
+    assert not os.path.exists(f"{lake2}/archive")
+
+
 def test_crashed_swap_recovers_from_stage(spark, lake):
     """A crash between delete and rename leaves only the staged copy; the
     next run must promote it instead of merging against an empty zone."""

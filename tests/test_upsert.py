@@ -90,3 +90,29 @@ def test_asof_join_semantics(spark):
     }
     assert tol[(1, t(30))] is None           # 10 min > 5 min tolerance
     assert tol[(1, t(10))] == "b"
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    """A right row with NULL ts casts to NULL _ord and would sort FIRST in
+    the window — its payload must never become the as-of match (ASOF on
+    right_ts <= left_ts cannot match a NULL stamp)."""
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)
+    left = spark.createDataFrame([(1, t(5))], "k bigint, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, t(0), "real")],
+        "k bigint, ts timestamp, tag string",
+    )
+    out = asof_join(left, right, on=["k"]).collect()
+    assert len(out) == 1 and out[0].tag == "real"
+
+    # ...and a key whose ONLY right row has a NULL stamp is a miss, not a
+    # ghost match.
+    only_null = spark.createDataFrame(
+        [(1, None, "ghost")], "k bigint, ts timestamp, tag string"
+    )
+    out2 = asof_join(left, only_null, on=["k"]).collect()
+    assert len(out2) == 1 and out2[0].tag is None
