@@ -654,17 +654,28 @@ _IVF_NORM = (
 #: SQL, the materialized table is).  The gate runs Spark-then-oracle per
 #: query, so the file always holds the centroids of the run being checked.
 _IVF_CENTROIDS_PATH = "/tmp/nl_spark_ivf_centroids.parquet"
+#: Centroids trained on the deterministic 1/2 id-hash sample (train_mod=2)
+#: — the 100 TB index-build contract: Lloyd's iterates the sample, then ALL
+#: vectors are assigned once.  Separate artifact so both gates stay
+#: hash-exact against their own published bits.
+_IVF_SAMPLED_CENTROIDS_PATH = "/tmp/nl_spark_ivf_centroids_sampled.parquet"
 
 
-@query(
-    "sim_knn_ivf",
-    f"""
+def _ivf_oracle_sql(centroids_path: str) -> str:
+    """DuckDB twin of assign→probe→rank over a published centroid table.
+
+    Everything downstream of the centroids (nearest-centroid assignment,
+    nprobe=2 probing, exact-cosine rank) is deterministic given the
+    centroid parquet, so the same SQL checks any training regime — full
+    corpus or train_mod sampled — by pointing at that regime's artifact.
+    """
+    return f"""
 WITH base AS (
     SELECT vec_id AS _id, embedding AS _v, {_IVF_NORM} AS _n FROM embeddings
 ),
 cents AS (
     SELECT centroid_id, cv, cn
-    FROM read_parquet('{_IVF_CENTROIDS_PATH}/*.parquet')
+    FROM read_parquet('{centroids_path}/*.parquet')
 ),
 assigned AS (
     SELECT _id, _v, _n, centroid_id FROM (
@@ -702,8 +713,10 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
     FROM probes p JOIN assigned a USING (centroid_id)
     WHERE a._id <> p.query_id
 ) WHERE rank <= 10
-""",
-)
+"""
+
+
+@query("sim_knn_ivf", _ivf_oracle_sql(_IVF_CENTROIDS_PATH))
 def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _artifact(
@@ -712,6 +725,29 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_index",
         lambda: simsearch.ivf_build(
             emb, dim=_EMB_DIM, centroids_path=_IVF_CENTROIDS_PATH
+        ),
+    )
+    return simsearch.ivf_topk(
+        emb, _KNN_QUERY_IDS, k=10, dim=_EMB_DIM, index=idx
+    )
+
+
+@query("sim_knn_ivf_sampled", _ivf_oracle_sql(_IVF_SAMPLED_CENTROIDS_PATH))
+def _knn_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale index build: k-means trains on the deterministic
+    ``xxhash64(_id) % 2 == 0`` half of the corpus, then assigns ALL
+    vectors.  Same probe/rank machinery as ``sim_knn_ivf``; only the
+    published centroid bits differ."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _artifact(
+        spark,
+        sf_dir,
+        "ivf_index_sampled",
+        lambda: simsearch.ivf_build(
+            emb,
+            dim=_EMB_DIM,
+            centroids_path=_IVF_SAMPLED_CENTROIDS_PATH,
+            train_mod=2,
         ),
     )
     return simsearch.ivf_topk(
