@@ -25,7 +25,7 @@ removes pairs that share only boilerplate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .text import fingerprint, hash32, tokens, word_shingles
@@ -327,8 +327,9 @@ def duplicate_clusters(
     aggregation per round, labels checkpointed, converging in O(distance
     from each node to its component's min) rounds.  Near-dup clusters are
     shallow (most are pairs/triangles), so rounds stay single-digit at any
-    corpus size; the per-round convergence check is a LIMIT-1 count on the
-    changed set, not a collect.
+    corpus size.  Convergence is an ``observe`` metric (sum of changed
+    labels) riding the SAME action that checkpoints the round's labels —
+    exactly ONE Spark job per round, no separate probe pass.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = _materialize(
@@ -348,23 +349,25 @@ def duplicate_clusters(
             .groupBy(F.col("dst").alias("doc"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # The changed-count rides the checkpoint action as an observe
+        # metric (verified: Observation fires on eager localCheckpoint),
+        # so each round is one job — not checkpoint + probe.
+        obs = Observation()
         new_labels = _materialize(
-            labels.join(nbr_min, "doc", "left").select(
+            labels.join(nbr_min, "doc", "left")
+            .select(
                 "doc",
                 F.least(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce("nbr_min", F.col("label")) < F.col("label")
+                ).cast("long").alias("_chg"),
             )
+            .observe(obs, F.sum("_chg").alias("n_changed"))
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "_old"), "doc"
-            )
-            .filter(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = obs.get["n_changed"] or 0
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     if changed != 0:

@@ -94,6 +94,30 @@ def test_duplicate_clusters_connected_components(spark):
     assert kept == [1, 10, 20, 99]
 
 
+def test_duplicate_clusters_one_action_per_round(spark, monkeypatch):
+    """Convergence must ride the per-round checkpoint as an observe metric
+    — a separate count()/collect() probe per round doubles the job count
+    at corpus scale."""
+    from pyspark.sql import DataFrame
+
+    calls = []
+    for probe in ("count", "collect"):
+        orig = getattr(DataFrame, probe)
+        monkeypatch.setattr(
+            DataFrame,
+            probe,
+            (lambda o, p: lambda self: (calls.append(p), o(self))[1])(
+                orig, probe
+            ),
+        )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a bigint, doc_b bigint"
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    assert calls == [], f"probe actions inside the loop: {calls}"
+    assert {r.cluster_rep for r in clusters.collect()} == {1}
+
+
 def test_duplicate_clusters_long_chain_converges(spark):
     """A 30-node path graph needs many propagation rounds — the fixpoint
     loop must converge, not stop after a fixed round count."""
