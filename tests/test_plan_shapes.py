@@ -81,6 +81,52 @@ def test_global_sketch_paths_are_distributed_topk(spark, name):
     assert not re.search(r"Window .*\n.*Scan parquet", txt), name
 
 
+def test_asof_is_union_window_not_join(spark):
+    """The as-of operator's contract: union + per-key running-last window —
+    NO join operator (a join formulation would be a per-row range theta
+    scan), and every shuffle is a key hash, never single-partition.  The
+    only non-key exchanges allowed are the bench-scale RoundRobin spreads
+    (no-ops at real scale)."""
+    txt = plan_of(spark, "asof_last_purchase")
+    assert not re.search(
+        r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin",
+        txt,
+    )
+    assert "SinglePartition" not in txt
+    # one key shuffle for the right-side pre-dedup window + one for the
+    # as-of union window; anything more means a re-shuffle crept in
+    assert len(re.findall(r"hashpartitioning", txt)) <= 2
+
+
+@pytest.mark.parametrize("name", ["range_join_containment", "range_join_left"])
+def test_range_join_is_bucketed_equi_join(spark, name):
+    """Point-in-interval must go through the bucket-explode equi-join —
+    never a nested-loop range theta join; the left variant's null-safe
+    anti-join must also stay hash-based."""
+    txt = plan_of(spark, name)
+    assert "BroadcastNestedLoopJoin" not in txt, name
+    assert re.search(
+        r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt
+    ), name
+
+
+def test_session_window_is_native_merging_sessions(spark):
+    """events_session_window must hit Spark's native session-window
+    aggregation (MergingSessions over one key shuffle), not a
+    gaps-and-islands window rewrite."""
+    txt = plan_of(spark, "events_session_window")
+    assert "MergingSessions" in txt
+    assert "SinglePartition" not in txt
+
+
+def test_grouped_sketch_paths_shuffle_on_group_key(spark):
+    """Per-group sketch/sample paths partition the window by the group key
+    — never a global single-partition window."""
+    for name in ("sketch_kmv_distinct", "sample_stratified"):
+        txt = plan_of(spark, name)
+        assert "SinglePartition" not in txt, name
+
+
 def test_python_only_in_arrow_kernels(spark):
     for name in entry_mod.queries():
         txt = plan_of(spark, name)
