@@ -1,0 +1,150 @@
+"""Document chunking and sequence packing — the training-batch shapers.
+
+The step between a cleaned corpus and a training run: documents become
+fixed-size token windows (``chunk_documents``), and the corpus is laid out
+into contiguous context-window sequences (``pack_sequences``, the
+concatenate-then-chunk layout GPT-style pipelines use: documents are
+concatenated in a deterministic order and the stream is cut every
+``window`` tokens, so a document may straddle a sequence boundary).
+
+Both are pure DataFrame plans (no UDFs) and both are deterministic on any
+partitioning, which is what makes a packed dataset reproducible: the same
+corpus always yields the same sequence layout, so a training run can be
+resumed or replayed against independently rebuilt shards.  All offset
+arithmetic is integer (``div``), never floating division — float-cast
+truncation differs between engines (DuckDB rounds double->int casts).
+
+Scale notes (100 TB):
+- chunking is embarrassingly parallel — one ``explode`` over per-row
+  start offsets, no shuffle at all;
+- packing needs a GLOBAL running token count, which a naive
+  ``Window.orderBy`` would serialize onto one partition.  It is computed
+  here as a two-level distributed prefix sum: within-block cumulative
+  sums (window partitioned by id-block — distributed), plus block-level
+  offsets (window over the block-total table, which holds one row per
+  ``block_size`` documents — metadata-scale, like a centroid table; at
+  1e9 docs and the default block size that is ~1e6 rows of (bigint,
+  bigint), still a broadcast-size frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = ["chunk_documents", "pack_sequences"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 8,
+    overlap: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size token windows per document.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_size)`` with
+    ``stride = chunk_size - overlap``; starts run while ``i*stride <
+    n_tokens``, so the last chunk may be short and every token lands in at
+    least one chunk.  Empty documents yield no chunks.
+
+    Returns (id_col, chunk_no, chunk_text, chunk_tokens).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    # trim-empty text splits to [''] (size 1, both engines) — drop those
+    # rows explicitly, not via size()
+    base = (
+        df.filter(F.trim(F.lower(F.col(text_col))) != "")
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+    )
+    # number of starts = ceil(n / stride), integer arithmetic only
+    last = F.expr(f"(size(_toks) + {stride - 1}) div {stride}") - 1
+    chunk = F.slice(F.col("_toks"), F.col("chunk_no") * stride + 1, chunk_size)
+    return (
+        base.select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias(
+                "chunk_no"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("chunk_no").cast("int").alias("chunk_no"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("int").alias("chunk_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    window: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_size: int = 1024,
+) -> DataFrame:
+    """Concat-and-chunk sequence layout: where each document lands when the
+    corpus is concatenated in ``id_col`` order and cut every ``window``
+    tokens.
+
+    Returns (id_col, n_tokens, start_offset, seq_id, spans_boundary):
+    ``start_offset`` is the document's first token position in the global
+    stream, ``seq_id = start_offset div window`` the training sequence it
+    starts in, and ``spans_boundary`` whether it crosses into the next
+    sequence (its tail is the next sequence's head — the standard layout;
+    loss masking at boundaries is a trainer concern, not a layout one).
+    Zero-token documents keep their offset with ``spans_boundary`` false.
+
+    The global prefix sum is distributed: documents are grouped into
+    id-range blocks (``block = id div block_size``); within-block running
+    sums use a window partitioned BY BLOCK, and each block's starting
+    offset comes from a cumulative sum over the one-row-per-block totals
+    table, broadcast back.  No row-level single-partition exchange at any
+    corpus size.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        F.expr(f"{id_col} div {block_size}").alias("_blk"),
+    )
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+    blk_tot = base.groupBy("_blk").agg(F.sum("n_tokens").alias("_tot"))
+    w_blk = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # one row per block_size docs — metadata-scale window, then broadcast
+    blk_off = blk_tot.select(
+        "_blk",
+        (F.sum("_tot").over(w_blk) - F.col("_tot")).alias("_blk_off"),
+    )
+    cum = within.join(F.broadcast(blk_off), "_blk").select(
+        id_col,
+        "n_tokens",
+        (F.col("_blk_off") + F.col("_cum_in") - F.col("n_tokens")).alias(
+            "start_offset"
+        ),
+        (F.col("_blk_off") + F.col("_cum_in")).alias("_end"),
+    )
+    start_seq = F.expr(f"start_offset div {window}")
+    end_seq = F.expr(f"(_end - 1) div {window}")
+    return cum.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        start_seq.alias("seq_id"),
+        ((F.col("n_tokens") > 0) & (end_seq > start_seq)).alias(
+            "spans_boundary"
+        ),
+    )

@@ -945,3 +945,74 @@ def _stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         group_cols=["event_type"],
     ).select("event_type", "event_id", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# Training-batch shaping (functions/chunking.py): token-window chunking and
+# concat-and-chunk sequence packing — the corpus -> training-sequence layout
+# step.  Both oracles replay the exact integer-offset arithmetic.
+# ---------------------------------------------------------------------------
+_CHUNK_SIZE, _CHUNK_OVERLAP = 8, 2
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@query(
+    "text_chunks",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents
+           WHERE trim(lower(text)) <> ''),
+c AS (
+    SELECT doc_id, CAST(g.i AS INTEGER) AS chunk_no,
+           toks[g.i*{_CHUNK_STRIDE}+1 : g.i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}] AS chunk
+    FROM t, unnest(range(0, (len(toks) + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE})) AS g(i)
+    WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_no, array_to_string(chunk, ' ') AS chunk_text,
+       CAST(len(chunk) AS INTEGER) AS chunk_tokens
+FROM c
+""",
+)
+def _text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents", spread=True),
+        chunk_size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+_PACK_WINDOW = 64
+
+
+@query(
+    "pack_sequences",
+    f"""
+WITH t AS (
+    SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS _end
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       _end - n_tokens AS start_offset,
+       (_end - n_tokens) // {_PACK_WINDOW} AS seq_id,
+       (n_tokens > 0 AND ((_end - 1) // {_PACK_WINDOW}) > ((_end - n_tokens) // {_PACK_WINDOW}))
+           AS spans_boundary
+FROM c
+""",
+)
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.chunking import pack_sequences
+
+    # block_size 256 so even sf0.001 (500 docs) exercises the two-level
+    # distributed prefix sum (multiple blocks), not just one block.
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents", spread=True),
+        window=_PACK_WINDOW,
+        block_size=256,
+    )

@@ -1,0 +1,77 @@
+"""Chunking + sequence-packing semantics and scale-shape guards."""
+
+import pytest
+from pyspark.sql import Row
+
+from nl_railtraffic_etl_pipeline_spark.functions.chunking import (
+    chunk_documents,
+    pack_sequences,
+)
+
+
+def test_chunk_windows_and_tail(spark):
+    """Chunks stride by size-overlap, the tail chunk may be short, every
+    token appears in at least one chunk, empty docs yield nothing."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),  # 10 tokens
+            (2, "x y"),                  # 2 tokens -> one short chunk
+            (3, " "),                    # whitespace-only
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_no): (r.chunk_text, r.chunk_tokens)
+        for r in chunk_documents(df, chunk_size=4, overlap=1).collect()
+    }
+    # doc 1: stride 3, starts 0,3,6,9 -> 4 chunks
+    assert rows[(1, 0)] == ("a b c d", 4)
+    assert rows[(1, 1)] == ("d e f g", 4)
+    assert rows[(1, 2)] == ("g h i j", 4)
+    assert rows[(1, 3)] == ("j", 1)
+    assert rows[(2, 0)] == ("x y", 2)
+    assert not any(doc == 3 for doc, _ in rows)
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    """Offsets are the running token count in id order; seq_id cuts every
+    `window` tokens; spans_boundary marks straddling docs."""
+    df = spark.createDataFrame(
+        [(i, " ".join(["t"] * n)) for i, n in [(0, 6), (1, 3), (2, 4), (3, 2)]],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.seq_id, r.spans_boundary)
+        for r in pack_sequences(df, window=8, block_size=2).collect()
+    }
+    assert got[0] == (6, 0, 0, False)   # tokens [0,6) inside seq 0
+    assert got[1] == (3, 6, 0, True)    # tokens [6,9) cross the cut at 8
+    assert got[2] == (4, 9, 1, False)   # tokens [9,13) inside seq 1
+    assert got[3] == (2, 13, 1, False)  # tokens [13,15) inside seq 1
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """The two-level prefix sum must give identical offsets no matter how
+    the input is split."""
+    docs = [(i, " ".join(["w"] * (1 + i % 7))) for i in range(200)]
+    a = spark.createDataFrame(docs, "doc_id bigint, text string")
+    b = a.repartition(17)
+    out_a = sorted(
+        (r.doc_id, r.start_offset, r.seq_id)
+        for r in pack_sequences(a, window=16, block_size=32).collect()
+    )
+    out_b = sorted(
+        (r.doc_id, r.start_offset, r.seq_id)
+        for r in pack_sequences(b, window=16, block_size=32).collect()
+    )
+    assert out_a == out_b
+    # contiguity: each doc starts where the previous ended
+    offs = {r.doc_id: (r.start_offset, r.n_tokens)
+            for r in pack_sequences(a, window=16, block_size=32).collect()}
+    run = 0
+    for i in range(200):
+        assert offs[i][0] == run
+        run += offs[i][1]
