@@ -152,6 +152,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def flag_contaminated(
+    train: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    train_arrays: DataFrame | None = None,
+    broadcast_heldout: bool = True,
+) -> DataFrame:
+    """Train/eval decontamination: train docs sharing any word n-gram with
+    the heldout set, with the count of distinct shared shingles.
+
+    The contamination check every training corpus needs before a benchmark
+    is trusted: any train document that shares an ``n``-gram with an eval
+    document leaks.  Returns (id_col, n_shared) for flagged docs only —
+    anti-join the result against the corpus to scrub.
+
+    Scale shape: the heldout side is a benchmark/eval set — thousands of
+    docs against a corpus of billions — so its distinct shingle set is
+    BROADCAST and the corpus streams through a map-side hash join; no
+    corpus shuffle at all.  Set ``broadcast_heldout=False`` only if the
+    heldout set is itself corpus-sized (falls back to a hash-partitioned
+    equi-join).  ``train_arrays`` reuses a prebuilt ``shingle_arrays``
+    artifact.
+    """
+    if train_arrays is None:
+        train_arrays = _shingle_arrays(train, text_col, id_col, n)
+    tr = train_arrays.select("doc", F.explode("sh_arr").alias("shingle"))
+    ho = (
+        _shingle_arrays(heldout, text_col, id_col, n)
+        .select(F.explode("sh_arr").alias("shingle"))
+        .distinct()
+    )
+    if broadcast_heldout:
+        ho = F.broadcast(ho)
+    return (
+        tr.join(ho, "shingle")
+        # per-doc shingles are already distinct (word_shingles
+        # array_distinct), so count(*) is the distinct shared count
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -181,3 +181,60 @@ def top_salient_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def token_repetition_stats(
+    docs, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Per-doc repetition quality signals (the Gopher-style rep filters):
+    duplicate-token ratio and most-frequent-token dominance.
+
+    Returns (id_col, n_tokens, n_distinct, dup_ratio, top_token,
+    top_ratio) — ``dup_ratio = 1 - distinct/total`` and ``top_ratio =
+    max token frequency / total``; ``top_token`` breaks frequency ties on
+    the lexicographically smallest token, so output is total-ordered.
+
+    Plan: tokenize+explode, one (doc, token) count aggregation, one
+    per-doc stats aggregation, then an equi-join back on (doc, count ==
+    top count) to name the winner — every shuffle keys on doc/token, and
+    per-doc state is O(distinct tokens), never O(doc length) in one task.
+    The array-native alternative (``transform`` + ``filter`` per distinct
+    token) avoids the shuffles but is quadratic in document length — wrong
+    for 100k-token documents.
+    """
+    tc = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("doc", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    st = tc.groupBy("doc").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("_top_cnt"),
+    )
+    return (
+        st.join(tc, "doc")
+        .filter(F.col("cnt") == F.col("_top_cnt"))
+        .groupBy(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            "n_distinct",
+            "_top_cnt",
+        )
+        .agg(F.min("tok").alias("top_token"))
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 4
+            ).alias("dup_ratio"),
+            "top_token",
+            F.round(F.col("_top_cnt") / F.col("n_tokens"), 4).alias(
+                "top_ratio"
+            ),
+        )
+    )

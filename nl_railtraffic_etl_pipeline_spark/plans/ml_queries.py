@@ -1016,3 +1016,66 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=_PACK_WINDOW,
         block_size=256,
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene extensions: benchmark decontamination and repetition
+# quality signals.
+# ---------------------------------------------------------------------------
+#: Synthetic heldout split: every 20th doc plays the eval set.
+_HELDOUT_MOD = 20
+
+
+@query(
+    "corpus_decontaminate",
+    f"""
+WITH {_SHINGLES_CTE.strip()},
+ho AS (
+    SELECT DISTINCT shingle FROM shingles WHERE doc_id % {_HELDOUT_MOD} = 0
+),
+tr AS (
+    SELECT doc_id, shingle FROM shingles WHERE doc_id % {_HELDOUT_MOD} <> 0
+)
+SELECT doc_id, COUNT(*) AS n_shared
+FROM tr JOIN ho USING (shingle)
+GROUP BY doc_id
+""",
+)
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = _artifact(
+        spark, sf_dir, "doc_shingles_3", lambda: dedup.shingle_arrays(docs)
+    )
+    is_heldout = F.col("doc") % _HELDOUT_MOD == 0
+    return dedup.flag_contaminated(
+        docs.filter(F.col("doc_id") % _HELDOUT_MOD != 0),
+        docs.filter(F.col("doc_id") % _HELDOUT_MOD == 0),
+        train_arrays=arrays.filter(~is_heldout),
+    )
+
+
+@query(
+    "text_repetition",
+    f"""
+WITH t AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+st AS (
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct, MAX(cnt) AS top_cnt
+    FROM tc GROUP BY 1
+)
+SELECT st.doc_id, n_tokens, n_distinct,
+       ROUND(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 4) AS dup_ratio,
+       MIN(tc.tok) AS top_token,
+       ROUND(top_cnt / CAST(n_tokens AS DOUBLE), 4) AS top_ratio
+FROM st
+JOIN tc ON tc.doc_id = st.doc_id AND tc.cnt = st.top_cnt
+GROUP BY st.doc_id, n_tokens, n_distinct, top_cnt
+""",
+)
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_repetition_stats
+
+    return token_repetition_stats(
+        load_table(spark, sf_dir, "documents", spread=True)
+    )

@@ -69,6 +69,47 @@ def test_embedding_near_dup_and_knn(spark):
     assert knn[0].rank == 1
 
 
+def test_flag_contaminated_ngram_overlap(spark):
+    """Train docs sharing any 3-gram with the heldout set are flagged with
+    the distinct shared-shingle count; clean docs are absent."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 'the quick brown',
+                                                # 'quick brown fox'
+            (2, "completely different words entirely here"),
+            (3, "quick brown fox runs"),        # shares 'quick brown fox'
+        ],
+        "doc_id bigint, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: r.n_shared
+        for r in dedup.flag_contaminated(train, heldout).collect()
+    }
+    assert got == {1: 2, 3: 1}
+
+
+def test_token_repetition_stats(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        token_repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.n_distinct, r.dup_ratio, r.top_token, r.top_ratio
+        )
+        for r in token_repetition_stats(df).collect()
+    }
+    assert got[1] == (4, 2, 0.5, "a", 0.75)
+    # all-distinct doc: top ties broken by smallest token
+    assert got[2] == (4, 4, 0.0, "w", 0.25)
+
+
 def test_duplicate_clusters_connected_components(spark):
     """Chains collapse transitively to the min id; disjoint pairs keep
     their own representative; the corpus filter keeps exactly one doc per
