@@ -1,0 +1,95 @@
+"""Full-text relevance search: BM25-style scoring over an inverted index.
+
+The retrieval operator of a corpus engine: score every document against a
+bag-of-terms query and return the top-k.  Classic BM25 (Robertson et al.,
+Okapi) with one documented deviation: the IDF weight is the RATIONAL
+``(N - df + 0.5) / (df + 0.5)`` instead of its logarithm — transcendental
+functions differ across engines' libm in the last ulp (see
+``text.top_salient_terms``), while the rational form is exact integer
+arithmetic plus one IEEE division, bit-reproducible anywhere.  Per-term
+weighting is still monotone-decreasing in df and the saturation /
+length-normalization behavior (k1, b) is untouched.
+
+Scale shape: tokenize+explode is map-side; term frequencies and document
+frequencies are (doc,term)/(term)-keyed aggregations; corpus stats (N,
+avgdl) are a 1-row broadcast; the final top-k is ``orderBy().limit(k)``
+(TakeOrderedAndProject — per-partition top-k, driver merges k per
+partition), never a global sort or single-partition window.  Per-doc
+score summation is DECIMAL(38,18) so the result is bit-identical under
+any partitioning (double addition does not commute; decimal does).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by rational-IDF BM25.
+
+    Returns (id_col, score, rank) — score rounded to 6, rank 1-based with
+    ties broken on ascending id.  Documents containing none of the query
+    terms are not scored.
+    """
+    terms = [t.lower() for t in terms]
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    dl = tok.groupBy("doc").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    num = F.col("tf").cast("double") * F.lit(k1 + 1.0)
+    den = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b)
+        + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    contrib = (idf * num) / den
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+        # decimal summands: the cross-term sum is exact, hence stable
+        # under any partitioning / AQE replan
+        .groupBy("doc")
+        .agg(
+            F.round(
+                F.sum(contrib.cast("decimal(38,18)")).cast("double"), 6
+            ).alias("score")
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc"))
+    return top.select(
+        F.col("doc").alias(id_col),
+        "score",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -1079,3 +1079,61 @@ def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_repetition_stats(
         load_table(spark, sf_dir, "documents", spread=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-text relevance search (functions/search.py): rational-IDF BM25 top-k.
+# The oracle replays the exact arithmetic — e-notation literals force DOUBLE
+# in DuckDB (bare 1.2 parses as DECIMAL), and the cross-term sum is
+# DECIMAL(38,18) on both sides so summation order cannot matter.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "hash", "dup")
+_BM25_K = 20
+_BM25_CONTRIB = (
+    "(((CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))"
+    " * (CAST(tf AS DOUBLE) * 2.2e0))"
+    " / (CAST(tf AS DOUBLE)"
+    "    + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (CAST(dl AS DOUBLE) / avgdl)))"
+)
+
+
+@query(
+    "search_bm25",
+    f"""
+WITH tok AS (
+    SELECT doc_id AS doc, unnest({_TOKENS}) AS term FROM documents
+),
+dl AS (SELECT doc, COUNT(*) AS dl FROM tok GROUP BY doc),
+stats AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+tf AS (
+    SELECT doc, term, COUNT(*) AS tf FROM tok
+    WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+    GROUP BY doc, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT doc,
+           ROUND(CAST(SUM(CAST({_BM25_CONTRIB} AS DECIMAL(38,18)))
+                      AS DOUBLE), 6) AS score
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN stats
+    GROUP BY doc
+)
+SELECT doc AS doc_id, score, CAST(rn AS INTEGER) AS rank FROM (
+    SELECT doc, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rn
+    FROM scored
+) WHERE rn <= {_BM25_K}
+""",
+)
+def _search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.search import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents", spread=True),
+        list(_BM25_TERMS),
+        k=_BM25_K,
+    )

@@ -91,6 +91,26 @@ def test_flag_contaminated_ngram_overlap(spark):
     assert got == {1: 2, 3: 1}
 
 
+def test_bm25_ranking_semantics(spark):
+    """Rarer terms weigh more (rational idf), repeated terms saturate
+    (k1), and longer docs are penalized (b); unmatched docs are absent."""
+    from nl_railtraffic_etl_pipeline_spark.functions.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common pad pad"),
+            (2, "common common common pad pad"),
+            (3, "pad pad pad pad pad"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = bm25_topk(df, ["rare", "common"], k=10).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0] == 1          # the only doc with the rare term wins
+    assert 3 not in {r.doc_id for r in out}
+    assert all(r.score > 0 for r in out)
+
+
 def test_token_repetition_stats(spark):
     from nl_railtraffic_etl_pipeline_spark.functions.text import (
         token_repetition_stats,
