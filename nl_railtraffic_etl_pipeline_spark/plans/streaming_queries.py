@@ -179,3 +179,29 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize_stream(_events_stream(spark, sf_dir), gap_minutes=30)
     _drain_to_memory(sessions, "streaming_sessionize_result", "append")
     return spark.table("streaming_sessionize_result")
+
+
+@query(
+    "streaming_dedup",
+    # Each event enters the stream TWICE (in-stream explode); the dedup
+    # operator must emit exactly the distinct set.  Duplicate copies are
+    # byte-identical, so which copy survives is unobservable and the
+    # availableNow drain is deterministic: output == DISTINCT input.
+    """
+SELECT event_id, ts, event_type, value FROM events
+""",
+)
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import dedup_stream
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    doubled = ev.withColumn(
+        "_copy", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).drop("_copy")
+    out = dedup_stream(doubled, keys=["event_id"]).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    _drain_to_memory(out, "streaming_dedup_result", "append")
+    return spark.table("streaming_dedup_result")

@@ -200,3 +200,27 @@ def sessionize_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    within: str = "1 day",
+) -> DataFrame:
+    """Streaming exactly-once dedup: first occurrence of each key passes,
+    re-deliveries within the watermark horizon are suppressed.
+
+    The streaming twin of the batch exact-dedup family — the guard every
+    at-least-once ingest (retried HTTP fetches, replayed archive files,
+    crash-looped producers) needs in front of an append sink.
+    ``dropDuplicatesWithinWatermark`` keys the state store on ``keys`` and
+    EVICTS entries once the watermark passes them, so state is bounded by
+    the duplicate-arrival horizon (``within``), not by stream lifetime —
+    the property that makes this run forever at corpus scale where an
+    unbounded ``dropDuplicates`` state would grow without limit.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -163,3 +163,56 @@ def test_sessionize_stream_timeout_flushes_idle(spark, tmp_path):
     }
     # user 1's idle session was flushed by timeout, not by a gap event
     assert (1, t0, t0 + dt.timedelta(minutes=5), 2) in emitted
+
+
+def test_dedup_stream_suppresses_cross_batch_redelivery(spark, tmp_path):
+    """A key re-delivered in a LATER micro-batch (within the watermark
+    horizon) must be suppressed — the state survives across batches; a
+    genuinely new key in the later batch passes."""
+    from nl_railtraffic_etl_pipeline_spark.streaming.incremental import (
+        dedup_stream,
+    )
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "event_id bigint, ts timestamp, v string"
+
+    def drain():
+        # parquet sink (memory sink can't restart from a checkpoint — the
+        # cross-batch state survival IS what this test exercises)
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            dedup_stream(stream, keys=["event_id"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.event_id, r.v) for r in spark.read.parquet(out).collect()}
+
+    def add_file(rows, tag):
+        # the file source watches a flat directory — stage the part file
+        # under a unique name, not a nested write directory
+        staged = tmp_path / f"stage_{tag}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(staged)
+        )
+        part = next(staged.glob("part-*.parquet"))
+        part.rename(src / f"{tag}.parquet")
+
+    add_file([(1, t0, "a"), (2, t0, "b")], "batch1")
+    assert drain() == {(1, "a"), (2, "b")}
+
+    # batch 2: event 1 re-delivered (same stamp), event 3 new — the
+    # cumulative emitted set must gain ONLY event 3
+    add_file([(1, t0, "a"), (3, t0 + dt.timedelta(minutes=1), "c")], "batch2")
+    got = drain()
+    assert got == {(1, "a"), (2, "b"), (3, "c")}, got
+    # and event 1 was emitted exactly once — 3 physical rows, not 4
+    assert spark.read.parquet(out).count() == 3
