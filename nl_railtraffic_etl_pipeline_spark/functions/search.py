@@ -47,14 +47,19 @@ def bm25_topk(
     terms are not scored.
     """
     terms = [t.lower() for t in terms]
-    tok = docs.select(
+    # doc lengths come straight from the token-array size — map-side, no
+    # explode+groupBy shuffle for a count the array already knows
+    dl = docs.select(
         F.col(id_col).alias("doc"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
     )
-    dl = tok.groupBy("doc").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
     )
     tf = (
         tok.filter(F.col("term").isin(terms))

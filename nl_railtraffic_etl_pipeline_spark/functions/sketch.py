@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from .text import hash32
 
-__all__ = ["kmv_distinct", "bottom_k_sample"]
+__all__ = [
+    "kmv_distinct",
+    "bottom_k_sample",
+    "bernoulli_sample",
+    "stratified_bernoulli_sample",
+]
 
 _HASH_SPACE = float(2**32)
 
@@ -111,3 +116,47 @@ def bottom_k_sample(
     return (
         top.withColumn("sample_rank", F.row_number().over(w)).drop("_h")
     )
+
+
+def bernoulli_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str,
+    salt: str = "bern",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hash falls under
+    ``rate`` of the 32-bit hash space.
+
+    The reproducible replacement for ``DataFrame.sample`` — membership is
+    a pure function of the key, so the same row is kept on every run, any
+    partitioning, any engine honoring the md5 contract, and samples drawn
+    at increasing rates are NESTED (rate 0.1 ⊂ rate 0.2), which makes
+    scaling-law subset chains consistent by construction.  Pure map-side
+    filter: no shuffle, no state.
+    """
+    threshold = int(rate * _HASH_SPACE)
+    return df.filter(_rank_hash(F.col(id_col), salt) < threshold)
+
+
+def stratified_bernoulli_sample(
+    df: DataFrame,
+    rates: dict,
+    stratum_col: str,
+    id_col: str,
+    salt: str = "bern",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli rates — ``sampleBy`` without the
+    seed-and-partitioning lottery.
+
+    ``rates`` maps stratum value -> keep probability; strata absent from
+    the map are dropped (rate 0), mirroring ``sampleBy``.  This is the
+    data-mixture primitive: down-weight an over-represented source to a
+    target mix with one deterministic map-side filter over the corpus.
+    """
+    thr = None
+    for stratum, rate in rates.items():
+        cond = F.col(stratum_col) == stratum
+        cap = F.lit(int(rate * _HASH_SPACE))
+        thr = F.when(cond, cap) if thr is None else thr.when(cond, cap)
+    thr = thr.otherwise(F.lit(0)) if thr is not None else F.lit(0)
+    return df.filter(_rank_hash(F.col(id_col), salt) < thr)

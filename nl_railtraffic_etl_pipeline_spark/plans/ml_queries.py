@@ -1137,3 +1137,34 @@ def _search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_BM25_TERMS),
         k=_BM25_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Bernoulli sampling (functions/sketch.py): hash-threshold
+# membership — the reproducible sampleBy.  'signup' is deliberately absent
+# from the rate map (dropped stratum, rate 0).
+# ---------------------------------------------------------------------------
+_BERN_RATES = {"error": 0.5, "click": 0.25, "view": 0.1, "purchase": 1.0}
+_BERN_H = _H32.format(x="'bern:' || CAST(event_id AS VARCHAR)")
+_BERN_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{s}' THEN {int(r * 2**32)}" for s, r in _BERN_RATES.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "sample_bernoulli_strata",
+    f"""
+SELECT event_id, event_type, value
+FROM events
+WHERE {_BERN_H} < {_BERN_CASE}
+""",
+)
+def _bernoulli_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import stratified_bernoulli_sample
+
+    return stratified_bernoulli_sample(
+        load_table(spark, sf_dir, "events", spread=True),
+        _BERN_RATES,
+        "event_type",
+        "event_id",
+    ).select("event_id", "event_type", "value")

@@ -428,6 +428,44 @@ def test_bottom_k_sample_deterministic_across_partitioning(spark):
     assert ids != sorted(range(50))  # hash order, not id order
 
 
+def test_bernoulli_samples_are_nested_and_deterministic(spark):
+    """Membership is a pure function of the key: lower-rate samples are
+    subsets of higher-rate ones, and partitioning cannot change the draw."""
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        bernoulli_sample,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k bigint")
+    s10 = {r.k for r in bernoulli_sample(df, 0.1, "k").collect()}
+    s30 = {r.k for r in bernoulli_sample(df, 0.3, "k").collect()}
+    assert s10 < s30
+    # rate is approximately honored (hash uniformity)
+    assert 0.05 < len(s10) / 2000 < 0.15
+    assert 0.25 < len(s30) / 2000 < 0.35
+    again = {
+        r.k for r in bernoulli_sample(df.repartition(13), 0.1, "k").collect()
+    }
+    assert again == s10
+
+
+def test_stratified_bernoulli_rates_and_dropped_stratum(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        stratified_bernoulli_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    got = stratified_bernoulli_sample(
+        df, {"a": 1.0, "b": 0.2}, "s", "k"
+    ).collect()
+    by_s = {}
+    for r in got:
+        by_s.setdefault(r.s, set()).add(r.k)
+    assert len(by_s.get("a", ())) == 1000       # rate 1.0 keeps everything
+    assert "c" not in by_s                      # absent stratum dropped
+    assert 0.1 < len(by_s.get("b", ())) / 1000 < 0.3
+
+
 def test_duplicate_clusters_raises_when_unconverged(spark):
     import pytest
 
