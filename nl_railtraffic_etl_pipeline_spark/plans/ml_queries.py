@@ -1168,3 +1168,133 @@ def _bernoulli_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
     ).select("event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# The composed end-to-end training-prep pipeline: hygiene (exact + near-dup
+# + quality) -> heldout split -> n-gram decontamination -> sequence packing.
+# Everything reuses the per-app artifacts (exact-first clusters, shingle
+# arrays); the oracle replays the full composition in one recursive query.
+# ---------------------------------------------------------------------------
+_SH_ALL_CTE = f"""
+toks_all AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+sh_all AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                for i in range(1, len(w) - 1)]
+           )) AS shingle
+    FROM toks_all WHERE len(w) >= 3
+)
+"""
+
+
+@query(
+    "corpus_prepare",
+    f"""
+WITH RECURSIVE exact_reps AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+),
+corpus_docs AS (
+    SELECT d.* FROM documents d JOIN exact_reps k ON k.doc_id = d.doc_id
+),
+{_MINHASH_CTES.replace("FROM documents", "FROM corpus_docs")},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lab) AS (
+    SELECT doc, doc FROM nodes
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc
+),
+losers AS (
+    SELECT doc FROM (SELECT doc, MIN(lab) AS rep FROM reach GROUP BY doc)
+    WHERE doc <> rep
+),
+t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+cleaned AS (
+    SELECT t.doc_id FROM t
+    JOIN exact_reps k ON k.doc_id = t.doc_id
+    WHERE t.doc_id NOT IN (SELECT doc FROM losers)
+      AND len(t.toks) >= 5
+      AND len(list_filter(t.toks, x -> list_contains({_SW}, x)))
+          / CAST(len(t.toks) AS DOUBLE) <= 0.5
+),
+{_SH_ALL_CTE.strip()},
+train AS (SELECT doc_id FROM cleaned WHERE doc_id % {_HELDOUT_MOD} <> 0),
+ho AS (
+    SELECT DISTINCT shingle FROM sh_all WHERE doc_id % {_HELDOUT_MOD} = 0
+),
+contam AS (
+    SELECT DISTINCT s.doc_id
+    FROM sh_all s
+    JOIN ho USING (shingle)
+    JOIN train tr ON tr.doc_id = s.doc_id
+),
+final AS (
+    SELECT doc_id FROM train
+    WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+packed AS (
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(len(t.toks) AS BIGINT)) OVER (
+               ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS _end
+    FROM t JOIN final f ON f.doc_id = t.doc_id
+)
+SELECT doc_id, n_tokens,
+       _end - n_tokens AS start_offset,
+       (_end - n_tokens) // {_PACK_WINDOW} AS seq_id,
+       (n_tokens > 0 AND ((_end - 1) // {_PACK_WINDOW})
+                         > ((_end - n_tokens) // {_PACK_WINDOW}))
+           AS spans_boundary
+FROM packed
+""",
+)
+def _corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.chunking import pack_sequences
+    from ..functions.corpus import clean_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = _artifact(
+        spark,
+        sf_dir,
+        "dup_clusters_exact_first",
+        lambda: dedup._materialize(
+            dedup.duplicate_clusters(
+                dedup.minhash_lsh_pairs(
+                    docs.join(
+                        dedup.exact_dup_groups(docs, "text", "doc_id").select(
+                            F.col("representative_id").alias("doc_id")
+                        ),
+                        "doc_id",
+                        "left_semi",
+                    ),
+                    threshold=0.2,
+                )
+            )
+        ),
+    )
+    arrays = _artifact(
+        spark, sf_dir, "doc_shingles_3", lambda: dedup.shingle_arrays(docs)
+    )
+    cleaned_ids = clean_corpus(docs, clusters=clusters).select("doc_id")
+    train_ids = cleaned_ids.filter(F.col("doc_id") % _HELDOUT_MOD != 0)
+    train_docs = docs.join(train_ids, "doc_id", "left_semi")
+    heldout = docs.filter(F.col("doc_id") % _HELDOUT_MOD == 0)
+    contam = dedup.flag_contaminated(
+        train_docs,
+        heldout,
+        train_arrays=arrays.join(
+            train_ids.select(F.col("doc_id").alias("doc")), "doc", "left_semi"
+        ),
+    )
+    final_docs = train_docs.join(
+        contam.select("doc_id"), "doc_id", "left_anti"
+    )
+    return pack_sequences(final_docs, window=_PACK_WINDOW, block_size=256)
