@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from ..functions.compat import exact_avg
 from ..streaming.incremental import sessionize_stream
 from .registry import query
-from .testdata import derive_disruptions, ensure_session_confs, rail_oracle_prelude
+from .testdata import (
+    derive_disruptions,
+    ensure_session_confs,
+    normalize_timestamps,
+    rail_oracle_prelude,
+)
 
 _DRAIN_TIMEOUT_S = 300
 
@@ -58,10 +63,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     ev = spark.readStream.schema(schema).parquet(stream_dir)
-    for field in ev.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev
+    return normalize_timestamps(ev)
 
 
 def _drain_to_memory(result: DataFrame, name: str, output_mode: str) -> None:

@@ -74,17 +74,32 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Map the testdata's parquet timestamp encodings onto session-tz TIMESTAMP.
+
+    Two generations of driver data exist:
+    - TIMESTAMP(NANOS) (no Spark type): surfaced as bigint nanos under
+      spark.sql.legacy.parquet.nanosAsLong; integer-divide to micros —
+      truncation, bit-identical to DuckDB's ns->us narrowing.
+    - timestamp[us] without UTC adjustment: Spark infers TIMESTAMP_NTZ, but
+      every temporal function here (unix_micros, date_trunc vs the oracle,
+      window()) speaks TIMESTAMP.  The session is pinned UTC, so the cast
+      relabels the same wall-clock instant — matching DuckDB, which reads
+      the column as its (naive) TIMESTAMP.
+    """
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
     ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS): surfaced as bigint nanos under
-    # spark.sql.legacy.parquet.nanosAsLong (session.py).  Integer-divide to
-    # micros — truncation, bit-identical to DuckDB's ns->us narrowing.
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     if spread:
         # Bench-scale files arrive as one input split, serializing the first
         # stage of every consumer; no-op when the scan is already parallel.
