@@ -32,6 +32,8 @@ from .text import hash32
 
 __all__ = [
     "kmv_distinct",
+    "kmv_sketch",
+    "kmv_merge",
     "bottom_k_sample",
     "bernoulli_sample",
     "stratified_bernoulli_sample",
@@ -78,6 +80,59 @@ def kmv_distinct(
         .agg(F.count("*").alias("_n"), F.max("_h").alias("_hk"))
         .select(
             *keys,
+            F.when(F.col("_n") < k, F.col("_n").cast("double"))
+            .otherwise(F.round(est, 2))
+            .alias("distinct_estimate"),
+        )
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """The mergeable state behind :func:`kmv_distinct`: per group, the k
+    smallest distinct value hashes — (group_cols..., h), ≤ k rows/group.
+
+    KMV sketches union-merge: the bottom-k of the distinct hash union of
+    any slicing (per-day, per-shard, per-source) IS the sketch of the whole
+    — so a 100 TB corpus is sketched where the data lives (k bigints per
+    slice) and combined by :func:`kmv_merge` without ever rescanning.  The
+    sketch table is also the persistable artifact: store it next to each
+    partition and global distinct counts become metadata-scale queries.
+    """
+    keys = list(group_cols)
+    hashed = df.select(
+        *keys, _rank_hash(F.col(value_col), salt).alias("h")
+    ).distinct()
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("h")
+        return (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return hashed.orderBy("h").limit(k)
+
+
+def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Union-merge KMV sketch rows into one global distinct-count estimate.
+
+    ``sketches`` is any union of :func:`kmv_sketch` outputs (their ``h``
+    column; group columns are ignored — overlapping slices are fine, the
+    hash-distinct absorbs them).  Returns a single row
+    ``(distinct_estimate)`` on the same exact-below-k / KMV-above-k
+    contract as :func:`kmv_distinct`.  The merge input is ≤ k rows per
+    slice, so this runs at metadata scale regardless of corpus size.
+    """
+    merged = sketches.select("h").distinct().orderBy("h").limit(k)
+    est = (k - 1) * _HASH_SPACE / F.col("_hk")
+    return (
+        merged.agg(F.count("*").alias("_n"), F.max("h").alias("_hk"))
+        .select(
             F.when(F.col("_n") < k, F.col("_n").cast("double"))
             .otherwise(F.round(est, 2))
             .alias("distinct_estimate"),

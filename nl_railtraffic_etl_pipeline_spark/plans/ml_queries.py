@@ -1298,3 +1298,89 @@ def _corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         contam.select("doc_id"), "doc_id", "left_anti"
     )
     return pack_sequences(final_docs, window=_PACK_WINDOW, block_size=256)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches: per-stratum KMV sketches union-merged into the global
+# distinct estimate WITHOUT rescanning the stream — the operation that makes
+# distinct counts metadata-scale on a partitioned 100 TB corpus (sketch each
+# shard where it lives, merge k-row states).  The oracle replicates the
+# full sketch -> merge algebra, so the mergeability contract itself is
+# hash-checked, not just the final number.
+# ---------------------------------------------------------------------------
+@query(
+    "sketch_kmv_merged",
+    f"""
+WITH hashed AS (
+    SELECT DISTINCT event_type, {_KMV_H} AS h FROM events
+),
+per_group AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ) WHERE rn <= {_KMV_K}
+),
+merged AS (
+    SELECT h FROM (SELECT DISTINCT h FROM per_group)
+    ORDER BY h LIMIT {_KMV_K}
+)
+SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE ROUND({_KMV_K - 1} * 4294967296.0 / MAX(h), 2)
+       END AS distinct_estimate
+FROM merged
+""",
+)
+def _kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import kmv_merge, kmv_sketch
+
+    sketches = kmv_sketch(
+        load_table(spark, sf_dir, "events", spread=True),
+        ["event_type"],
+        "user_id",
+        k=_KMV_K,
+    )
+    return kmv_merge(sketches, k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# Quantile-threshold corpus trim: score every document, take the exact P25
+# of the score distribution (one metadata-scale row), keep docs at/above it.
+# The two-pass shape (aggregate -> 1-row broadcast -> map-side filter) is
+# how a data-driven cutoff works at corpus scale — no sort, no collect.
+# Threshold comparison happens at 6-decimal rounding on both engines so the
+# boundary set is last-ulp-proof.
+# ---------------------------------------------------------------------------
+_QUALITY_SCORE_SQL = (
+    "(list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE))"
+    f" * (1 - len(list_filter(toks, x -> list_contains({_SW}, x)))"
+    " / CAST(len(toks) AS DOUBLE))"
+)
+
+
+@query(
+    "corpus_quality_trim",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+scored AS (
+    SELECT doc_id, {_QUALITY_SCORE_SQL} AS score FROM t
+),
+thr AS (SELECT quantile_cont(score, 0.25) AS thr FROM scored)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM scored, thr
+WHERE ROUND(score, 6) >= ROUND(thr, 6)
+""",
+)
+def _quality_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents whose quality score (avg token length x content
+    ratio) is at or above the exact 25th percentile of the corpus."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+    score = avg_token_len(toks) * (F.lit(1) - stopword_ratio(toks))
+    scored = d.select(F.col("doc_id"), score.alias("score"))
+    thr = scored.agg(F.percentile("score", 0.25).alias("thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.round("score", 6) >= F.round("thr", 6))
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )

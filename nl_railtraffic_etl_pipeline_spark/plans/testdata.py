@@ -61,6 +61,12 @@ TABLES = (
 _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Naive parquet timestamp[us] (isAdjustedToUTC=false) should surface as
+    # session-tz TIMESTAMP directly: the NTZ->TIMESTAMP cast that inference
+    # would force is a measured ~2x tax on every events scan (per-value zone
+    # conversion outside the vectorized path), while the direct read is
+    # verbatim micros — identical values under the pinned UTC session.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -48,6 +48,7 @@ def get_spark(
         # The synthetic events table stores TIMESTAMP(NANOS) parquet, which
         # Spark has no native type for: read as long and convert (testdata.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))

@@ -1,0 +1,103 @@
+"""Semantics tests for the behavioral-analytics operators
+(functions/behavior.py) and the mergeable KMV sketch algebra on
+handcrafted frames — the edge cases the gate's synthetic data may not pin
+down (strict funnel ordering, week-offset arithmetic, merge==direct)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+    cohort_retention,
+    event_transitions,
+    funnel,
+)
+from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+    kmv_distinct,
+    kmv_merge,
+    kmv_sketch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_COLS = ["user_id", "event_type", "ts", "event_id"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, dt.datetime(2024, 1, d, h), i) for i, (u, t, d, h) in enumerate(rows)],
+        _COLS[:2] + ["ts"] + ["event_id"],
+    ).select("user_id", "event_type", F.col("ts").cast("timestamp"), "event_id")
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # u1: view -> click -> purchase (full conversion)
+        (1, "view", 1, 0), (1, "click", 2, 0), (1, "purchase", 3, 0),
+        # u2: click BEFORE view only — click must not count
+        (2, "click", 1, 0), (2, "view", 2, 0),
+        # u3: click at the same instant as view — strictly-after excludes it
+        (3, "view", 4, 5), (3, "click", 4, 5),
+        # u4: never viewed
+        (4, "purchase", 1, 0),
+    ]
+    out = {
+        r["stage_name"]: (r["users"], r["conversion_pct"])
+        for r in funnel(_ev(spark, rows), ["view", "click", "purchase"]).collect()
+    }
+    assert out["view"] == (3, 100.0)
+    assert out["click"] == (1, round(100.0 / 3, 2))
+    assert out["purchase"] == (1, round(100.0 / 3, 2))
+
+
+def test_funnel_monotone_on_events(spark):
+    from nl_railtraffic_etl_pipeline_spark.plans.testdata import load_table
+
+    got = (
+        funnel(load_table(spark, SF, "events"), ["view", "click", "purchase"])
+        .orderBy("stage")
+        .collect()
+    )
+    users = [r["users"] for r in got]
+    assert users == sorted(users, reverse=True)
+
+
+def test_cohort_retention_offsets(spark):
+    rows = [
+        # u1 first active Mon Jan 1 week; active again Jan 10 (offset 1)
+        (1, "view", 1, 9), (1, "view", 10, 9),
+        # u2 first active Jan 10 week (cohort Jan 8); offset 0 only
+        (2, "view", 10, 9),
+    ]
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): (
+            r["active_users"],
+            r["retention_pct"],
+        )
+        for r in cohort_retention(_ev(spark, rows)).collect()
+    }
+    assert got[("2024-01-01", 0)] == (1, 100.0)
+    assert got[("2024-01-01", 1)] == (1, 100.0)
+    assert got[("2024-01-08", 0)] == (1, 100.0)
+    assert len(got) == 3
+
+
+def test_transition_shares_sum_to_100(spark):
+    from nl_railtraffic_etl_pipeline_spark.plans.testdata import load_table
+
+    out = event_transitions(load_table(spark, SF, "events"))
+    sums = out.groupBy("src").agg(F.round(F.sum("share_pct"), 0).alias("s"))
+    assert all(abs(r["s"] - 100.0) < 1 for r in sums.collect())
+
+
+def test_kmv_merge_equals_direct_global(spark):
+    """Bottom-k of the union of per-group bottom-k sketches IS the global
+    bottom-k — so the merged estimate must equal the direct global one."""
+    from nl_railtraffic_etl_pipeline_spark.plans.testdata import load_table
+
+    ev = load_table(spark, SF, "events")
+    direct = kmv_distinct(ev, [], "user_id", k=32).first()["distinct_estimate"]
+    merged = kmv_merge(
+        kmv_sketch(ev, ["event_type"], "user_id", k=32), k=32
+    ).first()["distinct_estimate"]
+    assert merged == direct
