@@ -30,7 +30,7 @@ from .dedup import (
 )
 from .text import stopword_ratio, token_count, tokens
 
-__all__ = ["clean_corpus"]
+__all__ = ["clean_corpus", "mixture_plan"]
 
 
 def clean_corpus(
@@ -74,4 +74,42 @@ def clean_corpus(
             (n_tokens >= min_tokens) & (stopword_ratio(toks) <= max_stopword_ratio)
         )
         .select(F.col(id_col), n_tokens.cast("int").alias("n_tokens"))
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus statistics + deterministic down-sampling rates
+    that equalize token mass across sources (the data-mixing step before
+    :func:`..sketch.stratified_bernoulli_sample`).
+
+    Returns (source, n_docs, n_tokens, sample_rate): ``sample_rate``
+    scales every source down to the smallest source's token count
+    (``min_tokens / n_tokens``, rounded 6, so the smallest source keeps
+    rate 1.0).  One aggregation pass over the corpus; the rate arithmetic
+    runs on the per-source frame (metadata-scale) against a broadcast
+    1-row minimum.  Feeding the rates into
+    ``stratified_bernoulli_sample`` yields the mixed corpus in one more
+    map-side pass — no shuffle of the corpus itself.
+    """
+    from .text import token_count
+
+    stats = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("bigint")).alias("n_tokens"),
+    )
+    floor = stats.agg(F.min("n_tokens").alias("_min_tokens"))
+    return (
+        stats.crossJoin(F.broadcast(floor))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("_min_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("sample_rate"),
+        )
     )

@@ -380,3 +380,39 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def group_centroids(
+    embeddings: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean-pooled embedding (the vector-aggregation primitive:
+    class prototypes, cluster summaries, user profiles from item vectors).
+
+    Returns (group_col, dim, centroid, n_vectors) — one row per group and
+    vector position, centroid rounded to 6.
+
+    Per-position sums are DECIMAL(38,18), so the mean is independent of
+    partitioning and AQE replan (double addition does not commute across
+    an arbitrary reduction tree; decimal addition does) — the same
+    contract as the k-means index build (``_kmeans_fit``).  The
+    float->decimal conversion goes through the float's shortest-roundtrip
+    STRING: engines disagree in the last ulp when converting binary
+    floats to decimal directly (shortest-repr vs exact expansion), but
+    every engine prints the same shortest string, so string-parsed
+    decimals sum bit-identically anywhere.  Plan shape: one posexplode
+    (map-side) + one (group, dim)-keyed aggregation; state per reducer is
+    a single decimal — scale-invariant.
+    """
+    exact = F.col("x").cast("string").cast("decimal(38,18)")
+    return (
+        embeddings.select(group_col, F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy(group_col, "dim")
+        .agg(
+            F.round(
+                F.sum(exact).cast("double") / F.count("*"), 6
+            ).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

@@ -1384,3 +1384,58 @@ def _quality_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.round("score", 6) >= F.round("thr", 6))
         .select("doc_id", F.round("score", 4).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector aggregation: per-label mean-pooled centroid.  Decimal per-position
+# sums make the mean partition-invariant; the float->decimal cast goes
+# through the shortest-roundtrip string on BOTH engines so the summed
+# decimals are bit-identical (direct float->decimal conversion differs in
+# the last ulp between engines and flipped a round-half boundary).
+# ---------------------------------------------------------------------------
+@query(
+    "emb_label_centroids",
+    """
+WITH e AS (
+    SELECT label,
+           unnest(embedding) AS v,
+           unnest(range(len(embedding))) AS dim
+    FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       ROUND(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE)
+             / COUNT(*), 6) AS centroid,
+       COUNT(*) AS n_vectors
+FROM e GROUP BY label, dim
+""",
+)
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.simsearch import group_centroids
+
+    return group_centroids(
+        load_table(spark, sf_dir, "embeddings", spread=True), "label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixing plan: per-source token mass -> deterministic Bernoulli rates
+# equalizing the mix (the planning half of sample_bernoulli_strata).
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_mixture_plan",
+    f"""
+WITH stats AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKENS})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+floor_t AS (SELECT MIN(n_tokens) AS min_tokens FROM stats)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(min_tokens AS DOUBLE) / n_tokens, 6) AS sample_rate
+FROM stats, floor_t
+""",
+)
+def _mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.corpus import mixture_plan
+
+    return mixture_plan(load_table(spark, sf_dir, "documents", spread=True))

@@ -474,3 +474,30 @@ def test_duplicate_clusters_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.duplicate_clusters(pairs, max_iter=2)
+
+
+def test_group_centroids_partition_invariant(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.simsearch import group_centroids
+    from nl_railtraffic_etl_pipeline_spark.plans.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = group_centroids(emb.repartition(1), "label").collect()
+    b = group_centroids(emb.repartition(17, "vec_id"), "label").collect()
+    key = lambda r: (r["label"], r["dim"])
+    assert sorted(((key(r), r["centroid"]) for r in a)) == sorted(
+        ((key(r), r["centroid"]) for r in b)
+    )
+
+
+def test_mixture_plan_smallest_source_keeps_all(spark):
+    from pyspark.sql import Row
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="big" if i < 8 else "small",
+             text="tok " * (10 if i < 8 else 5)) for i in range(10)]
+    )
+    rates = {r["source"]: (r["sample_rate"], r["n_tokens"])
+             for r in mixture_plan(docs).collect()}
+    assert rates["small"][0] == 1.0
+    assert rates["big"][0] == round(rates["small"][1] / rates["big"][1], 6)
