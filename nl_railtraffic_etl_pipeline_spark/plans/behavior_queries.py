@@ -12,6 +12,7 @@ weeks, total-order tiebreaks) in DuckDB SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.behavior import cohort_retention, event_transitions, funnel
 from .registry import query
@@ -117,4 +118,129 @@ def _transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition matrix of the stream (ts, event_id total order)."""
     return event_transitions(
         load_table(spark, sf_dir, "events", spread=True)
+    )
+
+
+@query(
+    "events_sliding_value",
+    """
+WITH base AS (
+    SELECT user_id, event_id, ts, value,
+           CAST(CAST(value AS VARCHAR) AS DECIMAL(24,10)) AS dvalue,
+           date_part('epoch', ts) AS sec
+    FROM events WHERE user_id % 50 = 0
+)
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
+       ROUND(CAST(SUM(dvalue) OVER w AS DOUBLE), 4) AS sum_value_1h
+FROM base
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY sec
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+""",
+)
+def _sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-hour sliding aggregate — a RANGE (time-interval) window
+    frame, not a row frame.  The decimal summand goes through the double's
+    shortest-roundtrip string so the sliding sums are bit-identical
+    cross-engine regardless of each engine's window-aggregation tree
+    (DuckDB segment-trees its sliding frames; decimal addition commutes,
+    double addition does not).  The user filter keeps the gate small;
+    the plan is one user-keyed shuffle at any scale.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(F.col("user_id") % 50 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("value").cast("string").cast("decimal(24,10)").alias("_dv"),
+            F.unix_micros("ts").alias("_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("_us div 1000000"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_events_1h"),
+        F.round(F.sum("_dv").over(w).cast("double"), 4).alias("sum_value_1h"),
+    )
+
+
+_PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@query(
+    "events_daily_pivot",
+    """
+SELECT CAST(ts AS DATE) AS day,
+"""
+    + ",\n".join(
+        f"       CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS {t}_events"
+        for t in _PIVOT_TYPES
+    )
+    + """
+FROM events GROUP BY day
+""",
+)
+def _daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format daily activity: `pivot` over a FIXED type list (stable
+    schema — an unpinned pivot would launch a distinct-scan job and make
+    the schema data-dependent).  Compiles to one partial-agg shuffle,
+    exactly like the CASE-sum formulation."""
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    out = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .count()
+    )
+    return out.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"{t}_events")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+@query(
+    "events_value_outliers",
+    """
+WITH bounds AS (
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS q1,
+           quantile_cont(value, 0.75) AS q3
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+WHERE ROUND(e.value, 6) < ROUND(b.q1 - 1.5 * (b.q3 - b.q1), 6)
+   OR ROUND(e.value, 6) > ROUND(b.q3 + 1.5 * (b.q3 - b.q1), 6)
+""",
+)
+def _value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers per event type: exact grouped quartiles ->
+    metadata-scale bounds frame broadcast back -> map-side filter.  The
+    grouped twin of corpus_quality_trim's two-pass shape; fences compared
+    at 6-decimal rounding so the flagged set is last-ulp-proof."""
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    lo = F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 6)
+    hi = F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6)
+    rv = F.round("value", 6)
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .filter((rv < lo) | (rv > hi))
+        .select("event_id", "event_type", F.round("value", 4).alias("value"))
     )
