@@ -584,3 +584,125 @@ def _session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: every (event_type x day-of-week) margin in one shared-partial-agg
+# pass — the all-margins companion of rollup_multi_granularity.  Subtotal
+# rows carry NULL group keys on both engines, so the level marker needs no
+# grouping_id().
+# ---------------------------------------------------------------------------
+@query(
+    "events_cube",
+    """
+SELECT event_type,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       COUNT(*) AS n_events,
+       ROUND((CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(24,10)))
+                   AS DOUBLE) / COUNT(value)), 4) AS avg_value
+FROM events
+GROUP BY CUBE(event_type, CAST(dayofweek(ts) + 1 AS INTEGER))
+""",
+)
+def _events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both margins + grand total in ONE aggregation: CUBE shares the
+    partial (map-side) aggregation across all four grouping sets instead
+    of scanning per margin.  The average goes through string-exact decimal
+    sums (see emb_label_centroids) so every margin hash-matches."""
+    ev = load_table(spark, sf_dir, "events", spread=True).select(
+        "event_type",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.col("value").cast("string").cast("decimal(24,10)").alias("_dv"),
+        "value",
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum("_dv").cast("double") / F.count("value"), 4
+        ).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 validity intervals from a change stream: each event opens a state
+# interval that the user's next event closes (half-open, lead-based) — the
+# standard slowly-changing-dimension type-2 build, one user-keyed window.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_user_state",
+    """
+SELECT user_id,
+       event_type AS state,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE user_id % 20 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def _scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's last event type.  `valid_to` is the
+    next change's timestamp (NULL = open/current row).  One shuffle on the
+    dimension's natural key — the 100 TB shape of an SCD-2 rebuild; the
+    user filter keeps the gate's output proportionate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(F.col("user_id") % 20 == 0)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join coverage: deliberately misaligned key slices so BOTH
+# null-padded directions appear in the output (TPC-H referential integrity
+# would otherwise leave the right side fully matched).
+# ---------------------------------------------------------------------------
+@query(
+    "join_full_outer_coverage",
+    """
+WITH c AS (
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0
+),
+o AS (
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders WHERE o_custkey % 2 = 0
+    GROUP BY o_custkey
+)
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_name,
+       o.n_orders,
+       c.c_custkey IS NULL AS customer_missing,
+       o.o_custkey IS NULL AS orders_missing
+FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+""",
+)
+def _full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders", spread=True)
+        .filter(F.col("o_custkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+        F.col("c_custkey").isNull().alias("customer_missing"),
+        F.col("o_custkey").isNull().alias("orders_missing"),
+    )

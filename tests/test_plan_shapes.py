@@ -135,3 +135,19 @@ def test_python_only_in_arrow_kernels(spark):
             assert has_python, name
         else:
             assert not has_python, f"{name}: unexpected Python eval node"
+
+
+def test_cube_is_single_pass(spark):
+    """CUBE must expand grouping sets from ONE shared scan/partial-agg
+    (Expand node), not re-aggregate per margin."""
+    txt = plan_of(spark, "events_cube")
+    assert "Expand" in txt
+    # one agg shuffle total (the _spread round-robin is not hash-keyed)
+    assert len(re.findall(r"hashpartitioning\(", txt)) == 1
+
+
+def test_scd2_single_key_shuffle(spark):
+    """The SCD-2 interval build is one user-keyed window — exactly one
+    shuffle exchange over the stream (plus the _spread repartition)."""
+    txt = plan_of(spark, "scd2_user_state")
+    assert len(re.findall(r"hashpartitioning\(", txt)) == 1
