@@ -111,20 +111,22 @@ def cohort_retention(
     share of the cohort active in that offset week (offset 0 is 100 by
     construction).
 
-    Plan: one user-keyed min (first activity), one user-keyed join back
-    (co-partitioned with the aggregation before it), a distinct on
-    (user, cohort, offset), then a count onto the cohorts x offsets frame
-    — whose size is weeks^2, metadata-scale at any event volume.  Cohort
-    sizes broadcast back onto it.
+    Plan: ONE user-keyed shuffle of the (user, ts) stream — the first-
+    activity stamp is a per-user window min over that partitioning, not a
+    groupBy + join back (which would shuffle the stream twice and add a
+    join).  Then a distinct on (user, cohort, offset) and a count onto
+    the cohorts x offsets frame — whose size is weeks^2, metadata-scale
+    at any event volume.  Cohort sizes broadcast back onto it.
     """
-    first = events.groupBy(user_col).agg(F.min(ts_col).alias("_first"))
+    w_user = Window.partitionBy(user_col)
+    base = events.select(user_col, ts_col).withColumn(
+        "_first", F.min(ts_col).over(w_user)
+    )
     cohort = F.to_date(F.date_trunc("week", F.col("_first")))
     # every event is >= the user's first event, so week_offset >= 0 by
     # construction — no post-hoc filter needed
     activity = (
-        events.select(user_col, ts_col)
-        .join(first, user_col)
-        .select(
+        base.select(
             F.col(user_col),
             cohort.alias("cohort_week"),
             F.expr(
@@ -134,8 +136,14 @@ def cohort_retention(
         )
         .distinct()
     )
-    sizes = first.groupBy(cohort.alias("cohort_week")).agg(
-        F.count("*").alias("_cohort_size")
+    # cohort size == offset-0 user count (every user is active in their own
+    # first week), so sizes come from `activity` itself — the two consumers
+    # share the distinct's exchange (ReuseExchange) instead of re-running
+    # the stream window
+    sizes = (
+        activity.filter(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.count("*").alias("_cohort_size"))
     )
     return (
         activity.groupBy("cohort_week", "week_offset")
