@@ -37,6 +37,7 @@ __all__ = [
     "bottom_k_sample",
     "bernoulli_sample",
     "stratified_bernoulli_sample",
+    "pps_systematic_sample",
 ]
 
 _HASH_SPACE = float(2**32)
@@ -215,3 +216,72 @@ def stratified_bernoulli_sample(
         thr = F.when(cond, cap) if thr is None else thr.when(cond, cap)
     thr = thr.otherwise(F.lit(0)) if thr is not None else F.lit(0)
     return df.filter(_rank_hash(F.col(id_col), salt) < thr)
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size (systematic) sample.
+
+    Weights are quantized to integer milli-units (``round(w*1000)``,
+    negatives clamped to 0), a global cumulative sum assigns each row the
+    half-open interval ``[lo, hi)`` on the weight line, and the sampler
+    takes the ``n`` systematic grid points ``m * W / n`` — a row is picked
+    ``(hi*n div W) - (lo*n div W)`` times (heavy rows can be picked more
+    than once; zero-weight rows never).  ALL arithmetic is integer, so the
+    sample is bit-identical on any engine and any partitioning — the
+    weighted counterpart of :func:`bottom_k_sample` (which cannot express
+    weights) and the transcendental-free alternative to exp-rank
+    reservoir schemes (no ``log``).
+
+    The global prefix sum is the two-level block scheme of
+    ``chunking.pack_sequences``: within-block window sums (distributed)
+    plus a one-row-per-block offset table (metadata-scale, broadcast) —
+    no single-partition pass at any corpus size.  Returns
+    (id_col, weight_q, n_picks), pick total exactly ``n``.
+    """
+    wq = F.greatest(
+        F.round(F.col(weight_col) * 1000).cast("bigint"), F.lit(0)
+    )
+    base = df.select(
+        F.col(id_col),
+        wq.alias("_wq"),
+        F.expr(f"{id_col} div {block_size}").alias("_blk"),
+    )
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("_cum_in", F.sum("_wq").over(w_in))
+    blk_tot = base.groupBy("_blk").agg(F.sum("_wq").alias("_tot"))
+    w_blk = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    blk_off = blk_tot.select(
+        "_blk", (F.sum("_tot").over(w_blk) - F.col("_tot")).alias("_off")
+    )
+    total = blk_tot.agg(F.sum("_tot").alias("_W"))
+    cum = (
+        within.join(F.broadcast(blk_off), "_blk")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("_wq"),
+            (F.col("_off") + F.col("_cum_in")).alias("_hi"),
+            (F.col("_off") + F.col("_cum_in") - F.col("_wq")).alias("_lo"),
+            F.col("_W"),
+        )
+    )
+    picks = (
+        F.expr(f"_hi * {n} div _W") - F.expr(f"_lo * {n} div _W")
+    ).cast("int")
+    return (
+        cum.withColumn("n_picks", picks)
+        .filter(F.col("n_picks") > 0)
+        .select(F.col(id_col), F.col("_wq").alias("weight_q"), "n_picks")
+    )

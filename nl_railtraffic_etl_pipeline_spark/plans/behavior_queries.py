@@ -244,3 +244,50 @@ def _value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((rv < lo) | (rv > hi))
         .select("event_id", "event_type", F.round("value", 4).alias("value"))
     )
+
+
+_HIST_BINS = 20
+
+
+@query(
+    "events_value_histogram",
+    f"""
+WITH bounds AS (
+    SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+),
+binned AS (
+    SELECT CAST(LEAST(trunc((e.value - b.lo) / ((b.hi - b.lo) / {_HIST_BINS})),
+                      {_HIST_BINS - 1}) AS INTEGER) AS bin,
+           b.lo, b.hi
+    FROM events e, bounds b
+)
+SELECT bin,
+       ROUND(lo + bin * ((hi - lo) / {_HIST_BINS}), 4) AS bin_lo,
+       COUNT(*) AS n_events
+FROM binned GROUP BY bin, lo, hi
+""",
+)
+def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: exact min/max (1-row broadcast) -> map-side
+    bin assignment -> bins-sized aggregation.  The standard two-pass
+    distributed histogram; the max value folds into the top bin.  Bin
+    arithmetic is the same IEEE double expression on both engines, fed by
+    identical lo/hi, so bin boundaries agree bitwise."""
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width),
+        F.lit(_HIST_BINS - 1),
+    ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(bin_.alias("bin"), "lo", "hi")
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * width, 4).alias("bin_lo"),
+            "n_events",
+        )
+    )

@@ -1439,3 +1439,49 @@ def _mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.corpus import mixture_plan
 
     return mixture_plan(load_table(spark, sf_dir, "documents", spread=True))
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling: deterministic systematic PPS over integer-quantized
+# weights.  The oracle replays the whole integer pipeline (quantize ->
+# global prefix sum -> grid-point counting), so the pick multiset is
+# hash-checked, not just its size.
+# ---------------------------------------------------------------------------
+_PPS_N = 25
+
+
+@query(
+    "sample_weighted_pps",
+    f"""
+WITH base AS (
+    SELECT doc_id,
+           GREATEST(CAST(round(n_chars * 1000) AS BIGINT), 0) AS wq
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, wq,
+           SUM(wq) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW
+           ) AS hi
+    FROM base
+),
+tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS w_total FROM base)
+SELECT doc_id,
+       wq AS weight_q,
+       CAST((hi * {_PPS_N}) // w_total
+            - ((hi - wq) * {_PPS_N}) // w_total AS INTEGER) AS n_picks
+FROM cum, tot
+WHERE (hi * {_PPS_N}) // w_total - ((hi - wq) * {_PPS_N}) // w_total > 0
+""",
+)
+def _weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import pps_systematic_sample
+
+    return pps_systematic_sample(
+        load_table(spark, sf_dir, "documents", spread=True),
+        "n_chars",
+        _PPS_N,
+        "doc_id",
+        block_size=256,
+    )

@@ -101,3 +101,38 @@ def test_kmv_merge_equals_direct_global(spark):
         kmv_sketch(ev, ["event_type"], "user_id", k=32), k=32
     ).first()["distinct_estimate"]
     assert merged == direct
+
+
+def test_pps_sample_pick_total_and_heavy_items(spark):
+    """Systematic PPS: picks sum exactly to n; a row holding more than
+    2/n of the total weight must be picked at least twice; zero-weight
+    rows never appear."""
+    from pyspark.sql import Row
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        pps_systematic_sample,
+    )
+
+    rows = [Row(doc_id=i, w=1.0) for i in range(50)] + [
+        Row(doc_id=50, w=50.0),  # half the total mass
+        Row(doc_id=51, w=0.0),
+    ]
+    out = pps_systematic_sample(
+        spark.createDataFrame(rows), "w", 10, "doc_id", block_size=8
+    ).collect()
+    total = sum(r["n_picks"] for r in out)
+    assert total == 10
+    heavy = {r["doc_id"]: r["n_picks"] for r in out}
+    assert heavy.get(50, 0) >= 4
+    assert 51 not in heavy
+
+
+def test_pps_sample_partition_invariant(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        pps_systematic_sample,
+    )
+    from nl_railtraffic_etl_pipeline_spark.plans.testdata import load_table
+
+    d = load_table(spark, SF, "documents")
+    a = pps_systematic_sample(d.repartition(1), "n_chars", 25, "doc_id")
+    b = pps_systematic_sample(d.repartition(13, "doc_id"), "n_chars", 25, "doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
