@@ -55,43 +55,61 @@ def funnel(
     """
     if not stages:
         raise ValueError("need at least one funnel stage")
-    # Entry times per stage: min(ts) of qualifying events.  Each step is a
-    # map-side filter + user-keyed min; the join back to the previous
-    # stage's entry time is user-keyed too, so one hash partitioning of
-    # the (already type-filtered) slice carries each stage.
-    reached: list[DataFrame] = []
-    prev = None
-    for stage_type in stages:
-        ev = events.filter(F.col(type_col) == stage_type)
-        if prev is None:
-            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("_entry"))
-        else:
-            cur = (
-                ev.join(prev.select(user_col, "_entry"), user_col)
-                .filter(F.col(ts_col) > F.col("_entry"))
-                .groupBy(user_col)
-                .agg(F.min(ts_col).alias("_entry"))
-            )
-        reached.append(cur)
-        prev = cur
-
-    counts = None
-    for i, (stage_type, cur) in enumerate(zip(stages, reached), start=1):
-        row = cur.agg(
-            F.lit(i).alias("stage"),
-            F.lit(stage_type).alias("stage_name"),
-            F.count("*").alias("users"),
+    # ONE user-keyed shuffle total: each stage's entry time is a
+    # conditional min over the SAME user partitioning, and the chained
+    # selects stack Window nodes on top of one Exchange (Catalyst sees the
+    # partitioning is already satisfied — no re-shuffle, no join).  The
+    # earlier join-per-stage formulation shuffled each filtered slice and
+    # joined it back; at 100 TB that is `len(stages)` extra shuffles.
+    w = Window.partitionBy(user_col)
+    cur = events.select(
+        user_col, F.col(type_col).alias("_type"), F.col(ts_col).alias("_ts")
+    )
+    prev_entry = None
+    entry_cols: list[str] = []
+    for i, stage_type in enumerate(stages):
+        qualifies = F.col("_type") == stage_type
+        if prev_entry is not None:
+            qualifies = qualifies & (F.col("_ts") > F.col(prev_entry))
+        name = f"_entry_{i}"
+        cur = cur.withColumn(
+            name, F.min(F.when(qualifies, F.col("_ts"))).over(w)
         )
-        counts = row if counts is None else counts.unionByName(row)
-    base = reached[0].agg(F.count("*").alias("_base"))
+        entry_cols.append(name)
+        prev_entry = name
+
+    # per-user flags -> one global 1-row aggregate of stage cardinalities
+    one_per_user = cur.groupBy(user_col).agg(
+        *[F.max(F.col(c).isNotNull()).alias(c) for c in entry_cols]
+    )
+    counts = one_per_user.agg(
+        *[
+            F.coalesce(F.sum(F.col(c).cast("bigint")), F.lit(0)).alias(
+                f"_users_{i}"
+            )
+            for i, c in enumerate(entry_cols)
+        ]
+    )
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(stage_type).alias("stage_name"),
+                F.col(f"_users_{i}").alias("users"),
+            )
+            for i, stage_type in enumerate(stages)
+        ]
+    )
     return (
-        counts.crossJoin(F.broadcast(base))
+        counts.select(F.explode(stage_rows).alias("s"), F.col("_users_0"))
         .select(
-            "stage",
-            "stage_name",
-            "users",
+            F.col("s.stage").alias("stage"),
+            F.col("s.stage_name").alias("stage_name"),
+            F.col("s.users").alias("users"),
             F.round(
-                F.lit(100.0) * F.col("users") / F.nullif(F.col("_base"), F.lit(0)),
+                F.lit(100.0)
+                * F.col("s.users")
+                / F.nullif(F.col("_users_0"), F.lit(0)),
                 2,
             ).alias("conversion_pct"),
         )

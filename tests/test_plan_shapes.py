@@ -151,3 +151,10 @@ def test_scd2_single_key_shuffle(spark):
     shuffle exchange over the stream (plus the _spread repartition)."""
     txt = plan_of(spark, "scd2_user_state")
     assert len(re.findall(r"hashpartitioning\(", txt)) == 1
+
+
+def test_funnel_single_key_shuffle(spark):
+    """The stacked conditional-window funnel must satisfy all stages from
+    ONE user-keyed exchange — no per-stage join/shuffle chain."""
+    txt = plan_of(spark, "events_funnel")
+    assert len(re.findall(r"hashpartitioning\(", txt)) == 1
