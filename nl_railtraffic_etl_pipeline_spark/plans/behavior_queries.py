@@ -291,3 +291,68 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "events_daily_gapfill",
+    """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(24,10)))
+                      AS DOUBLE) / COUNT(value), 4) AS avg_value
+    FROM events GROUP BY 1
+),
+punched AS (SELECT * FROM daily WHERE date_part('day', day) % 5 != 0),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM punched),
+spine AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        AS day
+    FROM bounds
+)
+SELECT s.day,
+       COALESCE(p.n_events, 0) AS n_events,
+       p.n_events IS NULL AS is_gap,
+       last_value(p.avg_value IGNORE NULLS) OVER (
+           ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value_filled
+FROM spine s LEFT JOIN punched p ON s.day = p.day
+""",
+)
+def _daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling + LOCF imputation: the time-series repair
+    operator (restore missing partitions as explicit zero/filled rows).
+    Every-5th-day rows are punched out of the daily aggregate to create
+    real gaps; the spine (sequence over the 1-row bounds broadcast)
+    restores them, counts coalesce to 0, and the last-seen average
+    carries forward via last(ignoreNulls).  The LOCF window is global but
+    runs on the POST-AGGREGATION frame (days, metadata-scale) — never the
+    event stream."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("string").cast("decimal(24,10)"))
+            .cast("double")
+            / F.count("value"),
+            4,
+        ).alias("avg_value"),
+    )
+    punched = daily.filter(F.dayofmonth("day") % 5 != 0)
+    bounds = punched.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(punched, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("is_gap"),
+            F.last("avg_value", ignorenulls=True)
+            .over(w)
+            .alias("avg_value_filled"),
+        )
+    )

@@ -1485,3 +1485,73 @@ def _weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         block_size=256,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy verification: exact edit distance over the near-dup candidate pairs
+# (the second-stage verifier when shingle overlap alone is too coarse —
+# e.g. OCR noise).  Candidate-bounded: levenshtein's O(len^2) DP runs on
+# the ~|pairs| rows the inverted index emitted, never the corpus square.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_fuzzy_verify",
+    f"WITH {_SHINGLES_CTE.strip()}"
+    + f""",
+hot AS (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) > {_DF_CAP}
+),
+kept AS (
+    SELECT s.doc_id, s.shingle FROM shingles s
+    WHERE s.shingle NOT IN (SELECT shingle FROM hot)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM kept a JOIN kept b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT doc_a, doc_b,
+           ROUND(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+),
+cand AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_distance,
+       ROUND(1 - levenshtein(da.text, db.text)
+                 / CAST(GREATEST(length(da.text), length(db.text)) AS DOUBLE),
+             4) AS edit_similarity
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+""",
+)
+def _fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = _artifact(
+        spark, sf_dir, "doc_shingles_3", lambda: dedup.shingle_arrays(docs)
+    )
+    cand = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2, df_cap=_DF_CAP, arrays=arrays
+    ).select("doc_a", "doc_b")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    lev = F.levenshtein("_ta", "_tb")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("int").alias("edit_distance"),
+            F.round(
+                1
+                - lev
+                / F.greatest(F.length("_ta"), F.length("_tb")).cast("double"),
+                4,
+            ).alias("edit_similarity"),
+        )
+    )
