@@ -356,3 +356,28 @@ def _daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_value_filled"),
         )
     )
+
+
+@query(
+    "events_type_quantiles",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+""",
+)
+def _type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED exact quantiles (the per-key companion of the global
+    agg_value_quantiles gate): sort-based `percentile` inside a keyed
+    aggregation — one shuffle on the group key, interpolation bit-matched
+    to DuckDB's quantile_cont."""
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", q), 6).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.5, 0.75, 0.9)
+        ]
+    )

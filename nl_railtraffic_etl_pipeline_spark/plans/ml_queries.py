@@ -1555,3 +1555,43 @@ def _fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edit_similarity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics: top-k bigrams WITH multiplicity (the LM-style
+# frequency table; the shingle machinery elsewhere is distinct-per-doc).
+# One explode -> one bigram-keyed aggregation -> TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+_TOP_BIGRAMS_K = 50
+
+
+@query(
+    "text_top_bigrams",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+grams AS (
+    SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+    FROM toks WHERE len(w) >= 2
+)
+SELECT bigram, COUNT(*) AS n_occurrences
+FROM grams GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT {_TOP_BIGRAMS_K}
+""",
+)
+def _top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+    grams = F.expr(
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> concat(_w[i-1], ' ', _w[i]))"
+    )
+    return (
+        d.select(toks.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(_TOP_BIGRAMS_K)
+    )
