@@ -30,7 +30,12 @@ TEXT = st.text(
 
 
 def _py_shingles(text: str, n: int = 3) -> list[str]:
-    toks = [t for t in __import__("re").split(r"\s+", text.strip().lower())]
+    # Model the ENGINE contract, not Python's: Java and RE2 '\s' are
+    # ASCII-only (U+00A0 etc. are not whitespace — hypothesis found this),
+    # and SQL trim strips only the space character, unlike str.strip().
+    import re
+
+    toks = re.split(r"\s+", text.strip(" ").lower(), flags=re.ASCII)
     if len(toks) < n:
         return []
     seen, out = set(), []
