@@ -142,3 +142,25 @@ def test_duplicate_clusters_matches_union_find(spark, raw_edges):
         for r in duplicate_clusters(pairs, max_iter=64).collect()
     }
     assert got == _py_components(edges)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda ws: sum(round(w * 1000) for w in ws) > 0)
+)
+def test_pps_pick_total_is_exact(spark, weights):
+    """Systematic PPS: for ANY nonnegative weight vector with positive
+    total quantized mass, the picks sum exactly to n."""
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        pps_systematic_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)], "doc_id int, w double"
+    )
+    out = pps_systematic_sample(df, "w", 7, "doc_id", block_size=4).collect()
+    assert sum(r["n_picks"] for r in out) == 7
