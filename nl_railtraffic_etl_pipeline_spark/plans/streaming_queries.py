@@ -207,3 +207,51 @@ def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_to_memory(out, "streaming_dedup_result", "append")
     return spark.table("streaming_dedup_result")
+
+
+@query(
+    "streaming_enriched_counts",
+    # Stream-STATIC join: the streamed disruptions derivation explodes its
+    # station CSV and joins the static stations dimension (broadcast per
+    # micro-batch, no stream state) before a watermarked windowed count.
+    # Codes S25-S39 have no dim row, so the inner join's selectivity is
+    # part of the checked contract.
+    rail_oracle_prelude(with_stations=True)
+    + """
+SELECT CAST(d.start_time AS DATE) AS stat_date,
+       st.station_name,
+       COUNT(*) AS n_disruptions
+FROM disruptions d,
+     unnest(string_split(d.affected_stations, ',')) AS s(code)
+JOIN stations st ON TRIM(s.code) = st.station_code
+WHERE d.affected_stations IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def _streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .testdata import stations_df
+
+    dis = derive_disruptions(
+        _events_stream(spark, sf_dir).select(
+            "event_id", "event_type", "ts", "value", "user_id"
+        )
+    )
+    exploded = (
+        dis.filter(F.col("affected_stations").isNotNull())
+        .select(
+            "start_time",
+            F.explode(F.split("affected_stations", ",")).alias("_code"),
+        )
+        .select("start_time", F.trim("_code").alias("station_code"))
+    )
+    joined = exploded.join(stations_df(spark, sf_dir), "station_code")
+    agg = (
+        joined.withWatermark("start_time", "1 day")
+        .groupBy(
+            F.window("start_time", "1 day").start.cast("date").alias("stat_date"),
+            "station_name",
+        )
+        .agg(F.count("*").alias("n_disruptions"))
+    )
+    _drain_to_memory(agg, "streaming_enriched_counts_result", "complete")
+    return spark.table("streaming_enriched_counts_result")
