@@ -381,3 +381,36 @@ def _type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.5, 0.75, 0.9)
         ]
     )
+
+
+@query(
+    "events_daily_unpivot",
+    """
+WITH wide AS (
+    SELECT CAST(ts AS DATE) AS day,
+"""
+    + ",\n".join(
+        f"           CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS {t}_events"
+        for t in _PIVOT_TYPES
+    )
+    + """
+    FROM events GROUP BY day
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT day, '{t}_events' AS metric, {t}_events AS n_events FROM wide"
+        for t in _PIVOT_TYPES
+    ),
+)
+def _daily_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`unpivot` (melt): the wide daily pivot back to long form — the
+    reshape inverse of events_daily_pivot, one Expand over the wide frame
+    (no join, no extra shuffle beyond the pivot's own aggregation)."""
+    wide = _daily_pivot(spark, sf_dir)
+    return wide.unpivot(
+        "day",
+        [f"{t}_events" for t in _PIVOT_TYPES],
+        "metric",
+        "n_events",
+    )
