@@ -19,17 +19,14 @@ Scale notes (100 TB):
   start offsets, no shuffle at all;
 - packing needs a GLOBAL running token count, which a naive
   ``Window.orderBy`` would serialize onto one partition.  It is computed
-  here as a two-level distributed prefix sum: within-block cumulative
-  sums (window partitioned by id-block — distributed), plus block-level
-  offsets (window over the block-total table, which holds one row per
-  ``block_size`` documents — metadata-scale, like a centroid table; at
-  1e9 docs and the default block size that is ~1e6 rows of (bigint,
-  bigint), still a broadcast-size frame).
+  by ``prefixsum.running_total``'s three-level block scheme (see that
+  module): the only single-partition window runs over one row per
+  ``block_size**2`` documents.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -102,40 +99,27 @@ def pack_sequences(
     loss masking at boundaries is a trainer concern, not a layout one).
     Zero-token documents keep their offset with ``spans_boundary`` false.
 
-    The global prefix sum is distributed: documents are grouped into
-    id-range blocks (``block = id div block_size``); within-block running
-    sums use a window partitioned BY BLOCK, and each block's starting
-    offset comes from a cumulative sum over the one-row-per-block totals
-    table, broadcast back.  No row-level single-partition exchange at any
-    corpus size.
+    The global prefix sum is ``prefixsum.running_total``'s three-level
+    block scheme: within-block running sums (window partitioned BY
+    BLOCK), block offsets from within-SUPERBLOCK running sums over the
+    one-row-per-block totals table, and a single-partition window only
+    over the one-row-per-``block_size**2``-docs superblock table —
+    metadata-scale even at 10^12 documents.  ``id_col`` must be a unique
+    integral key (validated there).
     """
+    from .prefixsum import running_total
+
     base = df.select(
         F.col(id_col),
         F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
-        F.expr(f"{id_col} div {block_size}").alias("_blk"),
     )
-    w_in = (
-        Window.partitionBy("_blk")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = base.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
-    blk_tot = base.groupBy("_blk").agg(F.sum("n_tokens").alias("_tot"))
-    w_blk = Window.orderBy("_blk").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    # one row per block_size docs — metadata-scale window, then broadcast
-    blk_off = blk_tot.select(
-        "_blk",
-        (F.sum("_tot").over(w_blk) - F.col("_tot")).alias("_blk_off"),
-    )
-    cum = within.join(F.broadcast(blk_off), "_blk").select(
+    cum = running_total(
+        base, F.col("n_tokens"), id_col, block_size=block_size, out_col="_end"
+    ).select(
         id_col,
         "n_tokens",
-        (F.col("_blk_off") + F.col("_cum_in") - F.col("n_tokens")).alias(
-            "start_offset"
-        ),
-        (F.col("_blk_off") + F.col("_cum_in")).alias("_end"),
+        (F.col("_end") - F.col("n_tokens")).alias("start_offset"),
+        "_end",
     )
     start_seq = F.expr(f"start_offset div {window}")
     end_seq = F.expr(f"(_end - 1) div {window}")

@@ -87,29 +87,37 @@ def mixture_plan(
     :func:`..sketch.stratified_bernoulli_sample`).
 
     Returns (source, n_docs, n_tokens, sample_rate): ``sample_rate``
-    scales every source down to the smallest source's token count
-    (``min_tokens / n_tokens``, rounded 6, so the smallest source keeps
-    rate 1.0).  One aggregation pass over the corpus; the rate arithmetic
-    runs on the per-source frame (metadata-scale) against a broadcast
-    1-row minimum.  Feeding the rates into
-    ``stratified_bernoulli_sample`` yields the mixed corpus in one more
-    map-side pass — no shuffle of the corpus itself.
+    scales every source down to the smallest POSITIVE-token source's
+    count (``min_tokens / n_tokens``, rounded 6, so the smallest
+    contributing source keeps rate 1.0).  A source with zero tokens
+    (all-empty/whitespace texts) is excluded from the minimum AND gets
+    rate 0.0 — otherwise it drags ``min_tokens`` to 0, zeroing every
+    other source's rate and silently emptying the downstream mix.  One
+    aggregation pass over the corpus; the rate arithmetic runs on the
+    per-source frame (metadata-scale) against a broadcast 1-row minimum.
+    Feeding the rates into ``stratified_bernoulli_sample`` yields the
+    mixed corpus in one more map-side pass — no shuffle of the corpus
+    itself.
     """
-    from .text import token_count
-
     stats = docs.groupBy(source_col).agg(
         F.count("*").alias("n_docs"),
         F.sum(token_count(F.col(text_col)).cast("bigint")).alias("n_tokens"),
     )
-    floor = stats.agg(F.min("n_tokens").alias("_min_tokens"))
+    floor = stats.filter(F.col("n_tokens") > 0).agg(
+        F.min("n_tokens").alias("_min_tokens")
+    )
     return (
         stats.crossJoin(F.broadcast(floor))
         .select(
             source_col,
             "n_docs",
             "n_tokens",
-            F.round(
-                F.col("_min_tokens").cast("double") / F.col("n_tokens"), 6
-            ).alias("sample_rate"),
+            F.when(F.col("n_tokens") > 0,
+                   F.round(
+                       F.col("_min_tokens").cast("double")
+                       / F.col("n_tokens"), 6
+                   ))
+            .otherwise(F.lit(0.0))
+            .alias("sample_rate"),
         )
     )

@@ -391,7 +391,16 @@ def group_centroids(
     class prototypes, cluster summaries, user profiles from item vectors).
 
     Returns (group_col, dim, centroid, n_vectors) — one row per group and
-    vector position, centroid rounded to 6.
+    vector position, centroid rounded to 6.  ``n_vectors`` counts the
+    FINITE elements that entered the mean at that position.
+
+    Non-finite elements (NULL, NaN, ±Inf) are EXCLUDED from both the sum
+    and the count before aggregation — without the guard Spark's SUM
+    silently drops them (NaN casts to decimal as NULL in non-ANSI mode)
+    while still counting them in the denominator, biasing the mean, and
+    an oracle engine that errors on ``CAST('nan' AS DECIMAL)`` diverges
+    entirely.  Filtering them symmetrically gives both engines one
+    defined semantics: the centroid is the mean of the finite values.
 
     Per-position sums are DECIMAL(38,18), so the mean is independent of
     partitioning and AQE replan (double addition does not commute across
@@ -405,9 +414,12 @@ def group_centroids(
     (map-side) + one (group, dim)-keyed aggregation; state per reducer is
     a single decimal — scale-invariant.
     """
-    exact = F.col("x").cast("string").cast("decimal(38,18)")
+    x = F.col("x")
+    finite = x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
+    exact = x.cast("string").cast("decimal(38,18)")
     return (
         embeddings.select(group_col, F.posexplode(vec_col).alias("dim", "x"))
+        .filter(finite)
         .groupBy(group_col, "dim")
         .agg(
             F.round(

@@ -232,56 +232,50 @@ def pps_systematic_sample(
     half-open interval ``[lo, hi)`` on the weight line, and the sampler
     takes the ``n`` systematic grid points ``m * W / n`` — a row is picked
     ``(hi*n div W) - (lo*n div W)`` times (heavy rows can be picked more
-    than once; zero-weight rows never).  ALL arithmetic is integer, so the
-    sample is bit-identical on any engine and any partitioning — the
-    weighted counterpart of :func:`bottom_k_sample` (which cannot express
-    weights) and the transcendental-free alternative to exp-rank
-    reservoir schemes (no ``log``).
+    than once; zero-weight rows never).  ALL arithmetic is exact integer:
+    the prefix sums and the grid products run in DECIMAL(38,0), matching
+    the oracle's 128-bit (HUGEINT) windowed sums, so ``hi * n`` cannot
+    silently wrap the way a bigint product would once total quantized
+    weight W exceeds ``2^63 / n``.  Exactness holds while ``W * n <
+    10^38`` — at milli-quantization that is ~10^28 total weight even for
+    n = 10^7 picks, far beyond any corpus — making the sample
+    bit-identical on any engine and any partitioning: the weighted
+    counterpart of :func:`bottom_k_sample` (which cannot express weights)
+    and the transcendental-free alternative to exp-rank reservoir
+    schemes (no ``log``).
 
-    The global prefix sum is the two-level block scheme of
-    ``chunking.pack_sequences``: within-block window sums (distributed)
-    plus a one-row-per-block offset table (metadata-scale, broadcast) —
-    no single-partition pass at any corpus size.  Returns
+    The global prefix sum is ``prefixsum.running_total`` — the
+    three-level block scheme (within-block window sums, superblock-keyed
+    block offsets, a single-partition window only over the
+    one-row-per-``block_size**2``-ids superblock table), so no row- or
+    block-scale single-partition pass at any corpus size.  ``id_col``
+    must be a unique integral key (validated there).  Returns
     (id_col, weight_q, n_picks), pick total exactly ``n``.
     """
+    from .prefixsum import running_total
+
     wq = F.greatest(
         F.round(F.col(weight_col) * 1000).cast("bigint"), F.lit(0)
     )
-    base = df.select(
-        F.col(id_col),
-        wq.alias("_wq"),
-        F.expr(f"{id_col} div {block_size}").alias("_blk"),
-    )
-    w_in = (
-        Window.partitionBy("_blk")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = base.withColumn("_cum_in", F.sum("_wq").over(w_in))
-    blk_tot = base.groupBy("_blk").agg(F.sum("_wq").alias("_tot"))
-    w_blk = Window.orderBy("_blk").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    blk_off = blk_tot.select(
-        "_blk", (F.sum("_tot").over(w_blk) - F.col("_tot")).alias("_off")
-    )
-    total = blk_tot.agg(F.sum("_tot").alias("_W"))
-    cum = (
-        within.join(F.broadcast(blk_off), "_blk")
-        .crossJoin(F.broadcast(total))
-        .select(
-            F.col(id_col),
-            F.col("_wq"),
-            (F.col("_off") + F.col("_cum_in")).alias("_hi"),
-            (F.col("_off") + F.col("_cum_in") - F.col("_wq")).alias("_lo"),
-            F.col("_W"),
-        )
-    )
+    base = df.select(F.col(id_col), wq.alias("_wq"))
+    # decimal(38,0) running sum: Spark caps SUM(decimal(38,0)) at
+    # decimal(38,0), the exact analogue of the oracle's HUGEINT cumsum
+    cum = running_total(
+        base,
+        F.col("_wq").cast("decimal(38,0)"),
+        id_col,
+        block_size=block_size,
+        out_col="_hi",
+    ).withColumn("_lo", F.col("_hi") - F.col("_wq"))
+    total = cum.agg(F.max("_hi").alias("_W"))
+    scored = cum.crossJoin(F.broadcast(total))
+    # decimal * int literal stays decimal; `div` (IntegralDivide) on
+    # decimals returns bigint — no 64-bit intermediate anywhere
     picks = (
         F.expr(f"_hi * {n} div _W") - F.expr(f"_lo * {n} div _W")
     ).cast("int")
     return (
-        cum.withColumn("n_picks", picks)
+        scored.withColumn("n_picks", picks)
         .filter(F.col("n_picks") > 0)
         .select(F.col(id_col), F.col("_wq").alias("weight_q"), "n_picks")
     )

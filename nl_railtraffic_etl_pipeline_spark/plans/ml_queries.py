@@ -1391,7 +1391,10 @@ def _quality_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sums make the mean partition-invariant; the float->decimal cast goes
 # through the shortest-roundtrip string on BOTH engines so the summed
 # decimals are bit-identical (direct float->decimal conversion differs in
-# the last ulp between engines and flipped a round-half boundary).
+# the last ulp between engines and flipped a round-half boundary).  Both
+# sides filter non-finite elements (NULL/NaN/Inf) out of sum AND count —
+# one defined semantics instead of Spark silently null-dropping from the
+# sum while DuckDB errors on CAST('nan' AS DECIMAL).
 # ---------------------------------------------------------------------------
 @query(
     "emb_label_centroids",
@@ -1406,7 +1409,9 @@ SELECT label, CAST(dim AS INTEGER) AS dim,
        ROUND(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE)
              / COUNT(*), 6) AS centroid,
        COUNT(*) AS n_vectors
-FROM e GROUP BY label, dim
+FROM e
+WHERE v IS NOT NULL AND isfinite(v)
+GROUP BY label, dim
 """,
 )
 def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1429,9 +1434,13 @@ WITH stats AS (
            CAST(SUM(len({_TOKENS})) AS BIGINT) AS n_tokens
     FROM documents GROUP BY source
 ),
-floor_t AS (SELECT MIN(n_tokens) AS min_tokens FROM stats)
+floor_t AS (
+    SELECT MIN(n_tokens) AS min_tokens FROM stats WHERE n_tokens > 0
+)
 SELECT source, n_docs, n_tokens,
-       ROUND(CAST(min_tokens AS DOUBLE) / n_tokens, 6) AS sample_rate
+       CASE WHEN n_tokens > 0
+            THEN ROUND(CAST(min_tokens AS DOUBLE) / n_tokens, 6)
+            ELSE 0.0 END AS sample_rate
 FROM stats, floor_t
 """,
 )

@@ -75,3 +75,57 @@ def test_pack_sequences_partitioning_invariant(spark):
     for i in range(200):
         assert offs[i][0] == run
         run += offs[i][1]
+
+
+def test_running_total_matches_naive_window_three_levels(spark):
+    """The three-level block prefix sum equals a naive global cumulative
+    sum, with block_size small enough that blocks, superblocks, AND the
+    final superblock window all hold multiple rows."""
+    from pyspark.sql import functions as F
+    from nl_railtraffic_etl_pipeline_spark.functions.prefixsum import running_total
+
+    rows = [(i, (i * 37) % 11) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint").repartition(7)
+    got = {
+        r["id"]: r["_cum"]
+        for r in running_total(df, F.col("v"), "id", block_size=3).collect()
+    }
+    run = 0
+    for i, v in rows:
+        run += v
+        assert got[i] == run
+
+
+def test_running_total_rejects_string_ids(spark):
+    from pyspark.sql import functions as F
+    from nl_railtraffic_etl_pipeline_spark.functions.prefixsum import running_total
+
+    df = spark.createDataFrame([("a", 1)], "id string, v bigint")
+    with pytest.raises(TypeError, match="integral"):
+        running_total(df, F.col("v"), "id")
+
+
+def test_pps_sample_no_bigint_overflow(spark):
+    """Grid products run in decimal(38,0): weights big enough that
+    hi * n overflows 64-bit must still match exact integer arithmetic."""
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        pps_systematic_sample,
+    )
+
+    w = 1.0e15  # quantizes to 1e18 milli-units; W = 2e19 > 2^63
+    rows = [(i, w) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    out = {
+        r["doc_id"]: r["n_picks"]
+        for r in pps_systematic_sample(df, "w", 7, "doc_id", block_size=4).collect()
+    }
+    wq = 10**18
+    total = 20 * wq
+    expect = {}
+    for i in range(20):
+        hi, lo = (i + 1) * wq, i * wq
+        p = hi * 7 // total - lo * 7 // total
+        if p > 0:
+            expect[i] = p
+    assert out == expect
+    assert sum(out.values()) == 7

@@ -501,3 +501,43 @@ def test_mixture_plan_smallest_source_keeps_all(spark):
              for r in mixture_plan(docs).collect()}
     assert rates["small"][0] == 1.0
     assert rates["big"][0] == round(rates["small"][1] / rates["big"][1], 6)
+
+
+def test_mixture_plan_tokenless_source_excluded(spark):
+    """A source with no countable tokens (all-NULL texts -> NULL token
+    sum) must not poison the minimum and zero every other source's rate;
+    it gets rate 0.0 and the minimum runs over positive-token sources."""
+    from pyspark.sql import Row
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="big", text="tok " * 10) for i in range(8)]
+        + [Row(doc_id=8, source="small", text="tok tok tok")]
+        + [Row(doc_id=9, source="empty", text=None)],
+        "doc_id bigint, source string, text string",
+    )
+    rates = {r["source"]: r["sample_rate"] for r in mixture_plan(docs).collect()}
+    assert rates["empty"] == 0.0
+    assert rates["small"] == 1.0
+    assert 0.0 < rates["big"] < 1.0
+
+
+def test_group_centroids_nonfinite_excluded(spark):
+    """NULL/NaN/Inf vector elements are excluded from sum AND count —
+    the mean is over finite values only, never silently biased by a
+    mismatched denominator."""
+    from nl_railtraffic_etl_pipeline_spark.functions.simsearch import group_centroids
+
+    emb = spark.createDataFrame(
+        [
+            ("a", [1.0, float("nan")]),
+            ("a", [3.0, float("inf")]),
+            ("a", [5.0, 7.0]),
+            ("a", [None, 9.0]),
+        ],
+        "label string, embedding array<double>",
+    )
+    out = {(r["dim"]): (r["centroid"], r["n_vectors"])
+           for r in group_centroids(emb, "label").collect()}
+    assert out[0] == (3.0, 3)   # mean(1,3,5), the NULL dropped
+    assert out[1] == (8.0, 2)   # mean(7,9), NaN and Inf dropped
