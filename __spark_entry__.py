@@ -4,8 +4,10 @@
 ``queries()`` / ``oracle_sql()`` expose the full registry from
 ``nl_railtraffic_etl_pipeline_spark.plans.registry`` — one entry per
 implemented operator from SURVEY.md §2/§2.12, EVERY entry carrying a full
-DuckDB oracle (r2: the streaming sessionizer and duplicate clustering gates
-included, via gaps-and-islands and recursive-CTE reachability).
+DuckDB oracle (including the streaming sessionizer and duplicate-clustering
+gates, via gaps-and-islands and recursive-CTE reachability).  The committed
+``CORRECTNESS_local_r4.json`` records the full-registry oracle run at
+sf0.001/0.01/0.1.
 """
 
 from __future__ import annotations

@@ -22,6 +22,18 @@ aggregation onto a frame whose size is the number of stages / cohorts /
 type-pairs (metadata-scale).  Windows only ever run per-user
 (``event_transitions``) or over post-aggregation frames; nothing funnels
 the raw stream through a single partition.
+
+Whale keys (window skew): a per-user window still sorts ONE user's whole
+history in one task, so a bot owning a macroscopic share of events makes
+that task the straggler.  Both stream-windowed operators therefore ship
+an exact whale-safe twin — ``funnel(chain="join")`` (partial-aggregating
+join chain, no per-user sort anywhere) and
+``event_transitions(bucket_seconds=...)`` (time-segmented pair
+decomposition; the whale spreads across one task per active bucket).
+``cohort_retention(prestamp="join")`` (first-activity stamp via
+partial-aggregating groupBy joined back, instead of the unordered
+per-user window that buffers the whale's frame).  SCALE.md "Window
+skew" has measured probe numbers.
 """
 
 from __future__ import annotations
@@ -40,6 +52,7 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    chain: str = "window",
 ) -> DataFrame:
     """Strictly-ordered funnel conversion counts.
 
@@ -52,44 +65,90 @@ def funnel(
     Returns (stage, stage_name, users, conversion_pct) — one row per
     stage, conversion_pct relative to stage 1 (rounded 2, NULL when stage
     1 is empty).
+
+    ``chain`` picks the physical strategy; both are exact and produce
+    identical rows:
+
+    - ``"window"`` (default): ONE user-keyed shuffle — each stage's entry
+      time is a conditional min over the same user partitioning, stacked
+      Window nodes on one Exchange.  Fewest shuffles, but a whale key (one
+      user holding a macroscopic share of events) funnels that user's
+      whole filtered history through one task's window sort.
+    - ``"join"``: per-stage conditional minima via partial-aggregating
+      ``groupBy`` + shuffle-hash joins.  More (filtered, slice-sized)
+      shuffles, but NO per-user sort anywhere: map-side combine collapses
+      a whale to one row per map task before each shuffle, and the
+      whale's slice rows STREAM through the hash join probe side straight
+      into the next partial aggregation.  This is the whale-safe plan for
+      bot-heavy streams (SCALE.md "window skew" section has probe
+      numbers).
+
+    Either way the stream is pre-filtered to the stage types — events of
+    other types can never contribute an entry (their rows only carried
+    all-NULL window flags), so dropping them map-side before the shuffle
+    is free and exact.
     """
     if not stages:
         raise ValueError("need at least one funnel stage")
-    # ONE user-keyed shuffle total: each stage's entry time is a
-    # conditional min over the SAME user partitioning, and the chained
-    # selects stack Window nodes on top of one Exchange (Catalyst sees the
-    # partitioning is already satisfied — no re-shuffle, no join).  The
-    # earlier join-per-stage formulation shuffled each filtered slice and
-    # joined it back; at 100 TB that is `len(stages)` extra shuffles.
-    w = Window.partitionBy(user_col)
-    cur = events.select(
+    if chain not in ("window", "join"):
+        raise ValueError(f"funnel chain must be window/join, not {chain!r}")
+    cur = events.filter(F.col(type_col).isin(list(stages))).select(
         user_col, F.col(type_col).alias("_type"), F.col(ts_col).alias("_ts")
     )
-    prev_entry = None
-    entry_cols: list[str] = []
-    for i, stage_type in enumerate(stages):
-        qualifies = F.col("_type") == stage_type
-        if prev_entry is not None:
-            qualifies = qualifies & (F.col("_ts") > F.col(prev_entry))
-        name = f"_entry_{i}"
-        cur = cur.withColumn(
-            name, F.min(F.when(qualifies, F.col("_ts"))).over(w)
-        )
-        entry_cols.append(name)
-        prev_entry = name
-
-    # per-user flags -> one global 1-row aggregate of stage cardinalities
-    one_per_user = cur.groupBy(user_col).agg(
-        *[F.max(F.col(c).isNotNull()).alias(c) for c in entry_cols]
-    )
-    counts = one_per_user.agg(
-        *[
-            F.coalesce(F.sum(F.col(c).cast("bigint")), F.lit(0)).alias(
-                f"_users_{i}"
+    entry_cols = [f"_entry_{i}" for i in range(len(stages))]
+    if chain == "window":
+        w = Window.partitionBy(user_col)
+        prev_entry = None
+        for i, stage_type in enumerate(stages):
+            qualifies = F.col("_type") == stage_type
+            if prev_entry is not None:
+                qualifies = qualifies & (F.col("_ts") > F.col(prev_entry))
+            cur = cur.withColumn(
+                entry_cols[i], F.min(F.when(qualifies, F.col("_ts"))).over(w)
             )
-            for i, c in enumerate(entry_cols)
-        ]
-    )
+            prev_entry = entry_cols[i]
+        # per-user flags -> one global 1-row aggregate of cardinalities
+        one_per_user = cur.groupBy(user_col).agg(
+            *[F.max(F.col(c).isNotNull()).alias(c) for c in entry_cols]
+        )
+        counts = one_per_user.agg(
+            *[
+                F.coalesce(F.sum(F.col(c).cast("bigint")), F.lit(0)).alias(
+                    f"_users_{i}"
+                )
+                for i, c in enumerate(entry_cols)
+            ]
+        )
+    else:
+        # join chain: E_i = (stage-i slice ⋈ E_{i-1}) filtered to later
+        # timestamps, min-aggregated.  groupBy partial aggregation is the
+        # whale killer: each map task emits ONE candidate row per local
+        # user before the shuffle.  The shuffle_hash hint keeps the entry
+        # frame the build side so the event slice streams (sort-merge
+        # would re-sort the whale's rows — exactly the cost we're
+        # avoiding).
+        entries = (
+            cur.filter(F.col("_type") == stages[0])
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias("_prev"))
+        )
+        frames = [entries]
+        for stage_type in stages[1:]:
+            entries = (
+                cur.filter(F.col("_type") == stage_type)
+                .join(entries.hint("shuffle_hash"), user_col)
+                .filter(F.col("_ts") > F.col("_prev"))
+                .groupBy(user_col)
+                .agg(F.min("_ts").alias("_prev"))
+            )
+            frames.append(entries)
+        # k metadata-scale counts (one row each), cross-joined into the
+        # same 1-row shape the window path builds
+        counts = frames[0].agg(F.count("*").alias("_users_0"))
+        for i, f in enumerate(frames[1:], start=1):
+            counts = counts.crossJoin(
+                f.agg(F.count("*").alias(f"_users_{i}"))
+            )
     stage_rows = F.array(
         *[
             F.struct(
@@ -120,6 +179,7 @@ def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    prestamp: str = "window",
 ) -> DataFrame:
     """Weekly cohort retention matrix.
 
@@ -135,11 +195,29 @@ def cohort_retention(
     join).  Then a distinct on (user, cohort, offset) and a count onto
     the cohorts x offsets frame — whose size is weeks^2, metadata-scale
     at any event volume.  Cohort sizes broadcast back onto it.
+
+    ``prestamp="join"`` is the exact whale-safe twin of that first stage:
+    the unordered window buffers each user's whole frame in one task, so
+    a whale key turns it into the straggler; the join form partial-
+    aggregates the min (whale -> one row per map task) and STREAMS the
+    events through a shuffle-hash join probe side — no per-user buffer.
     """
-    w_user = Window.partitionBy(user_col)
-    base = events.select(user_col, ts_col).withColumn(
-        "_first", F.min(ts_col).over(w_user)
-    )
+    if prestamp not in ("window", "join"):
+        raise ValueError(
+            f"cohort_retention prestamp must be window/join, not {prestamp!r}"
+        )
+    if prestamp == "join":
+        firsts = events.groupBy(user_col).agg(
+            F.min(ts_col).alias("_first")
+        )
+        base = events.select(user_col, ts_col).join(
+            firsts.hint("shuffle_hash"), user_col
+        )
+    else:
+        w_user = Window.partitionBy(user_col)
+        base = events.select(user_col, ts_col).withColumn(
+            "_first", F.min(ts_col).over(w_user)
+        )
     cohort = F.to_date(F.date_trunc("week", F.col("_first")))
     # every event is >= the user's first event, so week_offset >= 0 by
     # construction — no post-hoc filter needed
@@ -184,6 +262,7 @@ def event_transitions(
     type_col: str = "event_type",
     ts_col: str = "ts",
     order_cols: Sequence[str] = ("event_id",),
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Empirical Markov transition matrix of per-user event sequences.
 
@@ -192,19 +271,61 @@ def event_transitions(
     corpus-wide.  Returns (src, dst, n_transitions, share_pct) where
     share_pct normalizes each source row to 100 (rounded 2).
 
-    Plan: ONE user-keyed window (the only shuffle of the raw stream),
-    then aggregation onto the |types|^2 frame; the share window runs over
-    that metadata-scale frame, never the stream.
+    ``bucket_seconds=None``: ONE user-keyed window (the only shuffle of
+    the raw stream), then aggregation onto the |types|^2 frame; the share
+    window runs over that metadata-scale frame, never the stream.  A
+    whale user's whole history sorts in one task under this plan.
+
+    ``bucket_seconds=<width>``: the exact whale-safe decomposition.
+    Events are segmented by (user, time bucket); within-bucket pairs come
+    from a window partitioned on BOTH keys — a whale's history spreads
+    across as many tasks as it spans buckets — and the cross-boundary
+    pairs come from a per-(user, bucket) first/last summary (built by
+    partial-aggregating ``min_by``/``max_by``, whale-proof by map-side
+    combine).  The summary holds ≤ one row per active bucket per user —
+    bounded by time-range/width, NOT by event count — so its user-keyed
+    lead window never sees more than that many rows per user.  The pair
+    multiset is identical: a consecutive pair is either within one bucket
+    (emitted by the segment window exactly once) or spans nonempty
+    buckets (emitted by the summary lead exactly once; time-bucketing is
+    monotone in the sort order, ties share a bucket).
     """
-    w = Window.partitionBy(user_col).orderBy(
-        F.col(ts_col), *[F.col(c) for c in order_cols]
-    )
-    pairs = (
-        events.select(
+    order = [F.col(c) for c in order_cols]
+    if bucket_seconds is None:
+        w = Window.partitionBy(user_col).orderBy(F.col(ts_col), *order)
+        raw_pairs = events.select(
             F.col(type_col).alias("src"),
             F.lead(type_col).over(w).alias("dst"),
         )
-        .filter(F.col("dst").isNotNull())
+    else:
+        ord_struct = F.struct(F.col(ts_col), *order)
+        ev = events.select(
+            user_col,
+            F.col(type_col).alias("_t"),
+            ts_col,
+            *order_cols,
+            F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).alias(
+                "_b"
+            ),
+        )
+        w_seg = Window.partitionBy(user_col, "_b").orderBy(
+            F.col(ts_col), *order
+        )
+        within = ev.select(
+            F.col("_t").alias("src"), F.lead("_t").over(w_seg).alias("dst")
+        )
+        summary = ev.groupBy(user_col, "_b").agg(
+            F.min_by("_t", ord_struct).alias("_first"),
+            F.max_by("_t", ord_struct).alias("_last"),
+        )
+        w_sum = Window.partitionBy(user_col).orderBy("_b")
+        boundary = summary.select(
+            F.col("_last").alias("src"),
+            F.lead("_first").over(w_sum).alias("dst"),
+        )
+        raw_pairs = within.unionByName(boundary)
+    pairs = (
+        raw_pairs.filter(F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n_transitions"))
     )

@@ -11,7 +11,11 @@ dedup guard is needed — each (point, interval) match is produced once.
 Cost: O(points + Σ interval-buckets + matches) through a hash shuffle on
 the bucket key.  ``bucket_minutes`` trades interval replication (long
 intervals explode into more buckets) against bucket density; AQE splits
-skewed buckets.
+skewed buckets.  Left as ``None`` the width is derived from the interval
+data itself (p99 duration, clamped, rounded to the hour) — the same
+statistics-driven choice ``rail_queries.overlapping_disruptions`` makes,
+and the match set is identical for ANY width, so the knob only shapes
+the plan.
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ def point_in_interval_join(
     start_col: str,
     end_col: str,
     how: str = "inner",
-    bucket_minutes: int = 360,
+    bucket_minutes: int | None = None,
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``start <= ts <= end`` (NULL-bounded intervals never match).
@@ -41,7 +45,17 @@ def point_in_interval_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"point_in_interval_join supports inner/left, not {how!r}")
-    secs = bucket_minutes * 60
+    if bucket_minutes is None:
+        p99 = intervals.agg(
+            F.expr(
+                f"approx_percentile(unix_timestamp({end_col})"
+                f" - unix_timestamp({start_col}), 0.99)"
+            )
+        ).first()[0]
+        secs = min(max(int(p99 or 21600), 1800), 7 * 86400)
+        secs = -(-secs // 3600) * 3600
+    else:
+        secs = bucket_minutes * 60
     p_bucket = F.floor(F.unix_timestamp(F.col(point_ts)) / secs)
     pts = points.withColumn("_bucket", p_bucket)
     ivs = intervals.filter(

@@ -1,0 +1,180 @@
+"""Lake round-trip gate: ``pipeline.run -> parquet lake -> read-back`` under
+the DuckDB oracle.
+
+Every other registry query reads the testdata derivations directly; this
+gate drives the FULL pipeline surface the way production does (VERDICT r3
+"Next round" #5): a raw NS-shaped JSON payload file goes through
+``SparkETLPipeline.run`` (extract DataSource -> 6-step cleaner -> zone
+upserts -> atomic swap) TWICE — a stale partial batch, then the complete
+batch an hour later — and the gate returns the cleaned ``disruptions``
+zone read back from parquet.
+
+The payload is constructed deterministically from the ``events`` table
+(one record per ``event_id % 16 == 1`` row), with every field chosen so
+each cleaner rule has a closed-form SQL mirror:
+
+    id       = event_id                 (string)
+    type     = the derivation's event_type mapping (canonical lowercase)
+    title    = 'Disruption <id>'        (>= 5 chars -> survives the trim
+                                         rule; no [A-Z]{2,5} run -> the
+                                         regex station fallback stays off)
+    start    = ts truncated to seconds, ISO with +0000 offset
+    end      = start + floor(value*60) s, or ABSENT for event_id % 5 == 0
+               and for NULL values -> the cleaner imputes run_ts + 2h
+    section.stations[].uicCode = seed station code by user_id % 6
+
+Round 1 loads the ``event_id % 32 == 1`` half with titles prefixed
+'STALE ' at run_ts1; round 2 loads every record at run_ts2.  Latest-wins
+upsert must therefore REPLACE every round-1 row (same keys, newer
+``updated_at``): a surviving STALE title or run_ts1 stamp is a hash
+mismatch.  The oracle replays the whole construction + cleaning in SQL —
+so the gate proves extract parsing, timestamp/duration/impact/station
+cleaning, both upsert paths, the staged atomic swap, and parquet
+timestamp fidelity in one check.
+
+The lake lives under /tmp (wiped per invocation) — gate harness state,
+never under the repo or testdata.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import query
+from .testdata import load_table
+
+#: event_type -> disruption type, the same mapping the events derivation
+#: uses (testdata.py _DISRUPTIONS_BASE_SQL); values are canonical lowercase
+#: so the cleaner's lower()+Dutch-map passes them through unchanged.
+_TYPE_MAP = {
+    "error": "calamity",
+    "view": "maintenance",
+    "click": "disruption",
+    "purchase": "cancellation",
+    "signup": "disruption",
+}
+
+#: Seed station codes in SEED_STATIONS order (pipeline.py:44-51).
+_CODES = ["ASD", "UTR", "RTD", "EHV", "GVC", "LEDN"]
+
+_RUN1 = _dt.datetime(2030, 1, 1, 0, 0, 0, tzinfo=_dt.timezone.utc)
+_RUN2 = _dt.datetime(2030, 1, 2, 0, 0, 0, tzinfo=_dt.timezone.utc)
+
+_IMPUTED_END = "TIMESTAMP '2030-01-02 02:00:00'"
+_STAMP2 = "TIMESTAMP '2030-01-02 00:00:00'"
+
+_CODE_CASE = "CASE (user_id % 6) " + " ".join(
+    f"WHEN {i} THEN '{c}'" for i, c in enumerate(_CODES)
+) + " END"
+
+_TYPE_CASE = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _TYPE_MAP.items())
+    + " ELSE lower(event_type) END"
+)
+
+_LAKE_ORACLE = f"""
+WITH src AS (
+    SELECT event_id, event_type, ts, value, user_id
+    FROM events WHERE event_id % 16 = 1
+),
+built AS (
+    SELECT
+        CAST(event_id AS VARCHAR) AS disruption_id,
+        {_TYPE_CASE} AS type,
+        'Disruption ' || CAST(event_id AS VARCHAR) AS title,
+        'Event ' || CAST(event_id AS VARCHAR) || ' of type ' || event_type
+            AS description,
+        date_trunc('second', ts) AS start_time,
+        CASE WHEN event_id % 5 = 0 OR value IS NULL
+             THEN {_IMPUTED_END}
+             ELSE date_trunc('second', ts)
+                  + to_seconds(CAST(floor(value * 60) AS BIGINT)) END
+            AS end_time,
+        CASE WHEN event_id % 5 = 0 OR value IS NULL
+             THEN (date_part('epoch', {_IMPUTED_END})
+                   - date_part('epoch', date_trunc('second', ts))) / 60.0
+             WHEN floor(value * 60) < 0 THEN NULL
+             ELSE CAST(floor(value * 60) AS BIGINT) / 60.0 END
+            AS duration_minutes,
+        {_CODE_CASE} AS affected_stations
+    FROM src
+)
+SELECT
+    disruption_id, type, title, description, start_time, end_time,
+    duration_minutes,
+    CAST(CASE WHEN type = 'calamity' THEN 5
+              WHEN contains(type, 'cancel') THEN 5
+              WHEN type = 'maintenance' THEN
+                   CASE WHEN COALESCE(duration_minutes, 0) > 240
+                        THEN 4 ELSE 3 END
+              WHEN type = 'disruption' THEN
+                   CASE WHEN COALESCE(duration_minutes, 0) > 120 THEN 4
+                        WHEN COALESCE(duration_minutes, 0) > 60 THEN 3
+                        ELSE 2 END
+              ELSE 2 END AS INTEGER) AS impact_level,
+    affected_stations,
+    FALSE AS is_resolved,
+    {_STAMP2} AS created_at,
+    {_STAMP2} AS updated_at
+FROM built
+"""
+
+
+def _records(spark: SparkSession, sf_dir: str) -> list[dict]:
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "ts", "value", "user_id")
+        .filter("event_id % 16 = 1")
+        .collect()
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: r["event_id"]):
+        eid, ts = r["event_id"], r["ts"].replace(microsecond=0)
+        rec = {
+            "id": str(eid),
+            "type": _TYPE_MAP.get(r["event_type"], r["event_type"]),
+            "title": f"Disruption {eid}",
+            "description": f"Event {eid} of type {r['event_type']}",
+            "start": ts.strftime("%Y-%m-%dT%H:%M:%S+0000"),
+            "section": {
+                "stations": [{"uicCode": _CODES[r["user_id"] % 6]}]
+            },
+        }
+        if eid % 5 != 0 and r["value"] is not None:
+            end = ts + _dt.timedelta(seconds=math.floor(r["value"] * 60))
+            rec["end"] = end.strftime("%Y-%m-%dT%H:%M:%S+0000")
+        out.append(rec)
+    return out
+
+
+@query("rail_lake_roundtrip", _LAKE_ORACLE)
+def _lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline import SparkETLPipeline
+
+    lake = f"/tmp/spark_graft_lake_gate/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(lake, ignore_errors=True)
+    os.makedirs(lake, exist_ok=True)
+
+    records = _records(spark, sf_dir)
+    stale = [
+        {**rec, "title": "STALE " + rec["title"]}
+        for rec in records
+        if int(rec["id"]) % 32 == 1
+    ]
+    p1, p2 = f"{lake}/payload_stale.json", f"{lake}/payload_full.json"
+    with open(p1, "w", encoding="utf-8") as fh:
+        json.dump(stale, fh, ensure_ascii=False)
+    with open(p2, "w", encoding="utf-8") as fh:
+        json.dump(records, fh, ensure_ascii=False)
+
+    pipe = SparkETLPipeline(spark, f"{lake}/warehouse")
+    pipe.run(p1, _RUN1, artifacts=False)
+    pipe.run(p2, _RUN2, artifacts=False)
+    return spark.read.parquet(f"{lake}/warehouse/disruptions")

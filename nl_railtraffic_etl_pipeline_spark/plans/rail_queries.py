@@ -295,7 +295,7 @@ def complex_analytics(disruptions: DataFrame) -> DataFrame:
 
 
 def overlapping_disruptions(
-    disruptions: DataFrame, limit: int = 50, bucket_minutes: int = 360
+    disruptions: DataFrame, limit: int = 50, bucket_minutes: int | None = None
 ) -> DataFrame:
     """Q6 — interval-overlap self-join, top-k by overlap length.
 
@@ -306,17 +306,39 @@ def overlapping_disruptions(
     equi-join on the bucket (hash join, shuffle on bucket key), keeping the
     exact overlap predicates as residual filters.  Pairs spanning multiple
     shared buckets are emitted once by the "first shared bucket" guard —
-    results are provably identical to the theta join.
+    results are provably identical to the theta join FOR ANY bucket width,
+    which is what makes the width a pure tuning knob.
+
+    ``bucket_minutes=None`` (default) derives the width from the data: the
+    p99 interval duration, clamped to [30 min, 7 days] and rounded up to
+    the hour.  A fixed knob is wrong at both ends of the scale — too
+    narrow and long intervals explode into thousands of bucket rows, too
+    wide and every interval in an epoch lands in one bucket and the join
+    degenerates toward bucket².  p99 keeps 99% of intervals in <= 2
+    buckets while letting only the duration outliers replicate further
+    (bounded by 1% of rows).  The derivation is one map-side-combined
+    ``approx_percentile`` aggregate at plan-build time — the same
+    statistics-collection pattern AQE uses; pass an explicit value to
+    skip the extra pass when the distribution is known.
 
     Deterministic top-k: tiebreak on (disruption_a, disruption_b).
     """
-    bucket_secs = bucket_minutes * 60
-
     # NULL end_time rows can never satisfy the overlap predicates (NULL
     # comparisons), so dropping them up front matches the reference exactly.
     base = with_as_of(disruptions).filter(F.col("end_time").isNotNull()).select(
         "disruption_id", "type", "start_time", "end_time", "_as_of"
     )
+    if bucket_minutes is None:
+        p99 = base.agg(
+            F.expr(
+                "approx_percentile(unix_timestamp(end_time)"
+                " - unix_timestamp(start_time), 0.99)"
+            )
+        ).first()[0]
+        secs = min(max(int(p99 or 21600), 1800), 7 * 86400)
+        bucket_secs = -(-secs // 3600) * 3600
+    else:
+        bucket_secs = bucket_minutes * 60
     start_b = F.floor(F.unix_timestamp("start_time") / bucket_secs)
     end_b = F.floor(F.unix_timestamp("end_time") / bucket_secs)
     bucketed = base.select(

@@ -136,3 +136,39 @@ def test_pps_sample_partition_invariant(spark):
     a = pps_systematic_sample(d.repartition(1), "n_chars", 25, "doc_id")
     b = pps_systematic_sample(d.repartition(13, "doc_id"), "n_chars", 25, "doc_id")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _events_table(spark):
+    from nl_railtraffic_etl_pipeline_spark.plans.testdata import load_table
+
+    return load_table(spark, SF, "events")
+
+
+def test_funnel_join_chain_matches_window_chain(spark):
+    """The whale-safe join chain is plan-different but row-identical to
+    the stacked-window chain, on real event data."""
+    ev = _events_table(spark)
+    stages = ["view", "click", "purchase"]
+    a = sorted(map(tuple, funnel(ev, stages).collect()))
+    b = sorted(map(tuple, funnel(ev, stages, chain="join").collect()))
+    assert a == b
+
+
+def test_transitions_segmented_matches_plain(spark):
+    """Time-segmented pair decomposition reproduces the single-window
+    transition matrix exactly, for widths that split and widths that
+    swallow the whole stream."""
+    ev = _events_table(spark)
+    base = sorted(map(tuple, event_transitions(ev).collect()))
+    for width in (3600, 86400, 10**9):
+        seg = sorted(
+            map(tuple, event_transitions(ev, bucket_seconds=width).collect())
+        )
+        assert seg == base, f"width={width}"
+
+
+def test_retention_join_prestamp_matches_window(spark):
+    ev = _events_table(spark)
+    a = sorted(map(tuple, cohort_retention(ev).collect()))
+    b = sorted(map(tuple, cohort_retention(ev, prestamp="join").collect()))
+    assert a == b
