@@ -1350,7 +1350,23 @@ def _kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 # how a data-driven cutoff works at corpus scale — no sort, no collect.
 # Threshold comparison happens at 6-decimal rounding on both engines so the
 # boundary set is last-ulp-proof.
+#
+# ROUND itself needs the shortest-repr bridge: Spark rounds a double via
+# BigDecimal.valueOf — i.e. its SHORTEST DECIMAL REPR, half-up — while
+# DuckDB rounds the exact binary expansion, so a score whose shortest repr
+# lands exactly on a half (sf0.1 doc 3582: 4.48875, binary 4.4887499…)
+# rounds 4.4888 in Spark and 4.4887 in DuckDB.  The oracle replays Spark's
+# semantics by casting through VARCHAR (shortest repr) to DECIMAL before
+# ROUND — the same bridge emb_label_centroids uses for float sums.
 # ---------------------------------------------------------------------------
+
+
+def _round_sql(expr: str, digits: int) -> str:
+    """DuckDB ROUND with Spark's double semantics (shortest-repr, half-up)."""
+    return (
+        f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,20)), "
+        f"{digits}) AS DOUBLE)"
+    )
 _QUALITY_SCORE_SQL = (
     "(list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE))"
     f" * (1 - len(list_filter(toks, x -> list_contains({_SW}, x)))"
@@ -1366,9 +1382,9 @@ scored AS (
     SELECT doc_id, {_QUALITY_SCORE_SQL} AS score FROM t
 ),
 thr AS (SELECT quantile_cont(score, 0.25) AS thr FROM scored)
-SELECT doc_id, ROUND(score, 4) AS score
+SELECT doc_id, {_round_sql('score', 4)} AS score
 FROM scored, thr
-WHERE ROUND(score, 6) >= ROUND(thr, 6)
+WHERE {_round_sql('score', 6)} >= {_round_sql('thr', 6)}
 """,
 )
 def _quality_trim(spark: SparkSession, sf_dir: str) -> DataFrame:

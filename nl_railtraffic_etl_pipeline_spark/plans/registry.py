@@ -10,7 +10,16 @@ driver compares row count, schema, and an order-insensitive value hash, so:
 - double->int casts use trunc() in DuckDB (it rounds on cast; Spark and
   SQLite truncate);
 - any ordering that feeds row_number or a LIMIT has an explicit total-order
-  tiebreak on both sides (tie order inside an engine is not portable).
+  tiebreak on both sides (tie order inside an engine is not portable);
+- ROUND over a raw double diverges on half boundaries: Spark rounds the
+  SHORTEST DECIMAL REPR half-up (BigDecimal.valueOf), DuckDB the exact
+  binary expansion — a value printing as x.xxxx5 can round differently
+  (bit sf0.1 corpus_quality_trim, doc 3582).  When the rounded double is
+  not already quantized (a ratio, a product of ratios, an interpolated
+  percentile), the oracle must bridge through
+  ``CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20))`` before ROUND
+  (``ml_queries._round_sql``); rounds over decimal-exact aggregates
+  (exact_avg pattern) are already safe.
 """
 
 from __future__ import annotations

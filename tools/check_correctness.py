@@ -5,12 +5,18 @@ DuckDB over the same parquet tables, then compares row count, column names,
 and an order-insensitive value hash (columns sorted by name, rows sorted,
 values canonicalized).  Usage:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes per-query records in the driver's
+CORRECTNESS_r{N}.json schema (rows_match / schema_match / hash_match /
+spark_rows / oracle_rows / err) so full-registry runs are committable,
+machine-auditable evidence rather than prose claims.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import sys
 import time
@@ -49,8 +55,13 @@ def table_sig(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from nl_railtraffic_etl_pipeline_spark.session import get_spark
@@ -65,47 +76,74 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        records[name] = rec
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             sn, sh = table_sig(scols, srows)
+            rec["spark_rows"] = sn
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
+            rec["err"] = f"spark: {ex}"
             failures.append(name)
             continue
         if name not in oracles:
             print(f"OK?   {name}: rows={sn} (no oracle — rows-only check) "
                   f"[{time.time()-t0:.1f}s]")
+            rec.update(rows_match=sn >= 0, schema_match=None,
+                       hash_match=None, err="no oracle (rows-only)")
             continue
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
             on, oh = table_sig(ocols, orows)
+            rec["oracle_rows"] = on
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
+            rec["err"] = f"duckdb: {ex}"
             failures.append(name)
             continue
-        if sorted(scols) != sorted(ocols):
+        rec.update(
+            schema_match=sorted(scols) == sorted(ocols),
+            rows_match=sn == on,
+            hash_match=sh == oh,
+        )
+        if not rec["schema_match"]:
             print(f"FAIL  {name}: columns differ spark={sorted(scols)} "
                   f"oracle={sorted(ocols)}")
             failures.append(name)
-        elif sn != on:
+        elif not rec["rows_match"]:
             print(f"FAIL  {name}: rowcount spark={sn} oracle={on}")
             failures.append(name)
-        elif sh != oh:
+        elif not rec["hash_match"]:
             print(f"FAIL  {name}: hash mismatch (rows={sn})")
             _diff(scols, srows, ocols, orows)
             failures.append(name)
         else:
             print(f"PASS  {name}: rows={sn} hash={sh} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed"
+    if json_out:
+        with open(json_out, "w", encoding="utf-8") as fh:
+            json.dump(records, fh, indent=2)
+        print(f"wrote {json_out}")
+    print(f"\n{n_run - len(failures)}/{n_run} passed"
           + (f"; FAILED: {failures}" if failures else ""))
     return 1 if failures else 0
 
