@@ -10,13 +10,20 @@ arithmetic plus one IEEE division, bit-reproducible anywhere.  Per-term
 weighting is still monotone-decreasing in df and the saturation /
 length-normalization behavior (k1, b) is untouched.
 
-Scale shape: tokenize+explode is map-side; term frequencies and document
-frequencies are (doc,term)/(term)-keyed aggregations; corpus stats (N,
-avgdl) are a 1-row broadcast; the final top-k is ``orderBy().limit(k)``
-(TakeOrderedAndProject — per-partition top-k, driver merges k per
-partition), never a global sort or single-partition window.  Per-doc
-score summation is DECIMAL(38,18) so the result is bit-identical under
-any partitioning (double addition does not commute; decimal does).
+Scale shape: the token array is filtered to the query terms BEFORE the
+explode (a codegen higher-order ``filter``), so only query-term
+occurrences ever become rows — for a 5-term query over a web corpus
+that is orders of magnitude fewer exploded rows than the full token
+stream.  Document length rides along that same projection, which makes
+term frequencies ONE (doc,term)-keyed aggregation with dl carried as
+``max`` — no separate doc-length frame and no doc-keyed shuffle join.
+Document frequencies derive from the tf frame (one row per (doc,term)
+already) and broadcast; corpus stats (N, avgdl) are a 1-row broadcast;
+the final top-k is ``orderBy().limit(k)`` (TakeOrderedAndProject —
+per-partition top-k, driver merges k per partition), never a global
+sort or single-partition window.  Per-doc score summation is
+DECIMAL(38,18) so the result is bit-identical under any partitioning
+(double addition does not commute; decimal does).
 """
 
 from __future__ import annotations
@@ -47,25 +54,31 @@ def bm25_topk(
     terms are not scored.
     """
     terms = [t.lower() for t in terms]
-    # doc lengths come straight from the token-array size — map-side, no
-    # explode+groupBy shuffle for a count the array already knows
-    dl = docs.select(
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    # doc length comes straight from the token-array size (map-side); the
+    # array is filtered to the query terms BEFORE the explode so only
+    # query-term occurrences become rows, with dl riding along — no
+    # separate doc-length frame, no doc-keyed shuffle join below
+    base = docs.select(
         F.col(id_col).alias("doc"),
-        F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc",
+        F.size(F.col("_toks")).cast("bigint").alias("dl"),
+        F.filter(
+            F.col("_toks"), lambda t: F.array_contains(term_arr, t)
+        ).alias("_qtoks"),
     )
-    stats = dl.agg(
+    stats = base.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    tok = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
-    )
     tf = (
-        tok.filter(F.col("term").isin(terms))
+        base.select("doc", "dl", F.explode("_qtoks").alias("term"))
         .groupBy("doc", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
+    # tf is already one row per (doc, term): df needs no distinct pass
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     idf = (
@@ -80,7 +93,6 @@ def bm25_topk(
 
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc")
         .crossJoin(F.broadcast(stats))
         # decimal summands: the cross-term sum is exact, hence stable
         # under any partitioning / AQE replan

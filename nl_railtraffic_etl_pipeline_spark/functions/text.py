@@ -154,8 +154,11 @@ def top_salient_terms(
     break on the term.
 
     Plan: tokenize+explode (map-side), one (doc,term) tf aggregation, one
-    term df aggregation, equi-join on term, 1-row corpus count broadcast,
-    per-doc rank window.  All shuffles key on doc or term — no collects.
+    term df aggregation DERIVED from the tf frame (tf is already one row
+    per (doc,term), so the df count needs no ``distinct`` re-shuffle of
+    the raw token stream — partial aggregation collapses it map-side),
+    term-keyed equi-join (vocabulary can be corpus-sized, so the df side
+    is NOT broadcast), 1-row corpus count broadcast, per-doc rank window.  All shuffles key on doc or term — no collects.
     """
     from pyspark.sql import Window
 
@@ -164,9 +167,7 @@ def top_salient_terms(
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
     tf = tok.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    dfreq = (
-        tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
-    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
     w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
@@ -194,13 +195,15 @@ def token_repetition_stats(
     max token frequency / total``; ``top_token`` breaks frequency ties on
     the lexicographically smallest token, so output is total-ordered.
 
-    Plan: tokenize+explode, one (doc, token) count aggregation, one
-    per-doc stats aggregation, then an equi-join back on (doc, count ==
-    top count) to name the winner — every shuffle keys on doc/token, and
-    per-doc state is O(distinct tokens), never O(doc length) in one task.
-    The array-native alternative (``transform`` + ``filter`` per distinct
-    token) avoids the shuffles but is quadratic in document length — wrong
-    for 100k-token documents.
+    Plan: tokenize+explode, one (doc, token) count aggregation, then ONE
+    per-doc stats aggregation that names the winner in the same pass —
+    ``min(struct(-cnt, tok))`` is max-count-then-lexicographically-least
+    as a single orderable struct, so no join back onto the count frame
+    and no second doc-keyed shuffle of it.  Every shuffle keys on
+    doc/token, and per-doc state is O(distinct tokens), never O(doc
+    length) in one task.  The array-native alternative (``transform`` +
+    ``filter`` per distinct token) avoids the shuffles but is quadratic
+    in document length — wrong for 100k-token documents.
     """
     tc = (
         docs.select(
@@ -210,21 +213,16 @@ def token_repetition_stats(
         .groupBy("doc", "tok")
         .agg(F.count("*").alias("cnt"))
     )
-    st = tc.groupBy("doc").agg(
+    st = tc.groupBy(F.col("doc").alias(id_col)).agg(
         F.sum("cnt").alias("n_tokens"),
         F.count("*").alias("n_distinct"),
-        F.max("cnt").alias("_top_cnt"),
+        F.min(
+            F.struct((-F.col("cnt")).alias("_neg"), F.col("tok"))
+        ).alias("_top"),
     )
     return (
-        st.join(tc, "doc")
-        .filter(F.col("cnt") == F.col("_top_cnt"))
-        .groupBy(
-            F.col("doc").alias(id_col),
-            "n_tokens",
-            "n_distinct",
-            "_top_cnt",
-        )
-        .agg(F.min("tok").alias("top_token"))
+        st.withColumn("_top_cnt", -F.col("_top._neg"))
+        .withColumn("top_token", F.col("_top.tok"))
         .select(
             id_col,
             "n_tokens",
