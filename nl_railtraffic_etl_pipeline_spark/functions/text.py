@@ -236,3 +236,91 @@ def token_repetition_stats(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus scrubbing: PII redaction and HTML boilerplate stripping — the two
+# text-normalization passes every web-crawl training pipeline runs before
+# dedup/quality.  Pure regexp_replace/replace chains (JVM codegen, map-side,
+# zero shuffles); every pattern is written to evaluate identically under
+# Java regex (Spark) and RE2 (DuckDB): no backreferences, no lookaround,
+# and explicit character classes instead of `\s` (Java's \s includes \x0B,
+# RE2's does not).
+# ---------------------------------------------------------------------------
+
+#: PII patterns (shared verbatim with the DuckDB oracles).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[A-Za-z0-9%._~:/?#@!$&*+,;=()-]+"
+LONGNUM_RE = "[0-9]{7,}"
+HTML_TAG_RE = "<[^>]*>"
+
+#: HTML entity decode map, applied in this exact order on both engines
+#: (``&amp;`` last so decoding it cannot fabricate another entity).
+HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def _match_count(col: Column, pattern: str) -> Column:
+    n = F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+    return F.greatest(n, F.lit(0)).cast("int")
+
+
+def scrub_pii(
+    docs, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Redact emails, URLs, and long digit runs (phone/account-shaped).
+
+    Returns (id_col, clean_text, n_emails, n_urls, n_longnums).  Counts
+    are per-category matches against the ORIGINAL text (so an
+    email-shaped substring inside a URL counts under both — documented,
+    deterministic); the cleaned text applies the replacements
+    sequentially URL -> email -> digit-run, so a digit run consumed by a
+    URL match is not re-redacted (the ``<URL>``/``<EMAIL>`` tokens
+    contain no digits).
+
+    Plan shape: a single map-side projection — no shuffle, no UDF; at
+    100 TB this runs at parquet-scan speed and composes with any
+    downstream operator.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, URL_RE, "<URL>")
+    clean = F.regexp_replace(clean, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, LONGNUM_RE, "<NUM>")
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        _match_count(t, EMAIL_RE).alias("n_emails"),
+        _match_count(t, URL_RE).alias("n_urls"),
+        _match_count(t, LONGNUM_RE).alias("n_longnums"),
+    )
+
+
+def strip_html(
+    docs, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Strip HTML tags, decode the common entities, normalize whitespace.
+
+    Returns (id_col, clean_text, n_tags).  Tags are removed first (so a
+    decoded ``&lt;`` cannot fabricate a strippable tag), entities decode
+    in the fixed :data:`HTML_ENTITIES` order, then runs of blank
+    characters collapse to one space and the result is trimmed.  The
+    whitespace class is the explicit ``[ \\t\\n\\r\\f]`` — NOT ``\\s`` —
+    because Java and RE2 disagree on ``\\x0B``.
+
+    Map-side only, same scale shape as :func:`scrub_pii`.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(clean, "[ \\t\\n\\r\\f]+", " "))
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        _match_count(t, HTML_TAG_RE).alias("n_tags"),
+    )

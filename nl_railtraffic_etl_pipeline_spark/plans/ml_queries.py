@@ -1620,3 +1620,110 @@ def _top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
         .limit(_TOP_BIGRAMS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus scrubbing (functions/text.py scrub_pii / strip_html): the PII and
+# HTML normalization passes of a crawl pipeline.  The synthetic documents
+# contain no PII/markup, so both gates INJECT it deterministically from
+# doc_id on both engines (same || construction), exercising the match,
+# multi-match, and zero-match paths; patterns are shared verbatim and
+# written to evaluate identically under Java regex and RE2 (no
+# lookaround/backrefs, explicit whitespace classes).
+# ---------------------------------------------------------------------------
+from ..functions.text import (  # noqa: E402
+    EMAIL_RE,
+    HTML_ENTITIES,
+    HTML_TAG_RE,
+    LONGNUM_RE,
+    URL_RE,
+    scrub_pii,
+    strip_html,
+)
+
+_PII_RAW_SQL = (
+    "CASE WHEN doc_id % 3 <> 0 THEN text || ' contact u' "
+    "|| CAST(doc_id AS VARCHAR) "
+    "|| '@mail.example.com via https://ex.org/d/' "
+    "|| CAST(doc_id AS VARCHAR) || '?ref=(7) call 555123456' "
+    "|| CAST(doc_id AS VARCHAR) ELSE text END"
+)
+
+_HTML_RAW_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN '<html><body class=\"m\"><p>' || text "
+    "|| '</p> <br/>link: <a href=\"https://w.x/y\">t</a> "
+    "&amp; &lt;raw&gt; &#39;s&quot;</body></html>' ELSE text END"
+)
+
+_HTML_DECODE_SQL = "regexp_replace(raw, '" + HTML_TAG_RE + "', ' ', 'g')"
+for _ent, _ch in HTML_ENTITIES:
+    _HTML_DECODE_SQL = (
+        "replace(" + _HTML_DECODE_SQL + ", '" + _ent + "', '"
+        + _ch.replace("'", "''") + "')"
+    )
+
+
+def _pii_raw_col() -> F.Column:
+    sid = F.col("doc_id").cast("string")
+    return F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), sid,
+            F.lit("@mail.example.com via https://ex.org/d/"), sid,
+            F.lit("?ref=(7) call 555123456"), sid,
+        ),
+    ).otherwise(F.col("text"))
+
+
+def _html_raw_col() -> F.Column:
+    return F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<html><body class="m"><p>'),
+            F.col("text"),
+            F.lit(
+                '</p> <br/>link: <a href="https://w.x/y">t</a> '
+                "&amp; &lt;raw&gt; &#39;s&quot;</body></html>"
+            ),
+        ),
+    ).otherwise(F.col("text"))
+
+
+@query(
+    "text_scrub_pii",
+    f"""
+WITH raw AS (SELECT doc_id, {_PII_RAW_SQL} AS raw FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+           raw, '{URL_RE}', '<URL>', 'g'),
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{LONGNUM_RE}', '<NUM>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS INTEGER)
+           AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{URL_RE}')) AS INTEGER) AS n_urls,
+       CAST(len(regexp_extract_all(raw, '{LONGNUM_RE}')) AS INTEGER)
+           AS n_longnums
+FROM raw
+""",
+)
+def _scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return scrub_pii(d.select("doc_id", _pii_raw_col().alias("text")))
+
+
+@query(
+    "text_strip_html",
+    f"""
+WITH raw AS (SELECT doc_id, {_HTML_RAW_SQL} AS raw FROM documents)
+SELECT doc_id,
+       trim(regexp_replace({_HTML_DECODE_SQL},
+                           '[ \t\n\r\f]+', ' ', 'g')) AS clean_text,
+       CAST(len(regexp_extract_all(raw, '{HTML_TAG_RE}')) AS INTEGER)
+           AS n_tags
+FROM raw
+""",
+)
+def _strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return strip_html(d.select("doc_id", _html_raw_col().alias("text")))

@@ -541,3 +541,44 @@ def test_group_centroids_nonfinite_excluded(spark):
            for r in group_centroids(emb, "label").collect()}
     assert out[0] == (3.0, 3)   # mean(1,3,5), the NULL dropped
     assert out[1] == (8.0, 2)   # mean(7,9), NaN and Inf dropped
+
+
+def test_scrub_pii_redaction_and_counts(spark):
+    """Email/URL/long-digit redaction: counts are per-category matches on
+    the original text; replacement order (URL first) keeps a URL's query
+    digits from being double-redacted."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c%d@x-y.co.uk see https://ex.org/p?q=1&r=(2) "
+                "tel 123456789 end"),
+            (2, "no pii 123456"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["clean_text"] == (
+        "mail <EMAIL> see <URL> tel <NUM> end"
+    )
+    assert (out[1]["n_emails"], out[1]["n_urls"], out[1]["n_longnums"]) == (
+        1, 1, 1,
+    )
+    # six digits is below the long-run threshold — untouched
+    assert out[2]["clean_text"] == "no pii 123456"
+    assert out[2]["n_longnums"] == 0
+
+
+def test_strip_html_tags_entities_whitespace(spark):
+    """Tags out first, then entity decode (so &lt; cannot fabricate a
+    strippable tag), then blank-run collapse + trim."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import strip_html
+
+    df = spark.createDataFrame(
+        [(1, "<p>Hello &amp; welcome</p><br/> <a href='https://z.z'>x</a> "
+             "&lt;tag&gt; &#39;q&quot;")],
+        "doc_id bigint, text string",
+    )
+    r = strip_html(df).collect()[0]
+    assert r["clean_text"] == "Hello & welcome x <tag> 'q\""
+    assert r["n_tags"] == 5
