@@ -255,3 +255,58 @@ def _streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_to_memory(agg, "streaming_enriched_counts_result", "complete")
     return spark.table("streaming_enriched_counts_result")
+
+
+@query(
+    "streaming_attribution_join",
+    # Stream-STREAM inner join with watermarks + a time-range condition:
+    # click events attributed to a purchase by the same user within the
+    # preceding hour.  An inner stream-stream join emits exactly the
+    # matched pair set whatever the micro-batch slicing (a match emits
+    # when its second side arrives), so under the availableNow drain the
+    # output is the batch join — a full DuckDB oracle, not a smoke check.
+    # At cluster scale the watermark + range bound evicts per-side state
+    # beyond 1 day + 1 hour; state is user-keyed, never unbounded.
+    """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+)
+def _streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
+        ),
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+    _drain_to_memory(joined, "streaming_attribution_join_result", "append")
+    return spark.table("streaming_attribution_join_result")

@@ -164,3 +164,88 @@ def test_pps_pick_total_is_exact(spark, weights):
     )
     out = pps_systematic_sample(df, "w", 7, "doc_id", block_size=4).collect()
     assert sum(r["n_picks"] for r in out) == 7
+
+
+# Fragments that exercise every scrub pattern's match/overlap/boundary
+# behavior when spliced into arbitrary text.
+_PII_FRAGMENTS = st.sampled_from(
+    [
+        " a.b+c%d@x-y.co.uk ",
+        "u2@m.org",
+        " https://e.x/p?q=1&r=(2) tail",
+        "http://a.b/",
+        "12345678",
+        " 999999 88888888 ",
+        "<p>",
+        "</div>",
+        "<br/>",
+        '<a href="https://w.x/y">',
+        "&amp;",
+        "&lt;tag&gt;",
+        "&#39;",
+        "&quot;",
+        "@not.an.email",
+        "https:// not a url",
+        "<unclosed",
+    ]
+)
+_SCRUB_TEXT = st.lists(
+    st.one_of(TEXT, _PII_FRAGMENTS), min_size=0, max_size=8
+).map("".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_SCRUB_TEXT, min_size=1, max_size=30))
+def test_scrub_patterns_cross_engine(spark, texts):
+    """The Java-regex/RE2 equivalence CLAIM behind scrub_pii/strip_html,
+    fuzzed: Spark and DuckDB must produce byte-identical redactions,
+    entity decodes, and match counts on adversarial spliced text."""
+    import duckdb
+
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        EMAIL_RE,
+        HTML_ENTITIES,
+        HTML_TAG_RE,
+        LONGNUM_RE,
+        URL_RE,
+        scrub_pii,
+        strip_html,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got_scrub = {
+        r["doc_id"]: (
+            r["clean_text"], r["n_emails"], r["n_urls"], r["n_longnums"]
+        )
+        for r in scrub_pii(df).collect()
+    }
+    got_html = {
+        r["doc_id"]: (r["clean_text"], r["n_tags"])
+        for r in strip_html(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    decode = f"regexp_replace(text, '{HTML_TAG_RE}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        decode = f"replace({decode}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    q = con.execute(
+        f"""
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(
+              text, '{URL_RE}', '<URL>', 'g'),
+              '{EMAIL_RE}', '<EMAIL>', 'g'),
+              '{LONGNUM_RE}', '<NUM>', 'g'),
+          len(regexp_extract_all(text, '{EMAIL_RE}')),
+          len(regexp_extract_all(text, '{URL_RE}')),
+          len(regexp_extract_all(text, '{LONGNUM_RE}')),
+          trim(regexp_replace({decode}, '[ \t\n\r\f]+', ' ', 'g')),
+          len(regexp_extract_all(text, '{HTML_TAG_RE}'))
+        FROM t ORDER BY doc_id
+        """
+    ).fetchall()
+    for doc_id, clean, ne, nu, nn, hclean, ntag in q:
+        assert got_scrub[doc_id] == (clean, ne, nu, nn)
+        assert got_html[doc_id] == (hclean, ntag)
