@@ -706,3 +706,64 @@ def _full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").isNull().alias("customer_missing"),
         F.col("o_custkey").isNull().alias("orders_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (sources/lake.py write_bucketed): the storage
+# layout that removes the fact-table shuffle from every repeated-key join
+# at 100 TB.  The gate materializes orders and customer bucketed+sorted on
+# custkey into a /tmp warehouse (once per session per SF), joins them with
+# a merge hint — zero Exchange on either side, the plan-shape test asserts
+# it — and aggregates per market segment.  The oracle joins the ORIGINAL
+# parquet, so the whole bucketed write -> catalog read -> co-located join
+# path is hash-checked, not just plan-asserted.
+# ---------------------------------------------------------------------------
+_BUCKETS = 8
+
+
+@query(
+    "join_bucketed_colocated",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def _bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.lake import write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "nl_spark_bucketed", tag)
+    specs = {
+        "orders": (["o_custkey"], ["o_custkey", "o_orderkey", "o_totalprice"]),
+        "customer": (["c_custkey"], ["c_custkey", "c_mktsegment"]),
+    }
+    for table, (keys, cols) in specs.items():
+        name = f"bkt_{table}_{tag}"
+        if not spark.catalog.tableExists(name):
+            write_bucketed(
+                load_table(spark, sf_dir, table, spread=True).select(*cols),
+                name,
+                keys,
+                num_buckets=_BUCKETS,
+                path=os.path.join(base, table),
+            )
+    orders = spark.table(f"bkt_orders_{tag}")
+    cust = spark.table(f"bkt_customer_{tag}")
+    return (
+        orders.join(
+            cust.hint("merge"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

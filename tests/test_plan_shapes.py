@@ -158,3 +158,12 @@ def test_funnel_single_key_shuffle(spark):
     ONE user-keyed exchange — no per-stage join/shuffle chain."""
     txt = plan_of(spark, "events_funnel")
     assert len(re.findall(r"hashpartitioning\(", txt)) == 1
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed on the join key must SortMergeJoin with ZERO
+    exchange on either input — the only hashpartitioning in the gate is
+    the downstream segment aggregation."""
+    txt = plan_of(spark, "join_bucketed_colocated")
+    assert "SortMergeJoin" in txt
+    assert len(re.findall(r"hashpartitioning\(", txt)) == 1
