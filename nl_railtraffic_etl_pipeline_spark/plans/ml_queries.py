@@ -1727,3 +1727,62 @@ FROM raw
 def _strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", spread=True)
     return strip_html(d.select("doc_id", _html_raw_col().alias("text")))
+
+
+# ---------------------------------------------------------------------------
+# LM-proxy fluency scoring (the CCNet-style corpus-relative quality signal):
+# score each document by the mean corpus-wide frequency of its bigrams —
+# fluent text reuses common constructions, gibberish does not.  Rational
+# arithmetic only (bigint sums, one IEEE division, ROUND 4) — no log-probs,
+# so the score is bit-identical cross-engine.  Plan: one bigram explode,
+# corpus frequency agg (bigram-keyed), join back on bigram (vocabulary-
+# sized, NOT broadcast), per-doc mean (doc-keyed).  Docs with < 2 tokens
+# have no bigrams and are excluded by construction.
+# ---------------------------------------------------------------------------
+@query(
+    "text_fluency_score",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+grams AS (
+    SELECT doc_id,
+           unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+    FROM toks WHERE len(w) >= 2
+),
+freq AS (SELECT bigram, COUNT(*) AS n_occ FROM grams GROUP BY bigram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+       ROUND(CAST(SUM(f.n_occ) AS DOUBLE) / COUNT(*), 4) AS fluency
+FROM grams g JOIN freq f USING (bigram)
+GROUP BY g.doc_id
+""",
+)
+def _fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> concat(_w[i-1], ' ', _w[i]))"
+    )
+    grams = (
+        d.select(F.col("doc_id"), toks.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    freq = grams.groupBy("bigram").agg(F.count("*").alias("n_occ"))
+    return (
+        grams.join(freq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            # decimal(38,0) sum: DuckDB's SUM(BIGINT) is HUGEINT (128-bit);
+            # a bigint sum here could wrap at ~9e18 (a 100 TB corpus's
+            # hottest bigram times a pathological doc) while the oracle
+            # doesn't — the same silent-divergence class ADVICE r3 flagged
+            # for the PPS grid
+            F.round(
+                F.sum(F.col("n_occ").cast("decimal(38,0)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("fluency"),
+        )
+    )
