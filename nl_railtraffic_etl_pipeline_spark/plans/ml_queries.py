@@ -1786,3 +1786,59 @@ def _fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fluency"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination: the SEMANTIC twin of the n-gram
+# corpus_decontaminate gate — flag train vectors whose cosine against ANY
+# heldout/eval vector clears the threshold (paraphrased eval leakage that
+# exact n-grams miss).  Scale shape: the heldout set is small by nature
+# (an eval suite), so it broadcasts and the train corpus streams map-side
+# through the pair scan — the same documented broadcast-pair-baseline
+# shape as sim_knn_bruteforce; the only shuffle is the final per-train-id
+# partial-aggregated count/max.  At larger eval sets the LSH candidate
+# path (dedup_embedding_lsh) substitutes for the scan.
+# ---------------------------------------------------------------------------
+_EMB_DECON_MOD = 10
+_EMB_DECON_TAU = 0.30
+
+
+@query(
+    "corpus_decontaminate_embedding",
+    f"""
+WITH a AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id % {_EMB_DECON_MOD} <> 0
+),
+b AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id % {_EMB_DECON_MOD} = 0
+)
+SELECT a.vec_id,
+       CAST(COUNT(*) AS INTEGER) AS n_matches,
+       MAX({_COS_SQL.format(va='embedding', vb='embedding')}) AS max_cosine
+FROM a JOIN b ON {_COS_SQL.format(va='embedding', vb='embedding')} > {_EMB_DECON_TAU}
+GROUP BY a.vec_id
+""",
+)
+def _decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ho = emb.filter(F.col("vec_id") % _EMB_DECON_MOD == 0).select(
+        F.col("embedding").alias("hv")
+    )
+    tr = dedup._spread(
+        emb.filter(F.col("vec_id") % _EMB_DECON_MOD != 0).select(
+            "vec_id", F.col("embedding").alias("tv")
+        )
+    )
+    cos = F.round(dedup.cosine(F.col("tv"), F.col("hv")), 6)
+    return (
+        tr.crossJoin(F.broadcast(ho))
+        .select("vec_id", cos.alias("_cos"))
+        .filter(F.col("_cos") > _EMB_DECON_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("int").alias("n_matches"),
+            F.max("_cos").alias("max_cosine"),
+        )
+    )
