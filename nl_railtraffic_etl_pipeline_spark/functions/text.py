@@ -324,3 +324,76 @@ def strip_html(
         clean.alias("clean_text"),
         _match_count(t, HTML_TAG_RE).alias("n_tags"),
     )
+
+
+def repeated_span_stats(
+    docs,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Span-level duplication signals: how much of each document consists
+    of word n-grams that also appear in other documents.
+
+    The substring-level counterpart of whole-doc dedup (the signal behind
+    suffix-array substring deduplication, Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): boilerplate headers,
+    license blocks, and templated spam score high here while whole-doc
+    fingerprints miss them.  Returns (id_col, n_spans, n_shared_spans,
+    shared_ratio) for documents with at least ``n`` tokens, where a span
+    is shared when its n-gram occurs in >= ``min_docs`` DISTINCT
+    documents, counted WITH multiplicity over the doc's positions.
+
+    Plan: one tokenize pass; position-multiplicity spans explode map-side;
+    the shared-span set is (span,doc)-deduped then span-counted (two
+    partial-aggregated key shuffles); spans join the shared set on the
+    span key (corpus-vocabulary-sized — NOT broadcast) and aggregate per
+    doc.  Totals come from the token array's size map-side, so no second
+    corpus scan for the denominator.  Every shuffle keys on span or doc;
+    suffix arrays need a global sort — this formulation does not.
+    """
+    toks_col = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc"), toks_col.alias("_w")).filter(
+        F.size("_w") >= n
+    )
+    spans = base.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_w) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(_w, i, {n})))"
+            )
+        ).alias("span"),
+    )
+    shared = (
+        spans.select("span", "doc")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count("*").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("span")
+    )
+    shared_counts = (
+        spans.join(shared, "span")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_shared_spans"))
+    )
+    totals = base.select(
+        "doc", (F.size("_w") - (n - 1)).cast("int").alias("n_spans")
+    )
+    return (
+        totals.join(shared_counts, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_spans",
+            F.coalesce(F.col("n_shared_spans"), F.lit(0))
+            .cast("int")
+            .alias("n_shared_spans"),
+            F.round(
+                F.coalesce(F.col("n_shared_spans"), F.lit(0))
+                / F.col("n_spans"),
+                4,
+            ).alias("shared_ratio"),
+        )
+    )

@@ -1842,3 +1842,53 @@ def _decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_cos").alias("max_cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level duplication (text.repeated_span_stats): the substring-dedup
+# signal — share of each doc's word 5-grams that occur in >= 2 distinct
+# documents, with multiplicity.  See the operator docstring for the plan.
+# ---------------------------------------------------------------------------
+_SPAN_N = 5
+_SPAN_MIN_DOCS = 2
+
+
+@query(
+    "dedup_repeated_spans",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKENS} AS w FROM documents
+),
+base AS (SELECT doc_id, w FROM toks WHERE len(w) >= {_SPAN_N}),
+spans AS (
+    SELECT doc_id,
+           unnest([array_to_string(w[i:i+{_SPAN_N - 1}], ' ')
+                   for i in range(1, len(w) - {_SPAN_N - 2})]) AS span
+    FROM base
+),
+shared AS (
+    SELECT span FROM (
+        SELECT span, COUNT(DISTINCT doc_id) AS d FROM spans GROUP BY span
+    ) WHERE d >= {_SPAN_MIN_DOCS}
+),
+sc AS (
+    SELECT doc_id, COUNT(*) AS n_shared
+    FROM spans JOIN shared USING (span)
+    GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.w) - {_SPAN_N - 1} AS INTEGER) AS n_spans,
+       CAST(COALESCE(sc.n_shared, 0) AS INTEGER) AS n_shared_spans,
+       ROUND(COALESCE(sc.n_shared, 0)
+             / CAST(len(b.w) - {_SPAN_N - 1} AS DOUBLE), 4) AS shared_ratio
+FROM base b LEFT JOIN sc USING (doc_id)
+""",
+)
+def _repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import repeated_span_stats
+
+    return repeated_span_stats(
+        load_table(spark, sf_dir, "documents", spread=True),
+        n=_SPAN_N,
+        min_docs=_SPAN_MIN_DOCS,
+    )

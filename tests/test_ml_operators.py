@@ -582,3 +582,25 @@ def test_strip_html_tags_entities_whitespace(spark):
     r = strip_html(df).collect()[0]
     assert r["clean_text"] == "Hello & welcome x <tag> 'q\""
     assert r["n_tags"] == 5
+
+
+def test_repeated_span_stats(spark):
+    """A doc sharing a 5-gram run with another doc counts those positions
+    (with multiplicity); unique text scores zero; short docs are excluded."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import repeated_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e unique tail one"),
+            (2, "prefix a b c d e different end"),
+            (3, "totally distinct words here now"),
+            (4, "too short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_span_stats(df).collect()}
+    assert 4 not in out                      # < 5 tokens
+    assert out[3]["n_shared_spans"] == 0
+    # docs 1 and 2 share exactly the span "a b c d e" (one position each)
+    assert out[1]["n_shared_spans"] == 1 and out[2]["n_shared_spans"] == 1
+    assert out[1]["n_spans"] == 4 and out[2]["n_spans"] == 4
