@@ -714,3 +714,59 @@ def embedding_lsh_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") > threshold)
     )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    index_arrays: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup check of a NEW batch against an EXISTING corpus index —
+    the nightly-ingest shape of dedup: the standing corpus is already
+    deduplicated and its shingle artifact persisted; only the day's batch
+    is new.  Returns (new_id, index_id, jaccard) for every cross pair at
+    or above ``threshold`` — anti-join the new batch on ``new_id`` to
+    admit only novel documents.
+
+    Scale shape: the candidate generator is the shingle-keyed equi-join of
+    the (small) batch explode against the (huge) index explode — the index
+    side never self-joins, so cost is bounded by the batch's shingle
+    postings, not the corpus's square.  Per-doc sizes ride the shingle
+    arrays (no second explode+groupBy).  ``index_arrays`` is the persisted
+    ``shingle_arrays`` artifact; built inline when omitted.
+    """
+    new_arr = _shingle_arrays(new_docs, text_col, id_col, n)
+    if index_arrays is None:
+        index_arrays = _shingle_arrays(index_docs, text_col, id_col, n)
+    new_sh = new_arr.select(
+        F.col("doc").alias("_new"), F.explode("sh_arr").alias("shingle")
+    )
+    idx_sh = index_arrays.select(
+        F.col("doc").alias("_idx"), F.explode("sh_arr").alias("shingle")
+    )
+    shared = (
+        new_sh.join(idx_sh, "shingle")
+        .groupBy("_new", "_idx")
+        .agg(F.count("*").alias("shared"))
+    )
+    sn = new_arr.select(
+        F.col("doc").alias("_new"), F.size("sh_arr").alias("sz_n")
+    )
+    si = index_arrays.select(
+        F.col("doc").alias("_idx"), F.size("sh_arr").alias("sz_i")
+    )
+    jac = F.col("shared") / (F.col("sz_n") + F.col("sz_i") - F.col("shared"))
+    return (
+        shared.join(sn, "_new")
+        .join(si, "_idx")
+        .select(
+            F.col("_new").alias("new_id"),
+            F.col("_idx").alias("index_id"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

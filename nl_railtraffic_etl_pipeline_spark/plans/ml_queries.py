@@ -1892,3 +1892,45 @@ def _repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=_SPAN_N,
         min_docs=_SPAN_MIN_DOCS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (dedup.incremental_near_dup): the day's batch (doc_id %
+# 7 = 3) Jaccard-checked against the standing corpus — the nightly-ingest
+# dedup shape; the index side never self-joins.
+# ---------------------------------------------------------------------------
+_INCR_MOD, _INCR_REM = 7, 3
+
+
+@query(
+    "dedup_incremental",
+    f"WITH {_SHINGLES_CTE.strip()}"
+    + f""",
+new_sh AS (
+    SELECT doc_id, shingle FROM shingles
+    WHERE doc_id % {_INCR_MOD} = {_INCR_REM}
+),
+idx_sh AS (
+    SELECT doc_id, shingle FROM shingles
+    WHERE doc_id % {_INCR_MOD} <> {_INCR_REM}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+shared AS (
+    SELECT n.doc_id AS new_id, i.doc_id AS index_id, COUNT(*) AS shared
+    FROM new_sh n JOIN idx_sh i ON n.shingle = i.shingle
+    GROUP BY 1, 2
+)
+SELECT new_id, index_id,
+       ROUND(shared / CAST(sn.sz + si.sz - shared AS DOUBLE), 4) AS jaccard
+FROM shared
+JOIN sizes sn ON sn.doc_id = new_id
+JOIN sizes si ON si.doc_id = index_id
+WHERE ROUND(shared / CAST(sn.sz + si.sz - shared AS DOUBLE), 4) >= 0.2
+""",
+)
+def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    is_new = F.col("doc_id") % _INCR_MOD == _INCR_REM
+    return dedup.incremental_near_dup(
+        docs.filter(is_new), docs.filter(~is_new), threshold=0.2
+    )
