@@ -604,3 +604,38 @@ def test_repeated_span_stats(spark):
     # docs 1 and 2 share exactly the span "a b c d e" (one position each)
     assert out[1]["n_shared_spans"] == 1 and out[2]["n_shared_spans"] == 1
     assert out[1]["n_spans"] == 4 and out[2]["n_spans"] == 4
+
+
+def test_incremental_near_dup_matches_full_pair_generator(spark):
+    """Cross-split pairs from incremental_near_dup must equal the
+    new×index subset of the full-corpus pair generator (same shingles,
+    same Jaccard, same threshold)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.dedup import (
+        incremental_near_dup,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six seven"),
+            (4, "one two three four five six eight"),
+            (5, "totally different words in this doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    new = docs.filter("doc_id % 2 = 0")
+    idx = docs.filter("doc_id % 2 = 1")
+    got = {
+        (r["new_id"], r["index_id"]): r["jaccard"]
+        for r in incremental_near_dup(new, idx, threshold=0.2).collect()
+    }
+    full = ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    want = {}
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 2 == 0) != (b % 2 == 0):
+            new_id, index_id = (a, b) if a % 2 == 0 else (b, a)
+            want[(new_id, index_id)] = r["jaccard"]
+    assert got == want and got  # non-empty and identical
