@@ -1934,3 +1934,67 @@ def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_near_dup(
         docs.filter(is_new), docs.filter(~is_new), threshold=0.2
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus version diff: compare two corpus snapshots by content fingerprint
+# and classify every doc id as added / removed / changed.  The versioning
+# primitive of a managed training corpus (what changed between crawls?).
+# Plan: two map-side fingerprint projections -> one id-keyed full outer
+# join (SMJ at scale) -> map-side classification; unchanged rows are
+# filtered OUT so the result is delta-sized, not corpus-sized.  The two
+# snapshots are derived deterministically from the documents table on both
+# engines (v1 drops doc_id % 11 = 0, v2 drops % 13 = 0 and rewrites the
+# text of % 17 = 0).
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_version_diff",
+    """
+WITH v1 AS (
+    SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS fp
+    FROM documents WHERE doc_id % 11 <> 0
+),
+v2 AS (
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(
+               CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END
+           )), '\\s+', ' ', 'g')) AS fp
+    FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.fp <> v2.fp
+""",
+)
+def _version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    v1 = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp1")
+    )
+    v2_text = F.when(
+        F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    v2 = docs.filter(F.col("doc_id") % 13 != 0).select(
+        F.col("doc_id").alias("doc_id2"), fingerprint(v2_text).alias("fp2")
+    )
+    j = v1.join(v2, v1.doc_id == v2.doc_id2, "full_outer")
+    status = (
+        F.when(F.col("doc_id").isNull(), "added")
+        .when(F.col("doc_id2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        j.filter(
+            F.col("doc_id").isNull()
+            | F.col("doc_id2").isNull()
+            | (F.col("fp1") != F.col("fp2"))
+        )
+        .select(
+            F.coalesce("doc_id", "doc_id2").alias("doc_id"),
+            status.alias("status"),
+        )
+    )
