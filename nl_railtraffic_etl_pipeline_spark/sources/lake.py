@@ -139,3 +139,72 @@ def write_csv_snapshot(df: DataFrame, path: str, bom: bool = True) -> None:
         jvm.org.apache.hadoop.io.IOUtils.copyBytes(fs.open(src), out, hconf, True)
         fs.delete(src, False)
         fs.rename(tmp, src)
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    max_records_per_file: int | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction of a partitioned parquet zone, atomically.
+
+    The operational must-have of a streaming/daily-append lake at 100 TB:
+    every micro-batch or daily run appends task-count files per partition
+    directory, and a year later each day holds hundreds of KB-sized files
+    that scan-time file listing and row-group overhead dominate.  This
+    rewrites the zone so each partition directory holds
+    ``files_per_partition`` files (``max_records_per_file`` caps size so a
+    hot day still splits).
+
+    Plan: one read -> one shuffle keyed on the partition tuple (plus a
+    salt when ``files_per_partition > 1``), so each output directory is
+    written by exactly its own tasks -> staged write with the same
+    ``partitionBy`` -> the delete+rename swap ``pipeline._overwrite``
+    uses (atomic on local/HDFS; a table format replaces the swap on
+    rename-as-copy stores).  Data is byte-preserved — only file layout
+    changes.  Returns (files_before, files_after).
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _count_files(p: str) -> int:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(conf)
+        if not fs.exists(hp):
+            return 0
+        it, n = fs.listFiles(hp, True), 0
+        while it.hasNext():
+            f = it.next().getPath().getName()
+            if not f.startswith(("_", ".")):
+                n += 1
+        return n
+
+    before = _count_files(path)
+    df = spark.read.parquet(path)
+    if files_per_partition > 1:
+        salt = (F.abs(F.xxhash64(*df.columns)) % files_per_partition).alias(
+            "_salt"
+        )
+        df = df.withColumn("_salt", salt).repartition(
+            *partition_cols, "_salt"
+        ).drop("_salt")
+    else:
+        df = df.repartition(*partition_cols)
+    writer = df.write.mode("overwrite").partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    tmp = path.rstrip("/") + "__compact_stage"
+    writer.parquet(tmp)
+
+    hp_t = jvm.org.apache.hadoop.fs.Path(path)
+    hp_s = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hp_t.getFileSystem(conf)
+    # Hadoop reports many delete/rename failures by returning false, not
+    # throwing (see pipeline._overwrite) — check both.
+    if fs.exists(hp_t) and not fs.delete(hp_t, True):
+        raise IOError(f"compact: failed to delete {path}")
+    if not fs.rename(hp_s, hp_t):
+        raise IOError(f"compact: failed to promote {tmp} -> {path}")
+    return before, _count_files(path)

@@ -217,3 +217,34 @@ def test_rest_source_aborts_on_auth(monkeypatch):
     with pytest.raises(RuntimeError):
         rest_source.fetch_disruptions("key", max_retries=3)
     assert len(calls) == 1  # 401 short-circuits, no retries
+
+
+def test_compact_partitions_reduces_files_preserves_data(spark, tmp_path):
+    """Compaction must leave exactly files_per_partition data files per
+    partition directory, preserve every row, and remove the staging dir
+    (atomic swap)."""
+    import os
+
+    from nl_railtraffic_etl_pipeline_spark.sources.lake import compact_partitions
+
+    path = str(tmp_path / "zone")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i)) for i in range(300)],
+        "id bigint, day string, v double",
+    )
+    # simulate many small append files: 8 tasks per partition value
+    df.repartition(8).write.partitionBy("day").parquet(path)
+    before_expected = sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    before, after = compact_partitions(spark, path, ["day"])
+    assert before == before_expected and before > 3
+    assert after == 3  # one file per day value
+    assert not os.path.exists(path + "__compact_stage")
+    got = spark.read.parquet(path).select("id", "day", "v")
+    ref = df.select("id", "day", "v")
+    assert got.count() == 300
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
