@@ -767,3 +767,40 @@ def _bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (operators/skew.py): the mitigation's CONTRACT — output
+# identical to the plain join for any salt — under the oracle, not just
+# pytest.  The fact side scatters across 8 sub-keys, the dimension
+# replicates once per sub-key; the oracle is the unsalted ANSI join.
+# ---------------------------------------------------------------------------
+@query(
+    "join_salted_skew",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderpriority
+""",
+)
+def _salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    orders = (
+        load_table(spark, sf_dir, "orders", spread=True)
+        .withColumnRenamed("o_custkey", "custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    return (
+        salted_join(orders, cust, on=["custkey"], salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
