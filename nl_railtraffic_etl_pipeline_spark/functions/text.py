@@ -253,6 +253,9 @@ EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 URL_RE = "https?://[A-Za-z0-9%._~:/?#@!$&*+,;=()-]+"
 LONGNUM_RE = "[0-9]{7,}"
 HTML_TAG_RE = "<[^>]*>"
+#: Leading/trailing blank runs (explicit class — engine ``trim``s disagree
+#: on U+00A0, and Java/RE2 ``\s`` disagree on ``\x0B``).
+BLANK_EDGE_RE = "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$"
 
 #: HTML entity decode map, applied in this exact order on both engines
 #: (``&amp;`` last so decoding it cannot fabricate another entity).
@@ -308,9 +311,11 @@ def strip_html(
     Returns (id_col, clean_text, n_tags).  Tags are removed first (so a
     decoded ``&lt;`` cannot fabricate a strippable tag), entities decode
     in the fixed :data:`HTML_ENTITIES` order, then runs of blank
-    characters collapse to one space and the result is trimmed.  The
-    whitespace class is the explicit ``[ \\t\\n\\r\\f]`` — NOT ``\\s`` —
-    because Java and RE2 disagree on ``\\x0B``.
+    characters collapse to one space and edge blanks strip.  The
+    whitespace class is the explicit ``[ \\t\\n\\r\\f]`` — NOT ``\\s``
+    (Java and RE2 disagree on ``\\x0B``) and NOT the engines' ``trim``
+    (DuckDB's strips U+00A0, Spark's does not — hypothesis found this);
+    the edge strip is the same regexp class anchored, identical on both.
 
     Map-side only, same scale shape as :func:`scrub_pii`.
     """
@@ -318,7 +323,8 @@ def strip_html(
     clean = F.regexp_replace(t, HTML_TAG_RE, " ")
     for ent, ch in HTML_ENTITIES:
         clean = F.replace(clean, F.lit(ent), F.lit(ch))
-    clean = F.trim(F.regexp_replace(clean, "[ \\t\\n\\r\\f]+", " "))
+    clean = F.regexp_replace(clean, "[ \\t\\n\\r\\f]+", " ")
+    clean = F.regexp_replace(clean, BLANK_EDGE_RE, "")
     return docs.select(
         F.col(id_col),
         clean.alias("clean_text"),

@@ -1632,6 +1632,7 @@ def _top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lookaround/backrefs, explicit whitespace classes).
 # ---------------------------------------------------------------------------
 from ..functions.text import (  # noqa: E402
+    BLANK_EDGE_RE,
     EMAIL_RE,
     HTML_ENTITIES,
     HTML_TAG_RE,
@@ -1717,8 +1718,9 @@ def _scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH raw AS (SELECT doc_id, {_HTML_RAW_SQL} AS raw FROM documents)
 SELECT doc_id,
-       trim(regexp_replace({_HTML_DECODE_SQL},
-                           '[ \t\n\r\f]+', ' ', 'g')) AS clean_text,
+       regexp_replace(regexp_replace({_HTML_DECODE_SQL},
+                                     '[ \t\n\r\f]+', ' ', 'g'),
+                      '{BLANK_EDGE_RE}', '', 'g') AS clean_text,
        CAST(len(regexp_extract_all(raw, '{HTML_TAG_RE}')) AS INTEGER)
            AS n_tags
 FROM raw

@@ -203,6 +203,7 @@ def test_scrub_patterns_cross_engine(spark, texts):
     import duckdb
 
     from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        BLANK_EDGE_RE,
         EMAIL_RE,
         HTML_ENTITIES,
         HTML_TAG_RE,
@@ -241,7 +242,8 @@ def test_scrub_patterns_cross_engine(spark, texts):
           len(regexp_extract_all(text, '{EMAIL_RE}')),
           len(regexp_extract_all(text, '{URL_RE}')),
           len(regexp_extract_all(text, '{LONGNUM_RE}')),
-          trim(regexp_replace({decode}, '[ \t\n\r\f]+', ' ', 'g')),
+          regexp_replace(regexp_replace({decode}, '[ \t\n\r\f]+', ' ', 'g'),
+                         '{BLANK_EDGE_RE}', '', 'g'),
           len(regexp_extract_all(text, '{HTML_TAG_RE}'))
         FROM t ORDER BY doc_id
         """
