@@ -256,6 +256,8 @@ HTML_TAG_RE = "<[^>]*>"
 #: Leading/trailing blank runs (explicit class — engine ``trim``s disagree
 #: on U+00A0, and Java/RE2 ``\s`` disagree on ``\x0B``).
 BLANK_EDGE_RE = "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$"
+#: Interior blank runs, same explicit class (shared with the oracle verbatim).
+BLANK_RUN_RE = "[ \\t\\n\\r\\f]+"
 
 #: HTML entity decode map, applied in this exact order on both engines
 #: (``&amp;`` last so decoding it cannot fabricate another entity).
@@ -329,6 +331,87 @@ def strip_html(
         F.col(id_col),
         clean.alias("clean_text"),
         _match_count(t, HTML_TAG_RE).alias("n_tags"),
+    )
+
+
+def remove_boilerplate_lines(
+    docs,
+    min_docs: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Line-level boilerplate removal (the RefinedWeb/Falcon line dedup).
+
+    A *boilerplate line* is a non-blank line whose whitespace-normalized
+    lowercase form appears in >= ``min_docs`` DISTINCT documents (cookie
+    banners, copyright footers, nav menus — the cross-document repetition
+    whole-document fingerprints cannot see).  Every document is returned
+    with those lines deleted and the survivors re-joined in original
+    order: (id_col, clean_text, n_lines_removed, n_lines_kept).  A
+    document whose every line is boilerplate yields ``clean_text = ''``.
+
+    Normalization deliberately avoids engine ``trim`` and regex ``\\s``
+    (cross-engine traps — see :data:`BLANK_EDGE_RE`): lowercase, collapse
+    explicit blank runs, strip explicit edge runs.
+
+    Plan shape: lines explode map-side off the document scan; the
+    boilerplate set is a (fingerprint, doc)-dedup then fingerprint-keyed
+    count (two partial-aggregated key shuffles over line-sized rows); the
+    corpus joins that set on the fingerprint key (vocabulary-sized — NOT
+    collected or broadcast by hand, AQE may choose to) and re-aggregates
+    per document.  No global sort at any size: reassembly order comes
+    from ``array_sort`` inside each document's aggregation buffer, which
+    is bounded by document length, not corpus size.
+    """
+    blank = F.lit("")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("line")), BLANK_RUN_RE, " "),
+        BLANK_EDGE_RE,
+        "",
+    )
+    lines = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select("doc", "pos", "line", norm.alias("_norm"))
+    lines = lines.select("doc", "pos", "line", "_norm", F.md5("_norm").alias("fp"))
+    boiler = (
+        lines.filter(F.col("_norm") != blank)
+        .select("fp", "doc")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("fp", F.lit(True).alias("_b"))
+    )
+    flagged = lines.join(boiler, "fp", "left").select(
+        "doc",
+        "pos",
+        "line",
+        F.coalesce(F.col("_b"), F.lit(False)).alias("_b"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("pos").alias("p"),
+                F.col("line").alias("l"),
+                F.col("_b").alias("b"),
+            )
+        )
+    )
+    kept = F.transform(F.filter(ordered, lambda s: ~s["b"]), lambda s: s["l"])
+    return flagged.groupBy("doc").agg(
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.sum(F.when(F.col("_b"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_lines_removed"),
+        F.sum(F.when(F.col("_b"), 0).otherwise(1))
+        .cast("int")
+        .alias("n_lines_kept"),
+    ).select(
+        F.col("doc").alias(id_col),
+        "clean_text",
+        "n_lines_removed",
+        "n_lines_kept",
     )
 
 

@@ -2000,3 +2000,89 @@ def _version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             status.alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (text.remove_boilerplate_lines): the
+# RefinedWeb/Falcon line-dedup pass.  The synthetic docs are single-line,
+# so the gate builds a multi-line corpus deterministically on both engines:
+# a cookie-banner line on 2/3 of docs (with a double-space variant on even
+# ids so whitespace normalization is load-bearing), the doc's own text, one
+# of five copyright-footer variants, and a unique 'ref <id>' line.  With
+# min_docs=30 the banner and all five footers are boilerplate at every SF;
+# the text and ref lines survive.
+# ---------------------------------------------------------------------------
+from ..functions.text import (  # noqa: E402
+    BLANK_RUN_RE,
+    remove_boilerplate_lines,
+)
+
+_LINEDOC_SQL = (
+    "(CASE WHEN doc_id % 3 <> 1 THEN 'Accept' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '  ' ELSE ' ' END) || "
+    "'Cookies to continue' || chr(10) ELSE '' END) || text || chr(10) || "
+    "'Copyright ' || CAST(doc_id % 5 AS VARCHAR) || ' Example Corp' || "
+    "chr(10) || 'ref ' || CAST(doc_id AS VARCHAR)"
+)
+
+_LINE_NORM_SQL = (
+    "regexp_replace(regexp_replace(lower(line), '" + BLANK_RUN_RE + "', ' ', 'g'), "
+    "'" + BLANK_EDGE_RE + "', '', 'g')"
+)
+
+
+def _linedoc_col() -> F.Column:
+    sid = F.col("doc_id").cast("string")
+    banner = F.when(
+        F.col("doc_id") % 3 != 1,
+        F.concat(
+            F.lit("Accept"),
+            F.when(F.col("doc_id") % 2 == 0, "  ").otherwise(" "),
+            F.lit("Cookies to continue\n"),
+        ),
+    ).otherwise("")
+    return F.concat(
+        banner,
+        F.col("text"),
+        F.lit("\nCopyright "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(" Example Corp\nref "),
+        sid,
+    )
+
+
+@query(
+    "text_line_dedup",
+    f"""
+WITH raw AS (SELECT doc_id, {_LINEDOC_SQL} AS t FROM documents),
+lines AS (
+    SELECT doc_id,
+           unnest(range(1, len(l) + 1)) AS pos,
+           unnest(l) AS line
+    FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM raw)
+),
+normed AS (
+    SELECT doc_id, pos, line,
+           {_LINE_NORM_SQL} AS norm,
+           md5({_LINE_NORM_SQL}) AS fp
+    FROM lines
+),
+boiler AS (
+    SELECT fp FROM normed WHERE norm <> ''
+    GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 30
+)
+SELECT n.doc_id,
+       COALESCE(string_agg(CASE WHEN b.fp IS NULL THEN n.line END,
+                           chr(10) ORDER BY n.pos), '') AS clean_text,
+       CAST(COUNT(*) FILTER (WHERE b.fp IS NOT NULL) AS INTEGER)
+           AS n_lines_removed,
+       CAST(COUNT(*) FILTER (WHERE b.fp IS NULL) AS INTEGER) AS n_lines_kept
+FROM normed n LEFT JOIN boiler b USING (fp)
+GROUP BY n.doc_id
+""",
+)
+def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return remove_boilerplate_lines(
+        d.select("doc_id", _linedoc_col().alias("text")), min_docs=30
+    )

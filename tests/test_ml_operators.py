@@ -639,3 +639,33 @@ def test_incremental_near_dup_matches_full_pair_generator(spark):
             new_id, index_id = (a, b) if a % 2 == 0 else (b, a)
             want[(new_id, index_id)] = r["jaccard"]
     assert got == want and got  # non-empty and identical
+
+
+def test_remove_boilerplate_lines(spark):
+    """Lines shared by >= min_docs docs vanish (normalization-insensitive);
+    unique lines survive in order; an all-boilerplate doc becomes ''."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            "Accept  cookies\nalpha beta\nref zero",
+            "accept cookies\ngamma delta\nref one",
+            "ACCEPT\tCookies\nref two",
+            "Accept cookies",  # all boilerplate -> empty
+            "no banner here\nref four",
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert out[0]["clean_text"] == "alpha beta\nref zero"
+    assert out[0]["n_lines_removed"] == 1 and out[0]["n_lines_kept"] == 2
+    assert out[1]["clean_text"] == "gamma delta\nref one"
+    assert out[2]["clean_text"] == "ref two"
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[4]["clean_text"] == "no banner here\nref four"
+    assert out[4]["n_lines_removed"] == 0
