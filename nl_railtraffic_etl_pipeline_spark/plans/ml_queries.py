@@ -2086,3 +2086,104 @@ def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(
         d.select("doc_id", _linedoc_col().alias("text")), min_docs=30
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-domain curation (functions/web.py): host parse + registered-domain
+# extraction, per-domain stats, and the C4/RefinedWeb-style per-domain
+# document cap.  The synthetic docs carry no URLs, so both engines derive
+# one deterministically from doc_id: seven host variants covering a
+# second-level suffix (example.co.uk), a :port to strip, mixed case to
+# normalize, and a "heavy" domain holding 3/7 of the corpus so the cap is
+# load-bearing.  The suffix IN-list is SECOND_LEVEL_SUFFIXES verbatim.
+# ---------------------------------------------------------------------------
+from ..functions import web  # noqa: E402
+
+_WEBURL_SQL = (
+    "'https://' || (CASE doc_id % 7 "
+    "WHEN 0 THEN 'news.example.co.uk' "
+    "WHEN 1 THEN 'example.co.uk:8080' "
+    "WHEN 2 THEN 'Blog.Sample.COM' "
+    "WHEN 3 THEN 'sample.com' "
+    "WHEN 4 THEN 'www.heavy.org' "
+    "WHEN 5 THEN 'cdn.heavy.org' "
+    "ELSE 'heavy.org' END) || '/p/' || CAST(doc_id AS VARCHAR)"
+)
+
+_SUFFIX_IN = ", ".join(f"'{s}'" for s in web.SECOND_LEVEL_SUFFIXES)
+
+_WEBDOMS_CTE = f"""
+raw AS (SELECT doc_id, {_WEBURL_SQL} AS url FROM documents),
+hosts AS (
+    SELECT doc_id,
+           NULLIF(regexp_replace(
+               regexp_extract(lower(url), '{web.HOST_CAPTURE_RE}', 1),
+               '{web.PORT_RE}', ''), '') AS host
+    FROM raw
+),
+doms AS (
+    SELECT doc_id, host,
+           string_split(host, '.') AS l,
+           CASE WHEN len(l) >= 3
+                     AND (l[len(l)-1] || '.' || l[len(l)]) IN ({_SUFFIX_IN})
+                THEN l[len(l)-2] || '.' || l[len(l)-1] || '.' || l[len(l)]
+                WHEN len(l) >= 2 THEN l[len(l)-1] || '.' || l[len(l)]
+                ELSE host END AS domain
+    FROM hosts
+)
+"""
+
+
+def _weburl_col() -> F.Column:
+    m = F.col("doc_id") % 7
+    host = (
+        F.when(m == 0, "news.example.co.uk")
+        .when(m == 1, "example.co.uk:8080")
+        .when(m == 2, "Blog.Sample.COM")
+        .when(m == 3, "sample.com")
+        .when(m == 4, "www.heavy.org")
+        .when(m == 5, "cdn.heavy.org")
+        .otherwise("heavy.org")
+    )
+    return F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+
+
+@query(
+    "web_domain_stats",
+    f"""
+WITH {_WEBDOMS_CTE}
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+FROM doms GROUP BY domain
+""",
+)
+def _web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return web.domain_stats(d.select("doc_id", _weburl_col().alias("url")))
+
+
+_DOMCAP_K = 50
+_DOMCAP_H = _H32.format(x="'domcap:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "web_domain_cap",
+    f"""
+WITH {_WEBDOMS_CTE}
+SELECT doc_id, host, domain, CAST(rn AS INTEGER) AS sample_rank FROM (
+    SELECT doc_id, host, domain,
+           ROW_NUMBER() OVER (
+               PARTITION BY domain ORDER BY {_DOMCAP_H}, doc_id
+           ) AS rn
+    FROM doms
+) WHERE rn <= {_DOMCAP_K}
+""",
+)
+def _web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return web.cap_per_domain(
+        d.select("doc_id", _weburl_col().alias("url")), _DOMCAP_K
+    ).select("doc_id", "host", "domain", "sample_rank")

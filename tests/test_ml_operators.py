@@ -669,3 +669,52 @@ def test_remove_boilerplate_lines(spark):
     assert out[3]["clean_text"] == "" and out[3]["n_lines_kept"] == 0
     assert out[4]["clean_text"] == "no banner here\nref four"
     assert out[4]["n_lines_removed"] == 0
+
+
+def test_web_domain_parsing_and_cap(spark):
+    """Host parse (port/case), registered-domain suffix rule, and the
+    two-level per-domain cap equal to the single-window definition."""
+    from nl_railtraffic_etl_pipeline_spark.functions import web
+
+    rows = [
+        Row(doc_id=0, url="https://News.Example.co.uk:8443/a"),
+        Row(doc_id=1, url="https://example.co.uk/b"),
+        Row(doc_id=2, url="http://www.plain.com/c"),
+        Row(doc_id=3, url="not a url"),
+        Row(doc_id=4, url="https://localhost/d"),
+    ] + [
+        Row(doc_id=100 + i, url=f"https://big.whale.org/{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    doms = {
+        r["doc_id"]: (r["host"], r["domain"])
+        for r in df.select(
+            "doc_id",
+            web.url_host(F.col("url")).alias("host"),
+            web.registered_domain(web.url_host(F.col("url"))).alias("domain"),
+        ).collect()
+    }
+    assert doms[0] == ("news.example.co.uk", "example.co.uk")
+    assert doms[1] == ("example.co.uk", "example.co.uk")
+    assert doms[2] == ("www.plain.com", "plain.com")
+    assert doms[3] == (None, None)
+    assert doms[4] == ("localhost", "localhost")
+
+    capped = web.cap_per_domain(df, cap=10, salt_buckets=4)
+    by_dom = {}
+    for r in capped.collect():
+        by_dom.setdefault(r["domain"], []).append((r["sample_rank"], r["doc_id"]))
+    assert len(by_dom["whale.org"]) == 10
+    # two-level result == single-window definition (exactness of the split)
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import _rank_hash
+    ranked = (
+        df.withColumn("host", web.url_host(F.col("url")))
+        .withColumn("domain", web.registered_domain(F.col("host")))
+        .filter(F.col("domain") == "whale.org")
+        .withColumn("_h", _rank_hash(F.col("doc_id"), "domcap"))
+        .orderBy("_h", "doc_id")
+        .limit(10)
+    )
+    expect = [r["doc_id"] for r in ranked.collect()]
+    got = [d for _, d in sorted(by_dom["whale.org"])]
+    assert got == expect
