@@ -334,6 +334,70 @@ def strip_html(
     )
 
 
+#: Linear quality-classifier weights, numerators over 100 (fixed public
+#: stand-in for a trained fasttext/logreg head: stopword share and length
+#: signals up-weight prose, punctuation noise down-weights it).
+QUALITY_CLASSIFIER_WEIGHTS = {
+    "stopword_ratio": 30,
+    "length_saturation": 25,   # min(n_tokens, 200) / 200
+    "token_len_saturation": 25,  # min(total_token_chars, 8*n) / 8n
+    "punct_ratio": -20,
+}
+#: keep iff score >= 22/100 (splits the synthetic corpus near its median;
+#: a trained head would set this from validation data).
+QUALITY_CLASSIFIER_THRESHOLD = (22, 100)
+
+
+def quality_classifier(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Model-scored document filtering: a fixed-weight linear classifier
+    over quality features (the expression-only proxy for the
+    fasttext/logreg quality heads of C4/CCNet-style pipelines — swap the
+    weights for trained ones, the plan shape is identical).
+
+    Returns (id_col, score, keep).  All feature ratios are brought over a
+    common integer denominator, so the score is ONE IEEE division of two
+    bigints and the keep decision is a pure bigint comparison — exact on
+    any engine, no float accumulation anywhere.  Valid while
+    ``n_tokens * n_chars < 2.3e14`` per document (the 200*B*n*L term's
+    bigint headroom — a 100 MB single document; assert upstream if your
+    corpus has those).  Empty/whitespace-only docs score NULL, keep=false.
+
+    Plan shape: pure map-side projection off the scan — no shuffle, no
+    UDF; composes with partition pruning and runs at parquet-scan speed.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks).cast("bigint")
+    chars = F.length(t).cast("bigint")
+    stop_hits = F.size(
+        F.filter(
+            toks, lambda w: F.array_contains(F.array(*map(F.lit, STOPWORDS)), w)
+        )
+    ).cast("bigint")
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    ).cast("bigint")
+    b = F.least(n, F.lit(200))
+    c = F.least(total_len, F.lit(8) * n)
+    p = punct_count(t).cast("bigint")
+    num = (
+        F.lit(48000) * stop_hits * chars
+        + F.lit(200) * b * n * chars
+        + F.lit(5000) * c * chars
+        - F.lit(32000) * p * n
+    )
+    den = F.lit(160000).cast("bigint") * n * chars
+    thr_num, thr_den = QUALITY_CLASSIFIER_THRESHOLD
+    valid = (n > 0) & (chars > 0)
+    return docs.select(
+        F.col(id_col),
+        F.when(valid, F.round(num.cast("double") / den, 4)).alias("score"),
+        F.when(valid, (num * thr_den) >= (den * thr_num))
+        .otherwise(F.lit(False))
+        .alias("keep"),
+    )
+
+
 def remove_boilerplate_lines(
     docs,
     min_docs: int = 30,

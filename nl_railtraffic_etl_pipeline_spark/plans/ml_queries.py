@@ -2187,3 +2187,48 @@ def _web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.cap_per_domain(
         d.select("doc_id", _weburl_col().alias("url")), _DOMCAP_K
     ).select("doc_id", "host", "domain", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# Model-scored filtering (text.quality_classifier): fixed-weight linear
+# classifier over quality features, all ratios over one common integer
+# denominator — the score is a single bigint/bigint division and keep is a
+# pure bigint comparison, so both are exact cross-engine (no float sums).
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_classifier",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
+f AS (
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains({_SW}, x)))
+                AS BIGINT) AS a,
+           CAST(len(toks) AS BIGINT) AS n,
+           CAST(length(text) AS BIGINT) AS l,
+           CAST(least(len(toks), 200) AS BIGINT) AS b,
+           CAST(least(list_sum(list_transform(toks, x -> length(x))),
+                      8 * len(toks)) AS BIGINT) AS c,
+           CAST(length(text)
+                - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                AS BIGINT) AS p
+    FROM t
+),
+s AS (
+    SELECT doc_id, n, l,
+           48000*a*l + 200*b*n*l + 5000*c*l - 32000*p*n AS num,
+           160000*n*l AS den
+    FROM f
+)
+SELECT doc_id,
+       CASE WHEN n > 0 AND l > 0
+            THEN {_round_sql('CAST(num AS DOUBLE) / den', 4)} END AS score,
+       CASE WHEN n > 0 AND l > 0 THEN num * 100 >= den * 22
+            ELSE FALSE END AS keep
+FROM s
+""",
+)
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_classifier
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return quality_classifier(d)

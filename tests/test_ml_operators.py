@@ -718,3 +718,24 @@ def test_web_domain_parsing_and_cap(spark):
     expect = [r["doc_id"] for r in ranked.collect()]
     got = [d for _, d in sorted(by_dom["whale.org"])]
     assert got == expect
+
+
+def test_quality_classifier_score_and_keep(spark):
+    """Exact rational score; keep decision flips with content; degenerate
+    docs score NULL and keep=False."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        quality_classifier,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            "the quick brown fox is happy to be in a nice field of grass",
+            "!!! ??? ... ;;; :::",  # punctuation soup
+            "",
+        ],
+    )
+    out = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    assert out[0]["keep"] is True and out[0]["score"] > 0.22
+    assert out[1]["keep"] is False
+    assert out[2]["score"] is None and out[2]["keep"] is False
