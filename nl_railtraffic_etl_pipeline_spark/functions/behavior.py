@@ -43,7 +43,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "event_transitions"]
+__all__ = [
+    "funnel",
+    "cohort_retention",
+    "event_transitions",
+    "trailing_anomalies",
+]
 
 
 def funnel(
@@ -340,4 +345,60 @@ def event_transitions(
             / F.sum("n_transitions").over(share),
             2,
         ).alias("share_pct"),
+    )
+
+
+def trailing_anomalies(
+    events: DataFrame,
+    window_rows: int = 10,
+    min_prior: int = 5,
+    factor: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-entity trailing-baseline anomaly detection: an event is
+    anomalous when its value exceeds ``factor`` x the mean of that user's
+    previous ``window_rows`` values (at least ``min_prior`` priors
+    required — cold-start rows are never flagged).
+
+    Cross-engine-exact by construction: values quantize to decimal via
+    the double's shortest-roundtrip string, and the mean comparison is
+    multiplied out (``value * n > factor * sum``) so the decision is pure
+    decimal arithmetic — no float accumulation, no division until the
+    reported ``trailing_mean`` display column (one IEEE division, then
+    ROUND).  The window orders by (ts, id) — a total order, so frame
+    contents are engine-independent under timestamp ties.
+
+    Plan: ONE user-keyed shuffle; the trailing frame is a bounded ROWS
+    frame (running state of ``window_rows`` values per task).  Trailing
+    windows are inherently per-key sequential — for whale keys the same
+    caveat and mitigations as the funnel family apply (see
+    SCALE.md "Window skew").
+    """
+    dv = F.col(value_col).cast("string").cast("decimal(24,10)")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-window_rows, -1)
+    )
+    base = events.select(
+        user_col, ts_col, id_col, value_col, dv.alias("_dv")
+    ).select(
+        "*",
+        F.count("_dv").over(w).alias("_n"),
+        F.sum("_dv").over(w).alias("_sum"),
+    )
+    return base.filter(
+        (F.col("_n") >= min_prior)
+        & (F.col("_dv") * F.col("_n") > F.lit(factor) * F.col("_sum"))
+    ).select(
+        user_col,
+        id_col,
+        value_col,
+        F.round(F.col("_sum").cast("double") / F.col("_n"), 4).alias(
+            "trailing_mean"
+        ),
+        F.col("_n").cast("int").alias("n_prior"),
     )

@@ -428,3 +428,50 @@ def group_centroids(
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+def quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column — the
+    4x memory compression step before shipping vectors to an ANN index.
+
+    Per vector: ``scale = max|x| / 127``; ``q[i] = trunc(x[i] / scale)``
+    (toward zero, so every element lands in [-127, 127]).  Returns
+    (id_col, scale, qvec, max_abs_err) with the reconstruction error
+    ``max|x - q*scale|`` as the quantization-quality signal.  All
+    arithmetic is elementwise IEEE (one division, one truncation per
+    element — no accumulation), so results are bit-identical cross-engine;
+    an all-zero vector quantizes to zeros with scale 0.
+
+    Plan shape: pure map-side array expressions off the scan — no
+    shuffle, no UDF, no collect; composes with column pruning (only the
+    vector column is read).
+    """
+    base = emb.select(F.col(id_col), F.col(vec_col).alias("e"))
+    staged = base.select(
+        id_col,
+        "e",
+        (
+            F.array_max(F.transform("e", lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("scale"),
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform("e", lambda x: (x / F.col("scale")).cast("int")),
+    ).otherwise(F.transform("e", lambda x: F.lit(0)))
+    staged = staged.select(id_col, "e", "scale", q.alias("qvec"))
+    # Compute the error in its own projection, NOT alongside the rounded
+    # output alias: a sibling `round(scale) AS scale` would capture the
+    # `scale` reference via lateral column alias resolution and silently
+    # measure error against the display-rounded scale.
+    err = F.array_max(
+        F.zip_with("e", "qvec", lambda x, qq: F.abs(x - qq * F.col("scale")))
+    )
+    staged = staged.select(id_col, "scale", "qvec", err.alias("_err"))
+    return staged.select(
+        F.col(id_col),
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.col("qvec"),
+        F.round(F.col("_err"), 6).alias("max_abs_err"),
+    )

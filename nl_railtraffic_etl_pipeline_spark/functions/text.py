@@ -334,6 +334,44 @@ def strip_html(
     )
 
 
+def vocab_coverage(
+    docs, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Tokenizer-style vocabulary induction: the corpus's top-``k`` unigrams
+    by occurrence count, with each term's 1-based rank and the CUMULATIVE
+    share of all corpus tokens covered through that rank (the curve a
+    vocab-size decision reads: "how many entries until 95 % coverage?").
+
+    Returns (term, n_occ, rank, cum_share), total-ordered by
+    (count desc, term).
+
+    Plan shape: tokenize+explode map-side; one term-keyed partial-
+    aggregated count; the corpus token total derives from the SAME count
+    frame (one extra metadata-scale agg, no second corpus scan) and
+    broadcasts as one row; global top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver);
+    the rank/cumulative windows then run over the k-row frame only —
+    never over the vocabulary, never over the corpus.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    counts = tok.groupBy("term").agg(F.count("*").alias("n_occ"))
+    total = counts.agg(F.sum("n_occ").alias("_tot"))
+    top = counts.orderBy(F.desc("n_occ"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "term",
+        "n_occ",
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.round(
+            F.sum("n_occ").over(w).cast("double") / F.col("_tot"), 6
+        ).alias("cum_share"),
+    )
+
+
 #: Linear quality-classifier weights, numerators over 100 (fixed public
 #: stand-in for a trained fasttext/logreg head: stopword share and length
 #: signals up-weight prose, punctuation noise down-weights it).

@@ -414,3 +414,44 @@ def _daily_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-baseline anomaly detection (behavior.trailing_anomalies): value
+# > 3x the user's previous-10-events mean, >= 5 priors required.  The
+# decision is multiplied out in decimal (value*n > 3*sum) so it is exact
+# on both engines; only the DISPLAY mean divides (bridged ROUND).
+# ---------------------------------------------------------------------------
+from .ml_queries import _round_sql  # noqa: E402
+from ..functions.behavior import trailing_anomalies  # noqa: E402
+
+
+@query(
+    "events_trailing_anomalies",
+    f"""
+WITH base AS (
+    SELECT user_id, event_id, value, ts,
+           CAST(CAST(value AS VARCHAR) AS DECIMAL(24,10)) AS dv
+    FROM events
+),
+wins AS (
+    SELECT user_id, event_id, value, dv,
+           COUNT(dv) OVER w AS n,
+           SUM(dv) OVER w AS s
+    FROM base
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING
+    )
+)
+SELECT user_id, event_id, value,
+       {_round_sql('CAST(s AS DOUBLE) / n', 4)} AS trailing_mean,
+       CAST(n AS INTEGER) AS n_prior
+FROM wins
+WHERE n >= 5 AND dv * n > 3 * s
+""",
+)
+def _trailing_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trailing_anomalies(
+        load_table(spark, sf_dir, "events", spread=True)
+    )

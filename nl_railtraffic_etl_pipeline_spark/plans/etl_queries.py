@@ -804,3 +804,51 @@ def _salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot materialization (upsert.apply_cdc_log): latest-wins with
+# delete semantics over a change log derived from events (signup=insert,
+# error=delete, rest=update).  The Spark winner is a partial-aggregated
+# max(struct) — skew-immune; the oracle states the same semantics as a
+# last-row-per-key window, proving the two formulations agree.
+# ---------------------------------------------------------------------------
+_CDC_OP_SQL = (
+    "CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' "
+    "ELSE 'U' END"
+)
+
+
+@query(
+    "cdc_latest_snapshot",
+    f"""
+WITH log AS (
+    SELECT user_id, ts, event_id, {_CDC_OP_SQL} AS op, value FROM events
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rn
+    FROM log
+)
+SELECT user_id, ts, event_id, op, value
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+)
+def _cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import apply_cdc_log
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    log = ev.select("user_id", "ts", "event_id", op.alias("op"), "value")
+    return apply_cdc_log(
+        log,
+        key_cols=["user_id"],
+        ts_col="ts",
+        seq_col="event_id",
+        payload_cols=["value"],
+    )

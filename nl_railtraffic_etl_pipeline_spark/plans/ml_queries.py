@@ -2232,3 +2232,78 @@ def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents", spread=True)
     return quality_classifier(d)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction (text.vocab_coverage): top-k unigrams with the
+# cumulative token-coverage curve.  Global top-k is TakeOrderedAndProject;
+# the rank/cumulative windows run on the k-row result only.
+# ---------------------------------------------------------------------------
+_VOCAB_K = 20
+
+
+@query(
+    "text_vocab_coverage",
+    f"""
+WITH tok AS (SELECT unnest({_TOKENS}) AS term FROM documents),
+counts AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occ FROM tok GROUP BY term
+),
+total AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS tot FROM counts),
+top AS (
+    SELECT term, n_occ FROM counts ORDER BY n_occ DESC, term LIMIT {_VOCAB_K}
+)
+SELECT term, n_occ,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, term) AS INTEGER) AS rank,
+       {_round_sql(
+           "CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, term "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / tot",
+           6,
+       )} AS cum_share
+FROM top, total
+""",
+)
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import vocab_coverage
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return vocab_coverage(d, k=_VOCAB_K)
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (simsearch.quantize_int8): symmetric
+# per-vector compression with reconstruction-error reporting.  Elementwise
+# IEEE only (no accumulation), so the quantized vectors, scales, and max
+# errors are bit-identical cross-engine; the displayed doubles go through
+# the decimal ROUND bridge.
+# ---------------------------------------------------------------------------
+@query(
+    "emb_quantize_int8",
+    f"""
+WITH v AS (
+    SELECT vec_id, embedding AS e,
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               / CAST(127 AS DOUBLE) AS scale
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id, e, scale,
+           CASE WHEN scale > 0
+                THEN [CAST(trunc(CAST(x AS DOUBLE) / scale) AS INTEGER)
+                      for x in e]
+                ELSE [CAST(0 AS INTEGER) for x in e] END AS qvec
+    FROM v
+)
+SELECT vec_id,
+       {_round_sql('scale', 6)} AS scale,
+       qvec,
+       {_round_sql(
+           'list_max([abs(CAST(e[i] AS DOUBLE) - qvec[i] * scale) '
+           'for i in range(1, len(e) + 1)])', 6
+       )} AS max_abs_err
+FROM q
+""",
+)
+def _quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
+    return simsearch.quantize_int8(e)

@@ -20,6 +20,11 @@ driver compares row count, schema, and an order-insensitive value hash, so:
   ``CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20))`` before ROUND
   (``ml_queries._round_sql``); rounds over decimal-exact aggregates
   (exact_avg pattern) are already safe.
+- DuckDB numeric literals with a decimal point (``127.0``) are DECIMAL,
+  not DOUBLE: ``FLOAT / 127.0`` runs in float32 and diverges from Spark's
+  float/double promotion (bit emb_quantize_int8).  Cast both operands —
+  ``CAST(x AS DOUBLE) / CAST(127 AS DOUBLE)`` — wherever a float column
+  meets a literal.
 """
 
 from __future__ import annotations

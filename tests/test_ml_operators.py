@@ -739,3 +739,79 @@ def test_quality_classifier_score_and_keep(spark):
     assert out[0]["keep"] is True and out[0]["score"] > 0.22
     assert out[1]["keep"] is False
     assert out[2]["score"] is None and out[2]["keep"] is False
+
+
+def test_vocab_coverage_curve(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.text import vocab_coverage
+
+    docs = _docs(spark, ["a a a b b c", "a b d"])
+    out = vocab_coverage(docs, k=3).collect()
+    assert [(r["term"], r["n_occ"], r["rank"]) for r in out] == [
+        ("a", 4, 1), ("b", 3, 2), ("c", 1, 3)
+    ]
+    assert out[0]["cum_share"] == round(4 / 9, 6)
+    assert out[2]["cum_share"] == round(8 / 9, 6)
+
+
+def test_quantize_int8_roundtrip(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.simsearch import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[0.5, -1.0, 0.25]),
+            Row(vec_id=1, embedding=[0.0, 0.0, 0.0]),
+        ]
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert out[0]["qvec"][1] in (-127, -126)  # max-abs element
+    assert all(-127 <= q <= 127 for q in out[0]["qvec"])
+    assert out[0]["max_abs_err"] <= out[0]["scale"]
+    assert out[1]["qvec"] == [0, 0, 0] and out[1]["scale"] == 0.0
+
+
+def test_trailing_anomalies_cold_start_and_flag(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        trailing_anomalies,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, event_id=i, ts=t0 + dt.timedelta(minutes=i),
+            value=1.0 if i != 9 else 100.0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    out = trailing_anomalies(df, window_rows=10, min_prior=5, factor=3)
+    got = out.collect()
+    # only event 9 (value 100 vs trailing mean 1.0) and never the first 5
+    assert [(r["event_id"], r["trailing_mean"]) for r in got] == [(9, 1.0)]
+
+
+def test_apply_cdc_log_delete_and_latest(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.operators.upsert import apply_cdc_log
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, ts=t0, event_id=1, op="I", value=1.0),
+        Row(user_id=1, ts=t0 + dt.timedelta(1), event_id=2, op="U", value=2.0),
+        Row(user_id=2, ts=t0, event_id=3, op="I", value=3.0),
+        Row(user_id=2, ts=t0 + dt.timedelta(1), event_id=4, op="D", value=0.0),
+        Row(user_id=3, ts=t0, event_id=5, op="D", value=0.0),
+        Row(user_id=3, ts=t0, event_id=6, op="I", value=6.0),  # same ts, seq wins
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["user_id"]: r
+        for r in apply_cdc_log(
+            df, ["user_id"], "ts", "event_id", payload_cols=["value"]
+        ).collect()
+    }
+    assert out[1]["value"] == 2.0 and out[1]["op"] == "U"
+    assert 2 not in out            # deleted
+    assert out[3]["value"] == 6.0  # higher seq at equal ts wins
