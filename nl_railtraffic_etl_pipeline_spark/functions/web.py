@@ -109,7 +109,11 @@ def cap_per_domain(
     and keeps ``cap`` per bucket; level 2 ranks the surviving
     <= ``salt_buckets * cap`` rows per domain.  Any row in a domain's true
     top-``cap`` is necessarily in its bucket's top-``cap``, so the
-    two-level result is exactly the single-window result.
+    two-level result is exactly the single-window result.  (Spark >= 3.5
+    additionally applies rank-limit pushdown — ``WindowGroupLimit`` nodes
+    keep only ``cap`` rows per map partition BEFORE each exchange, visible
+    in the plan — so even the shuffle input is cap-bounded per source
+    partition.)
     """
     host = url_host(F.col(url_col))
     h = _rank_hash(F.col(id_col), "domcap")

@@ -167,3 +167,48 @@ def test_bucketed_join_is_shuffle_free(spark):
     txt = plan_of(spark, "join_bucketed_colocated")
     assert "SortMergeJoin" in txt
     assert len(re.findall(r"hashpartitioning\(", txt)) == 1
+
+
+@pytest.mark.parametrize("name", ["text_quality_classifier", "emb_quantize_int8"])
+def test_scoring_ops_are_map_side_only(spark, name):
+    """Classifier scoring and int8 quantization are pure projections: no
+    join, no window, no aggregate; at most the testdata spread exchange."""
+    txt = plan_of(spark, name)
+    assert "Join" not in txt and "Window" not in txt, name
+    assert "HashAggregate" not in txt, name
+    assert txt.count("Exchange") <= 2, name  # spread repartition only
+
+
+def test_vocab_topk_is_distributed(spark):
+    """Global vocab top-k must be TakeOrderedAndProject; the coverage
+    windows may only run over the k-row result."""
+    txt = plan_of(spark, "text_vocab_coverage")
+    assert "TakeOrderedAndProject" in txt
+    assert not re.search(r"Window .*\n.*Scan parquet", txt)
+
+
+def test_domain_cap_is_two_level(spark):
+    """The per-domain cap must rank in two window levels (salt bucket then
+    domain) so a whale domain never sorts in one task."""
+    txt = plan_of(spark, "web_domain_cap")
+    assert len(re.findall(r"\(\d+\) Window\b", txt)) == 2
+    # rank-limit pushdown: partial WindowGroupLimit must run BEFORE each
+    # exchange so only top-cap rows per map partition shuffle at all
+    assert "WindowGroupLimit" in txt
+    assert "_s" in txt  # salt key participates in the first partitioning
+
+
+def test_cdc_snapshot_has_no_window(spark):
+    """CDC latest-wins must be the partial-aggregated max(struct) — a
+    HashAggregate/SortAggregate pair, never a per-key window sort."""
+    txt = plan_of(spark, "cdc_latest_snapshot")
+    assert "Window" not in txt
+    assert "Aggregate" in txt
+
+
+def test_trailing_anomalies_single_key_shuffle(spark):
+    """One user-keyed exchange feeding the trailing window; no joins."""
+    txt = plan_of(spark, "events_trailing_anomalies")
+    assert "Join" not in txt
+    assert len(re.findall(r"hashpartitioning\(user_id", txt)) >= 1
+    assert len(re.findall(r"\(\d+\) Window\b", txt)) == 1
