@@ -1,0 +1,89 @@
+"""Iterative graph algorithms as declarative DataFrame loops.
+
+The connected-components labeler (functions/dedup.py::dup_clusters) covers
+the union-find class; this module adds the fixed-point-iteration class with
+a deterministic PageRank.  Like every operator in this engine it is
+oracle-checkable: all arithmetic is integer (rank mass in fixed-point
+"units", truncated division), so after any number of iterations the ranks
+are BIT-IDENTICAL on any engine and any partitioning — no float
+accumulation, no convergence epsilon, a fixed iteration count.
+
+Scale shape per iteration: one map-side share projection, one src-keyed
+equi-join of the edge list against the shares, one dst-keyed
+partial-aggregated sum, one node-keyed left join.  Nothing collects; the
+edge list is reused every round (``persist_edges=True`` caches it and the
+out-degrees across iterations).  Lineage grows linearly in the iteration
+count — for long runs on a real cluster, checkpoint every ~10 rounds to cut
+the plan; at the fixed gate depth (5) that is unnecessary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point scale: 1.0 of rank mass == 10^12 units.
+PAGERANK_UNIT = 10**12
+#: Damping factor 85/100 as an exact rational.
+PAGERANK_DAMPING = (85, 100)
+
+
+def pagerank_units(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    persist_edges: bool = True,
+) -> DataFrame:
+    """PageRank over ``nodes`` / ``edges`` in exact integer units.
+
+    ``r_0(v) = UNIT``; each round
+    ``r_{k+1}(v) = (15 * UNIT) div 100 + (85 * S_v) div 100`` where
+    ``S_v = sum over in-edges (u, v) of (r_k(u) div outdeg(u))``.
+    Truncated integer division leaks a few units of mass per round — by
+    design: determinism on every engine beats the last-ulp mass
+    conservation a float formulation would also fail to deliver.  Edges
+    to nodes absent from ``nodes`` lose their share (documented dangling
+    behavior); nodes with no out-edges contribute nothing (their mass
+    evaporates, the classic dangling-node simplification).
+
+    Returns (node, pr_units) with ``pr_units`` a BIGINT.  Safe while
+    ``85 * N * UNIT < 2^63`` — about 10^8 nodes at the default unit; drop
+    ``UNIT`` to 10^9 for larger graphs (documented bound, asserted
+    nowhere: the caller knows N).
+    """
+    num, den = PAGERANK_DAMPING
+    teleport = (den - num) * PAGERANK_UNIT // den
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    outdeg = e.groupBy("_src").agg(F.count("*").alias("_d"))
+    if persist_edges:
+        e = e.persist()
+        outdeg = outdeg.persist()
+    ranks = nodes.select(
+        F.col(id_col).alias("node"),
+        F.lit(PAGERANK_UNIT).cast("bigint").alias("r"),
+    )
+    base_nodes = nodes.select(F.col(id_col).alias("node"))
+    for _ in range(iterations):
+        shares = ranks.join(
+            outdeg, ranks["node"] == outdeg["_src"]
+        ).select(F.col("_src"), F.expr("r div _d").alias("_share"))
+        contrib = (
+            e.join(shares, "_src")
+            .groupBy("_dst")
+            .agg(F.sum("_share").alias("_s"))
+        )
+        ranks = base_nodes.join(
+            contrib, base_nodes["node"] == contrib["_dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(f"({num} * coalesce(_s, 0)) div {den}")
+            ).cast("bigint").alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("pr_units"))

@@ -2307,3 +2307,82 @@ FROM q
 def _quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", spread=True)
     return simsearch.quantize_int8(e)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic PageRank (functions/graph.py): the fixed-point-iteration
+# family, in exact integer units so 5 iterations hash-match cross-engine.
+# The link graph is derived deterministically from doc_id on both engines
+# (1-3 out-edges per doc via modular formulas, DISTINCT-deduped); the
+# oracle unrolls the same five steps as chained CTEs.
+# ---------------------------------------------------------------------------
+from ..functions.graph import PAGERANK_UNIT, pagerank_units  # noqa: E402
+
+_PR_TELEPORT = 15 * PAGERANK_UNIT // 100
+
+_PR_EDGES_CTE = """
+n AS (SELECT COUNT(*) AS n FROM documents),
+cand AS (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % n.n AS dst FROM documents, n
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 2) % n.n FROM documents, n
+    WHERE doc_id % 3 >= 1
+    UNION ALL
+    SELECT doc_id, (doc_id * 3 + 5) % n.n FROM documents, n
+    WHERE doc_id % 3 >= 2
+),
+edges AS (SELECT DISTINCT src, dst FROM cand),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+pr0 AS (
+    SELECT doc_id AS node, CAST(1000000000000 AS BIGINT) AS r FROM documents
+)"""
+
+
+def _pr_step_sql(k: int) -> str:
+    return f"""
+pr{k + 1} AS (
+    SELECT d.doc_id AS node,
+           CAST({_PR_TELEPORT} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
+               AS r
+    FROM documents d
+    LEFT JOIN (
+        SELECT e.dst AS nd, SUM(p.r // o.d) AS s
+        FROM edges e
+        JOIN pr{k} p ON e.src = p.node
+        JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+    ) s ON d.doc_id = s.nd
+)"""
+
+
+_PR_ITERS = 5
+
+
+def _pr_edges_df(docs: DataFrame) -> DataFrame:
+    n = docs.agg(F.count("*").alias("_n"))
+    base = docs.select("doc_id").crossJoin(F.broadcast(n))
+    d = F.col("doc_id")
+    e1 = base.select(d.alias("src"), ((d * 7 + 1) % F.col("_n")).alias("dst"))
+    e2 = base.filter(d % 3 >= 1).select(
+        d.alias("src"), ((d * 13 + 2) % F.col("_n")).alias("dst")
+    )
+    e3 = base.filter(d % 3 >= 2).select(
+        d.alias("src"), ((d * 3 + 5) % F.col("_n")).alias("dst")
+    )
+    return e1.union(e2).union(e3).distinct()
+
+
+@query(
+    "graph_pagerank",
+    "WITH "
+    + _PR_EDGES_CTE
+    + ","
+    + ",".join(_pr_step_sql(k) for k in range(_PR_ITERS))
+    + f"\nSELECT node AS doc_id, r AS pr_units FROM pr{_PR_ITERS}",
+)
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    edges = _pr_edges_df(docs)
+    return pagerank_units(
+        docs, edges, iterations=_PR_ITERS, id_col="doc_id"
+    ).select(F.col("node").alias("doc_id"), "pr_units")

@@ -815,3 +815,30 @@ def test_apply_cdc_log_delete_and_latest(spark):
     assert out[1]["value"] == 2.0 and out[1]["op"] == "U"
     assert 2 not in out            # deleted
     assert out[3]["value"] == 6.0  # higher seq at equal ts wins
+
+
+def test_pagerank_deterministic_and_sensible(spark):
+    """Hub node outranks leaves; result invariant under repartitioning;
+    per-node mass stays within [teleport, total]."""
+    from nl_railtraffic_etl_pipeline_spark.functions.graph import (
+        PAGERANK_UNIT,
+        pagerank_units,
+    )
+
+    nodes = spark.createDataFrame([Row(id=i) for i in range(5)])
+    # star: everyone links to 0; 0 links to 1
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=0) for i in range(1, 5)] + [Row(src=0, dst=1)]
+    )
+    pr = {r["node"]: r["pr_units"] for r in pagerank_units(nodes, edges).collect()}
+    assert pr[0] == max(pr.values())
+    assert pr[1] > pr[2] == pr[3] == pr[4]
+    assert all(v >= 15 * PAGERANK_UNIT // 100 for v in pr.values())
+
+    pr2 = {
+        r["node"]: r["pr_units"]
+        for r in pagerank_units(
+            nodes.repartition(7), edges.repartition(3)
+        ).collect()
+    }
+    assert pr2 == pr
