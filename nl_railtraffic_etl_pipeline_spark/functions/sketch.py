@@ -38,6 +38,9 @@ __all__ = [
     "bernoulli_sample",
     "stratified_bernoulli_sample",
     "pps_systematic_sample",
+    "grid_quantile_sketch",
+    "grid_quantile_merge",
+    "grid_quantile_estimate",
 ]
 
 _HASH_SPACE = float(2**32)
@@ -278,4 +281,128 @@ def pps_systematic_sample(
         scored.withColumn("n_picks", picks)
         .filter(F.col("n_picks") > 0)
         .select(F.col(id_col), F.col("_wq").alias("weight_q"), "n_picks")
+    )
+
+
+#: Fixed grid resolution for the quantile sketch.
+GRID_QUANTILE_BINS = 128
+
+
+def grid_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    bins: int = GRID_QUANTILE_BINS,
+) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch STATE: per group, equi-width
+    bin counts between the group's exact min/max.
+
+    The deterministic stand-in for t-digest/KLL: two passes (bounds, then
+    map-side binning into a (group, bin)-keyed count), state size
+    ``bins`` rows per group regardless of input size.  States built over
+    DISJOINT slices of a group (with shared bounds) merge by summing
+    counts — see :func:`grid_quantile_merge` — which is what makes the
+    sketch shippable from per-partition/per-day builds.  Unlike HLL/
+    t-digest binaries, the state is plain rows an independent oracle can
+    replay.  Returns (group..., lo, hi, n, bin, c).
+    """
+    keys = list(group_cols)
+    v = F.col(value_col)
+    bounds = df.groupBy(*keys).agg(
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+        F.count(v).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(bins)
+    b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((v - F.col("lo")) / width).cast("int"),
+        )
+    )
+    return (
+        df.join(bounds, keys)
+        .select(*keys, "lo", "hi", "n", b.alias("bin"))
+        .groupBy(*keys, "lo", "hi", "n", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def grid_quantile_merge(
+    states: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge sketch states built over disjoint slices of each group.
+
+    Requires the slices to share (lo, hi) — build them against global
+    bounds (the usual pattern: one bounds pass, then per-day states).
+    Counts sum; ``n`` re-derives from the summed counts.
+    """
+    keys = list(group_cols)
+    merged = states.groupBy(*keys, "lo", "hi", "bin").agg(
+        F.sum("c").alias("c")
+    )
+    totals = merged.groupBy(*keys).agg(F.sum("c").alias("n"))
+    return merged.join(totals, keys).select(
+        *keys, "lo", "hi", "n", "bin", "c"
+    )
+
+
+def grid_quantile_estimate(
+    state: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[tuple[int, int]] = ((50, 100), (90, 100), (99, 100)),
+    bins: int = GRID_QUANTILE_BINS,
+) -> DataFrame:
+    """Quantile estimates from a grid sketch state.
+
+    For each rational quantile ``(qn, qd)``: integer target rank
+    ``r = ceil(qn * n / qd)``; the estimate interpolates inside the bin
+    containing rank ``r``:
+    ``lo + (bin + (r - cum_prev) / c) * (hi - lo) / bins``.  Rank math is
+    pure integer, the interpolation a fixed IEEE chain — bit-identical
+    cross-engine.  Grid error is bounded by one bin width (exact
+    quantiles live in plans/behavior_queries.py when you need them);
+    determinism and mergeability are what this buys over
+    ``approx_percentile``.
+
+    Plan: cumulative window over each group's <= ``bins`` rows (metadata
+    scale), an explode of the constant quantile list, one equi-join
+    filter picking the unique covering bin.  Returns
+    (group..., q_pct, est).
+    """
+    keys = list(group_cols)
+    cum = state.select(
+        *keys, "lo", "hi", "n", "bin", "c",
+        F.sum("c")
+        .over(
+            Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cumc"),
+    )
+    qlist = F.array(
+        *[
+            F.struct(F.lit(qn).alias("qn"), F.lit(qd).alias("qd"))
+            for qn, qd in qs
+        ]
+    )
+    with_q = cum.select(
+        "*", F.explode(qlist).alias("_q")
+    ).select(
+        "*",
+        F.expr("(_q.qn * n + _q.qd - 1) div _q.qd").alias("_r"),
+    )
+    covering = with_q.filter(
+        (F.col("cumc") >= F.col("_r"))
+        & ((F.col("cumc") - F.col("c")) < F.col("_r"))
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(bins)
+    frac = (F.col("_r") - (F.col("cumc") - F.col("c"))).cast("double") / F.col(
+        "c"
+    )
+    return covering.select(
+        *keys,
+        F.col("_q.qn").cast("int").alias("q_pct"),
+        F.round(F.col("lo") + (F.col("bin") + frac) * width, 6).alias("est"),
     )

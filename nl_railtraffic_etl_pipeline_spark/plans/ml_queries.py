@@ -2386,3 +2386,62 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_units(
         docs, edges, iterations=_PR_ITERS, id_col="doc_id"
     ).select(F.col("node").alias("doc_id"), "pr_units")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable grid-quantile sketch (sketch.grid_quantile_sketch/estimate):
+# the deterministic t-digest/KLL stand-in — equi-width bin counts between
+# exact group bounds, quantile estimates by in-bin interpolation.  Rank
+# math is integer; the interpolation is one fixed IEEE chain (bridged
+# ROUND); the oracle replays the whole sketch algebra, not just outputs.
+# ---------------------------------------------------------------------------
+@query(
+    "sketch_grid_quantiles",
+    f"""
+WITH bounds AS (
+    SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+           CAST(COUNT(value) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+),
+binned AS (
+    SELECT e.event_type, b.lo, b.hi, b.n,
+           CASE WHEN b.hi = b.lo THEN 0
+                ELSE least(127, CAST(floor(
+                    (e.value - b.lo) / ((b.hi - b.lo) / 128)
+                ) AS INTEGER)) END AS bin
+    FROM events e JOIN bounds b USING (event_type)
+),
+counts AS (
+    SELECT event_type, lo, hi, n, bin, CAST(COUNT(*) AS BIGINT) AS c
+    FROM binned GROUP BY event_type, lo, hi, n, bin
+),
+cum AS (
+    SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cumc
+    FROM counts
+),
+qs AS (SELECT * FROM (VALUES (50, 100), (90, 100), (99, 100)) AS t(qn, qd)),
+covering AS (
+    SELECT c.event_type, c.lo, c.hi, c.bin, c.c, c.cumc, q.qn,
+           (q.qn * c.n + q.qd - 1) // q.qd AS r
+    FROM cum c, qs q
+    WHERE c.cumc >= (q.qn * c.n + q.qd - 1) // q.qd
+      AND c.cumc - c.c < (q.qn * c.n + q.qd - 1) // q.qd
+)
+SELECT event_type,
+       CAST(qn AS INTEGER) AS q_pct,
+       {_round_sql(
+           'lo + (bin + CAST(r - (cumc - c) AS DOUBLE) / c)'
+           ' * ((hi - lo) / 128)', 6
+       )} AS est
+FROM covering
+""",
+)
+def _grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import (
+        grid_quantile_estimate,
+        grid_quantile_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    state = grid_quantile_sketch(ev, "value", ["event_type"])
+    return grid_quantile_estimate(state, ["event_type"])

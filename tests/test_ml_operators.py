@@ -842,3 +842,55 @@ def test_pagerank_deterministic_and_sensible(spark):
         ).collect()
     }
     assert pr2 == pr
+
+
+def test_grid_quantile_sketch_merge_equals_direct(spark):
+    """States built over disjoint slices (shared bounds) merge to the
+    direct sketch; estimates land within one bin width of the exact
+    quantile."""
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        grid_quantile_estimate,
+        grid_quantile_merge,
+        grid_quantile_sketch,
+    )
+
+    rows = [Row(g="a", v=float(i)) for i in range(1000)] + [
+        Row(g="b", v=float(i * i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)
+    direct = grid_quantile_sketch(df, "v", ["g"])
+
+    # the merge contract requires slices binned against SHARED bounds:
+    # bin each half against the global per-group bounds, then merge.
+    bounds = direct.select("g", "lo", "hi").distinct()
+    base = df.join(bounds, "g")
+    import pyspark.sql.functions as SF
+
+    width = (SF.col("hi") - SF.col("lo")) / SF.lit(128)
+    b = SF.when(SF.col("hi") == SF.col("lo"), SF.lit(0)).otherwise(
+        SF.least(SF.lit(127), SF.floor((SF.col("v") - SF.col("lo")) / width).cast("int"))
+    )
+    halves = []
+    for pred in (SF.col("v") % 2 == 0, SF.col("v") % 2 == 1):
+        halves.append(
+            base.filter(pred)
+            .select("g", "lo", "hi", b.alias("bin"))
+            .groupBy("g", "lo", "hi", "bin")
+            .agg(SF.count("*").alias("c"))
+            .withColumn("n", SF.lit(0))
+            .select("g", "lo", "hi", "n", "bin", "c")
+        )
+    merged = grid_quantile_merge(halves[0].union(halves[1]), ["g"])
+
+    def est_map(state):
+        return {
+            (r["g"], r["q_pct"]): r["est"]
+            for r in grid_quantile_estimate(state, ["g"]).collect()
+        }
+
+    em, ed = est_map(merged), est_map(direct)
+    assert em == ed
+    # error bound: one bin width
+    assert abs(ed[("a", 50)] - 500.0) <= 999.0 / 128 + 1
+    # rank r = ceil(0.9*100) = 90 -> 90th smallest of {i^2} = 89^2
+    assert abs(ed[("b", 90)] - 89 * 89) <= (99 * 99) / 128 + 1
