@@ -310,3 +310,81 @@ def _streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
     _drain_to_memory(joined, "streaming_attribution_join_result", "append")
     return spark.table("streaming_attribution_join_result")
+
+
+@query(
+    "streaming_attribution_left",
+    # LEFT-OUTER stream-stream join: every matched (click, purchase) pair
+    # PLUS null-padded rows for clicks that can no longer match.  Outer
+    # emission is watermark-gated: a click emits null-joined only once the
+    # final global watermark (with 0s delay under the availableNow drain:
+    # least of the two sides' max event times, advanced by the closing
+    # no-data micro-batch) has passed its whole 1-hour match window.  The
+    # oracle states exactly that: matched pairs UNION unmatched clicks
+    # with click_ts + 1h < least(max click_ts, max purchase_ts).  Clicks
+    # inside the final hour stay withheld — deterministic under the full
+    # drain, and the real unbounded-deployment semantics too.
+    """
+WITH wm AS (
+    SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+    ) AS w
+)
+SELECT c.user_id,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+UNION ALL
+SELECT c.user_id,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       CAST(NULL AS BIGINT) AS purchase_id,
+       CAST(NULL AS TIMESTAMP) AS purchase_ts
+FROM events c, wm
+WHERE c.event_type = 'click'
+  AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+  )
+  AND c.ts + INTERVAL 1 HOUR < wm.w
+""",
+)
+def _streaming_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
+        ),
+        "leftOuter",
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+    _drain_to_memory(joined, "streaming_attribution_left_result", "append")
+    return spark.table("streaming_attribution_left_result")
