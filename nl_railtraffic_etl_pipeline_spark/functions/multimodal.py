@@ -91,3 +91,43 @@ def sample_frames(
         "frame_no",
         F.col("byte_offset").cast("int").alias("byte_offset"),
     )
+
+
+def plan_audio_chunks(
+    df: DataFrame,
+    duration_col: str = "duration_ms",
+    chunk_ms: int = 30_000,
+    stride_ms: int = 25_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segmentation PLAN for long audio: overlapping fixed-length chunks
+    (``chunk_ms`` window, ``stride_ms`` hop — the 30s/5s-overlap scheme a
+    Whisper-style transcription pipeline feeds), computed from duration
+    METADATA only.  The decode/slice of actual audio bytes happens
+    downstream against this plan (stubbed in this environment like the
+    image decoder); planning from metadata means the payload column is
+    never read here — row groups prune on duration alone.
+
+    Returns (id_col, chunk_idx, start_ms, end_ms): starts at every stride
+    below the duration, ends clamped to it, zero-length chunks dropped.
+    Pure sequence+explode — JVM-side, map-only, no shuffle.
+    """
+    dur = F.col(duration_col).cast("bigint")
+    starts = F.sequence(
+        F.lit(0).cast("bigint"),
+        F.greatest(dur - 1, F.lit(0).cast("bigint")),
+        F.lit(stride_ms).cast("bigint"),
+    )
+    exploded = df.select(
+        F.col(id_col), dur.alias("_dur"), F.explode(starts).alias("start_ms")
+    )
+    end = F.least(F.col("start_ms") + chunk_ms, F.col("_dur"))
+    return (
+        exploded.filter(end > F.col("start_ms"))
+        .select(
+            F.col(id_col),
+            F.expr(f"start_ms div {stride_ms}").cast("int").alias("chunk_idx"),
+            F.col("start_ms"),
+            end.alias("end_ms"),
+        )
+    )

@@ -66,3 +66,37 @@ def salted_join(
     )
     out = fact_s.join(dim_s, keys + ["_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    topk: int = 20,
+) -> DataFrame:
+    """Skew diagnostic: the ``topk`` heaviest key values with their row
+    counts, corpus share, and rank — the measurement that decides whether
+    a join/window needs salting BEFORE you pay for it (pair with
+    :func:`salted_join` / the behavioral whale twins).
+
+    Plan: one key-keyed partial-aggregated count (a whale key ships one
+    partial row per map task), total derived from the SAME count frame
+    (metadata-scale agg, 1-row broadcast), global top-k via
+    TakeOrderedAndProject, rank window over the k-row result only.
+    """
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_tot"))
+    top = counts.orderBy(
+        F.desc("n_rows"), *[F.asc(k) for k in keys]
+    ).limit(topk)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
+    return top.crossJoin(F.broadcast(total)).select(
+        *keys,
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("_tot"), 6).alias(
+            "share"
+        ),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

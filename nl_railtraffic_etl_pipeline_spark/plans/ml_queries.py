@@ -2445,3 +2445,66 @@ def _grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events", spread=True)
     state = grid_quantile_sketch(ev, "value", ["event_type"])
     return grid_quantile_estimate(state, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Audio segmentation planning (multimodal.plan_audio_chunks): overlapping
+# 30s/25s-stride chunk plans from duration METADATA (payload never read).
+# Durations are synthesized deterministically from doc_id on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_audio_chunks",
+    """
+WITH meta AS (
+    SELECT doc_id, (doc_id * 7919) % 95000 + 500 AS duration_ms
+    FROM documents
+),
+s AS (
+    SELECT doc_id, duration_ms,
+           unnest(range(0, duration_ms, 25000)) AS start_ms
+    FROM meta
+)
+SELECT doc_id,
+       CAST(start_ms // 25000 AS INTEGER) AS chunk_idx,
+       CAST(start_ms AS BIGINT) AS start_ms,
+       CAST(least(start_ms + 30000, duration_ms) AS BIGINT) AS end_ms
+FROM s
+WHERE least(start_ms + 30000, duration_ms) > start_ms
+""",
+)
+def _audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    meta = d.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919) % 95000 + 500).alias("duration_ms"),
+    )
+    return multimodal.plan_audio_chunks(meta)
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiling (skew.key_skew_profile): the heaviest event users with
+# counts, shares, ranks — the diagnostic feeding the salting decision.
+# ---------------------------------------------------------------------------
+@query(
+    "events_key_skew",
+    f"""
+WITH counts AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY user_id
+),
+total AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM counts),
+top AS (
+    SELECT user_id, n_rows FROM counts ORDER BY n_rows DESC, user_id LIMIT 20
+)
+SELECT user_id, n_rows,
+       {_round_sql('CAST(n_rows AS DOUBLE) / tot', 6)} AS share,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS INTEGER)
+           AS rank
+FROM top, total
+""",
+)
+def _events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return key_skew_profile(ev, ["user_id"], topk=20)

@@ -894,3 +894,34 @@ def test_grid_quantile_sketch_merge_equals_direct(spark):
     assert abs(ed[("a", 50)] - 500.0) <= 999.0 / 128 + 1
     # rank r = ceil(0.9*100) = 90 -> 90th smallest of {i^2} = 89^2
     assert abs(ed[("b", 90)] - 89 * 89) <= (99 * 99) / 128 + 1
+
+
+def test_plan_audio_chunks_windows(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        plan_audio_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, duration_ms=70_000), Row(doc_id=1, duration_ms=400)]
+    )
+    out = {}
+    for r in plan_audio_chunks(df).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_ms"], r["end_ms"])
+        )
+    assert out[0] == [(0, 0, 30000), (1, 25000, 55000), (2, 50000, 70000)]
+    assert out[1] == [(0, 0, 400)]  # short clip: one clamped chunk
+
+
+def test_key_skew_profile_orders_and_shares(spark):
+    from nl_railtraffic_etl_pipeline_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    rows = [Row(k="hot")] * 70 + [Row(k="warm")] * 20 + [Row(k="cold")] * 10
+    df = spark.createDataFrame(rows)
+    out = key_skew_profile(df, ["k"], topk=2).collect()
+    assert [(r["k"], r["n_rows"], r["rank"]) for r in out] == [
+        ("hot", 70, 1), ("warm", 20, 2)
+    ]
+    assert out[0]["share"] == 0.7
