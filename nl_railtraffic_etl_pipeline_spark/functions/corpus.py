@@ -30,7 +30,7 @@ from .dedup import (
 )
 from .text import stopword_ratio, token_count, tokens
 
-__all__ = ["clean_corpus", "mixture_plan"]
+__all__ = ["clean_corpus", "mixture_plan", "assign_shards", "shard_stats"]
 
 
 def clean_corpus(
@@ -120,4 +120,62 @@ def mixture_plan(
             .otherwise(F.lit(0.0))
             .alias("sample_rate"),
         )
+    )
+
+
+def assign_shards(
+    docs: DataFrame, n_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic training-shard assignment: ``shard = h(id) mod n``
+    on the repo-wide md5 hash contract — stable across runs, engines, and
+    partitionings, and uniform over ids (hash-balanced shards).
+
+    Adds ``shard`` (int).  Deliberately NO dense within-shard position
+    column: a global per-shard rank would either serialize each shard's
+    rows through one window task (the whale trap) or need the full
+    three-level prefix-sum machinery for a number the training loader
+    doesn't consume.  The export contract is assignment + deterministic
+    SORT KEY (the same hash): writing with
+    ``df.repartition(n, 'shard').sortWithinPartitions('shard', id)`` is
+    scale-correct and reproduces identical shard files anywhere.
+    """
+    from .sketch import _rank_hash
+
+    return docs.withColumn(
+        "shard",
+        F.pmod(_rank_hash(F.col(id_col), "shard"), F.lit(n_shards)).cast(
+            "int"
+        ),
+    )
+
+
+def shard_stats(
+    docs: DataFrame,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shard balance report: per shard, document and token mass plus the
+    share of total tokens — the check that hash sharding actually
+    balanced the corpus before a training run trusts it.
+
+    Plan: map-side assignment + token count, one shard-keyed
+    partial-aggregated rollup (n_shards rows out), total via a 1-row
+    broadcast off the same frame.
+    """
+    assigned = assign_shards(docs, n_shards, id_col).select(
+        "shard", token_count(F.col(text_col)).cast("bigint").alias("_tok")
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("_tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("_tot"), 6
+        ).alias("token_share"),
     )

@@ -2508,3 +2508,39 @@ def _events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events", spread=True)
     return key_skew_profile(ev, ["user_id"], topk=20)
+
+
+# ---------------------------------------------------------------------------
+# Training-shard balance (corpus.assign_shards / shard_stats): md5-contract
+# shard assignment + per-shard doc/token mass.  No dense in-shard rank by
+# design (sort-on-write is the scale-correct contract — see the operator
+# docstring); the oracle replays the hash assignment and the rollup.
+# ---------------------------------------------------------------------------
+_SHARD_N = 16
+_SHARD_H = _H32.format(x="'shard:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "corpus_shards",
+    f"""
+WITH assigned AS (
+    SELECT CAST({_SHARD_H} % {_SHARD_N} AS INTEGER) AS shard,
+           CAST(len({_TOKENS}) AS BIGINT) AS tok
+    FROM documents
+),
+per AS (
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY shard
+),
+total AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per)
+SELECT shard, n_docs, n_tokens,
+       {_round_sql('CAST(n_tokens AS DOUBLE) / tot', 6)} AS token_share
+FROM per, total
+""",
+)
+def _corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.corpus import shard_stats
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return shard_stats(d, _SHARD_N)

@@ -925,3 +925,22 @@ def test_key_skew_profile_orders_and_shares(spark):
         ("hot", 70, 1), ("warm", 20, 2)
     ]
     assert out[0]["share"] == 0.7
+
+
+def test_shard_assignment_stable_and_balanced(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import (
+        assign_shards,
+        shard_stats,
+    )
+
+    docs = _docs(spark, [f"word{i} text here" for i in range(200)])
+    a1 = {r["doc_id"]: r["shard"] for r in assign_shards(docs, 8).collect()}
+    a2 = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shards(docs.repartition(5), 8).collect()
+    }
+    assert a1 == a2  # partitioning-invariant
+    assert set(a1.values()) == set(range(8))
+    stats = shard_stats(docs, 8).collect()
+    assert sum(r["n_docs"] for r in stats) == 200
+    assert abs(sum(r["token_share"] for r in stats) - 1.0) < 1e-6
