@@ -48,6 +48,7 @@ __all__ = [
     "cohort_retention",
     "event_transitions",
     "trailing_anomalies",
+    "rfm_segments",
 ]
 
 
@@ -401,4 +402,86 @@ def trailing_anomalies(
             "trailing_mean"
         ),
         F.col("_n").cast("int").alias("n_prior"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation.
+
+    Per user: days since last event (vs the corpus max date), event
+    count, and decimal-exact value sum; each metric scored 1-4 against
+    the EXACT corpus quartiles of the user-level frame (higher is better
+    for F/M; for recency, lower — more recent — is better), plus the
+    concatenated segment label ('444' = best).
+
+    Deliberately NOT ``ntile``: a global NTILE over users funnels the
+    whole user frame through one window task.  The quartile thresholds
+    come from a distributed two-stage ``percentile`` aggregation
+    (bit-matched to DuckDB quantile_cont — same contract as the quantile
+    gates), broadcast as one row, and scoring is map-side.  Plan: one
+    user-keyed aggregation, two metadata-scale aggs, zero windows.
+    Boundary semantics are strict (``> q`` / ``< q``): a metric exactly
+    AT a quartile stays in the lower score band — documented, exact, and
+    identical cross-engine because both engines compare the same doubles.
+    """
+    dv = F.col(value_col).cast("string").cast("decimal(24,10)")
+    per_user = events.groupBy(user_col).agg(
+        F.max(ts_col).alias("_last"),
+        F.count("*").alias("frequency"),
+        F.sum(dv).alias("_msum"),
+    )
+    gmax = events.agg(F.max(ts_col).alias("_gmax"))
+    pu = per_user.crossJoin(F.broadcast(gmax)).select(
+        user_col,
+        F.datediff(F.col("_gmax"), F.col("_last")).alias("recency_days"),
+        "frequency",
+        F.col("_msum").cast("double").alias("monetary"),
+    )
+    q = pu.agg(
+        *[
+            F.percentile("recency_days", p).alias(f"_r{i}")
+            for i, p in enumerate((0.25, 0.5, 0.75), 1)
+        ],
+        *[
+            F.percentile("frequency", p).alias(f"_f{i}")
+            for i, p in enumerate((0.25, 0.5, 0.75), 1)
+        ],
+        *[
+            F.percentile("monetary", p).alias(f"_m{i}")
+            for i, p in enumerate((0.25, 0.5, 0.75), 1)
+        ],
+    )
+    lower_better = lambda x, pre: (  # noqa: E731
+        F.lit(1)
+        + sum(
+            (F.col(x) < F.col(f"{pre}{i}")).cast("int") for i in (1, 2, 3)
+        )
+    ).cast("int")
+    higher_better = lambda x, pre: (  # noqa: E731
+        F.lit(1)
+        + sum(
+            (F.col(x) > F.col(f"{pre}{i}")).cast("int") for i in (1, 2, 3)
+        )
+    ).cast("int")
+    scored = pu.crossJoin(F.broadcast(q)).select(
+        user_col,
+        "recency_days",
+        "frequency",
+        F.round(F.col("monetary"), 4).alias("monetary"),
+        lower_better("recency_days", "_r").alias("r_score"),
+        higher_better("frequency", "_f").alias("f_score"),
+        higher_better("monetary", "_m").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
     )

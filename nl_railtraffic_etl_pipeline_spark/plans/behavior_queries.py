@@ -455,3 +455,59 @@ def _trailing_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trailing_anomalies(
         load_table(spark, sf_dir, "events", spread=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (behavior.rfm_segments): per-user recency/frequency/
+# monetary scores against EXACT corpus quartiles (two-pass broadcast, no
+# global NTILE window — the whale-safe formulation; see the docstring).
+# ---------------------------------------------------------------------------
+from ..functions.behavior import rfm_segments  # noqa: E402
+
+
+@query(
+    "events_rfm_segments",
+    f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(date_diff('day', CAST(max(ts) AS DATE),
+                          (SELECT CAST(max(ts) AS DATE) FROM events))
+                AS INTEGER) AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(24,10)))
+                AS DOUBLE) AS monetary
+    FROM events GROUP BY user_id
+),
+q AS (
+    SELECT quantile_cont(recency_days, 0.25) AS r1,
+           quantile_cont(recency_days, 0.5) AS r2,
+           quantile_cont(recency_days, 0.75) AS r3,
+           quantile_cont(frequency, 0.25) AS f1,
+           quantile_cont(frequency, 0.5) AS f2,
+           quantile_cont(frequency, 0.75) AS f3,
+           quantile_cont(monetary, 0.25) AS m1,
+           quantile_cont(monetary, 0.5) AS m2,
+           quantile_cont(monetary, 0.75) AS m3
+    FROM per_user
+),
+scored AS (
+    SELECT user_id, recency_days, frequency,
+           {_round_sql('monetary', 4)} AS monetary,
+           CAST(1 + CAST(recency_days < r1 AS INTEGER)
+                  + CAST(recency_days < r2 AS INTEGER)
+                  + CAST(recency_days < r3 AS INTEGER) AS INTEGER) AS r_score,
+           CAST(1 + CAST(frequency > f1 AS INTEGER)
+                  + CAST(frequency > f2 AS INTEGER)
+                  + CAST(frequency > f3 AS INTEGER) AS INTEGER) AS f_score,
+           CAST(1 + CAST(monetary > m1 AS INTEGER)
+                  + CAST(monetary > m2 AS INTEGER)
+                  + CAST(monetary > m3 AS INTEGER) AS INTEGER) AS m_score
+    FROM per_user, q
+)
+SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+          || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+""",
+)
+def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_segments(load_table(spark, sf_dir, "events", spread=True))

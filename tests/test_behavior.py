@@ -172,3 +172,35 @@ def test_retention_join_prestamp_matches_window(spark):
     a = sorted(map(tuple, cohort_retention(ev).collect()))
     b = sorted(map(tuple, cohort_retention(ev, prestamp="join").collect()))
     assert a == b
+
+
+def test_rfm_segments_scoring(spark):
+    """Recent+heavy users score high; strict quartile boundaries; segment
+    label concatenates the three digits."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        rfm_segments,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user u: u events, last event t0 + u days, each value u
+    for u in range(1, 9):
+        for i in range(u):
+            rows.append(
+                Row(
+                    user_id=u,
+                    ts=t0 + dt.timedelta(days=u, minutes=i),
+                    value=float(u),
+                )
+            )
+    df = spark.createDataFrame(rows)
+    out = {r["user_id"]: r for r in rfm_segments(df).collect()}
+    assert out[8]["segment"] == "444"  # most recent, most frequent, biggest
+    assert out[1]["r_score"] == 1 and out[1]["f_score"] == 1
+    assert out[8]["recency_days"] == 0 and out[1]["recency_days"] == 7
+    for r in out.values():
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
