@@ -137,3 +137,76 @@ def cap_per_domain(
         .filter(F.col("sample_rank") <= cap)
         .drop("_h", "_s", "_r1")
     )
+
+
+#: Tracking query parameters stripped during canonicalization (public
+#: convention: UTM campaign tags and common click ids).
+TRACKING_PARAM_RE = "(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL for exact URL-level dedup:
+    lowercase scheme+host (path case preserved), fragment dropped,
+    tracking parameters stripped, empty ``?`` and trailing slash
+    normalized away.
+
+    Pure regexp chain (shared verbatim with the oracle, no lookaround):
+    the same crawl-frontier normalization C4/CCNet apply before URL
+    dedup.  Returns NULL for non-URLs.
+    """
+    scheme_host = F.regexp_extract(F.lower(url), HOST_CAPTURE_RE, 1)
+    rest = F.regexp_replace(url, HOST_CAPTURE_RE, "")
+    rest = F.regexp_replace(rest, "#.*$", "")
+    rest = F.regexp_replace(rest, TRACKING_PARAM_RE, "")
+    rest = F.regexp_replace(rest, "[?&]+$", "")
+    rest = F.regexp_replace(rest, "\\?&", "?")
+    rest = F.regexp_replace(rest, "/$", "")
+    return F.when(
+        scheme_host == "", None
+    ).otherwise(F.concat(F.lit("https://"), scheme_host, rest))
+
+
+def dedup_urls(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup groups: per canonical URL, the keeper (lowest
+    id) and the copy count — the frontier-level dedup that runs BEFORE
+    any content is fetched or compared.
+
+    One canonical-URL-keyed partial-aggregated min/count; groups of one
+    are kept (the full frontier survives, annotated).
+    """
+    cu = canonical_url(F.col(url_col))
+    return (
+        df.select(cu.alias("canonical_url"), F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def filter_blocklist(
+    df: DataFrame,
+    blocked_domains: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose registered domain appears in ``blocked_domains``
+    (a one-column ``domain`` frame) — the blocklist pass of a crawl
+    pipeline.
+
+    Broadcast LEFT ANTI join: blocklists are small by nature (thousands
+    to low millions of rows), so the corpus never shuffles — the filter
+    runs map-side against the broadcast hash set.
+    """
+    dom = registered_domain(url_host(F.col(url_col)))
+    return (
+        df.withColumn("_dom", dom)
+        .join(
+            F.broadcast(blocked_domains.select(F.col("domain").alias("_dom"))),
+            "_dom",
+            "left_anti",
+        )
+        .drop("_dom")
+    )

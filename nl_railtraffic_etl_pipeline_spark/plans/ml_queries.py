@@ -2544,3 +2544,89 @@ def _corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents", spread=True)
     return shard_stats(d, _SHARD_N)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + frontier dedup (web.canonical_url / dedup_urls):
+# tracking params, fragments, trailing slashes and case variants collapse
+# to one canonical URL; groups report keeper + copy count.  Six URL
+# variants are synthesized per doc over a shared /page/N path space so
+# genuine cross-doc collisions exist on both engines.
+# ---------------------------------------------------------------------------
+_CANON_RAW_SQL = (
+    "'https://Example.COM/page/' || CAST(doc_id % 50 AS VARCHAR) || "
+    "(CASE doc_id % 6 WHEN 0 THEN '' "
+    "WHEN 1 THEN '?utm_source=x&utm_campaign=y' "
+    "WHEN 2 THEN '#section2' "
+    "WHEN 3 THEN '/' "
+    "WHEN 4 THEN '?ref=abc&q=1' "
+    "ELSE '?q=1' END)"
+)
+
+_CANON_SQL = (
+    "CASE WHEN regexp_extract(lower(url), '{h}', 1) = '' THEN NULL "
+    "ELSE 'https://' || regexp_extract(lower(url), '{h}', 1) || "
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(url, '{h}', ''), "
+    "'#.*$', ''), '{t}', '', 'g'), '[?&]+$', ''), '\\?&', '?'), '/$', '') "
+    "END"
+).format(h=web.HOST_CAPTURE_RE, t=web.TRACKING_PARAM_RE)
+
+
+def _canon_raw_col() -> F.Column:
+    m = F.col("doc_id") % 6
+    suffix = (
+        F.when(m == 0, "")
+        .when(m == 1, "?utm_source=x&utm_campaign=y")
+        .when(m == 2, "#section2")
+        .when(m == 3, "/")
+        .when(m == 4, "?ref=abc&q=1")
+        .otherwise("?q=1")
+    )
+    return F.concat(
+        F.lit("https://Example.COM/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        suffix,
+    )
+
+
+@query(
+    "web_url_dedup",
+    f"""
+WITH raw AS (SELECT doc_id, {_CANON_RAW_SQL} AS url FROM documents)
+SELECT {_CANON_SQL} AS canonical_url,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM raw
+GROUP BY canonical_url
+""",
+)
+def _web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return web.dedup_urls(d.select("doc_id", _canon_raw_col().alias("url")))
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filtering (web.filter_blocklist): broadcast LEFT ANTI
+# join against a small blocked-domain set — map-side, corpus never
+# shuffles (plan-asserted in test_plan_shapes).
+# ---------------------------------------------------------------------------
+@query(
+    "web_blocklist_filter",
+    f"""
+WITH {_WEBDOMS_CTE}
+SELECT doc_id, host FROM doms
+WHERE domain IS NULL OR domain NOT IN ('heavy.org', 'blocked.net')
+""",
+)
+def _web_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    blocked = spark.createDataFrame(
+        [("heavy.org",), ("blocked.net",)], ["domain"]
+    )
+    kept = web.filter_blocklist(
+        d.select("doc_id", _weburl_col().alias("url")), blocked
+    )
+    return kept.select(
+        "doc_id", web.url_host(F.col("url")).alias("host")
+    )

@@ -944,3 +944,40 @@ def test_shard_assignment_stable_and_balanced(spark):
     stats = shard_stats(docs, 8).collect()
     assert sum(r["n_docs"] for r in stats) == 200
     assert abs(sum(r["token_share"] for r in stats) - 1.0) < 1e-6
+
+
+def test_canonical_url_and_blocklist(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions import web
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, url="https://Ex.COM/a?utm_source=t&q=2#frag"),
+            Row(doc_id=1, url="https://ex.com/a?q=2"),
+            Row(doc_id=2, url="https://ex.com/a/"),
+            Row(doc_id=3, url="https://ex.com/a"),
+            Row(doc_id=4, url="https://bad.org/x"),
+            Row(doc_id=5, url="nonsense"),
+        ]
+    )
+    canon = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", web.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert canon[0] == "https://ex.com/a?q=2" == canon[1]
+    assert canon[2] == "https://ex.com/a" == canon[3]
+    assert canon[5] is None
+
+    groups = {
+        r["canonical_url"]: (r["keeper_id"], r["n_copies"])
+        for r in web.dedup_urls(df).collect()
+    }
+    assert groups["https://ex.com/a?q=2"] == (0, 2)
+    assert groups["https://ex.com/a"] == (2, 2)
+
+    blocked = spark.createDataFrame([("bad.org",)], ["domain"])
+    kept = sorted(
+        r["doc_id"] for r in web.filter_blocklist(df, blocked).collect()
+    )
+    assert kept == [0, 1, 2, 3, 5]  # bad.org dropped; non-URL survives

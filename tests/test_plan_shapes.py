@@ -212,3 +212,11 @@ def test_trailing_anomalies_single_key_shuffle(spark):
     assert "Join" not in txt
     assert len(re.findall(r"hashpartitioning\(user_id", txt)) >= 1
     assert len(re.findall(r"\(\d+\) Window\b", txt)) == 1
+
+
+def test_blocklist_filter_is_broadcast_anti(spark):
+    """The blocklist pass must be a broadcast LEFT ANTI join — the corpus
+    side never shuffles."""
+    txt = plan_of(spark, "web_blocklist_filter")
+    assert "BroadcastHashJoin" in txt and "LeftAnti" in txt
+    assert "SortMergeJoin" not in txt
