@@ -1,0 +1,143 @@
+"""Statistical moments, standardization, correlation, and OLS trend fits —
+deterministic enough to hash-match a DuckDB oracle.
+
+Built-in ``stddev``/``corr`` aggregate floats in partition order, so their
+last ulps differ run-to-run and engine-to-engine.  Here every SUM is exact:
+values quantize to DECIMAL through the double's shortest-roundtrip string
+(exact while inputs carry <= 6 fractional digits — assert upstream for
+wilder data), products stay inside DECIMAL(37,12), and integer sums are
+BIGINT.  The exact aggregates are then cast to double ONCE and combined in
+a fixed, parenthesized IEEE chain (+ ``sqrt``, which IEEE 754 requires to
+be correctly rounded — unlike exp/log it is safe cross-engine).  Same
+aggregates, same chain, same bits.
+
+Scale shape: every operator is one partial-aggregated key shuffle (moments)
+plus, for z-scores, a group-keyed join back (AQE broadcasts the moments
+side when small).  No windows, no collects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit"]
+
+
+def _dec(col: Column) -> Column:
+    """Exact decimal image of a double with <= 6 fractional digits."""
+    return col.cast("string").cast("decimal(18,6)")
+
+
+def _var_expr(n: Column, s: Column, ss: Column) -> Column:
+    """Sample variance from exact aggregates, clamped at 0 (the cast to
+    double can leave a tiny negative residue for constant groups)."""
+    return F.greatest(
+        (ss - (s * s) / n) / (n - 1), F.lit(0.0)
+    )
+
+
+def group_moments(
+    df: DataFrame, value_col: str, group_cols: Sequence[str]
+) -> DataFrame:
+    """Per group: (group..., n, mean, std) with sample (n-1) std.
+
+    Returns the internal exact sums too (``_s``, ``_ss`` as doubles) so
+    :func:`zscore` can reuse the frame without re-aggregating.
+    """
+    keys = list(group_cols)
+    v = _dec(F.col(value_col))
+    agg = df.groupBy(*keys).agg(
+        F.count(value_col).alias("n"),
+        F.sum(v).cast("double").alias("_s"),
+        F.sum(v * v).cast("double").alias("_ss"),
+    )
+    mean = F.col("_s") / F.col("n")
+    std = F.when(
+        F.col("n") > 1,
+        F.sqrt(_var_expr(F.col("n"), F.col("_s"), F.col("_ss"))),
+    )
+    return agg.select(*keys, "n", "_s", "_ss", mean.alias("mean"), std.alias("std"))
+
+
+def zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-row standardization against the group moments: ``(x - mean) /
+    std``; NULL for groups with zero variance or fewer than 2 rows."""
+    keys = list(group_cols)
+    m = group_moments(df, value_col, keys).select(*keys, "mean", "std")
+    z = F.when(
+        F.col("std") > 0, (F.col(value_col) - F.col("mean")) / F.col("std")
+    )
+    return df.join(m, keys).withColumn(out_col, z)
+
+
+def pearson_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str],
+    out_col: str = "r",
+) -> DataFrame:
+    """Per-group Pearson correlation from exact decimal cross-moments:
+    ``(n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))``.
+    NULL when either marginal variance is zero."""
+    keys = list(group_cols)
+    x, y = _dec(F.col(x_col)), _dec(F.col(y_col))
+    agg = df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    vx = F.greatest(n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    vy = F.greatest(n * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return agg.select(*keys, "n", r.alias(out_col))
+
+
+def ols_fit(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group least-squares line ``y = slope*x + intercept`` over
+    INTEGER points (exact bigint sums — feed it aggregated series like
+    (epoch_day, daily_count); for float inputs go through
+    :func:`pearson_corr`-style decimal quantization instead).
+
+    ``slope = (n*sxy - sx*sy) / (n*sxx - sx^2)``, NULL for degenerate x.
+    """
+    keys = list(group_cols)
+    x, y = F.col(x_col).cast("bigint"), F.col(y_col).cast("bigint")
+    agg = points.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    slope = F.when(den > 0, num / den)
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / n
+    return agg.select(
+        *keys, "n", slope.alias("slope"), intercept.alias("intercept")
+    )

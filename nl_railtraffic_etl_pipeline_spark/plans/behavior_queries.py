@@ -511,3 +511,156 @@ FROM scored
 )
 def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(load_table(spark, sf_dir, "events", spread=True))
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments family (functions/stats.py): exact-decimal sums ->
+# one double cast -> fixed IEEE chain (+ correctly-rounded sqrt), so
+# mean/std/z/r/slope hash-match the oracle bit-for-bit — the thing
+# built-in stddev/corr (partition-order float sums) cannot do.
+# ---------------------------------------------------------------------------
+from ..functions import stats  # noqa: E402
+
+_DECV = "CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))"
+
+
+@query(
+    "events_type_moments",
+    f"""
+WITH agg AS (
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           CAST(SUM({_DECV}) AS DOUBLE) AS s,
+           CAST(SUM({_DECV} * {_DECV}) AS DOUBLE) AS ss
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       {_round_sql('s / n', 6)} AS mean,
+       {_round_sql(
+           'CASE WHEN n > 1 THEN '
+           'sqrt(greatest((ss - (s * s) / n) / (n - 1), 0.0)) END', 6
+       )} AS std
+FROM agg
+""",
+)
+def _events_type_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    m = stats.group_moments(ev, "value", ["event_type"])
+    return m.select(
+        "event_type",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+    )
+
+
+@query(
+    "events_zscore_extremes",
+    f"""
+WITH agg AS (
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           CAST(SUM({_DECV}) AS DOUBLE) AS s,
+           CAST(SUM({_DECV} * {_DECV}) AS DOUBLE) AS ss
+    FROM events GROUP BY event_type
+),
+m AS (
+    SELECT event_type, s / n AS mean,
+           CASE WHEN n > 1 THEN
+               sqrt(greatest((ss - (s * s) / n) / (n - 1), 0.0)) END AS std
+    FROM agg
+)
+SELECT e.event_id, e.event_type, e.value,
+       {_round_sql('(e.value - m.mean) / m.std', 4)} AS z
+FROM events e JOIN m USING (event_type)
+WHERE m.std > 0 AND abs((e.value - m.mean) / m.std) > 1.5
+""",
+)
+def _events_zscore_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    z = stats.zscore(ev, "value", ["event_type"])
+    return z.filter(F.abs(F.col("z")) > 1.5).select(
+        "event_id", "event_type", "value", F.round("z", 4).alias("z")
+    )
+
+
+_DECH = "CAST(CAST(hour(ts) AS VARCHAR) AS DECIMAL(18,6))"
+
+
+@query(
+    "events_hour_value_corr",
+    f"""
+WITH agg AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({_DECH}) AS DOUBLE) AS sx,
+           CAST(SUM({_DECV}) AS DOUBLE) AS sy,
+           CAST(SUM({_DECH} * {_DECH}) AS DOUBLE) AS sxx,
+           CAST(SUM({_DECV} * {_DECV}) AS DOUBLE) AS syy,
+           CAST(SUM({_DECH} * {_DECV}) AS DOUBLE) AS sxy
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       {_round_sql(
+           'CASE WHEN greatest(n * sxx - sx * sx, 0.0) > 0 '
+           'AND greatest(n * syy - sy * sy, 0.0) > 0 THEN '
+           '(n * sxy - sx * sy) / (sqrt(greatest(n * sxx - sx * sx, 0.0))'
+           ' * sqrt(greatest(n * syy - sy * sy, 0.0))) END', 6
+       )} AS r
+FROM agg
+""",
+)
+def _events_hour_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).withColumn(
+        "hour_of_day", F.hour("ts")
+    )
+    c = stats.pearson_corr(ev, "hour_of_day", "value", ["event_type"])
+    return c.select("event_type", "n", F.round("r", 6).alias("r"))
+
+
+@query(
+    "events_daily_trend",
+    f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type, day_no
+),
+agg AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(day_no) AS BIGINT) AS sx,
+           CAST(SUM(n_events) AS BIGINT) AS sy,
+           CAST(SUM(day_no * day_no) AS BIGINT) AS sxx,
+           CAST(SUM(day_no * n_events) AS BIGINT) AS sxy
+    FROM daily GROUP BY event_type
+),
+fit AS (
+    SELECT event_type, n,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+           sx, sy
+    FROM agg
+)
+SELECT event_type, n,
+       {_round_sql('slope', 6)} AS slope,
+       {_round_sql(
+           '(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n', 6
+       )} AS intercept
+FROM fit
+""",
+)
+def _events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    daily = ev.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("day_no")
+    ).agg(F.count("*").alias("n_events"))
+    fit = stats.ols_fit(daily, "day_no", "n_events", ["event_type"])
+    return fit.select(
+        "event_type",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )

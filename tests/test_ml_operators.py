@@ -981,3 +981,32 @@ def test_canonical_url_and_blocklist(spark):
         r["doc_id"] for r in web.filter_blocklist(df, blocked).collect()
     )
     assert kept == [0, 1, 2, 3, 5]  # bad.org dropped; non-URL survives
+
+
+def test_stats_moments_zscore_corr_ols(spark):
+    import math
+
+    from nl_railtraffic_etl_pipeline_spark.functions import stats
+
+    rows = [Row(g="a", x=float(i), y=2.0 * i + 1) for i in range(10)] + [
+        Row(g="b", x=5.0, y=1.0) for _ in range(3)
+    ]
+    df = spark.createDataFrame(rows)
+    m = {r["g"]: r for r in stats.group_moments(df, "x", ["g"]).collect()}
+    assert m["a"]["mean"] == 4.5
+    assert abs(m["a"]["std"] - math.sqrt(sum((i - 4.5) ** 2 for i in range(10)) / 9)) < 1e-12
+    assert m["b"]["std"] == 0.0  # constant group clamps to zero variance
+
+    z = stats.zscore(df, "x", ["g"]).filter(F.col("g") == "b").collect()
+    assert all(r["z"] is None for r in z)  # zero variance -> NULL
+
+    c = {r["g"]: r["r"] for r in stats.pearson_corr(df, "x", "y", ["g"]).collect()}
+    assert abs(c["a"] - 1.0) < 1e-12  # perfectly linear
+    assert c["b"] is None
+
+    pts = spark.createDataFrame(
+        [Row(g="a", x=i, y=3 * i + 7) for i in range(5)]
+    )
+    fit = stats.ols_fit(pts, "x", "y", ["g"]).collect()[0]
+    assert abs(fit["slope"] - 3.0) < 1e-12
+    assert abs(fit["intercept"] - 7.0) < 1e-12
