@@ -41,6 +41,7 @@ __all__ = [
     "grid_quantile_sketch",
     "grid_quantile_merge",
     "grid_quantile_estimate",
+    "sliding_distinct_kmv",
 ]
 
 _HASH_SPACE = float(2**32)
@@ -405,4 +406,53 @@ def grid_quantile_estimate(
         *keys,
         F.col("_q.qn").cast("int").alias("q_pct"),
         F.round(F.col("lo") + (F.col("bin") + frac) * width, 6).alias("est"),
+    )
+
+
+def sliding_distinct_kmv(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Trailing-window distinct cardinality (e.g. 7-day active users) via
+    MERGEABLE KMV states — the query exact sliding COUNT(DISTINCT)
+    cannot express without re-scanning every window.
+
+    Per day, the day's KMV state (k smallest distinct value hashes);
+    each day's trailing estimate then merges the window's states with
+    pure array expressions (flatten -> distinct -> sort -> bottom-k)
+    over the DAY-level frame.  The unpartitioned RANGE window runs on
+    one row per day — metadata scale by construction, the same contract
+    as the gapfill/LOCF frame — while the only row-scale passes are the
+    hash projection and the per-day distinct.  Exact below k distinct
+    values, the (k-1)*2^32/h_k estimator above.
+    """
+    day = F.to_date(F.col(ts_col))
+    state = kmv_sketch(
+        df.select(day.alias("_day"), F.col(value_col)),
+        ["_day"],
+        value_col,
+        k,
+        salt,
+    )
+    per_day = state.groupBy("_day").agg(
+        F.array_sort(F.collect_list("h")).alias("_hs")
+    )
+    w = Window.orderBy(F.unix_date(F.col("_day"))).rangeBetween(
+        -(window_days - 1), 0
+    )
+    win = per_day.select(
+        "_day", F.flatten(F.collect_list("_hs").over(w)).alias("_m")
+    )
+    arr = F.slice(F.array_sort(F.array_distinct(F.col("_m"))), 1, k)
+    cnt = F.size(arr)
+    hk = F.element_at(arr, cnt)
+    est = F.when(cnt < k, cnt.cast("double")).otherwise(
+        F.round((k - 1) * _HASH_SPACE / hk, 2)
+    )
+    return win.select(
+        F.col("_day").alias("day"), est.alias("distinct_estimate")
     )

@@ -2630,3 +2630,50 @@ def _web_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id", web.url_host(F.col("url")).alias("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users via KMV merge (sketch.sliding_distinct_kmv):
+# per-day mergeable states, trailing-7-day union-merge over the day-level
+# frame — the sliding COUNT(DISTINCT) exact SQL can't express without
+# rescanning each window.  The oracle replays the full state+merge algebra.
+# ---------------------------------------------------------------------------
+_SLKMV_K = 64
+_SLKMV_H = _H32.format(x="'kmv:' || CAST(user_id AS VARCHAR)")
+
+
+@query(
+    "sketch_sliding_distinct",
+    f"""
+WITH hashed AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, {_SLKMV_H} AS h FROM events
+),
+ranked AS (
+    SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM hashed
+),
+per_day AS (
+    SELECT day, list(h ORDER BY h) AS hs
+    FROM ranked WHERE rn <= {_SLKMV_K} GROUP BY day
+),
+win AS (
+    SELECT day,
+           flatten(list(hs) OVER (
+               ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           )) AS m
+    FROM per_day
+),
+arr AS (SELECT day, (list_sort(list_distinct(m)))[1:{_SLKMV_K}] AS a FROM win)
+SELECT day,
+       CASE WHEN len(a) < {_SLKMV_K} THEN CAST(len(a) AS DOUBLE)
+            ELSE ROUND({_SLKMV_K - 1} * 4294967296.0 / a[len(a)], 2)
+       END AS distinct_estimate
+FROM arr
+""",
+)
+def _sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import sliding_distinct_kmv
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return sliding_distinct_kmv(ev, "ts", "user_id", k=_SLKMV_K)

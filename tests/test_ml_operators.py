@@ -1010,3 +1010,28 @@ def test_stats_moments_zscore_corr_ols(spark):
     fit = stats.ols_fit(pts, "x", "y", ["g"]).collect()[0]
     assert abs(fit["slope"] - 3.0) < 1e-12
     assert abs(fit["intercept"] - 7.0) < 1e-12
+
+
+def test_sliding_distinct_kmv_exact_below_k(spark):
+    """Below k distinct values the sliding estimate is EXACT — check
+    against a brute-force trailing distinct count."""
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        sliding_distinct_kmv,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(10):
+        for u in range(d + 1):  # day d sees users 0..d
+            rows.append(Row(ts=t0 + dt.timedelta(days=d), user_id=u))
+    df = spark.createDataFrame(rows)
+    out = {
+        r["day"].isoformat(): r["distinct_estimate"]
+        for r in sliding_distinct_kmv(df, "ts", "user_id", window_days=3).collect()
+    }
+    # trailing 3 days ending day d covers users 0..d -> d+1 distinct
+    assert out["2024-01-01"] == 1.0
+    assert out["2024-01-05"] == 5.0
+    assert out["2024-01-10"] == 10.0
