@@ -220,3 +220,21 @@ def test_blocklist_filter_is_broadcast_anti(spark):
     txt = plan_of(spark, "web_blocklist_filter")
     assert "BroadcastHashJoin" in txt and "LeftAnti" in txt
     assert "SortMergeJoin" not in txt
+
+
+@pytest.mark.parametrize(
+    "name", ["events_type_moments", "events_hour_value_corr", "events_daily_trend"]
+)
+def test_stats_family_is_aggregate_only(spark, name):
+    """Moments/corr/OLS are partial-aggregated key shuffles — no windows,
+    no row-scale sorts."""
+    txt = plan_of(spark, name)
+    assert len(re.findall(r"\(\d+\) Window\b", txt)) == 0, name
+    assert "Join" not in txt or name == "events_daily_trend", name
+
+
+def test_sliding_distinct_window_is_day_level(spark):
+    """The KMV-merge window may only consume the per-day aggregated frame
+    (one row per day), never a raw scan."""
+    txt = plan_of(spark, "sketch_sliding_distinct")
+    assert not re.search(r"Window .*\n.*Scan parquet", txt)
