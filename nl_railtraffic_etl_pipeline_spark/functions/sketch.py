@@ -42,6 +42,8 @@ __all__ = [
     "grid_quantile_merge",
     "grid_quantile_estimate",
     "sliding_distinct_kmv",
+    "bloom_build",
+    "bloom_probe",
 ]
 
 _HASH_SPACE = float(2**32)
@@ -456,3 +458,67 @@ def sliding_distinct_kmv(
     return win.select(
         F.col("_day").alias("day"), est.alias("distinct_estimate")
     )
+
+
+#: Bloom defaults: 8192-bit space, 3 hash functions.
+BLOOM_BITS = 8192
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(col: Column, bits: int, hashes: int) -> Column:
+    """The value's bit positions: ``h('bloom<i>:' || value) mod bits``."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(hashes)),
+        lambda i: hash32(
+            F.concat(
+                F.lit("bloom"),
+                i.cast("string"),
+                F.lit(":"),
+                col.cast("string"),
+            )
+        )
+        % bits,
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Deterministic Bloom filter STATE over a column: the sorted array of
+    set bit positions (1 row).  Built on the md5 contract, so — unlike
+    Spark's internal bloom aggregate — an independent oracle can replay
+    it bit for bit, and states from disjoint slices merge by position
+    union.  No false negatives ever; false-positive rate follows the
+    standard (1 - e^{-kn/m})^k curve.
+
+    Plan: map-side position explode, position-keyed distinct (partial-
+    aggregated), one tiny collect_list into the single state row — the
+    state is <= ``bits`` ints regardless of input size.
+    """
+    pos = df.select(
+        F.explode(
+            _bloom_positions(F.col(value_col), bits, hashes)
+        ).alias("p")
+    ).distinct()
+    return pos.agg(F.array_sort(F.collect_list("p")).alias("bloom"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    state: DataFrame,
+    value_col: str,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Membership probe against a :func:`bloom_build` state: true iff
+    EVERY position of the value is set.  The 1-row state broadcasts; the
+    probe is map-side."""
+    ps = _bloom_positions(F.col(value_col), bits, hashes)
+    return df.crossJoin(F.broadcast(state)).withColumn(
+        out_col,
+        F.size(F.array_except(ps, F.col("bloom"))) == 0,
+    ).drop("bloom")

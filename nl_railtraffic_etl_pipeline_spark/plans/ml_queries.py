@@ -2677,3 +2677,64 @@ def _sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events", spread=True)
     return sliding_distinct_kmv(ev, "ts", "user_id", k=_SLKMV_K)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Bloom membership (sketch.bloom_build / bloom_probe): the
+# approximate-membership sketch on the md5 contract — replayable by the
+# oracle bit for bit (Spark's internal bloom aggregate is not).  Build
+# over purchase users, probe every user; `actual` rides along so the
+# false-positive accounting is part of the checked result.
+# ---------------------------------------------------------------------------
+_BLOOM_POS = (
+    "["
+    + ", ".join(
+        _H32.format(
+            x=f"'bloom' || CAST({i} AS VARCHAR) || ':' || "
+            "CAST(user_id AS VARCHAR)"
+        )
+        + " % 8192"
+        for i in (1, 2, 3)
+    )
+    + "]"
+)
+
+
+@query(
+    "sketch_bloom_membership",
+    f"""
+WITH pu AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+bits AS (
+    SELECT DISTINCT unnest({_BLOOM_POS}) AS p FROM pu
+),
+state AS (SELECT list_sort(list(p)) AS bloom FROM bits),
+au AS (SELECT DISTINCT user_id FROM events),
+probe AS (SELECT user_id, {_BLOOM_POS} AS ps FROM au)
+SELECT probe.user_id,
+       len(list_filter(ps, x -> NOT list_contains(bloom, x))) = 0
+           AS maybe_member,
+       EXISTS (SELECT 1 FROM pu WHERE pu.user_id = probe.user_id)
+           AS actual
+FROM probe, state
+""",
+)
+def _bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import bloom_build, bloom_probe
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    state = bloom_build(purchasers, "user_id")
+    all_users = ev.select("user_id").distinct()
+    probed = bloom_probe(all_users, state, "user_id")
+    actual = purchasers.withColumn("actual", F.lit(True))
+    return probed.join(actual, "user_id", "left").select(
+        "user_id",
+        "maybe_member",
+        F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
+    )

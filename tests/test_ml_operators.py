@@ -1035,3 +1035,31 @@ def test_sliding_distinct_kmv_exact_below_k(spark):
     assert out["2024-01-01"] == 1.0
     assert out["2024-01-05"] == 5.0
     assert out["2024-01-10"] == 10.0
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([Row(v=i) for i in range(100)])
+    others = spark.createDataFrame([Row(v=i) for i in range(100, 400)])
+    state = bloom_build(members, "v")
+    probed = {r["v"]: r["maybe_member"] for r in bloom_probe(
+        members.union(others), state, "v"
+    ).collect()}
+    assert all(probed[i] for i in range(100))  # no false negatives
+    fp = sum(1 for i in range(100, 400) if probed[i])
+    assert fp < 30  # m=8192,k=3,n=100 -> fp rate well under 10%
+
+    # union-merge == direct build
+    s1 = bloom_build(members.filter(F.col("v") < 50), "v")
+    s2 = bloom_build(members.filter(F.col("v") >= 50), "v")
+    merged = (
+        s1.union(s2)
+        .select(F.explode("bloom").alias("p"))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("p")).alias("bloom"))
+    )
+    assert merged.collect()[0]["bloom"] == state.collect()[0]["bloom"]
