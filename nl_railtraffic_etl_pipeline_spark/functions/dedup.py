@@ -770,3 +770,91 @@ def incremental_near_dup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: tuple[int, int] = (3, 5),
+    arrays: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs via PREFIX FILTERING (the PPJoin-family
+    candidate generator — Chaudhuri et al. 2006, Xiao et al. 2008).
+
+    Under any global shingle order, ``J(A,B) >= t`` forces the first
+    ``|S| - ceil(t*|S|) + 1`` shingles of each side (its *prefix*) to
+    intersect — so only prefix postings join, not the full inverted
+    index.  With the rare-first order used here (global df ascending,
+    shingle tiebreak) the hottest shingles never generate candidates at
+    all: at high thresholds this shrinks the candidate join's postings
+    by ~t of each doc's length AND drops the worst O(bucket^2) buckets,
+    the same blowup ``df_cap`` fences off for the full-index operator —
+    prefix filtering is the principled version of that cap (no recall
+    loss, exactness preserved).
+
+    ``threshold`` is a RATIONAL (num, den): prefix length uses
+    ``ceil(num*sz/den) = (num*sz + den - 1) div den`` and the final
+    filter is the integer cross-multiplication
+    ``den*shared >= num*union`` — no float boundary anywhere, so the
+    kept pair set is bit-identical cross-engine.  Output matches
+    ``ngram_jaccard_pairs`` at the same threshold (equivalence-tested):
+    (doc_a, doc_b, jaccard).
+
+    Plan: df count (shingle-keyed), per-doc sort of its OWN shingles
+    (doc-keyed agg, buffer bounded by doc length), prefix explode,
+    prefix-postings equi-join, candidate-bounded exact verify against
+    the full shingle arrays.
+    """
+    num, den = threshold
+    if arrays is None:
+        arrays = _materialize(_shingle_arrays(df, text_col, id_col, n))
+    arrays = arrays.filter(F.size("sh_arr") > 0)
+    sh = arrays.select("doc", F.explode("sh_arr").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    # global order key: zero-padded df then shingle (portable string sort)
+    key = F.concat(
+        F.lpad(F.col("_df").cast("string"), 10, "0"),
+        F.lit("|"),
+        F.col("shingle"),
+    )
+    packed = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(key)).alias("_l"))
+    )
+    sz = F.size("_l")
+    pref_len = sz - F.expr(f"({num} * size(_l) + {den - 1}) div {den}") + 1
+    prefix = F.transform(
+        F.slice(F.col("_l"), 1, pref_len), lambda x: F.substring(x, 12, 1 << 30)
+    )
+    pre = packed.select("doc", F.explode(prefix).alias("shingle"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    arr_a = arrays.select(
+        F.col("doc").alias("doc_a"), F.col("sh_arr").alias("_aa")
+    )
+    arr_b = arrays.select(
+        F.col("doc").alias("doc_b"), F.col("sh_arr").alias("_ab")
+    )
+    inter = F.size(F.array_intersect("_aa", "_ab"))
+    union = F.size("_aa") + F.size("_ab") - inter
+    return (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .filter(F.lit(den) * inter >= F.lit(num) * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union.cast("double"), 4).alias("jaccard"),
+        )
+    )

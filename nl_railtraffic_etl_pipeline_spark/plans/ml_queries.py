@@ -2738,3 +2738,58 @@ def _bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maybe_member",
         F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered similarity join (dedup.prefix_filter_pairs): the
+# PPJoin-class candidate generator — only each doc's rare-first prefix
+# posts into the join, with the exact rational threshold (3/5) deciding
+# membership by integer cross-multiplication.  Same output contract as
+# dedup_ngram_jaccard at t=0.6 (equivalence-tested in pytest); the
+# oracle replays prefix selection, candidate join, and verification.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_prefix_filter",
+    f"WITH {_SHINGLES_CTE.strip()}"
+    + """,
+dfreq AS (SELECT shingle, COUNT(*) AS d FROM shingles GROUP BY shingle),
+packed AS (
+    SELECT doc_id,
+           list_sort(list(lpad(CAST(d AS VARCHAR), 10, '0') || '|' || shingle))
+               AS l
+    FROM shingles JOIN dfreq USING (shingle) GROUP BY doc_id
+),
+pre AS (
+    SELECT doc_id,
+           unnest([substr(x, 12) for x in
+                   list_slice(l, 1, len(l) - (3 * len(l) + 4) // 5 + 1)])
+               AS shingle
+    FROM packed
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pre a JOIN pre b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+shared AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+    FROM cand c
+    JOIN shingles x ON x.doc_id = c.doc_a
+    JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 5 * shared >= 3 * (sa.sz + sb.sz - shared)
+""",
+)
+def _prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = _artifact(
+        spark, sf_dir, "doc_shingles_3", lambda: dedup.shingle_arrays(docs)
+    )
+    return dedup.prefix_filter_pairs(docs, arrays=arrays)

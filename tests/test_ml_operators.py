@@ -1063,3 +1063,25 @@ def test_bloom_no_false_negatives_and_merge(spark):
         .agg(F.array_sort(F.collect_list("p")).alias("bloom"))
     )
     assert merged.collect()[0]["bloom"] == state.collect()[0]["bloom"]
+
+
+def test_prefix_filter_equals_full_inverted_index(spark):
+    """PPJoin prefix filtering loses no pairs: at the same threshold it
+    returns exactly the full inverted-index Jaccard pair set."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "a completely different sentence with other words entirely here",
+        "a completely different sentence with other words entirely here too",
+        "one more unrelated document about spark and parquet files",
+    ]
+    df = _docs(spark, texts)
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.6).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.prefix_filter_pairs(df, threshold=(3, 5)).collect()
+    }
+    assert pref == full and len(pref) >= 2
