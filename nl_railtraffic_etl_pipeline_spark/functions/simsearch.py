@@ -475,3 +475,60 @@ def quantize_int8(
         F.col("qvec"),
         F.round(F.col("_err"), 6).alias("max_abs_err"),
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, the ``k`` most
+    cosine-similar vectors carrying a DIFFERENT label — the highest-loss
+    negatives a contrastive/triplet trainer wants.
+
+    Same contract and plan shape as :func:`knn_bruteforce` (broadcast
+    anchors, rounded cosine, id tiebreak) with the label-mismatch
+    predicate in the join; this is the exact baseline — at corpus scale
+    substitute the LSH-bucketed candidate generator (:func:`lsh_build` /
+    :func:`lsh_bucket_topk`) and apply the same label filter to its
+    candidates, exactly as sim_knn_lsh substitutes for sim_knn_bruteforce.
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    from .dedup import _spread
+
+    c = _spread(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("n_label"),
+        )
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_label") != F.col("q_label"))
+        .select(
+            "query_id", "neighbor_id", "n_label", cos.alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("n_label").alias("neighbor_label"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -2793,3 +2793,89 @@ def _prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "doc_shingles_3", lambda: dedup.shingle_arrays(docs)
     )
     return dedup.prefix_filter_pairs(docs, arrays=arrays)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cluster assignment (topic bucketing for data mixes): every
+# vector's nearest k-means centroid + its cosine, over the SAME published
+# centroid artifact the IVF gates check against — the clustering surface
+# of the ANN index exposed as a first-class operator result.
+# ---------------------------------------------------------------------------
+@query(
+    "emb_cluster_assign",
+    f"""
+WITH base AS (
+    SELECT vec_id AS _id, embedding AS _v, {_IVF_NORM} AS _n FROM embeddings
+),
+cents AS (
+    SELECT centroid_id, cv, cn
+    FROM read_parquet('{_IVF_CENTROIDS_PATH}/*.parquet')
+)
+SELECT _id AS vec_id, centroid_id, c AS cosine FROM (
+    SELECT b._id, c.centroid_id,
+           {_cos6('b._v', 'b._n', 'c.cv', 'c.cn')} AS c,
+           ROW_NUMBER() OVER (
+               PARTITION BY b._id
+               ORDER BY {_cos6('b._v', 'b._n', 'c.cv', 'c.cn')} DESC,
+                        c.centroid_id
+           ) AS rn
+    FROM base b CROSS JOIN cents c
+) WHERE rn = 1
+""",
+)
+def _emb_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = _artifact(
+        spark,
+        sf_dir,
+        "ivf_index",
+        lambda: simsearch.ivf_build(
+            emb, dim=_EMB_DIM, centroids_path=_IVF_CENTROIDS_PATH
+        ),
+    )
+    cos = F.round(
+        _dot(F.col("_v"), F.col("cv"), _EMB_DIM)
+        / (F.col("_n") * F.col("cn")),
+        6,
+    )
+    return assigned.join(F.broadcast(cents), "centroid_id").select(
+        F.col("_id").alias("vec_id"), "centroid_id", cos.alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining (simsearch.hard_negatives): per anchor,
+# the k nearest vectors with a DIFFERENT label — the exact brute-force
+# baseline (broadcast anchors), with the LSH-bucketed generator as the
+# documented corpus-scale substitute (same substitution as sim_knn_lsh).
+# ---------------------------------------------------------------------------
+@query(
+    "emb_hard_negatives",
+    f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+    FROM embeddings
+    WHERE vec_id IN ({", ".join(map(str, _KNN_QUERY_IDS))})
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+           {_COS_SQL.format(va='qv', vb='embedding').replace('a.', 'q.').replace('b.', 'c.')} AS cosine
+    FROM embeddings c CROSS JOIN q
+    WHERE c.label <> q.q_label
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def _emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), _KNN_QUERY_IDS, k=5
+    )

@@ -1085,3 +1085,20 @@ def test_prefix_filter_equals_full_inverted_index(spark):
         for r in dedup.prefix_filter_pairs(df, threshold=(3, 5)).collect()
     }
     assert pref == full and len(pref) >= 2
+
+
+def test_hard_negatives_label_mismatch_only(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.simsearch import (
+        hard_negatives,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[0.99, 0.1], label=0),   # same label: excluded
+        Row(vec_id=2, embedding=[0.9, 0.2], label=1),    # nearest negative
+        Row(vec_id=3, embedding=[0.0, 1.0], label=1),
+    ]
+    df = spark.createDataFrame(rows)
+    out = hard_negatives(df, [0], k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert all(r["neighbor_label"] != 0 for r in out)
