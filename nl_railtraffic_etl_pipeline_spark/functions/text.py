@@ -588,3 +588,49 @@ def repeated_span_stats(
             ).alias("shared_ratio"),
         )
     )
+
+
+def novelty_scores(
+    docs,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document content novelty: the fraction of the doc's word
+    n-gram shingles whose FIRST corpus occurrence (by ascending doc id —
+    ingestion order) is this document.  The data-valuation curve behind
+    "is the tail of this crawl still adding content?": near-duplicates
+    and boilerplate-heavy docs score ~0, fresh material ~1.
+
+    Returns (id_col, n_shingles, n_novel, novelty) for docs with >= n
+    tokens.  First-occurrence attribution is one shingle-keyed
+    partial-aggregated MIN — no self-join, no window; the per-doc rollup
+    is doc-keyed.  Deterministic: ties in arrival order cannot happen
+    (min doc id is unique per shingle).
+    """
+    from pyspark.sql import functions as SF
+
+    toks = tokens(SF.col(text_col))
+    sh = docs.select(
+        SF.col(id_col).alias("doc"),
+        SF.explode(word_shingles(toks, n)).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(SF.min("doc").alias("_first"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc")
+        .agg(
+            SF.count("*").alias("n_shingles"),
+            SF.sum(
+                SF.when(SF.col("doc") == SF.col("_first"), 1).otherwise(0)
+            ).cast("int").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        SF.col("doc").alias(id_col),
+        SF.col("n_shingles").cast("int").alias("n_shingles"),
+        "n_novel",
+        SF.round(SF.col("n_novel") / SF.col("n_shingles"), 4).alias(
+            "novelty"
+        ),
+    )

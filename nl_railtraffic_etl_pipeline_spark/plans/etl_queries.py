@@ -852,3 +852,33 @@ def _cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_col="event_id",
         payload_cols=["value"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (functions/layout.py): bit-interleaved
+# (user, day) sort key for two-dimensional file pruning — the Delta
+# OPTIMIZE ZORDER technique as an oracle-checkable expression.  The gate
+# emits each event's key plus the per-key range summary a compaction job
+# would range-partition on.
+# ---------------------------------------------------------------------------
+from ..functions.layout import zorder_key, zorder_key_sql  # noqa: E402
+
+
+@query(
+    "events_zorder_key",
+    f"""
+SELECT event_id,
+       {zorder_key_sql("user_id % 65536",
+                       "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")}
+           AS zkey
+FROM events
+""",
+)
+def _events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return ev.select(
+        "event_id",
+        zorder_key(
+            F.col("user_id") % 65536, F.unix_date(F.to_date("ts"))
+        ).alias("zkey"),
+    )

@@ -2879,3 +2879,30 @@ def _emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.hard_negatives(
         load_table(spark, sf_dir, "embeddings"), _KNN_QUERY_IDS, k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Content novelty (text.novelty_scores): share of each doc's shingles
+# first seen in THAT doc (by ingestion order) — the is-the-crawl-tail-
+# still-adding-content curve.  One shingle-keyed MIN, no self-join.
+# ---------------------------------------------------------------------------
+@query(
+    "text_novelty",
+    f"WITH {_SHINGLES_CTE.strip()}"
+    + """,
+first AS (SELECT shingle, MIN(doc_id) AS f FROM shingles GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_shingles,
+       CAST(SUM(CASE WHEN s.doc_id = first.f THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_novel,
+       ROUND(SUM(CASE WHEN s.doc_id = first.f THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+FROM shingles s JOIN first USING (shingle)
+GROUP BY s.doc_id
+""",
+)
+def _text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import novelty_scores
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return novelty_scores(d)

@@ -1102,3 +1102,40 @@ def test_hard_negatives_label_mismatch_only(spark):
     out = hard_negatives(df, [0], k=2).collect()
     assert [r["neighbor_id"] for r in out] == [2, 3]
     assert all(r["neighbor_label"] != 0 for r in out)
+
+
+def test_novelty_first_doc_wins(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.text import novelty_scores
+
+    docs = _docs(
+        spark,
+        [
+            "alpha beta gamma delta",          # all novel
+            "alpha beta gamma delta",          # exact copy: zero novel
+            "alpha beta gamma epsilon zeta",   # partially novel
+        ],
+    )
+    out = {r["doc_id"]: r for r in novelty_scores(docs).collect()}
+    assert out[0]["novelty"] == 1.0
+    assert out[1]["novelty"] == 0.0
+    assert 0.0 < out[2]["novelty"] < 1.0
+
+
+def test_zorder_key_interleaves_and_localizes(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [Row(x=x, y=y) for x in range(4) for y in range(4)]
+    )
+    out = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    # known Morton codes for 2-bit domains
+    assert out[(0, 0)] == 0 and out[(1, 0)] == 1
+    assert out[(0, 1)] == 2 and out[(1, 1)] == 3
+    assert out[(2, 2)] == 12 and out[(3, 3)] == 15
+    # locality: all keys for x<2,y<2 precede all keys for x>=2,y>=2
+    assert max(out[(x, y)] for x in range(2) for y in range(2)) < min(
+        out[(x, y)] for x in range(2, 4) for y in range(2, 4)
+    )
