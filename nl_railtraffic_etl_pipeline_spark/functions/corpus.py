@@ -30,7 +30,13 @@ from .dedup import (
 )
 from .text import stopword_ratio, token_count, tokens
 
-__all__ = ["clean_corpus", "mixture_plan", "assign_shards", "shard_stats"]
+__all__ = [
+    "clean_corpus",
+    "mixture_plan",
+    "assign_shards",
+    "shard_stats",
+    "leakproof_split",
+]
 
 
 def clean_corpus(
@@ -178,4 +184,33 @@ def shard_stats(
         F.round(
             F.col("n_tokens").cast("double") / F.col("_tot"), 6
         ).alias("token_share"),
+    )
+
+
+def leakproof_split(
+    docs: DataFrame,
+    group_col: str,
+    rate: tuple[int, int] = (1, 4),
+    salt: str = "split",
+) -> DataFrame:
+    """Group-aware train/heldout split: whole GROUPS (domains, dup
+    clusters, sources) are assigned to one side by their group-key hash,
+    so near-duplicates or same-origin documents can never straddle the
+    split — the leakage mode per-document random splits cannot prevent
+    (and the reason decontamination alone is not enough).
+
+    ``rate = (num, den)``: a group is heldout iff
+    ``h(group) * den < num * 2^32`` — exact integer comparison on the
+    md5 contract, so membership is reproducible on any engine or
+    partitioning and nested for increasing rates.  Adds ``split``
+    ('train' / 'heldout').  Pure map-side projection; composes with
+    :func:`assign_shards` and the decontamination operators.
+    """
+    from .sketch import _rank_hash
+
+    num, den = rate
+    h = _rank_hash(F.col(group_col), salt)
+    return docs.withColumn(
+        "split",
+        F.when(h * den < num * (2**32), "heldout").otherwise("train"),
     )

@@ -882,3 +882,107 @@ def _events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id") % 65536, F.unix_date(F.to_date("ts"))
         ).alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-classic multi-join analytics (Q3/Q5 shapes adapted to the synthetic
+# relational schema): the join-ordering / broadcast showcase over
+# customer-orders-lineitem(-supplier-nation-region).  Revenue terms
+# quantize to DECIMAL(18,2) (prices/discounts carry 2 decimals — exact),
+# so the sums hash-match; Catalyst broadcasts every dimension and AQE
+# picks the fact-join strategy.
+# ---------------------------------------------------------------------------
+_REV_SQL = (
+    "CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,2)) * "
+    "(1 - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(18,2)))"
+)
+
+
+def _rev_col() -> F.Column:
+    p = F.col("l_extendedprice").cast("string").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("string").cast("decimal(18,2)")
+    return p * (F.lit(1) - d)
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    f"""
+SELECT l_orderkey,
+       ROUND(CAST(SUM({_REV_SQL}) AS DOUBLE), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders", spread=True).filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_regional_volume",
+    f"""
+SELECT n_name,
+       ROUND(CAST(SUM({_REV_SQL}) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders", spread=True).filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
+    )

@@ -2906,3 +2906,27 @@ def _text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents", spread=True)
     return novelty_scores(d)
+
+
+# ---------------------------------------------------------------------------
+# Leak-proof group-aware split (corpus.leakproof_split): whole sources
+# assigned train/heldout by group hash — same-origin docs can never
+# straddle the split.  Exact integer threshold on the md5 contract.
+# ---------------------------------------------------------------------------
+_SPLIT_H = _H32.format(x="'split:' || source")
+
+
+@query(
+    "corpus_leakproof_split",
+    f"""
+SELECT doc_id, source,
+       CASE WHEN {_SPLIT_H} * 4 < 1 * 4294967296 THEN 'heldout'
+            ELSE 'train' END AS split
+FROM documents
+""",
+)
+def _leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.corpus import leakproof_split
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return leakproof_split(d, "source").select("doc_id", "source", "split")

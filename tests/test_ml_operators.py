@@ -1139,3 +1139,25 @@ def test_zorder_key_interleaves_and_localizes(spark):
     assert max(out[(x, y)] for x in range(2) for y in range(2)) < min(
         out[(x, y)] for x in range(2, 4) for y in range(2, 4)
     )
+
+
+def test_leakproof_split_group_atomicity(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import (
+        leakproof_split,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, grp=f"g{i % 23}") for i in range(230)]
+    )
+    out = leakproof_split(docs, "grp").collect()
+    sides = {}
+    for r in out:
+        sides.setdefault(r["grp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in sides.values())  # no group straddles
+    assert {"train", "heldout"} == {r["split"] for r in out}
+    # nested rates: heldout at 1/8 is a subset of heldout at 1/4
+    h4 = {r["grp"] for r in leakproof_split(docs, "grp", (1, 4)).collect()
+          if r["split"] == "heldout"}
+    h8 = {r["grp"] for r in leakproof_split(docs, "grp", (1, 8)).collect()
+          if r["split"] == "heldout"}
+    assert h8 <= h4
