@@ -664,3 +664,40 @@ def _events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope"),
         F.round("intercept", 6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-primitive catalog: first_value / nth_value / cume_dist under a
+# total order (value, event_id) — the remaining SQL window primitives not
+# exercised by the rail/behavior gates.  cume_dist is rank/count (one
+# exact integer division), identical cross-engine under the unique order.
+# ---------------------------------------------------------------------------
+@query(
+    "events_window_catalog",
+    f"""
+SELECT event_id, event_type, value,
+       FIRST_VALUE(value) OVER w AS first_val,
+       NTH_VALUE(value, 3) OVER w AS third_val,
+       {_round_sql('CUME_DIST() OVER w', 6)} AS cume
+FROM events
+WHERE user_id % 97 = 0
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+)
+def _events_window_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id") % 97 == 0
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.first("value").over(w).alias("first_val"),
+        F.nth_value("value", 3).over(w).alias("third_val"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
