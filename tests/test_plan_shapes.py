@@ -238,3 +238,11 @@ def test_sliding_distinct_window_is_day_level(spark):
     (one row per day), never a raw scan."""
     txt = plan_of(spark, "sketch_sliding_distinct")
     assert not re.search(r"Window .*\n.*Scan parquet", txt)
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    """The 6-table snowflake must broadcast every dimension side — no
+    sort-merge join against nation/region/supplier/customer at gate SF."""
+    txt = plan_of(spark, "tpch_q5_regional_volume")
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
