@@ -986,3 +986,110 @@ def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
     )
+
+
+@query(
+    "tpch_q10_returned_items",
+    f"""
+SELECT c_custkey, c_name, n_name,
+       ROUND(CAST(SUM({_REV_SQL}) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def _tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    3 fact/dim joins, grouped revenue, global top-20
+    (TakeOrderedAndProject)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders", spread=True).filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-07-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality profiling (functions/profile.py — the Deequ family): exact
+# per-column completeness/cardinality in ONE aggregation pass, plus rule
+# evaluation (event_id unique+not_null, user_id bounded cardinality).
+# ---------------------------------------------------------------------------
+from ..functions.profile import check_rules, table_profile  # noqa: E402
+
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props"]
+
+
+@query(
+    "events_profile",
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_nulls, CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct "
+        "FROM events"
+        for c in _PROFILE_COLS
+    )
+    + "\n)",
+)
+def _events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return table_profile(ev, _PROFILE_COLS)
+
+
+@query(
+    "events_profile_rules",
+    """
+WITH p AS (
+    SELECT 'event_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events
+)
+SELECT "column", rule, passed FROM (
+    SELECT "column", 'not_null' AS rule, n_nulls = 0 AS passed FROM p
+    WHERE "column" = 'event_id'
+    UNION ALL
+    SELECT "column", 'unique', n_distinct = n_rows - n_nulls FROM p
+    WHERE "column" = 'event_id'
+    UNION ALL
+    SELECT "column", 'min_distinct', n_distinct >= 10 FROM p
+    WHERE "column" = 'user_id'
+)
+""",
+)
+def _events_profile_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    prof = table_profile(ev, ["event_id", "user_id"])
+    return check_rules(
+        prof,
+        {
+            "event_id": {"not_null": True, "unique": True},
+            "user_id": {"min_distinct": 10},
+        },
+    )

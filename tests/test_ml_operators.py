@@ -1161,3 +1161,27 @@ def test_leakproof_split_group_atomicity(spark):
     h8 = {r["grp"] for r in leakproof_split(docs, "grp", (1, 8)).collect()
           if r["split"] == "heldout"}
     assert h8 <= h4
+
+
+def test_table_profile_and_rules(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.profile import (
+        check_rules,
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v=None), Row(k=2, v="b")]
+    )
+    prof = {r["column"]: r for r in table_profile(df, ["k", "v"]).collect()}
+    assert prof["k"]["n_rows"] == 3 and prof["k"]["n_nulls"] == 0
+    assert prof["k"]["n_distinct"] == 2
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+
+    rules = check_rules(
+        table_profile(df, ["k", "v"]),
+        {"k": {"not_null": True, "unique": True}, "v": {"min_distinct": 2}},
+    ).collect()
+    got = {(r["column"], r["rule"]): r["passed"] for r in rules}
+    assert got[("k", "not_null")] is True
+    assert got[("k", "unique")] is False  # k=2 duplicated
+    assert got[("v", "min_distinct")] is True
