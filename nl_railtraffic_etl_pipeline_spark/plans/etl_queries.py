@@ -1093,3 +1093,54 @@ def _events_profile_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id": {"min_distinct": 10},
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Leading-digit (Benford) profile: distribution of the first significant
+# digit of value per event type — the fraud/synthetic-data forensics
+# signal.  Both engines print doubles shortest-roundtrip, so the digit of
+# the string image is identical; zero values carry no significant digit
+# and are excluded on both sides.
+# ---------------------------------------------------------------------------
+from .ml_queries import _round_sql  # noqa: E402
+
+
+@query(
+    "events_benford_digits",
+    f"""
+WITH d AS (
+    SELECT event_type,
+           regexp_extract(CAST(value AS VARCHAR), '[1-9]', 0) AS digit
+    FROM events WHERE value <> 0
+),
+counts AS (
+    SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d WHERE digit <> '' GROUP BY event_type, digit
+),
+tot AS (
+    SELECT event_type, CAST(SUM(n) AS BIGINT) AS t FROM counts
+    GROUP BY event_type
+)
+SELECT c.event_type, c.digit, c.n,
+       {{r}} AS share
+FROM counts c JOIN tot USING (event_type)
+""".format(r=_round_sql("CAST(c.n AS DOUBLE) / t", 6)),
+)
+def _events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("value") != 0
+    )
+    d = ev.select(
+        "event_type",
+        F.regexp_extract(F.col("value").cast("string"), "[1-9]", 0).alias(
+            "digit"
+        ),
+    ).filter(F.col("digit") != "")
+    counts = d.groupBy("event_type", "digit").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return counts.join(tot, "event_type").select(
+        "event_type",
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+    )
