@@ -422,7 +422,7 @@ def _daily_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decision is multiplied out in decimal (value*n > 3*sum) so it is exact
 # on both engines; only the DISPLAY mean divides (bridged ROUND).
 # ---------------------------------------------------------------------------
-from .ml_queries import _round_sql  # noqa: E402
+from .oracle_util import round_sql as _round_sql  # noqa: E402
 from ..functions.behavior import trailing_anomalies  # noqa: E402
 
 

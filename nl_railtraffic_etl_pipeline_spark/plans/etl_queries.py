@@ -1102,7 +1102,7 @@ def _events_profile_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the string image is identical; zero values carry no significant digit
 # and are excluded on both sides.
 # ---------------------------------------------------------------------------
-from .ml_queries import _round_sql  # noqa: E402
+from .oracle_util import round_sql as _round_sql  # noqa: E402
 
 
 @query(

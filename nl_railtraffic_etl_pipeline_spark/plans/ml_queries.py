@@ -1361,12 +1361,7 @@ def _kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _round_sql(expr: str, digits: int) -> str:
-    """DuckDB ROUND with Spark's double semantics (shortest-repr, half-up)."""
-    return (
-        f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,20)), "
-        f"{digits}) AS DOUBLE)"
-    )
+from .oracle_util import round_sql as _round_sql  # noqa: E402
 _QUALITY_SCORE_SQL = (
     "(list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE))"
     f" * (1 - len(list_filter(toks, x -> list_contains({_SW}, x)))"

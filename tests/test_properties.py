@@ -251,3 +251,35 @@ def test_scrub_patterns_cross_engine(spark, texts):
     for doc_id, clean, ne, nu, nn, hclean, ntag in q:
         assert got_scrub[doc_id] == (clean, ne, nu, nn)
         assert got_html[doc_id] == (hclean, ntag)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["https://", "Ex.COM", "/p", "?utm_source=1", "?ref=x", "&q=2",
+             "#frag", ":8080", "/", "a b", "%7E", "..", "http://", "xyz"]
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_canonical_url_cross_engine(spark, pieces):
+    """Spark (Java regex) and DuckDB (RE2) produce byte-identical
+    canonical URLs on adversarially spliced inputs — the regexes are
+    written to the shared no-lookaround subset and this holds them to it."""
+    import duckdb
+
+    from nl_railtraffic_etl_pipeline_spark.functions import web
+    from nl_railtraffic_etl_pipeline_spark.plans.ml_queries import _CANON_SQL
+
+    url = "".join(pieces)
+    sdf = spark.createDataFrame([(url,)], ["url"])
+    got_spark = sdf.select(
+        web.canonical_url(F.col("url")).alias("c")
+    ).collect()[0]["c"]
+    con = duckdb.connect()
+    got_duck = con.execute(
+        "SELECT " + _CANON_SQL + " FROM (SELECT ? AS url)", [url]
+    ).fetchone()[0]
+    assert got_spark == got_duck, (url, got_spark, got_duck)
