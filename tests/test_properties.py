@@ -283,3 +283,73 @@ def test_canonical_url_cross_engine(spark, pieces):
         "SELECT " + _CANON_SQL + " FROM (SELECT ? AS url)", [url]
     ).fetchone()[0]
     assert got_spark == got_duck, (url, got_spark, got_duck)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_zorder_key_cross_engine(spark, x, y):
+    """zorder_key (Spark expression) and zorder_key_sql (DuckDB auditor
+    twin) agree on arbitrary inputs — a layout key that differs between
+    writer and auditor silently destroys pruning."""
+    import duckdb
+
+    from nl_railtraffic_etl_pipeline_spark.functions.layout import (
+        zorder_key,
+        zorder_key_sql,
+    )
+
+    sdf = spark.createDataFrame([(x, y)], ["x", "y"])
+    got_spark = sdf.select(
+        zorder_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()[0]["z"]
+    got_duck = duckdb.connect().execute(
+        "SELECT " + zorder_key_sql("x", "y")
+        + " FROM (SELECT CAST(? AS BIGINT) AS x, CAST(? AS BIGINT) AS y)",
+        [x, y],
+    ).fetchone()[0]
+    assert got_spark == got_duck
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "the", "of", "!?", "..", " ", "\t", ""]),
+        min_size=0,
+        max_size=20,
+    ).map(" ".join)
+)
+def test_quality_classifier_matches_oracle_formula(spark, text):
+    """The classifier's integer num/den decomposition equals a direct
+    python evaluation of the published formula on arbitrary text."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        STOPWORDS,
+        quality_classifier,
+    )
+
+    sdf = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    row = quality_classifier(sdf).collect()[0]
+
+    # replicate Spark exactly: trim() strips SPACES ONLY (the engine-trim
+    # asymmetry the shingle property test already models), then split on
+    # Java \s = [ \t\n\x0b\f\r] — a trailing tab yields an empty token.
+    import re as _re
+
+    toks = _re.split(r"[ \t\n\x0b\f\r]+", text.lower().strip(" "))
+    n = len(toks)
+    L = len(text)
+    if n == 0 or L == 0 or (n == 1 and toks[0] == "" and L == 0):
+        assert row["keep"] is False
+        return
+    a = sum(1 for t in toks if t in STOPWORDS)
+    total_len = sum(len(t) for t in toks)
+    b = min(n, 200)
+    c = min(total_len, 8 * n)
+    p = sum(1 for ch in text if not (ch.isalnum() or ch == "_" or ch.isspace()))
+    num = 48000 * a * L + 200 * b * n * L + 5000 * c * L - 32000 * p * n
+    den = 160000 * n * L
+    assert row["keep"] == (num * 100 >= den * 22)
+    if row["score"] is not None:
+        assert abs(row["score"] - round(num / den, 4)) < 1e-9
