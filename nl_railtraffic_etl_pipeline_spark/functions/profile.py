@@ -92,6 +92,13 @@ def check_rules(profile: DataFrame, rules: dict) -> DataFrame:
                     ),
                 )
             )
+    if not rows:
+        # empty / all-unrecognized rules dict: an empty (column, rule,
+        # passed) frame, not an IndexError — callers fold it with the
+        # same unionByName/collect they'd use on a populated result
+        return profile.sparkSession.createDataFrame(
+            [], "column string, rule string, passed boolean"
+        )
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

@@ -296,6 +296,7 @@ def grid_quantile_sketch(
     value_col: str,
     group_cols: Sequence[str],
     bins: int = GRID_QUANTILE_BINS,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Mergeable fixed-grid quantile sketch STATE: per group, equi-width
     bin counts between the group's exact min/max.
@@ -308,26 +309,53 @@ def grid_quantile_sketch(
     sketch shippable from per-partition/per-day builds.  Unlike HLL/
     t-digest binaries, the state is plain rows an independent oracle can
     replay.  Returns (group..., lo, hi, n, bin, c).
+
+    ``bounds`` (optional): a ``(group..., lo, hi)`` DataFrame of EXTERNAL
+    bounds to bin against instead of this slice's own min/max — the knob
+    that makes the per-day-build-then-merge pattern possible through the
+    public API (slices binned against their OWN bounds do NOT merge;
+    :func:`grid_quantile_merge` now fails loudly on that).  Typical use:
+    one global bounds pass, then per-slice
+    ``grid_quantile_sketch(slice, ..., bounds=global_bounds)``.  Values
+    outside ``[lo, hi)`` clamp into the edge bins, so drifting slices
+    still produce a valid (if edge-heavy) state; groups absent from
+    ``bounds`` are dropped (inner join — no bounds, no grid).  The
+    internal-bounds path is unchanged: lo/hi/n in one aggregation.
     """
     keys = list(group_cols)
     v = F.col(value_col)
-    bounds = df.groupBy(*keys).agg(
-        F.min(v).alias("lo"),
-        F.max(v).alias("hi"),
-        F.count(v).alias("n"),
-    )
+    if bounds is None:
+        bnd = df.groupBy(*keys).agg(
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+            F.count(v).alias("n"),
+        )
+        out_keys = [*keys, "lo", "hi", "n"]
+    else:
+        bnd = bounds.select(*keys, "lo", "hi")
+        out_keys = [*keys, "lo", "hi"]
     width = (F.col("hi") - F.col("lo")) / F.lit(bins)
     b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
         F.least(
             F.lit(bins - 1),
-            F.floor((v - F.col("lo")) / width).cast("int"),
+            F.greatest(
+                F.lit(0), F.floor((v - F.col("lo")) / width).cast("int")
+            ),
         )
     )
-    return (
-        df.join(bounds, keys)
-        .select(*keys, "lo", "hi", "n", b.alias("bin"))
-        .groupBy(*keys, "lo", "hi", "n", "bin")
+    state = (
+        df.join(bnd, keys)
+        .select(*out_keys, b.alias("bin"))
+        .groupBy(*out_keys, "bin")
         .agg(F.count("*").alias("c"))
+    )
+    if bounds is None:
+        return state
+    # external bounds carry no slice count — derive n from the binned
+    # counts (metadata scale: <= bins rows per group, window not corpus)
+    n = F.sum("c").over(Window.partitionBy(*keys))
+    return state.select(
+        *keys, "lo", "hi", n.alias("n"), "bin", "c"
     )
 
 
@@ -337,16 +365,45 @@ def grid_quantile_merge(
     """Merge sketch states built over disjoint slices of each group.
 
     Requires the slices to share (lo, hi) — build them against global
-    bounds (the usual pattern: one bounds pass, then per-day states).
-    Counts sum; ``n`` re-derives from the summed counts.
+    bounds via ``grid_quantile_sketch(slice, ..., bounds=global_bounds)``
+    (one bounds pass, then per-day states).  Counts sum; ``n`` re-derives
+    from the summed counts.
+
+    A group whose states carry MORE than one distinct (lo, hi) pair was
+    built against inconsistent grids — summing its counts would silently
+    produce garbage estimates — so the merge FAILS LOUDLY at execution
+    (``raise_error``) instead of returning corrupted state.
     """
     keys = list(group_cols)
-    merged = states.groupBy(*keys, "lo", "hi", "bin").agg(
-        F.sum("c").alias("c")
+    merged = states.groupBy(*keys, "bin").agg(
+        F.sum("c").alias("c"),
+        F.count_distinct(F.struct("lo", "hi")).alias("_nbb"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
     )
-    totals = merged.groupBy(*keys).agg(F.sum("c").alias("n"))
-    return merged.join(totals, keys).select(
-        *keys, "lo", "hi", "n", "bin", "c"
+    # one window over the <= bins rows per group (metadata scale, never
+    # the corpus): derives n AND checks grid consistency in one pass
+    w = Window.partitionBy(*keys)
+    bad = (F.max("_nbb").over(w) > 1) | (
+        F.size(F.collect_set(F.struct("lo", "hi")).over(w)) > 1
+    )
+    return (
+        merged.withColumn("n", F.sum("c").over(w))
+        .withColumn(
+            "_ok",
+            F.when(~bad, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "grid_quantile_merge: a group carries multiple"
+                        " distinct (lo, hi) pairs — slices were binned"
+                        " against inconsistent grids; rebuild them with"
+                        " grid_quantile_sketch(bounds=<shared bounds>)"
+                    )
+                )
+            ),
+        )
+        .filter(F.col("_ok"))
+        .select(*keys, "lo", "hi", "n", "bin", "c")
     )
 
 

@@ -27,6 +27,13 @@ from .sketch import _rank_hash
 #: Capture group 1 = authority (host[:port]) of an http(s) URL.  Shared
 #: verbatim with the oracle; no lookaround so Java regex and RE2 agree.
 HOST_CAPTURE_RE = "^https?://([^/?#]+)"
+#: Case-insensitive scheme+authority strip for canonicalization.  The
+#: capture regex above runs on a LOWERCASED copy, but the strip must run
+#: on the ORIGINAL string (path case is preserved) — an uppercase scheme
+#: (``HTTP://EX.COM/``, schemes are case-insensitive per RFC 3986) would
+#: otherwise survive the strip and duplicate into the output.  ``(?i)``
+#: is supported identically by Java regex and RE2.
+HOST_STRIP_RE = "(?i)^https?://[^/?#]+"
 #: Trailing :port to strip from the authority.
 PORT_RE = ":[0-9]+$"
 
@@ -65,6 +72,106 @@ def registered_domain(host: Column) -> Column:
         F.when((n >= 3) & last2.isin(SECOND_LEVEL_SUFFIXES), last3)
         .when(n >= 2, last2)
         .otherwise(host)
+    )
+
+
+#: Longest suffix (in labels) the table-driven PSL path considers.  The
+#: real Public Suffix List's longest entries are 4 labels
+#: (e.g. some AWS/government zones), so 5 covers it with headroom.
+PSL_MAX_SUFFIX_LABELS = 5
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    suffixes: DataFrame,
+    host_col: str = "host",
+    out_col: str = "domain",
+) -> DataFrame:
+    """Registered (pay-level) domain via a REAL Public Suffix List table —
+    the production upgrade over the static :func:`registered_domain`
+    heuristic (whose :data:`SECOND_LEVEL_SUFFIXES` is a documented
+    stand-in).
+
+    ``suffixes`` is a one-column ``suffix`` DataFrame of PSL rules in
+    plain form (``com``, ``co.uk``, ``github.io`` — wildcard/exception
+    rules are out of scope, documented).  PSL semantics: the LONGEST
+    listed suffix matching a tail of the host wins, and the registered
+    domain is that suffix plus one more label.  A rule matching the
+    ENTIRE host is ignored (a bare suffix has no registrable part under
+    that rule), so such hosts resolve under the next-shorter rule if one
+    exists.  Hosts matching no rule at all fall back to the static
+    heuristic — mirroring the PSL's prevailing ``*`` rule (unlisted TLDs
+    still yield last-two-labels).
+
+    Plan shape, audited for 100 TB: the corpus projects its DISTINCT
+    hosts (domain resolution is host-functional, so the explode below
+    never multiplies corpus rows); each distinct host explodes into at
+    most :data:`PSL_MAX_SUFFIX_LABELS` candidate tails which
+    BROADCAST-join the suffix table (the full PSL is ~10k rows — small
+    by nature); a host-keyed partial max picks the longest match; the
+    resulting (host, domain) map joins back to the corpus on the host
+    equi-key.  Two host-keyed shuffles of host-cardinality data, zero
+    corpus-squared terms, zero UDFs.
+    """
+    hosts = (
+        df.select(F.col(host_col).alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .distinct()
+        .select(
+            "_h",
+            F.split(F.col("_h"), "\\.").alias("_l"),
+            F.size(F.split(F.col("_h"), "\\.")).alias("_n"),
+        )
+    )
+    # candidate tails: last k labels for k = 1..min(n-1, MAX); k == n is
+    # excluded (a host equal to a suffix has no registrable part).
+    # sequence(1, 0) is DESCENDING in Spark, so gate on _n > 1.
+    ks = F.when(
+        F.col("_n") > 1,
+        F.sequence(
+            F.lit(1), F.least(F.col("_n") - 1, F.lit(PSL_MAX_SUFFIX_LABELS))
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    cand = hosts.select(
+        "_h", F.explode(ks).alias("_k"), "_l", "_n"
+    ).withColumn(
+        "_tail",
+        F.array_join(
+            F.slice(F.col("_l"), F.col("_n") - F.col("_k") + 1, F.col("_k")),
+            ".",
+        ),
+    )
+    sfx = F.broadcast(
+        suffixes.select(F.col("suffix").alias("_tail")).distinct()
+    )
+    best = (
+        cand.join(sfx, "_tail", "left_semi")
+        .groupBy("_h")
+        .agg(F.max("_k").alias("_bk"))
+    )
+    mapping = (
+        hosts.join(best, "_h", "left")
+        .select(
+            "_h",
+            F.when(
+                F.col("_bk").isNotNull(),
+                F.array_join(
+                    F.slice(
+                        F.col("_l"),
+                        F.col("_n") - F.col("_bk"),
+                        F.col("_bk") + 1,
+                    ),
+                    ".",
+                ),
+            )
+            .otherwise(registered_domain(F.col("_h")))
+            .alias("_dom"),
+        )
+    )
+    return (
+        df.join(mapping, df[host_col] == mapping["_h"], "left")
+        .withColumn(out_col, F.col("_dom"))
+        .drop("_h", "_dom")
     )
 
 
@@ -140,8 +247,21 @@ def cap_per_domain(
 
 
 #: Tracking query parameters stripped during canonicalization (public
-#: convention: UTM campaign tags and common click ids).
-TRACKING_PARAM_RE = "(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+#: convention: UTM campaign tags and common click ids).  The leading
+#: ``([?&])`` anchors the match to a *parameter boundary* — without it the
+#: pattern matches the ``ref=`` substring inside unrelated params
+#: (``?href=AAA`` and ``?href=BBB`` would both collapse to ``?h``, a
+#: false-positive merge that loses distinct pages at crawl scale).  The
+#: captured delimiter is put back by the replacement (``$1`` in Spark,
+#: ``\1`` in DuckDB — dialect-local, the pattern itself is shared), and
+#: the resulting ``&&`` runs from mid-query strips are collapsed by
+#: :data:`AMP_RUN_RE` afterwards.  No-lookaround subset by design so the
+#: exact same pattern runs on Java regex and RE2.
+TRACKING_PARAM_RE = "([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+
+#: Collapses separator runs left behind when a tracking param is stripped
+#: mid-query (``?a=1&utm_x=2&b=3`` -> ``?a=1&&b=3`` -> ``?a=1&b=3``).
+AMP_RUN_RE = "&&+"
 
 
 def canonical_url(url: Column) -> Column:
@@ -155,9 +275,10 @@ def canonical_url(url: Column) -> Column:
     dedup.  Returns NULL for non-URLs.
     """
     scheme_host = F.regexp_extract(F.lower(url), HOST_CAPTURE_RE, 1)
-    rest = F.regexp_replace(url, HOST_CAPTURE_RE, "")
+    rest = F.regexp_replace(url, HOST_STRIP_RE, "")
     rest = F.regexp_replace(rest, "#.*$", "")
-    rest = F.regexp_replace(rest, TRACKING_PARAM_RE, "")
+    rest = F.regexp_replace(rest, TRACKING_PARAM_RE, "$1")
+    rest = F.regexp_replace(rest, AMP_RUN_RE, "&")
     rest = F.regexp_replace(rest, "[?&]+$", "")
     rest = F.regexp_replace(rest, "\\?&", "?")
     rest = F.regexp_replace(rest, "/$", "")

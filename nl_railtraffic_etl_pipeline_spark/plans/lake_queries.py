@@ -79,10 +79,18 @@ _TYPE_CASE = (
     + " ELSE lower(event_type) END"
 )
 
+#: Hard cap on the synthetic REST payload the roundtrip harness builds.
+#: The payload is driver-collected BY NATURE (it simulates the reference's
+#: API fetch writing a JSON file), so it must stay O(1) in SF: lowest
+#: ``_PAYLOAD_CAP`` qualifying event_ids (unique key -> total order,
+#: identical on both engines).  Not binding below ~sf0.5; binding above.
+_PAYLOAD_CAP = 2048
+
 _LAKE_ORACLE = f"""
 WITH src AS (
     SELECT event_id, event_type, ts, value, user_id
     FROM events WHERE event_id % 16 = 1
+    ORDER BY event_id LIMIT {_PAYLOAD_CAP}
 ),
 built AS (
     SELECT
@@ -132,6 +140,8 @@ def _records(spark: SparkSession, sf_dir: str) -> list[dict]:
         load_table(spark, sf_dir, "events")
         .select("event_id", "event_type", "ts", "value", "user_id")
         .filter("event_id % 16 = 1")
+        .orderBy("event_id")
+        .limit(_PAYLOAD_CAP)
         .collect()
     )
     out = []

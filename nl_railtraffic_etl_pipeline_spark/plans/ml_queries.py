@@ -2558,14 +2558,21 @@ _CANON_RAW_SQL = (
     "ELSE '?q=1' END)"
 )
 
+# The tracking-param strip keeps its captured [?&] delimiter (`\1` here,
+# `$1` Spark-side — replacement syntax is dialect-local, the PATTERN is the
+# shared constant) and the `&&+` collapse removes mid-query residue; see
+# web.TRACKING_PARAM_RE for why the boundary anchor matters.
 _CANON_SQL = (
     "CASE WHEN regexp_extract(lower(url), '{h}', 1) = '' THEN NULL "
     "ELSE 'https://' || regexp_extract(lower(url), '{h}', 1) || "
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-    "regexp_replace(regexp_replace(url, '{h}', ''), "
-    "'#.*$', ''), '{t}', '', 'g'), '[?&]+$', ''), '\\?&', '?'), '/$', '') "
+    "regexp_replace(regexp_replace(regexp_replace(url, '{s}', ''), "
+    "'#.*$', ''), '{t}', '\\1', 'g'), '&&+', '&', 'g'), "
+    "'[?&]+$', ''), '\\?&', '?'), '/$', '') "
     "END"
-).format(h=web.HOST_CAPTURE_RE, t=web.TRACKING_PARAM_RE)
+).format(
+    h=web.HOST_CAPTURE_RE, s=web.HOST_STRIP_RE, t=web.TRACKING_PARAM_RE
+)
 
 
 def _canon_raw_col() -> F.Column:
@@ -2624,6 +2631,110 @@ def _web_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.select(
         "doc_id", web.url_host(F.col("url")).alias("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table-driven Public-Suffix-List registered domains
+# (web.registered_domain_psl): candidate host tails broadcast-join a real
+# PSL suffix table, longest listed suffix wins (suffix + one label),
+# unmatched hosts fall back to the static heuristic.  The host mix
+# exercises every depth: a 2-label private rule (github.io), a 3-label one
+# (s3.amazonaws.com), a second-level registry (co.uk), a plain TLD, an
+# UNLISTED TLD (fallback), and a single-label host.
+# ---------------------------------------------------------------------------
+_PSL_GATE_SUFFIXES = [
+    "com", "io", "uk", "co.uk", "github.io", "s3.amazonaws.com", "us",
+]
+
+_PSLHOST_SQL = (
+    "(CASE doc_id % 8 "
+    "WHEN 0 THEN 'u' || CAST(doc_id % 3 AS VARCHAR) || '.github.io' "
+    "WHEN 1 THEN 'www.example.com' "
+    "WHEN 2 THEN 'a.example.co.uk' "
+    "WHEN 3 THEN 'b.example.co.uk' "
+    "WHEN 4 THEN 'bkt' || CAST(doc_id % 2 AS VARCHAR) || '.s3.amazonaws.com' "
+    "WHEN 5 THEN 'example.xyz' "
+    "WHEN 6 THEN 'github.io' "
+    "ELSE 'single' END)"
+)
+
+
+def _pslhost_col() -> F.Column:
+    m = F.col("doc_id") % 8
+    return (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("u"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(".github.io"),
+            ),
+        )
+        .when(m == 1, F.lit("www.example.com"))
+        .when(m == 2, F.lit("a.example.co.uk"))
+        .when(m == 3, F.lit("b.example.co.uk"))
+        .when(
+            m == 4,
+            F.concat(
+                F.lit("bkt"), (F.col("doc_id") % 2).cast("string"),
+                F.lit(".s3.amazonaws.com"),
+            ),
+        )
+        .when(m == 5, F.lit("example.xyz"))
+        .when(m == 6, F.lit("github.io"))
+        .otherwise(F.lit("single"))
+    )
+
+
+@query(
+    "web_domain_psl",
+    f"""
+WITH raw AS (SELECT doc_id, {_PSLHOST_SQL} AS host FROM documents),
+sfx(suffix) AS (VALUES {", ".join(f"('{s}')" for s in _PSL_GATE_SUFFIXES)}),
+lab AS (
+    SELECT doc_id, host, string_split(host, '.') AS l,
+           len(string_split(host, '.')) AS n
+    FROM raw
+),
+cand AS (
+    SELECT lab.host, CAST(t.k AS INTEGER) AS k
+    FROM lab, range(1, {web.PSL_MAX_SUFFIX_LABELS + 1}) t(k)
+    WHERE t.k <= lab.n - 1
+      AND array_to_string(lab.l[lab.n - CAST(t.k AS INTEGER) + 1 : lab.n],
+                          '.') IN (SELECT suffix FROM sfx)
+),
+best AS (SELECT host, MAX(k) AS bk FROM cand GROUP BY host),
+dom AS (
+    SELECT lab.doc_id, lab.host,
+           CASE WHEN best.bk IS NOT NULL
+                THEN array_to_string(lab.l[lab.n - best.bk : lab.n], '.')
+                WHEN lab.n >= 3 AND (lab.l[lab.n - 1] || '.' || lab.l[lab.n])
+                     IN ({_SUFFIX_IN})
+                THEN lab.l[lab.n - 2] || '.' || lab.l[lab.n - 1] || '.'
+                     || lab.l[lab.n]
+                WHEN lab.n >= 2 THEN lab.l[lab.n - 1] || '.' || lab.l[lab.n]
+                ELSE lab.host END AS domain
+    FROM lab LEFT JOIN best USING (host)
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+FROM dom GROUP BY domain
+""",
+)
+def _web_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    suffixes = spark.createDataFrame(
+        [(s,) for s in _PSL_GATE_SUFFIXES], ["suffix"]
+    )
+    hosts = d.select("doc_id", _pslhost_col().alias("host"))
+    return (
+        web.registered_domain_psl(hosts, suffixes)
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
     )
 
 

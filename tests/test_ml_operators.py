@@ -860,26 +860,16 @@ def test_grid_quantile_sketch_merge_equals_direct(spark):
     df = spark.createDataFrame(rows)
     direct = grid_quantile_sketch(df, "v", ["g"])
 
-    # the merge contract requires slices binned against SHARED bounds:
-    # bin each half against the global per-group bounds, then merge.
-    bounds = direct.select("g", "lo", "hi").distinct()
-    base = df.join(bounds, "g")
+    # the merge contract requires slices binned against SHARED bounds —
+    # the public `bounds=` parameter (one global bounds pass, then
+    # per-slice builds), no hand-reimplemented binning needed.
     import pyspark.sql.functions as SF
 
-    width = (SF.col("hi") - SF.col("lo")) / SF.lit(128)
-    b = SF.when(SF.col("hi") == SF.col("lo"), SF.lit(0)).otherwise(
-        SF.least(SF.lit(127), SF.floor((SF.col("v") - SF.col("lo")) / width).cast("int"))
-    )
-    halves = []
-    for pred in (SF.col("v") % 2 == 0, SF.col("v") % 2 == 1):
-        halves.append(
-            base.filter(pred)
-            .select("g", "lo", "hi", b.alias("bin"))
-            .groupBy("g", "lo", "hi", "bin")
-            .agg(SF.count("*").alias("c"))
-            .withColumn("n", SF.lit(0))
-            .select("g", "lo", "hi", "n", "bin", "c")
-        )
+    bounds = direct.select("g", "lo", "hi").distinct()
+    halves = [
+        grid_quantile_sketch(df.filter(pred), "v", ["g"], bounds=bounds)
+        for pred in (SF.col("v") % 2 == 0, SF.col("v") % 2 == 1)
+    ]
     merged = grid_quantile_merge(halves[0].union(halves[1]), ["g"])
 
     def est_map(state):
@@ -894,6 +884,37 @@ def test_grid_quantile_sketch_merge_equals_direct(spark):
     assert abs(ed[("a", 50)] - 500.0) <= 999.0 / 128 + 1
     # rank r = ceil(0.9*100) = 90 -> 90th smallest of {i^2} = 89^2
     assert abs(ed[("b", 90)] - 89 * 89) <= (99 * 99) / 128 + 1
+
+    # per-slice n derives from the slice's own binned counts
+    got_n = {r["g"]: r["n"] for r in halves[0].select("g", "n").distinct().collect()}
+    assert got_n["a"] == 500 and got_n["b"] == 50
+
+    # out-of-bounds values clamp into the edge bins (a drifted slice
+    # binned against stale global bounds still yields a valid state)
+    drift = spark.createDataFrame([Row(g="a", v=-50.0), Row(g="a", v=5000.0)])
+    dstate = grid_quantile_sketch(drift, "v", ["g"], bounds=bounds).collect()
+    assert sorted(r["bin"] for r in dstate) == [0, 127]
+
+
+def test_grid_quantile_merge_rejects_mismatched_bounds(spark):
+    """Merging states binned against DIFFERENT grids is a silent-garbage
+    hazard — the merge must fail loudly, not sum incompatible counts."""
+    import pytest
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        grid_quantile_merge,
+        grid_quantile_sketch,
+    )
+
+    a = grid_quantile_sketch(
+        spark.createDataFrame([Row(g="g", v=float(i)) for i in range(10)]),
+        "v", ["g"],
+    )
+    b = grid_quantile_sketch(
+        spark.createDataFrame([Row(g="g", v=float(i)) for i in range(5, 50)]),
+        "v", ["g"],
+    )
+    with pytest.raises(Exception, match="distinct \\(lo, hi\\)"):
+        grid_quantile_merge(a.union(b), ["g"]).collect()
 
 
 def test_plan_audio_chunks_windows(spark):
@@ -957,6 +978,14 @@ def test_canonical_url_and_blocklist(spark):
             Row(doc_id=3, url="https://ex.com/a"),
             Row(doc_id=4, url="https://bad.org/x"),
             Row(doc_id=5, url="nonsense"),
+            # param-boundary anchor: 'ref=' inside another param name must
+            # NOT be stripped (unanchored regex falsely merged these two)
+            Row(doc_id=6, url="https://ex.com/p?href=AAA"),
+            Row(doc_id=7, url="https://ex.com/p?href=BBB"),
+            # mid-query tracking param: strip must not leave '&&' residue
+            Row(doc_id=8, url="https://ex.com/p?a=1&utm_x=2&b=3"),
+            Row(doc_id=9, url="https://ex.com/p?a=1&b=3"),
+            Row(doc_id=10, url="https://ex.com/p?autm_x=1"),
         ]
     )
     canon = {
@@ -968,6 +997,11 @@ def test_canonical_url_and_blocklist(spark):
     assert canon[0] == "https://ex.com/a?q=2" == canon[1]
     assert canon[2] == "https://ex.com/a" == canon[3]
     assert canon[5] is None
+    assert canon[6] == "https://ex.com/p?href=AAA"
+    assert canon[7] == "https://ex.com/p?href=BBB"
+    assert canon[6] != canon[7]  # distinct pages stay distinct
+    assert canon[8] == "https://ex.com/p?a=1&b=3" == canon[9]
+    assert canon[10] == "https://ex.com/p?autm_x=1"
 
     groups = {
         r["canonical_url"]: (r["keeper_id"], r["n_copies"])
@@ -980,7 +1014,7 @@ def test_canonical_url_and_blocklist(spark):
     kept = sorted(
         r["doc_id"] for r in web.filter_blocklist(df, blocked).collect()
     )
-    assert kept == [0, 1, 2, 3, 5]  # bad.org dropped; non-URL survives
+    assert kept == [0, 1, 2, 3, 5, 6, 7, 8, 9, 10]  # bad.org dropped; non-URL survives
 
 
 def test_stats_moments_zscore_corr_ols(spark):
@@ -1185,3 +1219,11 @@ def test_table_profile_and_rules(spark):
     assert got[("k", "not_null")] is True
     assert got[("k", "unique")] is False  # k=2 duplicated
     assert got[("v", "min_distinct")] is True
+
+    # empty / unrecognized rules: empty typed frame, not an IndexError
+    empty = check_rules(table_profile(df, ["k"]), {})
+    assert empty.columns == ["column", "rule", "passed"]
+    assert empty.count() == 0
+    assert check_rules(
+        table_profile(df, ["k"]), {"k": {"bogus_rule": 1}}
+    ).count() == 0

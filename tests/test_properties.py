@@ -8,7 +8,7 @@ plain-Python reference implementation row by row.
 
 import datetime as dt
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from nl_railtraffic_etl_pipeline_spark.functions.text import (
@@ -258,7 +258,11 @@ def test_scrub_patterns_cross_engine(spark, texts):
     st.lists(
         st.sampled_from(
             ["https://", "Ex.COM", "/p", "?utm_source=1", "?ref=x", "&q=2",
-             "#frag", ":8080", "/", "a b", "%7E", "..", "http://", "xyz"]
+             "#frag", ":8080", "/", "a b", "%7E", "..", "http://", "xyz",
+             # adversarial pieces for the param-boundary anchor: 'ref='
+             # inside another param name, mid-query tracking params, and
+             # bare-delimiter splices that stress the && collapse
+             "?href=x", "&pref=1", "&utm_x=1", "?a=1", "&", "?", "HTTP://"]
         ),
         min_size=1,
         max_size=8,
@@ -321,6 +325,7 @@ def test_zorder_key_cross_engine(spark, x, y):
         max_size=20,
     ).map(" ".join)
 )
+@example(text="a a")  # pinned: score is exactly 0.33375 — a HALF_UP 4-digit tie
 def test_quality_classifier_matches_oracle_formula(spark, text):
     """The classifier's integer num/den decomposition equals a direct
     python evaluation of the published formula on arbitrary text."""
@@ -352,4 +357,17 @@ def test_quality_classifier_matches_oracle_formula(spark, text):
     den = 160000 * n * L
     assert row["keep"] == (num * 100 >= den * 22)
     if row["score"] is not None:
-        assert abs(row["score"] - round(num / den, 4)) < 1e-9
+        # Mirror Spark's ROUND(double, 4) exactly: Spark routes the double
+        # through BigDecimal.valueOf (Java Double.toString == shortest
+        # round-trip repr, same algorithm as Python repr()) then setScale
+        # HALF_UP.  Python's float round() is banker's on the raw binary
+        # value and lands one ulp low on near-ties like num/den = 0.33375
+        # (text='a a'), which is why the old float-round mirror was wrong
+        # while the operator and the DuckDB oracle agreed.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = float(num) / float(den)
+        expect = float(
+            Decimal(repr(q)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+        assert row["score"] == expect
