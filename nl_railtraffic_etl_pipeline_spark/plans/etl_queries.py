@@ -1030,6 +1030,215 @@ def _tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q1 (pricing summary) and Q6 (forecast revenue): the scan-heavy
+# aggregate pair that complements the join-heavy Q3/Q5/Q10.  Q1 is the
+# canonical map-side partial-agg showcase (9 aggregates, 1 exchange over a
+# handful of groups); Q6 is pure scan+filter+sum (predicate pushdown to
+# parquet, zero shuffles beyond the final 1-row agg).  All money math in
+# exact DECIMAL via the string-image cast ((12,2)x(11,2)x(11,2) = (36,6),
+# under both engines' 38-digit cap), averages as one IEEE division of
+# exact sums — hash-stable at any SF and partitioning.
+# ---------------------------------------------------------------------------
+from .oracle_util import round_sql as _round_sql  # noqa: E402
+
+_D2 = "CAST(CAST({x} AS VARCHAR) AS DECIMAL(12,2))"
+_Q1_QTY = _D2.format(x="l_quantity")
+_Q1_PRICE = _D2.format(x="l_extendedprice")
+_Q1_DISC = "CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(11,2))"
+_Q1_TAX = "CAST(CAST(l_tax AS VARCHAR) AS DECIMAL(11,2))"
+
+
+def _dec2(col: str, prec: int = 12) -> F.Column:
+    return F.col(col).cast("string").cast(f"decimal({prec},2)")
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({_Q1_QTY}) AS DOUBLE) AS sum_qty,
+       CAST(SUM({_Q1_PRICE}) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_Q1_PRICE} * (1 - {_Q1_DISC})) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_Q1_PRICE} * (1 - {_Q1_DISC}) * (1 + {_Q1_TAX})) AS DOUBLE)
+           AS sum_charge,
+       {{a_qty}} AS avg_qty,
+       {{a_price}} AS avg_price,
+       {{a_disc}} AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""".format(
+        a_qty=_round_sql(
+            f"CAST(SUM({_Q1_QTY}) AS DOUBLE) / COUNT(*)", 4
+        ),
+        a_price=_round_sql(
+            f"CAST(SUM({_Q1_PRICE}) AS DOUBLE) / COUNT(*)", 4
+        ),
+        a_disc=_round_sql(
+            f"CAST(SUM({_Q1_DISC}) AS DOUBLE) / COUNT(*)", 4
+        ),
+    ),
+)
+def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    qty, price = _dec2("l_quantity"), _dec2("l_extendedprice")
+    disc = _dec2("l_discount", 11)
+    tax = _dec2("l_tax", 11)
+    cnt = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+        .cast("double")
+        .alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
+        F.round(F.sum(price).cast("double") / cnt, 4).alias("avg_price"),
+        F.round(F.sum(disc).cast("double") / cnt, 4).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    f"""
+SELECT CAST(SUM({_Q1_PRICE} * {_Q1_DISC}) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND {_Q1_DISC} BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    disc = _dec2("l_discount", 11)
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        & disc.between(F.lit("0.05").cast("decimal(11,2)"),
+                       F.lit("0.07").cast("decimal(11,2)"))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec2("l_extendedprice") * disc)
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 (promotion effect) and Q18 (large-volume customers).  Q14:
+# conditional aggregation over the lineitem-part broadcast join — the
+# promo share is ONE IEEE division of two exact decimal sums.  Q18: the
+# classic HAVING-subquery semi-join (orders whose total quantity exceeds a
+# threshold), planned as an aggregated build side left-semi-joined into
+# the fact scan; quantities are integral so their double sums are exact at
+# any order.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q14_promo_effect",
+    f"""
+SELECT {{share}} AS promo_share,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS promo_revenue,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+""".format(
+        share=_round_sql(
+            "100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+            f"{_REV_SQL} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"
+            f" / CAST(SUM({_REV_SQL}) AS DOUBLE)",
+            4,
+        )
+    ),
+)
+def _tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01")))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _rev_col()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_share"),
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+
+
+_Q18_MIN_QTY = 250
+
+
+@query(
+    "tpch_q18_large_orders",
+    f"""
+WITH big AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > {_Q18_MIN_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       ROUND(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice,
+       CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+)
+def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > _Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders", spread=True).join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias(
+                "o_totalprice"
+            ),
+            "total_qty",
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data-quality profiling (functions/profile.py — the Deequ family): exact
 # per-column completeness/cardinality in ONE aggregation pass, plus rule
 # evaluation (event_id unique+not_null, user_id bounded cardinality).
