@@ -246,3 +246,40 @@ def test_tpch_q5_broadcasts_dims(spark):
     txt = plan_of(spark, "tpch_q5_regional_volume")
     assert "BroadcastHashJoin" in txt
     assert "CartesianProduct" not in txt
+
+
+@pytest.mark.parametrize(
+    "name,needle",
+    [
+        ("tpch_q6_forecast_revenue", "l_shipdate"),
+        ("tpch_q6_forecast_revenue", "l_quantity"),
+        ("tpch_q1_pricing_summary", "l_shipdate"),
+    ],
+)
+def test_tpch_scan_filters_pushed(spark, name, needle):
+    """Q1/Q6 are scan-bound: their date/quantity predicates must reach the
+    parquet scan as PushedFilters, not evaluate post-scan only."""
+    txt = plan_of(spark, name)
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", txt))
+    assert needle in pushed, (name, pushed)
+
+
+def test_tpch_join_strategies(spark):
+    """Q14's part side and Q18's dims broadcast; Q18's HAVING subquery
+    plans as a semi join; nothing falls back to a nested loop."""
+    q14 = plan_of(spark, "tpch_q14_promo_effect")
+    assert "BroadcastHashJoin" in q14
+    assert "BroadcastNestedLoopJoin" not in q14
+    q18 = plan_of(spark, "tpch_q18_large_orders")
+    assert "LeftSemi" in q18
+    assert "TakeOrderedAndProject" in q18
+    assert "BroadcastNestedLoopJoin" not in q18
+
+
+def test_psl_suffix_table_broadcasts(spark):
+    """The PSL suffix side must broadcast (it is small by nature); the
+    corpus side must never explode before the distinct-hosts projection."""
+    txt = plan_of(spark, "web_domain_psl")
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt

@@ -371,3 +371,61 @@ def test_quality_classifier_matches_oracle_formula(spark, text):
             Decimal(repr(q)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
         )
         assert row["score"] == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "co", "uk", "io", "x", "example"]),
+            min_size=1,
+            max_size=6,
+        ).map(".".join),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sets(
+        st.lists(
+            st.sampled_from(["a", "b", "co", "uk", "io", "x"]),
+            min_size=1,
+            max_size=3,
+        ).map(".".join),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_registered_domain_psl_matches_referee(spark, hosts, suffixes):
+    """The table-driven PSL path agrees with a plain-Python referee
+    implementing the documented contract (longest PROPER listed suffix
+    wins, +1 label; unmatched -> static heuristic) on arbitrary host and
+    suffix-table shapes — including hosts that ARE suffixes, 1-label
+    hosts, and empty suffix tables."""
+    from nl_railtraffic_etl_pipeline_spark.functions import web
+
+    def referee(host: str) -> str:
+        labels = host.split(".")
+        n = len(labels)
+        best = 0
+        for k in range(1, min(n - 1, web.PSL_MAX_SUFFIX_LABELS) + 1):
+            if ".".join(labels[n - k:]) in suffixes:
+                best = max(best, k)
+        if best:
+            return ".".join(labels[n - best - 1:])
+        if n >= 3 and ".".join(labels[-2:]) in web.SECOND_LEVEL_SUFFIXES:
+            return ".".join(labels[-3:])
+        if n >= 2:
+            return ".".join(labels[-2:])
+        return host
+
+    sdf = spark.createDataFrame([(h,) for h in set(hosts)], ["host"])
+    sfx = (
+        spark.createDataFrame([(s,) for s in suffixes], ["suffix"])
+        if suffixes
+        else spark.createDataFrame([], "suffix string")
+    )
+    got = {
+        r["host"]: r["domain"]
+        for r in web.registered_domain_psl(sdf, sfx).collect()
+    }
+    for h in set(hosts):
+        assert got[h] == referee(h), (h, got[h], referee(h), suffixes)
