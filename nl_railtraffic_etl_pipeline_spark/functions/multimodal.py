@@ -75,6 +75,101 @@ def decode_image_meta(df_with_payload: DataFrame) -> DataFrame:
     )
 
 
+#: JPEG start-of-frame markers that carry dimensions (SOF0-SOF15 minus the
+#: non-frame DHT/JPG/DAC markers C4/C8/CC).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_header(b: bytes) -> tuple[int | None, int | None, str | None]:
+    """(width, height, format) from REAL image container bytes.
+
+    Pure byte parsing of the three dominant web-image containers — no
+    media library needed, which is exactly why header metadata extraction
+    does NOT belong behind the stubbed pixel decoder:
+
+    - PNG: 8-byte signature, then IHDR payload at offset 16 holds
+      big-endian u32 width/height (PNG spec, RFC 2083 §4.1.1).
+    - JPEG: walk the FF-marker segment chain to the first SOFn frame
+      header; its payload is [precision u8][height u16][width u16]
+      big-endian (ITU T.81 §B.2.2).  Standalone markers (D0-D7 RST, 01
+      TEM, D8 SOI) carry no length word.
+    - GIF: 6-byte version signature, then little-endian u16 logical
+      screen width/height (GIF89a spec §18).
+
+    Unknown container / truncated header -> (None, None, None): the
+    quarantine row, never an exception (a poisoned payload must not kill
+    the task).
+    """
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+            "png",
+        )
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in _JPEG_SOF:
+                return (
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                    "jpeg",
+                )
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        return (None, None, "jpeg")
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            "gif",
+        )
+    return (None, None, None)
+
+
+def _header_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        parsed = [_parse_header(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "width": pd.array([p[0] for p in parsed], dtype="Int32"),
+                "height": pd.array([p[1] for p in parsed], dtype="Int32"),
+                "format": [p[2] for p in parsed],
+            }
+        )
+
+
+def parse_image_headers(df_with_payload: DataFrame) -> DataFrame:
+    """REAL image-metadata extraction from binary payloads: PNG / JPEG /
+    GIF dimensions parsed directly from container bytes (see
+    :func:`_parse_header`) — the production upgrade over the documented
+    :func:`decode_image_meta` stub for everything that does not require
+    pixel access.  Pixel-level decode (resize, embedding) still needs an
+    image library and remains stubbed in this environment.
+
+    Same Arrow ``mapInPandas`` shape as the stub: binary in, typed struct
+    out, malformed payloads quarantined as null dims, Python memory
+    bounded by ``arrow.maxRecordsPerBatch``.  Headers live in the first
+    few hundred bytes, so at 100 TB this pairs with a payload-prefix
+    column (store the first 1 KB beside the full blob) to parse metadata
+    without ever reading full payload row groups.
+    """
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        _header_batch, IMAGE_META
+    )
+
+
 def sample_frames(
     df_with_payload: DataFrame, every_n_bytes: int = 97
 ) -> DataFrame:

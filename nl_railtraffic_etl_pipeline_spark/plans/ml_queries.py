@@ -792,6 +792,60 @@ def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL image-header parsing (multimodal.parse_image_headers): each doc is
+# given GENUINE container bytes (a spec-valid PNG IHDR or GIF header
+# assembled JVM-side via unhex, or junk), and the engine must parse the
+# dimensions back OUT OF THE BYTES.  The oracle predicts width/height
+# ARITHMETICALLY from doc_id — it never sees the payload — so unlike the
+# shared-regex gates this one falsifies the parser itself: any offset /
+# endianness / signature mistake hash-mismatches.
+# ---------------------------------------------------------------------------
+_MMW = "(doc_id % 1000 + 1)"
+_MMH = "(doc_id % 677 + 1)"
+
+
+def _mm_header_payload() -> F.Column:
+    w = F.col("doc_id") % 1000 + 1
+    h = F.col("doc_id") % 677 + 1
+    be32 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    le16 = lambda c: F.concat(  # noqa: E731
+        F.lpad(F.hex(c % 256), 2, "0"), F.lpad(F.hex((c / 256).cast("long")), 2, "0")
+    )
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        be32(w),
+        be32(h),
+        F.lit("0802000000"),
+    )
+    gif_hex = F.concat(F.lit("474946383961"), le16(w), le16(h))
+    m = F.col("doc_id") % 3
+    return F.unhex(
+        F.when(m == 0, png_hex).when(m == 1, gif_hex).otherwise(F.lit("6A756E6B"))
+    )
+
+
+@query(
+    "mm_parse_image_headers",
+    f"""
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 10 ELSE 4 END
+            AS INTEGER) AS n_bytes,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN NULL ELSE {_MMW} END
+            AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN NULL ELSE {_MMH} END
+            AS INTEGER) AS height,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE NULL END
+           AS format
+FROM documents
+""",
+)
+def _mm_parse_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    payload = d.select("doc_id", _mm_header_payload().alias("payload"))
+    return multimodal.parse_image_headers(payload)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sketches (functions/sketch.py): KMV distinct estimation and
 # bottom-k hash sampling — unlike HLL++/DataFrame.sample, both replay
 # bit-identically on any engine via the shared md5 hash contract, so the

@@ -285,3 +285,47 @@ def test_registered_domain_psl_equivalence_with_static(spark):
         ).collect()
     }
     assert via_table == via_static
+
+
+# ---------------------------------------------------------------------------
+# parse_image_headers — REAL container bytes, hand-assembled per spec
+# ---------------------------------------------------------------------------
+
+def test_parse_image_headers_real_bytes(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions import multimodal as mm
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"            # signature
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big")      # width
+        + (480).to_bytes(4, "big")      # height
+        + b"\x08\x02\x00\x00\x00"       # depth/color/etc
+    )
+    jpeg = (
+        b"\xff\xd8"                                  # SOI
+        + b"\xff\xe0" + (16).to_bytes(2, "big")      # APP0, len 16
+        + b"JFIF\x00" + b"\x00" * 9                  # 14 payload bytes
+        + b"\xff\xc0" + (17).to_bytes(2, "big")      # SOF0, len 17
+        + b"\x08"                                    # precision
+        + (240).to_bytes(2, "big")                   # height
+        + (320).to_bytes(2, "big")                   # width
+        + b"\x03" + b"\x00" * 9
+    )
+    gif = b"GIF89a" + (2).to_bytes(2, "little") + (3).to_bytes(2, "little")
+    rows = [
+        (0, bytearray(png)),
+        (1, bytearray(jpeg)),
+        (2, bytearray(gif)),
+        (3, bytearray(b"not an image")),
+        (4, bytearray(b"\x89PNG\r\n\x1a\n")),  # truncated: quarantined
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["format"])
+        for r in mm.parse_image_headers(df).collect()
+    }
+    assert got[0] == (640, 480, "png")
+    assert got[1] == (320, 240, "jpeg")
+    assert got[2] == (2, 3, "gif")
+    assert got[3] == (None, None, None)
+    assert got[4] == (None, None, None)
