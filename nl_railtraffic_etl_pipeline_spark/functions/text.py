@@ -436,6 +436,124 @@ def quality_classifier(docs, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+#: Feature order of the trainable quality head (intercept prepended).
+QUALITY_FEATURES = (
+    "stopword_ratio",
+    "length_saturation",
+    "token_len_saturation",
+    "punct_ratio",
+)
+
+
+def _quality_feature_cols(text_col: str) -> list:
+    """The four classifier features as double expressions (same
+    definitions as :func:`quality_classifier`'s integer decomposition);
+    degenerate docs (no tokens / no chars) yield all-zero features."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks).cast("double")
+    chars = F.length(t).cast("double")
+    stop_hits = F.size(
+        F.filter(
+            toks, lambda w: F.array_contains(F.array(*map(F.lit, STOPWORDS)), w)
+        )
+    ).cast("double")
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    ).cast("double")
+    valid = (n > 0) & (chars > 0)
+    z = F.lit(0.0)
+    return [
+        F.when(valid, stop_hits / n).otherwise(z),
+        F.when(valid, F.least(n, F.lit(200.0)) / 200.0).otherwise(z),
+        F.when(valid, F.least(total_len, 8.0 * n) / (8.0 * n)).otherwise(z),
+        F.when(valid, punct_count(t).cast("double") / chars).otherwise(z),
+    ]
+
+
+def fit_quality_weights(
+    docs,
+    label_col: str,
+    text_col: str = "text",
+    ridge: float = 1e-6,
+) -> dict:
+    """TRAIN the quality head: closed-form ridge regression of a 0/1
+    label on the four quality features + intercept — the production
+    replacement for the fixed :data:`QUALITY_CLASSIFIER_WEIGHTS`
+    stand-in, using only public linear algebra (normal equations).
+
+    Scale shape: the ENTIRE corpus contributes through its sufficient
+    statistics — the 5x5 Gram matrix X'X and the 5-vector X'y, i.e. 20
+    distinct sums computed in ONE partial-aggregated pass (map-side
+    combine, one exchange, one output row).  Only the 5x5 solve runs on
+    the driver (25 numbers — metadata, not data).  This is how any tiny
+    head is fit at 100 TB: aggregate sufficient statistics, solve small.
+
+    Returns ``{"intercept": w0, "stopword_ratio": w1, ...}`` (double
+    weights).  ``ridge`` (lambda, applied to non-intercept diagonal)
+    keeps the solve defined under collinear features.
+    """
+    feats = _quality_feature_cols(text_col)
+    xs = [F.lit(1.0), *feats]
+    y = F.col(label_col).cast("double")
+    aggs = []
+    for i in range(5):
+        for j in range(i, 5):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"a_{i}_{j}"))
+        aggs.append(F.sum(xs[i] * y).alias(f"b_{i}"))
+    row = docs.agg(*aggs).collect()[0]
+
+    a = [[0.0] * 5 for _ in range(5)]
+    b = [0.0] * 5
+    for i in range(5):
+        b[i] = float(row[f"b_{i}"] or 0.0)
+        for j in range(i, 5):
+            a[i][j] = a[j][i] = float(row[f"a_{i}_{j}"] or 0.0)
+        if i > 0:
+            a[i][i] += ridge
+    # 5x5 Gaussian elimination with partial pivoting — no numpy needed,
+    # deterministic, and trivially auditable
+    m = [a[i] + [b[i]] for i in range(5)]
+    for col in range(5):
+        piv = max(range(col, 5), key=lambda r: abs(m[r][col]))
+        m[col], m[piv] = m[piv], m[col]
+        if m[col][col] == 0.0:
+            raise ValueError("singular normal equations; raise `ridge`")
+        for r in range(5):
+            if r != col and m[r][col] != 0.0:
+                f = m[r][col] / m[col][col]
+                for c in range(col, 6):
+                    m[r][c] -= f * m[col][c]
+    w = [m[i][5] / m[i][i] for i in range(5)]
+    return {"intercept": w[0], **dict(zip(QUALITY_FEATURES, w[1:]))}
+
+
+def apply_quality_weights(
+    docs,
+    weights: dict,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Score documents with a TRAINED weight dict (from
+    :func:`fit_quality_weights` or any external head with the same
+    feature contract).  Same map-side expression-only plan shape as
+    :func:`quality_classifier` — weights enter as literals, so swapping
+    heads never changes the physical plan.
+
+    Returns (id_col, score, keep) with ``keep = score >= threshold``.
+    """
+    feats = _quality_feature_cols(text_col)
+    score = F.lit(float(weights["intercept"]))
+    for name, col in zip(QUALITY_FEATURES, feats):
+        score = score + F.lit(float(weights[name])) * col
+    return docs.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
 def remove_boilerplate_lines(
     docs,
     min_docs: int = 30,

@@ -1227,3 +1227,67 @@ def test_table_profile_and_rules(spark):
     assert check_rules(
         table_profile(df, ["k"]), {"k": {"bogus_rule": 1}}
     ).count() == 0
+
+
+def test_fit_quality_weights_matches_numpy_ridge(spark):
+    """The distributed sufficient-statistics fit equals a local numpy
+    ridge solve on the same design matrix, and the trained head separates
+    an obviously-labeled corpus."""
+    import numpy as np
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        STOPWORDS,
+        apply_quality_weights,
+        fit_quality_weights,
+    )
+
+    prose = "the cat and the dog sat in a warm house of wood and stone"
+    noise = "@@@ ### $$$ %% !!! ??? ** ++ // \\\\ ^^ ~~ || &&"
+    rows = [(i, prose + f" extra{i}", 1) for i in range(40)] + [
+        (40 + i, noise + f" x{i}!", 0) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    got = fit_quality_weights(df, "label")
+
+    # local mirror of the four features (simple ASCII rows -> whitespace
+    # split is the engine tokenization)
+    def feats(t):
+        toks = t.split()
+        n, L = len(toks), len(t)
+        a = sum(1 for w in toks if w in STOPWORDS) / n
+        b = min(n, 200) / 200
+        tl = sum(len(w) for w in toks)
+        c = min(tl, 8 * n) / (8 * n)
+        p = sum(1 for ch in t if not (ch.isalnum() or ch == "_" or ch.isspace())) / L
+        return [1.0, a, b, c, p]
+
+    X = np.array([feats(t) for _, t, _ in rows])
+    y = np.array([lab for _, _, lab in rows], dtype=float)
+    lam = np.diag([0.0, 1e-6, 1e-6, 1e-6, 1e-6])
+    w_ref = np.linalg.solve(X.T @ X + lam, X.T @ y)
+    w_got = np.array(
+        [got["intercept"], got["stopword_ratio"], got["length_saturation"],
+         got["token_len_saturation"], got["punct_ratio"]]
+    )
+    assert np.allclose(w_got, w_ref, rtol=1e-8, atol=1e-8), (w_got, w_ref)
+
+    scored = {
+        r["doc_id"]: r["keep"]
+        for r in apply_quality_weights(df, got).collect()
+    }
+    assert all(scored[i] for i in range(40))           # prose kept
+    assert not any(scored[40 + i] for i in range(40))  # noise dropped
+
+
+def test_fit_quality_weights_singular_raises(spark):
+    import pytest
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        fit_quality_weights,
+    )
+
+    # empty text -> all-zero features; with ridge=0 the Gram matrix is
+    # rank-1 (intercept only) and the solve must fail loudly
+    df = spark.createDataFrame(
+        [(0, "", 1), (1, "", 0)], "doc_id long, text string, label int"
+    )
+    with pytest.raises(ValueError, match="singular"):
+        fit_quality_weights(df, "label", ridge=0.0)
