@@ -1,13 +1,16 @@
-"""As-of join: for each left row, the latest right row at-or-before it.
+"""As-of join: for each left row, the nearest right row per key —
+backward (at-or-before, the default), forward (at-or-after), or nearest
+of the two (pandas ``merge_asof`` direction parity).
 
 The classic time-series enrichment operator (pandas ``merge_asof``,
 DuckDB/QuestDB ``ASOF JOIN``) that Spark's built-in joins lack — a naive
 formulation is a per-row range theta-join (nested loop).  Spark-first
 strategy: tag both sides, union, and take a running ``last(payload,
-ignorenulls=True)`` over a (key)-partitioned window ordered by (ts, side).
-ONE hash shuffle on the key, no range explosion, no per-row scan — the
-sort inside the window is the same sort a merge-asof does, distributed per
-key group.
+ignorenulls=True)`` over a (key)-partitioned window ordered by (ts, side)
+— ascending for backward, descending for forward, both (sharing the one
+shuffle) for nearest.  ONE hash shuffle on the key, no range explosion,
+no per-row scan — the sort inside the window is the same sort a
+merge-asof does, distributed per key group.
 
 At 100 TB: the shuffle carries left+right once; state per window frame is
 one payload struct (running last), so memory is O(1) per row.  Skewed keys
@@ -32,16 +35,28 @@ def asof_join(
     right_ts: str = "ts",
     payload_cols: Sequence[str] | None = None,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (``right_ts <= left_ts``, latest wins) per key.
+    """As-of join per key, pandas ``merge_asof`` directions:
+
+    - ``backward`` (default): latest right row with ``right_ts <=
+      left_ts``.
+    - ``forward``: earliest right row with ``right_ts >= left_ts`` (the
+      mirrored window — same single shuffle, ordered descending).
+    - ``nearest``: whichever of the two is closer in absolute time;
+      exact ties resolve to the backward match (pandas' rule).  Costs
+      both window passes over ONE union/shuffle — still no range
+      explosion.
 
     Returns every ``left`` row with one struct-unpacked column per payload
-    column (NULL when no right row precedes it, or when the match is older
+    column (NULL when no right row qualifies, or when the match is further
     than ``tolerance_seconds``), plus ``_asof_ts`` — the matched right
     timestamp.  ``right`` must be unique per (key, right_ts): pre-dedup
     with ``upsert.dedup_batch`` otherwise, or the winner among equal
     stamps is engine-arbitrary.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     keys = list(on)
     payload_cols = list(
         payload_cols
@@ -69,22 +84,47 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.lit(None).cast(pay_type).alias("_pay"),
     )
-    # Right rows sort BEFORE left rows at equal stamps, so an exactly
-    # coincident right row matches (<= semantics).
-    w = (
+    # Right rows sort BEFORE left rows at equal stamps (in BOTH window
+    # orders), so an exactly coincident right row matches (<=/>=
+    # semantics).  Backward scans ascending, forward descending — same
+    # partitioning, so nearest's two windows share one shuffle.
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_back = (
         Window.partitionBy(*keys)
-        .orderBy("_ord", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.asc("_ord"), F.asc("_side"))
+        .rowsBetween(*frame)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc("_ord"), F.asc("_side"))
+        .rowsBetween(*frame)
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
-    matched = u.withColumn(
-        "_match", F.last("_pay", ignorenulls=True).over(w)
-    ).filter(F.col("_side") == 1)
+    if direction == "backward":
+        match = F.last("_pay", ignorenulls=True).over(w_back)
+    elif direction == "forward":
+        match = F.last("_pay", ignorenulls=True).over(w_fwd)
+    else:  # nearest: closer of the two; exact tie -> backward (pandas)
+        back = F.last("_pay", ignorenulls=True).over(w_back)
+        fwd = F.last("_pay", ignorenulls=True).over(w_fwd)
+        b_dist = F.unix_timestamp("_ord") - F.unix_timestamp(
+            back["_asof_ts"]
+        )
+        f_dist = F.unix_timestamp(fwd["_asof_ts"]) - F.unix_timestamp(
+            "_ord"
+        )
+        match = F.when(fwd.isNull(), back).when(back.isNull(), fwd).otherwise(
+            F.when(b_dist <= f_dist, back).otherwise(fwd)
+        )
+    matched = u.withColumn("_match", match).filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
         within = (
-            F.unix_timestamp("_ord")
-            - F.unix_timestamp(F.col("_match")["_asof_ts"])
-        ) <= tolerance_seconds
+            F.abs(
+                F.unix_timestamp("_ord")
+                - F.unix_timestamp(F.col("_match")["_asof_ts"])
+            )
+            <= tolerance_seconds
+        )
         matched = matched.withColumn(
             "_match", F.when(within, F.col("_match"))
         )

@@ -385,6 +385,113 @@ def _asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared purchases-side CTE for the as-of family (latest event_id wins
+#: among equal (user_id, ts) stamps — the dedup_batch contract).
+_ASOF_PURCHASES_CTE = """
+purchases AS (
+    SELECT user_id, ts, purchase_event_id, purchase_value FROM (
+        SELECT user_id, ts, event_id AS purchase_event_id,
+               value AS purchase_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+)
+"""
+
+
+def _asof_spark_inputs(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    purchases = dedup_batch(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id", "ts"],
+        order_col="event_id",
+    ).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return ev.select("event_id", "user_id", "ts"), purchases
+
+
+@query(
+    "asof_next_purchase",
+    f"""
+WITH {_ASOF_PURCHASES_CTE}
+SELECT e.event_id, e.user_id, e.ts,
+       p.purchase_event_id,
+       p.purchase_value,
+       p.ts AS _asof_ts
+FROM events e
+ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts <= p.ts
+""",
+)
+def _asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: the EARLIEST purchase at-or-after each event —
+    DuckDB's native forward ASOF JOIN is the independent referee."""
+    left, purchases = _asof_spark_inputs(spark, sf_dir)
+    return asof_join(
+        left,
+        purchases,
+        on=["user_id"],
+        payload_cols=["purchase_event_id", "purchase_value"],
+        direction="forward",
+    )
+
+
+@query(
+    "asof_nearest_purchase",
+    f"""
+WITH {_ASOF_PURCHASES_CTE},
+b AS (
+    SELECT e.event_id, p.purchase_event_id AS bid, p.purchase_value AS bval,
+           p.ts AS bts
+    FROM events e
+    ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.ts
+),
+f AS (
+    SELECT e.event_id, p.purchase_event_id AS fid, p.purchase_value AS fval,
+           p.ts AS fts
+    FROM events e
+    ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts <= p.ts
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN pick_b THEN bid ELSE fid END AS purchase_event_id,
+       CASE WHEN pick_b THEN bval ELSE fval END AS purchase_value,
+       CASE WHEN pick_b THEN bts ELSE fts END AS _asof_ts
+FROM (
+    SELECT e.event_id, e.user_id, e.ts, b.bid, b.bval, b.bts,
+           f.fid, f.fval, f.fts,
+           (f.fts IS NULL OR (b.bts IS NOT NULL AND
+            date_part('epoch', e.ts) - date_part('epoch', b.bts)
+            <= date_part('epoch', f.fts) - date_part('epoch', e.ts)))
+               AS pick_b
+    FROM events e
+    JOIN b USING (event_id)
+    JOIN f USING (event_id)
+) e
+""",
+)
+def _asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (tie -> backward, the pandas rule): the oracle
+    composes DuckDB's two native ASOF directions and re-derives the
+    pick, so the engine's single-shuffle twin-window plan is checked
+    against an independent formulation."""
+    left, purchases = _asof_spark_inputs(spark, sf_dir)
+    return asof_join(
+        left,
+        purchases,
+        on=["user_id"],
+        payload_cols=["purchase_event_id", "purchase_value"],
+        direction="nearest",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Range join (operators/range_join.py): events inside disruption intervals,
 # aggregated per impact level.  The oracle runs the plain theta join DuckDB

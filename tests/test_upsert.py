@@ -116,3 +116,57 @@ def test_asof_join_ignores_null_right_ts(spark):
     )
     out2 = asof_join(left, only_null, on=["k"]).collect()
     assert len(out2) == 1 and out2[0].tag is None
+
+
+def test_asof_join_directions(spark):
+    """Forward takes the earliest at-or-after; nearest takes the closer
+    side with exact ties resolving BACKWARD (pandas merge_asof rule);
+    tolerance bounds the ABSOLUTE distance in every direction."""
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)
+    # rights at minute 0 and 20; lefts probe before/between/on/after
+    left = spark.createDataFrame(
+        [(1, t(5)), (1, t(12)), (1, t(20)), (1, t(40)), (2, t(1))],
+        "k bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(0), "early"), (1, t(20), "late")],
+        "k bigint, ts timestamp, tag string",
+    )
+
+    def got(**kw):
+        return {
+            (r.k, r.ts): r.tag
+            for r in asof_join(left, right, on=["k"], **kw).collect()
+        }
+
+    fwd = got(direction="forward")
+    assert fwd[(1, t(5))] == "late"      # earliest at-or-after
+    assert fwd[(1, t(20))] == "late"     # coincident row matches (>=)
+    assert fwd[(1, t(40))] is None       # nothing after
+    assert fwd[(2, t(1))] is None        # keyless
+
+    near = got(direction="nearest")
+    assert near[(1, t(5))] == "early"    # 5 min back vs 15 forward
+    assert near[(1, t(12))] == "late"    # 12 back vs 8 forward
+    assert near[(1, t(20))] == "late"    # exact hit
+    assert near[(1, t(40))] == "late"    # only backward exists
+    assert near[(2, t(1))] is None
+
+    # minute 10 is EXACTLY between the two -> tie -> backward
+    mid = spark.createDataFrame([(1, t(10))], "k bigint, ts timestamp")
+    tie = asof_join(mid, right, on=["k"], direction="nearest").collect()
+    assert tie[0].tag == "early"
+
+    # tolerance is absolute distance: forward match at 15 min > 10 min cap
+    ftol = got(direction="forward", tolerance_seconds=600)
+    assert ftol[(1, t(5))] is None
+    assert ftol[(1, t(12))] == "late"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["k"], direction="sideways")
