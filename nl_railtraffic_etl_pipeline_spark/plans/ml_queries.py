@@ -1398,6 +1398,59 @@ def _kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV set operations (sketch.kmv_set_ops — Beyer et al. 2007): union /
+# intersection / Jaccard of two distinct-sets from their sketches alone —
+# here, "users who view" vs "users who purchase", no rescan of either
+# side.  The oracle replays the combined-bottom-k estimator exactly
+# (deterministic md5 contract).
+# ---------------------------------------------------------------------------
+@query(
+    "sketch_kmv_overlap",
+    f"""
+WITH ha AS (
+    SELECT DISTINCT {_KMV_H} AS h FROM events WHERE event_type = 'view'
+),
+hb AS (
+    SELECT DISTINCT {_KMV_H} AS h FROM events WHERE event_type = 'purchase'
+),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+comb AS (
+    SELECT COALESCE(a.h, b.h) AS h,
+           (a.h IS NOT NULL AND b.h IS NOT NULL) AS in_both
+    FROM ska a FULL OUTER JOIN skb b ON a.h = b.h
+),
+bottom AS (SELECT h, in_both FROM comb ORDER BY h LIMIT {_KMV_K}),
+agg AS (
+    SELECT COUNT(*) AS n, MAX(h) AS hk,
+           SUM(CASE WHEN in_both THEN 1 ELSE 0 END) AS nb
+    FROM bottom
+)
+SELECT CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+            ELSE ROUND({_KMV_K - 1} * 4294967296.0 / hk, 2)
+       END AS union_estimate,
+       ROUND((CAST(nb AS DOUBLE) / n) *
+             CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+                  ELSE ROUND({_KMV_K - 1} * 4294967296.0 / hk, 2) END,
+             2) AS intersection_estimate,
+       ROUND(CAST(nb AS DOUBLE) / n, 4) AS jaccard_estimate
+FROM agg
+""",
+)
+def _kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import kmv_set_ops, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    ska = kmv_sketch(
+        ev.filter(F.col("event_type") == "view"), [], "user_id", k=_KMV_K
+    )
+    skb = kmv_sketch(
+        ev.filter(F.col("event_type") == "purchase"), [], "user_id", k=_KMV_K
+    )
+    return kmv_set_ops(ska, skb, k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
 # Quantile-threshold corpus trim: score every document, take the exact P25
 # of the score distribution (one metadata-scale row), keep docs at/above it.
 # The two-pass shape (aggregate -> 1-row broadcast -> map-side filter) is

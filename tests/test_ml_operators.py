@@ -1291,3 +1291,39 @@ def test_fit_quality_weights_singular_raises(spark):
     )
     with pytest.raises(ValueError, match="singular"):
         fit_quality_weights(df, "label", ridge=0.0)
+
+
+def test_kmv_set_ops_estimates_overlap(spark):
+    """Union/intersection/Jaccard estimates land near ground truth on two
+    overlapping id sets, are exact below k, and depend only on the
+    sketches (not the raw data)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(2000)], "v bigint")
+    b = spark.createDataFrame([(i,) for i in range(1000, 4000)], "v bigint")
+    ska, skb = kmv_sketch(a, [], "v", k=256), kmv_sketch(b, [], "v", k=256)
+    row = kmv_set_ops(ska, skb, k=256).collect()[0]
+    # truth: union 4000, intersection 1000, jaccard 0.25
+    assert abs(row["union_estimate"] - 4000) / 4000 < 0.25
+    assert abs(row["intersection_estimate"] - 1000) / 1000 < 0.45
+    assert abs(row["jaccard_estimate"] - 0.25) < 0.12
+
+    # below k on both sides: everything exact
+    sa = spark.createDataFrame([(i,) for i in range(10)], "v bigint")
+    sb = spark.createDataFrame([(i,) for i in range(5, 15)], "v bigint")
+    r2 = kmv_set_ops(
+        kmv_sketch(sa, [], "v"), kmv_sketch(sb, [], "v")
+    ).collect()[0]
+    assert r2["union_estimate"] == 15.0
+    assert r2["intersection_estimate"] == 5.0
+    assert abs(r2["jaccard_estimate"] - 5 / 15) < 1e-3
+
+    # disjoint sets: zero intersection
+    sc = spark.createDataFrame([(i + 10_000,) for i in range(10)], "v bigint")
+    r3 = kmv_set_ops(
+        kmv_sketch(sa, [], "v"), kmv_sketch(sc, [], "v")
+    ).collect()[0]
+    assert r3["intersection_estimate"] == 0.0 and r3["jaccard_estimate"] == 0.0
