@@ -31,7 +31,68 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["chunk_documents", "pack_sequences"]
+__all__ = ["chunk_documents", "encode_tokens", "pack_sequences"]
+
+
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    oov_id: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer APPLY: map each document's token stream to integer ids
+    through a vocabulary table — the encode step between a cleaned corpus
+    and :func:`pack_sequences` (which packs token COUNTS; this produces
+    the ids a training run actually consumes).
+
+    ``vocab`` is a ``(term, token_id)`` DataFrame (build one with
+    :func:`.text.vocab_coverage` + a rank, or load a real tokenizer's
+    vocab exported as a table).  Out-of-vocabulary tokens encode as
+    ``oov_id`` and are counted.  Empty/whitespace docs yield an empty id
+    array.
+
+    Returns (id_col, token_ids array<int>, n_tokens, n_oov).
+
+    Plan shape, audited for 100 TB: positional explode of the token
+    stream (map-side), BROADCAST hash join against the vocab (model
+    vocabularies are 30k-200k rows — small by nature), then ONE
+    doc-keyed aggregation whose sort buffer is bounded by the document's
+    own length (``array_sort`` of (pos, id) structs inside the agg — the
+    same bounded-buffer reassembly ``remove_boilerplate_lines`` uses).
+    One corpus shuffle total; no UDFs; ids ride as ints, never strings.
+    """
+    toks = docs.select(
+        F.col(id_col), F.posexplode_outer(tokens(F.col(text_col)))
+    ).select(id_col, F.col("pos"), F.col("col").alias("_w"))
+    v = F.broadcast(
+        vocab.select(
+            F.col("term").alias("_w"),
+            F.col("token_id").cast("int").alias("_id"),
+        )
+    )
+    # posexplode_outer keeps empty docs as one (pos NULL) row so they
+    # survive the aggregation; the when() guards keep that placeholder
+    # out of the id array and the OOV count (collect_list drops NULLs).
+    real = F.col("pos").isNotNull()
+    enc = toks.join(v, "_w", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("_id"), F.lit(oov_id).cast("int")).alias("_id"),
+        (real & F.col("_id").isNull()).cast("int").alias("_oov"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(real, F.struct(F.col("pos"), F.col("_id")))
+                )
+            ),
+            lambda s: s["_id"],
+        ).alias("token_ids"),
+        F.count("pos").cast("int").alias("n_tokens"),
+        F.sum("_oov").cast("int").alias("n_oov"),
+    )
 
 
 def chunk_documents(

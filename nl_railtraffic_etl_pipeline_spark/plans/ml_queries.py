@@ -1002,6 +1002,54 @@ def _stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer apply (chunking.encode_tokens): token stream -> integer id
+# arrays through a vocab table, OOV as id 0 and counted.  The gate's vocab
+# is the 10 stopwords ranked 1..10; the oracle rebuilds the positional
+# encode with an ordered list aggregate.
+# ---------------------------------------------------------------------------
+_ENC_VOCAB = [(w, i + 1) for i, w in enumerate(
+    ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+)]
+
+
+@query(
+    "text_encode_tokens",
+    f"""
+WITH vocab(term, token_id) AS (VALUES {", ".join(f"('{w}', {i})" for w, i in _ENC_VOCAB)}),
+toks AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+pos AS (
+    SELECT doc_id,
+           unnest([{{'p': i, 'w': w[i]}} for i in range(1, len(w) + 1)]) AS u
+    FROM toks
+),
+enc AS (
+    SELECT p.doc_id, p.u.p AS p,
+           CAST(COALESCE(v.token_id, 0) AS INTEGER) AS id,
+           CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov
+    FROM pos p LEFT JOIN vocab v ON p.u.w = v.term
+),
+agg AS (
+    SELECT doc_id, list(id ORDER BY p) AS token_ids,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           CAST(SUM(oov) AS INTEGER) AS n_oov
+    FROM enc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.token_ids, CAST([] AS INTEGER[])) AS token_ids,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_oov, 0) AS n_oov
+FROM toks t LEFT JOIN agg a USING (doc_id)
+""",
+)
+def _text_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.chunking import encode_tokens
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    vocab = spark.createDataFrame(_ENC_VOCAB, ["term", "token_id"])
+    return encode_tokens(d, vocab)
+
+
+# ---------------------------------------------------------------------------
 # Training-batch shaping (functions/chunking.py): token-window chunking and
 # concat-and-chunk sequence packing — the corpus -> training-sequence layout
 # step.  Both oracles replay the exact integer-offset arithmetic.

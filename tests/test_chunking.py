@@ -129,3 +129,43 @@ def test_pps_sample_no_bigint_overflow(spark):
             expect[i] = p
     assert out == expect
     assert sum(out.values()) == 7
+
+
+def test_encode_tokens_semantics(spark):
+    """Known-vocab terms map to their ids in stream order, OOV terms to
+    oov_id and counted, empty docs yield an empty array."""
+    from nl_railtraffic_etl_pipeline_spark.functions.chunking import (
+        encode_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat in the hat"),
+            (1, "zzz"),
+            (2, ""),
+            (3, "of of of"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the", 1), ("in", 2), ("of", 3), ("cat", 9)], ["term", "token_id"]
+    )
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"], r["n_oov"])
+        for r in encode_tokens(docs, vocab).collect()
+    }
+    assert got[0] == ([1, 9, 2, 1, 0], 5, 1)   # 'hat' is OOV
+    assert got[1] == ([0], 1, 1)
+    # engine tokenizer contract: splitting "" yields one empty token
+    # (same on DuckDB's regexp_split_to_array — the gate pins this)
+    assert got[2] == ([0], 1, 1)
+    assert got[3] == ([3, 3, 3], 3, 0)
+    assert got[4] == ([], 0, 0)  # NULL text -> empty id array
+
+    # custom oov id
+    got7 = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in encode_tokens(docs, vocab, oov_id=7).collect()
+    }
+    assert got7[0] == [1, 9, 2, 1, 7]
