@@ -131,7 +131,11 @@ def test_python_only_in_arrow_kernels(spark):
     for name in entry_mod.queries():
         txt = plan_of(spark, name)
         has_python = re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", txt)
-        if name in ("dedup_embedding_cosine", "mm_decode_image_meta"):
+        if name in (
+            "dedup_embedding_cosine",
+            "mm_decode_image_meta",
+            "mm_parse_image_headers",
+        ):
             assert has_python, name
         else:
             assert not has_python, f"{name}: unexpected Python eval node"
