@@ -635,6 +635,100 @@ def remove_boilerplate_lines(
     )
 
 
+def remove_repeated_spans(
+    docs,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Cross-document repeated-span REMOVAL — the rewrite step of exact
+    substring deduplication (Lee et al. 2022): every token position
+    covered by any word n-gram occurring in >= ``min_docs`` DISTINCT
+    documents is deleted, and the survivors reassemble in order.  The
+    destructive counterpart of :func:`repeated_span_stats` (which only
+    scores) and the span-level sibling of
+    :func:`remove_boilerplate_lines` (which needs line structure).
+
+    Returns (id_col, clean_text, n_tokens, n_removed) for EVERY input
+    document — docs shorter than ``n`` tokens pass through untouched, a
+    fully-templated doc comes back as the empty string (filter on
+    ``n_removed``/length downstream).
+
+    Plan: the span explode and shared-span aggregation are exactly
+    :func:`repeated_span_stats`'s (span-keyed, never broadcast); covered
+    positions explode at most ``n`` rows per shared occurrence then
+    dedup doc-side; the rebuild is one doc-keyed aggregation whose sort
+    buffer is bounded by the document's own length.  Shuffles key on
+    span or doc only — no global sort, which is the whole point vs a
+    literal suffix-array port.
+    """
+    toks_col = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc"), toks_col.alias("_w"))
+    long_enough = base.filter(F.size("_w") >= n)
+    spans = long_enough.select(
+        "doc",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_w) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(_w, i, {n})))"
+            )
+        ).alias("_p0", "span"),
+    ).select("doc", (F.col("_p0") + 1).alias("p"), "span")
+    shared = (
+        spans.select("span", "doc")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count("*").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("span")
+    )
+    covered = (
+        spans.join(shared, "span", "left_semi")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = base.select(
+        "doc", F.posexplode_outer("_w").alias("_p0", "_word")
+    ).select("doc", (F.col("_p0") + 1).alias("pos"), "_word")
+    kept = words.join(covered, ["doc", "pos"], "left_anti")
+    real = F.col("pos").isNotNull()
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(real, F.struct(F.col("pos"), F.col("_word")))
+                    )
+                ),
+                lambda s: s["_word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("pos").cast("int").alias("_n_kept"),
+    )
+    totals = base.select("doc", F.size("_w").cast("int").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.greatest("n_tokens", F.lit(0)).alias("n_tokens"),
+            (
+                F.greatest("n_tokens", F.lit(0))
+                - F.coalesce("_n_kept", F.lit(0))
+            )
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
 def repeated_span_stats(
     docs,
     n: int = 5,

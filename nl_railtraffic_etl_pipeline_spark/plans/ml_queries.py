@@ -2047,6 +2047,73 @@ def _repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Repeated-span REMOVAL (text.remove_repeated_spans): the Lee et al. 2022
+# rewrite step — every token position covered by a cross-document shared
+# n-gram is deleted and the doc reassembles in order.  The oracle rebuilds
+# the covered-position set and the ordered reassembly independently.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_remove_spans",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+spans AS (
+    SELECT t.doc_id, t.u.p AS p, t.u.s AS s
+    FROM (
+        SELECT doc_id,
+               unnest([{{'p': i,
+                         's': array_to_string(w[i:i+{_SPAN_N - 1}], ' ')}}
+                       for i in range(1, len(w) - {_SPAN_N - 2})]) AS u
+        FROM toks WHERE len(w) >= {_SPAN_N}
+    ) t
+),
+shared AS (
+    SELECT s FROM (
+        SELECT s, COUNT(DISTINCT doc_id) AS d FROM spans GROUP BY s
+    ) WHERE d >= {_SPAN_MIN_DOCS}
+),
+covered AS (
+    SELECT DISTINCT sp.doc_id, sp.p + k.k AS pos
+    FROM spans sp JOIN shared USING (s), range(0, {_SPAN_N}) k(k)
+),
+words AS (
+    SELECT t.doc_id, t.u.p AS pos, t.u.w AS word
+    FROM (
+        SELECT doc_id,
+               unnest([{{'p': i, 'w': w[i]}} for i in range(1, len(w) + 1)])
+                   AS u
+        FROM toks
+    ) t
+),
+kept AS (
+    SELECT w.doc_id, w.pos, w.word
+    FROM words w LEFT JOIN covered c
+      ON w.doc_id = c.doc_id AND w.pos = c.pos
+    WHERE c.pos IS NULL
+),
+rebuilt AS (
+    SELECT doc_id,
+           array_to_string(list(word ORDER BY pos), ' ') AS clean_text,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(t.w) AS INTEGER) AS n_tokens,
+       CAST(len(t.w) - COALESCE(r.n_kept, 0) AS INTEGER) AS n_removed
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def _remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import remove_repeated_spans
+
+    return remove_repeated_spans(
+        load_table(spark, sf_dir, "documents", spread=True),
+        n=_SPAN_N,
+        min_docs=_SPAN_MIN_DOCS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup (dedup.incremental_near_dup): the day's batch (doc_id %
 # 7 = 3) Jaccard-checked against the standing corpus — the nightly-ingest
 # dedup shape; the index side never self-joins.

@@ -1327,3 +1327,37 @@ def test_kmv_set_ops_estimates_overlap(spark):
         kmv_sketch(sa, [], "v"), kmv_sketch(sc, [], "v")
     ).collect()[0]
     assert r3["intersection_estimate"] == 0.0 and r3["jaccard_estimate"] == 0.0
+
+
+def test_remove_repeated_spans_semantics(spark):
+    """Positions covered by any shared n-gram are deleted (overlapping
+    occurrences union, not double-delete); short and unique docs pass
+    through; a fully-templated doc empties out."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        remove_repeated_spans,
+    )
+
+    lic = "licensed under the apache license version two"
+    docs = spark.createDataFrame(
+        [
+            (0, lic + " alpha beta gamma"),
+            (1, lic + " delta epsilon"),
+            (2, "totally unique words nobody else wrote here"),
+            (3, "tiny doc"),            # < n tokens: untouched
+            (4, lic),                   # nothing but the template
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_repeated_spans(docs, n=5, min_docs=2).collect()
+    }
+    # the 7-token license prefix is covered by its three 5-gram
+    # occurrences in >= 2 docs; the unique tails survive intact
+    assert got[0] == ("alpha beta gamma", 10, 7)
+    assert got[1] == ("delta epsilon", 9, 7)
+    assert got[2] == (
+        "totally unique words nobody else wrote here", 7, 0
+    )
+    assert got[3] == ("tiny doc", 2, 0)
+    assert got[4] == ("", 7, 7)
