@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize"]
 
 
 def _dec(col: Column) -> Column:
@@ -140,4 +140,52 @@ def ols_fit(
     ) / n
     return agg.select(
         *keys, "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    id_col: str = "event_id",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile discretizer (the QuantileDiscretizer / feature-binning
+    step of ML feature prep): assign each row the bucket its value falls
+    into between the EXACT ``1/n .. (n-1)/n`` quantile edges — per group
+    when ``group_cols`` is given, so a per-segment binning never leaks
+    another segment's distribution.
+
+    Bucket ids are 0-based; a value EQUAL to an edge goes to the upper
+    bucket (ties up — documented, engine-stable because both engines
+    compare the same 6-decimal-rounded edges); NULL values get a NULL
+    bucket.  Returns (group_cols..., id_col, value_col, bucket).
+
+    Plan shape: one aggregation computes ALL edges (sort-based exact
+    ``percentile``, bit-matched to DuckDB's quantile_cont per the repo's
+    X20 contract) — a group-cardinality frame that broadcast-joins back
+    (1-row cross join when ungrouped); the assignment is a map-side
+    array scan over n-1 edges.  Two passes over the fact, zero windows,
+    no per-row shuffle beyond the edge join.
+    """
+    keys = list(group_cols)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edge_aggs = [
+        F.round(F.percentile(F.col(value_col), q), 6).alias(f"_e{i}")
+        for i, q in enumerate(qs)
+    ]
+    edge_cols = [F.col(f"_e{i}") for i in range(len(qs))]
+    if keys:
+        edges = df.groupBy(*keys).agg(*edge_aggs)
+        joined = df.join(F.broadcast(edges), keys)
+    else:
+        edges = df.agg(*edge_aggs)
+        joined = df.crossJoin(F.broadcast(edges))
+    v = F.col(value_col)
+    bucket = F.size(F.filter(F.array(*edge_cols), lambda e: v >= e))
+    return joined.select(
+        *keys,
+        F.col(id_col),
+        v,
+        F.when(v.isNotNull(), bucket).cast("int").alias("bucket"),
     )

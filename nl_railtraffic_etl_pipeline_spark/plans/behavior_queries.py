@@ -384,6 +384,38 @@ def _type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_quantile_buckets",
+    """
+WITH edges AS (
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS e0,
+           ROUND(quantile_cont(value, 0.5), 6) AS e1,
+           ROUND(quantile_cont(value, 0.75), 6) AS e2
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.event_id, e.value,
+       CASE WHEN e.value IS NULL THEN NULL
+            ELSE CAST(len(list_filter([d.e0, d.e1, d.e2],
+                                      x -> e.value >= x)) AS INTEGER)
+       END AS bucket
+FROM events e JOIN edges d USING (event_type)
+""",
+)
+def _quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment quantile discretizer (stats.quantile_bucketize): every
+    event bucketed between its OWN event_type's exact quartile edges —
+    one edges aggregation broadcast back, map-side array-scan assignment,
+    ties-up boundary on 6-decimal-rounded edges shared with the oracle."""
+    from ..functions.stats import quantile_bucketize
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return quantile_bucketize(
+        ev, "value", n_buckets=4, id_col="event_id",
+        group_cols=["event_type"],
+    )
+
+
+@query(
     "events_daily_unpivot",
     """
 WITH wide AS (

@@ -1361,3 +1361,37 @@ def test_remove_repeated_spans_semantics(spark):
     )
     assert got[3] == ("tiny doc", 2, 0)
     assert got[4] == ("", 7, 7)
+
+
+def test_quantile_bucketize_semantics(spark):
+    """Edges are exact quantiles; boundary values go UP; NULLs get NULL
+    buckets; grouped mode bins against each group's own distribution."""
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        quantile_bucketize,
+    )
+
+    rows = [(i, float(i)) for i in range(1, 9)] + [(9, None)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    got = {
+        r["event_id"]: r["bucket"]
+        for r in quantile_bucketize(df, "value", n_buckets=4).collect()
+    }
+    # values 1..8: edges p25=2.75, p50=4.5, p75=6.25
+    assert [got[i] for i in range(1, 9)] == [0, 0, 1, 1, 2, 2, 3, 3]
+    assert got[9] is None
+
+    # grouped: each segment bins on its own quartiles
+    g = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 5)]
+        + [("b", 10 + i, float(100 * i)) for i in range(1, 5)],
+        "g string, event_id long, value double",
+    )
+    gb = {
+        (r["g"], r["event_id"]): r["bucket"]
+        for r in quantile_bucketize(
+            g, "value", n_buckets=2, group_cols=["g"]
+        ).collect()
+    }
+    # per-group median splits each segment in half regardless of scale
+    assert gb[("a", 1)] == 0 and gb[("a", 4)] == 1
+    assert gb[("b", 11)] == 0 and gb[("b", 14)] == 1
