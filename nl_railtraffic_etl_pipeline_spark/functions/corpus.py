@@ -87,23 +87,33 @@ def mixture_plan(
     docs: DataFrame,
     source_col: str = "source",
     text_col: str = "text",
+    alpha: float = 0.0,
 ) -> DataFrame:
     """Per-source corpus statistics + deterministic down-sampling rates
-    that equalize token mass across sources (the data-mixing step before
+    that shape token mass across sources (the data-mixing step before
     :func:`..sketch.stratified_bernoulli_sample`).
 
-    Returns (source, n_docs, n_tokens, sample_rate): ``sample_rate``
-    scales every source down to the smallest POSITIVE-token source's
-    count (``min_tokens / n_tokens``, rounded 6, so the smallest
-    contributing source keeps rate 1.0).  A source with zero tokens
-    (all-empty/whitespace texts) is excluded from the minimum AND gets
-    rate 0.0 — otherwise it drags ``min_tokens`` to 0, zeroing every
-    other source's rate and silently emptying the downstream mix.  One
-    aggregation pass over the corpus; the rate arithmetic runs on the
-    per-source frame (metadata-scale) against a broadcast 1-row minimum.
-    Feeding the rates into ``stratified_bernoulli_sample`` yields the
-    mixed corpus in one more map-side pass — no shuffle of the corpus
-    itself.
+    ``alpha`` is the TEMPERATURE exponent of the standard multinomial
+    mixing rule (the ``p_i ∝ n_i^alpha`` smoothing of mBERT/XLM-R-style
+    multi-source training): realized token mass becomes proportional to
+    ``n_tokens^alpha``, via ``sample_rate = (min_tokens /
+    n_tokens)^(1-alpha)``.  ``alpha=0`` (default) equalizes every source
+    to the smallest one (the original behavior, bit-identical);
+    ``alpha=1`` keeps the natural mix (all rates 1.0); between them,
+    big sources are tempered without flattening.  ``alpha=0.5`` rides
+    ``sqrt`` — correctly-rounded IEEE on both engines, so that setting
+    is fully oracle-checkable (general ``pow`` is not guaranteed
+    correctly rounded cross-engine; documented).
+
+    Returns (source, n_docs, n_tokens, sample_rate), rates rounded 6.
+    A source with zero tokens (all-empty/whitespace texts) is excluded
+    from the minimum AND gets rate 0.0 — otherwise it drags
+    ``min_tokens`` to 0, zeroing every other source's rate and silently
+    emptying the downstream mix.  One aggregation pass over the corpus;
+    the rate arithmetic runs on the per-source frame (metadata-scale)
+    against a broadcast 1-row minimum.  Feeding the rates into
+    ``stratified_bernoulli_sample`` yields the mixed corpus in one more
+    map-side pass — no shuffle of the corpus itself.
     """
     stats = docs.groupBy(source_col).agg(
         F.count("*").alias("n_docs"),
@@ -112,17 +122,23 @@ def mixture_plan(
     floor = stats.filter(F.col("n_tokens") > 0).agg(
         F.min("n_tokens").alias("_min_tokens")
     )
+    ratio = F.col("_min_tokens").cast("double") / F.col("n_tokens")
+    exp = 1.0 - alpha
+    if exp == 1.0:
+        tempered = ratio
+    elif exp == 0.5:
+        tempered = F.sqrt(ratio)  # correctly-rounded IEEE on any engine
+    elif exp == 0.0:
+        tempered = F.lit(1.0)
+    else:
+        tempered = F.pow(ratio, F.lit(exp))
     return (
         stats.crossJoin(F.broadcast(floor))
         .select(
             source_col,
             "n_docs",
             "n_tokens",
-            F.when(F.col("n_tokens") > 0,
-                   F.round(
-                       F.col("_min_tokens").cast("double")
-                       / F.col("n_tokens"), 6
-                   ))
+            F.when(F.col("n_tokens") > 0, F.round(tempered, 6))
             .otherwise(F.lit(0.0))
             .alias("sample_rate"),
         )

@@ -1616,6 +1616,35 @@ def _mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_plan(load_table(spark, sf_dir, "documents", spread=True))
 
 
+@query(
+    "corpus_mixture_temperature",
+    f"""
+WITH stats AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKENS})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+floor_t AS (
+    SELECT MIN(n_tokens) AS min_tokens FROM stats WHERE n_tokens > 0
+)
+SELECT source, n_docs, n_tokens,
+       CASE WHEN n_tokens > 0
+            THEN ROUND(sqrt(CAST(min_tokens AS DOUBLE) / n_tokens), 6)
+            ELSE 0.0 END AS sample_rate
+FROM stats, floor_t
+""",
+)
+def _mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixing (alpha = 0.5 -> rate = sqrt(min/n),
+    the multinomial n^alpha rule): sqrt is correctly-rounded IEEE on
+    both engines, so this alpha setting carries a full value oracle."""
+    from ..functions.corpus import mixture_plan
+
+    return mixture_plan(
+        load_table(spark, sf_dir, "documents", spread=True), alpha=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Weighted sampling: deterministic systematic PPS over integer-quantized
 # weights.  The oracle replays the whole integer pipeline (quantize ->

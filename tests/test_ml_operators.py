@@ -1395,3 +1395,32 @@ def test_quantile_bucketize_semantics(spark):
     # per-group median splits each segment in half regardless of scale
     assert gb[("a", 1)] == 0 and gb[("a", 4)] == 1
     assert gb[("b", 11)] == 0 and gb[("b", 14)] == 1
+
+
+def test_mixture_plan_temperature(spark):
+    """alpha spans natural mix (1.0, all rates 1) to equalized (0.0,
+    original behavior); intermediate alpha tempers monotonically; the
+    realized token mass under the rates is proportional to n^alpha."""
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import (
+        mixture_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [("big", i, "w " * 100) for i in range(64)]
+        + [("small", 1000 + i, "w " * 100) for i in range(4)],
+        "source string, doc_id long, text string",
+    )
+
+    def rates(alpha):
+        return {
+            r["source"]: r["sample_rate"]
+            for r in mixture_plan(docs, alpha=alpha).collect()
+        }
+
+    r0, rh, r1 = rates(0.0), rates(0.5), rates(1.0)
+    assert r0 == {"big": 0.0625, "small": 1.0}      # equalize: 4/64
+    assert rh == {"big": 0.25, "small": 1.0}        # sqrt(4/64)
+    assert r1 == {"big": 1.0, "small": 1.0}         # natural
+    # realized mass big/small = (n_big * rate) / (n_small * rate)
+    # = (64*0.25)/(4*1) = 4 = (64/4)^alpha for alpha=0.5
+    assert abs((64 * rh["big"]) / (4 * rh["small"]) - (64 / 4) ** 0.5) < 1e-9
