@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "tfidf_top_terms"]
 
 
 def bm25_topk(
@@ -109,4 +109,70 @@ def bm25_topk(
         F.col("doc").alias(id_col),
         "score",
         F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF — the keyword-extraction /
+    document-representation primitive (search snippets, topic labels,
+    sparse doc vectors).
+
+    Same rational-IDF contract as :func:`bm25_topk`: the weight is
+    ``tf * (N + 1) / (df + 1)`` — exact integer numerator and
+    denominator, ONE IEEE division — instead of the log form, because
+    transcendentals differ across engines in the last ulp while this is
+    bit-reproducible anywhere and identically monotone (decreasing in
+    df, increasing in tf).  Ties break on the term string ascending, so
+    the kept set is total-ordered.
+
+    Returns (id_col, term, tf, df, score, rank) with rank 1..k per doc.
+
+    Plan shape: tokenize+explode map-side; ONE (doc,term)-keyed count
+    for tf; df and the corpus doc count derive from that same frame (no
+    second corpus scan — df is a term-keyed partial agg, N a 1-row
+    broadcast); the per-doc top-k window partitions on the doc key and
+    its frame is bounded by the doc's own distinct-term count.  No
+    broadcast of the vocabulary (term-keyed equi-join), no global sort.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tf.select("doc").distinct().agg(
+        F.count("*").alias("_N")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            F.round(
+                (F.col("tf") * (F.col("_N") + 1)).cast("double")
+                / (F.col("df") + 1),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col), "term", "tf", "df", "score", "rank"
+        )
     )

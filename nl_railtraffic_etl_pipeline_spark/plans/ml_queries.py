@@ -1242,6 +1242,56 @@ def _search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-doc TF-IDF top terms (search.tfidf_top_terms): keyword extraction /
+# sparse doc representation.  Rational IDF (tf*(N+1)/(df+1) — exact ints,
+# one IEEE division) instead of log, so the oracle replays values, not
+# just ranks; the ROUND rides the shortest-repr bridge.
+# ---------------------------------------------------------------------------
+from .oracle_util import round_sql as _round_sql  # noqa: E402
+
+_TFIDF_K = 3
+
+
+@query(
+    "text_tfidf_terms",
+    """
+WITH tok AS (
+    SELECT doc_id AS doc, unnest({toks}) AS term FROM documents
+),
+tf AS (SELECT doc, term, COUNT(*) AS tf FROM tok GROUP BY doc, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT doc) AS n FROM tf),
+scored AS (
+    SELECT tf.doc, tf.term,
+           CAST(tf.tf AS INTEGER) AS tf,
+           CAST(dfq.df AS INTEGER) AS df,
+           {score} AS score
+    FROM tf JOIN dfq USING (term), nd
+),
+ranked AS (
+    SELECT doc, term, tf, df, score,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc ORDER BY score DESC, term
+           ) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT doc AS doc_id, term, tf, df, score, rank
+FROM ranked WHERE rank <= {k}
+""".format(
+        toks=_TOKENS,
+        k=_TFIDF_K,
+        score=_round_sql("CAST(tf.tf * (nd.n + 1) AS DOUBLE) / (dfq.df + 1)", 6),
+    ),
+)
+def _text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.search import tfidf_top_terms
+
+    return tfidf_top_terms(
+        load_table(spark, sf_dir, "documents", spread=True), k=_TFIDF_K
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic Bernoulli sampling (functions/sketch.py): hash-threshold
 # membership — the reproducible sampleBy.  'signup' is deliberately absent
 # from the rate map (dropped stratum, rate 0).

@@ -1424,3 +1424,33 @@ def test_mixture_plan_temperature(spark):
     # realized mass big/small = (n_big * rate) / (n_small * rate)
     # = (64*0.25)/(4*1) = 4 = (64/4)^alpha for alpha=0.5
     assert abs((64 * rh["big"]) / (4 * rh["small"]) - (64 / 4) ** 0.5) < 1e-9
+
+
+def test_tfidf_top_terms_semantics(spark):
+    """Doc-unique terms outrank corpus-wide ones at equal tf; higher tf
+    outranks within equal df; rank is a total order with term tiebreak."""
+    from nl_railtraffic_etl_pipeline_spark.functions.search import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common rare rare"),
+            (1, "common common other"),
+            (2, "common other zed"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # doc 0: 'rare' tf=2 df=1 -> 2*4/2 = 4.0 beats 'common' tf=1 df=3 -> 1.0
+    assert got[(0, 1)] == ("rare", 2, 1, 4.0)
+    assert got[(0, 2)] == ("common", 1, 3, 1.0)
+    # doc 1: 'common' tf=2 df=3 -> 2.0 beats 'other' tf=1 df=2 -> 4/3
+    assert got[(1, 1)] == ("common", 2, 3, 2.0)
+    assert got[(1, 2)][0] == "other"
+    # doc 2: 'zed' df=1 -> 2.0, 'other' df=2 -> 1.333333; common 1.0 cut at k=2
+    assert got[(2, 1)] == ("zed", 1, 1, 2.0)
+    assert got[(2, 2)][0] == "other"
