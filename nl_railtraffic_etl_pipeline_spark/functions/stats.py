@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving"]
 
 
 def _dec(col: Column) -> Column:
@@ -188,4 +188,69 @@ def quantile_bucketize(
         F.col(id_col),
         v,
         F.when(v.isNotNull(), bucket).cast("int").alias("bucket"),
+    )
+
+
+def ewma_halving(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key running EWMA with alpha = 1/2 — each event's smoothed
+    baseline ``s_1 = v_1, s_i = (s_{i-1} + v_i) / 2``.
+
+    alpha = 1/2 is the deliberately chosen smoothing constant: halving is
+    EXACT in binary floating point (an exponent decrement plus one
+    addition), so the whole recurrence is a fixed IEEE chain that any
+    engine replays bit-identically — general-alpha EWMA multiplies by a
+    non-dyadic constant and drifts in the last ulp across engines.  NULL
+    values are excluded from the stream (they neither emit nor decay the
+    state); ties on the timestamp order by ``id_col``, so the fold order
+    is total.
+
+    Returns (key_cols..., id_col, ts_col, value, ewma) — one row per
+    non-null input event.
+
+    Plan shape: ONE key shuffle into a per-key ordered fold
+    (``array_sort`` + higher-order ``aggregate`` inside the aggregation
+    buffer — bounded by the key's own event count, the same contract as
+    the behavioral family; a whale key bounds at its history length, and
+    the per-position prefix folds are O(n^2) IN-MEMORY arithmetic on
+    that buffer, acceptable for per-entity histories and documented).
+    The streaming twin (``streaming.incremental.ewma_stream``) carries
+    identical state per key and is equivalence-tested against this.
+    """
+    keys = list(key_cols)
+    packed = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(id_col).alias("id"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("_l")
+        )
+    )
+    run = F.expr(
+        "transform(_l, (e, i) -> struct("
+        "e.id AS id, e.ts AS ts, e.v AS v, "
+        "aggregate(transform(slice(_l, 2, i), x -> x.v), "
+        "element_at(_l, 1).v, (acc, x) -> (acc + x) / 2) AS s))"
+    )
+    return (
+        packed.select(*keys, F.explode(run).alias("_r"))
+        .select(
+            *keys,
+            F.col("_r.id").alias(id_col),
+            F.col("_r.ts").alias(ts_col),
+            F.col("_r.v").alias(value_col),
+            F.col("_r.s").alias("ewma"),
+        )
     )

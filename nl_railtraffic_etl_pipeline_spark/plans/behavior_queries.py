@@ -384,6 +384,38 @@ def _type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_ewma",
+    """
+WITH ordered AS (
+    SELECT user_id,
+           list(struct_pack(ts := ts, id := event_id,
+                            v := CAST(value AS DOUBLE))
+                ORDER BY ts, event_id) AS l
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+pos AS (
+    SELECT user_id, l,
+           unnest([{'p': i, 'id': l[i].id, 'ts': l[i].ts, 'v': l[i].v}
+                   for i in range(1, len(l) + 1)]) AS u
+    FROM ordered
+)
+SELECT user_id, u.id AS event_id, u.ts AS ts, u.v AS value,
+       list_reduce(list_transform(l[1:u.p], x -> x.v),
+                   (a, b) -> (a + b) / 2) AS ewma
+FROM pos
+""",
+)
+def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running EWMA, alpha = 1/2 (stats.ewma_halving): halving
+    is exact in IEEE binary, so the sequential fold is bit-identical on
+    both engines — the oracle replays the recurrence per position."""
+    from ..functions.stats import ewma_halving
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return ewma_halving(ev)
+
+
+@query(
     "events_quantile_buckets",
     """
 WITH edges AS (

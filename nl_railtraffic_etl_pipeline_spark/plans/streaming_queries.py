@@ -184,6 +184,42 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_ewma",
+    # Under the single-micro-batch drain (stamps sorted per key inside the
+    # batch, no cross-batch lateness possible) the stateful EWMA emits
+    # EVERY non-null event with its running average — exactly the batch
+    # ewma_halving fold, so the second custom stateful operator also gets
+    # a FULL value oracle (exact-halving chain, bit-identical per
+    # position; same SQL as the events_ewma gate).
+    """
+WITH ordered AS (
+    SELECT user_id,
+           list(struct_pack(ts := ts, id := event_id,
+                            v := CAST(value AS DOUBLE))
+                ORDER BY ts, event_id) AS l
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+pos AS (
+    SELECT user_id, l,
+           unnest([{'p': i, 'id': l[i].id, 'ts': l[i].ts, 'v': l[i].v}
+                   for i in range(1, len(l) + 1)]) AS u
+    FROM ordered
+)
+SELECT user_id, u.id AS event_id, u.ts AS ts, u.v AS value,
+       list_reduce(list_transform(l[1:u.p], x -> x.v),
+                   (a, b) -> (a + b) / 2) AS ewma
+FROM pos
+""",
+)
+def _streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import ewma_stream
+
+    out = ewma_stream(_events_stream(spark, sf_dir))
+    _drain_to_memory(out, "streaming_ewma_result", "append")
+    return spark.table("streaming_ewma_result")
+
+
+@query(
     "streaming_dedup",
     # Each event enters the stream TWICE (in-stream explode); the dedup
     # operator must emit exactly the distinct set.  Duplicate copies are

@@ -1,4 +1,5 @@
 from .incremental import (
+    ewma_stream,
     read_disruption_stream,
     sessionize_stream,
     start_incremental_load,
@@ -10,4 +11,5 @@ __all__ = [
     "start_incremental_load",
     "streaming_daily_counts",
     "sessionize_stream",
+    "ewma_stream",
 ]

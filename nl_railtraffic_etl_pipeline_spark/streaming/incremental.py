@@ -224,3 +224,79 @@ def dedup_stream(
     return events.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+EWMA_SCHEMA = (
+    "user_id bigint, event_id bigint, ts timestamp, value double, "
+    "ewma double"
+)
+_EWMA_STATE_SCHEMA = "last_ts timestamp, last_id bigint, s double"
+
+
+def ewma_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running EWMA (alpha = 1/2) as a SECOND custom stateful
+    operator — the continuous-metric pattern (running state updated on
+    EVERY event, every event emitted enriched) that complements the
+    gap sessionizer's discrete-emission pattern.
+
+    State per key is (last_ts, last_id, s): one row, O(1) forever.  The
+    recurrence is the exact-halving chain of
+    :func:`...functions.stats.ewma_halving` — s_1 = v_1, s_i =
+    (s_{i-1} + v_i)/2, bit-identical to the batch twin because halving
+    is exact IEEE — and the two are equivalence-tested row-for-row.
+
+    Ordering contract (same as the sessionizer): events within a
+    micro-batch fold in (ts, id) order; an event at-or-before the stored
+    (last_ts, last_id) — late across micro-batches, beyond what state
+    can reorder — is DROPPED (never rewinds the average); NULL values
+    neither emit nor decay the state.
+    """
+    import pandas as pd
+
+    cols = ["user_id", "event_id", "ts", "value", "ewma"]
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.exists:
+            last_ts, last_id, s = state.get
+        else:
+            last_ts, last_id, s = None, None, None
+        rows = []
+        batch = []
+        for pdf in pdfs:
+            for ts, eid, v in zip(
+                pdf[ts_col].tolist(), pdf[id_col].tolist(),
+                pdf[value_col].tolist(),
+            ):
+                if v is None or (isinstance(v, float) and v != v):
+                    continue
+                batch.append((ts, int(eid), float(v)))
+        for ts, eid, v in sorted(batch):
+            ts_py = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if last_ts is not None and (ts_py, eid) <= (last_ts, last_id):
+                continue  # cross-batch late arrival: drop, never rewind
+            s = v if s is None else (s + v) / 2
+            last_ts, last_id = ts_py, eid
+            rows.append((uid, eid, ts_py, v, s))
+        state.update((last_ts, last_id, s))
+        yield pd.DataFrame(rows, columns=cols)
+
+    src = events.select(
+        F.col(key_col).alias("user_id"),
+        F.col(id_col).alias(id_col),
+        F.col(ts_col),
+        F.col(value_col),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

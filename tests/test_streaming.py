@@ -216,3 +216,84 @@ def test_dedup_stream_suppresses_cross_batch_redelivery(spark, tmp_path):
     assert got == {(1, "a"), (2, "b"), (3, "c")}, got
     # and event 1 was emitted exactly once — 3 physical rows, not 4
     assert spark.read.parquet(out).count() == 3
+
+
+def test_ewma_stream_matches_batch_twin(spark, tmp_path):
+    """The stateful streaming EWMA equals the batch ewma_halving fold
+    row-for-row across multiple micro-batches (state carries the running
+    average over the file boundary); NULL values neither emit nor decay;
+    a cross-batch late event is dropped, never rewinds."""
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import ewma_halving
+    from nl_railtraffic_etl_pipeline_spark.streaming.incremental import (
+        ewma_stream,
+    )
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    batch1 = [
+        (1, 1, t0, 8.0),
+        (1, 2, t0 + dt.timedelta(minutes=1), 4.0),
+        (2, 3, t0, 10.0),
+        (1, 4, t0 + dt.timedelta(minutes=2), None),  # null: no emit/decay
+    ]
+    batch2 = [
+        (1, 5, t0 + dt.timedelta(minutes=3), 2.0),
+        (2, 6, t0 + dt.timedelta(minutes=4), 20.0),
+        (1, 7, t0 - dt.timedelta(minutes=9), 99.0),  # late: dropped
+    ]
+    schema = "user_id bigint, event_id bigint, ts timestamp, value double"
+    src = str(tmp_path / "ewma_events")
+    # ONE part file per batch (coalesce(1)): with maxFilesPerTrigger=1
+    # each file IS a micro-batch, and multiple part files of one logical
+    # batch would otherwise stream in arbitrary order and trip the
+    # late-drop contract on rows that were never late
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(src + "/b2")
+    # the file source micro-batches in modification-time order; sub-second
+    # writes can tie (or invert), so pin b1 strictly older than b2
+    import os
+    import pathlib
+
+    now = 1_900_000_000
+    for i, d in enumerate(("b1", "b2")):
+        for f in pathlib.Path(src, d).glob("*.parquet"):
+            os.utime(f, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.event_id: (r.user_id, r.value, r.ewma)
+        for r in spark.table("ewma_out").collect()
+    }
+    # exact halving chain: u1 8 -> (8+4)/2=6 -> (6+2)/2=4; u2 10 -> 15
+    assert got[1] == (1, 8.0, 8.0)
+    assert got[2] == (1, 4.0, 6.0)
+    assert got[5] == (1, 2.0, 4.0)
+    assert got[3] == (2, 10.0, 10.0)
+    assert got[6] == (2, 20.0, 15.0)
+    assert 4 not in got and 7 not in got
+
+    # batch twin on the in-order union (late row 7 and null row excluded
+    # by the streaming contract) matches row-for-row
+    ordered = spark.createDataFrame(
+        [r for r in batch1 + batch2 if r[1] not in (7,)], schema
+    )
+    want = {
+        r.event_id: (r.user_id, r.value, r.ewma)
+        for r in ewma_halving(ordered).collect()
+    }
+    assert got == want
