@@ -49,6 +49,7 @@ __all__ = [
     "event_transitions",
     "trailing_anomalies",
     "rfm_segments",
+    "attribute_conversions",
 ]
 
 
@@ -484,4 +485,75 @@ def rfm_segments(
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
         ).alias("segment"),
+    )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    window_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch conversion attribution: for every conversion event,
+    the touch events by the same user in the preceding ``window_hours``,
+    with the three standard credit models side by side — first-touch
+    (1.0 to the earliest touch), last-touch (1.0 to the latest touch at
+    or before the conversion), and linear (1/n to each).
+
+    Returns (conversion_id, conversion_ts, user_id, touch_id, touch_ts,
+    n_touches, credit_first, credit_last, credit_linear) — one row per
+    (conversion, touch) pair; conversions with zero touches in window are
+    absent (join-based attribution reports credited touches, not
+    uncredited conversions — count those with an anti-join upstream).
+    Linear credit is ONE IEEE division of exact integers (1/n), so every
+    credit value replays bit-identically cross-engine.  Touch order is
+    total: (ts, id) — coincident touches rank deterministically; a touch
+    AT the conversion timestamp is in-window (<=), mirroring the as-of
+    family's boundary rule.
+
+    Plan shape: conversions and touches are two filtered projections of
+    ONE events scan; the pairing is a USER-keyed equi-join (per-user
+    histories bound each probe — never a time-bucket cross product, the
+    same shape as the funnel family) filtered by the window predicate;
+    the per-conversion rank/count windows then run over each
+    conversion's own touch set (bounded by touches-per-user-per-window).
+    One user shuffle + one conversion-keyed window pass.
+    """
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+    )
+    touch = events.filter(
+        F.col("event_type").isin(list(touch_types))
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+    )
+    lo = F.col("conversion_ts") - F.expr(f"INTERVAL {window_hours} HOURS")
+    paired = conv.join(touch, "_u").filter(
+        (F.col("touch_ts") <= F.col("conversion_ts"))
+        & (F.col("touch_ts") > lo)
+    )
+    w = Window.partitionBy("conversion_id")
+    asc = w.orderBy(F.asc("touch_ts"), F.asc("touch_id"))
+    desc = w.orderBy(F.desc("touch_ts"), F.desc("touch_id"))
+    return paired.select(
+        "conversion_id",
+        "conversion_ts",
+        F.col("_u").alias(user_col),
+        "touch_id",
+        "touch_ts",
+        F.count("*").over(w).cast("int").alias("n_touches"),
+        F.when(F.row_number().over(asc) == 1, 1.0)
+        .otherwise(0.0)
+        .alias("credit_first"),
+        F.when(F.row_number().over(desc) == 1, 1.0)
+        .otherwise(0.0)
+        .alias("credit_last"),
+        (F.lit(1.0) / F.count("*").over(w)).alias("credit_linear"),
     )

@@ -384,6 +384,48 @@ def _type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_attribution_credits",
+    """
+WITH conv AS (
+    SELECT user_id AS u, event_id AS conversion_id, ts AS conversion_ts
+    FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT user_id AS u, event_id AS touch_id, ts AS touch_ts
+    FROM events WHERE event_type IN ('click', 'view')
+),
+paired AS (
+    SELECT c.conversion_id, c.conversion_ts, c.u, t.touch_id, t.touch_ts
+    FROM conv c JOIN touch t ON c.u = t.u
+    WHERE t.touch_ts <= c.conversion_ts
+      AND t.touch_ts > c.conversion_ts - INTERVAL 24 HOUR
+)
+SELECT conversion_id, conversion_ts, u AS user_id, touch_id, touch_ts,
+       CAST(COUNT(*) OVER w AS INTEGER) AS n_touches,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY conversion_id ORDER BY touch_ts, touch_id
+            ) = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS credit_first,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY conversion_id
+                ORDER BY touch_ts DESC, touch_id DESC
+            ) = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS credit_last,
+       CAST(1.0 AS DOUBLE) / COUNT(*) OVER w AS credit_linear
+FROM paired
+WINDOW w AS (PARTITION BY conversion_id)
+""",
+)
+def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-touch attribution (behavior.attribute_conversions):
+    first/last/linear credit over the 24 h pre-conversion touch window —
+    user-keyed pairing join, per-conversion rank windows, linear credit
+    as one IEEE division of exact integers."""
+    from ..functions.behavior import attribute_conversions
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return attribute_conversions(ev)
+
+
+@query(
     "events_ewma",
     """
 WITH ordered AS (

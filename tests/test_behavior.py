@@ -204,3 +204,48 @@ def test_rfm_segments_scoring(spark):
     assert out[8]["recency_days"] == 0 and out[1]["recency_days"] == 7
     for r in out.values():
         assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+
+
+def test_attribute_conversions_credit_models(spark):
+    """First/last/linear credit identities: each model's credit per
+    conversion sums to exactly 1; window boundaries are (lo, conversion]
+    with coincident-touch inclusion; touchless conversions are absent."""
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        attribute_conversions,
+    )
+
+    t0 = dt.datetime(2026, 4, 1, 12, 0, 0)
+    rows = [
+        # user 1: three touches then a purchase; one touch out of window
+        (1, 10, "click", t0 - dt.timedelta(hours=30)),   # out of window
+        (1, 11, "click", t0 - dt.timedelta(hours=3)),
+        (1, 12, "view", t0 - dt.timedelta(hours=2)),
+        (1, 13, "click", t0),                            # coincident: in
+        (1, 14, "purchase", t0),
+        # user 2: purchase with no touches -> absent
+        (2, 20, "purchase", t0),
+        # user 3: single touch
+        (3, 30, "view", t0 - dt.timedelta(minutes=5)),
+        (3, 31, "purchase", t0),
+    ]
+    ev = spark.createDataFrame(
+        [(u, e, ty, ts) for u, e, ty, ts in rows],
+        "user_id bigint, event_id bigint, event_type string, ts timestamp",
+    )
+    out = attribute_conversions(ev).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conversion_id"], []).append(r)
+
+    assert set(by_conv) == {14, 31}  # touchless conversion 20 absent
+    c14 = {r["touch_id"]: r for r in by_conv[14]}
+    assert set(c14) == {11, 12, 13}  # touch 10 outside 24 h
+    assert all(r["n_touches"] == 3 for r in c14.values())
+    assert c14[11]["credit_first"] == 1.0 and c14[13]["credit_first"] == 0.0
+    assert c14[13]["credit_last"] == 1.0 and c14[11]["credit_last"] == 0.0
+    for model in ("credit_first", "credit_last", "credit_linear"):
+        assert sum(r[model] for r in by_conv[14]) == 1.0
+        assert sum(r[model] for r in by_conv[31]) == 1.0
+    assert abs(c14[12]["credit_linear"] - 1 / 3) < 1e-15
