@@ -444,6 +444,45 @@ def _asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_S = 6 * 3600
+
+
+@query(
+    "asof_recent_purchase",
+    # tolerance branch under the oracle: DuckDB's native backward ASOF
+    # finds the latest-at-or-before match, then matches further than the
+    # tolerance null out (payload AND matched stamp together).
+    f"""
+WITH {_ASOF_PURCHASES_CTE}
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN ok THEN purchase_event_id END AS purchase_event_id,
+       CASE WHEN ok THEN purchase_value END AS purchase_value,
+       CASE WHEN ok THEN pts END AS _asof_ts
+FROM (
+    SELECT e.event_id, e.user_id, e.ts,
+           p.purchase_event_id, p.purchase_value, p.ts AS pts,
+           p.ts IS NOT NULL
+             AND date_part('epoch', e.ts) - date_part('epoch', p.ts)
+                 <= {_ASOF_TOL_S} AS ok
+    FROM events e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+) e
+""",
+)
+def _asof_recent_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 6-hour tolerance: stale matches null out —
+    the 'recent enough to attribute' enrichment contract."""
+    left, purchases = _asof_spark_inputs(spark, sf_dir)
+    return asof_join(
+        left,
+        purchases,
+        on=["user_id"],
+        payload_cols=["purchase_event_id", "purchase_value"],
+        tolerance_seconds=_ASOF_TOL_S,
+    )
+
+
 @query(
     "asof_nearest_purchase",
     f"""
