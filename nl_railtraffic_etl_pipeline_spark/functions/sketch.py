@@ -43,6 +43,7 @@ __all__ = [
     "grid_quantile_merge",
     "grid_quantile_estimate",
     "sliding_distinct_kmv",
+    "sliding_distinct_exact",
     "bloom_build",
     "bloom_probe",
 ]
@@ -528,6 +529,48 @@ def grid_quantile_estimate(
         *keys,
         F.col("_q.qn").cast("int").alias("q_pct"),
         F.round(F.col("lo") + (F.col("bin") + frac) * width, 6).alias("est"),
+    )
+
+
+def sliding_distinct_exact(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT trailing-window distinct cardinality — the ground-truth twin
+    of :func:`sliding_distinct_kmv` (same day domain: every day present
+    in the data, window = that day and the ``window_days - 1`` before
+    it).  Returns (day, n_distinct).
+
+    The sketch exists because this operator re-counts each value up to
+    ``window_days`` times; the exact form is still perfectly scalable —
+    just ``window_days``-fold heavier, which is the documented trade:
+
+    Plan: ONE (day, value)-distinct pass over the corpus (the same
+    dedup the sketch starts with), then each distinct pair fans out to
+    the <= ``window_days`` future days it covers (explode of a date
+    sequence — bounded, map-side) and a day-keyed COUNT(DISTINCT)
+    (two-phase Expand, partial-aggregated).  Cost is
+    ``window_days x |distinct day-value pairs|`` — linear in the data,
+    never windows-times-rescans; restricting to days that exist keeps
+    the output domain identical to the sketch's.
+    """
+    pairs = df.select(
+        F.to_date(F.col(ts_col)).alias("_d"),
+        F.col(value_col).alias("_v"),
+    ).distinct()
+    days = pairs.select(F.col("_d").alias("day")).distinct()
+    contrib = pairs.select(
+        F.explode(
+            F.expr(f"sequence(_d, date_add(_d, {window_days - 1}))")
+        ).alias("day"),
+        "_v",
+    )
+    return (
+        days.join(contrib, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("_v").alias("n_distinct"))
     )
 
 

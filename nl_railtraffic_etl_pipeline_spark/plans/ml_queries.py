@@ -3050,6 +3050,32 @@ _SLKMV_H = _H32.format(x="'kmv:' || CAST(user_id AS VARCHAR)")
 
 
 @query(
+    "sketch_sliding_exact",
+    """
+WITH pairs AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS v FROM events
+),
+days AS (SELECT DISTINCT d AS day FROM pairs),
+contrib AS (
+    SELECT d + CAST(k.k AS INTEGER) AS day, v
+    FROM pairs, range(0, 7) k(k)
+)
+SELECT day, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+FROM days JOIN contrib USING (day)
+GROUP BY day
+""",
+)
+def _sliding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct users per day — the ground-truth
+    twin of the KMV sliding sketch (identical day domain); its unit test
+    holds the sketch inside KMV error against this."""
+    from ..functions.sketch import sliding_distinct_exact
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return sliding_distinct_exact(ev, "ts", "user_id", window_days=7)
+
+
+@query(
     "sketch_sliding_distinct",
     f"""
 WITH hashed AS (

@@ -1480,3 +1480,34 @@ def test_kfold_assign_group_integrity(spark):
     assert {(r["doc_id"], r["fold"]) for r in again} == {
         (r["doc_id"], r["fold"]) for r in out
     }
+
+
+def test_sliding_distinct_sketch_within_kmv_error_of_exact(spark):
+    """The trailing-window KMV estimate stays inside the KMV error bound
+    of the EXACT twin on every day (k=64 -> ~12.6% relative sigma; 3
+    sigma as the test bound), over the same day domain."""
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        sliding_distinct_exact,
+        sliding_distinct_kmv,
+    )
+
+    t0 = dt.datetime(2026, 5, 1)
+    rows = [
+        (t0 + dt.timedelta(days=d, minutes=u), (d * 131 + u * 7) % 900)
+        for d in range(15)
+        for u in range(300)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+    exact = {
+        r["day"]: r["n_distinct"]
+        for r in sliding_distinct_exact(ev, "ts", "user_id").collect()
+    }
+    est = {
+        r["day"]: r["distinct_estimate"]
+        for r in sliding_distinct_kmv(ev, "ts", "user_id", k=64).collect()
+    }
+    assert set(exact) == set(est)  # identical day domain
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(3 * 0.126 * n, 1), (day, est[day], n)
