@@ -45,6 +45,8 @@ __all__ = [
     "sliding_distinct_kmv",
     "sliding_distinct_exact",
     "bloom_build",
+    "cm_build",
+    "cm_query",
     "bloom_probe",
 ]
 
@@ -685,3 +687,87 @@ def bloom_probe(
         out_col,
         F.size(F.array_except(ps, F.col("bloom"))) == 0,
     ).drop("bloom")
+
+
+def cm_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-Min sketch STATE (Cormode & Muthukrishnan 2005): ``depth``
+    independent hash rows of ``width`` counters, stored SPARSELY as
+    (row, bucket, c) — the frequency-estimation member of the sketch
+    family (KMV answers "how many distinct", Bloom answers "seen at
+    all?", CM answers "how often?").
+
+    Entirely on the md5 contract (row i uses salt ``{salt}:i``), so the
+    state and every estimate replay bit-identically on any engine —
+    unlike binary CMS blobs, an independent oracle can rebuild it.
+    States over disjoint slices merge by summing counters per
+    (row, bucket) — the same union-merge contract as the other sketches.
+
+    Plan: ``depth`` map-side hash projections off ONE scan (posexplode
+    of the row array), one (row, bucket)-keyed partial-aggregated count
+    — state size <= depth x width rows regardless of input.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    _rank_hash(F.col(value_col), f"{salt}:{i}"), F.lit(width)
+                ).cast("int").alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("_rb"))
+        .groupBy(F.col("_rb.row").alias("row"), F.col("_rb.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cm_query(
+    state: DataFrame,
+    items: DataFrame,
+    value_col: str = "value",
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-frequency estimates from a Count-Min state: for each item,
+    ``min`` over the ``depth`` rows of its bucket's counter (a missing
+    counter reads 0).  CM guarantees ``estimate >= true count`` always,
+    with overshoot bounded by collisions — the one-sided error the unit
+    test pins against exact counts.
+
+    Plan: items project their (row, bucket) keys map-side and
+    equi-join the (<= depth x width row) state — broadcast-sized by
+    construction — then one item-keyed min.  Returns (value, est).
+    """
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    _rank_hash(F.col(value_col), f"{salt}:{i}"), F.lit(width)
+                ).cast("int").alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = items.select(
+        F.col(value_col), F.explode(rb).alias("_rb")
+    ).select(
+        value_col,
+        F.col("_rb.row").alias("row"),
+        F.col("_rb.bucket").alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(state), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
+    )

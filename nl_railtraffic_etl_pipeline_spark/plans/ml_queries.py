@@ -3049,6 +3049,53 @@ _SLKMV_K = 64
 _SLKMV_H = _H32.format(x="'kmv:' || CAST(user_id AS VARCHAR)")
 
 
+_CM_W, _CM_D = 1024, 4
+_CM_H = _H32.format(
+    x="'cm:' || CAST(k.k AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+)
+_CM_HI = _H32.format(
+    x="'cm:' || CAST(k.k AS VARCHAR) || ':' || CAST(i.value AS VARCHAR)"
+)
+
+
+@query(
+    "sketch_cm_frequency",
+    f"""
+WITH state AS (
+    SELECT k.k AS row, CAST({_CM_H} % {_CM_W} AS INTEGER) AS bucket,
+           COUNT(*) AS c
+    FROM events, range(0, {_CM_D}) k(k)
+    GROUP BY 1, 2
+),
+items AS (
+    SELECT DISTINCT user_id AS value FROM events WHERE user_id % 50 = 0
+),
+probes AS (
+    SELECT i.value, k.k AS row,
+           CAST({_CM_HI} % {_CM_W} AS INTEGER) AS bucket
+    FROM items i, range(0, {_CM_D}) k(k)
+)
+SELECT p.value, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS est
+FROM probes p LEFT JOIN state s USING (row, bucket)
+GROUP BY p.value
+""",
+)
+def _sketch_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates (sketch.cm_build/cm_query): the
+    deterministic md5-contract CMS — state and estimates replay exactly
+    under the oracle; one-sided error pinned in pytest vs exact counts."""
+    from ..functions.sketch import cm_build, cm_query
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    state = cm_build(ev, "user_id", width=_CM_W, depth=_CM_D)
+    items = (
+        ev.select(F.col("user_id").alias("value"))
+        .filter("value % 50 = 0")
+        .distinct()
+    )
+    return cm_query(state, items, "value", width=_CM_W, depth=_CM_D)
+
+
 @query(
     "sketch_sliding_exact",
     """

@@ -1511,3 +1511,43 @@ def test_sliding_distinct_sketch_within_kmv_error_of_exact(spark):
     assert set(exact) == set(est)  # identical day domain
     for day, n in exact.items():
         assert abs(est[day] - n) <= max(3 * 0.126 * n, 1), (day, est[day], n)
+
+
+def test_cm_sketch_one_sided_error_and_merge(spark):
+    """Count-Min estimates NEVER undercount (the one-sided guarantee),
+    match exact counts when the table is collision-light, and states
+    over disjoint slices merge by summing to the whole-corpus state."""
+    from pyspark.sql import functions as SF
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        cm_build,
+        cm_query,
+    )
+
+    # zipf-ish: value v appears 200//(v+1) times
+    rows = [(v,) for v in range(50) for _ in range(200 // (v + 1))]
+    df = spark.createDataFrame(rows, "v bigint")
+    exact = {r["v"]: r["n"] for r in df.groupBy("v").count()
+             .withColumnRenamed("count", "n").collect()}
+    state = cm_build(df, "v", width=512, depth=4)
+    items = df.select(SF.col("v").alias("value")).distinct()
+    est = {
+        r["value"]: r["est"]
+        for r in cm_query(state, items, width=512, depth=4).collect()
+    }
+    for v, n in exact.items():
+        assert est[v] >= n, (v, est[v], n)          # never undercounts
+        assert est[v] <= n + 50, (v, est[v], n)     # collision-bounded
+    # width 512 >> 50 distinct values: most estimates exact
+    assert sum(1 for v in exact if est[v] == exact[v]) >= 45
+
+    # disjoint-slice states sum-merge to the direct state
+    a = cm_build(df.filter("v % 2 = 0"), "v", width=512, depth=4)
+    b = cm_build(df.filter("v % 2 = 1"), "v", width=512, depth=4)
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(SF.sum("c").alias("c"))
+    )
+    direct = {(r["row"], r["bucket"]): r["c"] for r in state.collect()}
+    got = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
+    assert got == direct
