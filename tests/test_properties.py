@@ -429,3 +429,128 @@ def test_registered_domain_psl_matches_referee(spark, hosts, suffixes):
     }
     for h in set(hosts):
         assert got[h] == referee(h), (h, got[h], referee(h), suffixes)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "cc", "the", "zz", ""]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.dictionaries(
+        st.sampled_from(["a", "b", "cc", "the", "zz"]),
+        st.integers(min_value=1, max_value=99),
+        max_size=5,
+    ),
+)
+def test_encode_tokens_matches_referee(spark, docs_tokens, vocab):
+    """encode_tokens equals a plain-python positional encode for ANY
+    doc/vocab shape — order preserved, OOV -> 0 and counted, duplicate
+    vocab ids allowed, empty docs empty."""
+    from nl_railtraffic_etl_pipeline_spark.functions.chunking import (
+        encode_tokens,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    vdf = (
+        spark.createDataFrame(list(vocab.items()), "term string, token_id int")
+        if vocab
+        else spark.createDataFrame([], "term string, token_id int")
+    )
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"], r["n_oov"])
+        for r in encode_tokens(sdf, vdf).collect()
+    }
+    import re as _re
+
+    for i, _ in enumerate(docs_tokens):
+        text = rows[i][1]
+        # engine tokenizer: space-trim then split on ASCII whitespace —
+        # joining with single spaces makes this the literal token list,
+        # except the all-empty-join case which yields one empty token
+        toks = _re.split(r"[ ]+", text.strip(" "))
+        ids = [vocab.get(t, 0) for t in toks]
+        oov = sum(1 for t in toks if t not in vocab)
+        assert got[i] == (ids, len(toks), oov), (i, text, got[i])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=120
+    )
+)
+def test_cm_sketch_never_undercounts(spark, values):
+    """CM estimate >= exact count for every value, on arbitrary
+    multisets — the one-sided guarantee as a property, not an example."""
+    from collections import Counter
+
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        cm_build,
+        cm_query,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v bigint")
+    state = cm_build(df, "v", width=64, depth=3)
+    items = df.select(F.col("v").alias("value")).distinct()
+    est = {
+        r["value"]: r["est"]
+        for r in cm_query(state, items, width=64, depth=3).collect()
+    }
+    truth = Counter(values)
+    for v, n in truth.items():
+        assert est[v] >= n, (v, est[v], n)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_remove_repeated_spans_matches_referee(spark, docs_tokens):
+    """Span removal equals a plain-python referee (shared 3-gram
+    positions unioned and deleted) on arbitrary tiny corpora — including
+    overlapping occurrences, sub-n docs, and fully-covered docs."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        remove_repeated_spans,
+    )
+
+    n = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_repeated_spans(sdf, n=n, min_docs=2).collect()
+    }
+
+    # referee on the ENGINE token contract (join/split is identity here,
+    # except the empty join -> [""])
+    toks_by_doc = {
+        i: (t.split(" ") if t else [""]) for i, (_, t) in enumerate(rows)
+    }
+    from collections import defaultdict
+
+    span_docs = defaultdict(set)
+    for i, toks in toks_by_doc.items():
+        for p in range(len(toks) - n + 1):
+            span_docs[tuple(toks[p : p + n])].add(i)
+    shared = {s for s, ds in span_docs.items() if len(ds) >= 2}
+    for i, toks in toks_by_doc.items():
+        covered = set()
+        for p in range(len(toks) - n + 1):
+            if tuple(toks[p : p + n]) in shared:
+                covered.update(range(p, p + n))
+        kept = [w for j, w in enumerate(toks) if j not in covered]
+        want = (" ".join(kept), len(toks), len(toks) - len(kept))
+        assert got[i] == want, (i, rows[i][1], got[i], want)
