@@ -1385,6 +1385,81 @@ def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q4 and Q19 shapes, adapted to the synthetic schema (no
+# commitdate/receiptdate/shipmode columns): Q4's EXISTS decorrelates to a
+# left-semi join into the orders scan ("orders with a late-shipping line"
+# = l_shipdate > o_orderdate + 60 days); Q19's OR-of-ANDs disjunction
+# across join sides is the classic partial-pushdown test — Catalyst pushes
+# the per-side IN/range supersets to both scans while the exact disjunct
+# evaluates post-join.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q4_priority_check",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", spread=True).filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-10-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    f"""
+SELECT ROUND(CAST(SUM({_REV_SQL}) AS DOUBLE), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+def _tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    q = F.col("l_quantity")
+    disj = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 15))
+        | ((b == "Brand#2") & s.between(10, 30) & q.between(10, 25))
+        | ((b == "Brand#3") & s.between(20, 50) & q.between(20, 40))
+    )
+    return j.filter(disj).agg(
+        F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data-quality profiling (functions/profile.py — the Deequ family): exact
 # per-column completeness/cardinality in ONE aggregation pass, plus rule
 # evaluation (event_id unique+not_null, user_id bounded cardinality).
