@@ -329,3 +329,85 @@ def test_parse_image_headers_real_bytes(spark):
     assert got[2] == (2, 3, "gif")
     assert got[3] == (None, None, None)
     assert got[4] == (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# language-ID and Z-order key — intent fixtures with hand-derived answers
+# ---------------------------------------------------------------------------
+
+def test_language_id_intent(spark):
+    """Real sentences in each profiled language classify correctly;
+    ambiguous marker ties resolve by the documented en>de>fr>es order;
+    markers count once per DISTINCT token, not per occurrence."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        predicted_lang,
+        tokens,
+    )
+
+    cases = {
+        "the cat is in the house and a dog": "en",
+        "der hund ist von der frau und mit dem kind": "de",
+        "le chat est dans la maison et les chiens": "fr",
+        "el perro y los gatos es un animal en casa": "es",
+        # 'en' appears in both the es profile and... only es; 'un' es+fr;
+        # a tie between fr and es on {un} resolves to fr (order)
+        "un xyz": "fr",
+        # repeated marker still counts once: one distinct 'le' vs two
+        # distinct en markers -> en wins
+        "le le le the is": "en",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], ["text"])
+    got = {
+        r["text"]: r["lang"]
+        for r in df.select(
+            "text", predicted_lang(tokens(F.col("text"))).alias("lang")
+        ).collect()
+    }
+    for text, want in cases.items():
+        assert got[text] == want, (text, got[text], want)
+
+
+def test_zorder_key_intent(spark):
+    """Hand-computed Morton interleaves: x bits at even positions, y at
+    odd; masking clips the high bits; the key preserves 2-D locality in
+    the small (curve-order vs row-order) sense."""
+    from nl_railtraffic_etl_pipeline_spark.functions.layout import zorder_key
+
+    cases = [
+        # (x, y, expected): interleave(x@even, y@odd)
+        (0, 0, 0),
+        (1, 0, 1),          # x bit0 -> position 0
+        (0, 1, 2),          # y bit0 -> position 1
+        (1, 1, 3),
+        (2, 0, 4),          # x bit1 -> position 2
+        (0, 2, 8),          # y bit1 -> position 3
+        (3, 3, 15),
+        (5, 3, 0b011011),   # x=101 -> pos 0,4 ; y=011 -> pos 1,3
+        (2**20 + 5, 3, 0b011011),  # bit 20 clipped by the 16-bit mask
+    ]
+    df = spark.createDataFrame(
+        [(x, y) for x, y, _ in cases], "x long, y long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    def morton(x, y, bits=16):
+        x &= (1 << bits) - 1
+        y &= (1 << bits) - 1
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y, want), g in zip(cases, got):
+        # the literal expectation where given; the masked-referee value
+        # for the wide-x case (2^20 has its high bit clipped at 16 bits)
+        ref = morton(x, y)
+        if x < 2**16 and y < 2**16:
+            assert g == want == ref, (x, y, g, want, ref)
+        else:
+            assert g == ref, (x, y, g, ref)
