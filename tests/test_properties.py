@@ -554,3 +554,77 @@ def test_remove_repeated_spans_matches_referee(spark, docs_tokens):
         kept = [w for j, w in enumerate(toks) if j not in covered]
         want = (" ".join(kept), len(toks), len(toks) - len(kept))
         assert got[i] == want, (i, rows[i][1], got[i], want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # key
+            st.integers(min_value=0, max_value=50),         # minute offset
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ewma_halving_bit_identical_cross_engine(spark, rows):
+    """The exact-halving EWMA chain is BIT-identical between Spark's
+    higher-order fold and DuckDB's list_reduce on arbitrary doubles,
+    keys, and duplicate timestamps — the claim behind the events_ewma
+    oracle, fuzzed (halving is exact IEEE; the fold order is pinned by
+    the (ts, id) total order on both engines)."""
+    import datetime as _dt
+
+    import duckdb
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import ewma_halving
+
+    t0 = _dt.datetime(2026, 6, 1)
+    data = [
+        (k, i, t0 + _dt.timedelta(minutes=m), v)
+        for i, (k, m, v) in enumerate(rows)
+    ]
+    sdf = spark.createDataFrame(
+        data, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: r["ewma"] for r in ewma_halving(sdf).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e(user_id BIGINT, event_id BIGINT, ts TIMESTAMP,"
+        " value DOUBLE)"
+    )
+    con.executemany("INSERT INTO e VALUES (?, ?, ?, ?)", data)
+    want = dict(
+        con.execute(
+            """
+WITH ordered AS (
+    SELECT user_id,
+           list(struct_pack(ts := ts, id := event_id, v := value)
+                ORDER BY ts, event_id) AS l
+    FROM e GROUP BY user_id
+),
+pos AS (
+    SELECT user_id, l,
+           unnest([{'p': i, 'id': l[i].id} for i in range(1, len(l) + 1)])
+               AS u
+    FROM ordered
+)
+SELECT u.id, list_reduce(list_transform(l[1:u.p], x -> x.v),
+                         (a, b) -> (a + b) / 2)
+FROM pos
+"""
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for eid in got:
+        # bit identity, not approximate equality
+        assert got[eid] == want[eid] or (
+            got[eid] != got[eid] and want[eid] != want[eid]
+        ), (eid, got[eid], want[eid])
