@@ -6,7 +6,7 @@
 implemented operator from SURVEY.md §2/§2.12, EVERY entry carrying a full
 DuckDB oracle (including the streaming sessionizer and duplicate-clustering
 gates, via gaps-and-islands and recursive-CTE reachability).  The committed
-``CORRECTNESS_local_r4.json`` records the full-registry oracle run at
+``CORRECTNESS_local_r6.json`` records the full-registry oracle run at
 sf0.001/0.01/0.1.
 """
 

@@ -496,6 +496,7 @@ def attribute_conversions(
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    event_type_col: str = "event_type",
 ) -> DataFrame:
     """Multi-touch conversion attribution: for every conversion event,
     the touch events by the same user in the preceding ``window_hours``,
@@ -522,13 +523,13 @@ def attribute_conversions(
     conversion's own touch set (bounded by touches-per-user-per-window).
     One user shuffle + one conversion-keyed window pass.
     """
-    conv = events.filter(F.col("event_type") == conversion_type).select(
+    conv = events.filter(F.col(event_type_col) == conversion_type).select(
         F.col(user_col).alias("_u"),
         F.col(id_col).alias("conversion_id"),
         F.col(ts_col).alias("conversion_ts"),
     )
     touch = events.filter(
-        F.col("event_type").isin(list(touch_types))
+        F.col(event_type_col).isin(list(touch_types))
     ).select(
         F.col(user_col).alias("_u"),
         F.col(id_col).alias("touch_id"),

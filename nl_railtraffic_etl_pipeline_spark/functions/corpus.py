@@ -116,6 +116,13 @@ def mixture_plan(
     ``stratified_bernoulli_sample`` yields the mixed corpus in one more
     map-side pass — no shuffle of the corpus itself.
     """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(
+            f"mixture_plan: alpha must be in [0, 1], got {alpha!r} — "
+            "alpha > 1 would push sample_rate above 1.0 (invalid for "
+            "Bernoulli sampling), alpha < 0 over-flattens below the "
+            "equal-mass floor"
+        )
     stats = docs.groupBy(source_col).agg(
         F.count("*").alias("n_docs"),
         F.sum(token_count(F.col(text_col)).cast("bigint")).alias("n_tokens"),

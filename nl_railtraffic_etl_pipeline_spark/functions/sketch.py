@@ -176,10 +176,48 @@ def kmv_set_ops(
     built with the SAME k and salt.  Returns per group (or one global
     row): (group..., union_estimate, intersection_estimate,
     jaccard_estimate).  Metadata-scale: ≤ 2k rows per group ever touched.
+
+    A sketch built with a LARGER k than the ``k`` argument would make the
+    combined bottom-k read a biased union estimate, so (matching
+    :func:`grid_quantile_merge`'s fail-loud contract) each input is
+    checked: any group carrying more than ``k`` hashes aborts the query
+    with ``raise_error`` instead of returning silently-wrong estimates.
+    The salt cannot be checked from the hashes alone — that half of the
+    contract stays documented.
     """
     keys = list(group_cols)
-    a = sketch_a.select(*keys, "h", F.lit(1).alias("_a"))
-    b = sketch_b.select(*keys, "h", F.lit(1).alias("_b"))
+
+    def _checked(sketch: DataFrame, side: str) -> DataFrame:
+        # One window over the sketch itself (metadata scale by contract;
+        # the pathological oversized input this guards against is still
+        # only sketch-sized, never the corpus).
+        w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+        n = F.count("*").over(w)
+        return (
+            sketch.withColumn(
+                "_ok",
+                F.when(n <= k, F.lit(True)).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"kmv_set_ops: sketch_{side} carries "
+                            ),
+                            n.cast("string"),
+                            F.lit(
+                                f" hashes in one group but k={k} — it was"
+                                " built with a larger k; rebuild both"
+                                " sketches with the same k (and salt)"
+                            ),
+                        )
+                    )
+                ),
+            )
+            .filter(F.col("_ok"))
+            .drop("_ok")
+        )
+
+    a = _checked(sketch_a, "a").select(*keys, "h", F.lit(1).alias("_a"))
+    b = _checked(sketch_b, "b").select(*keys, "h", F.lit(1).alias("_b"))
     u = a.join(b, [*keys, "h"], "full_outer")
     if keys:
         w = Window.partitionBy(*keys).orderBy("h")

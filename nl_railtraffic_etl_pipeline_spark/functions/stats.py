@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma"]
 
 
 def _dec(col: Column) -> Column:
@@ -243,6 +243,84 @@ def ewma_halving(
         "e.id AS id, e.ts AS ts, e.v AS v, "
         "aggregate(transform(slice(_l, 2, i), x -> x.v), "
         "element_at(_l, 1).v, (acc, x) -> (acc + x) / 2) AS s))"
+    )
+    return (
+        packed.select(*keys, F.explode(run).alias("_r"))
+        .select(
+            *keys,
+            F.col("_r.id").alias(id_col),
+            F.col("_r.ts").alias(ts_col),
+            F.col("_r.v").alias(value_col),
+            F.col("_r.s").alias("ewma"),
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float = 0.5,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key running EWMA for ARBITRARY alpha in (0, 1] — the
+    general-smoothing upgrade over :func:`ewma_halving` (which stays the
+    alpha=1/2 special case and is delegated to, preserving its exact
+    one-rounding-per-step halving chain).
+
+    ``s_1 = v_1, s_i = s_{i-1} * (1-alpha) + v_i * alpha``.
+
+    Cross-engine determinism contract: the fold is a FIXED sequence of
+    IEEE-double basic ops (*, +), each correctly rounded by every IEEE
+    engine, with both constants bound once as ``CAST('<repr>' AS
+    DOUBLE)`` — Python ``repr`` round-trips the exact double, and
+    parsing a decimal string to double is correctly rounded everywhere —
+    so ANY engine replaying the same token sequence (the DuckDB oracle
+    does, and the Python-float streaming twin does) reproduces every
+    ``ewma`` bit-identically, even for non-dyadic alpha like 0.3.  What
+    is NOT contracted is algebraic equivalence across different
+    formulations: ``s + alpha*(v - s)`` rounds differently — replays
+    must use this exact form.  (This closes the r5 "alpha=1/2 only"
+    gap: bit-identity never needed exactness of each step, only an
+    identical rounding sequence; halving's per-step exactness remains a
+    nice-to-have for its twin.)
+
+    NULL handling, (ts, id) total fold order, output shape
+    (keys..., id, ts, value, ewma) and the one-key-shuffle packed-fold
+    plan are identical to :func:`ewma_halving`.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha!r}")
+    if alpha == 0.5:
+        return ewma_halving(
+            df, value_col=value_col, ts_col=ts_col, key_cols=key_cols,
+            id_col=id_col,
+        )
+    a_lit = f"CAST('{float(alpha)!r}' AS DOUBLE)"
+    oma_lit = f"CAST('{1.0 - float(alpha)!r}' AS DOUBLE)"
+    keys = list(key_cols)
+    packed = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(id_col).alias("id"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("_l")
+        )
+    )
+    run = F.expr(
+        "transform(_l, (e, i) -> struct("
+        "e.id AS id, e.ts AS ts, e.v AS v, "
+        "aggregate(transform(slice(_l, 2, i), x -> x.v), "
+        f"element_at(_l, 1).v, (acc, x) -> acc * {oma_lit} + x * {a_lit})"
+        " AS s))"
     )
     return (
         packed.select(*keys, F.explode(run).alias("_r"))

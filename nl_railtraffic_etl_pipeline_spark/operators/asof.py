@@ -94,9 +94,14 @@ def asof_join(
         .orderBy(F.asc("_ord"), F.asc("_side"))
         .rowsBetween(*frame)
     )
+    # desc is NULLS LAST in Spark, so a NULL-stamped left row would scan
+    # AFTER every right row and spuriously match the earliest one; nulls
+    # FIRST puts it before any payload (matching the ascending window,
+    # where NULLS FIRST already isolates NULL left stamps) so it matches
+    # nothing in every direction.
     w_fwd = (
         Window.partitionBy(*keys)
-        .orderBy(F.desc("_ord"), F.asc("_side"))
+        .orderBy(F.desc_nulls_first("_ord"), F.asc("_side"))
         .rowsBetween(*frame)
     )
     u = lt.unionByName(rt, allowMissingColumns=True)

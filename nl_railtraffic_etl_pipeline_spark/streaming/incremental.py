@@ -226,30 +226,34 @@ def dedup_stream(
     )
 
 
-EWMA_SCHEMA = (
-    "user_id bigint, event_id bigint, ts timestamp, value double, "
-    "ewma double"
-)
-_EWMA_STATE_SCHEMA = "last_ts timestamp, last_id bigint, s double"
-
-
 def ewma_stream(
     events: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    alpha: float = 0.5,
 ) -> DataFrame:
-    """Per-key running EWMA (alpha = 1/2) as a SECOND custom stateful
-    operator — the continuous-metric pattern (running state updated on
-    EVERY event, every event emitted enriched) that complements the
-    gap sessionizer's discrete-emission pattern.
+    """Per-key running EWMA as a SECOND custom stateful operator — the
+    continuous-metric pattern (running state updated on EVERY event,
+    every event emitted enriched) that complements the gap sessionizer's
+    discrete-emission pattern.
 
     State per key is (last_ts, last_id, s): one row, O(1) forever.  The
-    recurrence is the exact-halving chain of
-    :func:`...functions.stats.ewma_halving` — s_1 = v_1, s_i =
-    (s_{i-1} + v_i)/2, bit-identical to the batch twin because halving
-    is exact IEEE — and the two are equivalence-tested row-for-row.
+    recurrence is the exact fixed-IEEE chain of the batch twin
+    (:func:`...functions.stats.ewma_halving` for ``alpha=0.5``,
+    :func:`...functions.stats.ewma` otherwise): ``alpha=0.5`` folds as
+    ``(s + v) / 2`` (one rounding per step — exact halving), general
+    alpha as ``s * (1-alpha) + v * alpha`` with both constants bound as
+    doubles ONCE — Python float arithmetic IS IEEE double, and the op
+    sequence matches the batch expression token for token, so stream and
+    batch stay bit-identical for every alpha, and equivalence-tested
+    row-for-row.
+
+    Output/state schemas are DERIVED from the input: the key, id, and
+    timestamp columns keep their incoming names and types (a string key
+    or int id works unchanged); only the value is normalized to double
+    (the fold runs in doubles regardless of input width).
 
     Ordering contract (same as the sessionizer): events within a
     micro-batch fold in (ts, id) order; an event at-or-before the stored
@@ -258,8 +262,34 @@ def ewma_stream(
     neither emit nor decay the state.
     """
     import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    cols = ["user_id", "event_id", "ts", "value", "ewma"]
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma_stream: alpha must be in (0, 1], got {alpha!r}")
+    one_minus_alpha = 1.0 - alpha
+    halving = alpha == 0.5
+
+    in_schema = events.schema
+    key_t = in_schema[key_col].dataType
+    id_t = in_schema[id_col].dataType
+    ts_t = in_schema[ts_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_t),
+            StructField(id_col, id_t),
+            StructField(ts_col, ts_t),
+            StructField(value_col, DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts", ts_t),
+            StructField("last_id", id_t),
+            StructField("s", DoubleType()),
+        ]
+    )
+    cols = [key_col, id_col, ts_col, value_col, "ewma"]
 
     def fn(key, pdfs, state: GroupState):
         (uid,) = key
@@ -276,27 +306,32 @@ def ewma_stream(
             ):
                 if v is None or (isinstance(v, float) and v != v):
                     continue
-                batch.append((ts, int(eid), float(v)))
+                batch.append((ts, eid, float(v)))
         for ts, eid, v in sorted(batch):
             ts_py = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
             if last_ts is not None and (ts_py, eid) <= (last_ts, last_id):
                 continue  # cross-batch late arrival: drop, never rewind
-            s = v if s is None else (s + v) / 2
+            if s is None:
+                s = v
+            elif halving:
+                s = (s + v) / 2
+            else:
+                s = s * one_minus_alpha + v * alpha
             last_ts, last_id = ts_py, eid
             rows.append((uid, eid, ts_py, v, s))
         state.update((last_ts, last_id, s))
         yield pd.DataFrame(rows, columns=cols)
 
     src = events.select(
-        F.col(key_col).alias("user_id"),
-        F.col(id_col).alias(id_col),
+        F.col(key_col),
+        F.col(id_col),
         F.col(ts_col),
-        F.col(value_col),
+        F.col(value_col).cast("double").alias(value_col),
     )
-    return src.groupBy("user_id").applyInPandasWithState(
+    return src.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType=EWMA_SCHEMA,
-        stateStructType=_EWMA_STATE_SCHEMA,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -249,3 +249,27 @@ def test_attribute_conversions_credit_models(spark):
         assert sum(r[model] for r in by_conv[14]) == 1.0
         assert sum(r[model] for r in by_conv[31]) == 1.0
     assert abs(c14[12]["credit_linear"] - 1 / 3) < 1e-15
+
+
+def test_attribute_conversions_custom_event_type_col(spark):
+    """The event-type column is parameterized like the other columns —
+    a schema naming it `action` works unchanged and produces the same
+    attribution as the default-named twin."""
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        attribute_conversions,
+    )
+
+    t0 = dt.datetime(2026, 4, 1, 12, 0, 0)
+    rows = [
+        (1, 11, "click", t0 - dt.timedelta(hours=3)),
+        (1, 12, "view", t0 - dt.timedelta(hours=2)),
+        (1, 14, "purchase", t0),
+    ]
+    renamed = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, action string, ts timestamp"
+    )
+    out = attribute_conversions(renamed, event_type_col="action").collect()
+    assert {r["touch_id"] for r in out} == {11, 12}
+    assert all(r["conversion_id"] == 14 and r["n_touches"] == 2 for r in out)

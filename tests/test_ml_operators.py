@@ -1551,3 +1551,95 @@ def test_cm_sketch_one_sided_error_and_merge(spark):
     direct = {(r["row"], r["bucket"]): r["c"] for r in state.collect()}
     got = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
     assert got == direct
+
+
+def test_mixture_plan_rejects_out_of_range_alpha(spark):
+    """alpha > 1 flips the tempering exponent negative (rates above 1.0
+    — invalid Bernoulli input); alpha < 0 over-flattens.  Both must fail
+    loudly at plan-build time, not hand bad rates downstream."""
+    import pytest
+
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x")], ["source", "text"]
+    )
+    for bad in (-0.1, 1.5, 2.0):
+        with pytest.raises(ValueError, match="alpha"):
+            mixture_plan(docs, alpha=bad)
+    # boundary values are legal
+    for ok in (0.0, 1.0):
+        assert mixture_plan(docs, alpha=ok).count() == 2
+
+
+def test_kmv_set_ops_rejects_oversized_sketch(spark):
+    """A sketch built with larger k than the set-op's k argument would
+    silently bias the union estimate — the guard must abort instead."""
+    import pytest
+
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(500)], ["user_id"])
+    small = kmv_sketch(ids, [], "user_id", k=16)
+    big = kmv_sketch(ids, [], "user_id", k=64)
+    # consistent k: fine
+    assert kmv_set_ops(small, small, k=16).count() == 1
+    # sketch carries 64 hashes but k=16: loud failure, either side
+    for a, b in ((big, small), (small, big)):
+        with pytest.raises(Exception, match="kmv_set_ops"):
+            kmv_set_ops(a, b, k=16).collect()
+
+
+def test_ewma_general_alpha_bit_exact(spark):
+    """stats.ewma replays the documented IEEE chain s*(1-a) + v*a
+    BIT-IDENTICALLY for dyadic and non-dyadic alpha (Python floats are
+    IEEE doubles executing the same op sequence), delegates alpha=0.5 to
+    the exact-halving chain, and validates alpha."""
+    import datetime as dt
+
+    import pytest
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        ewma,
+        ewma_halving,
+    )
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0)
+    rows = [
+        (1, i, t0 + dt.timedelta(minutes=i), v)
+        for i, v in enumerate([8.0, 4.0, 2.0, 7.3, 0.1, 11.0, 5.5])
+    ] + [(2, 100, t0, 3.25), (2, 101, t0 + dt.timedelta(minutes=1), None)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+
+    for alpha in (0.25, 0.3, 1.0):
+        got = {
+            r.event_id: r.ewma for r in ewma(df, alpha=alpha).collect()
+        }
+        # pure-Python replay of the exact same op sequence
+        oma = 1.0 - alpha
+        s = None
+        expect = {}
+        for uid, eid, _, v in rows:
+            if uid != 1 or v is None:
+                continue
+            s = v if s is None else s * oma + v * alpha
+            expect[eid] = s
+        for eid, want in expect.items():
+            assert got[eid] == want, (alpha, eid)  # bit-exact, no approx
+        assert got[100] == 3.25 and 101 not in got
+
+    # alpha=0.5 is the halving chain, token for token
+    a = sorted(ewma(df, alpha=0.5).collect(), key=lambda r: r.event_id)
+    b = sorted(ewma_halving(df).collect(), key=lambda r: r.event_id)
+    assert [(r.event_id, r.ewma) for r in a] == [
+        (r.event_id, r.ewma) for r in b
+    ]
+
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="alpha"):
+            ewma(df, alpha=bad)

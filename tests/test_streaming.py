@@ -297,3 +297,69 @@ def test_ewma_stream_matches_batch_twin(spark, tmp_path):
         for r in ewma_halving(ordered).collect()
     }
     assert got == want
+
+
+def test_ewma_stream_derived_schema_and_general_alpha(spark, tmp_path):
+    """ewma_stream derives its output/state schemas from the INPUT: a
+    string key and renamed id/ts/value columns work unchanged (r5 review:
+    the schema was hardcoded bigint/user_id); and a non-halving alpha
+    folds bit-identically to the batch stats.ewma twin."""
+    import datetime as dt
+    import os
+    import pathlib
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import ewma
+    from nl_railtraffic_etl_pipeline_spark.streaming.incremental import (
+        ewma_stream,
+    )
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    rows = [
+        ("alpha", 1, t0, 8.0),
+        ("alpha", 2, t0 + dt.timedelta(minutes=1), 4.0),
+        ("beta", 3, t0, 10.0),
+        ("alpha", 4, t0 + dt.timedelta(minutes=2), 7.3),
+        ("beta", 5, t0 + dt.timedelta(minutes=3), 1.5),
+    ]
+    schema = "sensor string, reading_id int, at timestamp, amount double"
+    src = str(tmp_path / "ewma_generic")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src + "/b1")
+    now = 1_900_000_000
+    for f in pathlib.Path(src, "b1").glob("*.parquet"):
+        os.utime(f, (now, now))
+
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    q = (
+        ewma_stream(
+            stream,
+            key_col="sensor",
+            ts_col="at",
+            id_col="reading_id",
+            value_col="amount",
+            alpha=0.25,
+        )
+        .writeStream.format("memory")
+        .queryName("ewma_generic_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ewma_generic_out")
+    assert got.columns == ["sensor", "reading_id", "at", "amount", "ewma"]
+    stream_vals = {r.reading_id: (r.sensor, r.ewma) for r in got.collect()}
+
+    batch = spark.createDataFrame(rows, schema)
+    batch_vals = {
+        r.reading_id: (r.sensor, r.ewma)
+        for r in ewma(
+            batch,
+            alpha=0.25,
+            value_col="amount",
+            ts_col="at",
+            key_cols=("sensor",),
+            id_col="reading_id",
+        ).collect()
+    }
+    assert stream_vals == batch_vals  # bit-exact, both engines IEEE chains
+    assert stream_vals[4][1] == (8.0 * 0.75 + 4.0 * 0.25) * 0.75 + 7.3 * 0.25

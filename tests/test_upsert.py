@@ -170,3 +170,39 @@ def test_asof_join_directions(spark):
 
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on=["k"], direction="sideways")
+
+
+def test_asof_join_null_left_ts_matches_nothing(spark):
+    """A LEFT row with a NULL stamp must return a NULL match in EVERY
+    direction: under desc ordering Spark puts NULLs LAST, so without
+    desc_nulls_first the forward/nearest windows would scan a NULL left
+    row after every right row and hand it the EARLIEST right payload."""
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(1, None), (1, t(5))], "k bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(0), "early"), (1, t(20), "late")],
+        "k bigint, ts timestamp, tag string",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.ts: r.tag
+            for r in asof_join(
+                left, right, on=["k"], direction=direction
+            ).collect()
+        }
+        assert got[None] is None, direction
+        assert got[t(5)] == ("early" if direction != "forward" else "late")
+    # ...and with a tolerance on top the NULL row still matches nothing.
+    tol = {
+        r.ts: r.tag
+        for r in asof_join(
+            left, right, on=["k"], direction="nearest", tolerance_seconds=10**6
+        ).collect()
+    }
+    assert tol[None] is None
