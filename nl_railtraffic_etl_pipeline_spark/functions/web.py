@@ -93,25 +93,34 @@ def registered_domain_psl(
     stand-in).
 
     ``suffixes`` is a one-column ``suffix`` DataFrame of PSL rules in
-    plain form (``com``, ``co.uk``, ``github.io`` — wildcard/exception
-    rules are out of scope, documented).  PSL semantics: the LONGEST
-    listed suffix matching a tail of the host wins, and the registered
-    domain is that suffix plus one more label.  A rule matching the
-    ENTIRE host is ignored (a bare suffix has no registrable part under
-    that rule), so such hosts resolve under the next-shorter rule if one
-    exists.  Hosts matching no rule at all fall back to the static
-    heuristic — mirroring the PSL's prevailing ``*`` rule (unlisted TLDs
-    still yield last-two-labels).
+    publicsuffix.org format, ALL THREE rule types: plain (``com``,
+    ``co.uk``, ``github.io``), wildcard (``*.ck`` — ``*`` matches
+    exactly one label), and exception (``!www.ck`` — overrides a
+    wildcard; its public suffix is the rule minus its leftmost label, so
+    the registered domain is the exception's own label span).  PSL
+    semantics: among matching rules an exception prevails, else the
+    LONGEST match (wildcard counted at its label width); the registered
+    domain is the winning public suffix plus one more label.  A
+    non-exception rule matching the ENTIRE host is ignored (a bare
+    public suffix has no registrable part under that rule), so such
+    hosts resolve under the next-shorter rule if one exists — but an
+    exception rule DOES match whole-host (``www.ck`` itself resolves to
+    ``www.ck``, exactly as publicsuffix.org specifies).  Hosts matching
+    no rule at all fall back to the static heuristic — mirroring the
+    PSL's prevailing ``*`` rule (unlisted TLDs still yield
+    last-two-labels).
 
     Plan shape, audited for 100 TB: the corpus projects its DISTINCT
     hosts (domain resolution is host-functional, so the explode below
     never multiplies corpus rows); each distinct host explodes into at
-    most :data:`PSL_MAX_SUFFIX_LABELS` candidate tails which
-    BROADCAST-join the suffix table (the full PSL is ~10k rows — small
-    by nature); a host-keyed partial max picks the longest match; the
-    resulting (host, domain) map joins back to the corpus on the host
-    equi-key.  Two host-keyed shuffles of host-cardinality data, zero
-    corpus-squared terms, zero UDFs.
+    most ``2 *`` :data:`PSL_MAX_SUFFIX_LABELS` candidate keys — the
+    last-k-labels tail plus its wildcard form (leftmost label replaced
+    by ``*``) — which BROADCAST-join the parsed rule table (the full
+    PSL is ~10k rows — small by nature); a host-keyed partial max picks
+    the winner under the exception-first ordering; the resulting (host,
+    domain) map joins back to the corpus on the host equi-key.  Two
+    host-keyed shuffles of host-cardinality data, zero corpus-squared
+    terms, zero UDFs.
     """
     hosts = (
         df.select(F.col(host_col).alias("_h"))
@@ -123,31 +132,70 @@ def registered_domain_psl(
             F.size(F.split(F.col("_h"), "\\.")).alias("_n"),
         )
     )
-    # candidate tails: last k labels for k = 1..min(n-1, MAX); k == n is
-    # excluded (a host equal to a suffix has no registrable part).
-    # sequence(1, 0) is DESCENDING in Spark, so gate on _n > 1.
-    ks = F.when(
-        F.col("_n") > 1,
-        F.sequence(
-            F.lit(1), F.least(F.col("_n") - 1, F.lit(PSL_MAX_SUFFIX_LABELS))
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    cand = hosts.select(
-        "_h", F.explode(ks).alias("_k"), "_l", "_n"
-    ).withColumn(
-        "_tail",
-        F.array_join(
-            F.slice(F.col("_l"), F.col("_n") - F.col("_k") + 1, F.col("_k")),
-            ".",
-        ),
+    # candidate tails: last k labels for k = 1..min(n, MAX).  The k == n
+    # whole-host tail participates ONLY via exception rules (filter
+    # below) — a plain/wildcard rule matching the entire host is ignored.
+    ks = F.sequence(
+        F.lit(1), F.least(F.col("_n"), F.lit(PSL_MAX_SUFFIX_LABELS))
     )
-    sfx = F.broadcast(
-        suffixes.select(F.col("suffix").alias("_tail")).distinct()
+    cand = (
+        hosts.select("_h", F.explode(ks).alias("_k"), "_l", "_n")
+        .withColumn(
+            "_tail",
+            F.array_join(
+                F.slice(
+                    F.col("_l"), F.col("_n") - F.col("_k") + 1, F.col("_k")
+                ),
+                ".",
+            ),
+        )
+        # wildcard form of the same tail: '*' replaces the leftmost label
+        .withColumn(
+            "_wtail",
+            F.when(F.col("_k") == 1, F.lit("*")).otherwise(
+                F.concat(
+                    F.lit("*."),
+                    F.array_join(
+                        F.slice(
+                            F.col("_l"),
+                            F.col("_n") - F.col("_k") + 2,
+                            F.col("_k") - 1,
+                        ),
+                        ".",
+                    ),
+                )
+            ),
+        )
+        .select(
+            "_h", "_k", "_n",
+            F.explode(F.array("_tail", "_wtail")).alias("_key"),
+        )
+    )
+    # parse the rule table: '!'-prefixed rules are exceptions (match on
+    # the bare labels, effective suffix one label SHORTER); wildcard
+    # rules join through the '*.'-form candidate key as-is.
+    rules = F.broadcast(
+        suffixes.select(
+            F.when(
+                F.col("suffix").startswith("!"),
+                F.expr("substring(suffix, 2)"),
+            )
+            .otherwise(F.col("suffix"))
+            .alias("_key"),
+            F.col("suffix").startswith("!").cast("int").alias("_exc"),
+        ).distinct()
     )
     best = (
-        cand.join(sfx, "_tail", "left_semi")
+        cand.join(rules, "_key")
+        .filter((F.col("_exc") == 1) | (F.col("_k") < F.col("_n")))
+        .withColumn("_eff", F.col("_k") - F.col("_exc"))
         .groupBy("_h")
-        .agg(F.max("_k").alias("_bk"))
+        .agg(
+            F.max(F.when(F.col("_exc") == 1, F.col("_eff"))).alias("_xe"),
+            F.max(F.when(F.col("_exc") == 0, F.col("_eff"))).alias("_pe"),
+        )
+        # an exception prevails over ANY plain/wildcard match
+        .select("_h", F.coalesce("_xe", "_pe").alias("_bk"))
     )
     mapping = (
         hosts.join(best, "_h", "left")

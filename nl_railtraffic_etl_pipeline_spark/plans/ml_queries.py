@@ -2937,19 +2937,23 @@ def _web_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Table-driven Public-Suffix-List registered domains
-# (web.registered_domain_psl): candidate host tails broadcast-join a real
-# PSL suffix table, longest listed suffix wins (suffix + one label),
+# (web.registered_domain_psl): candidate host tails (plain AND
+# '*'-leftmost wildcard form) broadcast-join a real PSL rule table;
+# exceptions prevail, else the longest match (suffix + one label);
 # unmatched hosts fall back to the static heuristic.  The host mix
-# exercises every depth: a 2-label private rule (github.io), a 3-label one
-# (s3.amazonaws.com), a second-level registry (co.uk), a plain TLD, an
-# UNLISTED TLD (fallback), and a single-label host.
+# exercises every depth AND all three rule types: a 2-label private rule
+# (github.io), a 3-label one (s3.amazonaws.com), a second-level registry
+# (co.uk), a plain TLD, an UNLISTED TLD (fallback), a single-label host,
+# a wildcard family (*.ck) matched properly and at whole-host, and the
+# exception (!www.ck) at whole-host and below.
 # ---------------------------------------------------------------------------
 _PSL_GATE_SUFFIXES = [
     "com", "io", "uk", "co.uk", "github.io", "s3.amazonaws.com", "us",
+    "*.ck", "!www.ck",
 ]
 
 _PSLHOST_SQL = (
-    "(CASE doc_id % 8 "
+    "(CASE doc_id % 12 "
     "WHEN 0 THEN 'u' || CAST(doc_id % 3 AS VARCHAR) || '.github.io' "
     "WHEN 1 THEN 'www.example.com' "
     "WHEN 2 THEN 'a.example.co.uk' "
@@ -2957,12 +2961,16 @@ _PSLHOST_SQL = (
     "WHEN 4 THEN 'bkt' || CAST(doc_id % 2 AS VARCHAR) || '.s3.amazonaws.com' "
     "WHEN 5 THEN 'example.xyz' "
     "WHEN 6 THEN 'github.io' "
+    "WHEN 7 THEN 'www' || CAST(doc_id % 2 AS VARCHAR) || '.site.ck' "
+    "WHEN 8 THEN 'www.ck' "
+    "WHEN 9 THEN 'x' || CAST(doc_id % 2 AS VARCHAR) || '.www.ck' "
+    "WHEN 10 THEN 'plain.ck' "
     "ELSE 'single' END)"
 )
 
 
 def _pslhost_col() -> F.Column:
-    m = F.col("doc_id") % 8
+    m = F.col("doc_id") % 12
     return (
         F.when(
             m == 0,
@@ -2983,6 +2991,22 @@ def _pslhost_col() -> F.Column:
         )
         .when(m == 5, F.lit("example.xyz"))
         .when(m == 6, F.lit("github.io"))
+        .when(
+            m == 7,
+            F.concat(
+                F.lit("www"), (F.col("doc_id") % 2).cast("string"),
+                F.lit(".site.ck"),
+            ),
+        )
+        .when(m == 8, F.lit("www.ck"))
+        .when(
+            m == 9,
+            F.concat(
+                F.lit("x"), (F.col("doc_id") % 2).cast("string"),
+                F.lit(".www.ck"),
+            ),
+        )
+        .when(m == 10, F.lit("plain.ck"))
         .otherwise(F.lit("single"))
     )
 
@@ -2991,20 +3015,40 @@ def _pslhost_col() -> F.Column:
     "web_domain_psl",
     f"""
 WITH raw AS (SELECT doc_id, {_PSLHOST_SQL} AS host FROM documents),
-sfx(suffix) AS (VALUES {", ".join(f"('{s}')" for s in _PSL_GATE_SUFFIXES)}),
+sfx(rule) AS (VALUES {", ".join(f"('{s}')" for s in _PSL_GATE_SUFFIXES)}),
+rules AS (
+    SELECT DISTINCT
+           CASE WHEN rule LIKE '!%' THEN substring(rule, 2) ELSE rule END
+               AS key,
+           CASE WHEN rule LIKE '!%' THEN 1 ELSE 0 END AS exc
+    FROM sfx
+),
 lab AS (
     SELECT doc_id, host, string_split(host, '.') AS l,
            len(string_split(host, '.')) AS n
     FROM raw
 ),
 cand AS (
-    SELECT lab.host, CAST(t.k AS INTEGER) AS k
+    SELECT lab.host, CAST(t.k AS INTEGER) AS k, lab.n,
+           array_to_string(lab.l[lab.n - CAST(t.k AS INTEGER) + 1 : lab.n],
+                           '.') AS pkey,
+           CASE WHEN t.k = 1 THEN '*'
+                ELSE '*.' || array_to_string(
+                    lab.l[lab.n - CAST(t.k AS INTEGER) + 2 : lab.n], '.')
+           END AS wkey
     FROM lab, range(1, {web.PSL_MAX_SUFFIX_LABELS + 1}) t(k)
-    WHERE t.k <= lab.n - 1
-      AND array_to_string(lab.l[lab.n - CAST(t.k AS INTEGER) + 1 : lab.n],
-                          '.') IN (SELECT suffix FROM sfx)
+    WHERE t.k <= lab.n
 ),
-best AS (SELECT host, MAX(k) AS bk FROM cand GROUP BY host),
+m AS (
+    SELECT c.host, r.exc, c.k - r.exc AS eff
+    FROM cand c JOIN rules r ON r.key IN (c.pkey, c.wkey)
+    WHERE r.exc = 1 OR c.k < c.n
+),
+best AS (
+    SELECT host, COALESCE(MAX(CASE WHEN exc = 1 THEN eff END),
+                          MAX(CASE WHEN exc = 0 THEN eff END)) AS bk
+    FROM m GROUP BY host
+),
 dom AS (
     SELECT lab.doc_id, lab.host,
            CASE WHEN best.bk IS NOT NULL

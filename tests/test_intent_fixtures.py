@@ -411,3 +411,43 @@ def test_zorder_key_intent(spark):
             assert g == want == ref, (x, y, g, want, ref)
         else:
             assert g == ref, (x, y, g, ref)
+
+
+def test_registered_domain_psl_wildcard_exception_intent(spark):
+    """All three publicsuffix.org rule types together, on the list's own
+    documented families: `*.ck` / `!www.ck` and `*.kawasaki.jp` /
+    `!city.kawasaki.jp`.  Wildcard matches count at their label width,
+    an exception prevails and registers its own label span (including at
+    whole-host), and a wildcard matching the ENTIRE host falls through
+    to the next-shorter rule / static fallback (engine convention)."""
+    rules = [
+        "com", "jp", "*.ck", "!www.ck", "*.kawasaki.jp",
+        "!city.kawasaki.jp",
+    ]
+    suffixes = spark.createDataFrame([(s,) for s in rules], ["suffix"])
+    cases = {
+        # wildcard proper match: *.ck covers site.ck -> +1 label
+        "shop.site.ck": "shop.site.ck",
+        "a.shop.site.ck": "shop.site.ck",
+        # exception beats the wildcard, registered = its own span
+        "www.ck": "www.ck",                    # whole-host exception
+        "sub.www.ck": "www.ck",
+        # wildcard at whole host is ignored; 'ck' itself unlisted ->
+        # static fallback (last two labels)
+        "site.ck": "site.ck",
+        # the kawasaki.jp family (publicsuffix.org's canonical example)
+        "a.b.kawasaki.jp": "a.b.kawasaki.jp",
+        "city.kawasaki.jp": "city.kawasaki.jp",
+        "x.city.kawasaki.jp": "city.kawasaki.jp",
+        # wildcard whole-host -> next-shorter rule 'jp' applies
+        "b.kawasaki.jp": "kawasaki.jp",
+        # plain rules still work alongside
+        "www.example.com": "example.com",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["host"])
+    got = {
+        r["host"]: r["domain"]
+        for r in web.registered_domain_psl(df, suffixes).collect()
+    }
+    for host, want in cases.items():
+        assert got[host] == want, (host, got[host], want)

@@ -628,3 +628,79 @@ FROM pos
         assert got[eid] == want[eid] or (
             got[eid] != got[eid] and want[eid] != want[eid]
         ), (eid, got[eid], want[eid])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.sets(
+        st.lists(
+            st.sampled_from(["a", "b", "co", "uk", "ck", "x"]),
+            min_size=1,
+            max_size=5,
+        ).map(".".join),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sets(
+        st.builds(
+            lambda pre, body: pre + body,
+            st.sampled_from(["", "!", "*.", ""]),
+            st.lists(
+                st.sampled_from(["a", "b", "co", "uk", "ck"]),
+                min_size=1,
+                max_size=3,
+            ).map(".".join),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_registered_domain_psl_full_rules_match_referee(spark, hosts, rules):
+    """Property twin of the wildcard/exception upgrade: on arbitrary
+    mixes of plain / `*.`-wildcard / `!`-exception rules, the Spark path
+    agrees with a plain-Python referee replaying the documented
+    algorithm (exception prevails with whole-host allowed, else longest
+    PROPER match over plain+wildcard candidate keys, else static
+    fallback)."""
+    from nl_railtraffic_etl_pipeline_spark.functions import web
+
+    def referee(host: str) -> str:
+        labels = host.split(".")
+        n = len(labels)
+        xe, pe = None, None
+        for k in range(1, min(n, web.PSL_MAX_SUFFIX_LABELS) + 1):
+            pkey = ".".join(labels[n - k:])
+            wkey = "*" if k == 1 else "*." + ".".join(labels[n - k + 1:])
+            for rule in rules:
+                exc = rule.startswith("!")
+                key = rule[1:] if exc else rule
+                if key not in (pkey, wkey):
+                    continue
+                if not exc and k >= n:
+                    continue
+                eff = k - (1 if exc else 0)
+                if exc:
+                    xe = eff if xe is None else max(xe, eff)
+                else:
+                    pe = eff if pe is None else max(pe, eff)
+        bk = xe if xe is not None else pe
+        if bk is not None:
+            return ".".join(labels[n - bk - 1:])
+        if n >= 3 and ".".join(labels[-2:]) in web.SECOND_LEVEL_SUFFIXES:
+            return ".".join(labels[-3:])
+        if n >= 2:
+            return ".".join(labels[-2:])
+        return host
+
+    sdf = spark.createDataFrame([(h,) for h in set(hosts)], ["host"])
+    sfx = (
+        spark.createDataFrame([(s,) for s in rules], ["suffix"])
+        if rules
+        else spark.createDataFrame([], "suffix string")
+    )
+    got = {
+        r["host"]: r["domain"]
+        for r in web.registered_domain_psl(sdf, sfx).collect()
+    }
+    for h in set(hosts):
+        assert got[h] == referee(h), (h, got[h], referee(h), sorted(rules))
