@@ -1460,6 +1460,213 @@ def _tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q21 / Q13 / Q22 shapes — the NOT-EXISTS / outer-aggregate
+# decorrelation family Q4's EXISTS left open, adapted to the synthetic
+# schema ("late line" = l_shipdate > o_orderdate + 60 days stands in for
+# receiptdate > commitdate; o_orderpriority for o_comment; c_nationkey for
+# the phone country code).  Q21: correlated EXISTS + NOT EXISTS with an
+# INEQUALITY correlation (other-supplier lines of the same order) becomes
+# a left-semi then left-anti join, each on the l_orderkey equi-key with
+# the suppkey<> residual — never a cartesian.  Q13: the exclusion
+# predicate lives on the OUTER JOIN's ON clause, and the aggregate runs
+# over preserved NULL rows (customers with zero surviving orders count at
+# c_count = 0).  Q22: scalar-subquery threshold (exact DECIMAL sum, one
+# IEEE division — deterministic boundary membership) + NOT EXISTS
+# anti-join against recent orders.
+# ---------------------------------------------------------------------------
+_Q21_NATIONS = ["NATION_3", "NATION_13", "NATION_19"]
+_Q21_NATION_IN = ", ".join(f"'{n}'" for n in _Q21_NATIONS)
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    f"""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+  AND s_nationkey = n_nationkey
+  AND n_name IN ({_Q21_NATION_IN})
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def _tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    # one orders projection feeds BOTH the l1 lateness flag and the inner
+    # NOT EXISTS (which correlates on the same order's o_orderdate)
+    orders_f = (
+        load_table(spark, sf_dir, "orders", spread=True)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    flagged = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+    late = flagged.filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    # EXISTS other-supplier line -> left-semi on the order equi-key with
+    # the suppkey<> residual; NOT EXISTS other-supplier LATE line -> the
+    # same shape as a left-anti against the late set itself
+    other = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    l1 = late.join(
+        other,
+        (late.l_orderkey == other._ok) & (late.l_suppkey != other._sk),
+        "left_semi",
+    ).join(
+        other_late,
+        (late.l_orderkey == other_late._ok)
+        & (late.l_suppkey != other_late._sk),
+        "left_anti",
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation").filter(
+                F.col("n_name").isin(_Q21_NATIONS)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        l1.join(F.broadcast(sup), l1.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+_Q13_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+
+
+@query(
+    "tpch_q13_order_distribution",
+    f"""
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey
+     AND o_orderpriority <> '{_Q13_EXCLUDED_PRIORITY}'
+    GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def _tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate-BELOW-outer-join rewrite: counting per customer after the
+    # left join would shuffle every surviving order row on custkey; the
+    # count is per-custkey anyway, so partial-aggregate orders FIRST
+    # (counts-granularity shuffle) and left-join customer to the counts,
+    # NULL -> 0 for customers whose orders were all excluded or absent —
+    # exactly the preserved-row semantics of the ON-clause filter.
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    counts = (
+        load_table(spark, sf_dir, "orders", spread=True)
+        .filter(F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("_n"))
+    )
+    per_cust = cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "left"
+    ).select(
+        F.coalesce(F.col("_n"), F.lit(0).cast("bigint")).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q22_CODES = [1, 3, 5, 7, 9, 11, 13]
+_Q22_CUTOFF = "2000-01-01"
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    f"""
+WITH base AS (
+    SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+    WHERE c_nationkey IN ({", ".join(str(c) for c in _Q22_CODES)})
+),
+avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE)
+           / COUNT(*) AS ab
+    FROM base WHERE c_acctbal > 0
+)
+SELECT c_nationkey AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE), 2)
+           AS totacctbal
+FROM base, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'
+  )
+GROUP BY c_nationkey
+""",
+)
+def _tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.filter(F.col("c_nationkey").isin(_Q22_CODES)).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    # scalar subquery -> 1-row broadcast; the threshold is an exact
+    # DECIMAL sum over one IEEE division, so which customers clear it is
+    # bit-deterministic on both engines (a double-summed AVG would make
+    # boundary membership partitioning-dependent)
+    avg_row = base.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(24,6)")).cast("double")
+            / F.count("*")
+        ).alias("_ab")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders", spread=True)
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit(_Q22_CUTOFF)))
+        .select("o_custkey")
+    )
+    return (
+        base.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(24,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data-quality profiling (functions/profile.py — the Deequ family): exact
 # per-column completeness/cardinality in ONE aggregation pass, plus rule
 # evaluation (event_id unique+not_null, user_id bounded cardinality).

@@ -287,3 +287,20 @@ def test_psl_suffix_table_broadcasts(spark):
     assert "BroadcastHashJoin" in txt
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_tpch_decorrelation_shapes(spark):
+    """Q21's EXISTS/NOT EXISTS pair must plan as a left-semi then
+    left-anti on the order equi-key (never a nested-loop over lineitem
+    pairs); Q13's ON-clause exclusion must keep the customer side outer;
+    Q22's scalar threshold is a 1-row broadcast and its NOT EXISTS an
+    anti-join."""
+    q21 = plan_of(spark, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "BroadcastNestedLoopJoin" not in q21
+    assert "CartesianProduct" not in q21
+    q13 = plan_of(spark, "tpch_q13_order_distribution")
+    assert "LeftOuter" in q13
+    q22 = plan_of(spark, "tpch_q22_global_sales_opportunity")
+    assert "LeftAnti" in q22
+    assert "CartesianProduct" not in q22
