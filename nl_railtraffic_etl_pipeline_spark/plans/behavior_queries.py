@@ -457,6 +457,49 @@ def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_halving(ev)
 
 
+#: Deliberately NON-DYADIC: the general-alpha fold's determinism claim is
+#: that a fixed sequence of correctly-rounded IEEE ops with identically
+#: bound constants replays bit-identically on ANY engine — per-step
+#: exactness (halving) was never required.  repr() round-trips the exact
+#: doubles into both engines' CAST('<repr>' AS DOUBLE).
+_EWMA_ALPHA = 0.3
+_EWMA_A_LIT = f"CAST('{_EWMA_ALPHA!r}' AS DOUBLE)"
+_EWMA_OMA_LIT = f"CAST('{1.0 - _EWMA_ALPHA!r}' AS DOUBLE)"
+
+
+@query(
+    "events_ewma_alpha",
+    f"""
+WITH ordered AS (
+    SELECT user_id,
+           list(struct_pack(ts := ts, id := event_id,
+                            v := CAST(value AS DOUBLE))
+                ORDER BY ts, event_id) AS l
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+pos AS (
+    SELECT user_id, l,
+           unnest([{{'p': i, 'id': l[i].id, 'ts': l[i].ts, 'v': l[i].v}}
+                   for i in range(1, len(l) + 1)]) AS u
+    FROM ordered
+)
+SELECT user_id, u.id AS event_id, u.ts AS ts, u.v AS value,
+       list_reduce(list_transform(l[1:u.p], x -> x.v),
+                   (a, b) -> a * {_EWMA_OMA_LIT} + b * {_EWMA_A_LIT})
+           AS ewma
+FROM pos
+""",
+)
+def _events_ewma_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-alpha EWMA (stats.ewma, alpha = 0.3): the oracle replays
+    the exact s*(1-a) + v*a token sequence, proving the cross-engine
+    bit-identity contract holds beyond the dyadic special case."""
+    from ..functions.stats import ewma
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return ewma(ev, alpha=_EWMA_ALPHA)
+
+
 @query(
     "events_quantile_buckets",
     """
