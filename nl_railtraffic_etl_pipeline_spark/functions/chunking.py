@@ -40,6 +40,7 @@ def encode_tokens(
     oov_id: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Tokenizer APPLY: map each document's token stream to integer ids
     through a vocabulary table — the encode step between a cleaned corpus
@@ -52,18 +53,41 @@ def encode_tokens(
     ``oov_id`` and are counted.  Empty/whitespace docs yield an empty id
     array.
 
-    Returns (id_col, token_ids array<int>, n_tokens, n_oov).
+    Returns (id_col, token_ids array<int>, n_tokens, n_oov) — plus a
+    ``quarantined`` boolean when ``max_tokens`` is set.
+
+    ``max_tokens`` is the WHALE-DOC guard: the reassembly sort buffer is
+    bounded by the document's own length, so one pathological multi-GB
+    document becomes one executor's buffer.  With a cap, docs longer
+    than ``max_tokens`` are QUARANTINED — emitted with ``token_ids =
+    NULL`` (explicitly not encoded; never a silently truncated stream),
+    their true ``n_tokens``, and ``quarantined = true`` — while every
+    other doc encodes normally.  Uncapped calls keep the original
+    four-column schema.
 
     Plan shape, audited for 100 TB: positional explode of the token
     stream (map-side), BROADCAST hash join against the vocab (model
     vocabularies are 30k-200k rows — small by nature), then ONE
     doc-keyed aggregation whose sort buffer is bounded by the document's
     own length (``array_sort`` of (pos, id) structs inside the agg — the
-    same bounded-buffer reassembly ``remove_boilerplate_lines`` uses).
-    One corpus shuffle total; no UDFs; ids ride as ints, never strings.
+    same bounded-buffer reassembly ``remove_boilerplate_lines`` uses) —
+    and, with ``max_tokens``, by the cap.  One corpus shuffle total; no
+    UDFs; ids ride as ints, never strings; the quarantine split is a
+    map-side filter off the same tokenized projection.
     """
-    toks = docs.select(
-        F.col(id_col), F.posexplode_outer(tokens(F.col(text_col)))
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    quarantined = None
+    if max_tokens is not None:
+        quarantined = base.filter(F.size("_w") > max_tokens).select(
+            F.col(id_col),
+            F.lit(None).cast("array<int>").alias("token_ids"),
+            F.size("_w").cast("int").alias("n_tokens"),
+            F.lit(None).cast("int").alias("n_oov"),
+            F.lit(True).alias("quarantined"),
+        )
+        base = base.filter(F.size("_w") <= max_tokens)
+    toks = base.select(
+        F.col(id_col), F.posexplode_outer("_w")
     ).select(id_col, F.col("pos"), F.col("col").alias("_w"))
     v = F.broadcast(
         vocab.select(
@@ -81,7 +105,7 @@ def encode_tokens(
         F.coalesce(F.col("_id"), F.lit(oov_id).cast("int")).alias("_id"),
         (real & F.col("_id").isNull()).cast("int").alias("_oov"),
     )
-    return enc.groupBy(id_col).agg(
+    out = enc.groupBy(id_col).agg(
         F.transform(
             F.array_sort(
                 F.collect_list(
@@ -93,6 +117,11 @@ def encode_tokens(
         F.count("pos").cast("int").alias("n_tokens"),
         F.sum("_oov").cast("int").alias("n_oov"),
     )
+    if quarantined is not None:
+        out = out.withColumn("quarantined", F.lit(False)).unionByName(
+            quarantined
+        )
+    return out
 
 
 def chunk_documents(

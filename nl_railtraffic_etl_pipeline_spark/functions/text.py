@@ -559,6 +559,7 @@ def remove_boilerplate_lines(
     min_docs: int = 30,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_lines: int | None = None,
 ):
     """Line-level boilerplate removal (the RefinedWeb/Falcon line dedup).
 
@@ -569,6 +570,11 @@ def remove_boilerplate_lines(
     with those lines deleted and the survivors re-joined in original
     order: (id_col, clean_text, n_lines_removed, n_lines_kept).  A
     document whose every line is boilerplate yields ``clean_text = ''``.
+    With ``max_lines`` set, a ``quarantined`` boolean is appended: docs
+    with more lines than the cap are excluded from the operator entirely
+    (no line contribution, no rewrite) and pass through VERBATIM with
+    ``n_lines_removed = 0`` and ``quarantined = true`` — the whale-doc
+    guard bounding the per-document reassembly buffer.
 
     Normalization deliberately avoids engine ``trim`` and regex ``\\s``
     (cross-engine traps — see :data:`BLANK_EDGE_RE`): lowercase, collapse
@@ -583,6 +589,17 @@ def remove_boilerplate_lines(
     from ``array_sort`` inside each document's aggregation buffer, which
     is bounded by document length, not corpus size.
     """
+    quarantined = None
+    if max_lines is not None:
+        nl = F.size(F.split(F.col(text_col), "\n"))
+        quarantined = docs.filter(nl > max_lines).select(
+            F.col(id_col),
+            F.col(text_col).alias("clean_text"),
+            F.lit(0).cast("int").alias("n_lines_removed"),
+            nl.cast("int").alias("n_lines_kept"),
+            F.lit(True).alias("quarantined"),
+        )
+        docs = docs.filter(nl <= max_lines)
     blank = F.lit("")
     norm = F.regexp_replace(
         F.regexp_replace(F.lower(F.col("line")), BLANK_RUN_RE, " "),
@@ -619,7 +636,7 @@ def remove_boilerplate_lines(
         )
     )
     kept = F.transform(F.filter(ordered, lambda s: ~s["b"]), lambda s: s["l"])
-    return flagged.groupBy("doc").agg(
+    out = flagged.groupBy("doc").agg(
         F.concat_ws("\n", kept).alias("clean_text"),
         F.sum(F.when(F.col("_b"), 1).otherwise(0))
         .cast("int")
@@ -633,6 +650,11 @@ def remove_boilerplate_lines(
         "n_lines_removed",
         "n_lines_kept",
     )
+    if quarantined is not None:
+        out = out.withColumn("quarantined", F.lit(False)).unionByName(
+            quarantined
+        )
+    return out
 
 
 def remove_repeated_spans(
@@ -641,6 +663,7 @@ def remove_repeated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_tokens: int | None = None,
 ):
     """Cross-document repeated-span REMOVAL — the rewrite step of exact
     substring deduplication (Lee et al. 2022): every token position
@@ -653,18 +676,35 @@ def remove_repeated_spans(
     Returns (id_col, clean_text, n_tokens, n_removed) for EVERY input
     document — docs shorter than ``n`` tokens pass through untouched, a
     fully-templated doc comes back as the empty string (filter on
-    ``n_removed``/length downstream).
+    ``n_removed``/length downstream).  With ``max_tokens`` set, a
+    ``quarantined`` boolean is appended: docs longer than the cap are
+    excluded from the operator ENTIRELY (neither rewritten nor
+    contributing spans to the shared counts) and pass through with
+    ``clean_text`` = their token stream re-joined, ``n_removed = 0``,
+    ``quarantined = true`` — the whale-doc guard that keeps one
+    pathological multi-GB document from becoming one executor's
+    reassembly sort buffer.
 
     Plan: the span explode and shared-span aggregation are exactly
     :func:`repeated_span_stats`'s (span-keyed, never broadcast); covered
     positions explode at most ``n`` rows per shared occurrence then
     dedup doc-side; the rebuild is one doc-keyed aggregation whose sort
-    buffer is bounded by the document's own length.  Shuffles key on
-    span or doc only — no global sort, which is the whole point vs a
-    literal suffix-array port.
+    buffer is bounded by the document's own length (by ``max_tokens``
+    when capped).  Shuffles key on span or doc only — no global sort,
+    which is the whole point vs a literal suffix-array port.
     """
     toks_col = tokens(F.col(text_col))
     base = docs.select(F.col(id_col).alias("doc"), toks_col.alias("_w"))
+    quarantined = None
+    if max_tokens is not None:
+        quarantined = base.filter(F.size("_w") > max_tokens).select(
+            F.col("doc").alias(id_col),
+            F.array_join("_w", " ").alias("clean_text"),
+            F.size("_w").cast("int").alias("n_tokens"),
+            F.lit(0).cast("int").alias("n_removed"),
+            F.lit(True).alias("quarantined"),
+        )
+        base = base.filter(F.size("_w") <= max_tokens)
     long_enough = base.filter(F.size("_w") >= n)
     spans = long_enough.select(
         "doc",
@@ -713,7 +753,7 @@ def remove_repeated_spans(
         F.count("pos").cast("int").alias("_n_kept"),
     )
     totals = base.select("doc", F.size("_w").cast("int").alias("n_tokens"))
-    return (
+    out = (
         totals.join(rebuilt, "doc", "left")
         .select(
             F.col("doc").alias(id_col),
@@ -727,6 +767,11 @@ def remove_repeated_spans(
             .alias("n_removed"),
         )
     )
+    if quarantined is not None:
+        out = out.withColumn("quarantined", F.lit(False)).unionByName(
+            quarantined
+        )
+    return out
 
 
 def repeated_span_stats(

@@ -169,3 +169,82 @@ def test_encode_tokens_semantics(spark):
         for r in encode_tokens(docs, vocab, oov_id=7).collect()
     }
     assert got7[0] == [1, 9, 2, 1, 7]
+
+
+def test_whale_doc_quarantine_caps(spark):
+    """The max_tokens/max_lines whale guards: a ~1M-token document is
+    QUARANTINED (passes through flagged, never building a 1M-entry
+    reassembly buffer, never contributing spans/lines), while the small
+    docs' results are identical to the uncapped run on them alone; the
+    uncapped schema is unchanged."""
+    from nl_railtraffic_etl_pipeline_spark.functions.chunking import (
+        encode_tokens,
+    )
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        remove_boilerplate_lines,
+        remove_repeated_spans,
+    )
+
+    whale = " ".join(f"w{i % 97}" for i in range(1_000_000))
+    small = [
+        (1, "the same boiler span here plus alpha"),
+        (2, "the same boiler span here plus beta"),
+        (3, "unique words only gamma delta"),
+    ]
+    docs = spark.createDataFrame(
+        small + [(9, whale)], ["doc_id", "text"]
+    )
+    small_df = spark.createDataFrame(small, ["doc_id", "text"])
+
+    # --- remove_repeated_spans ---
+    capped = remove_repeated_spans(docs, n=5, min_docs=2, max_tokens=10_000)
+    rows = {r.doc_id: r for r in capped.collect()}
+    assert rows[9].quarantined and rows[9].n_removed == 0
+    assert rows[9].n_tokens == 1_000_000
+    base = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_repeated_spans(small_df, n=5, min_docs=2).collect()
+    }
+    for i in (1, 2, 3):
+        assert not rows[i].quarantined
+        assert (rows[i].clean_text, rows[i].n_removed) == base[i]
+    # whale spans did NOT enter the shared counts: doc 3 untouched even
+    # if the whale repeated its vocabulary
+    assert rows[3].n_removed == 0
+    # uncapped schema is the original four columns
+    assert "quarantined" not in remove_repeated_spans(small_df).columns
+
+    # --- encode_tokens ---
+    vocab = spark.createDataFrame(
+        [("the", 1), ("same", 2), ("alpha", 3)], ["term", "token_id"]
+    )
+    enc = {
+        r.doc_id: r
+        for r in encode_tokens(docs, vocab, max_tokens=10_000).collect()
+    }
+    assert enc[9].quarantined and enc[9].token_ids is None
+    assert enc[9].n_tokens == 1_000_000 and enc[9].n_oov is None
+    assert not enc[1].quarantined
+    assert enc[1].token_ids[:2] == [1, 2]  # 'the same ...'
+    assert "quarantined" not in encode_tokens(small_df, vocab).columns
+
+    # --- remove_boilerplate_lines ---
+    many_lines = "\n".join(f"line {i}" for i in range(50_000))
+    ldocs = spark.createDataFrame(
+        [(1, "keep me\nshared footer"), (2, "other text\nshared footer"),
+         (3, "solo"), (9, many_lines)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            ldocs, min_docs=2, max_lines=1_000
+        ).collect()
+    }
+    assert got[9].quarantined and got[9].clean_text == many_lines
+    assert got[9].n_lines_kept == 50_000 and got[9].n_lines_removed == 0
+    assert not got[1].quarantined
+    assert got[1].clean_text == "keep me" and got[1].n_lines_removed == 1
+    assert "quarantined" not in remove_boilerplate_lines(
+        ldocs.filter("doc_id < 9"), min_docs=2
+    ).columns
