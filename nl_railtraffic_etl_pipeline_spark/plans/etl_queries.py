@@ -1667,6 +1667,162 @@ def _tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q15 / Q16 / Q17 shapes — the scalar-subquery family: Q15 filters a
+# derived revenue view against its own global MAX (exact DECIMAL revenue,
+# so the equality is deterministic); Q16 is NOT IN -> left-anti plus a
+# COUNT(DISTINCT) over three grouping columns (partsupp is absent from the
+# synthetic schema, so supplier relationships derive from lineitem and the
+# "customer complaints" exclusion is proxied by negative supplier account
+# balance); Q17's correlated per-part average decorrelates to a part-keyed
+# aggregate join, with the 0.2*avg threshold rewritten as the EXACT
+# integer-decimal cross-multiplication 5*qty*cnt < sum — no IEEE division
+# on the filter boundary at all.
+# ---------------------------------------------------------------------------
+_Q15_START, _Q15_END = "1998-01-01", "1998-04-01"
+
+
+@query(
+    "tpch_q15_top_supplier",
+    f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM({_REV_SQL}) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q15_START}'
+      AND l_shipdate <  TIMESTAMP '{_Q15_END}'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       ROUND(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def _tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(_Q15_START)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(_Q15_END)))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_col()).alias("_rev")
+    )
+    # global MAX over the DECIMAL-exact view -> 1-row broadcast; equality
+    # against exact decimals is deterministic under any partitioning
+    top = revenue.agg(F.max("_rev").alias("_top"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev") == F.col("_top"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+_Q16_EXCLUDED_BRAND = "Brand#1"
+_Q16_SIZES = [1, 5, 9, 13, 17, 21, 25]
+
+
+@query(
+    "tpch_q16_supplier_counts",
+    f"""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{_Q16_EXCLUDED_BRAND}'
+  AND p_size IN ({", ".join(str(s) for s in _Q16_SIZES)})
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def _tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_partkey", "l_suppkey"
+    )
+    complaints = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != _Q16_EXCLUDED_BRAND)
+            & F.col("p_size").isin(_Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    # NOT IN over a non-null key -> broadcast left-anti (the complaint
+    # set is dimension-sized); the part filter broadcasts into the fact
+    return (
+        li.join(
+            F.broadcast(complaints),
+            li.l_suppkey == complaints.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q17_BRAND = "Brand#3"
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    f"""
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2)))
+               AS qty_sum,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR)
+                          AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+           AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN per_part USING (l_partkey)
+WHERE p_brand = '{_Q17_BRAND}'
+  AND CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2)) * 5 * cnt
+      < qty_sum
+""",
+)
+def _tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    qty_dec = F.col("l_quantity").cast("string").cast("decimal(18,2)")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(qty_dec).alias("_qsum"), F.count("*").alias("_cnt")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _Q17_BRAND)
+        .select("p_partkey")
+    )
+    price_dec = F.col("l_extendedprice").cast("string").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part._pk)
+        # l_quantity < 0.2 * (qsum/cnt)  <=>  5*qty*cnt < qsum, exact
+        .filter(qty_dec * 5 * F.col("_cnt") < F.col("_qsum"))
+        .agg(
+            F.round(F.sum(price_dec).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data-quality profiling (functions/profile.py — the Deequ family): exact
 # per-column completeness/cardinality in ONE aggregation pass, plus rule
 # evaluation (event_id unique+not_null, user_id bounded cardinality).

@@ -219,6 +219,48 @@ def _streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("streaming_ewma_result")
 
 
+#: Non-dyadic alpha for the streaming twin — must match the batch gate's
+#: constants token for token (behavior_queries._EWMA_ALPHA).
+_SEWMA_ALPHA = 0.3
+_SEWMA_A = f"CAST('{_SEWMA_ALPHA!r}' AS DOUBLE)"
+_SEWMA_OMA = f"CAST('{1.0 - _SEWMA_ALPHA!r}' AS DOUBLE)"
+
+
+@query(
+    "streaming_ewma_alpha",
+    # The general-alpha stateful fold: the oracle replays the identical
+    # s*(1-a) + v*a IEEE token sequence, so the stream's Python-float
+    # state chain hash-matches bit for bit — same determinism contract
+    # as the batch events_ewma_alpha gate, proven through the state
+    # store this time.
+    f"""
+WITH ordered AS (
+    SELECT user_id,
+           list(struct_pack(ts := ts, id := event_id,
+                            v := CAST(value AS DOUBLE))
+                ORDER BY ts, event_id) AS l
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+pos AS (
+    SELECT user_id, l,
+           unnest([{{'p': i, 'id': l[i].id, 'ts': l[i].ts, 'v': l[i].v}}
+                   for i in range(1, len(l) + 1)]) AS u
+    FROM ordered
+)
+SELECT user_id, u.id AS event_id, u.ts AS ts, u.v AS value,
+       list_reduce(list_transform(l[1:u.p], x -> x.v),
+                   (a, b) -> a * {_SEWMA_OMA} + b * {_SEWMA_A}) AS ewma
+FROM pos
+""",
+)
+def _streaming_ewma_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import ewma_stream
+
+    out = ewma_stream(_events_stream(spark, sf_dir), alpha=_SEWMA_ALPHA)
+    _drain_to_memory(out, "streaming_ewma_alpha_result", "append")
+    return spark.table("streaming_ewma_alpha_result")
+
+
 @query(
     "streaming_dedup",
     # Each event enters the stream TWICE (in-stream explode); the dedup
