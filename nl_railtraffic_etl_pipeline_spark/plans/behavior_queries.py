@@ -850,3 +850,39 @@ def _events_window_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 3).over(w).alias("third_val"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "events_ntile_buckets",
+    # NTILE with a bucket count that does NOT divide the partition size
+    # (7) alongside the even quartile case — the remainder distribution
+    # (first n%k buckets get one extra row) must agree across engines,
+    # which it does given the explicit (value, event_id) total order.
+    """
+SELECT event_id, event_type, value,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       CAST(NTILE(7) OVER w AS INTEGER) AS septile
+FROM events
+WHERE value IS NOT NULL AND user_id % 31 = 0
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+)
+def _events_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile over a per-type total order — the one ranking window the
+    catalog gate (first/nth_value/cume_dist) and the rank family
+    (rail_q1..q5) did not yet cover."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("value").isNotNull() & (F.col("user_id") % 31 == 0)
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(7).over(w).alias("septile"),
+    )

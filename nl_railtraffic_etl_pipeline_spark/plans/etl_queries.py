@@ -1823,6 +1823,147 @@ def _tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q7 / Q8 shapes — the multi-nation star family: Q7's symmetric
+# two-nation disjunction evaluates post-join over two broadcast copies of
+# the nation dim; Q8's market share is a conditional-over-total ratio of
+# exact DECIMAL sums (one IEEE division per year, round bridged through
+# the shortest-decimal image on the oracle side).
+# ---------------------------------------------------------------------------
+from .oracle_util import round_sql  # noqa: E402
+
+_Q7_NATION_A, _Q7_NATION_B = "NATION_3", "NATION_19"
+_Q7_START, _Q7_END = "1996-01-01", "1998-01-01"
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       ROUND(CAST(SUM({_REV_SQL}) AS DOUBLE), 2) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{_Q7_NATION_A}' AND n2.n_name = '{_Q7_NATION_B}')
+    OR (n1.n_name = '{_Q7_NATION_B}' AND n2.n_name = '{_Q7_NATION_A}'))
+  AND l_shipdate >= TIMESTAMP '{_Q7_START}'
+  AND l_shipdate <  TIMESTAMP '{_Q7_END}'
+GROUP BY 1, 2, 3
+""",
+)
+def _tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(_Q7_START)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(_Q7_END)))
+    )
+    orders = load_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin([_Q7_NATION_A, _Q7_NATION_B])
+    )
+    # pre-filtering BOTH nation copies to the two names shrinks the
+    # supplier/customer dims before they broadcast into the fact, and the
+    # symmetric disjunction needs only the cross-pair residual
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
+    )
+
+
+_Q8_REGION_KEY = 2  # ASIA
+_Q8_NATION = "NATION_9"
+_Q8_TYPE = "PROMO"
+
+
+@query(
+    "tpch_q8_market_share",
+    f"""
+WITH flat AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           {_REV_SQL} AS volume,
+           n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_regionkey = {_Q8_REGION_KEY}
+      AND p_type = '{_Q8_TYPE}'
+)
+SELECT o_year,
+       {round_sql(
+           "CAST(SUM(CASE WHEN supp_nation = '" + _Q8_NATION + "'"
+           " THEN volume END) AS DOUBLE)"
+           " / CAST(SUM(volume) AS DOUBLE)", 6)} AS mkt_share
+FROM flat GROUP BY o_year
+""",
+)
+def _tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _Q8_TYPE)
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            nation.filter(F.col("n_regionkey") == _Q8_REGION_KEY),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    flat = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev_col().alias("_vol"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == _Q8_NATION, F.col("_vol"))
+    ).cast("double") / F.sum("_vol").cast("double")
+    return flat.groupBy("o_year").agg(F.round(share, 6).alias("mkt_share"))
+
+
+# ---------------------------------------------------------------------------
 # Data-quality profiling (functions/profile.py — the Deequ family): exact
 # per-column completeness/cardinality in ONE aggregation pass, plus rule
 # evaluation (event_id unique+not_null, user_id bounded cardinality).
