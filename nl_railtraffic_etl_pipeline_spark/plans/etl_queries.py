@@ -2078,3 +2078,85 @@ def _events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
     )
+
+
+@query(
+    "events_set_operations",
+    # INTERSECT (distinct) and EXCEPT ALL (multiset/bag difference) are
+    # the two set operators with semantics beyond plain UNION: the bag
+    # difference keeps per-user multiplicity (view occurrences minus
+    # purchase occurrences), which a join-based rewrite gets wrong
+    # without explicit counting.  Both engines implement ANSI semantics;
+    # the per-user count projection keeps the gate output compact.
+    """
+WITH a AS (
+    SELECT user_id FROM events
+    WHERE event_type = 'view' AND user_id % 11 = 0
+),
+b AS (
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND user_id % 11 = 0
+),
+i AS (SELECT user_id FROM a INTERSECT SELECT user_id FROM b),
+x AS (SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b)
+SELECT 'both' AS tag, user_id, CAST(1 AS BIGINT) AS n FROM i
+UNION ALL
+SELECT 'view_excess' AS tag, user_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM x GROUP BY user_id
+""",
+)
+def _events_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native set operators: `intersect` plans as a distinct +
+    left-semi aggregate join, `exceptAll` as the generated-count
+    anti-multiplicity plan — both equi-keyed shuffles, no cartesians."""
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id") % 11 == 0
+    )
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = a.intersect(b).select(
+        F.lit("both").alias("tag"), "user_id", F.lit(1).cast("bigint").alias("n")
+    )
+    excess = (
+        a.exceptAll(b)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("view_excess").alias("tag"), "user_id", "n")
+    )
+    return both.unionByName(excess)
+
+
+@query(
+    "events_grouping_sets",
+    # Arbitrary GROUPING SETS (finer than CUBE/ROLLUP, which are gated
+    # separately): the two single-column margins plus the grand total,
+    # with GROUPING() bits distinguishing a real NULL group key from a
+    # rolled-up one — the standard disambiguator.
+    """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INTEGER) AS g_day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(24,10)))
+                  AS DOUBLE), 4) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+""",
+)
+def _events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native grouping sets (Spark 4 `groupingSets`) — one
+    Expand node, one partial-aggregated shuffle; the decimal summand
+    makes every margin bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events", spread=True).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("string").cast("decimal(24,10)").alias("_dv"),
+    )
+    return ev.groupingSets(
+        [["event_type"], ["day"], []], "event_type", "day"
+    ).agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("day").cast("int").alias("g_day"),
+        F.count("*").alias("n"),
+        F.round(F.sum("_dv").cast("double"), 4).alias("total_value"),
+    )
