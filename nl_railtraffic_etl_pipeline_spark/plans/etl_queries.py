@@ -2160,3 +2160,356 @@ def _events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("_dv").cast("double"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q9 / Q11 / Q12 / Q20 shapes — the final five, completing all
+# 22 TPC-H query shapes against the synthetic schema.  partsupp is absent,
+# so supply relationships derive from lineitem (the same proxy Q15/Q16/Q17
+# established): a "supply offer" is the (part, supplier) pair's minimum
+# observed unit price; "supply cost" is the part's retail price; "stock
+# value" is shipped revenue.  Every filter boundary is exact (DECIMAL
+# sums, double MIN equality of identically-computed values, integer
+# cross-multiplication instead of fraction thresholds) so cross-engine
+# membership is deterministic.
+# ---------------------------------------------------------------------------
+_Q2_REGION_KEY = 2
+_Q2_SIZE_LO, _Q2_SIZE_HI = 10, 30
+_Q2_TYPE = "STANDARD"
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    f"""
+WITH offers AS (
+    -- lineitem stands in for partsupp: each (part, supplier) pair's best
+    -- observed unit price is its supply offer
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+region_sup AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = {_Q2_REGION_KEY}
+),
+scoped AS (
+    SELECT p_partkey, p_type, p_size, s_suppkey, s_name, s_acctbal,
+           n_name, unit_cost
+    FROM part
+    JOIN offers     ON l_partkey = p_partkey
+    JOIN region_sup ON l_suppkey = s_suppkey
+    WHERE p_size BETWEEN {_Q2_SIZE_LO} AND {_Q2_SIZE_HI}
+      AND p_type = '{_Q2_TYPE}'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, p_size,
+       unit_cost
+FROM scoped
+WHERE unit_cost = (
+    SELECT MIN(unit_cost) FROM scoped s2
+    WHERE s2.p_partkey = scoped.p_partkey
+)
+ORDER BY s_acctbal DESC, s_suppkey, p_partkey
+LIMIT 100
+""",
+)
+def _tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated MIN decorrelates to a part-keyed aggregate join:
+    per-part minimum over the REGION-scoped offers (computed once, not per
+    outer row), equi-joined back on (partkey, unit_cost).  The double
+    equality is deterministic because both sides are the same MIN over the
+    same IEEE divisions — no summation order enters the boundary.  The
+    supplier dim pre-filters to one region before broadcasting into the
+    offer aggregate, and offers themselves are one lineitem shuffle on
+    (l_partkey, l_suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_cost"
+        )
+    )
+    region_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation").filter(
+                F.col("n_regionkey") == _Q2_REGION_KEY
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_size").between(_Q2_SIZE_LO, _Q2_SIZE_HI)
+            & (F.col("p_type") == _Q2_TYPE)
+        )
+        .select("p_partkey", "p_type", "p_size")
+    )
+    scoped = offers.join(
+        F.broadcast(region_sup), offers.l_suppkey == region_sup.s_suppkey
+    ).join(F.broadcast(part), offers.l_partkey == part.p_partkey)
+    per_part_min = scoped.groupBy(
+        F.col("p_partkey").alias("_mpk")
+    ).agg(F.min("unit_cost").alias("_min_cost"))
+    return (
+        scoped.join(
+            per_part_min,
+            (scoped.p_partkey == per_part_min._mpk)
+            & (scoped.unit_cost == per_part_min._min_cost),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"), F.asc("p_partkey"))
+        .limit(100)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            "p_size", "unit_cost",
+        )
+    )
+
+
+_Q9_PATTERN = "widget"
+_Q9_RETAIL_DEC = "CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(18,2))"
+_Q9_QTY_DEC = "CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))"
+
+
+@query(
+    "tpch_q9_product_profit",
+    f"""
+SELECT n_name AS supp_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS o_year,
+       ROUND(CAST(SUM({_REV_SQL} - {_Q9_RETAIL_DEC} * {_Q9_QTY_DEC})
+                  AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{_Q9_PATTERN}%'
+GROUP BY supp_nation, o_year
+""",
+)
+def _tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 profit by nation and year: supply cost proxied by the part's
+    retail price (partsupp absent); profit = revenue - retail*qty, both
+    exact DECIMAL products, so the per-group sums are bit-identical
+    cross-engine.  Name-pattern part filter and the supplier-nation dim
+    both broadcast into the single fact scan — one shuffle on the
+    (nation, year) grouping key."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"%{_Q9_PATTERN}%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    retail_dec = F.col("p_retailprice").cast("string").cast("decimal(18,2)")
+    qty_dec = F.col("l_quantity").cast("string").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("supp_nation", F.year("l_shipdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(_rev_col() - retail_dec * qty_dec).cast("double"), 2
+            ).alias("sum_profit")
+        )
+    )
+
+
+_Q11_NATION = "NATION_3"
+_Q11_FRACTION_DENOM = 1000  # HAVING value > total/1000, exact cross-mult
+
+
+@query(
+    "tpch_q11_important_stock",
+    f"""
+WITH scoped AS (
+    SELECT l_partkey, {_REV_SQL} AS val
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = '{_Q11_NATION}'
+),
+per_part AS (
+    SELECT l_partkey AS ps_partkey, SUM(val) AS value
+    FROM scoped GROUP BY l_partkey
+)
+SELECT ps_partkey, ROUND(CAST(value AS DOUBLE), 2) AS value
+FROM per_part
+WHERE value * {_Q11_FRACTION_DENOM} > (SELECT SUM(value) FROM per_part)
+""",
+)
+def _tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock: per-part value (exact DECIMAL revenue from the
+    one nation's suppliers) filtered against a global-total scalar
+    subquery.  The fraction threshold value > total * 0.001 is rewritten
+    as the exact integer cross-multiplication value*1000 > total — no IEEE
+    multiply on the boundary.  The scalar total is a 1-row broadcast over
+    the already-aggregated per-part view, so the fact table is scanned and
+    shuffled exactly once."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation").filter(
+                F.col("n_name") == _Q11_NATION
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(_rev_col()).alias("_value"))
+    )
+    total = per_part.agg(F.sum("_value").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_value") * _Q11_FRACTION_DENOM > F.col("_total"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("_value").cast("double"), 2).alias("value"),
+        )
+    )
+
+
+_Q12_START, _Q12_END = "1997-01-01", "1998-01-01"
+_Q12_HIGH = ["1-URGENT", "2-HIGH"]
+
+
+@query(
+    "tpch_q12_late_shipment_priority",
+    f"""
+SELECT l_returnflag AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN
+                ({", ".join(f"'{p}'" for p in _Q12_HIGH)})
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                ({", ".join(f"'{p}'" for p in _Q12_HIGH)})
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '{_Q12_START}'
+  AND l_shipdate <  TIMESTAMP '{_Q12_END}'
+GROUP BY l_returnflag
+""",
+)
+def _tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipmode priority: l_returnflag stands in for l_shipmode and
+    "late" is l_shipdate > o_orderdate + 30 days (receipt/commit dates
+    absent).  The year filter pushes to the lineitem scan; the
+    order-priority CASE pair is one conditional aggregate over the single
+    orderkey equi-join — map-side partial counts, one shuffle on the
+    3-value grouping key."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(_Q12_START)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(_Q12_END)))
+    )
+    orders = load_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(_Q12_HIGH)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q20_REGION_KEY = 3
+_Q20_PATTERN = "blue"
+_Q20_YEAR_START, _Q20_YEAR_END = "1997-01-01", "1998-01-01"
+
+
+@query(
+    "tpch_q20_dominant_suppliers",
+    f"""
+WITH sold AS (
+    SELECT l_partkey, l_suppkey,
+           SUM({_Q9_QTY_DEC}) AS supp_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q20_YEAR_START}'
+      AND l_shipdate <  TIMESTAMP '{_Q20_YEAR_END}'
+      AND l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '{_Q20_PATTERN}%'
+      )
+    GROUP BY l_partkey, l_suppkey
+),
+per_part AS (
+    SELECT l_partkey, SUM(supp_qty) AS part_qty
+    FROM sold GROUP BY l_partkey
+),
+dominant AS (
+    SELECT DISTINCT l_suppkey
+    FROM sold JOIN per_part USING (l_partkey)
+    WHERE supp_qty * 2 > part_qty
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = {_Q20_REGION_KEY}
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_name
+""",
+)
+def _tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's nested correlated-aggregate IN chain (availqty > half the
+    part's sold quantity) decorrelates to: per-(part,supplier) quantity
+    agg -> per-part total agg (a second, already-tiny shuffle) -> the
+    exact cross-multiplication supp_qty*2 > part_qty -> left-semi into
+    the nation-filtered supplier dim.  The name-pattern part filter
+    broadcasts into the fact scan, so the only fact-sized shuffle is the
+    (part, supplier) aggregate."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"{_Q20_PATTERN}%"))
+        .select("p_partkey")
+    )
+    qty_dec = F.col("l_quantity").cast("string").cast("decimal(18,2)")
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(_Q20_YEAR_START)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(_Q20_YEAR_END)))
+    )
+    sold = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty_dec).alias("supp_qty"))
+    )
+    per_part = sold.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = (
+        sold.join(per_part, sold.l_partkey == per_part._pk)
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation").filter(
+                F.col("n_regionkey") == _Q20_REGION_KEY
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return (
+        sup.join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
