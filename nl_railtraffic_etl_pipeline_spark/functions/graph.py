@@ -87,3 +87,56 @@ def pagerank_units(
             ).cast("bigint").alias("r"),
         )
     return ranks.select("node", F.col("r").alias("pr_units"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    persist_edges: bool = True,
+) -> DataFrame:
+    """Minimum hop distance from ``seeds`` along directed ``edges``,
+    bounded at ``max_hops`` — the frontier-expansion BFS (reference has no
+    graph surface; public Pregel/GraphX semantics).
+
+    Entirely integer arithmetic -> bit-identical on any engine and any
+    partitioning.  Per round the frontier (nodes first reached at hop k-1)
+    joins the edge list on the src key (one equi-shuffle), dedups to
+    distinct destinations, then anti-joins the settled set so every node
+    keeps its FIRST (minimum) hop — the textbook level-synchronous BFS.
+    Scale shape: cost per round is O(frontier-adjacent edges), the settled
+    set only grows, and the edge list is reused every round
+    (``persist_edges``).  Lineage grows linearly in ``max_hops``; beyond
+    ~20 rounds on a real cluster, checkpoint the settled set.
+
+    Returns (node, hop) for every node within ``max_hops`` of a seed
+    (seeds themselves at hop 0).
+    """
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    if persist_edges:
+        e = e.persist()
+    settled = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).cast("int").alias("hop")
+    ).distinct()
+    frontier = settled.select("node")
+    for k in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier, e._src == frontier.node)
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(settled, "node", "left_anti").select(
+            "node", F.lit(k).cast("int").alias("hop")
+        )
+        # persist the new frontier: it feeds BOTH the next round's join
+        # and the settled union, and recomputing it would replay every
+        # prior round
+        new = new.persist()
+        settled = settled.unionByName(new)
+        frontier = new.select("node")
+    return settled

@@ -2323,7 +2323,7 @@ def _tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q11_NATION = "NATION_3"
-_Q11_FRACTION_DENOM = 1000  # HAVING value > total/1000, exact cross-mult
+_Q11_SHARE_MULT = 2  # keep parts above 2x the average share (scale-free)
 
 
 @query(
@@ -2339,18 +2339,21 @@ WITH scoped AS (
 per_part AS (
     SELECT l_partkey AS ps_partkey, SUM(val) AS value
     FROM scoped GROUP BY l_partkey
+),
+tot AS (
+    SELECT SUM(value) AS total, COUNT(*) AS n_parts FROM per_part
 )
-SELECT ps_partkey, ROUND(CAST(value AS DOUBLE), 2) AS value
-FROM per_part
-WHERE value * {_Q11_FRACTION_DENOM} > (SELECT SUM(value) FROM per_part)
+SELECT ps_partkey, {round_sql("CAST(value AS DOUBLE)", 2)} AS value
+FROM per_part, tot
+WHERE value * n_parts > {_Q11_SHARE_MULT} * total
 """,
 )
 def _tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 important stock: per-part value (exact DECIMAL revenue from the
     one nation's suppliers) filtered against a global-total scalar
-    subquery.  The fraction threshold value > total * 0.001 is rewritten
-    as the exact integer cross-multiplication value*1000 > total — no IEEE
-    multiply on the boundary.  The scalar total is a 1-row broadcast over
+    subquery.  The fraction threshold share > 2x average is rewritten
+    as the exact cross-multiplication value*n_parts > 2*total — no IEEE
+    arithmetic on the boundary, and the selectivity is scale-free.  The scalar total is a 1-row broadcast over
     the already-aggregated per-part view, so the fact table is scanned and
     shuffled exactly once."""
     li = load_table(spark, sf_dir, "lineitem", spread=True)
@@ -2369,10 +2372,18 @@ def _tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(F.sum(_rev_col()).alias("_value"))
     )
-    total = per_part.agg(F.sum("_value").alias("_total"))
+    total = per_part.agg(
+        F.sum("_value").alias("_total"), F.count("*").alias("_n")
+    )
+    # TPC-H scales the HAVING fraction by 1/SF; the scale-free equivalent
+    # keeps parts above _Q11_SHARE_MULT x the AVERAGE share, as the exact
+    # cross-multiplication value*n > mult*total (all DECIMAL/integer)
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("_value") * _Q11_FRACTION_DENOM > F.col("_total"))
+        .filter(
+            F.col("_value") * F.col("_n")
+            > _Q11_SHARE_MULT * F.col("_total")
+        )
         .select(
             "ps_partkey",
             F.round(F.col("_value").cast("double"), 2).alias("value"),

@@ -188,3 +188,109 @@ def _lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe.run(p1, _RUN1, artifacts=False)
     pipe.run(p2, _RUN2, artifacts=False)
     return spark.read.parquet(f"{lake}/warehouse/disruptions")
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip (S-family extension): the second columnar format Spark
+# ships natively.  The gate writes a deterministic events projection to
+# an ORC table under /tmp (distributed write — nothing collects), reads
+# it back, and aggregates per type; the oracle computes the same
+# aggregate straight from the parquet table, so any loss of timestamp,
+# double, or string fidelity through the ORC writer/reader is a hash
+# mismatch.  The decimal summand makes the totals partition-order-proof.
+# ---------------------------------------------------------------------------
+import os as _os  # noqa: E402
+import shutil as _shutil  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@query(
+    "lake_orc_roundtrip",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(24,10)))
+                  AS DOUBLE), 4) AS total_value,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events WHERE event_id % 3 = 0
+GROUP BY event_type
+""",
+)
+def _lake_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_orc_gate/{base}"
+    _shutil.rmtree(path, ignore_errors=True)
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(F.col("event_id") % 3 == 0)
+        .select("event_id", "ts", "event_type", "value")
+    )
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("string").cast("decimal(24,10)"))
+            .cast("double"),
+            4,
+        ).alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution across lake generations: an old writer produced
+# (event_id, event_type, value); a new writer adds user_id and drops
+# value.  Production reads the union of generations with
+# ``mergeSchema`` — absent columns surface as NULL, never as an error.
+# The gate writes both generations to one directory tree, reads the tree
+# back with mergeSchema, and profiles per-column completeness; the
+# oracle replays the union with explicit NULL fill.
+# ---------------------------------------------------------------------------
+@query(
+    "lake_schema_drift",
+    """
+WITH unioned AS (
+    SELECT event_id, event_type, value, CAST(NULL AS BIGINT) AS user_id
+    FROM events WHERE event_id % 4 = 1
+    UNION ALL
+    SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value, user_id
+    FROM events WHERE event_id % 4 = 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(value) AS BIGINT) AS n_value,
+       CAST(COUNT(user_id) AS BIGINT) AS n_user,
+       ROUND(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(24,10)))
+                  AS DOUBLE), 4) AS total_value
+FROM unioned GROUP BY event_type
+""",
+)
+def _lake_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/spark_graft_drift_gate/{base}"
+    _shutil.rmtree(root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    gen1 = ev.filter(F.col("event_id") % 4 == 1).select(
+        "event_id", "event_type", "value"
+    )
+    gen2 = ev.filter(F.col("event_id") % 4 == 2).select(
+        "event_id", "event_type", "user_id"
+    )
+    gen1.write.mode("overwrite").parquet(f"{root}/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{root}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/gen=1", f"{root}/gen=2"
+    )
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("value").alias("n_value"),
+        F.count("user_id").alias("n_user"),
+        F.round(
+            F.sum(F.col("value").cast("string").cast("decimal(24,10)"))
+            .cast("double"),
+            4,
+        ).alias("total_value"),
+    )

@@ -3480,3 +3480,107 @@ def _corpus_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kfold_assign(d, "source", k=_KFOLD_K).select(
         "doc_id", "source", "fold"
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (functions/graph.py::bfs_hops): the traversal class
+# next to PageRank's fixed-point class, over the SAME deterministic
+# doc-link graph.  Seeds = doc_id % 97 == 0; depth 4.  All integers, so
+# the settled set hash-matches cross-engine; the oracle unrolls the four
+# level-synchronous rounds as chained CTEs (min-hop = first round that
+# reaches a node).
+# ---------------------------------------------------------------------------
+from ..functions.graph import bfs_hops  # noqa: E402
+
+_BFS_HOPS = 4
+_BFS_SEED_MOD = 97
+
+
+def _bfs_step_sql(k: int) -> str:
+    return f"""
+f{k} AS (
+    SELECT DISTINCT e.dst AS node FROM edges e
+    JOIN f{k - 1} p ON e.src = p.node
+    WHERE e.dst NOT IN (SELECT node FROM d{k - 1})
+),
+d{k} AS (
+    SELECT node, hop FROM d{k - 1}
+    UNION ALL
+    SELECT node, {k} AS hop FROM f{k}
+)"""
+
+
+@query(
+    "graph_bfs_hops",
+    "WITH "
+    + _PR_EDGES_CTE
+    + f""",
+f0 AS (SELECT doc_id AS node FROM documents WHERE doc_id % {_BFS_SEED_MOD} = 0),
+d0 AS (SELECT node, 0 AS hop FROM f0),"""
+    + ",".join(_bfs_step_sql(k) for k in range(1, _BFS_HOPS + 1))
+    + f"""
+SELECT node AS doc_id, CAST(hop AS INTEGER) AS hop FROM d{_BFS_HOPS}""",
+)
+def _graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    edges = _pr_edges_df(docs)
+    seeds = docs.filter(F.col("doc_id") % _BFS_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_hops(edges, seeds, max_hops=_BFS_HOPS).select(
+        F.col("node").alias("doc_id"), "hop"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded edit-distance dictionary join (functions/fuzzy.py): corpus
+# tokens (with document frequencies — the fact-sized side) matched to the
+# part-name vocabulary within Levenshtein distance 2.  Both engines
+# implement unit-cost Levenshtein identically; the distances are
+# integers, so the match set is exact.  The oracle verifies every
+# (token, word) pair directly — the length-band blocking is Spark-side
+# plan shape, invisible to the result.
+# ---------------------------------------------------------------------------
+from ..functions.fuzzy import edit_distance_join  # noqa: E402
+
+_FUZZY_MAX_DIST = 2
+
+
+@query(
+    "text_fuzzy_dictionary",
+    f"""
+WITH toks AS (
+    SELECT w AS token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    )
+    WHERE w <> '' GROUP BY w
+),
+dict AS (
+    SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word FROM part
+)
+SELECT token, n_docs, word AS match,
+       CAST(levenshtein(token, word) AS INTEGER) AS dist
+FROM toks, dict
+WHERE levenshtein(token, word) <= {_FUZZY_MAX_DIST}
+""",
+)
+def _text_fuzzy_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    dictionary = (
+        load_table(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("word"))
+        .distinct()
+    )
+    return edit_distance_join(
+        toks, dictionary, max_dist=_FUZZY_MAX_DIST
+    ).select("token", "n_docs", "match", F.col("dist").cast("int"))

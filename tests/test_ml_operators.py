@@ -1643,3 +1643,69 @@ def test_ewma_general_alpha_bit_exact(spark):
     for bad in (0.0, -0.5, 1.5):
         with pytest.raises(ValueError, match="alpha"):
             ewma(df, alpha=bad)
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (functions/graph.py::bfs_hops)
+# ---------------------------------------------------------------------------
+def test_bfs_hops_chain_and_bound(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.graph import bfs_hops
+
+    # 0 -> 1 -> 2 -> 3 -> 4 chain plus a shortcut 0 -> 3
+    edges = spark.createDataFrame(
+        [Row(src=0, dst=1), Row(src=1, dst=2), Row(src=2, dst=3),
+         Row(src=3, dst=4), Row(src=0, dst=3)]
+    )
+    seeds = spark.createDataFrame([Row(node=0)])
+    out = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    # shortcut wins for 3; node 4 is at hop 2 via the shortcut; max_hops
+    # bound respected (nothing beyond hop 2)
+    assert out == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+
+def test_bfs_hops_disconnected_and_cycle(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [Row(src=0, dst=1), Row(src=1, dst=0), Row(src=5, dst=6)]
+    )
+    seeds = spark.createDataFrame([Row(node=0)])
+    out = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=4).collect()}
+    # cycle terminates (settled set blocks re-expansion); 5/6 unreachable
+    assert out == {0: 0, 1: 1}
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance dictionary join (functions/fuzzy.py)
+# ---------------------------------------------------------------------------
+def test_edit_distance_join_bounds_and_passthrough(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.fuzzy import (
+        edit_distance_join,
+    )
+
+    toks = spark.createDataFrame(
+        [Row(token="cat", n=7), Row(token="cart", n=2), Row(token="dog", n=1)]
+    )
+    d = spark.createDataFrame([Row(word="cat"), Row(word="carts")])
+    out = edit_distance_join(toks, d, max_dist=1).collect()
+    got = {(r.token, r.match): (r.dist, r.n) for r in out}
+    # cat==cat (0); cart~cat (1 deletion); cart~carts (1 insertion);
+    # dog matches nothing; extra column n passes through
+    assert got == {
+        ("cat", "cat"): (0, 7),
+        ("cart", "cat"): (1, 2),
+        ("cart", "carts"): (1, 2),
+    }
+
+
+def test_edit_distance_join_length_band_is_complete(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.fuzzy import (
+        edit_distance_join,
+    )
+
+    # a word 2 shorter and a word 2 longer must still be candidates at
+    # max_dist=2 (the banding must not prune true matches)
+    toks = spark.createDataFrame([Row(token="abcd")])
+    d = spark.createDataFrame([Row(word="ab"), Row(word="abcdef")])
+    got = {(r.match, r.dist) for r in edit_distance_join(toks, d, 2).collect()}
+    assert got == {("ab", 2), ("abcdef", 2)}
