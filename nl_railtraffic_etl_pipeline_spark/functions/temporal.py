@@ -1,0 +1,87 @@
+"""Temporal interval algebra — sweep-line union of overlapping intervals.
+
+The classic coverage question over an event log: given per-key intervals
+(start, end), how much wall-clock time is covered once overlaps merge,
+and how many disjoint "islands" remain?  (The reference's overlapping-
+disruption query, aggregators.py Q6, asks who OVERLAPS; this operator
+asks how much time the union covers — the complementary temporal
+aggregate.)
+
+The sweep is the textbook window-function formulation, all integer
+epoch-second arithmetic so the result is bit-identical cross-engine:
+
+1. order each key's intervals by (start, end, tiebreak);
+2. running MAX of end over all PRECEDING rows = the furthest coverage
+   before this interval;
+3. an interval starts a new island iff its start exceeds that running
+   max (touching intervals merge — start == prev-max extends);
+4. island id = running SUM of the new-island flags;
+5. per island: min(start)..max(end); per key: sum of island lengths.
+
+Scale shape: ONE shuffle on the key, then two window passes and two
+partial aggregations over that same partitioning — no join at all.  The
+per-key sweep is inherently sequential, so a single whale key serializes
+on one task; for few-key corpora (e.g. global coverage), pre-split keys
+by coarse time chunk, sweep per chunk, and merge the at-most-one
+boundary-spanning island per chunk pair — the standard two-pass rewrite,
+not implemented here because every gate keys on user-sized partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interval_union(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key union coverage of [start, end) intervals.
+
+    ``start_col``/``end_col`` must be timestamps (or anything with exact
+    ``unix_timestamp`` semantics); ``tiebreak_col`` makes the sweep order
+    total so island numbering is deterministic under ties.  Intervals
+    with ``end < start`` or NULL bounds are dropped.
+
+    Returns (key, covered_seconds BIGINT, n_islands BIGINT).
+    """
+    iv = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.unix_timestamp(start_col).alias("_s"),
+            F.unix_timestamp(end_col).alias("_e"),
+            F.col(tiebreak_col).alias("_t"),
+        )
+        .filter(
+            F.col("_s").isNotNull()
+            & F.col("_e").isNotNull()
+            & (F.col("_e") >= F.col("_s"))
+        )
+    )
+    w_ord = Window.partitionBy("_k").orderBy("_s", "_e", "_t")
+    prev_max = F.max("_e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "_new",
+        F.when(
+            prev_max.isNull() | (F.col("_s") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_island = islands.groupBy("_k", "_island").agg(
+        F.min("_s").alias("_is"), F.max("_e").alias("_ie")
+    )
+    return per_island.groupBy(F.col("_k").alias(key_col)).agg(
+        F.sum(F.col("_ie") - F.col("_is")).alias("covered_seconds"),
+        F.count("*").alias("n_islands"),
+    )

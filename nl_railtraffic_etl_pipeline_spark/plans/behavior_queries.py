@@ -886,3 +886,150 @@ def _events_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.ntile(7).over(w).alias("septile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage (functions/temporal.py): per-user union of the
+# [ts, ts + floor(value*60) s) activity intervals — merged seconds and
+# island counts, the complementary temporal aggregate to rail_q6's
+# who-overlaps join.  All integer epoch arithmetic; the oracle replays
+# the identical sweep (running-max window, island flags) in DuckDB.
+# ---------------------------------------------------------------------------
+from ..functions.temporal import interval_union  # noqa: E402
+
+
+@query(
+    "events_interval_coverage",
+    """
+WITH iv AS (
+    SELECT user_id,
+           CAST(floor(date_part('epoch', ts)) AS BIGINT) AS s,
+           CAST(floor(date_part('epoch', ts)) AS BIGINT)
+               + CAST(floor(value * 60) AS BIGINT) AS e,
+           event_id
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= 0
+),
+swept AS (
+    SELECT user_id, s, e,
+           MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max
+    FROM iv
+),
+flagged AS (
+    SELECT user_id, s, e,
+           CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+               AS new_island,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s, e) AS rn
+    FROM swept
+),
+islands AS (
+    SELECT user_id, s, e,
+           SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS island
+    FROM flagged
+),
+per_island AS (
+    SELECT user_id, island, MIN(s) AS is_, MAX(e) AS ie
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(ie - is_) AS BIGINT) AS covered_seconds,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM per_island GROUP BY user_id
+""",
+)
+def _events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+    )
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts")
+            + F.make_interval(
+                secs=F.floor(F.col("value") * 60).cast("bigint")
+            )
+        ).alias("end_ts"),
+    )
+    return interval_union(
+        iv, "user_id", "start_ts", "end_ts", "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching (the MATCH_RECOGNIZE class, reduced to its
+# regex core): each user's event history becomes an ordered initial
+# string (v/c/p/s/e), and the gate counts non-overlapping matches of two
+# behavioral patterns — view->purchase adjacency and view->clicks->
+# purchase.  Both engines scan regex matches left-to-right non-
+# overlapping, so the counts are exact.  Scale: one user-keyed shuffle;
+# the per-user string is activity-bounded (whale users would need the
+# chunked variant documented in temporal.py).
+# ---------------------------------------------------------------------------
+_SEQ_PATTERNS = {"vp_adjacent": "vp", "v_clicks_p": "vc+p"}
+
+
+@query(
+    "events_sequence_pattern",
+    f"""
+WITH seqs AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq,
+           '{_SEQ_PATTERNS["vp_adjacent"]}')) AS BIGINT) AS vp_adjacent,
+       CAST(len(regexp_extract_all(seq,
+           '{_SEQ_PATTERNS["v_clicks_p"]}')) AS BIGINT) AS v_clicks_p
+FROM seqs
+WHERE user_id % 7 = 0
+""",
+)
+def _events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id") % 7 == 0
+    )
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("ch"),
+            ).alias("_s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_s")), lambda s: s["ch"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("seq"), F.lit(_SEQ_PATTERNS["vp_adjacent"]), 0
+            )
+        ).cast("bigint").alias("vp_adjacent"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("seq"), F.lit(_SEQ_PATTERNS["v_clicks_p"]), 0
+            )
+        ).cast("bigint").alias("v_clicks_p"),
+    )

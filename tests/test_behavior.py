@@ -273,3 +273,41 @@ def test_attribute_conversions_custom_event_type_col(spark):
     out = attribute_conversions(renamed, event_type_col="action").collect()
     assert {r["touch_id"] for r in out} == {11, 12}
     assert all(r["conversion_id"] == 14 and r["n_touches"] == 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Interval union sweep (functions/temporal.py)
+# ---------------------------------------------------------------------------
+def test_interval_union_merge_touch_nest(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from nl_railtraffic_etl_pipeline_spark.functions.temporal import (
+        interval_union,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # key 1: [0,10) and [5,20) overlap -> [0,20); [20,25) touches ->
+        # merges; [30,40) separate island; [32,35) nested inside it
+        Row(k=1, s=ts(0), e=ts(10), i=1),
+        Row(k=1, s=ts(5), e=ts(20), i=2),
+        Row(k=1, s=ts(20), e=ts(25), i=3),
+        Row(k=1, s=ts(30), e=ts(40), i=4),
+        Row(k=1, s=ts(32), e=ts(35), i=5),
+        # key 2: zero-length interval counts as an island of 0 seconds
+        Row(k=2, s=ts(0), e=ts(0), i=6),
+        # key 3: inverted interval is dropped entirely
+        Row(k=3, s=ts(10), e=ts(5), i=7),
+    ]
+    out = {
+        r.k: (r.covered_seconds, r.n_islands)
+        for r in interval_union(
+            spark.createDataFrame(rows), "k", "s", "e", "i"
+        ).collect()
+    }
+    assert out == {1: (35, 2), 2: (0, 1)}
