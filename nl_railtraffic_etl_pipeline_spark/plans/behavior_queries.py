@@ -1033,3 +1033,164 @@ def _events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("v_clicks_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: median absolute deviation per type (the outlier
+# scale estimator variance-based zscores miss).  Two sort-based exact
+# medians (value, then |value - median|) — the second pass joins the
+# 6-row median table back as a broadcast, so the fact shuffles twice on
+# the same small key and nothing else moves.  The 3*MAD outlier fence is
+# one IEEE multiply on both engines — identical operands, identical
+# result, deterministic membership.
+# ---------------------------------------------------------------------------
+@query(
+    "events_mad_robust",
+    """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS median_value
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.median_value,
+           abs(e.value - m.median_value) AS adev
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, median_value,
+           quantile_cont(adev, 0.5) AS mad_value
+    FROM dev GROUP BY event_type, median_value
+)
+SELECT d.event_type,
+       ROUND(d.median_value, 6) AS median_value,
+       ROUND(m.mad_value, 6) AS mad_value,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad_value THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, d.median_value, m.mad_value
+""",
+)
+def _events_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("median_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("median_value"))
+    )
+    mad = dev.groupBy("event_type", "median_value").agg(
+        F.percentile("adev", 0.5).alias("mad_value")
+    )
+    return (
+        dev.join(F.broadcast(mad.drop("median_value")), "event_type")
+        .groupBy("event_type", "median_value", "mad_value")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_value"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round("median_value", 6).alias("median_value"),
+            F.round("mad_value", 6).alias("mad_value"),
+            "n_outliers",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP): each observation holds until the next
+# one, so its weight is the gap to the successor — the telemetry/finance
+# average that plain AVG gets wrong under irregular sampling.  One
+# user-keyed shuffle, a lead window for the gap, exact DECIMAL x BIGINT
+# products, one IEEE division per user at the very end.
+# ---------------------------------------------------------------------------
+@query(
+    "events_time_weighted_avg",
+    """
+WITH obs AS (
+    SELECT user_id,
+           CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS v,
+           LEAD(CAST(floor(date_part('epoch', ts)) AS BIGINT)) OVER w
+               - CAST(floor(date_part('epoch', ts)) AS BIGINT) AS dur
+    FROM events
+    WHERE user_id % 5 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(dur) AS BIGINT) AS held_seconds,
+       ROUND(CAST(SUM(v * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6)
+           AS twap
+FROM obs WHERE dur IS NOT NULL
+GROUP BY user_id
+HAVING SUM(dur) > 0
+""",
+)
+def _events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id") % 5 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    obs = ev.select(
+        "user_id",
+        F.col("value").cast("string").cast("decimal(18,6)").alias("v"),
+        (F.lead(epoch).over(w) - epoch).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        obs.groupBy("user_id")
+        .agg(
+            F.sum("dur").alias("held_seconds"),
+            F.round(
+                F.sum(F.col("v") * F.col("dur")).cast("double")
+                / F.sum("dur").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+        .filter(F.col("held_seconds") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe join semantics (`<=>` / IS NOT DISTINCT FROM): the join
+# family's last ungated member.  NULL keys (synthesized via NULLIF) must
+# MATCH each other under the null-safe operator — a plain equi-join
+# silently drops them, the classic dimension-bridge bug.
+# ---------------------------------------------------------------------------
+@query(
+    "events_nullsafe_join",
+    """
+WITH a AS (
+    SELECT NULLIF(user_id % 10, 3) AS k, CAST(COUNT(*) AS BIGINT) AS n_view
+    FROM events WHERE event_type = 'view' GROUP BY 1
+),
+b AS (
+    SELECT NULLIF(user_id % 10, 3) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_purchase
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT a.k, a.n_view, b.n_purchase
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+)
+def _events_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    k = F.nullif(F.col("user_id") % 10, F.lit(3)).alias("k")
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(k)
+        .agg(F.count("*").alias("n_view"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(k)
+        .agg(F.count("*").alias("n_purchase"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"], "n_view", "n_purchase"
+    )
