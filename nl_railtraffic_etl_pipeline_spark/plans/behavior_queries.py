@@ -1194,3 +1194,101 @@ def _events_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"], "n_view", "n_purchase"
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation per type (stats.pearson_corr over a lead/lag
+# pairing): the time-series memory signal.  The pair frame drops the
+# first row per partition (lag undefined) BEFORE the moment sums so n
+# and the sums agree cross-engine; the correlation itself is the exact
+# decimal cross-moment formula already gated by events_hour_value_corr.
+# ---------------------------------------------------------------------------
+@query(
+    "events_autocorrelation",
+    f"""
+WITH lagged AS (
+    SELECT event_type, value,
+           LAG(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+           ) AS prev_value
+    FROM events
+),
+pairs AS (SELECT * FROM lagged WHERE prev_value IS NOT NULL),
+agg AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({_DECV}) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(CAST(prev_value AS VARCHAR) AS DECIMAL(18,6)))
+               AS DOUBLE) AS sy,
+           CAST(SUM({_DECV} * {_DECV}) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(CAST(prev_value AS VARCHAR) AS DECIMAL(18,6))
+                    * CAST(CAST(prev_value AS VARCHAR) AS DECIMAL(18,6)))
+               AS DOUBLE) AS syy,
+           CAST(SUM({_DECV}
+                    * CAST(CAST(prev_value AS VARCHAR) AS DECIMAL(18,6)))
+               AS DOUBLE) AS sxy
+    FROM pairs GROUP BY event_type
+)
+SELECT event_type, n,
+       {_round_sql(
+           'CASE WHEN greatest(n * sxx - sx * sx, 0.0) > 0 '
+           'AND greatest(n * syy - sy * sy, 0.0) > 0 THEN '
+           '(n * sxy - sx * sy) / (sqrt(greatest(n * sxx - sx * sx, 0.0))'
+           ' * sqrt(greatest(n * syy - sy * sy, 0.0))) END', 6
+       )} AS r
+FROM agg
+""",
+)
+def _events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev_value")
+    ).filter(F.col("prev_value").isNotNull())
+    c = stats.pearson_corr(pairs, "value", "prev_value", ["event_type"])
+    return c.select("event_type", "n", F.round("r", 6).alias("r"))
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users by day (growth accounting): each user's
+# first-seen day (one user-keyed MIN), daily new-user counts, and the
+# running total — which IS the exact cumulative distinct-user curve,
+# computed without any day x user re-scan.  All integers.
+# ---------------------------------------------------------------------------
+@query(
+    "events_cumulative_users",
+    """
+WITH first_seen AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events
+    GROUP BY user_id
+),
+daily AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+    FROM first_seen GROUP BY day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumulative_users
+FROM daily
+""",
+)
+def _events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # the running total runs over the DAY-GRAIN frame (rows = distinct
+    # days), so the single-partition window is bounded and cheap — the
+    # user-scale work happened in the two keyed aggregations before it
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )

@@ -2524,3 +2524,80 @@ def _tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity profile (the Deequ-style FK audit): orphan
+# children (facts whose parent key is missing — broadcast anti-joins
+# against the distinct parent keys) and childless parents (dimension
+# rows no fact references — anti-join the other way).  Each relation is
+# one pushdown-projected scan pair; counts are exact.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_referential_integrity",
+    """
+SELECT * FROM (
+    SELECT 'lineitem->orders' AS relation,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+               AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+               AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_without_lineitems',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+               AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customers_without_orders',
+           CAST((SELECT COUNT(*) FROM customer
+                 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+               AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+)
+""",
+)
+def _dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey"
+    )
+    orders = load_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def _count_pair(name, child, anti):
+        return child.join(anti[0], anti[1], "left_anti").agg(
+            F.lit(name).alias("relation"),
+            F.count("*").alias("n_orphans"),
+        ).crossJoin(
+            F.broadcast(child.agg(F.count("*").alias("n_rows")))
+        )
+
+    rel1 = _count_pair(
+        "lineitem->orders",
+        li,
+        (orders, li.l_orderkey == orders.o_orderkey),
+    )
+    rel2 = _count_pair(
+        "orders->customer",
+        orders,
+        (F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+    )
+    rel3 = _count_pair(
+        "orders_without_lineitems",
+        orders,
+        (li, orders.o_orderkey == li.l_orderkey),
+    )
+    rel4 = _count_pair(
+        "customers_without_orders",
+        cust,
+        (orders, cust.c_custkey == orders.o_custkey),
+    )
+    return rel1.unionByName(rel2).unionByName(rel3).unionByName(rel4)
