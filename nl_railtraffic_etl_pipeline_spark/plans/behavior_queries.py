@@ -1292,3 +1292,41 @@ def _events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median (7-row trailing window): Spark 4 supports the
+# sort-based `percentile` aggregate OVER a row frame, and DuckDB's
+# windowed quantile_cont shares the interpolation contract already
+# proven by events_type_quantiles — so the rolling median is exact, not
+# a sketch.  One key shuffle; the frame re-sort is per-partition.
+# ---------------------------------------------------------------------------
+@query(
+    "events_rolling_median",
+    """
+SELECT event_id, event_type,
+       ROUND(quantile_cont(value, 0.5) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 6) AS rolling_median
+FROM events WHERE user_id % 13 = 0
+""",
+)
+def _events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id") % 13 == 0
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percentile("value", 0.5).over(w), 6).alias(
+            "rolling_median"
+        ),
+    )

@@ -3584,3 +3584,53 @@ def _text_fuzzy_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(
         toks, dictionary, max_dist=_FUZZY_MAX_DIST
     ).select("token", "n_docs", "match", F.col("dist").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions over the embedding column: per-vector
+# dimension count, EXACT squared L2 norm (each float's shortest-
+# roundtrip decimal image squared and summed as DECIMAL — no float
+# accumulation order anywhere), and the norm as one correctly-rounded
+# IEEE sqrt of that exact sum.  Everything stays JVM-side codegen
+# (F.transform / F.aggregate); the oracle mirrors with list_transform /
+# list_sum over the same decimal images.
+# ---------------------------------------------------------------------------
+@query(
+    "emb_vector_norms",
+    """
+SELECT vec_id, label,
+       CAST(len(embedding) AS INTEGER) AS n_dims,
+       ROUND(CAST(list_sum(list_transform(embedding,
+           x -> CAST(CAST(x AS VARCHAR) AS DECIMAL(18,9))
+                * CAST(CAST(x AS VARCHAR) AS DECIMAL(18,9))
+       )) AS DOUBLE), 6) AS norm2,
+       ROUND(sqrt(CAST(list_sum(list_transform(embedding,
+           x -> CAST(CAST(x AS VARCHAR) AS DECIMAL(18,9))
+                * CAST(CAST(x AS VARCHAR) AS DECIMAL(18,9))
+       )) AS DOUBLE)), 6) AS l2_norm
+FROM embeddings WHERE vec_id % 17 = 0
+""",
+)
+def _emb_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", spread=True).filter(
+        F.col("vec_id") % 17 == 0
+    )
+    sq = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: x.cast("string").cast("decimal(18,9)")
+            * x.cast("string").cast("decimal(18,9)"),
+        ),
+        F.lit(0).cast("decimal(38,18)"),
+        # re-cast each partial back to the accumulator type: Spark caps
+        # decimal addition at precision 38 by dropping a scale digit,
+        # which would drift the accumulator type (38,17) off the seed
+        lambda acc, v: (acc + v).cast("decimal(38,18)"),
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        F.round(sq.cast("double"), 6).alias("norm2"),
+        F.round(F.sqrt(sq.cast("double")), 6).alias("l2_norm"),
+    )
