@@ -2601,3 +2601,78 @@ def _dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (orders, cust.c_custkey == orders.o_custkey),
     )
     return rel1.unionByName(rel2).unionByName(rel3).unionByName(rel4)
+
+
+# ---------------------------------------------------------------------------
+# HLL++ error-bound gate: Spark's approx_count_distinct is a register-
+# max merge, so its estimate is DETERMINISTIC for a given dataset under
+# ANY partitioning — only the oracle cannot REPRODUCE it.  The gate
+# therefore emits the exact distinct count plus the boolean "HLL within
+# 5% of exact"; the oracle computes the exact count and asserts the
+# boolean literally.  A drifting or broken sketch flips Spark's boolean
+# to FALSE and hash-fails the gate — a one-sided but falsifiable bound,
+# the same pattern the KMV sketch is held to in pytest.
+# ---------------------------------------------------------------------------
+@query(
+    "sketch_hll_within_bounds",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY event_type
+""",
+)
+def _sketch_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", 0.02).alias("_hll"),
+    )
+    err = F.abs(F.col("_hll") - F.col("exact_distinct")).cast("double")
+    return agg.select(
+        "event_type",
+        "exact_distinct",
+        (err <= 0.05 * F.col("exact_distinct").cast("double")).alias(
+            "hll_within_5pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MapType surface: the JSON props column parsed into a map, exploded to
+# (key, value) rows, aggregated per key — map_keys/explode coverage the
+# struct-typed JSON gate (events_json_props) does not touch.
+# ---------------------------------------------------------------------------
+@query(
+    "events_props_map",
+    """
+SELECT k AS prop_key,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS total,
+       CAST(MIN(CAST(v AS BIGINT)) AS BIGINT) AS min_v,
+       CAST(MAX(CAST(v AS BIGINT)) AS BIGINT) AS max_v
+FROM (
+    -- this DuckDB build ships json scalar fns but not the json_each
+    -- table fn; the synthetic props are single-key objects, so the
+    -- regexp image is the exact (key, value) explode
+    SELECT regexp_extract(props, '"([^"]+)"', 1) AS k,
+           regexp_extract(props, ': *(-?[0-9]+)', 1) AS v
+    FROM events WHERE props IS NOT NULL
+)
+GROUP BY k
+""",
+)
+def _events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("props").isNotNull()
+    )
+    m = ev.select(
+        F.from_json("props", "map<string,bigint>").alias("_m")
+    )
+    kv = m.select(F.explode("_m").alias("prop_key", "_v"))
+    return kv.groupBy("prop_key").agg(
+        F.count("*").alias("n"),
+        F.sum("_v").alias("total"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"),
+    )

@@ -304,3 +304,33 @@ def test_tpch_decorrelation_shapes(spark):
     q22 = plan_of(spark, "tpch_q22_global_sales_opportunity")
     assert "LeftAnti" in q22
     assert "CartesianProduct" not in q22
+
+
+def test_partition_pruning_on_date_partitioned_lake(spark):
+    """A date-partitioned lake read with a partition-key filter must prune
+    at planning time: the scan's PartitionFilters carry the predicate and
+    only the matching partition directory is read."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from nl_railtraffic_etl_pipeline_spark.plans.testdata import load_table
+
+    path = "/tmp/spark_graft_prune_test"
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "value", F.to_date("ts").alias("day")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    days = [r.day for r in ev.select("day").distinct().collect()]
+    target = sorted(days)[0]
+    df = spark.read.parquet(path).filter(F.col("day") == F.lit(target))
+    txt = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "day" in m.group(1), txt
+    # pruned scan must read only the one partition's rows
+    expected = ev.filter(F.col("day") == F.lit(target)).count()
+    assert df.count() == expected
+    shutil.rmtree(path, ignore_errors=True)
