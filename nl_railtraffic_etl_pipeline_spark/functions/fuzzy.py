@@ -45,6 +45,8 @@ def edit_distance_join(
     pass through.  Returns the input token columns plus ``match`` (the
     dictionary word) and ``dist`` (the integer edit distance).
     """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     banded = dictionary.select(
         F.col(dict_col).alias("match"),
         F.explode(

@@ -115,6 +115,8 @@ def bfs_hops(
     Returns (node, hop) for every node within ``max_hops`` of a seed
     (seeds themselves at hop 0).
     """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     )
