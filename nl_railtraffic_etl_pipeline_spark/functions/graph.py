@@ -121,7 +121,11 @@ def bfs_hops(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     )
     if persist_edges:
-        e = e.persist()
+        # materialize the edge projection ONCE (the dedup._materialize
+        # compute-once barrier): every round references it, and without
+        # the barrier the k-round plan embeds k copies of the edge
+        # derivation subtree
+        e = e.localCheckpoint(eager=True)
     settled = seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).cast("int").alias("hop")
     ).distinct()
@@ -135,10 +139,12 @@ def bfs_hops(
         new = reached.join(settled, "node", "left_anti").select(
             "node", F.lit(k).cast("int").alias("hop")
         )
-        # persist the new frontier: it feeds BOTH the next round's join
-        # and the settled union, and recomputing it would replay every
-        # prior round
-        new = new.persist()
+        # materialize the new frontier: it feeds BOTH the next round's
+        # join and the settled union, and the eager checkpoint keeps the
+        # plan (and recomputation) bounded per round instead of growing
+        # a k-deep unrolled tree — frontiers are reached-node-sized,
+        # always smaller than the graph
+        new = new.localCheckpoint(eager=True)
         settled = settled.unionByName(new)
         frontier = new.select("node")
     return settled
