@@ -1330,3 +1330,67 @@ def _events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_median"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown per user (the finance/telemetry sequential metric):
+# cumulative value curve, running peak, worst peak-to-trough gap.  The
+# classic "needs a loop" computation expressed as two stacked windows
+# over ONE user-keyed shuffle — prefix sum, running max, one aggregate.
+# All sums are exact DECIMAL, so the curve and its extremes are
+# bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+@query(
+    "events_max_drawdown",
+    """
+WITH curve AS (
+    SELECT user_id,
+           SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum,
+           ts, event_id
+    FROM events WHERE user_id % 11 = 0
+),
+peaks AS (
+    SELECT user_id, cum,
+           MAX(cum) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS peak
+    FROM curve
+)
+SELECT user_id,
+       ROUND(CAST(MAX(peak - cum) AS DOUBLE), 6) AS max_drawdown,
+       ROUND(CAST(MAX(peak) AS DOUBLE), 6) AS peak_value,
+       ROUND(CAST(MAX(cum) AS DOUBLE), 6) AS final_peak_check
+FROM peaks GROUP BY user_id
+""",
+)
+def _events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id") % 11 == 0
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value").cast("string").cast("decimal(18,6)"))
+        .over(w)
+        .alias("cum"),
+    )
+    peaks = curve.withColumn("peak", F.max("cum").over(w))
+    return peaks.groupBy("user_id").agg(
+        F.round(
+            F.max(F.col("peak") - F.col("cum")).cast("double"), 6
+        ).alias("max_drawdown"),
+        F.round(F.max("peak").cast("double"), 6).alias("peak_value"),
+        F.round(F.max("cum").cast("double"), 6).alias("final_peak_check"),
+    )
