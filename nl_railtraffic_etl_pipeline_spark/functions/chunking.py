@@ -72,20 +72,29 @@ def encode_tokens(
     own length (``array_sort`` of (pos, id) structs inside the agg — the
     same bounded-buffer reassembly ``remove_boilerplate_lines`` uses) —
     and, with ``max_tokens``, by the cap.  One corpus shuffle total; no
-    UDFs; ids ride as ints, never strings; the quarantine split is a
-    map-side filter off the same tokenized projection.
+    UDFs; ids ride as ints, never strings.  The quarantine split is two
+    map-side filters over the tokenized projection — two UNION branches,
+    so the capped path re-tokenizes the corpus once per branch (compute,
+    not shuffle); materialize the projection first (the
+    dedup._materialize barrier) if that second regex pass matters more
+    than the storage at your scale.
     """
     base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
     quarantined = None
     if max_tokens is not None:
-        quarantined = base.filter(F.size("_w") > max_tokens).select(
+        # NULL text -> NULL token array -> size() is NULL, which fails
+        # BOTH comparisons and would drop the doc from both branches;
+        # coalesce routes NULL-text docs to the normal path (they emit
+        # the same empty row the uncapped call produces)
+        n_w = F.coalesce(F.size("_w"), F.lit(0))
+        quarantined = base.filter(n_w > max_tokens).select(
             F.col(id_col),
             F.lit(None).cast("array<int>").alias("token_ids"),
             F.size("_w").cast("int").alias("n_tokens"),
             F.lit(None).cast("int").alias("n_oov"),
             F.lit(True).alias("quarantined"),
         )
-        base = base.filter(F.size("_w") <= max_tokens)
+        base = base.filter(n_w <= max_tokens)
     toks = base.select(
         F.col(id_col), F.posexplode_outer("_w")
     ).select(id_col, F.col("pos"), F.col("col").alias("_w"))

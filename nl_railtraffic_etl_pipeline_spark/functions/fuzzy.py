@@ -62,8 +62,12 @@ def edit_distance_join(
         F.broadcast(banded),
         F.length(F.col(token_col)) == F.col("_band"),
     )
-    return joined.filter(
-        F.levenshtein(F.col(token_col), F.col("match")) <= max_dist
-    ).drop("_band").withColumn(
-        "dist", F.levenshtein(F.col(token_col), F.col("match"))
+    # compute the DP once and filter on the materialized column — Spark
+    # does not common-subexpression-eliminate across Filter and Project
+    return (
+        joined.withColumn(
+            "dist", F.levenshtein(F.col(token_col), F.col("match"))
+        )
+        .filter(F.col("dist") <= max_dist)
+        .drop("_band")
     )

@@ -191,6 +191,55 @@ def quantile_bucketize(
     )
 
 
+def _ewma_packed_fold(
+    df: DataFrame,
+    fold_expr: str,
+    value_col: str,
+    ts_col: str,
+    key_cols: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """Shared skeleton of the two EWMA variants: NULL filter, one key
+    shuffle into a per-key (ts, id)-sorted packed list, the per-position
+    prefix fold given by ``fold_expr`` (a SQL lambda body over
+    ``(acc, x)``), and the exploded (keys..., id, ts, value, ewma)
+    output.  Both variants MUST share this plan — their equivalence
+    contract (and the streaming twins) depends on identical NULL
+    handling, fold order, and output shape."""
+    keys = list(key_cols)
+    packed = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(id_col).alias("id"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("_l")
+        )
+    )
+    run = F.expr(
+        "transform(_l, (e, i) -> struct("
+        "e.id AS id, e.ts AS ts, e.v AS v, "
+        "aggregate(transform(slice(_l, 2, i), x -> x.v), "
+        f"element_at(_l, 1).v, (acc, x) -> {fold_expr}) AS s))"
+    )
+    return (
+        packed.select(*keys, F.explode(run).alias("_r"))
+        .select(
+            *keys,
+            F.col("_r.id").alias(id_col),
+            F.col("_r.ts").alias(ts_col),
+            F.col("_r.v").alias(value_col),
+            F.col("_r.s").alias("ewma"),
+        )
+    )
+
+
 def ewma_halving(
     df: DataFrame,
     value_col: str = "value",
@@ -222,37 +271,8 @@ def ewma_halving(
     The streaming twin (``streaming.incremental.ewma_stream``) carries
     identical state per key and is equivalence-tested against this.
     """
-    keys = list(key_cols)
-    packed = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*keys)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(ts_col).alias("ts"),
-                        F.col(id_col).alias("id"),
-                        F.col(value_col).cast("double").alias("v"),
-                    )
-                )
-            ).alias("_l")
-        )
-    )
-    run = F.expr(
-        "transform(_l, (e, i) -> struct("
-        "e.id AS id, e.ts AS ts, e.v AS v, "
-        "aggregate(transform(slice(_l, 2, i), x -> x.v), "
-        "element_at(_l, 1).v, (acc, x) -> (acc + x) / 2) AS s))"
-    )
-    return (
-        packed.select(*keys, F.explode(run).alias("_r"))
-        .select(
-            *keys,
-            F.col("_r.id").alias(id_col),
-            F.col("_r.ts").alias(ts_col),
-            F.col("_r.v").alias(value_col),
-            F.col("_r.s").alias("ewma"),
-        )
+    return _ewma_packed_fold(
+        df, "(acc + x) / 2", value_col, ts_col, key_cols, id_col
     )
 
 
@@ -299,36 +319,11 @@ def ewma(
         )
     a_lit = f"CAST('{float(alpha)!r}' AS DOUBLE)"
     oma_lit = f"CAST('{1.0 - float(alpha)!r}' AS DOUBLE)"
-    keys = list(key_cols)
-    packed = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*keys)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(ts_col).alias("ts"),
-                        F.col(id_col).alias("id"),
-                        F.col(value_col).cast("double").alias("v"),
-                    )
-                )
-            ).alias("_l")
-        )
-    )
-    run = F.expr(
-        "transform(_l, (e, i) -> struct("
-        "e.id AS id, e.ts AS ts, e.v AS v, "
-        "aggregate(transform(slice(_l, 2, i), x -> x.v), "
-        f"element_at(_l, 1).v, (acc, x) -> acc * {oma_lit} + x * {a_lit})"
-        " AS s))"
-    )
-    return (
-        packed.select(*keys, F.explode(run).alias("_r"))
-        .select(
-            *keys,
-            F.col("_r.id").alias(id_col),
-            F.col("_r.ts").alias(ts_col),
-            F.col("_r.v").alias(value_col),
-            F.col("_r.s").alias("ewma"),
-        )
+    return _ewma_packed_fold(
+        df,
+        f"acc * {oma_lit} + x * {a_lit}",
+        value_col,
+        ts_col,
+        key_cols,
+        id_col,
     )

@@ -697,14 +697,18 @@ def remove_repeated_spans(
     base = docs.select(F.col(id_col).alias("doc"), toks_col.alias("_w"))
     quarantined = None
     if max_tokens is not None:
-        quarantined = base.filter(F.size("_w") > max_tokens).select(
+        # coalesce: NULL text -> NULL token array, and a bare size()
+        # comparison would fail BOTH branch filters and silently drop
+        # the doc the uncapped path keeps (it emits ("", 0, 0) there)
+        n_w = F.coalesce(F.size("_w"), F.lit(0))
+        quarantined = base.filter(n_w > max_tokens).select(
             F.col("doc").alias(id_col),
             F.array_join("_w", " ").alias("clean_text"),
             F.size("_w").cast("int").alias("n_tokens"),
             F.lit(0).cast("int").alias("n_removed"),
             F.lit(True).alias("quarantined"),
         )
-        base = base.filter(F.size("_w") <= max_tokens)
+        base = base.filter(n_w <= max_tokens)
     long_enough = base.filter(F.size("_w") >= n)
     spans = long_enough.select(
         "doc",

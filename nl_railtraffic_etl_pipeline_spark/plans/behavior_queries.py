@@ -911,7 +911,7 @@ WITH iv AS (
     WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= 0
 ),
 swept AS (
-    SELECT user_id, s, e,
+    SELECT user_id, s, e, event_id,
            MAX(e) OVER (
                PARTITION BY user_id ORDER BY s, e, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -922,7 +922,8 @@ flagged AS (
     SELECT user_id, s, e,
            CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
                AS new_island,
-           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s, e) AS rn
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s, e, event_id)
+               AS rn
     FROM swept
 ),
 islands AS (

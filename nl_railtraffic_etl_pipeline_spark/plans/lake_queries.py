@@ -219,7 +219,8 @@ GROUP BY event_type
 )
 def _lake_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/spark_graft_orc_gate/{base}"
+    # pid-scoped so concurrent same-SF runs never race rmtree vs read
+    path = f"/tmp/spark_graft_orc_gate_{_os.getpid()}/{base}"
     _shutil.rmtree(path, ignore_errors=True)
     ev = (
         load_table(spark, sf_dir, "events", spread=True)
@@ -270,7 +271,7 @@ FROM unioned GROUP BY event_type
 )
 def _lake_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/spark_graft_drift_gate/{base}"
+    root = f"/tmp/spark_graft_drift_gate_{_os.getpid()}/{base}"
     _shutil.rmtree(root, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events", spread=True)
     gen1 = ev.filter(F.col("event_id") % 4 == 1).select(

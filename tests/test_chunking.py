@@ -248,3 +248,24 @@ def test_whale_doc_quarantine_caps(spark):
     assert "quarantined" not in remove_boilerplate_lines(
         ldocs.filter("doc_id < 9"), min_docs=2
     ).columns
+
+
+def test_encode_tokens_null_text_routes_to_base_when_capped(spark):
+    from pyspark.sql import Row
+    from nl_railtraffic_etl_pipeline_spark.functions.chunking import (
+        encode_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text=None)]
+    )
+    vocab = spark.createDataFrame(
+        [Row(term="a", token_id=1), Row(term="b", token_id=2)]
+    )
+    out = {r.doc_id: r for r in encode_tokens(
+        docs, vocab, max_tokens=10
+    ).collect()}
+    # the NULL-text doc must survive the capped split (not vanish from
+    # both branches) and mirror the uncapped empty-doc row
+    assert 2 in out and out[2].quarantined is False
+    assert out[1].quarantined is False and out[1].n_tokens == 3

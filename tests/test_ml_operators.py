@@ -1709,3 +1709,19 @@ def test_edit_distance_join_length_band_is_complete(spark):
     d = spark.createDataFrame([Row(word="ab"), Row(word="abcdef")])
     got = {(r.match, r.dist) for r in edit_distance_join(toks, d, 2).collect()}
     assert got == {("ab", 2), ("abcdef", 2)}
+
+
+def test_remove_repeated_spans_null_text_survives_cap(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        remove_repeated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x y z"), Row(doc_id=2, text=None)]
+    )
+    out = {r.doc_id: r for r in remove_repeated_spans(
+        docs, n=2, min_docs=2, max_tokens=10
+    ).collect()}
+    # NULL text mirrors the uncapped ("", 0, 0) row instead of vanishing
+    assert 2 in out and out[2].quarantined is False
+    assert out[2].clean_text == "" and out[2].n_tokens == 0

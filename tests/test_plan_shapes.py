@@ -315,7 +315,9 @@ def test_partition_pruning_on_date_partitioned_lake(spark):
     from pyspark.sql import functions as F
     from nl_railtraffic_etl_pipeline_spark.plans.testdata import load_table
 
-    path = "/tmp/spark_graft_prune_test"
+    import os
+
+    path = f"/tmp/spark_graft_prune_test_{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
     ev = load_table(spark, SF, "events").select(
         "event_id", "value", F.to_date("ts").alias("day")
