@@ -451,3 +451,113 @@ def test_registered_domain_psl_wildcard_exception_intent(spark):
     }
     for host, want in cases.items():
         assert got[host] == want, (host, got[host], want)
+
+
+# ---------------------------------------------------------------------------
+# r6 sequential metrics — the oracles replay the same window algebra the
+# Spark side uses, so a wrong formulation could hash-match; these rows
+# are computed by hand from the docstring contracts.
+# ---------------------------------------------------------------------------
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+def test_max_drawdown_intent(spark):
+    import datetime as dt
+    from pyspark.sql import Window
+
+    t0 = dt.datetime(2024, 1, 1)
+    # curve: 10, 7, 12, 4, 9  ->  peaks: 10, 10, 12, 12, 12
+    # drawdowns: 0, 3, 0, 8, 3  ->  max 8; deltas sum to the curve
+    vals = [10.0, -3.0, 5.0, -8.0, 5.0]
+    rows = [
+        Row(user_id=1, event_id=i, ts=t0 + dt.timedelta(minutes=i),
+            value=v)
+        for i, v in enumerate(vals)
+    ]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = _events(spark, rows).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value").cast("string").cast("decimal(18,6)"))
+        .over(w).alias("cum"),
+    ).withColumn("peak", F.max("cum").over(w))
+    out = curve.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("cum")).cast("double").alias("dd"),
+        F.max("peak").cast("double").alias("pk"),
+    ).collect()[0]
+    assert out.dd == 8.0 and out.pk == 12.0
+
+
+def test_time_weighted_avg_intent(spark):
+    import datetime as dt
+    from pyspark.sql import Window
+
+    t0 = dt.datetime(2024, 1, 1)
+    # value 10 held 60 s, value 2 held 30 s, last value unweighted:
+    # TWAP = (10*60 + 2*30) / 90 = 660/90 = 7.333333
+    rows = [
+        Row(user_id=1, event_id=1, ts=t0, value=10.0),
+        Row(user_id=1, event_id=2, ts=t0 + dt.timedelta(seconds=60),
+            value=2.0),
+        Row(user_id=1, event_id=3, ts=t0 + dt.timedelta(seconds=90),
+            value=99.0),
+    ]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    obs = _events(spark, rows).select(
+        "user_id",
+        F.col("value").cast("string").cast("decimal(18,6)").alias("v"),
+        (F.lead(epoch).over(w) - epoch).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    out = obs.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("v") * F.col("dur")).cast("double")
+            / F.sum("dur").cast("double"), 6,
+        ).alias("twap"),
+        F.sum("dur").alias("held"),
+    ).collect()[0]
+    assert out.held == 90 and out.twap == 7.333333
+
+
+def test_mad_intent(spark):
+    # values 1..7 with an outlier 100: median=4.5 of [1..7,100]?  Use
+    # odd count for a clean hand computation: [1,2,3,4,5,6,100]
+    # median=4; |x-4| = [3,2,1,0,1,2,96]; MAD = median = 2;
+    # 3*MAD=6 -> only 96 exceeds -> 1 outlier
+    rows = [Row(event_type="t", value=float(v))
+            for v in [1, 2, 3, 4, 5, 6, 100]]
+    df = _events(spark, rows)
+    med = df.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("m"))
+    dev = df.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("m")))
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")).collect()[0]
+    assert mad.mad == 2.0
+    n_out = dev.join(
+        _events(spark, [Row(event_type="t", mad=2.0)]), "event_type"
+    ).filter(F.col("adev") > 3 * F.col("mad")).count()
+    assert n_out == 1
+
+
+def test_sequence_pattern_intent(spark):
+    # seq "vcvppvcp": non-overlapping "vp" matches at 5-6?  Hand scan:
+    # v c v p p v c p -> "vp" matches the v@2-p@3 pair and v@5..? v@5
+    # is followed by c -> regex literal "vp" = adjacent only: matches
+    # at (2,3) and none later except none -> 1?  positions: indexes
+    # 0v 1c 2v 3p 4p 5v 6c 7p; adjacent vp only at (2,3) -> 1 match.
+    # "vc+p": v@0 c@1 then v@2 breaks -> no; v@5 c@6 p@7 -> 1 match.
+    seq = "vcvppvcp"
+    df = spark.createDataFrame([Row(seq=seq)])
+    out = df.select(
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit("vp"), 0)).alias("a"),
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit("vc+p"), 0)).alias("b"),
+    ).collect()[0]
+    assert (out.a, out.b) == (1, 1)
