@@ -558,3 +558,62 @@ def attribute_conversions(
         .alias("credit_last"),
         (F.lit(1.0) / F.count("*").over(w)).alias("credit_linear"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    bucket_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """OHLC downsample bars per ``bucket_cols`` group: ``open_val`` (value
+    at the earliest (ts, id)), ``high_val`` / ``low_val`` (extremes),
+    ``close_val`` (value at the latest (ts, id)), ``n_events``.
+
+    The scale-correct plan for "first/last per bucket" is ONE hash
+    aggregate with partial-aggregating ``min_by``/``max_by`` on the
+    (ts, id) struct — partials combine map-side, so a whale bucket never
+    concentrates a sort on one task the way the row_number formulation
+    would.  ``id_col`` makes the ordering total: ts ties are broken
+    deterministically, matching the engine-wide tiebreak contract.
+    """
+    tie = F.struct(F.col(ts_col), F.col(id_col))
+    return df.groupBy(*bucket_cols).agg(
+        F.min_by(value_col, tie).alias("open_val"),
+        F.max(value_col).alias("high_val"),
+        F.min(value_col).alias("low_val"),
+        F.max_by(value_col, tie).alias("close_val"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group Pareto frontier (skyline) on (``ts_col``, ``value_col``),
+    both maximized: a row survives iff no other row in its group weakly
+    dominates it (>= on both axes, > on at least one).
+
+    The naive spec is the quadratic all-pairs dominance test (the
+    oracle's NOT EXISTS).  The engine's plan is the O(n log n) sweep:
+    collapse to the per-ts max, then one ts-descending window keeps rows
+    strictly above the running max of all later rows — ONE group-keyed
+    shuffle, no self-join, no cartesian.  Equal-value ties resolve to the
+    latest ts (weak dominance removes the earlier duplicates).
+    """
+    keys = list(group_cols)
+    m = df.groupBy(*keys, ts_col).agg(F.max(value_col).alias(value_col))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        m.withColumn("_lm", F.max(value_col).over(w))
+        .filter(F.col("_lm").isNull() | (F.col(value_col) > F.col("_lm")))
+        .select(*keys, ts_col, value_col)
+    )

@@ -1395,3 +1395,86 @@ def _events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("peak").cast("double"), 6).alias("peak_value"),
         F.round(F.max("cum").cast("double"), 6).alias("final_peak_check"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: the time-series downsample every market/telemetry pipeline
+# runs — per user x hour: first value (open), max (high), min (low),
+# last value (close), count.  The scale-correct plan is ONE hash
+# aggregate with partial-aggregating min_by/max_by on a (ts, event_id)
+# struct tiebreak — no per-key sort, no window, whale-proof because
+# partials combine map-side.  The oracle replays first/last with
+# row_number windows — a different algorithm that must agree, including
+# on ts ties (event_id breaks them totally).
+# ---------------------------------------------------------------------------
+@query(
+    "events_ohlc_bars",
+    """
+WITH ranked AS (
+    SELECT user_id, date_trunc('hour', ts) AS hour, value,
+           row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT user_id, hour,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_val,
+       MAX(value) AS high_val,
+       MIN(value) AS low_val,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_val,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY user_id, hour
+""",
+)
+def _ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import ohlc_bars
+
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+    )
+    return ohlc_bars(ev, ["user_id", "hour"])
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): per event_type, the points not weakly
+# dominated on (recency, value) — r survives iff no s has s.ts >= r.ts
+# AND s.value >= r.value with one strict.  The quadratic NOT-EXISTS spec
+# is the oracle; the engine's plan is the O(n log n) sweep — collapse to
+# the per-ts max, then one ts-desc window keeps rows strictly above the
+# running max of everything later.  ONE key shuffle, no self-join: the
+# dominance test a naive engine writes as n^2 comparisons becomes a sort
+# the cluster already knows how to do.
+# ---------------------------------------------------------------------------
+@query(
+    "events_pareto_frontier",
+    """
+WITH m AS (
+    SELECT event_type, ts, MAX(value) AS value
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type, ts
+)
+SELECT event_type, ts, value
+FROM m r
+WHERE NOT EXISTS (
+    SELECT 1 FROM m s
+    WHERE s.event_type = r.event_type
+      AND s.ts > r.ts AND s.value >= r.value
+)
+""",
+)
+def _pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import pareto_frontier
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    return pareto_frontier(ev, ["event_type"])

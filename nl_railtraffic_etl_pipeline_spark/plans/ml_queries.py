@@ -3634,3 +3634,148 @@ def _emb_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sq.cast("double"), 6).alias("norm2"),
         F.round(F.sqrt(sq.cast("double")), 6).alias("l2_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact triangle count (functions/graph.py::triangle_count): the
+# degree-orientation wedge join (Suri & Vassilvitskii's MR-friendly
+# formulation, public literature).  The engine orients edges by
+# (degree, id) so wedge fan-out per pivot is capped at O(sqrt(|E|)); the
+# oracle counts with the naive a < b < c id-orientation — orientation
+# changes the plan, never the count, which makes the gate a genuine
+# two-algorithm cross-check.  The undirected graph is derived
+# deterministically from doc_id (ring chords at +1/+2/+4), which closes
+# ~2 triangles per node.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_triangles",
+    """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (
+    SELECT doc_id AS s, (doc_id + 1) % n.n AS t FROM documents, n
+    UNION ALL SELECT doc_id, (doc_id + 2) % n.n FROM documents, n
+    UNION ALL SELECT doc_id, (doc_id + 4) % n.n FROM documents, n
+),
+canon AS (
+    SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+    FROM e0 WHERE s <> t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM canon e1
+JOIN canon e2 ON e2.a = e1.b
+JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+)
+def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    n = docs.agg(F.count("*").alias("_n"))
+    base = docs.select("doc_id").crossJoin(F.broadcast(n))
+    d = F.col("doc_id")
+    edges = (
+        base.select(d.alias("src"), ((d + 1) % F.col("_n")).alias("dst"))
+        .unionAll(base.select(d.alias("src"), ((d + 2) % F.col("_n")).alias("dst")))
+        .unionAll(base.select(d.alias("src"), ((d + 4) % F.col("_n")).alias("dst")))
+    )
+    return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join reduction (sketch.bloom_build / bloom_probe composed
+# into a join): THE scan-pruning pattern for 100 TB star joins — build a
+# tiny deterministic bloom over the filtered dim keys, probe the fact
+# map-side BEFORE any shuffle, and only survivors reach the join.  The
+# gate checks the reduction accounting itself: fact rows, bloom
+# survivors, true matches, and false positives (survivors - matches);
+# no-false-negatives means true_matches <= survivors by construction,
+# and the oracle replays the 3x8192 bit bloom bit for bit.
+# ---------------------------------------------------------------------------
+_BLOOM_DIM_POS = (
+    "["
+    + ", ".join(
+        _H32.format(
+            x=f"'bloom' || CAST({i} AS VARCHAR) || ':' || "
+            "CAST(c_custkey AS VARCHAR)"
+        )
+        + " % 8192"
+        for i in (1, 2, 3)
+    )
+    + "]"
+)
+_BLOOM_FACT_POS = (
+    "["
+    + ", ".join(
+        _H32.format(
+            x=f"'bloom' || CAST({i} AS VARCHAR) || ':' || "
+            "CAST(o_custkey AS VARCHAR)"
+        )
+        + " % 8192"
+        for i in (1, 2, 3)
+    )
+    + "]"
+)
+
+
+@query(
+    "join_bloom_prejoin",
+    f"""
+WITH dim AS (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bits AS (SELECT DISTINCT unnest({_BLOOM_DIM_POS}) AS p FROM dim),
+state AS (SELECT list_sort(list(p)) AS bloom FROM bits),
+probe AS (
+    SELECT o_custkey, {_BLOOM_FACT_POS} AS ps
+    FROM orders WHERE o_custkey IS NOT NULL
+),
+counts AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS fact_rows,
+           CAST(SUM(CASE WHEN len(list_filter(
+               ps, x -> NOT list_contains(bloom, x))) = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS survivors,
+           CAST(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM dim WHERE dim.c_custkey = probe.o_custkey)
+               THEN 1 ELSE 0 END) AS BIGINT) AS true_matches
+    FROM probe, state
+)
+SELECT fact_rows, survivors, true_matches,
+       survivors - true_matches AS false_positives
+FROM counts
+""",
+)
+def _join_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import bloom_build, bloom_probe
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    fact = (
+        load_table(spark, sf_dir, "orders", spread=True)
+        .filter(F.col("o_custkey").isNotNull())
+        .select("o_custkey")
+    )
+    state = bloom_build(dim, "c_custkey")
+    probed = bloom_probe(fact, state, "o_custkey")
+    flagged = probed.join(
+        F.broadcast(dim.withColumn("_in", F.lit(1))),
+        probed["o_custkey"] == dim["c_custkey"],
+        "left",
+    )
+    counts = flagged.agg(
+        F.count("*").cast("bigint").alias("fact_rows"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("survivors"),
+        F.sum(F.when(F.col("_in").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("true_matches"),
+    )
+    return counts.select(
+        "fact_rows",
+        "survivors",
+        "true_matches",
+        (F.col("survivors") - F.col("true_matches")).alias("false_positives"),
+    )

@@ -561,3 +561,95 @@ def test_sequence_pattern_intent(spark):
         F.size(F.regexp_extract_all(F.col("seq"), F.lit("vc+p"), 0)).alias("b"),
     ).collect()[0]
     assert (out.a, out.b) == (1, 1)
+
+
+def test_triangle_count_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.graph import (
+        triangle_count,
+    )
+
+    # hand graph on {1..5}: triangles {1,2,3} (1-2, 2-3, 1-3),
+    # {1,4,5} (4-5, 5-1, 1-4), and {1,3,4} (1-3, 3-4, 1-4).
+    # Duplicates, reversed direction, and a self-loop must not change
+    # the count.
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (1, 3),
+            (3, 4),
+            (4, 5), (5, 1), (1, 4),
+            (2, 1), (3, 1),                  # reversed duplicates
+            (3, 3),                          # self-loop
+        ],
+        "src bigint, dst bigint",
+    )
+    assert triangle_count(edges).collect()[0].triangles == 3
+
+
+def test_bloom_prejoin_no_false_negatives_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    # the bloom contract a prejoin relies on: EVERY true key passes the
+    # probe (no false negatives), so pre-filtering a fact scan can never
+    # drop a joinable row.  Probed non-members may pass (false
+    # positives) but the subsequent join removes them — here we only
+    # assert the direction that would silently corrupt a join.
+    dim = spark.createDataFrame([(k,) for k in range(50)], "k bigint")
+    state = bloom_build(dim, "k")
+    probed = bloom_probe(dim, state, "k")
+    assert probed.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_ohlc_bars_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        ohlc_bars,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    # one bucket; ts tie at t0 broken by event_id: open must be the
+    # id=0 value (5.0), NOT the higher-valued id=1 row; close is the
+    # latest ts; high/low are the extremes regardless of order.
+    rows = [
+        Row(user_id=1, event_id=0, ts=t0, value=5.0),
+        Row(user_id=1, event_id=1, ts=t0, value=7.0),
+        Row(user_id=1, event_id=2, ts=t0 + dt.timedelta(minutes=1),
+            value=1.0),
+        Row(user_id=1, event_id=3, ts=t0 + dt.timedelta(minutes=2),
+            value=4.0),
+    ]
+    out = ohlc_bars(
+        spark.createDataFrame(rows), ["user_id"]
+    ).collect()[0]
+    assert (out.open_val, out.high_val, out.low_val, out.close_val,
+            out.n_events) == (5.0, 7.0, 1.0, 4.0, 4)
+
+
+def test_pareto_frontier_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        pareto_frontier,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    # points (minute, value); frontier maximizes both.  (3, 9) dominates
+    # (1, 9) (equal value, later ts) and (2, 4); (5, 2) survives as the
+    # latest point; (4, 1) is dominated by (5, 2); (0, 10) survives on
+    # value alone.
+    rows = [
+        Row(g="a", ts=t(0), value=10.0),
+        Row(g="a", ts=t(1), value=9.0),
+        Row(g="a", ts=t(2), value=4.0),
+        Row(g="a", ts=t(3), value=9.0),
+        Row(g="a", ts=t(4), value=1.0),
+        Row(g="a", ts=t(5), value=2.0),
+    ]
+    out = pareto_frontier(
+        spark.createDataFrame(rows), ["g"]
+    ).collect()
+    got = sorted((r.ts.minute, r.value) for r in out)
+    assert got == [(0, 10.0), (3, 9.0), (5, 2.0)]
