@@ -617,3 +617,38 @@ def pareto_frontier(
         .filter(F.col("_lm").isNull() | (F.col(value_col) > F.col("_lm")))
         .select(*keys, ts_col, value_col)
     )
+
+
+def event_ngram_counts(
+    df: DataFrame,
+    n: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Counts of length-``n`` consecutive event-type paths per the
+    engine-wide (ts, id) total order within each user's stream —
+    sequential pattern mining's frequency floor (event_transitions is
+    the n=2 member).
+
+    Plan: ``n - 1`` leads over ONE user-keyed shuffle build the n-gram
+    stream in place (no self-joins, no explode), then a domain-bounded
+    aggregate: at most |types|^n groups regardless of input size.
+    Columns: e1..eN, n_paths.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    cols = [F.col(type_col).alias("e1")] + [
+        F.lead(type_col, k).over(w).alias(f"e{k + 1}")
+        for k in range(1, n)
+    ]
+    seq = df.select(*cols)
+    keep = seq
+    for k in range(2, n + 1):
+        keep = keep.filter(F.col(f"e{k}").isNotNull())
+    names = [f"e{k}" for k in range(1, n + 1)]
+    return keep.groupBy(*names).agg(
+        F.count("*").cast("bigint").alias("n_paths")
+    )

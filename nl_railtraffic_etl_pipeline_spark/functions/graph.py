@@ -175,8 +175,16 @@ def triangle_count(
     All-integer -> bit-identical on any engine; the oracle can count with
     the naive id-orientation (a < b < c) and MUST agree — the orientation
     changes the plan, never the answer.
+
+    ``canon`` and ``oriented`` each feed several join branches, so both
+    get the compute-once barrier (dedup._materialize): without it the
+    whole edge-derivation subtree is re-embedded per consumer (the
+    unbarriered plan carried 180 exchanges).  Both are edge-list-sized —
+    at persistent-cluster scale a persisted table serves the same role.
     """
-    canon = (
+    from .dedup import _materialize
+
+    canon = _materialize(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
@@ -198,10 +206,10 @@ def triangle_count(
         canon.join(keys.withColumnRenamed("n", "a").withColumnRenamed("k", "ka"), "a")
         .join(keys.withColumnRenamed("n", "b").withColumnRenamed("k", "kb"), "b")
     )
-    oriented = with_keys.select(
+    oriented = _materialize(with_keys.select(
         F.when(F.col("ka") < F.col("kb"), F.col("ka")).otherwise(F.col("kb")).alias("u"),
         F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("v"),
-    )
+    ))
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedges = o1.join(o2, F.col("o1.u") == F.col("o2.u")).filter(

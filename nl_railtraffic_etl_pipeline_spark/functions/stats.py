@@ -327,3 +327,53 @@ def ewma(
         key_cols,
         id_col,
     )
+
+
+def chisq_cells(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-square-of-independence contingency cells over two categorical
+    columns: (row_col, col_col, obs, row_total, col_total, chi2_contrib),
+    where ``chi2_contrib`` is the cell's (O - E)^2 / E term computed as
+    the algebraically identical (obs*N - r*c)^2 / (N*r*c) — integer
+    deviations, ONE fixed IEEE division chain, ROUND 6.
+
+    Scale shape: one fact aggregate reduces any input to
+    <= |dom(row)| x |dom(col)| cells; row/col/grand totals re-aggregate
+    the CELL table and broadcast back (two-pass broadcast idiom) — no
+    empty-partition window funnel, nothing after the first agg touches
+    fact-sized data.  Exact while obs*N < 2^63 (~3e9 rows at 100%
+    concentration); beyond that promote the products to DECIMAL(38,0).
+    """
+    cells = df.groupBy(row_col, col_col).agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    rt = cells.groupBy(row_col).agg(
+        F.sum("obs").cast("bigint").alias("row_total")
+    )
+    ct = cells.groupBy(col_col).agg(
+        F.sum("obs").cast("bigint").alias("col_total")
+    )
+    nt = cells.agg(F.sum("obs").cast("bigint").alias("n_total"))
+    joined = (
+        cells.join(F.broadcast(rt), row_col)
+        .join(F.broadcast(ct), col_col)
+        .crossJoin(F.broadcast(nt))
+    )
+    dev = (
+        F.col("obs") * F.col("n_total")
+        - F.col("row_total") * F.col("col_total")
+    ).cast("double")
+    den = (
+        F.col("n_total") * F.col("row_total") * F.col("col_total")
+    ).cast("double")
+    return joined.select(
+        row_col,
+        col_col,
+        "obs",
+        "row_total",
+        "col_total",
+        F.round(dev * dev / den, 6).alias("chi2_contrib"),
+    )

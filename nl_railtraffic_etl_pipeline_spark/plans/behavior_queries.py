@@ -1478,3 +1478,43 @@ def _pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("event_type").isNotNull()
     )
     return pareto_frontier(ev, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Top event trigrams (sequential pattern mining's frequency floor): the
+# 20 most common 3-step event-type paths across users, under the
+# engine-wide (ts, event_id) total order.  Plan: two leads over ONE
+# user-keyed shuffle build the trigram stream in place — no self-joins,
+# no explode — then a domain-bounded aggregate (<= |types|^3 groups) and
+# a fully tiebroken top-k that compiles to TakeOrderedAndProject (each
+# partition keeps its own 20, the driver merges 20 per partition).
+# ---------------------------------------------------------------------------
+@query(
+    "events_trigram_paths",
+    """
+WITH seq AS (
+    SELECT event_type AS e1,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n_paths DESC, e1, e2, e3
+LIMIT 20
+""",
+)
+def _trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import event_ngram_counts
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return (
+        event_ngram_counts(ev, n=3)
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(20)
+    )

@@ -2676,3 +2676,50 @@ def _events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_v").alias("min_v"),
         F.max("_v").alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence over the l_returnflag x l_linestatus
+# contingency table — the categorical-association stat every data-quality
+# / drift-detection pipeline computes.  Scale shape: ONE fact aggregate
+# reduces 100 TB to <= |domain_r| x |domain_c| cells; row/col/grand
+# totals are second-level aggregates of the CELL table (two-pass
+# broadcast idiom, no empty-partition window funnel); everything after
+# the first agg runs on cell-count-sized data.  Exactness: the deviation
+# (obs*N - row*col) is exact BIGINT (safe while obs*N < 2^63 — beyond
+# ~3e9 rows promote the products to DECIMAL(38,0)); the per-cell
+# contribution ((obs*N - r*c)^2 / (N*r*c), algebraically identical to
+# (O-E)^2/E) is one fixed IEEE chain both engines replay bit for bit.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_chisq_independence",
+    f"""
+WITH cells AS (
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS obs
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+rt AS (SELECT l_returnflag, CAST(SUM(obs) AS BIGINT) AS row_total
+       FROM cells GROUP BY l_returnflag),
+ct AS (SELECT l_linestatus, CAST(SUM(obs) AS BIGINT) AS col_total
+       FROM cells GROUP BY l_linestatus),
+nt AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_total FROM cells)
+SELECT c.l_returnflag, c.l_linestatus, c.obs, rt.row_total, ct.col_total,
+       {_round_sql(
+           'CAST(c.obs * nt.n_total - rt.row_total * ct.col_total'
+           ' AS DOUBLE)'
+           ' * CAST(c.obs * nt.n_total - rt.row_total * ct.col_total'
+           ' AS DOUBLE)'
+           ' / CAST(nt.n_total * rt.row_total * ct.col_total AS DOUBLE)',
+           6,
+       )} AS chi2_contrib
+FROM cells c
+JOIN rt USING (l_returnflag)
+JOIN ct USING (l_linestatus)
+CROSS JOIN nt
+""",
+)
+def _chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import chisq_cells
+
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    return chisq_cells(li, "l_returnflag", "l_linestatus")

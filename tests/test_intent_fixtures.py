@@ -653,3 +653,66 @@ def test_pareto_frontier_intent(spark):
     ).collect()
     got = sorted((r.ts.minute, r.value) for r in out)
     assert got == [(0, 10.0), (3, 9.0), (5, 2.0)]
+
+
+def test_chisq_cells_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        chisq_cells,
+    )
+
+    # 2x2 table a=10 b=20 / c=30 d=40: N=100, rows (30, 70),
+    # cols (40, 60).  Hand-checked against the classic
+    # N(ad - bc)^2 / (r1 r2 c1 c2) = 100 * 200^2 / 5,040,000 = 0.793651,
+    # which must equal the sum of the four per-cell terms.
+    rows = (
+        [Row(r="x", c="p")] * 10
+        + [Row(r="x", c="q")] * 20
+        + [Row(r="y", c="p")] * 30
+        + [Row(r="y", c="q")] * 40
+    )
+    out = {
+        (o.r, o.c): o
+        for o in chisq_cells(spark.createDataFrame(rows), "r", "c").collect()
+    }
+    assert out[("x", "p")].chi2_contrib == 0.333333   # 200^2/(100*30*40)
+    assert out[("x", "q")].chi2_contrib == 0.222222   # 200^2/(100*30*60)
+    assert out[("y", "p")].chi2_contrib == 0.142857   # 200^2/(100*70*40)
+    assert out[("y", "q")].chi2_contrib == 0.095238   # 200^2/(100*70*60)
+    assert out[("x", "p")].row_total == 30
+    assert out[("x", "p")].col_total == 40
+    total = round(sum(o.chi2_contrib for o in out.values()), 6)
+    assert total == 0.79365
+
+
+def test_event_ngram_counts_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        event_ngram_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1 stream A B C D -> trigrams ABC, BCD; user 2 stream A B C
+    # (with a ts tie at the last two events broken by event_id) -> ABC.
+    # Expected counts: ABC x2, BCD x1 — and nothing crosses users.
+    rows = [
+        Row(user_id=1, event_id=0, ts=t0, event_type="A"),
+        Row(user_id=1, event_id=1, ts=t0 + dt.timedelta(minutes=1),
+            event_type="B"),
+        Row(user_id=1, event_id=2, ts=t0 + dt.timedelta(minutes=2),
+            event_type="C"),
+        Row(user_id=1, event_id=3, ts=t0 + dt.timedelta(minutes=3),
+            event_type="D"),
+        Row(user_id=2, event_id=4, ts=t0, event_type="A"),
+        Row(user_id=2, event_id=5, ts=t0 + dt.timedelta(minutes=1),
+            event_type="B"),
+        Row(user_id=2, event_id=6, ts=t0 + dt.timedelta(minutes=1),
+            event_type="C"),
+    ]
+    out = {
+        (r.e1, r.e2, r.e3): r.n_paths
+        for r in event_ngram_counts(
+            spark.createDataFrame(rows), n=3
+        ).collect()
+    }
+    assert out == {("A", "B", "C"): 2, ("B", "C", "D"): 1}
