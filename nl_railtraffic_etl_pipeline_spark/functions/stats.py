@@ -347,8 +347,15 @@ def chisq_cells(
     fact-sized data.  Exact while obs*N < 2^63 (~3e9 rows at 100%
     concentration); beyond that promote the products to DECIMAL(38,0).
     """
-    cells = df.groupBy(row_col, col_col).agg(
-        F.count("*").cast("bigint").alias("obs")
+    from .dedup import _materialize
+
+    # compute-once barrier: rt/ct/nt/joined all consume `cells`, and
+    # without it each branch re-embeds the FACT aggregate — four full
+    # input scans instead of one.  The cell table is domain-sized.
+    cells = _materialize(
+        df.groupBy(row_col, col_col).agg(
+            F.count("*").cast("bigint").alias("obs")
+        )
     )
     rt = cells.groupBy(row_col).agg(
         F.sum("obs").cast("bigint").alias("row_total")
