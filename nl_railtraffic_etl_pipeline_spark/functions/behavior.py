@@ -571,12 +571,15 @@ def ohlc_bars(
     at the earliest (ts, id)), ``high_val`` / ``low_val`` (extremes),
     ``close_val`` (value at the latest (ts, id)), ``n_events``.
 
-    The scale-correct plan for "first/last per bucket" is ONE hash
-    aggregate with partial-aggregating ``min_by``/``max_by`` on the
-    (ts, id) struct — partials combine map-side, so a whale bucket never
-    concentrates a sort on one task the way the row_number formulation
-    would.  ``id_col`` makes the ordering total: ts ties are broken
-    deterministically, matching the engine-wide tiebreak contract.
+    The scale-correct plan for "first/last per bucket" is ONE aggregate
+    with partial-aggregating ``min_by``/``max_by`` on the (ts, id)
+    struct — partials combine map-side, so a whale bucket never
+    concentrates its rows on one task the way the row_number window
+    formulation would.  (The struct ordering key has no mutable hash
+    buffer, so Spark picks SortAggregate — a per-partition sort by the
+    GROUP key, still partial+final, plan-asserted in
+    test_plan_shapes.py.)  ``id_col`` makes the ordering total: ts ties
+    break deterministically, matching the engine-wide tiebreak contract.
     """
     tie = F.struct(F.col(ts_col), F.col(id_col))
     return df.groupBy(*bucket_cols).agg(

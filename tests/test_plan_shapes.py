@@ -336,3 +336,36 @@ def test_partition_pruning_on_date_partitioned_lake(spark):
     expected = ev.filter(F.col("day") == F.lit(target)).count()
     assert df.count() == expected
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_bloom_prejoin_fact_side_is_shuffle_free(spark):
+    """The bloom prejoin's whole point is pruning the fact scan BEFORE
+    any shuffle: every join must be broadcast (the 1-row state and the
+    dim flag), never a SortMergeJoin/ShuffledHashJoin that would
+    repartition the orders scan; the only exchanges are the testdata
+    spread and the final 1-row count aggregation."""
+    txt = plan_of(spark, "join_bloom_prejoin")
+    assert "SortMergeJoin" not in txt
+    assert "ShuffledHashJoin" not in txt
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+
+
+def test_triangle_wedge_joins_are_equi(spark):
+    """Degree-oriented triangle counting must close wedges with hash
+    equi-joins — a nested-loop/cartesian wedge join would be the
+    quadratic plan the orientation exists to avoid."""
+    txt = plan_of(spark, "graph_triangles")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_ohlc_is_single_aggregate_no_window(spark):
+    """OHLC bars must compile to partial-aggregating min_by/max_by with
+    no per-bucket Window (the whale-unsafe formulation).  The struct
+    tiebreak forces SortAggregate (struct ordering keys have no mutable
+    hash buffer), which still combines partials map-side — assert the
+    partial+final pair and the absence of any Window."""
+    txt = plan_of(spark, "events_ohlc_bars")
+    assert "Window" not in txt
+    assert re.findall(r"(?:Sort|Hash)Aggregate", txt)
+    assert "Exchange" in txt  # partial -> shuffle -> final, not a sort-all
