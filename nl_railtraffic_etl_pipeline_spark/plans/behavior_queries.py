@@ -1518,3 +1518,74 @@ def _trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median per group — the importance-weighted quantile a
+# sampling/reweighting pipeline needs (weights here derived
+# deterministically from event_id so both engines see the same table).
+# Definition: the smallest (value, id) row whose running weight reaches
+# half the group total, compared as 2*cumsum >= total in exact integers
+# (no division, no float ranks).  Plan: ONE group-keyed shuffle carries
+# both windows (running sum + group total over the same sort), then the
+# qualifying-row pick is a lexicographic MIN(struct) aggregate — no
+# second sort, no self-join.  The oracle replays with a row_number pick,
+# a different qualifying-row mechanism that must agree.
+# ---------------------------------------------------------------------------
+@query(
+    "events_weighted_median",
+    """
+WITH b AS (
+    SELECT event_type, value, event_id, (event_id % 7) + 1 AS wt
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+c AS (
+    SELECT *,
+           SUM(wt) OVER (PARTITION BY event_type ORDER BY value, event_id
+                         ROWS UNBOUNDED PRECEDING) AS cw,
+           SUM(wt) OVER (PARTITION BY event_type) AS tw
+    FROM b
+),
+q AS (SELECT event_type, value, event_id, tw FROM c WHERE 2 * cw >= tw)
+SELECT event_type, value AS weighted_median,
+       CAST(tw AS BIGINT) AS total_weight
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS rn
+    FROM q
+) WHERE rn = 1
+""",
+)
+def _weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            "event_id",
+            ((F.col("event_id") % 7) + 1).alias("wt"),
+        )
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    whole = Window.partitionBy("event_type")
+    c = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.sum("wt").over(run).alias("cw"),
+        F.sum("wt").over(whole).alias("tw"),
+    )
+    q = c.filter(2 * F.col("cw") >= F.col("tw"))
+    return q.groupBy("event_type").agg(
+        F.min(F.struct("value", "event_id")).getField("value")
+        .alias("weighted_median"),
+        F.max("tw").cast("bigint").alias("total_weight"),
+    )
