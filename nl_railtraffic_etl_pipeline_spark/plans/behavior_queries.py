@@ -1589,3 +1589,173 @@ def _weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_median"),
         F.max("tw").cast("bigint").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration per group — the inequality/imbalance diagnostic a
+# data-mixing pipeline runs per domain/source (is 1% of the corpus
+# carrying 90% of the tokens?).  Classic rank formula
+# G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)) over ascending-sorted
+# values; numerator and denominator are EXACT (decimal value image,
+# bigint ranks), so the only float op is one cast-and-divide at the end
+# — bit-identical cross-engine per the moments-family contract.  Plan:
+# ONE event_type-keyed shuffle carries the rank window and the final
+# aggregate (same key, ENSURE_REQUIREMENTS reuses the exchange).
+# ---------------------------------------------------------------------------
+@query(
+    "events_gini_concentration",
+    """
+WITH b AS (
+    SELECT event_type,
+           CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS dv, event_id
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+r AS (
+    SELECT event_type, dv,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY dv, event_id) AS i
+    FROM b
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(dv) AS DOUBLE), 6) AS total_value,
+       ROUND(CAST(2 * SUM(i * dv) - (COUNT(*) + 1) * SUM(dv) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(dv) AS DOUBLE), 9) AS gini
+FROM r GROUP BY event_type
+""",
+)
+def _gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.col("value").cast("string").cast("decimal(18,6)").alias("dv"),
+            "event_id",
+        )
+    )
+    r = ev.select(
+        "event_type",
+        "dv",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("dv", "event_id"))
+        .alias("i"),
+    )
+    agg = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("dv").alias("t"),
+        F.sum(F.col("i") * F.col("dv")).alias("it"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("t").cast("double"), 6).alias("total_value"),
+        F.round(
+            (2 * F.col("it") - (F.col("n") + 1) * F.col("t")).cast("double")
+            / (F.col("n") * F.col("t")).cast("double"),
+            9,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point per group — where did this metric's level shift?
+# The textbook statistic argmax_i |cumsum_i - i*mean| involves a float
+# mean; multiplying through by n makes it EXACT:
+# dev_i = |n*cumsum_i - i*total| (decimal x bigint), and the argmax over
+# exact decimals is unambiguous.  Plan: ONE event_type-keyed shuffle
+# carries the running-sum window, the rank window, both group totals,
+# and the final aggregate; the argmax is a lexicographic MAX(struct)
+# with -i breaking deviation ties toward the EARLIEST index — the
+# oracle replays the pick with a row_number window (deviation DESC,
+# i ASC), a different mechanism that must agree.
+# ---------------------------------------------------------------------------
+@query(
+    "events_changepoint_cusum",
+    """
+WITH b AS (
+    SELECT event_type,
+           CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS dv, ts, event_id
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+c AS (
+    SELECT event_type, event_id,
+           SUM(dv) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS i,
+           SUM(dv) OVER (PARTITION BY event_type) AS total,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM b
+),
+d AS (
+    SELECT event_type, i, event_id, n,
+           ABS(n * cum - i * total) AS dev
+    FROM c
+)
+SELECT event_type, i AS change_idx, event_id AS change_event_id,
+       ROUND(CAST(dev AS DOUBLE), 6) AS max_deviation, n
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY dev DESC, i) AS rn
+    FROM d
+) WHERE rn = 1
+""",
+)
+def _changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.col("value").cast("string").cast("decimal(18,6)").alias("dv"),
+            "ts",
+            "event_id",
+        )
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rank = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    whole = Window.partitionBy("event_type")
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.sum("dv").over(run).alias("cum"),
+        F.row_number().over(rank).alias("i"),
+        F.sum("dv").over(whole).alias("total"),
+        F.count("*").over(whole).alias("n"),
+    )
+    d = c.select(
+        "event_type",
+        "i",
+        "event_id",
+        "n",
+        F.abs(F.col("n") * F.col("cum") - F.col("i") * F.col("total"))
+        .alias("dev"),
+    )
+    best = d.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("dev"),
+                (-F.col("i")).alias("neg_i"),
+                F.col("event_id").alias("eid"),
+            )
+        ).alias("b"),
+        F.max("n").alias("n"),
+    )
+    return best.select(
+        "event_type",
+        (-F.col("b.neg_i")).alias("change_idx"),
+        F.col("b.eid").alias("change_event_id"),
+        F.round(F.col("b.dev").cast("double"), 6).alias("max_deviation"),
+        "n",
+    )
