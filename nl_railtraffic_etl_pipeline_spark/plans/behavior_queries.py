@@ -1759,3 +1759,84 @@ def _changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("b.dev").cast("double"), 6).alias("max_deviation"),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV matrix — the value-weighted twin of events_retention: per
+# (first-seen cohort week x weeks-since) cell, exact event-value sums
+# plus the cumulative LTV curve along each cohort row.  Spark derives
+# first-seen with a MIN window over ONE user-keyed shuffle (no join);
+# the oracle replays it as groupBy + join — different mechanisms that
+# must agree.  The cumulative window runs on the POST-AGGREGATION frame
+# (cohort x offset cells, metadata-scale), never the event stream; week
+# offsets are exact because both endpoints are week-truncated (datediff
+# is always a multiple of 7).
+# ---------------------------------------------------------------------------
+@query(
+    "events_cohort_ltv",
+    """
+WITH first AS (
+    SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+),
+flat AS (
+    SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+           CAST(datediff('day',
+                         CAST(date_trunc('week', f.first_ts) AS DATE),
+                         CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                AS INTEGER) AS week_offset,
+           CAST(CAST(e.value AS VARCHAR) AS DECIMAL(18,6)) AS dv
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    WHERE e.value IS NOT NULL
+),
+cell AS (
+    SELECT cohort_week, week_offset,
+           SUM(dv) AS wk, COUNT(*) AS n_events
+    FROM flat GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_events,
+       ROUND(CAST(wk AS DOUBLE), 6) AS week_value,
+       ROUND(CAST(SUM(wk) OVER (
+           PARTITION BY cohort_week ORDER BY week_offset
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS cumulative_value
+FROM cell
+""",
+)
+def _cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    flat = (
+        ev.withColumn(
+            "first_ts", F.min("ts").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("week", "first_ts").cast("date").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"),
+                    F.date_trunc("week", "first_ts").cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            F.col("value").cast("string").cast("decimal(18,6)").alias("dv"),
+        )
+    )
+    cell = flat.groupBy("cohort_week", "week_offset").agg(
+        F.sum("dv").alias("wk"), F.count("*").alias("n_events")
+    )
+    cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cell.select(
+        "cohort_week",
+        "week_offset",
+        "n_events",
+        F.round(F.col("wk").cast("double"), 6).alias("week_value"),
+        F.round(F.sum("wk").over(cum).cast("double"), 6)
+        .alias("cumulative_value"),
+    )
