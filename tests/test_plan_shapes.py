@@ -369,3 +369,31 @@ def test_ohlc_is_single_aggregate_no_window(spark):
     assert "Window" not in txt
     assert re.findall(r"(?:Sort|Hash)Aggregate", txt)
     assert "Exchange" in txt  # partial -> shuffle -> final, not a sort-all
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["events_weighted_median", "events_gini_concentration",
+     "events_changepoint_cusum"],
+)
+def test_sequential_stats_single_group_shuffle(spark, name):
+    """The weighted-median / Gini / CUSUM family must plan all of its
+    windows AND the final aggregate over ONE event_type-keyed exchange
+    (the loader's RoundRobin spread aside) — a second hash exchange means
+    the group aggregate stopped reusing the window partitioning."""
+    txt = plan_of(spark, name)
+    hash_ex = re.findall(r"hashpartitioning\(", txt)
+    assert len(hash_ex) == 1, f"{name}: {len(hash_ex)} hash exchanges"
+    assert "CartesianProduct" not in txt
+
+
+def test_cohort_ltv_shuffles_fact_once(spark):
+    """Cohort LTV: exactly one fact-sized shuffle (user_id for the
+    first-seen window); the cell aggregate and the cumulative window run
+    on partial-aggregated / metadata-scale frames.  No join — the Spark
+    side derives first-seen via MIN window, so any join in the plan
+    means the oracle's mechanism leaked in."""
+    txt = plan_of(spark, "events_cohort_ltv")
+    assert re.search(r"hashpartitioning\(user_id", txt)
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                         txt)
