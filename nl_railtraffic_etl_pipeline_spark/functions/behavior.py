@@ -655,3 +655,62 @@ def event_ngram_counts(
     return keep.groupBy(*names).agg(
         F.count("*").cast("bigint").alias("n_paths")
     )
+
+
+def cohort_value_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort LTV matrix — the value-weighted twin of
+    :func:`cohort_retention`: per (first-seen cohort week x weeks-since)
+    cell, exact event-value sums plus the cumulative LTV curve along
+    each cohort row.
+
+    First-seen is a MIN window over ONE user-keyed shuffle (no join);
+    week offsets are exact because both endpoints are week-truncated
+    (datediff is always a multiple of 7).  The cell aggregate partial-
+    aggregates map-side and the cumulative window runs on the
+    POST-AGGREGATION frame (cohort x offset cells, metadata-scale),
+    never the event stream — plan-asserted in test_plan_shapes.py.
+    Output: ``cohort_week``, ``week_offset``, ``n_events``,
+    ``week_value``, ``cumulative_value``.
+    """
+    flat = (
+        df.withColumn(
+            "_first_ts", F.min(ts_col).over(Window.partitionBy(user_col))
+        )
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            F.date_trunc("week", "_first_ts").cast("date")
+            .alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", ts_col).cast("date"),
+                    F.date_trunc("week", "_first_ts").cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            F.col(value_col).cast("string").cast("decimal(18,6)")
+            .alias("_dv"),
+        )
+    )
+    cell = flat.groupBy("cohort_week", "week_offset").agg(
+        F.sum("_dv").alias("_wk"), F.count("*").alias("n_events")
+    )
+    cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cell.select(
+        "cohort_week",
+        "week_offset",
+        "n_events",
+        F.round(F.col("_wk").cast("double"), 6).alias("week_value"),
+        F.round(F.sum("_wk").over(cum).cast("double"), 6)
+        .alias("cumulative_value"),
+    )

@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint"]
 
 
 def _dec(col: Column) -> Column:
@@ -383,4 +383,161 @@ def chisq_cells(
         "row_total",
         "col_total",
         F.round(dev * dev / den, 6).alias("chi2_contrib"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str = "value",
+    weight_col: str = "wt",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Exact weighted median per group — the importance-weighted quantile
+    a sampling/reweighting pipeline needs: the smallest ``(value,
+    tiebreak)`` row whose running weight reaches half the group total,
+    decided as ``2*cumsum >= total`` in exact integers (no division, no
+    float ranks).
+
+    Plan: ONE group-keyed shuffle carries both windows (running weight
+    sum + group total over the same sort); the qualifying-row pick is a
+    lexicographic MIN(struct) aggregate — no second sort, no self-join
+    (plan-asserted in test_plan_shapes.py).  Output: group columns,
+    ``weighted_median``, ``total_weight``.
+    """
+    from pyspark.sql import Window
+
+    run = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    whole = Window.partitionBy(*group_cols)
+    c = df.select(
+        *group_cols,
+        value_col,
+        tiebreak_col,
+        F.sum(weight_col).over(run).alias("cw"),
+        F.sum(weight_col).over(whole).alias("tw"),
+    )
+    q = c.filter(2 * F.col("cw") >= F.col("tw"))
+    return q.groupBy(*group_cols).agg(
+        F.min(F.struct(value_col, tiebreak_col)).getField(value_col)
+        .alias("weighted_median"),
+        F.max("tw").cast("bigint").alias("total_weight"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gini coefficient per group — the inequality/imbalance diagnostic a
+    data-mixing pipeline runs per domain/source (is 1% of the corpus
+    carrying 90% of the tokens?).  Classic rank formula
+    ``G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x))`` over
+    ascending-sorted non-negative values; numerator and denominator are
+    EXACT (decimal value image via :func:`_dec`, bigint ranks), so the
+    only float op is one cast-and-divide at the end — bit-identical
+    cross-engine per the module's moments contract.
+
+    Plan: ONE group-keyed shuffle carries the rank window and the final
+    aggregate (same key — ENSURE_REQUIREMENTS reuses the exchange;
+    plan-asserted).  Output: group columns, ``n``, ``total_value``,
+    ``gini`` (rounded to 9 digits).
+    """
+    from pyspark.sql import Window
+
+    r = df.select(
+        *group_cols,
+        _dec(F.col(value_col)).alias("_dv"),
+        F.row_number()
+        .over(
+            Window.partitionBy(*group_cols).orderBy(value_col, tiebreak_col)
+        )
+        .alias("_i"),
+    )
+    agg = r.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum("_dv").alias("_t"),
+        F.sum(F.col("_i") * F.col("_dv")).alias("_it"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(F.col("_t").cast("double"), 6).alias("total_value"),
+        F.round(
+            (2 * F.col("_it") - (F.col("n") + 1) * F.col("_t"))
+            .cast("double")
+            / (F.col("n") * F.col("_t")).cast("double"),
+            9,
+        ).alias("gini"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CUSUM change-point per group — where did this metric's level
+    shift?  The textbook statistic ``argmax_i |cumsum_i - i*mean|``
+    involves a float mean; multiplying through by n makes it EXACT:
+    ``dev_i = |n*cumsum_i - i*total|`` (decimal x bigint), and the
+    argmax over exact decimals is unambiguous.  The flagged row is the
+    LAST point of the pre-shift regime (deviation peaks just before the
+    level changes); ties in deviation break toward the EARLIEST index.
+
+    Plan: ONE group-keyed shuffle carries the running-sum window, the
+    rank window, both group totals, and the final aggregate; the argmax
+    is a lexicographic MAX(struct) with ``-i`` encoding the earliest-
+    index tiebreak (plan-asserted).  Output: group columns,
+    ``change_idx``, ``change_<id_col>``, ``max_deviation``, ``n``.
+    """
+    from pyspark.sql import Window
+
+    run = (
+        Window.partitionBy(*group_cols)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rank = Window.partitionBy(*group_cols).orderBy(ts_col, id_col)
+    whole = Window.partitionBy(*group_cols)
+    c = df.select(
+        *group_cols,
+        id_col,
+        F.sum(_dec(F.col(value_col))).over(run).alias("_cum"),
+        F.row_number().over(rank).alias("_i"),
+        F.sum(_dec(F.col(value_col))).over(whole).alias("_total"),
+        F.count("*").over(whole).alias("_n"),
+    )
+    d = c.select(
+        *group_cols,
+        "_i",
+        id_col,
+        "_n",
+        F.abs(
+            F.col("_n") * F.col("_cum") - F.col("_i") * F.col("_total")
+        ).alias("_dev"),
+    )
+    best = d.groupBy(*group_cols).agg(
+        F.max(
+            F.struct(
+                F.col("_dev"),
+                (-F.col("_i")).alias("neg_i"),
+                F.col(id_col).alias("cid"),
+            )
+        ).alias("_b"),
+        F.max("_n").alias("n"),
+    )
+    return best.select(
+        *group_cols,
+        (-F.col("_b.neg_i")).alias("change_idx"),
+        F.col("_b.cid").alias(f"change_{id_col}"),
+        F.round(F.col("_b._dev").cast("double"), 6).alias("max_deviation"),
+        "n",
     )

@@ -1558,8 +1558,6 @@ FROM (
 """,
 )
 def _weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = (
         load_table(spark, sf_dir, "events", spread=True)
         .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
@@ -1570,25 +1568,7 @@ def _weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("event_id") % 7) + 1).alias("wt"),
         )
     )
-    run = (
-        Window.partitionBy("event_type")
-        .orderBy("value", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    whole = Window.partitionBy("event_type")
-    c = ev.select(
-        "event_type",
-        "value",
-        "event_id",
-        F.sum("wt").over(run).alias("cw"),
-        F.sum("wt").over(whole).alias("tw"),
-    )
-    q = c.filter(2 * F.col("cw") >= F.col("tw"))
-    return q.groupBy("event_type").agg(
-        F.min(F.struct("value", "event_id")).getField("value")
-        .alias("weighted_median"),
-        F.max("tw").cast("bigint").alias("total_weight"),
-    )
+    return stats.weighted_median(ev, ["event_type"])
 
 
 # ---------------------------------------------------------------------------
@@ -1626,39 +1606,12 @@ FROM r GROUP BY event_type
 """,
 )
 def _gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = (
         load_table(spark, sf_dir, "events", spread=True)
         .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
-        .select(
-            "event_type",
-            F.col("value").cast("string").cast("decimal(18,6)").alias("dv"),
-            "event_id",
-        )
+        .select("event_type", "value", "event_id")
     )
-    r = ev.select(
-        "event_type",
-        "dv",
-        F.row_number()
-        .over(Window.partitionBy("event_type").orderBy("dv", "event_id"))
-        .alias("i"),
-    )
-    agg = r.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("dv").alias("t"),
-        F.sum(F.col("i") * F.col("dv")).alias("it"),
-    )
-    return agg.select(
-        "event_type",
-        "n",
-        F.round(F.col("t").cast("double"), 6).alias("total_value"),
-        F.round(
-            (2 * F.col("it") - (F.col("n") + 1) * F.col("t")).cast("double")
-            / (F.col("n") * F.col("t")).cast("double"),
-            9,
-        ).alias("gini"),
-    )
+    return stats.gini_concentration(ev, ["event_type"])
 
 
 # ---------------------------------------------------------------------------
@@ -1707,58 +1660,12 @@ FROM (
 """,
 )
 def _changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = (
         load_table(spark, sf_dir, "events", spread=True)
         .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
-        .select(
-            "event_type",
-            F.col("value").cast("string").cast("decimal(18,6)").alias("dv"),
-            "ts",
-            "event_id",
-        )
+        .select("event_type", "value", "ts", "event_id")
     )
-    run = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    rank = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    whole = Window.partitionBy("event_type")
-    c = ev.select(
-        "event_type",
-        "event_id",
-        F.sum("dv").over(run).alias("cum"),
-        F.row_number().over(rank).alias("i"),
-        F.sum("dv").over(whole).alias("total"),
-        F.count("*").over(whole).alias("n"),
-    )
-    d = c.select(
-        "event_type",
-        "i",
-        "event_id",
-        "n",
-        F.abs(F.col("n") * F.col("cum") - F.col("i") * F.col("total"))
-        .alias("dev"),
-    )
-    best = d.groupBy("event_type").agg(
-        F.max(
-            F.struct(
-                F.col("dev"),
-                (-F.col("i")).alias("neg_i"),
-                F.col("event_id").alias("eid"),
-            )
-        ).alias("b"),
-        F.max("n").alias("n"),
-    )
-    return best.select(
-        "event_type",
-        (-F.col("b.neg_i")).alias("change_idx"),
-        F.col("b.eid").alias("change_event_id"),
-        F.round(F.col("b.dev").cast("double"), 6).alias("max_deviation"),
-        "n",
-    )
+    return stats.cusum_changepoint(ev, ["event_type"])
 
 
 # ---------------------------------------------------------------------------
@@ -1802,41 +1709,8 @@ FROM cell
 """,
 )
 def _cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..functions.behavior import cohort_value_matrix
 
-    ev = load_table(spark, sf_dir, "events", spread=True)
-    flat = (
-        ev.withColumn(
-            "first_ts", F.min("ts").over(Window.partitionBy("user_id"))
-        )
-        .filter(F.col("value").isNotNull())
-        .select(
-            F.date_trunc("week", "first_ts").cast("date").alias("cohort_week"),
-            (
-                F.datediff(
-                    F.date_trunc("week", "ts").cast("date"),
-                    F.date_trunc("week", "first_ts").cast("date"),
-                )
-                / 7
-            )
-            .cast("int")
-            .alias("week_offset"),
-            F.col("value").cast("string").cast("decimal(18,6)").alias("dv"),
-        )
-    )
-    cell = flat.groupBy("cohort_week", "week_offset").agg(
-        F.sum("dv").alias("wk"), F.count("*").alias("n_events")
-    )
-    cum = (
-        Window.partitionBy("cohort_week")
-        .orderBy("week_offset")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return cell.select(
-        "cohort_week",
-        "week_offset",
-        "n_events",
-        F.round(F.col("wk").cast("double"), 6).alias("week_value"),
-        F.round(F.sum("wk").over(cum).cast("double"), 6)
-        .alias("cumulative_value"),
+    return cohort_value_matrix(
+        load_table(spark, sf_dir, "events", spread=True)
     )

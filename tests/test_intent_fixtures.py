@@ -716,3 +716,109 @@ def test_event_ngram_counts_intent(spark):
         ).collect()
     }
     assert out == {("A", "B", "C"): 2, ("B", "C", "D"): 1}
+
+
+def test_weighted_median_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        weighted_median,
+    )
+
+    # values 1,2,3 with weights 1,1,10: total 12, half 6 — running
+    # weights 1,2,12, so the first row with 2*cw >= 12 is value 3 (the
+    # heavy tail pulls the median up; an unweighted median would say 2).
+    # Second group: equal weights over 10,20 — running 1,2 against
+    # total 2; 2*1 >= 2 already at the FIRST row, so the lower-median
+    # convention picks 10.
+    rows = [
+        Row(g="a", value=1.0, wt=1, event_id=0),
+        Row(g="a", value=2.0, wt=1, event_id=1),
+        Row(g="a", value=3.0, wt=10, event_id=2),
+        Row(g="b", value=10.0, wt=5, event_id=3),
+        Row(g="b", value=20.0, wt=5, event_id=4),
+    ]
+    out = {
+        r.g: (r.weighted_median, r.total_weight)
+        for r in weighted_median(
+            spark.createDataFrame(rows), ["g"]
+        ).collect()
+    }
+    assert out == {"a": (3.0, 12), "b": (10.0, 10)}
+
+
+def test_gini_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        gini_concentration,
+    )
+
+    # Perfect equality (4 equal values) -> G = 0.  Maximal two-point
+    # inequality (0, 10): sorted ranks give 2*sum(i*x) = 2*(0 + 2*10)
+    # = 40, (n+1)*T = 30, n*T = 20 -> G = 10/20 = 0.5 (the two-sample
+    # maximum).  Hand-derived from the rank formula, not from either
+    # engine.
+    rows = [
+        Row(g="eq", value=5.0, event_id=0),
+        Row(g="eq", value=5.0, event_id=1),
+        Row(g="eq", value=5.0, event_id=2),
+        Row(g="eq", value=5.0, event_id=3),
+        Row(g="2pt", value=0.0, event_id=4),
+        Row(g="2pt", value=10.0, event_id=5),
+    ]
+    out = {
+        r.g: (r.n, r.total_value, r.gini)
+        for r in gini_concentration(
+            spark.createDataFrame(rows), ["g"]
+        ).collect()
+    }
+    assert out == {"eq": (4, 20.0, 0.0), "2pt": (2, 10.0, 0.5)}
+
+
+def test_cusum_changepoint_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        cusum_changepoint,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # Level shift 0,0,0 -> 10,10,10: n=6, T=30; dev_i = |6*cum - 30*i|
+    # = 30, 60, 90, 60, 30, 0 — the peak sits at i=3, the LAST point of
+    # the pre-shift regime, as the docstring promises.  dev = 90 =
+    # |6*0 - 3*30|.
+    rows = [
+        Row(g="a", ts=t0 + dt.timedelta(minutes=i), event_id=i, value=v)
+        for i, v in enumerate([0.0, 0.0, 0.0, 10.0, 10.0, 10.0])
+    ]
+    out = cusum_changepoint(spark.createDataFrame(rows), ["g"]).collect()[0]
+    assert (out.change_idx, out.change_event_id, out.max_deviation, out.n) \
+        == (3, 2, 90.0, 6)
+
+
+def test_cohort_value_matrix_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        cohort_value_matrix,
+    )
+
+    # User 1 first seen Mon Jan 1 2024 (week 2024-01-01), spends 1.0
+    # that week and 2.0 + 3.0 two weeks later; user 2 first seen the
+    # SAME week, spends 10.0 in week 0 only.  Expected cells for the
+    # one cohort: offset 0 -> (2 events, 11.0, cum 11.0),
+    # offset 2 -> (2 events, 5.0, cum 16.0); offset 1 has no row (no
+    # gap filling here — gapfill is its own operator).
+    wk0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        Row(user_id=1, ts=wk0, value=1.0),
+        Row(user_id=1, ts=wk0 + dt.timedelta(days=14), value=2.0),
+        Row(user_id=1, ts=wk0 + dt.timedelta(days=15), value=3.0),
+        Row(user_id=2, ts=wk0 + dt.timedelta(hours=1), value=10.0),
+    ]
+    out = {
+        r.week_offset: (r.n_events, r.week_value, r.cumulative_value)
+        for r in cohort_value_matrix(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {0: (2, 11.0, 11.0), 2: (2, 5.0, 16.0)}
+    assert all(
+        r.cohort_week == dt.date(2024, 1, 1)
+        for r in cohort_value_matrix(spark.createDataFrame(rows)).collect()
+    )
