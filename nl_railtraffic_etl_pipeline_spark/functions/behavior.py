@@ -714,3 +714,65 @@ def cohort_value_matrix(
         F.round(F.sum("_wk").over(cum).cast("double"), 6)
         .alias("cumulative_value"),
     )
+
+
+def type_cooccurrence_lift(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket affinity between event types: for every unordered
+    type pair, how many users did BOTH, and the lift
+    ``P(a and b) / (P(a) * P(b))`` = ``n_both * n_users / (n_a * n_b)``
+    — the association-rule statistic behind "users who X also Y".
+    Lift > 1 means the pair co-occurs more than independence predicts.
+
+    Numerators and denominators are exact integer products; the only
+    float op is one cast-and-divide (rounded to 9 digits).  Plan: ONE
+    user-keyed shuffle builds the distinct (user, type) frame and the
+    self-join pairs over the SAME partitioning (no second fact
+    exchange); the per-type counts and the 1-row user total are
+    metadata-scale broadcast joins.  Pair keys are canonicalized
+    ``t1 < t2`` so each pair appears once.  Output: ``t1``, ``t2``,
+    ``n_both``, ``lift``.
+    """
+    u = (
+        df.filter(F.col(type_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), F.col(type_col).alias("_t"))
+        .distinct()
+    )
+    pairs = (
+        u.alias("a")
+        .join(
+            u.alias("b"),
+            (F.col("a._u") == F.col("b._u"))
+            & (F.col("a._t") < F.col("b._t")),
+        )
+        .groupBy(
+            F.col("a._t").alias("t1"), F.col("b._t").alias("t2")
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    tc = u.groupBy(F.col("_t")).agg(F.count("*").alias("n_t"))
+    tot = u.select("_u").distinct().agg(F.count("*").alias("n_users"))
+    return (
+        pairs.join(
+            F.broadcast(tc.select(F.col("_t").alias("t1"),
+                                  F.col("n_t").alias("n1"))), "t1"
+        )
+        .join(
+            F.broadcast(tc.select(F.col("_t").alias("t2"),
+                                  F.col("n_t").alias("n2"))), "t2"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("n_users")).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                9,
+            ).alias("lift"),
+        )
+    )

@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr"]
 
 
 def _dec(col: Column) -> Column:
@@ -540,4 +540,57 @@ def cusum_changepoint(
         F.col("_b.cid").alias(f"change_{id_col}"),
         F.round(F.col("_b._dev").cast("double"), 6).alias("max_deviation"),
         "n",
+    )
+
+
+def spearman_rank_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_order: Sequence[str] = ("ts", "event_id"),
+    y_order: Sequence[str] = ("value", "event_id"),
+) -> DataFrame:
+    """Spearman rank correlation per group between two total orders —
+    the monotonic-trend strength test (is value drifting with time?)
+    that Pearson-on-raw-values misses for nonlinear drifts.
+
+    Both orders carry an id tiebreak, so ranks are exact PERMUTATIONS of
+    1..n and the d-squared shortcut applies: ``rho = 1 - 6*sum(d^2) /
+    (n*(n^2-1))`` — every term an exact integer (DECIMAL against
+    overflow at corpus-scale n) until ONE float division, per the
+    module's exactness contract.  Groups of size 1 return NULL (the
+    statistic is undefined).
+
+    Plan: ONE group-keyed shuffle carries both rank windows (different
+    sort keys, same partitioning — a sort per window, no second
+    exchange) and the final aggregate.  Output: group columns, ``n``,
+    ``sum_d2``, ``rho`` (rounded to 9 digits).
+    """
+    from pyspark.sql import Window
+
+    gw = Window.partitionBy(*group_cols)
+    r = df.select(
+        *group_cols,
+        F.row_number().over(gw.orderBy(*x_order)).alias("_i"),
+        F.row_number().over(gw.orderBy(*y_order)).alias("_j"),
+    )
+    d2 = (F.col("_i") - F.col("_j")) * (F.col("_i") - F.col("_j"))
+    agg = r.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(d2).cast("decimal(38,0)").alias("sum_d2"),
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    denom = nn * (nn * nn - 1)
+    return agg.select(
+        *group_cols,
+        "n",
+        F.col("sum_d2").cast("bigint").alias("sum_d2"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                F.lit(1.0)
+                - (6 * F.col("sum_d2")).cast("double")
+                / denom.cast("double"),
+                9,
+            ),
+        ).alias("rho"),
     )

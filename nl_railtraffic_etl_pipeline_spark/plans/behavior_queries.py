@@ -1714,3 +1714,84 @@ def _cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_value_matrix(
         load_table(spark, sf_dir, "events", spread=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (time order vs value order) per event_type —
+# the monotonic-trend strength test.  Both sides carry the event_id
+# tiebreak so ranks are exact permutations and the d-squared shortcut
+# rho = 1 - 6*sum(d^2)/(n*(n^2-1)) is exact integers until ONE float
+# division.  See functions/stats.py::spearman_rank_corr.
+# ---------------------------------------------------------------------------
+@query(
+    "events_spearman_trend",
+    """
+WITH b AS (
+    SELECT event_type, value, ts, event_id FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+r AS (
+    SELECT event_type,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS i,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS j
+    FROM b
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM((i - j) * (i - j)) AS BIGINT) AS sum_d2,
+       CASE WHEN COUNT(*) > 1 THEN
+           ROUND(1.0 - CAST(6 * SUM((i - j) * (i - j)) AS DOUBLE)
+                 / CAST(CAST(COUNT(*) AS DECIMAL(38,0))
+                        * (CAST(COUNT(*) AS DECIMAL(38,0))
+                           * COUNT(*) - 1) AS DOUBLE), 9)
+       END AS rho
+FROM r GROUP BY event_type
+""",
+)
+def _spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "value", "ts", "event_id")
+    )
+    return stats.spearman_rank_corr(ev, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence lift — market-basket affinity over the
+# distinct (user, type) frame; exact integer counts, one division.
+# See functions/behavior.py::type_cooccurrence_lift.  The oracle
+# replays the pair join as a correlated COUNT over grouped type sets —
+# a different mechanism that must agree.
+# ---------------------------------------------------------------------------
+@query(
+    "events_cooccurrence_lift",
+    """
+WITH u AS (
+    SELECT DISTINCT user_id, event_type FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+tc AS (SELECT event_type, COUNT(*) AS n_t FROM u GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM u),
+pairs AS (
+    SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_both
+    FROM u a JOIN u b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, p.n_both,
+       ROUND(CAST(p.n_both * t.n_users AS DOUBLE)
+             / CAST(c1.n_t * c2.n_t AS DOUBLE), 9) AS lift
+FROM pairs p
+JOIN tc c1 ON c1.event_type = p.t1
+JOIN tc c2 ON c2.event_type = p.t2
+CROSS JOIN tot t
+""",
+)
+def _cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import type_cooccurrence_lift
+
+    return type_cooccurrence_lift(
+        load_table(spark, sf_dir, "events", spread=True)
+    )

@@ -822,3 +822,62 @@ def test_cohort_value_matrix_intent(spark):
         r.cohort_week == dt.date(2024, 1, 1)
         for r in cohort_value_matrix(spark.createDataFrame(rows)).collect()
     )
+
+
+def test_spearman_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        spearman_rank_corr,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    # "up": values strictly increase with time -> rho = +1; "down":
+    # strictly decrease -> rho = -1; "mid": values 1,3,2 -> time ranks
+    # (1,2,3) vs value ranks (1,3,2), d^2 = 0+1+1 = 2,
+    # rho = 1 - 12/(3*8) = 0.5.  All hand-derived from the d-squared
+    # formula, not from either engine.
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append(Row(g="up", ts=t(i), event_id=i, value=v))
+    for i, v in enumerate([3.0, 2.0, 1.0]):
+        rows.append(Row(g="down", ts=t(i), event_id=10 + i, value=v))
+    for i, v in enumerate([1.0, 3.0, 2.0]):
+        rows.append(Row(g="mid", ts=t(i), event_id=20 + i, value=v))
+    rows.append(Row(g="solo", ts=t(0), event_id=30, value=7.0))
+    out = {
+        r.g: (r.n, r.sum_d2, r.rho)
+        for r in spearman_rank_corr(
+            spark.createDataFrame(rows), ["g"]
+        ).collect()
+    }
+    assert out == {
+        "up": (3, 0, 1.0),
+        "down": (3, 8, -1.0),
+        "mid": (3, 2, 0.5),
+        "solo": (1, 0, None),
+    }
+
+
+def test_cooccurrence_lift_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        type_cooccurrence_lift,
+    )
+
+    # Users: 1 -> {A, B}, 2 -> {A, B}, 3 -> {A}, 4 -> {B}.  n_users = 4,
+    # n_A = 3, n_B = 3, n_AB = 2 -> lift = 2*4/(3*3) = 8/9.  Duplicate
+    # events must NOT inflate counts (user 1 does A twice).
+    rows = [
+        Row(user_id=1, event_type="A"),
+        Row(user_id=1, event_type="A"),
+        Row(user_id=1, event_type="B"),
+        Row(user_id=2, event_type="A"),
+        Row(user_id=2, event_type="B"),
+        Row(user_id=3, event_type="A"),
+        Row(user_id=4, event_type="B"),
+    ]
+    out = type_cooccurrence_lift(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.t1, r.t2, r.n_both) == ("A", "B", 2)
+    assert r.lift == round(8 / 9, 9)

@@ -374,7 +374,7 @@ def test_ohlc_is_single_aggregate_no_window(spark):
 @pytest.mark.parametrize(
     "name",
     ["events_weighted_median", "events_gini_concentration",
-     "events_changepoint_cusum"],
+     "events_changepoint_cusum", "events_spearman_trend"],
 )
 def test_sequential_stats_single_group_shuffle(spark, name):
     """The weighted-median / Gini / CUSUM family must plan all of its
@@ -397,3 +397,19 @@ def test_cohort_ltv_shuffles_fact_once(spark):
     assert re.search(r"hashpartitioning\(user_id", txt)
     assert not re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
                          txt)
+
+
+def test_cooccurrence_pair_join_is_equi(spark):
+    """The co-occurrence self-join must hash/merge on the user equi-key
+    (the t1 < t2 canonicalization is a post-join filter, not a join
+    strategy): no nested-loop pair scan; the per-type counts and user
+    total ride broadcasts."""
+    txt = plan_of(spark, "events_cooccurrence_lift")
+    assert "CartesianProduct" not in txt
+    # three equi joins: the user-keyed pair self-join (broadcast at test
+    # scale, SMJ at real scale) + the two per-type count joins; each node
+    # appears twice in formatted output (tree + details)
+    assert len(re.findall(
+        r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt)) >= 6
+    # the ONLY nested-loop is the documented 1-row n_users crossJoin
+    assert txt.count("BroadcastNestedLoopJoin") <= 2
