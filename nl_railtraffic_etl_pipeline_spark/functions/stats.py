@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t"]
 
 
 def _dec(col: Column) -> Column:
@@ -594,3 +594,107 @@ def spearman_rank_corr(
             ),
         ).alias("rho"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    side_col: str,
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test statistic per group between the two
+    sides of ``side_col`` (0/1) — the nonparametric A/B comparison: did
+    treatment shift the metric's distribution?
+
+    Ranks are assigned over the COMBINED sample with the id tiebreak, so
+    they are exact permutations of 1..n (the textbook midrank-for-ties
+    variant is documented out of scope — the deterministic variant is
+    what both engines can agree on bit for bit).  ``U1 = R1 -
+    n1(n1+1)/2`` is exact integers; ``auc = U1/(n1*n2)`` — the
+    probability a random side-0 value exceeds a random side-1 value,
+    the effect size — is ONE float division (rounded to 9 digits).
+    NULL auc when either side is empty.
+
+    Plan: ONE group-keyed shuffle carries the combined rank window and
+    the conditional aggregates.  Output: group columns, ``n1``, ``n2``,
+    ``u1``, ``auc``.
+    """
+    from pyspark.sql import Window
+
+    r = df.select(
+        *group_cols,
+        F.col(side_col).alias("_side"),
+        F.row_number()
+        .over(
+            Window.partitionBy(*group_cols).orderBy(value_col, tiebreak_col)
+        )
+        .alias("_rk"),
+    )
+    is0 = F.col("_side") == 0
+    agg = r.groupBy(*group_cols).agg(
+        F.count_if(is0).alias("n1"),
+        F.count_if(~is0).alias("n2"),
+        F.sum(F.when(is0, F.col("_rk")).otherwise(F.lit(0))).alias("_r1"),
+    )
+    u1 = F.col("_r1") - (F.col("n1") * (F.col("n1") + 1)) / 2
+    return agg.select(
+        *group_cols,
+        "n1",
+        "n2",
+        u1.cast("bigint").alias("u1"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.round(
+                u1.cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                9,
+            ),
+        ).alias("auc"),
+    )
+
+
+def welch_t(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    side_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Welch's unequal-variance t statistic per group between the two
+    sides of ``side_col`` (0/1) — the parametric companion to
+    :func:`mann_whitney_u`: how many standard errors apart are the two
+    side means?
+
+    Per the module contract every SUM is exact (decimal quantization);
+    the statistic is then ONE fixed, parenthesized IEEE chain over the
+    six exact aggregates — identical op tree in the oracle SQL, so the
+    doubles agree bit for bit:
+    ``t = (s1/n1 - s2/n2) / sqrt(v1/n1 + v2/n2)`` with
+    ``v_i = (ss_i - s_i*s_i/n_i) / (n_i - 1)``.  NULL when either side
+    has fewer than 2 rows or both variances vanish.
+
+    Plan: ONE group-keyed partial aggregate — no windows, no joins.
+    Output: group columns, ``n1``, ``n2``, ``t_stat`` (rounded to 9
+    digits).
+    """
+    v = _dec(F.col(value_col))
+    is0 = F.col(side_col) == 0
+    z = F.lit(0).cast("decimal(18,6)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count_if(is0).alias("n1"),
+        F.count_if(~is0).alias("n2"),
+        F.sum(F.when(is0, v).otherwise(z)).cast("double").alias("_s1"),
+        F.sum(F.when(~is0, v).otherwise(z)).cast("double").alias("_s2"),
+        F.sum(F.when(is0, v * v).otherwise(z)).cast("double").alias("_ss1"),
+        F.sum(F.when(~is0, v * v).otherwise(z)).cast("double").alias("_ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2 = F.col("_s1"), F.col("_s2")
+    v1 = (F.col("_ss1") - s1 * s1 / n1) / (n1 - 1)
+    v2 = (F.col("_ss2") - s2 * s2 / n2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = F.when(
+        (n1 > 1) & (n2 > 1) & (se2 > 0),
+        F.round((s1 / n1 - s2 / n2) / F.sqrt(se2), 9),
+    )
+    return agg.select(*group_cols, "n1", "n2", t.alias("t_stat"))

@@ -1795,3 +1795,114 @@ def _cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return type_cooccurrence_lift(
         load_table(spark, sf_dir, "events", spread=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B test family: the even/odd-user split plays treatment vs control
+# per event_type.  Mann-Whitney U over combined id-tiebroken ranks —
+# exact integers until the one AUC division; see
+# functions/stats.py::mann_whitney_u.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_mann_whitney",
+    """
+WITH b AS (
+    SELECT event_type, user_id % 2 AS side, value, event_id FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+      AND user_id IS NOT NULL
+),
+r AS (
+    SELECT event_type, side,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rk
+    FROM b
+),
+a AS (
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE side = 0) AS n1,
+           COUNT(*) FILTER (WHERE side = 1) AS n2,
+           SUM(CASE WHEN side = 0 THEN rk ELSE 0 END) AS r1
+    FROM r GROUP BY event_type
+)
+SELECT event_type, n1, n2,
+       CAST(r1 - (n1 * (n1 + 1)) / 2 AS BIGINT) AS u1,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN
+           ROUND(CAST(r1 - (n1 * (n1 + 1)) / 2 AS DOUBLE)
+                 / CAST(n1 * n2 AS DOUBLE), 9)
+       END AS auc
+FROM a
+""",
+)
+def _mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "event_type",
+            (F.col("user_id") % 2).alias("side"),
+            "value",
+            "event_id",
+        )
+    )
+    return stats.mann_whitney_u(ev, ["event_type"], "side")
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t over the same split — the parametric
+# companion; exact decimal sums, one fixed IEEE chain mirrored
+# token-for-token in this oracle.  See functions/stats.py::welch_t.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_welch_t",
+    """
+WITH b AS (
+    SELECT event_type, user_id % 2 AS side,
+           CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS dv
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+      AND user_id IS NOT NULL
+),
+a AS (
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE side = 0) AS n1,
+           COUNT(*) FILTER (WHERE side = 1) AS n2,
+           CAST(SUM(CASE WHEN side = 0 THEN dv
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS s1,
+           CAST(SUM(CASE WHEN side = 1 THEN dv
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS s2,
+           CAST(SUM(CASE WHEN side = 0 THEN dv * dv
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS ss1,
+           CAST(SUM(CASE WHEN side = 1 THEN dv * dv
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS ss2
+    FROM b GROUP BY event_type
+)
+SELECT event_type, n1, n2,
+       CASE WHEN n1 > 1 AND n2 > 1
+                 AND ((ss1 - s1 * s1 / n1) / (n1 - 1) / n1
+                      + (ss2 - s2 * s2 / n2) / (n2 - 1) / n2) > 0
+            THEN ROUND((s1 / n1 - s2 / n2)
+                       / sqrt((ss1 - s1 * s1 / n1) / (n1 - 1) / n1
+                              + (ss2 - s2 * s2 / n2) / (n2 - 1) / n2), 9)
+       END AS t_stat
+FROM a
+""",
+)
+def _welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "event_type",
+            (F.col("user_id") % 2).alias("side"),
+            "value",
+        )
+    )
+    return stats.welch_t(ev, ["event_type"], "side")

@@ -881,3 +881,58 @@ def test_cooccurrence_lift_intent(spark):
     r = out[0]
     assert (r.t1, r.t2, r.n_both) == ("A", "B", 2)
     assert r.lift == round(8 / 9, 9)
+
+
+def test_mann_whitney_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        mann_whitney_u,
+    )
+
+    # "sep": side 0 = {1,2} strictly below side 1 = {3,4}: combined
+    # ranks 1,2,3,4, R1 = 3, U1 = 3 - 2*3/2 = 0, AUC = 0 (a random
+    # side-0 value NEVER exceeds side 1).  "mix": side 0 = {10,30},
+    # side 1 = {20,40} interleave: R1 = 1+3 = 4, U1 = 1, AUC = 0.25.
+    rows = [
+        Row(g="sep", side=0, value=1.0, event_id=0),
+        Row(g="sep", side=0, value=2.0, event_id=1),
+        Row(g="sep", side=1, value=3.0, event_id=2),
+        Row(g="sep", side=1, value=4.0, event_id=3),
+        Row(g="mix", side=0, value=10.0, event_id=4),
+        Row(g="mix", side=1, value=20.0, event_id=5),
+        Row(g="mix", side=0, value=30.0, event_id=6),
+        Row(g="mix", side=1, value=40.0, event_id=7),
+    ]
+    out = {
+        r.g: (r.n1, r.n2, r.u1, r.auc)
+        for r in mann_whitney_u(
+            spark.createDataFrame(rows), ["g"], "side"
+        ).collect()
+    }
+    assert out == {"sep": (2, 2, 0, 0.0), "mix": (2, 2, 1, 0.25)}
+
+
+def test_welch_t_intent(spark):
+    import math
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import welch_t
+
+    # side 0 = {1,2,3}: mean 2, sample var 1; side 1 = {4,6,8}: mean 6,
+    # sample var 4.  t = (2-6)/sqrt(1/3 + 4/3) — derived from the
+    # definition with Python floats (independent of both engines).
+    rows = [
+        Row(g="a", side=0, value=1.0),
+        Row(g="a", side=0, value=2.0),
+        Row(g="a", side=0, value=3.0),
+        Row(g="a", side=1, value=4.0),
+        Row(g="a", side=1, value=6.0),
+        Row(g="a", side=1, value=8.0),
+        # degenerate: one row per side -> NULL
+        Row(g="tiny", side=0, value=1.0),
+        Row(g="tiny", side=1, value=2.0),
+    ]
+    out = {
+        r.g: (r.n1, r.n2, r.t_stat)
+        for r in welch_t(spark.createDataFrame(rows), ["g"], "side").collect()
+    }
+    expected_t = round((2.0 - 6.0) / math.sqrt(1 / 3 + 4 / 3), 9)
+    assert out == {"a": (3, 3, expected_t), "tiny": (1, 1, None)}

@@ -413,3 +413,14 @@ def test_cooccurrence_pair_join_is_equi(spark):
         r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt)) >= 6
     # the ONLY nested-loop is the documented 1-row n_users crossJoin
     assert txt.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_ab_test_family_shapes(spark):
+    """Mann-Whitney: one event_type exchange carrying the combined rank
+    window + conditional aggregate.  Welch t: a pure partial aggregate —
+    no Window at all, one hash exchange."""
+    mw = plan_of(spark, "stats_mann_whitney")
+    assert len(re.findall(r"hashpartitioning\(", mw)) == 1
+    wt = plan_of(spark, "stats_welch_t")
+    assert "Window" not in wt
+    assert len(re.findall(r"hashpartitioning\(", wt)) == 1
