@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize"]
 
 
 def _dec(col: Column) -> Column:
@@ -698,3 +698,107 @@ def welch_t(
         F.round((s1 / n1 - s2 / n2) / F.sqrt(se2), 9),
     )
     return agg.select(*group_cols, "n1", "n2", t.alias("t_stat"))
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    side_col: str,
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per group between the two
+    sides of ``side_col`` (0/1) — the distribution-shape member of the
+    A/B family (:func:`mann_whitney_u` tests location, :func:`welch_t`
+    means, KS the whole CDF): ``D = max_x |F1(x) - F2(x)|``.
+
+    Over the combined (value, id)-sorted stream the empirical CDF gap at
+    each step is ``|c1*n2 - c2*n1| / (n1*n2)`` with c1/c2 the running
+    side counts — cross-multiplied, the max is over EXACT integers and
+    the single closing division is the only float op (rounded to 9
+    digits).  NULL when either side is empty.
+
+    Plan: ONE group-keyed shuffle carries the running-count window, the
+    group totals, and the max aggregate.  Output: group columns, ``n1``,
+    ``n2``, ``d_scaled`` (the exact integer max of ``|c1*n2 - c2*n1|``),
+    ``ks`` .
+    """
+    from pyspark.sql import Window
+
+    run = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    whole = Window.partitionBy(*group_cols)
+    is0 = F.col(side_col) == 0
+    one0 = F.when(is0, F.lit(1)).otherwise(F.lit(0))
+    one1 = F.when(is0, F.lit(0)).otherwise(F.lit(1))
+    c = df.select(
+        *group_cols,
+        F.sum(one0).over(run).alias("_c1"),
+        F.sum(one1).over(run).alias("_c2"),
+        F.sum(one0).over(whole).alias("_n1"),
+        F.sum(one1).over(whole).alias("_n2"),
+    )
+    dev = F.abs(F.col("_c1") * F.col("_n2") - F.col("_c2") * F.col("_n1"))
+    agg = c.groupBy(*group_cols).agg(
+        F.max("_n1").alias("n1"),
+        F.max("_n2").alias("n2"),
+        F.max(dev).alias("d_scaled"),
+    )
+    return agg.select(
+        *group_cols,
+        "n1",
+        "n2",
+        "d_scaled",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.round(
+                F.col("d_scaled").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                9,
+            ),
+        ).alias("ks"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: Sequence[str] = (),
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+) -> DataFrame:
+    """Winsorization: CLIP values at the exact per-group quantile edges
+    instead of dropping them (the outlier treatment that keeps row
+    counts stable for downstream joins — the clip twin of the
+    Tukey-fence trim in corpus_quality_trim).
+
+    Edges are the exact sort-based ``percentile`` quantiles rounded to 6
+    decimals (the repo's X20 cross-engine contract with DuckDB's
+    quantile_cont); values outside [lo, hi] are replaced by the edge and
+    flagged.  Plan: the edge aggregation is one partial-aggregated group
+    pass whose result broadcast-joins back (1-row cross join when
+    ungrouped); the clip itself is map-side.  Appends ``w_value``
+    (clipped, 6-dec rounded), ``clipped_low``, ``clipped_high``.
+    """
+    keys = list(group_cols)
+    edge_aggs = [
+        F.round(F.percentile(F.col(value_col), lower_q), 6).alias("_lo"),
+        F.round(F.percentile(F.col(value_col), upper_q), 6).alias("_hi"),
+    ]
+    if keys:
+        edges = df.groupBy(*keys).agg(*edge_aggs)
+        joined = df.join(F.broadcast(edges), keys)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(*edge_aggs)))
+    v = F.col(value_col)
+    return joined.select(
+        *df.columns,
+        F.round(
+            F.least(F.greatest(v, F.col("_lo")), F.col("_hi")), 6
+        ).alias("w_value"),
+        (v < F.col("_lo")).alias("clipped_low"),
+        (v > F.col("_hi")).alias("clipped_high"),
+    )

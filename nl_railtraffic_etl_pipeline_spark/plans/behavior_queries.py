@@ -1906,3 +1906,153 @@ def _welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.welch_t(ev, ["event_type"], "side")
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS statistic over the same even/odd-user split — completes
+# the A/B trio (location: Mann-Whitney; means: Welch; full CDF shape:
+# KS).  Cross-multiplied integer CDF gaps, one closing division.  See
+# functions/stats.py::ks_statistic.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_ks_two_sample",
+    """
+WITH b AS (
+    SELECT event_type, user_id % 2 AS side, value, event_id FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+      AND user_id IS NOT NULL
+),
+c AS (
+    SELECT event_type,
+           SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+               ROWS UNBOUNDED PRECEDING) AS c1,
+           SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+               ROWS UNBOUNDED PRECEDING) AS c2,
+           SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY event_type) AS n1,
+           SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY event_type) AS n2
+    FROM b
+)
+SELECT event_type,
+       CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS d_scaled,
+       CASE WHEN MAX(n1) > 0 AND MAX(n2) > 0 THEN
+           ROUND(CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+                 / CAST(MAX(n1) * MAX(n2) AS DOUBLE), 9)
+       END AS ks
+FROM c GROUP BY event_type
+""",
+)
+def _ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "event_type",
+            (F.col("user_id") % 2).alias("side"),
+            "value",
+            "event_id",
+        )
+    )
+    return stats.ks_statistic(ev, ["event_type"], "side")
+
+
+# ---------------------------------------------------------------------------
+# Winsorization summary per event_type: exact p05/p95 edges (X20
+# percentile contract), map-side clip, exact decimal sum of the
+# winsorized values + clip counts.  See functions/stats.py::winsorize.
+# ---------------------------------------------------------------------------
+@query(
+    "events_winsorize",
+    """
+WITH e AS (
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.05), 6) AS lo,
+           ROUND(quantile_cont(value, 0.95), 6) AS hi
+    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type
+),
+w AS (
+    SELECT v.event_type,
+           ROUND(LEAST(GREATEST(v.value, e.lo), e.hi), 6) AS wv,
+           v.value < e.lo AS is_lo, v.value > e.hi AS is_hi
+    FROM events v JOIN e ON v.event_type = e.event_type
+    WHERE v.value IS NOT NULL
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN is_lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_low,
+       CAST(SUM(CASE WHEN is_hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_high,
+       ROUND(CAST(SUM(CAST(CAST(wv AS VARCHAR) AS DECIMAL(18,6)))
+                  AS DOUBLE), 6) AS winsorized_sum
+FROM w GROUP BY event_type
+""",
+)
+def _winsorize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    w = stats.winsorize(ev, "value", ["event_type"])
+    return w.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("clipped_low")).alias("n_clipped_low"),
+        F.count_if(F.col("clipped_high")).alias("n_clipped_high"),
+        F.round(
+            F.sum(F.col("w_value").cast("string").cast("decimal(18,6)"))
+            .cast("double"),
+            6,
+        ).alias("winsorized_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modal hour per event_type — the argmax-over-counts classic (peak
+# activity hour).  Spark picks via lexicographic MAX(struct(n, -hour))
+# (ties toward the EARLIEST hour); the oracle replays with a
+# row_number window over (n DESC, hour) — different mechanisms that
+# must agree.  Two metadata-scale aggregates after one (type, hour)
+# partial-agg shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "events_modal_hour",
+    """
+WITH h AS (
+    SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT event_type, CAST(hr AS BIGINT) AS modal_hour, n AS n_events
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY n DESC, hr) AS rn
+    FROM h
+) WHERE rn = 1
+""",
+)
+def _modal_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    h = ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    best = h.groupBy("event_type").agg(
+        F.max(
+            F.struct(F.col("n"), (-F.col("hr")).alias("neg_hr"))
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        (-F.col("b.neg_hr")).cast("bigint").alias("modal_hour"),
+        F.col("b.n").alias("n_events"),
+    )

@@ -936,3 +936,51 @@ def test_welch_t_intent(spark):
     }
     expected_t = round((2.0 - 6.0) / math.sqrt(1 / 3 + 4 / 3), 9)
     assert out == {"a": (3, 3, expected_t), "tiny": (1, 1, None)}
+
+
+def test_ks_statistic_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        ks_statistic,
+    )
+
+    # "sep": side 0 = {1,2} fully below side 1 = {3,4} -> after rank 2
+    # the CDF gap is F1=1, F2=0 -> D = 1 (d_scaled = 2*2 = 4).
+    # "same": identical samples interleaved {1,2} vs {1,2} (ids split
+    # the ties deterministically): gaps peak at |1*2 - 0*2| = 2 right
+    # after the first side-0 row -> D = 0.5.
+    rows = [
+        Row(g="sep", side=0, value=1.0, event_id=0),
+        Row(g="sep", side=0, value=2.0, event_id=1),
+        Row(g="sep", side=1, value=3.0, event_id=2),
+        Row(g="sep", side=1, value=4.0, event_id=3),
+        Row(g="same", side=0, value=1.0, event_id=4),
+        Row(g="same", side=1, value=1.0, event_id=5),
+        Row(g="same", side=0, value=2.0, event_id=6),
+        Row(g="same", side=1, value=2.0, event_id=7),
+    ]
+    out = {
+        r.g: (r.n1, r.n2, r.d_scaled, r.ks)
+        for r in ks_statistic(
+            spark.createDataFrame(rows), ["g"], "side"
+        ).collect()
+    }
+    assert out == {"sep": (2, 2, 4, 1.0), "same": (2, 2, 2, 0.5)}
+
+
+def test_winsorize_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import winsorize
+
+    # 0..10: p05 = 0.5, p95 = 9.5 (linear interpolation) -> 0 clips up
+    # to 0.5, 10 clips down to 9.5, everything else untouched.
+    rows = [Row(g="a", value=float(i), event_id=i) for i in range(11)]
+    out = {
+        r.event_id: (r.w_value, r.clipped_low, r.clipped_high)
+        for r in winsorize(
+            spark.createDataFrame(rows), "value", ["g"]
+        ).collect()
+    }
+    assert out[0] == (0.5, True, False)
+    assert out[10] == (9.5, False, True)
+    assert out[5] == (5.0, False, False)
+    assert sum(lo for _, lo, _ in out.values()) == 1
+    assert sum(hi for _, _, hi in out.values()) == 1

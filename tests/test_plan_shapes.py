@@ -424,3 +424,19 @@ def test_ab_test_family_shapes(spark):
     wt = plan_of(spark, "stats_welch_t")
     assert "Window" not in wt
     assert len(re.findall(r"hashpartitioning\(", wt)) == 1
+
+
+def test_ks_single_group_shuffle(spark):
+    """KS: the running-count window, group totals, and max aggregate all
+    ride ONE event_type exchange."""
+    txt = plan_of(spark, "stats_ks_two_sample")
+    assert len(re.findall(r"hashpartitioning\(", txt)) == 1
+
+
+def test_winsorize_edges_broadcast_back(spark):
+    """Winsorize: the per-group quantile edges must come back as a
+    broadcast join (never a fact-sized shuffle join); the only hash
+    exchanges are the edge aggregation and the summary aggregate."""
+    txt = plan_of(spark, "events_winsorize")
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
