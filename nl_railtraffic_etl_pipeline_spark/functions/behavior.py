@@ -674,11 +674,15 @@ def cohort_value_matrix(
     aggregates map-side and the cumulative window runs on the
     POST-AGGREGATION frame (cohort x offset cells, metadata-scale),
     never the event stream — plan-asserted in test_plan_shapes.py.
+    NULL-user rows are dropped (they have no cohort; the SQL replay's
+    equi-join drops them implicitly — made explicit here so both
+    mechanisms agree by construction).
     Output: ``cohort_week``, ``week_offset``, ``n_events``,
     ``week_value``, ``cumulative_value``.
     """
     flat = (
-        df.withColumn(
+        df.filter(F.col(user_col).isNotNull())
+        .withColumn(
             "_first_ts", F.min(ts_col).over(Window.partitionBy(user_col))
         )
         .filter(F.col(value_col).isNotNull())

@@ -438,7 +438,9 @@ def gini_concentration(
     data-mixing pipeline runs per domain/source (is 1% of the corpus
     carrying 90% of the tokens?).  Classic rank formula
     ``G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x))`` over
-    ascending-sorted non-negative values; numerator and denominator are
+    ascending-sorted non-negative values (NULL gini for an all-zero
+    group, where the coefficient is undefined); numerator and
+    denominator are
     EXACT (decimal value image via :func:`_dec`, bigint ranks), so the
     only float op is one cast-and-divide at the end — bit-identical
     cross-engine per the module's moments contract.
@@ -468,11 +470,14 @@ def gini_concentration(
         *group_cols,
         "n",
         F.round(F.col("_t").cast("double"), 6).alias("total_value"),
-        F.round(
-            (2 * F.col("_it") - (F.col("n") + 1) * F.col("_t"))
-            .cast("double")
-            / (F.col("n") * F.col("_t")).cast("double"),
-            9,
+        F.when(
+            F.col("_t") > 0,
+            F.round(
+                (2 * F.col("_it") - (F.col("n") + 1) * F.col("_t"))
+                .cast("double")
+                / (F.col("n") * F.col("_t")).cast("double"),
+                9,
+            ),
         ).alias("gini"),
     )
 

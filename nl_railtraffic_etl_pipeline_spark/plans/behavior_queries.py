@@ -1600,8 +1600,10 @@ r AS (
 SELECT event_type,
        COUNT(*) AS n,
        ROUND(CAST(SUM(dv) AS DOUBLE), 6) AS total_value,
-       ROUND(CAST(2 * SUM(i * dv) - (COUNT(*) + 1) * SUM(dv) AS DOUBLE)
-             / CAST(COUNT(*) * SUM(dv) AS DOUBLE), 9) AS gini
+       CASE WHEN SUM(dv) > 0 THEN
+           ROUND(CAST(2 * SUM(i * dv) - (COUNT(*) + 1) * SUM(dv) AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(dv) AS DOUBLE), 9)
+       END AS gini
 FROM r GROUP BY event_type
 """,
 )

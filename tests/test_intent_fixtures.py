@@ -984,3 +984,38 @@ def test_winsorize_intent(spark):
     assert out[5] == (5.0, False, False)
     assert sum(lo for _, lo, _ in out.values()) == 1
     assert sum(hi for _, _, hi in out.values()) == 1
+
+
+def test_gini_zero_total_is_null(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        gini_concentration,
+    )
+
+    # All-zero group: the coefficient is 0/0-undefined -> NULL, never an
+    # engine-dependent inf/NaN.
+    rows = [
+        Row(g="z", value=0.0, event_id=0),
+        Row(g="z", value=0.0, event_id=1),
+    ]
+    out = gini_concentration(spark.createDataFrame(rows), ["g"]).collect()[0]
+    assert (out.n, out.total_value, out.gini) == (2, 0.0, None)
+
+
+def test_cohort_value_matrix_drops_null_users(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        cohort_value_matrix,
+    )
+
+    # A NULL-user row has no cohort: it must be dropped, not become its
+    # own cohort (the SQL replay's equi-join drops it implicitly — the
+    # two mechanisms must agree on this row class).
+    wk0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        Row(user_id=1, ts=wk0, value=1.0),
+        Row(user_id=None, ts=wk0, value=99.0),
+    ]
+    out = cohort_value_matrix(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    assert out[0].week_value == 1.0
