@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize"]
 
 
 def _dec(col: Column) -> Column:
@@ -806,4 +806,148 @@ def winsorize(
         ).alias("w_value"),
         (v < F.col("_lo")).alias("clipped_low"),
         (v > F.col("_hi")).alias("clipped_high"),
+    )
+
+
+def rolling_ols_slope(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_rows: int = 7,
+) -> DataFrame:
+    """Trailing-window least-squares slope per row — the local drift
+    detector (is this metric trending up RIGHT NOW?) that a global
+    :func:`ols_fit` smooths away.
+
+    x is the row's global rank within its group (slope is invariant to
+    the shift, so absolute ranks work for every frame position); over
+    the trailing ``window_rows`` frame the five sums (n, sum x, sum y,
+    sum x^2, sum xy) are EXACT (bigint ranks, decimal values), and
+    ``slope = (n*sxy - sx*sy) / (n*sxx - sx*sx)`` is one float division
+    of exact operands (rounded to 9 digits); NULL while the frame holds
+    fewer than 2 rows.
+
+    Plan: ONE group-keyed shuffle carries the rank window and all five
+    frame sums (same sort).  Output: group columns, ``id_col``,
+    ``slope``.
+    """
+    from pyspark.sql import Window
+
+    rank = Window.partitionBy(*group_cols).orderBy(ts_col, id_col)
+    r = df.select(
+        *group_cols,
+        ts_col,
+        id_col,
+        _dec(F.col(value_col)).alias("_y"),
+        F.row_number().over(rank).alias("_x"),
+    )
+    frame = (
+        Window.partitionBy(*group_cols)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    c = r.select(
+        *group_cols,
+        id_col,
+        F.count("*").over(frame).alias("_n"),
+        F.sum("_x").over(frame).alias("_sx"),
+        F.sum("_y").over(frame).alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).over(frame).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).over(frame).alias("_sxy"),
+    )
+    n = F.col("_n")
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    return c.select(
+        *group_cols,
+        id_col,
+        F.when(n > 1, F.round(num / den, 9)).alias("slope"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    side_col: str,
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Quantile normalization per group: map every side-1 value onto
+    side 0's empirical quantile function — the distribution-matching
+    transform (batch-effect removal, score calibration across model
+    versions) that makes two populations comparable rank-for-rank.
+
+    The side-1 row at rank ``r`` (of n1) maps to reference position
+    ``p = (r-1)*(n0-1)/(n1-1)`` and interpolates between the side-0
+    order statistics at ``floor(p)+1`` and ``floor(p)+2``.  Positions
+    and the interpolation weight stay EXACT rational (integer floor
+    division + remainder); the closing chain ``v_lo + (v_hi - v_lo) *
+    (rem/(n1-1))`` is fixed IEEE over identical operands both engines.
+    NULL when either side has fewer than 2 rows.
+
+    Plan: one group-keyed shuffle ranks both sides; the side-1 frame
+    then equi-joins the side-0 rank frame twice on (group, rank) — a
+    rank-keyed shuffle join, never a range scan.  Output: group
+    columns, ``tiebreak_col``, ``value_col``, ``norm_value``.
+    """
+    from pyspark.sql import Window
+
+    is0 = F.col(side_col) == 0
+    side_rank = Window.partitionBy(*group_cols, side_col).orderBy(
+        value_col, tiebreak_col
+    )
+    whole = Window.partitionBy(*group_cols)
+    r = df.select(
+        *group_cols,
+        side_col,
+        value_col,
+        tiebreak_col,
+        F.row_number().over(side_rank).alias("_r"),
+        F.sum(F.when(is0, 1).otherwise(0)).over(whole).alias("_n0"),
+        F.sum(F.when(is0, 0).otherwise(1)).over(whole).alias("_n1"),
+    )
+    ref = r.filter(is0).select(
+        *group_cols,
+        F.col("_r").alias("_pos"),
+        F.col(value_col).alias("_v"),
+    )
+    tgt = r.filter(~is0)
+    num = (F.col("_r") - 1) * (F.col("_n0") - 1)
+    den = F.col("_n1") - 1
+    # exact integer floor division: remainder first (bigint-exact), then
+    # a decimal division of the now-divisible numerator — never a double
+    # floor, which would drift past 2^53
+    rem = num % den
+    lo = (
+        (num - rem).cast("decimal(38,0)") / den.cast("decimal(38,0)")
+    ).cast("bigint")
+    tgt = tgt.filter((F.col("_n0") > 1) & (F.col("_n1") > 1)).select(
+        *group_cols,
+        tiebreak_col,
+        value_col,
+        (lo + 1).alias("_lo_pos"),
+        F.least(lo + 2, F.col("_n0")).alias("_hi_pos"),
+        rem.cast("double").alias("_rem"),
+        den.cast("double").alias("_den"),
+    )
+    keys = list(group_cols)
+    lo_ref = ref.select(
+        *keys, F.col("_pos").alias("_lo_pos"), F.col("_v").alias("_v_lo")
+    )
+    hi_ref = ref.select(
+        *keys, F.col("_pos").alias("_hi_pos"), F.col("_v").alias("_v_hi")
+    )
+    out = tgt.join(lo_ref, keys + ["_lo_pos"]).join(
+        hi_ref, keys + ["_hi_pos"]
+    )
+    norm = F.col("_v_lo") + (F.col("_v_hi") - F.col("_v_lo")) * (
+        F.col("_rem") / F.col("_den")
+    )
+    return out.select(
+        *keys,
+        tiebreak_col,
+        value_col,
+        F.round(norm, 9).alias("norm_value"),
     )

@@ -2058,3 +2058,116 @@ def _modal_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.neg_hr")).cast("bigint").alias("modal_hour"),
         F.col("b.n").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing 7-row OLS slope per event_type — the local drift detector.
+# Exact frame sums (bigint ranks x decimal values), one division per
+# row.  See functions/stats.py::rolling_ols_slope.  Filtered to one
+# user slice to keep gate output proportionate.
+# ---------------------------------------------------------------------------
+@query(
+    "events_rolling_slope",
+    """
+WITH b AS (
+    SELECT event_type, ts, event_id,
+           CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS y
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+      AND user_id % 25 = 0
+),
+r AS (
+    SELECT event_type, ts, event_id, y,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS x
+    FROM b
+),
+c AS (
+    SELECT event_type, event_id,
+           COUNT(*) OVER w AS n,
+           SUM(x) OVER w AS sx,
+           SUM(y) OVER w AS sy,
+           SUM(x * x) OVER w AS sxx,
+           SUM(x * y) OVER w AS sxy
+    FROM r
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, event_id,
+       CASE WHEN n > 1 THEN
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9)
+       END AS slope
+FROM c
+""",
+)
+def _rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & (F.col("user_id") % 25 == 0)
+        )
+        .select("event_type", "value", "ts", "event_id")
+    )
+    return stats.rolling_ols_slope(ev, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization: odd users' values mapped onto the even users'
+# empirical quantile function per event_type — distribution matching
+# for score calibration.  Rational positions/weights, one closing IEEE
+# chain.  See functions/stats.py::quantile_normalize.
+# ---------------------------------------------------------------------------
+@query(
+    "events_quantile_normalize",
+    """
+WITH b AS (
+    SELECT event_type, user_id % 2 AS side, value, event_id FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+      AND user_id IS NOT NULL AND event_id % 7 = 0
+),
+r AS (
+    SELECT event_type, side, value, event_id,
+           row_number() OVER (PARTITION BY event_type, side
+                              ORDER BY value, event_id) AS rk,
+           SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY event_type) AS n0,
+           SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY event_type) AS n1
+    FROM b
+),
+ref AS (SELECT event_type, rk AS pos, value AS v FROM r WHERE side = 0),
+tgt AS (
+    SELECT event_type, event_id, value,
+           ((rk - 1) * (n0 - 1)) // (n1 - 1) + 1 AS lo_pos,
+           LEAST(((rk - 1) * (n0 - 1)) // (n1 - 1) + 2, n0) AS hi_pos,
+           CAST(((rk - 1) * (n0 - 1)) % (n1 - 1) AS DOUBLE) AS rem,
+           CAST(n1 - 1 AS DOUBLE) AS den
+    FROM r WHERE side = 1 AND n0 > 1 AND n1 > 1
+)
+SELECT t.event_type, t.event_id, t.value,
+       ROUND(l.v + (h.v - l.v) * (t.rem / t.den), 9) AS norm_value
+FROM tgt t
+JOIN ref l ON l.event_type = t.event_type AND l.pos = t.lo_pos
+JOIN ref h ON h.event_type = t.event_type AND h.pos = t.hi_pos
+""",
+)
+def _quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("event_id") % 7 == 0)
+        )
+        .select(
+            "event_type",
+            (F.col("user_id") % 2).alias("side"),
+            "value",
+            "event_id",
+        )
+    )
+    return stats.quantile_normalize(ev, ["event_type"], "side")

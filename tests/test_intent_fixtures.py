@@ -1019,3 +1019,56 @@ def test_cohort_value_matrix_drops_null_users(spark):
     out = cohort_value_matrix(spark.createDataFrame(rows)).collect()
     assert len(out) == 1
     assert out[0].week_value == 1.0
+
+
+def test_rolling_ols_slope_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        rolling_ols_slope,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    # y = 1,2,3 on consecutive ranks -> trailing slope 1.0 from the
+    # second row on; then 3,1 drops: frame {2,3,1} fits slope -0.5
+    # ((3*23 - 6*6) / (3*29 - 36) = -33/... hand: x=1,2,3 y=1,2,3 ->
+    # slope 1; x=2,3,4 y=2,3,1 -> n=3 sx=9 sy=6 sxx=29 sxy=17,
+    # (51-54)/(87-81) = -0.5).  First row: frame of 1 -> NULL.
+    rows = [
+        Row(g="a", ts=t(0), event_id=0, value=1.0),
+        Row(g="a", ts=t(1), event_id=1, value=2.0),
+        Row(g="a", ts=t(2), event_id=2, value=3.0),
+        Row(g="a", ts=t(3), event_id=3, value=1.0),
+    ]
+    out = {
+        r.event_id: r.slope
+        for r in rolling_ols_slope(
+            spark.createDataFrame(rows), ["g"], window_rows=3
+        ).collect()
+    }
+    assert out == {0: None, 1: 1.0, 2: 1.0, 3: -0.5}
+
+
+def test_quantile_normalize_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        quantile_normalize,
+    )
+
+    # Reference side 0 = {10, 20}; targets side 1 = {1, 2, 3} map to
+    # reference positions 0, 0.5, 1 -> 10, 15 (midpoint interpolation),
+    # 20.  Hand-derived from the definition: rank r of n1 maps to
+    # p = (r-1)*(n0-1)/(n1-1).
+    rows = [
+        Row(g="f", side=0, value=10.0, event_id=0),
+        Row(g="f", side=0, value=20.0, event_id=1),
+        Row(g="f", side=1, value=1.0, event_id=2),
+        Row(g="f", side=1, value=2.0, event_id=3),
+        Row(g="f", side=1, value=3.0, event_id=4),
+    ]
+    out = {
+        r.event_id: r.norm_value
+        for r in quantile_normalize(
+            spark.createDataFrame(rows), ["g"], "side"
+        ).collect()
+    }
+    assert out == {2: 10.0, 3: 15.0, 4: 20.0}

@@ -440,3 +440,21 @@ def test_winsorize_edges_broadcast_back(spark):
     txt = plan_of(spark, "events_winsorize")
     assert "BroadcastHashJoin" in txt
     assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+
+
+def test_quantile_normalize_rank_joins_are_equi(spark):
+    """Quantile normalization meets the reference order statistics
+    through (group, rank) equi-joins — never a positional range scan or
+    nested loop."""
+    txt = plan_of(spark, "events_quantile_normalize")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert len(re.findall(
+        r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt)) >= 2
+
+
+def test_rolling_slope_single_group_shuffle(spark):
+    """The trailing OLS frame sums and the rank window share ONE
+    event_type exchange."""
+    txt = plan_of(spark, "events_rolling_slope")
+    assert len(re.findall(r"hashpartitioning\(", txt)) == 1
