@@ -466,3 +466,59 @@ def _streaming_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
     _drain_to_memory(joined, "streaming_attribution_left_result", "append")
     return spark.table("streaming_attribution_left_result")
+
+
+@query(
+    "streaming_moments",
+    """
+WITH agg AS (
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)))
+                AS DOUBLE) AS s,
+           CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))
+                    * CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)))
+                AS DOUBLE) AS ss
+    FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(ROUND(CAST(CAST((s / n) AS VARCHAR) AS DECIMAL(38,20)), 6)
+            AS DOUBLE) AS mean,
+       CAST(ROUND(CAST(CAST((CASE WHEN n > 1 THEN
+                sqrt(greatest((ss - (s * s) / n) / (n - 1), 0.0)) END)
+            AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS std
+FROM agg
+""",
+)
+def _streaming_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-moments family THROUGH the streaming engine: the same
+    decimal-quantized sums the batch `events_type_moments` gate proves
+    (`functions/stats.py` module contract) aggregated incrementally by
+    Structured Streaming in complete mode, then the identical fixed IEEE
+    chain.  Because decimal addition is exact and commutative, the
+    drained result is bit-identical to the batch aggregate NO MATTER how
+    the stream partitions into micro-batches — the property that makes
+    an incremental metrics pipeline trustworthy.  State per group is the
+    three running sums: O(types), watermark-free."""
+    ev = _events_stream(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    dv = F.col("value").cast("string").cast("decimal(18,6)")
+    agg = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(dv).cast("double").alias("s"),
+        F.sum(dv * dv).cast("double").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    res = agg.select(
+        "event_type",
+        "n",
+        F.round(s / n, 6).alias("mean"),
+        F.round(
+            F.when(
+                n > 1,
+                F.sqrt(F.greatest((ss - (s * s) / n) / (n - 1), F.lit(0.0))),
+            ),
+            6,
+        ).alias("std"),
+    )
+    _drain_to_memory(res, "streaming_moments_result", "complete")
+    return spark.table("streaming_moments_result")

@@ -363,3 +363,37 @@ def test_ewma_stream_derived_schema_and_general_alpha(spark, tmp_path):
     }
     assert stream_vals == batch_vals  # bit-exact, both engines IEEE chains
     assert stream_vals[4][1] == (8.0 * 0.75 + 4.0 * 0.25) * 0.75 + 7.3 * 0.25
+
+
+def test_streaming_moments_bit_identical_to_batch(spark):
+    """The streamed exact-moments aggregate must equal the batch chain
+    bit for bit regardless of micro-batch partitioning: decimal sums are
+    exact and commutative, and both sides close with the identical IEEE
+    chain."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        group_moments,
+    )
+    from nl_railtraffic_etl_pipeline_spark.plans.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r.event_type: (r.n, r.mean, r.std)
+        for r in entry_mod.queries()["streaming_moments"](spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    batch = {
+        r.event_type: (r.n, r.mean, r.std)
+        for r in group_moments(ev, "value", ["event_type"])
+        .select(
+            "event_type",
+            "n",
+            F.round("mean", 6).alias("mean"),
+            F.round("std", 6).alias("std"),
+        )
+        .collect()
+    }
+    assert streamed == batch
