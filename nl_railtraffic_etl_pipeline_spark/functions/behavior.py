@@ -780,3 +780,45 @@ def type_cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def longest_streak(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the engagement
+    metric on the CALENDAR lattice (vs the sessionizer's seconds-gap
+    islands): distinct active days, the day-minus-dense_rank island key
+    (consecutive days share it), island sizes, per-user max with the
+    EARLIEST start breaking equal-length ties.
+
+    All integers; ONE fact-sized user-keyed shuffle carries the
+    distinct and the rank window (the island aggregate re-keys the
+    already-shrunk distinct-days frame).  Output: ``user_col``,
+    ``longest_streak``, ``streak_start``, ``active_days``.
+    """
+    d = df.select(
+        user_col, F.to_date(ts_col).alias("day")
+    ).distinct()
+    i = d.select(
+        user_col,
+        "day",
+        F.date_sub(
+            "day",
+            F.dense_rank()
+            .over(Window.partitionBy(user_col).orderBy("day"))
+            .cast("int"),
+        ).alias("island"),
+    )
+    runs = i.groupBy(user_col, "island").agg(
+        F.count("*").alias("len"), F.min("day").alias("streak_start")
+    )
+    return runs.groupBy(user_col).agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.min_by(
+            "streak_start",
+            F.struct((-F.col("len")).alias("neg"), F.col("streak_start")),
+        ).alias("streak_start"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )

@@ -2171,3 +2171,49 @@ def _quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.quantile_normalize(ev, ["event_type"], "side")
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day activity streak per user — the engagement
+# metric on the CALENDAR lattice (vs the sessionizer's seconds-gap
+# islands): distinct active days, the day-minus-dense_rank island key
+# (consecutive days share it), island sizes, per-user max with a
+# deterministic earliest-start tiebreak.  All integers; ONE user-keyed
+# shuffle carries the distinct, the rank window, and both aggregates.
+# ---------------------------------------------------------------------------
+@query(
+    "events_longest_streak",
+    """
+WITH d AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    WHERE user_id % 10 = 0
+),
+i AS (
+    SELECT user_id, day,
+           day - CAST(dense_rank() OVER (PARTITION BY user_id
+                                         ORDER BY day) AS INTEGER)
+               AS island
+    FROM d
+),
+runs AS (
+    SELECT user_id, island, COUNT(*) AS len, MIN(day) AS streak_start
+    FROM i GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       MIN(streak_start) FILTER (
+           WHERE len = (SELECT MAX(r2.len) FROM runs r2
+                        WHERE r2.user_id = runs.user_id)
+       ) AS streak_start,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM runs GROUP BY user_id
+""",
+)
+def _longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import longest_streak
+
+    return longest_streak(
+        load_table(spark, sf_dir, "events", spread=True).filter(
+            F.col("user_id") % 10 == 0
+        )
+    )

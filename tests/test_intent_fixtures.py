@@ -1072,3 +1072,32 @@ def test_quantile_normalize_intent(spark):
         ).collect()
     }
     assert out == {2: 10.0, 3: 15.0, 4: 20.0}
+
+
+def test_longest_streak_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        longest_streak,
+    )
+
+    # User 1 active Jan 1,2,3 (streak 3), gap, Jan 6,7 (streak 2), with
+    # a duplicate event on Jan 2 that must not break or lengthen
+    # anything -> longest 3 starting Jan 1, 5 active days.  User 2 has
+    # two equal-length streaks (Jan 1-2, Jan 5-6): the EARLIEST start
+    # wins the tie.
+    days1 = [1, 2, 2, 3, 6, 7]
+    days2 = [1, 2, 5, 6]
+    rows = [
+        Row(user_id=1, ts=dt.datetime(2024, 1, d, 8, 0)) for d in days1
+    ] + [
+        Row(user_id=2, ts=dt.datetime(2024, 1, d, 8, 0)) for d in days2
+    ]
+    out = {
+        r.user_id: (r.longest_streak, r.streak_start, r.active_days)
+        for r in longest_streak(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {
+        1: (3, dt.date(2024, 1, 1), 5),
+        2: (2, dt.date(2024, 1, 1), 4),
+    }

@@ -458,3 +458,14 @@ def test_rolling_slope_single_group_shuffle(spark):
     event_type exchange."""
     txt = plan_of(spark, "events_rolling_slope")
     assert len(re.findall(r"hashpartitioning\(", txt)) == 1
+
+
+def test_longest_streak_single_user_shuffle(spark):
+    """Streaks: the distinct, the dense_rank window, and both aggregates
+    all key on user_id — one fact-sized exchange (the island aggregate
+    keys on (user, island): a sub-partitioning Spark satisfies with a
+    fresh exchange over the already-shrunk distinct frame)."""
+    txt = plan_of(spark, "events_longest_streak")
+    assert "Join" not in txt or "SortMergeJoin" not in txt
+    assert re.search(r"hashpartitioning\(user_id", txt)
+    assert "CartesianProduct" not in txt
