@@ -822,3 +822,40 @@ def longest_streak(
         ).alias("streak_start"),
         F.sum("len").cast("bigint").alias("active_days"),
     )
+
+
+def new_vs_returning(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily new-vs-returning split — the acquisition/engagement
+    decomposition every growth dashboard leads with: of the users
+    active each day, how many are seen for the FIRST time, how many
+    came back, and the running total of distinct users ever seen.
+
+    All exact integers.  Plan: ONE fact-sized user-keyed shuffle
+    carries the (user, day) distinct and the first-day MIN window; the
+    day rollup and the cumulative-users running sum operate on the
+    post-aggregation day frame (metadata scale — the global-order
+    window never sees the event stream).  Output: ``day``,
+    ``n_active``, ``n_new``, ``n_returning``, ``cum_users``.
+    """
+    d = df.select(
+        F.col(user_col).alias("_u"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    first = F.min("day").over(Window.partitionBy("_u"))
+    stamped = d.select("_u", "day", (F.col("day") == first).alias("_is_new"))
+    per_day = stamped.groupBy("day").agg(
+        F.count("*").alias("n_active"),
+        F.count_if(F.col("_is_new")).alias("n_new"),
+        F.count_if(~F.col("_is_new")).alias("n_returning"),
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "n_active",
+        "n_new",
+        "n_returning",
+        F.sum("n_new").over(cum).alias("cum_users"),
+    )

@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval"]
 
 
 def _dec(col: Column) -> Column:
@@ -950,4 +950,105 @@ def quantile_normalize(
         tiebreak_col,
         value_col,
         F.round(norm, 9).alias("norm_value"),
+    )
+
+
+def seasonal_dow_index(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week seasonal index per group — the multiplicative
+    seasonality profile (how much busier is a Monday than an average
+    day) that seasonal-adjustment and capacity planning start from.
+
+    ``index = dow_mean / overall_daily_mean`` evaluated as ONE IEEE
+    division of exact BIGINT cross-products::
+
+        (events_on_dow * total_active_days)
+        / (active_days_on_dow * total_events)
+
+    so the hash is engine-stable.  Days count only when ACTIVE (>= 1
+    event) — a day with zero events contributes to neither mean.
+    ISO day numbering (1 = Monday ... 7 = Sunday) on both engines.
+
+    Plan: one (group, day) partial-agg shuffle over the fact stream;
+    the dow re-aggregation and the per-group totals window both run on
+    the post-agg daily frame (metadata scale).  Output: group columns,
+    ``iso_dow``, ``n_days``, ``n_events``, ``seasonal_index``.
+    """
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    daily = df.groupBy(
+        *keys, F.to_date(ts_col).alias("_day")
+    ).agg(F.count("*").alias("_n"))
+    dow = daily.groupBy(
+        *keys, (F.weekday("_day") + 1).cast("bigint").alias("iso_dow")
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.sum("_n").alias("n_events"),
+    )
+    whole = Window.partitionBy(*keys)
+    return dow.select(
+        *keys,
+        "iso_dow",
+        "n_days",
+        "n_events",
+        F.round(
+            (F.col("n_events") * F.sum("n_days").over(whole)).cast(
+                "double"
+            )
+            / (F.col("n_days") * F.sum("n_events").over(whole)).cast(
+                "double"
+            ),
+            9,
+        ).alias("seasonal_index"),
+    )
+
+
+def wilson_interval(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score confidence interval for a per-group proportion —
+    the interval that stays inside [0, 1] and behaves at small n where
+    the naive normal (Wald) interval collapses; the standard guardrail
+    for conversion-rate and A/B readouts.
+
+    From the exact counts ``n`` (rows) and ``k`` (successes)::
+
+        denom  = n + z^2
+        center = (k + z^2/2) / denom
+        rad    = z * sqrt(k*(n-k)/n + z^2/4) / denom
+
+    ``k*(n-k)`` stays an exact BIGINT product, each double enters the
+    chain via one cast, ``z^2/2`` and ``z^2/4`` are exact halvings, and
+    ``sqrt`` is IEEE-correctly-rounded — the oracle mirrors the chain
+    operand for operand, so the hash is engine-stable.
+
+    Plan: ONE partial-aggregated group shuffle (two counting
+    aggregates), zero joins, zero windows.  Output: group columns,
+    ``n``, ``k``, ``p_hat``, ``wilson_low``, ``wilson_high``.
+    """
+    z2 = z * z
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col(success_col)).alias("k"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    kk = (F.col("k") * (F.col("n") - F.col("k"))).cast("double")
+    denom = n + F.lit(z2)
+    center = k + F.lit(z2 / 2.0)
+    rad = F.lit(z) * F.sqrt(kk / n + F.lit(z2 / 4.0))
+    return agg.select(
+        *group_cols,
+        "n",
+        "k",
+        F.round(k / n, 9).alias("p_hat"),
+        F.round((center - rad) / denom, 9).alias("wilson_low"),
+        F.round((center + rad) / denom, 9).alias("wilson_high"),
     )

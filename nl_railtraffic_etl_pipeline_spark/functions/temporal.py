@@ -85,3 +85,79 @@ def interval_union(
         F.sum(F.col("_ie") - F.col("_is")).alias("covered_seconds"),
         F.count("*").alias("n_islands"),
     )
+
+
+def interpolate_daily_linear(
+    daily: DataFrame,
+    group_cols: list,
+    day_col: str = "day",
+    value_col: str = "day_value",
+) -> DataFrame:
+    """Linear interpolation of a daily series onto its full calendar
+    spine — the time-series repair that LOCF gap-filling (see
+    plans/behavior_queries.py ``events_daily_gapfill``) cannot do:
+    missing days take the straight line BETWEEN the surrounding
+    observations instead of repeating the last one.
+
+    Input is an already-aggregated per-group daily frame (group...,
+    day, value).  Per group the spine spans min..max observed day;
+    for a missing day with previous known observation ``(dp, vp)`` and
+    next ``(dn, vn)``::
+
+        filled = vp + (vn - vp) * (day - dp) / (dn - dp)
+
+    with the day differences exact integers and the closing chain
+    fixed IEEE over identical operands (one multiply of one divide) —
+    engine-stable.  Because the spine is bounded by the group's own
+    min/max OBSERVED day, every gap has both neighbours by
+    construction — no single-sided case exists.
+
+    Plan: the spine explodes from the per-group 1-row bounds
+    aggregate and equi-joins the daily frame on (group, day) — both
+    sides post-aggregation, days x groups scale; AQE broadcasts the
+    small side.  The four IGNORE-NULLS windows share one group-keyed
+    sort on that same frame.  The event stream is shuffled exactly
+    once, by the caller's daily aggregation.  Output: group columns,
+    day, ``is_gap``, ``filled_value``.
+    """
+    keys = list(group_cols)
+    bounds = daily.groupBy(*keys).agg(
+        F.min(day_col).alias("_lo"), F.max(day_col).alias("_hi")
+    )
+    spine = bounds.select(
+        *keys,
+        F.explode(
+            F.expr("sequence(_lo, _hi, interval 1 day)")
+        ).alias(day_col),
+    )
+    j = spine.join(daily, keys + [day_col], "left")
+    w_past = (
+        Window.partitionBy(*keys)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_future = (
+        Window.partitionBy(*keys)
+        .orderBy(day_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_day = F.when(
+        F.col(value_col).isNotNull(), F.col(day_col)
+    )
+    vp = F.last(value_col, ignorenulls=True).over(w_past)
+    dp = F.last(known_day, ignorenulls=True).over(w_past)
+    vn = F.first(value_col, ignorenulls=True).over(w_future)
+    dn = F.first(known_day, ignorenulls=True).over(w_future)
+    interp = vp + (vn - vp) * (
+        F.datediff(F.col(day_col), dp).cast("double")
+        / F.datediff(dn, dp).cast("double")
+    )
+    filled = F.when(
+        F.col(value_col).isNotNull(), F.col(value_col)
+    ).otherwise(interp)
+    return j.select(
+        *keys,
+        day_col,
+        F.col(value_col).isNull().alias("is_gap"),
+        F.round(filled, 6).alias("filled_value"),
+    )

@@ -2217,3 +2217,200 @@ def _longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id") % 10 == 0
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal index per event_type — the multiplicative
+# seasonality profile, evaluated as one IEEE division of exact BIGINT
+# cross-products so the hash is engine-stable.  ISO day numbering
+# (Spark weekday()+1 == DuckDB isodow).  See
+# functions/stats.py::seasonal_dow_index.
+# ---------------------------------------------------------------------------
+@query(
+    "events_seasonal_dow",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+dow AS (
+    SELECT event_type, CAST(isodow(day) AS BIGINT) AS iso_dow,
+           COUNT(*) AS n_days, CAST(SUM(n) AS BIGINT) AS n_events
+    FROM daily GROUP BY 1, 2
+)
+SELECT event_type, iso_dow, n_days, n_events,
+       ROUND(CAST(n_events * SUM(n_days) OVER (PARTITION BY event_type)
+                  AS DOUBLE)
+             / CAST(n_days * SUM(n_events) OVER (PARTITION BY event_type)
+                    AS DOUBLE), 9) AS seasonal_index
+FROM dow
+""",
+)
+def _seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import seasonal_dow_index
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    return seasonal_dow_index(ev, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval for the per-type high-value proportion
+# (value > 100) — the small-n-safe conversion-rate guardrail.  Exact
+# counts; the closing chain (one sqrt — IEEE-correctly-rounded — plus
+# fixed +,*,/ over identical operands) is mirrored operand for operand
+# in the oracle.  See functions/stats.py::wilson_interval.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_wilson_ci",
+    """
+WITH g AS (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+)
+SELECT event_type, n, k,
+       ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p_hat,
+       ROUND((CAST(k AS DOUBLE) + (1.96*1.96)/2
+              - 1.96 * sqrt(CAST(k*(n-k) AS DOUBLE) / CAST(n AS DOUBLE)
+                            + (1.96*1.96)/4))
+             / (CAST(n AS DOUBLE) + 1.96*1.96), 9) AS wilson_low,
+       ROUND((CAST(k AS DOUBLE) + (1.96*1.96)/2
+              + 1.96 * sqrt(CAST(k*(n-k) AS DOUBLE) / CAST(n AS DOUBLE)
+                            + (1.96*1.96)/4))
+             / (CAST(n AS DOUBLE) + 1.96*1.96), 9) AS wilson_high
+FROM g
+""",
+)
+def _wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import wilson_interval
+
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", (F.col("value") > 100).alias("success"))
+    )
+    return wilson_interval(ev, ["event_type"], "success", z=1.96)
+
+
+# ---------------------------------------------------------------------------
+# Daily new-vs-returning user split + cumulative distinct users — the
+# growth decomposition.  All exact integers; one user-keyed shuffle,
+# the day rollup and running sum on the post-agg day frame.  See
+# functions/behavior.py::new_vs_returning.
+# ---------------------------------------------------------------------------
+@query(
+    "events_new_vs_returning",
+    """
+WITH d AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    WHERE user_id IS NOT NULL
+),
+s AS (
+    SELECT user_id, day,
+           day = MIN(day) OVER (PARTITION BY user_id) AS is_new
+    FROM d
+),
+p AS (
+    SELECT day, COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_returning
+    FROM s GROUP BY 1
+)
+SELECT day, n_active, n_new, n_returning,
+       CAST(SUM(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_users
+FROM p
+""",
+)
+def _new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import new_vs_returning
+
+    return new_vs_returning(
+        load_table(spark, sf_dir, "events", spread=True).filter(
+            F.col("user_id").isNotNull()
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation of the per-type daily value series: every-4th
+# day punched out, the calendar spine restored, and each gap taking
+# the straight line BETWEEN its surrounding observations (vs the
+# gapfill gate's LOCF repeat).  Day distances are exact integers; the
+# closing chain is one divide + one multiply + one add over identical
+# operands.  See functions/temporal.py::interpolate_daily_linear.
+# ---------------------------------------------------------------------------
+@query(
+    "events_interpolate_linear",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           ROUND(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(24,10)))
+                      AS DOUBLE), 6) AS day_value
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+),
+punched AS (SELECT * FROM daily WHERE date_part('day', day) % 4 != 0),
+bounds AS (
+    SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM punched
+    GROUP BY 1
+),
+spine AS (
+    SELECT event_type,
+           CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+    FROM bounds
+),
+j AS (
+    SELECT s.event_type, s.day, p.day_value FROM spine s
+    LEFT JOIN punched p
+      ON s.event_type = p.event_type AND s.day = p.day
+),
+w AS (
+    SELECT event_type, day, day_value,
+           last_value(day_value IGNORE NULLS) OVER past AS vp,
+           last_value(CASE WHEN day_value IS NOT NULL THEN day END
+                      IGNORE NULLS) OVER past AS dp,
+           first_value(day_value IGNORE NULLS) OVER fut AS vn,
+           first_value(CASE WHEN day_value IS NOT NULL THEN day END
+                       IGNORE NULLS) OVER fut AS dn
+    FROM j
+    WINDOW past AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           fut AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day, day_value IS NULL AS is_gap,
+       ROUND(CASE WHEN day_value IS NOT NULL THEN day_value
+                  ELSE vp + (vn - vp)
+                       * (CAST(day - dp AS DOUBLE)
+                          / CAST(dn - dp AS DOUBLE))
+             END, 6) AS filled_value
+FROM w
+""",
+)
+def _interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.temporal import interpolate_daily_linear
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("string").cast("decimal(24,10)"))
+            .cast("double"),
+            6,
+        ).alias("day_value")
+    )
+    punched = daily.filter(F.dayofmonth("day") % 4 != 0)
+    return interpolate_daily_linear(punched, ["event_type"])

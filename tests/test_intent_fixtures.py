@@ -1101,3 +1101,115 @@ def test_longest_streak_intent(spark):
         1: (3, dt.date(2024, 1, 1), 5),
         2: (2, dt.date(2024, 1, 1), 4),
     }
+
+
+def test_seasonal_dow_index_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        seasonal_dow_index,
+    )
+
+    # Two ISO weeks of a single group: Mondays Jan 1 + Jan 8 carry 3
+    # events each (6 total over 2 active days), the one active Tuesday
+    # (Jan 2) carries 2.  Overall: 8 events over 3 active days.  Index =
+    # dow_mean / overall_mean: Monday (6/2)/(8/3) = 9/8 = 1.125, Tuesday
+    # (2/1)/(8/3) = 0.75.  Hand-derived from the definition.
+    import datetime as dt
+
+    rows = (
+        [Row(g="a", ts=dt.datetime(2024, 1, 1, h)) for h in (1, 2, 3)]
+        + [Row(g="a", ts=dt.datetime(2024, 1, 8, h)) for h in (1, 2, 3)]
+        + [Row(g="a", ts=dt.datetime(2024, 1, 2, h)) for h in (1, 2)]
+    )
+    out = {
+        r.iso_dow: (r.n_days, r.n_events, r.seasonal_index)
+        for r in seasonal_dow_index(
+            spark.createDataFrame(rows), ["g"]
+        ).collect()
+    }
+    assert out == {1: (2, 6, 1.125), 2: (1, 2, 0.75)}
+
+
+def test_wilson_interval_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        wilson_interval,
+    )
+
+    # k=5 of n=10 at z=1.96: the textbook Wilson interval around 0.5 is
+    # (0.2365, 0.7635) to 4 places and symmetric about the shrunk
+    # center.  Also k=0: the lower bound must be exactly 0 (the whole
+    # point of Wilson over Wald) and the upper strictly positive.
+    rows = [Row(g="half", s=i < 5) for i in range(10)] + [
+        Row(g="none", s=False) for i in range(4)
+    ]
+    out = {
+        r.g: r for r in wilson_interval(
+            spark.createDataFrame(rows), ["g"], "s"
+        ).collect()
+    }
+    half = out["half"]
+    assert half.p_hat == 0.5
+    assert round(half.wilson_low, 4) == 0.2366
+    assert round(half.wilson_high, 4) == 0.7634
+    assert abs((0.5 - half.wilson_low) - (half.wilson_high - 0.5)) < 1e-12
+    none = out["none"]
+    assert none.wilson_low == 0.0 and none.p_hat == 0.0
+    assert none.wilson_high > 0.4  # n=4: wide, but bounded below 1
+
+
+def test_new_vs_returning_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        new_vs_returning,
+    )
+
+    # u1 active day1+day2, u2 only day2, u3 day1+day3; duplicate events
+    # within a day must not double-count.  Day1: two new.  Day2: u2 new,
+    # u1 returning.  Day3: u3 returning only.  cum_users = 2, 3, 3.
+    rows = [
+        Row(user_id=1, ts=dt.datetime(2024, 1, 1, 8)),
+        Row(user_id=1, ts=dt.datetime(2024, 1, 1, 9)),
+        Row(user_id=3, ts=dt.datetime(2024, 1, 1, 10)),
+        Row(user_id=1, ts=dt.datetime(2024, 1, 2, 8)),
+        Row(user_id=2, ts=dt.datetime(2024, 1, 2, 8)),
+        Row(user_id=3, ts=dt.datetime(2024, 1, 3, 8)),
+    ]
+    out = {
+        r.day: (r.n_active, r.n_new, r.n_returning, r.cum_users)
+        for r in new_vs_returning(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {
+        dt.date(2024, 1, 1): (2, 2, 0, 2),
+        dt.date(2024, 1, 2): (2, 1, 1, 3),
+        dt.date(2024, 1, 3): (1, 0, 1, 3),
+    }
+
+
+def test_interpolate_daily_linear_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.temporal import (
+        interpolate_daily_linear,
+    )
+
+    # Known days 1 (v=10) and 4 (v=40) with days 2-3 missing: the line
+    # fills 20 and 30.  A second group with a single day emits just that
+    # day, no gaps.  Hand-derived from the straight-line definition.
+    rows = [
+        Row(g="a", day=dt.date(2024, 1, 1), day_value=10.0),
+        Row(g="a", day=dt.date(2024, 1, 4), day_value=40.0),
+        Row(g="b", day=dt.date(2024, 1, 7), day_value=5.0),
+    ]
+    out = {
+        (r.g, r.day): (r.is_gap, r.filled_value)
+        for r in interpolate_daily_linear(
+            spark.createDataFrame(rows), ["g"]
+        ).collect()
+    }
+    assert out == {
+        ("a", dt.date(2024, 1, 1)): (False, 10.0),
+        ("a", dt.date(2024, 1, 2)): (True, 20.0),
+        ("a", dt.date(2024, 1, 3)): (True, 30.0),
+        ("a", dt.date(2024, 1, 4)): (False, 40.0),
+        ("b", dt.date(2024, 1, 7)): (False, 5.0),
+    }

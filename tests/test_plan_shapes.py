@@ -469,3 +469,36 @@ def test_longest_streak_single_user_shuffle(spark):
     assert "Join" not in txt or "SortMergeJoin" not in txt
     assert re.search(r"hashpartitioning\(user_id", txt)
     assert "CartesianProduct" not in txt
+
+
+def test_seasonal_dow_single_fact_shuffle(spark):
+    """The (type, day) partial agg is the only fact-sized exchange; the
+    dow re-agg and the per-type totals window run post-aggregation."""
+    txt = plan_of(spark, "events_seasonal_dow")
+    assert "Join" not in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_wilson_ci_single_shuffle_no_joins(spark):
+    """Wilson: one partial-aggregated group shuffle, zero joins, zero
+    windows."""
+    txt = plan_of(spark, "stats_wilson_ci")
+    assert len(re.findall(r"hashpartitioning\(", txt)) == 1
+    assert "Join" not in txt and "Window" not in txt
+
+
+def test_new_vs_returning_single_user_shuffle(spark):
+    """New-vs-returning: the distinct and the first-day window key on
+    user; the day rollup and the running sum see only the post-agg day
+    frame (a singlepartition window over days, never the fact)."""
+    txt = plan_of(spark, "events_new_vs_returning")
+    assert re.search(r"hashpartitioning\(_u", txt)
+    assert "Join" not in txt and "CartesianProduct" not in txt
+
+
+def test_interpolate_linear_spine_join_post_agg(spark):
+    """Interpolation joins the exploded bounds spine to the PUNCHED
+    daily frame — both post-aggregation — and never nested-loops."""
+    txt = plan_of(spark, "events_interpolate_linear")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
