@@ -859,3 +859,56 @@ def new_vs_returning(
         "n_returning",
         F.sum("n_new").over(cum).alias("cum_users"),
     )
+
+
+def transition_smoothed(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Laplace-smoothed Markov transition probabilities — the add-one
+    estimator ``P(dst | src) = (n_ab + 1) / (n_a + V)`` that a
+    sequence model actually consumes: unlike the raw empirical shares
+    of :func:`event_transitions`, every probability is strictly
+    positive and each source row sums to 1 over the FULL vocabulary
+    (observed pairs emitted; the unobserved remainder is implicit at
+    ``1/(n_a + V)`` each).
+
+    ``n_ab``/``n_a`` are exact transition counts off the same pair
+    frame as :func:`event_transitions`; ``V`` is the distinct type
+    vocabulary.  One double division of exact BIGINTs, rounded to 9 —
+    engine-stable.
+
+    Plan: the pair frame costs ONE user-keyed shuffle of the stream
+    (the lead window); the (src, dst) rollup, the per-src totals
+    window, and the 1-row vocabulary broadcast all operate at
+    |types|^2 / metadata scale.  Output: ``src``, ``dst``,
+    ``n_transitions``, ``n_src_total``, ``vocab``, ``smoothed_prob``.
+    """
+    pairs = event_transitions(
+        events, user_col, type_col, ts_col, order_cols
+    ).select("src", "dst", "n_transitions")
+    vocab = events.agg(
+        F.count_distinct(F.col(type_col)).alias("vocab")
+    )
+    w = Window.partitionBy("src")
+    return (
+        pairs.withColumn(
+            "n_src_total", F.sum("n_transitions").over(w)
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "src",
+            "dst",
+            "n_transitions",
+            "n_src_total",
+            "vocab",
+            F.round(
+                (F.col("n_transitions") + 1).cast("double")
+                / (F.col("n_src_total") + F.col("vocab")).cast("double"),
+                9,
+            ).alias("smoothed_prob"),
+        )
+    )

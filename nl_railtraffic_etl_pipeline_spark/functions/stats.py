@@ -1052,3 +1052,113 @@ def wilson_interval(
         F.round((center - rad) / denom, 9).alias("wilson_low"),
         F.round((center + rad) / denom, 9).alias("wilson_high"),
     )
+
+
+def rolling_corr(
+    daily: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 7,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two per-period
+    series — the local co-movement detector (are volume and value
+    moving together THIS week?) that a single global
+    :func:`pearson_corr` coefficient averages away.
+
+    Input is an already-aggregated per-group frame (group..., period,
+    x BIGINT, y DECIMAL(18,6)) — the caller's aggregation is the one
+    fact-sized shuffle.  Over the trailing ``window_rows`` row frame
+    the six sums (n, sum x, sum y, sum x^2, sum y^2, sum xy) are EXACT
+    (bigint / decimal products), each enters the closing chain through
+    ONE cast to double, and ``r = (n*sxy - sx*sy) / (sqrt(n*sxx -
+    sx^2) * sqrt(n*syy - sy^2))`` is fixed IEEE over identical
+    operands both engines (sqrt is correctly rounded) — the hash is
+    engine-stable.  NULL while either marginal variance is zero (which
+    covers frames of one row).
+
+    Plan: ONE group-keyed sort carries all six frame sums; runs on the
+    post-aggregation frame (periods x groups scale), so the window
+    never sees the event stream.  Output: group columns, ``order_col``,
+    ``n``, ``roll_r``.
+    """
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    frame = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    x, y = F.col(x_col), F.col(y_col)
+    c = daily.select(
+        *keys,
+        order_col,
+        F.count("*").over(frame).alias("_n"),
+        F.sum(x).over(frame).cast("double").alias("_sx"),
+        F.sum(y).over(frame).cast("double").alias("_sy"),
+        F.sum(x * x).over(frame).cast("double").alias("_sxx"),
+        F.sum(y * y).over(frame).cast("double").alias("_syy"),
+        F.sum(x * y).over(frame).cast("double").alias("_sxy"),
+    )
+    n = F.col("_n")
+    vx = F.greatest(n * F.col("_sxx") - F.col("_sx") * F.col("_sx"), F.lit(0.0))
+    vy = F.greatest(n * F.col("_syy") - F.col("_sy") * F.col("_sy"), F.lit(0.0))
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        (n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return c.select(
+        *keys, order_col, n.alias("n"), F.round(r, 9).alias("roll_r")
+    )
+
+
+def category_diversity(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cat_col: str,
+) -> DataFrame:
+    """Categorical concentration/diversity profile per group — the
+    Herfindahl-Hirschman index (how dominated is this user by one
+    event type?) and the unbiased Simpson diversity (probability two
+    events drawn WITHOUT replacement differ in type), the log-free
+    diversity pair that stays exact-rational where Shannon entropy
+    would drag in a library ``ln``.
+
+        hhi     = sum(c_i^2) / n^2
+        simpson = 1 - sum(c_i*(c_i-1)) / (n*(n-1))    (NULL at n < 2)
+
+    Counts and both numerator/denominator products stay exact BIGINT;
+    each index is ONE double division (plus Simpson's fixed ``1 -``),
+    rounded to 9 — engine-stable.  hhi = 1 means single-category;
+    simpson = 0 likewise (the unbiased estimator hits the bounds
+    exactly, unlike the plug-in form).
+
+    Plan: one (group, category) partial-agg shuffle over the fact
+    stream; the per-group rollup runs on the post-agg frame (bounded
+    by distinct categories per group).  Output: group columns, ``n``,
+    ``k_categories``, ``hhi``, ``simpson``.
+    """
+    keys = list(group_cols)
+    c = df.groupBy(*keys, cat_col).agg(F.count("*").alias("_c"))
+    g = c.groupBy(*keys).agg(
+        F.sum("_c").alias("n"),
+        F.count("*").alias("k_categories"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+        F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_sp"),
+    )
+    n = F.col("n")
+    hhi = F.col("_s2").cast("double") / (n * n).cast("double")
+    simpson = F.when(
+        n > 1,
+        F.lit(1.0) - F.col("_sp").cast("double") / (n * (n - 1)).cast("double"),
+    )
+    return g.select(
+        *keys,
+        "n",
+        "k_categories",
+        F.round(hhi, 9).alias("hhi"),
+        F.round(simpson, 9).alias("simpson"),
+    )

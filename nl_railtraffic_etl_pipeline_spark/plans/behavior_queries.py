@@ -2414,3 +2414,142 @@ def _interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     punched = daily.filter(F.dayofmonth("day") % 4 != 0)
     return interpolate_daily_linear(punched, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Trailing 7-day rolling Pearson correlation between daily event count
+# and daily value sum per event_type — six exact frame sums (bigint /
+# decimal), one fixed IEEE closing chain (sqrt is correctly rounded).
+# The window runs on the post-aggregation daily frame.  See
+# functions/stats.py::rolling_corr.
+# ---------------------------------------------------------------------------
+@query(
+    "events_rolling_corr",
+    """
+WITH daily AS (
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+),
+f AS (
+    SELECT event_type, day,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+           CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+           CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y AS DECIMAL(19,6)) * y) OVER w AS DOUBLE)
+               AS syy,
+           CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, n,
+       ROUND(CASE WHEN GREATEST(n * sxx - sx * sx, 0) > 0
+                   AND GREATEST(n * syy - sy * sy, 0) > 0
+             THEN (n * sxy - sx * sy)
+                  / (sqrt(GREATEST(n * sxx - sx * sx, 0))
+                     * sqrt(GREATEST(n * syy - sy * sy, 0)))
+             END, 9) AS roll_r
+FROM f
+""",
+)
+def _rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import rolling_corr
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("x"),
+        F.sum(F.col("value").cast("string").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    return rolling_corr(
+        daily, ["event_type"], "day", "x", "y", window_rows=7
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user categorical concentration/diversity: HHI + unbiased Simpson
+# over event types — exact BIGINT products, one double division each.
+# See functions/stats.py::category_diversity.
+# ---------------------------------------------------------------------------
+@query(
+    "events_user_diversity",
+    """
+WITH c AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+g AS (
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n,
+           COUNT(*) AS k_categories,
+           CAST(SUM(c * c) AS BIGINT) AS s2,
+           CAST(SUM(c * (c - 1)) AS BIGINT) AS sp
+    FROM c GROUP BY 1
+)
+SELECT user_id, n, k_categories,
+       ROUND(CAST(s2 AS DOUBLE) / CAST(n * n AS DOUBLE), 9) AS hhi,
+       CASE WHEN n > 1
+            THEN ROUND(1.0 - CAST(sp AS DOUBLE)
+                             / CAST(n * (n - 1) AS DOUBLE), 9)
+       END AS simpson
+FROM g
+""",
+)
+def _user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import category_diversity
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return category_diversity(ev, ["user_id"], "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Laplace-smoothed Markov transition probabilities over the same pair
+# frame as events_transitions — add-one estimator, exact counts, one
+# division.  See functions/behavior.py::transition_smoothed.
+# ---------------------------------------------------------------------------
+@query(
+    "events_transitions_smoothed",
+    """
+WITH seq AS (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS dst
+    FROM events
+),
+pairs AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+v AS (SELECT COUNT(DISTINCT event_type) AS vocab FROM events)
+SELECT src, dst, n_transitions,
+       CAST(SUM(n_transitions) OVER (PARTITION BY src) AS BIGINT)
+           AS n_src_total,
+       vocab,
+       ROUND(CAST(n_transitions + 1 AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY src) + vocab
+                    AS DOUBLE), 9) AS smoothed_prob
+FROM pairs, v
+""",
+)
+def _transitions_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import transition_smoothed
+
+    return transition_smoothed(
+        load_table(spark, sf_dir, "events", spread=True)
+    )

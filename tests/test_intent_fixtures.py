@@ -1213,3 +1213,103 @@ def test_interpolate_daily_linear_intent(spark):
         ("a", dt.date(2024, 1, 4)): (False, 40.0),
         ("b", dt.date(2024, 1, 7)): (False, 5.0),
     }
+
+
+def test_rolling_corr_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        rolling_corr,
+    )
+
+    # Group "up": (x, y) move together linearly -> r = 1.0 exactly once
+    # the frame holds 2+ rows; the first frame (one row) has zero
+    # variance -> NULL.  Group "down": y reversed -> r = -1.0.  Group
+    # "flat": constant y -> zero marginal variance -> NULL everywhere.
+    import decimal
+
+    def d(v):
+        return decimal.Decimal(v).quantize(decimal.Decimal("0.000001"))
+
+    rows = [
+        Row(g="up", day=dt.date(2024, 1, i), x=i, y=d(i)) for i in (1, 2, 3)
+    ] + [
+        Row(g="down", day=dt.date(2024, 1, i), x=i, y=d(4 - i))
+        for i in (1, 2, 3)
+    ] + [
+        Row(g="flat", day=dt.date(2024, 1, i), x=i, y=d(5)) for i in (1, 2)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, day date, x bigint, y decimal(18,6)"
+    )
+    out = {
+        (r.g, r.day.day): (r.n, r.roll_r)
+        for r in rolling_corr(df, ["g"], "day", "x", "y").collect()
+    }
+    assert out[("up", 1)] == (1, None)
+    assert out[("up", 2)] == (2, 1.0)
+    assert out[("up", 3)] == (3, 1.0)
+    assert out[("down", 2)] == (2, -1.0)
+    assert out[("down", 3)] == (3, -1.0)
+    assert out[("flat", 1)][1] is None and out[("flat", 2)][1] is None
+
+
+def test_category_diversity_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        category_diversity,
+    )
+
+    # u1: counts [2, 2] -> n=4, hhi = 8/16 = 0.5, simpson = 1 - 4/12.
+    # u2: single category [3] -> hhi = 1, simpson = 0 exactly (the
+    # unbiased estimator hits the bound; the plug-in form would not).
+    # u3: one event -> simpson NULL (undefined without replacement).
+    rows = (
+        [Row(u=1, t=c) for c in ("a", "a", "b", "b")]
+        + [Row(u=2, t="a") for _ in range(3)]
+        + [Row(u=3, t="z")]
+    )
+    out = {
+        r.u: (r.n, r.k_categories, r.hhi, r.simpson)
+        for r in category_diversity(
+            spark.createDataFrame(rows), ["u"], "t"
+        ).collect()
+    }
+    assert out[1] == (4, 2, 0.5, round(1 - 4 / 12, 9))
+    assert out[2] == (3, 1, 1.0, 0.0)
+    assert out[3] == (1, 1, 1.0, None)
+
+
+def test_transition_smoothed_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        transition_smoothed,
+    )
+
+    # One user, sequence A B A B: pairs AB, BA, AB.  vocab = 2.
+    # P(B|A) = (2+1)/(2+2) = 0.75; P(A|B) = (1+1)/(1+2) = 2/3.  Every
+    # unobserved pair is implicitly 1/(n_src + V), so each source row
+    # sums to 1 over the full vocabulary: A: 3/4 + 1/4; B: 2/3 + 1/3.
+    rows = [
+        Row(
+            user_id=1,
+            event_type=t,
+            ts=dt.datetime(2024, 1, 1, h),
+            event_id=h,
+        )
+        for h, t in enumerate(["A", "B", "A", "B"])
+    ]
+    out = {
+        (r.src, r.dst): (
+            r.n_transitions,
+            r.n_src_total,
+            r.vocab,
+            r.smoothed_prob,
+        )
+        for r in transition_smoothed(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    assert out[("A", "B")] == (2, 2, 2, 0.75)
+    assert out[("B", "A")] == (1, 1, 2, round(2 / 3, 9))
+    assert len(out) == 2

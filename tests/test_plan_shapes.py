@@ -502,3 +502,30 @@ def test_interpolate_linear_spine_join_post_agg(spark):
     txt = plan_of(spark, "events_interpolate_linear")
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_rolling_corr_window_post_agg(spark):
+    """Rolling correlation: the (type, day) partial agg is the only
+    fact-sized exchange; the six-sum frame window sorts the post-agg
+    daily frame.  No joins at all."""
+    txt = plan_of(spark, "events_rolling_corr")
+    assert "Join" not in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_user_diversity_partial_agg_no_joins(spark):
+    """Diversity: one (user, type) partial-agg shuffle; the per-user
+    rollup runs on the post-agg frame.  Zero joins, zero windows."""
+    txt = plan_of(spark, "events_user_diversity")
+    assert "Join" not in txt and "Window" not in txt
+    assert re.search(r"hashpartitioning\(user_id", txt)
+
+
+def test_transitions_smoothed_broadcast_vocab_only(spark):
+    """Smoothed transitions: the lead window is the one user-keyed
+    fact shuffle; the vocabulary is a 1-row broadcast (BNLJ), never a
+    shuffled join."""
+    txt = plan_of(spark, "events_transitions_smoothed")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+    assert "CartesianProduct" not in txt
+    assert re.search(r"hashpartitioning\(user_id", txt)
