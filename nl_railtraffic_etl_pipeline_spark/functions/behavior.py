@@ -45,11 +45,14 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "funnel",
+    "funnel_windowed",
     "cohort_retention",
     "event_transitions",
     "trailing_anomalies",
     "rfm_segments",
     "attribute_conversions",
+    "churn_labels",
+    "time_to_convert",
 ]
 
 
@@ -156,6 +159,90 @@ def funnel(
             counts = counts.crossJoin(
                 f.agg(F.count("*").alias(f"_users_{i}"))
             )
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(stage_type).alias("stage_name"),
+                F.col(f"_users_{i}").alias("users"),
+            )
+            for i, stage_type in enumerate(stages)
+        ]
+    )
+    return (
+        counts.select(F.explode(stage_rows).alias("s"), F.col("_users_0"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.stage_name").alias("stage_name"),
+            F.col("s.users").alias("users"),
+            F.round(
+                F.lit(100.0)
+                * F.col("s.users")
+                / F.nullif(F.col("_users_0"), F.lit(0)),
+                2,
+            ).alias("conversion_pct"),
+        )
+    )
+
+
+def funnel_windowed(
+    events: DataFrame,
+    stages: Sequence[str],
+    max_gap_hours: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Conversion-window funnel: each stage must land within
+    ``max_gap_hours`` of the PREVIOUS stage's entry.
+
+    Same earliest-entry semantics as :func:`funnel` plus the deadline —
+    the form product analytics actually uses ("clicked within 4 h of the
+    view"), which unbounded funnels overstate.  A user enters stage i+1
+    with an event of that type in the half-open window
+    ``(entry_i, entry_i + gap]``; entry times remain minima, so stage
+    counts stay monotone non-increasing.
+
+    Returns the same (stage, stage_name, users, conversion_pct) frame as
+    :func:`funnel`.
+
+    Plan: the join-chain shape (partial-aggregating groupBy per stage +
+    shuffle-hash join on user) — whale-safe for the same reason as
+    ``funnel(chain="join")``: no per-user window sort anywhere, a bot's
+    slice collapses map-side before every shuffle.  Timestamps are
+    integral micros and the deadline is exact interval arithmetic, so
+    the boundary row (ts == entry + gap) is included identically in any
+    engine.
+    """
+    if not stages:
+        raise ValueError("need at least one funnel stage")
+    if max_gap_hours <= 0:
+        raise ValueError(f"max_gap_hours must be > 0, got {max_gap_hours}")
+    gap = F.expr(f"INTERVAL {int(max_gap_hours)} HOURS")
+    cur = events.filter(F.col(type_col).isin(list(stages))).select(
+        user_col, F.col(type_col).alias("_type"), F.col(ts_col).alias("_ts")
+    )
+    entries = (
+        cur.filter(F.col("_type") == stages[0])
+        .groupBy(user_col)
+        .agg(F.min("_ts").alias("_prev"))
+    )
+    frames = [entries]
+    for stage_type in stages[1:]:
+        entries = (
+            cur.filter(F.col("_type") == stage_type)
+            .join(entries.hint("shuffle_hash"), user_col)
+            .filter(
+                (F.col("_ts") > F.col("_prev"))
+                & (F.col("_ts") <= F.col("_prev") + gap)
+            )
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias("_prev"))
+        )
+        frames.append(entries)
+    counts = frames[0].agg(F.count("*").alias("_users_0"))
+    for i, fr in enumerate(frames[1:], start=1):
+        counts = counts.crossJoin(fr.agg(F.count("*").alias(f"_users_{i}")))
     stage_rows = F.array(
         *[
             F.struct(
@@ -911,4 +998,140 @@ def transition_smoothed(
                 9,
             ).alias("smoothed_prob"),
         )
+    )
+
+
+def churn_labels(
+    events: DataFrame,
+    cutoff: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """Churn-model training frame: per-user observation-window features
+    plus the did-they-come-back label — the standard supervised-churn
+    data-prep step, built without a self-join.
+
+    ``cutoff`` (an ISO timestamp string) splits each user's history: the
+    OBSERVATION window (ts < cutoff) supplies features, the LABEL window
+    (ts >= cutoff) supplies the outcome; ``churned`` is true when the
+    label window is empty.  Users with zero observation events are
+    excluded (nothing to featurize — they'd leak the label).
+
+    Features: ``n_events``, ``n_purchases``, ``obs_value`` (exact
+    decimal sum), ``active_days`` (distinct observation days),
+    ``recency_hours`` (whole hours from last observation event to the
+    cutoff — exact integer division of micros).
+
+    Plan: ONE user-keyed partial-aggregated shuffle with conditional
+    aggregates — label and features ride the same pass; no join between
+    the two windows, no window function.  At 100 TB this is the minimal
+    shape: every metric is map-side combinable.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    in_obs = F.col(ts_col) < cut
+    g = (
+        events.groupBy(user_col)
+        .agg(
+            F.count_if(in_obs).alias("n_events"),
+            F.count_if(
+                in_obs & (F.col(type_col) == purchase_type)
+            ).alias("n_purchases"),
+            F.sum(
+                F.when(
+                    in_obs,
+                    F.col(value_col).cast("string").cast("decimal(18,6)"),
+                )
+            ).cast("decimal(18,6)").alias("obs_value"),
+            F.count_distinct(
+                F.when(in_obs, F.to_date(F.col(ts_col)))
+            ).alias("active_days"),
+            F.max(F.when(in_obs, F.col(ts_col))).alias("_last_obs"),
+            F.count_if(~in_obs).alias("_n_label"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+    return (
+        g.withColumn(
+            "_diff_us",
+            F.unix_micros(cut) - F.unix_micros(F.col("_last_obs")),
+        )
+        # exact BIGINT floor division — a double quotient truncated back
+        # to int can land one bucket off when the true ratio sits within
+        # an ulp of an integer boundary
+        .withColumn("recency_hours", F.expr("_diff_us div 3600000000"))
+        .select(
+            user_col,
+            "n_events",
+            "n_purchases",
+            "obs_value",
+            "active_days",
+            "recency_hours",
+            (F.col("_n_label") == 0).alias("churned"),
+        )
+    )
+
+
+def time_to_convert(
+    events: DataFrame,
+    from_type: str,
+    to_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Distribution of the first-touch -> first-conversion delay: how
+    long after their first ``from_type`` do users take to reach their
+    first subsequent ``to_type``?
+
+    Earliest-entry semantics as in :func:`funnel`; the delay is bucketed
+    to whole hours by EXACT integer division of the micros difference,
+    so the histogram is engine-portable.  Output: (hours_bucket,
+    users, cum_users, cum_pct) ordered by bucket — cumulative share of
+    all converters within each delay.
+
+    Plan: two partial-aggregated user-keyed passes stitched by one
+    shuffle-hash join (the funnel join-chain shape — whale-safe, no
+    per-user window sort), then a metadata-scale bucket aggregation;
+    the cumulative window runs over the bucket frame only.
+    """
+    first_from = (
+        events.filter(F.col(type_col) == from_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    first_to = (
+        events.filter(F.col(type_col) == to_type)
+        .join(first_from.hint("shuffle_hash"), user_col)
+        .filter(F.col(ts_col) > F.col("_t0"))
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t1"), F.min("_t0").alias("_t0m"))
+    )
+    per_bucket = (
+        first_to.withColumn(
+            "_diff_us",
+            F.unix_micros(F.col("_t1")) - F.unix_micros(F.col("_t0m")),
+        )
+        # exact BIGINT floor division (see churn_labels note)
+        .select(F.expr("_diff_us div 3600000000").alias("hours_bucket"))
+        .groupBy("hours_bucket")
+        .agg(F.count("*").alias("users"))
+    )
+    w_cum = (
+        Window.orderBy("hours_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy()
+    return per_bucket.select(
+        "hours_bucket",
+        "users",
+        F.sum("users").over(w_cum).alias("cum_users"),
+        F.round(
+            F.lit(100.0)
+            * F.sum("users").over(w_cum).cast("double")
+            / F.sum("users").over(w_tot).cast("double"),
+            9,
+        ).alias("cum_pct"),
     )

@@ -19,6 +19,8 @@ parallel.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +39,7 @@ __all__ = [
     "shard_stats",
     "leakproof_split",
     "kfold_assign",
+    "feature_hash",
 ]
 
 
@@ -265,3 +268,67 @@ def kfold_assign(
     # h*k div 2^32 as a bigint shift: exact, no float in the path
     fold = F.shiftright((h * F.lit(k)).cast("bigint"), 32)
     return docs.withColumn("fold", fold.cast("int"))
+
+
+def feature_hash(
+    df: DataFrame,
+    key_col: str,
+    feature_cols: Sequence[str],
+    n_buckets: int = 64,
+    value_col: str | None = None,
+    salt: str = "fh",
+) -> DataFrame:
+    """The hashing trick: project an unbounded categorical feature space
+    onto ``n_buckets`` fixed columns — the standard way to featurize
+    high-cardinality categoricals (URLs, tokens, ids) without building
+    or broadcasting a vocabulary.
+
+    Each feature is hashed as ``"<col>=<value>"`` through the repo-wide
+    md5 contract (functions/text.py::hash32, replayable in any engine),
+    bucketed with a non-negative mod.  Output is the SPARSE form — one
+    row per (key, bucket) with ``feat_count`` and, when ``value_col`` is
+    given, ``value_sum`` (exact decimal) — which is both the
+    shuffle-friendly representation (dense vectors would carry
+    n_buckets columns through every exchange) and trivially pivotable
+    downstream.  NULL feature values contribute nothing.
+
+    Plan: map-side explode of k feature columns (k small and fixed),
+    ONE (key, bucket) partial-aggregated shuffle.  No vocabulary state
+    anywhere — the whole point of hashing features is that the operator
+    is stateless at any cardinality.
+    """
+    from .text import hash32
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if not feature_cols:
+        raise ValueError("feature_hash needs at least one feature column")
+    feats = F.array(
+        *[
+            F.when(
+                F.col(c).isNotNull(),
+                F.concat(F.lit(f"{c}="), F.col(c).cast("string")),
+            )
+            for c in feature_cols
+        ]
+    )
+    base_cols = [F.col(key_col), F.explode(feats).alias("_feat")]
+    if value_col is not None:
+        base_cols.append(
+            F.col(value_col).cast("string").cast("decimal(18,6)").alias("_v")
+        )
+    exploded = df.select(*base_cols).filter(F.col("_feat").isNotNull())
+    bucket = F.pmod(
+        hash32(F.concat(F.lit(f"{salt}:"), F.col("_feat"))),
+        F.lit(n_buckets),
+    ).cast("int")
+    aggs = [F.count("*").alias("feat_count")]
+    if value_col is not None:
+        aggs.append(F.sum("_v").cast("decimal(18,6)").alias("value_sum"))
+    return (
+        exploded.select(key_col, bucket.alias("bucket"), *(
+            ["_v"] if value_col is not None else []
+        ))
+        .groupBy(key_col, "bucket")
+        .agg(*aggs)
+    )

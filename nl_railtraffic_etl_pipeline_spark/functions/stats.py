@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix"]
 
 
 def _dec(col: Column) -> Column:
@@ -1161,4 +1161,217 @@ def category_diversity(
         "k_categories",
         F.round(hhi, 9).alias("hhi"),
         F.round(simpson, 9).alias("simpson"),
+    )
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Lift / cumulative-gains table for a score against a binary label
+    — the standard model-eval readout ("the top decile captures 31% of
+    positives, 2.8x lift").
+
+    Rows are ranked by (score DESC, id ASC) — the id tiebreak makes the
+    ranking total, so ``ntile`` bucket boundaries land identically in
+    any engine — then per bucket: ``n``, ``positives``, the exact-
+    rational rates, and the cumulative gain.  Every rate is a ratio of
+    exact BIGINTs computed as ONE integer cross-product division
+    (``positives * total_n / (n * total_pos)`` for lift), so no IEEE
+    accumulation order exists to diverge.
+
+    Plan note (honest 100 TB shape): ``ntile`` over a global order is a
+    single-partition window — fine for the frames this table is FOR
+    (scored eval/holdout sets, orders of magnitude smaller than facts),
+    wrong for a full fact table.  For fact-scale bucketing use
+    ``quantile_bucketize`` (exact edges broadcast back, map-side
+    binning); this operator documents the boundary rather than hiding
+    it.
+
+    Output: (bucket, n, positives, pos_rate, lift, cum_positives,
+    cum_gain_pct).
+    """
+    from pyspark.sql import Window
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    w_rank = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    ranked = df.select(
+        F.ntile(buckets).over(w_rank).alias("bucket"),
+        F.col(label_col).cast("bigint").alias("_y"),
+    )
+    per = ranked.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("_y").alias("positives")
+    )
+    w_cum = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy()
+    return (
+        per.withColumn("cum_positives", F.sum("positives").over(w_cum))
+        .withColumn("_tn", F.sum("n").over(tot))
+        .withColumn("_tp", F.sum("positives").over(tot))
+        .select(
+            "bucket",
+            "n",
+            "positives",
+            F.round(
+                F.col("positives").cast("double") / F.col("n").cast("double"),
+                9,
+            ).alias("pos_rate"),
+            F.round(
+                (F.col("positives") * F.col("_tn")).cast("double")
+                / (F.col("n") * F.col("_tp")).cast("double"),
+                9,
+            ).alias("lift"),
+            "cum_positives",
+            F.round(
+                F.lit(100.0)
+                * F.col("cum_positives").cast("double")
+                / F.col("_tp").cast("double"),
+                9,
+            ).alias("cum_gain_pct"),
+        )
+    )
+
+
+def seasonal_naive_backtest(
+    daily: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    y_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict period t with
+    the actual from t - season) — the baseline every real forecasting
+    model must beat, and the cheapest drift alarm when error jumps.
+
+    Input is an already-aggregated per-group period frame; the forecast
+    is one ``lag(season)`` over the in-group period order.  Error
+    metrics are the WEIGHTED forms whose numerators and denominators
+    are plain sums of exact integers/decimals — ``wmape = SUM|a - f| /
+    SUM(a)`` and ``bias_pct = (SUM f - SUM a) / SUM(a)`` over evaluable
+    periods — so each metric is ONE IEEE division of exact aggregates.
+    (Plain MAPE averages per-row IEEE ratios, whose sum is partition-
+    order-dependent; WMAPE is the standard scale-stable substitute.)
+
+    Output: group cols, n_eval (periods with a forecast), sum_actual,
+    sum_abs_err, wmape, bias_pct.  Groups whose evaluable actuals sum
+    to zero return NULL metrics.
+
+    Plan: one group-keyed window (the lag) over the POST-AGGREGATION
+    period frame, then one partial-aggregated group shuffle.  The fact
+    stream never reaches the window.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    lagged = daily.select(
+        *group_cols,
+        F.col(y_col).alias("_a"),
+        F.lag(y_col, season).over(w).alias("_f"),
+    ).filter(F.col("_f").isNotNull())
+    agg = lagged.groupBy(*group_cols).agg(
+        F.count("*").alias("n_eval"),
+        F.sum("_a").alias("sum_actual"),
+        F.sum(F.abs(F.col("_a") - F.col("_f"))).alias("sum_abs_err"),
+        F.sum("_f").alias("_sum_f"),
+    )
+    sa = F.col("sum_actual").cast("double")
+    return agg.select(
+        *group_cols,
+        "n_eval",
+        "sum_actual",
+        "sum_abs_err",
+        F.when(
+            F.col("sum_actual") != 0,
+            F.round(F.col("sum_abs_err").cast("double") / sa, 9),
+        ).alias("wmape"),
+        F.when(
+            F.col("sum_actual") != 0,
+            F.round(
+                (F.col("_sum_f") - F.col("sum_actual")).cast("double") / sa, 9
+            ),
+        ).alias("bias_pct"),
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    metric_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """All pairwise Pearson correlations between k metric columns in ONE
+    aggregation pass — the k-metric generalization of
+    :func:`pearson_corr` (k(k+1)/2 product sums + k sums + n, a single
+    partial-aggregated shuffle, versus k(k-1)/2 separate passes).
+
+    CONTRACT: metric columns must already carry EXACT types (BIGINT or
+    DECIMAL) — counts, exact-decimal sums, distinct counts.  Raw doubles
+    must be quantized upstream (``_dec`` pattern); the function refuses
+    float/double inputs loudly rather than aggregating IEEE values in
+    partition order.  Every sum and cross-product is exact; each pair's
+    coefficient is the fixed IEEE closing chain (two correctly-rounded
+    sqrts, one division), so the result hash-matches any engine.
+
+    Output: one row per unordered pair (group..., var_x, var_y, n, r) —
+    var_x < var_y lexicographically; ``r`` NULL when either marginal
+    variance is zero.  Metadata-scale (k(k-1)/2 rows per group).
+    """
+    if len(metric_cols) < 2:
+        raise ValueError("corr_matrix needs >= 2 metric columns")
+    for c in metric_cols:
+        t = dict(df.dtypes)[c]
+        if t in ("double", "float"):
+            raise ValueError(
+                f"corr_matrix: column {c!r} is {t}; quantize to DECIMAL "
+                "upstream (stats._dec) so sums stay exact"
+            )
+    cols = sorted(metric_cols)
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"_s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            # promote the left operand one digit: DuckDB's 18x18-digit
+            # decimal multiply overflows int64 (registry.py INT128 note);
+            # Spark is exact either way, and the oracle mirrors the cast.
+            left = F.col(a).cast("decimal(19,6)")
+            aggs.append(F.sum(left * F.col(b)).alias(f"_p_{a}_{b}"))
+    g = df.groupBy(*group_cols).agg(*aggs)
+    n = F.col("_n").cast("double")
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sa = F.col(f"_s_{a}").cast("double")
+            sb = F.col(f"_s_{b}").cast("double")
+            saa = F.col(f"_p_{a}_{a}").cast("double")
+            sbb = F.col(f"_p_{b}_{b}").cast("double")
+            sab = F.col(f"_p_{a}_{b}").cast("double")
+            va = F.greatest(n * saa - sa * sa, F.lit(0.0))
+            vb = F.greatest(n * sbb - sb * sb, F.lit(0.0))
+            r = F.when(
+                (va > 0) & (vb > 0),
+                F.round((n * sab - sa * sb) / (F.sqrt(va) * F.sqrt(vb)), 9),
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("var_x"),
+                    F.lit(b).alias("var_y"),
+                    F.col("_n").alias("n"),
+                    r.alias("r"),
+                )
+            )
+    return g.select(
+        *group_cols, F.explode(F.array(*pairs)).alias("_pair")
+    ).select(
+        *group_cols,
+        F.col("_pair.var_x").alias("var_x"),
+        F.col("_pair.var_y").alias("var_y"),
+        F.col("_pair.n").alias("n"),
+        F.col("_pair.r").alias("r"),
     )

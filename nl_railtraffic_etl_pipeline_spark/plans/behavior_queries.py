@@ -2553,3 +2553,347 @@ def _transitions_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_smoothed(
         load_table(spark, sf_dir, "events", spread=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-window funnel: view -> click -> purchase where each stage
+# must land within 4 hours of the previous stage's entry.  Whale-safe
+# join-chain plan (partial-aggregating groupBy per stage, shuffle-hash
+# joins on user, no per-user window sort).  See
+# functions/behavior.py::funnel_windowed.
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel_windowed",
+    """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS entry FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS entry
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+        AND e.ts > s1.entry AND e.ts <= s1.entry + INTERVAL 4 HOUR
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS entry
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+        AND e.ts > s2.entry AND e.ts <= s2.entry + INTERVAL 4 HOUR
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+counts AS (
+    SELECT 1 AS stage, 'view' AS stage_name, COUNT(*) AS users FROM s1
+    UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+)
+SELECT stage, stage_name, users,
+       ROUND(100.0 * users
+             / NULLIF((SELECT users FROM counts WHERE stage = 1), 0), 2)
+           AS conversion_pct
+FROM counts
+""",
+)
+def _funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import funnel_windowed
+
+    return funnel_windowed(
+        load_table(spark, sf_dir, "events", spread=True),
+        _FUNNEL_STAGES,
+        max_gap_hours=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / cumulative gains of the value score against the purchase
+# label — exact-integer cross-product rates, id-tiebroken NTILE.  The
+# global-order window is the documented eval-frame boundary (fact-scale
+# bucketing goes through quantile_bucketize).  See
+# functions/stats.py::decile_lift.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_score_lift",
+    """
+WITH ranked AS (
+    SELECT NTILE(10) OVER (ORDER BY value DESC, event_id ASC) AS bucket,
+           CAST(event_type = 'purchase' AS BIGINT) AS y
+    FROM events WHERE value IS NOT NULL
+),
+per AS (
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS positives
+    FROM ranked GROUP BY 1
+),
+c AS (
+    SELECT bucket, n, positives,
+           CAST(SUM(positives) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_positives,
+           CAST(SUM(n) OVER () AS BIGINT) AS tn,
+           CAST(SUM(positives) OVER () AS BIGINT) AS tp
+    FROM per
+)
+SELECT bucket, n, positives,
+       ROUND(CAST(positives AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pos_rate,
+       ROUND(CAST(positives * tn AS DOUBLE) / CAST(n * tp AS DOUBLE), 9)
+           AS lift,
+       cum_positives,
+       ROUND(100.0 * CAST(cum_positives AS DOUBLE) / CAST(tp AS DOUBLE), 9)
+           AS cum_gain_pct
+FROM c
+""",
+)
+def _score_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import decile_lift
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("value").isNotNull()
+    )
+    labeled = ev.select(
+        "value", "event_id", (F.col("event_type") == "purchase").alias("_label")
+    )
+    return decile_lift(labeled, "value", "_label", "event_id", buckets=10)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive (lag-7) forecast backtest on per-type daily counts:
+# WMAPE and bias as single divisions of exact BIGINT sums over the
+# post-aggregation daily frame.  See
+# functions/stats.py::seasonal_naive_backtest.
+# ---------------------------------------------------------------------------
+@query(
+    "events_forecast_backtest",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+),
+l AS (
+    SELECT event_type, y AS a,
+           LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+    FROM daily
+),
+g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(a) AS BIGINT) AS sum_actual,
+           CAST(SUM(ABS(a - f)) AS BIGINT) AS sum_abs_err,
+           CAST(SUM(f) AS BIGINT) AS sf
+    FROM l WHERE f IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n_eval, sum_actual, sum_abs_err,
+       CASE WHEN sum_actual <> 0
+            THEN ROUND(CAST(sum_abs_err AS DOUBLE)
+                       / CAST(sum_actual AS DOUBLE), 9) END AS wmape,
+       CASE WHEN sum_actual <> 0
+            THEN ROUND(CAST(sf - sum_actual AS DOUBLE)
+                       / CAST(sum_actual AS DOUBLE), 9) END AS bias_pct
+FROM g
+""",
+)
+def _forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import seasonal_naive_backtest
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("y"))
+    return seasonal_naive_backtest(daily, ["event_type"], "day", "y", season=7)
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick featurization: event_type and hour-of-day hashed through
+# the repo-wide md5 contract into 16 buckets, per-user sparse counts +
+# exact-decimal value sums.  One map-side explode + one (user, bucket)
+# partial-agg shuffle; no vocabulary state.  See
+# functions/corpus.py::feature_hash.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_feature_hashing",
+    """
+WITH f AS (
+    SELECT user_id, 'event_type=' || event_type AS feat,
+           CAST(value AS DECIMAL(18,6)) AS v
+    FROM events WHERE event_type IS NOT NULL
+    UNION ALL
+    SELECT user_id, 'hour=' || CAST(EXTRACT(hour FROM ts) AS VARCHAR),
+           CAST(value AS DECIMAL(18,6))
+    FROM events WHERE ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(CAST(('0x' || substr(md5('fh:' || feat), 1, 8)) AS BIGINT) % 16
+            AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS feat_count,
+       CAST(SUM(v) AS DECIMAL(18,6)) AS value_sum
+FROM f GROUP BY 1, 2
+""",
+)
+def _feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.corpus import feature_hash
+
+    ev = load_table(spark, sf_dir, "events", spread=True).withColumn(
+        "hour", F.hour("ts").cast("string")
+    )
+    return feature_hash(
+        ev, "user_id", ["event_type", "hour"], n_buckets=16,
+        value_col="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Churn-model training frame at a 2024-01-21 cutoff: observation-window
+# features and the came-back label from ONE user-keyed conditional
+# aggregation — no self-join between the windows.  See
+# functions/behavior.py::churn_labels.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_churn_labels",
+    """
+WITH g AS (
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (
+               ts < TIMESTAMP '2024-01-21 00:00:00') AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (
+               ts < TIMESTAMP '2024-01-21 00:00:00'
+               AND event_type = 'purchase') AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00'
+                         THEN CAST(value AS DECIMAL(18,6)) END)
+                AS DECIMAL(18,6)) AS obs_value,
+           CAST(COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00'
+                                    THEN CAST(ts AS DATE) END)
+                AS BIGINT) AS active_days,
+           MAX(CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00'
+                    THEN ts END) AS last_obs,
+           CAST(COUNT(*) FILTER (
+               ts >= TIMESTAMP '2024-01-21 00:00:00') AS BIGINT) AS n_label
+    FROM events GROUP BY 1
+)
+SELECT user_id, n_events, n_purchases, obs_value, active_days,
+       CAST((epoch_us(TIMESTAMP '2024-01-21 00:00:00') - epoch_us(last_obs))
+            // 3600000000 AS BIGINT) AS recency_hours,
+       n_label = 0 AS churned
+FROM g WHERE n_events > 0
+""",
+)
+def _churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import churn_labels
+
+    return churn_labels(
+        load_table(spark, sf_dir, "events", spread=True),
+        cutoff="2024-01-21 00:00:00",
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass pairwise Pearson matrix over the daily (count, value-sum,
+# distinct-users) metrics: all 6 product sums + 3 sums + n ride a single
+# partial-aggregated pass; each coefficient is the fixed IEEE closing
+# chain.  See functions/stats.py::corr_matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_corr_matrix",
+    """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS z
+    FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
+),
+g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(z) AS DOUBLE) AS sz,
+           CAST(SUM(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x AS DECIMAL(19,6)) * z) AS DOUBLE) AS sxz,
+           CAST(SUM(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(y AS DECIMAL(19,6)) * z) AS DOUBLE) AS syz,
+           CAST(SUM(CAST(z AS DECIMAL(19,6)) * z) AS DOUBLE) AS szz
+    FROM daily
+),
+p AS (
+    SELECT 'x' AS var_x, 'y' AS var_y, n, sx AS sa, sy AS sb,
+           sxx AS saa, syy AS sbb, sxy AS sab FROM g
+    UNION ALL
+    SELECT 'x', 'z', n, sx, sz, sxx, szz, sxz FROM g
+    UNION ALL
+    SELECT 'y', 'z', n, sy, sz, syy, szz, syz FROM g
+)
+SELECT var_x, var_y, n,
+       CASE WHEN GREATEST(n * saa - sa * sa, 0) > 0
+             AND GREATEST(n * sbb - sb * sb, 0) > 0
+            THEN ROUND((n * sab - sa * sb)
+                       / (sqrt(GREATEST(n * saa - sa * sa, 0))
+                          * sqrt(GREATEST(n * sbb - sb * sb, 0))), 9)
+       END AS r
+FROM p
+""",
+)
+def _corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import corr_matrix
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x"),
+        F.sum(F.col("value").cast("string").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("y"),
+        F.count_distinct("user_id").alias("z"),
+    )
+    return corr_matrix(daily, ["x", "y", "z"])
+
+
+# ---------------------------------------------------------------------------
+# First-view -> first-purchase delay distribution: earliest-entry
+# semantics via the whale-safe join-chain, exact BIGINT hour bucketing,
+# cumulative share over the metadata-scale bucket frame.  See
+# functions/behavior.py::time_to_convert.
+# ---------------------------------------------------------------------------
+@query(
+    "events_time_to_convert",
+    """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t0 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t1, MIN(s1.t0) AS t0
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t0
+    WHERE e.event_type = 'purchase' GROUP BY 1
+),
+per AS (
+    SELECT CAST((epoch_us(t1) - epoch_us(t0)) // 3600000000 AS BIGINT)
+               AS hours_bucket,
+           CAST(COUNT(*) AS BIGINT) AS users
+    FROM s2 GROUP BY 1
+),
+c AS (
+    SELECT hours_bucket, users,
+           CAST(SUM(users) OVER (
+               ORDER BY hours_bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users,
+           CAST(SUM(users) OVER () AS BIGINT) AS total
+    FROM per
+)
+SELECT hours_bucket, users, cum_users,
+       ROUND(100.0 * CAST(cum_users AS DOUBLE) / CAST(total AS DOUBLE), 9)
+           AS cum_pct
+FROM c
+""",
+)
+def _time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import time_to_convert
+
+    return time_to_convert(
+        load_table(spark, sf_dir, "events", spread=True), "view", "purchase"
+    )

@@ -2723,3 +2723,65 @@ def _chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem", spread=True)
     return chisq_cells(li, "l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# Item-item co-occurrence cosine ("bought X also bought Y") at customer
+# basket grain over orders x lineitem — pair generation is a basket-keyed
+# self-equi-join (pairs only materialize WITHIN a basket), support counts
+# stay exact BIGINT, the cosine is one sqrt + one division, and the top-k
+# window is the only rank.  See functions/reco.py.
+# ---------------------------------------------------------------------------
+@query(
+    "reco_item_cosine",
+    f"""
+WITH b AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+n AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+co AS (
+    SELECT a.p AS item_i, b2.p AS item_j,
+           CAST(COUNT(*) AS BIGINT) AS co_baskets
+    FROM b a JOIN b b2 ON a.c = b2.c AND a.p <> b2.p
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+sim AS (
+    SELECT co.item_i, co.item_j, co.co_baskets,
+           ni.n AS n_i, nj.n AS n_j,
+           {{cosine}} AS cosine
+    FROM co JOIN n ni ON co.item_i = ni.p JOIN n nj ON co.item_j = nj.p
+)
+SELECT item_i, item_j, co_baskets, n_i, n_j, cosine,
+       CAST(rn AS INTEGER) AS sim_rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY item_i
+        ORDER BY cosine DESC, co_baskets DESC, item_j ASC
+    ) AS rn FROM sim
+) WHERE rn <= 5
+""".format(
+        cosine=_round_sql(
+            "CAST(co.co_baskets AS DOUBLE)"
+            " / sqrt(CAST(ni.n * nj.n AS DOUBLE))",
+            9,
+        )
+    ),
+)
+def _reco_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.reco import item_cosine_similarity
+
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    baskets = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    return item_cosine_similarity(
+        baskets, "basket", "item", min_support=3, top_k=5
+    )

@@ -1313,3 +1313,272 @@ def test_transition_smoothed_intent(spark):
     assert out[("A", "B")] == (2, 2, 2, 0.75)
     assert out[("B", "A")] == (1, 1, 2, round(2 / 3, 9))
     assert len(out) == 2
+
+
+def test_item_cosine_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.reco import (
+        item_cosine_similarity,
+    )
+
+    # Baskets: b1={A,B,C}, b2={A,B}, b3={A,B}, b4={C}.  Duplicate line
+    # (b1, A) must not inflate membership.  n_A=3, n_B=3, n_C=2;
+    # co(A,B)=3 -> cosine 3/sqrt(9)=1.0; co(A,C)=co(B,C)=1 (pruned at
+    # min_support=2).
+    rows = [
+        ("b1", "A"), ("b1", "A"), ("b1", "B"), ("b1", "C"),
+        ("b2", "A"), ("b2", "B"),
+        ("b3", "A"), ("b3", "B"),
+        ("b4", "C"),
+    ]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    out = {
+        (r.item_i, r.item_j): (r.co_baskets, r.n_i, r.n_j, r.cosine, r.sim_rank)
+        for r in item_cosine_similarity(
+            df, "basket", "item", min_support=2, top_k=5
+        ).collect()
+    }
+    assert out == {
+        ("A", "B"): (3, 3, 3, 1.0, 1),
+        ("B", "A"): (3, 3, 3, 1.0, 1),
+    }
+
+
+def test_item_cosine_whale_basket_quarantine(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.reco import (
+        item_cosine_similarity,
+    )
+
+    # A whale basket above max_basket is dropped WHOLE before pairing:
+    # with the cap its pairs vanish and the small baskets' counts are
+    # unchanged.
+    rows = [("w", f"i{k}") for k in range(6)] + [
+        ("b1", "i0"), ("b1", "i1"),
+        ("b2", "i0"), ("b2", "i1"),
+    ]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    capped = item_cosine_similarity(
+        df, "basket", "item", min_support=2, top_k=5, max_basket=5
+    ).collect()
+    # without the whale, co(i0,i1)=2 and n_i0=n_i1=2 -> cosine 1.0
+    assert {(r.item_i, r.item_j, r.co_baskets, r.cosine) for r in capped} == {
+        ("i0", "i1", 2, 1.0), ("i1", "i0", 2, 1.0)
+    }
+    uncapped = item_cosine_similarity(
+        df, "basket", "item", min_support=2, top_k=5
+    ).collect()
+    # whale included: co(i0,i1)=3, n=3 each -> still 1.0 but co/n larger
+    assert {(r.item_i, r.item_j, r.co_baskets) for r in uncapped} >= {
+        ("i0", "i1", 3), ("i1", "i0", 3)
+    }
+
+
+def test_funnel_windowed_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        funnel_windowed,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        # u1 converts fully inside the 4h windows
+        Row(user_id=1, event_type="view", ts=at(0)),
+        Row(user_id=1, event_type="click", ts=at(1)),
+        Row(user_id=1, event_type="purchase", ts=at(2)),
+        # u2's click misses the window (5h after view)
+        Row(user_id=2, event_type="view", ts=at(0)),
+        Row(user_id=2, event_type="click", ts=at(5)),
+        # u3 clicks EXACTLY at the 4h boundary (inclusive) but the
+        # purchase lands 5h after the click -> stage 2 only
+        Row(user_id=3, event_type="view", ts=at(0)),
+        Row(user_id=3, event_type="click", ts=at(4)),
+        Row(user_id=3, event_type="purchase", ts=at(9)),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.stage: (r.stage_name, r.users, r.conversion_pct)
+        for r in funnel_windowed(
+            df, ("view", "click", "purchase"), max_gap_hours=4
+        ).collect()
+    }
+    assert out[1] == ("view", 3, 100.0)
+    assert out[2] == ("click", 2, round(200 / 3, 2))
+    assert out[3] == ("purchase", 1, round(100 / 3, 2))
+
+
+def test_decile_lift_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import decile_lift
+
+    # 10 rows, scores 10..1, positives at scores 10, 9, and 2.  With 5
+    # buckets of 2 rows each: bucket 1 captures 2/3 of positives
+    # (lift = (2*10)/(2*3) = 10/3), bucket 5 one positive, the middle
+    # zero.
+    rows = [Row(score=float(s), rid=s, label=(s in (10, 9, 2))) for s in range(1, 11)]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.bucket: (r.n, r.positives, r.pos_rate, r.lift, r.cum_positives,
+                   r.cum_gain_pct)
+        for r in decile_lift(df, "score", "label", "rid", buckets=5).collect()
+    }
+    assert out[1] == (2, 2, 1.0, round(10 / 3, 9), 2, round(200 / 3, 9))
+    assert out[2] == (2, 0, 0.0, 0.0, 2, round(200 / 3, 9))
+    assert out[5] == (2, 1, 0.5, round(5 / 3, 9), 3, 100.0)
+
+
+def test_seasonal_naive_backtest_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        seasonal_naive_backtest,
+    )
+
+    # y = day index over days 1..10, season 7: evaluable days 8..10
+    # forecast (1,2,3) against actual (8,9,10) -> sum_a=27, abs_err=21,
+    # wmape=21/27, bias=(6-27)/27.  Group "z" has zero actuals -> NULL
+    # metrics.
+    rows = [
+        Row(g="a", day=dt.date(2024, 1, d), y=d) for d in range(1, 11)
+    ] + [
+        Row(g="z", day=dt.date(2024, 1, d), y=0) for d in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "g string, day date, y bigint")
+    out = {
+        r.g: (r.n_eval, r.sum_actual, r.sum_abs_err, r.wmape, r.bias_pct)
+        for r in seasonal_naive_backtest(df, ["g"], "day", "y", 7).collect()
+    }
+    assert out["a"] == (3, 27, 21, round(21 / 27, 9), round(-21 / 27, 9))
+    assert out["z"] == (3, 0, 0, None, None)
+
+
+def test_feature_hash_intent(spark):
+    import hashlib
+
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import (
+        feature_hash,
+    )
+
+    def bucket(feat, n=8):
+        return int(hashlib.md5(f"fh:{feat}".encode()).hexdigest()[:8], 16) % n
+
+    rows = [
+        Row(uid=1, cat="a", v=1.5),
+        Row(uid=1, cat="a", v=2.5),
+        Row(uid=1, cat="b", v=1.0),
+        Row(uid=2, cat=None, v=9.0),  # NULL feature contributes nothing
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.uid, r.bucket): (r.feat_count, float(r.value_sum))
+        for r in feature_hash(
+            df, "uid", ["cat"], n_buckets=8, value_col="v"
+        ).collect()
+    }
+    ba, bb = bucket("cat=a"), bucket("cat=b")
+    if ba == bb:
+        assert out[(1, ba)] == (3, 5.0)
+    else:
+        assert out[(1, ba)] == (2, 4.0)
+        assert out[(1, bb)] == (1, 1.0)
+    assert not any(uid == 2 for uid, _ in out)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        feature_hash(df, "uid", [], n_buckets=8)
+    with _pytest.raises(ValueError):
+        feature_hash(df, "uid", ["cat"], n_buckets=1)
+
+
+def test_churn_labels_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        churn_labels,
+    )
+
+    cut = dt.datetime(2024, 1, 21, 0, 0, 0)
+    rows = [
+        # u1: observation only -> churned; last event exactly 2h before
+        # the cutoff -> recency_hours = 2 on the boundary
+        Row(user_id=1, ts=cut - dt.timedelta(days=3), event_type="view",
+            value=1.0),
+        Row(user_id=1, ts=cut - dt.timedelta(hours=2), event_type="purchase",
+            value=2.5),
+        # u2: both windows -> not churned
+        Row(user_id=2, ts=cut - dt.timedelta(minutes=30), event_type="view",
+            value=None),
+        Row(user_id=2, ts=cut + dt.timedelta(hours=1), event_type="view",
+            value=4.0),
+        # u3: label window only -> excluded (no observation features)
+        Row(user_id=3, ts=cut + dt.timedelta(days=1), event_type="view",
+            value=1.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.user_id: (r.n_events, r.n_purchases,
+                    None if r.obs_value is None else float(r.obs_value),
+                    r.active_days, r.recency_hours, r.churned)
+        for r in churn_labels(df, "2024-01-21 00:00:00").collect()
+    }
+    assert out[1] == (2, 1, 3.5, 2, 2, True)
+    assert out[2] == (1, 0, None, 1, 0, False)
+    assert 3 not in out
+
+
+def test_corr_matrix_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import corr_matrix
+
+    import pytest as _pytest
+
+    # x and y perfectly correlated, z perfectly anti-correlated with both
+    rows = [Row(x=i, y=2 * i, z=10 - i) for i in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint, z bigint")
+    out = {
+        (r.var_x, r.var_y): (r.n, r.r)
+        for r in corr_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert out[("x", "y")] == (4, 1.0)
+    assert out[("x", "z")] == (4, -1.0)
+    assert out[("y", "z")] == (4, -1.0)
+
+    # constant column -> NULL r against everything
+    rows2 = [Row(x=i, y=5) for i in (1, 2, 3)]
+    df2 = spark.createDataFrame(rows2, "x bigint, y bigint")
+    (only,) = corr_matrix(df2, ["x", "y"]).collect()
+    assert only.r is None
+
+    # doubles are refused loudly
+    df3 = spark.createDataFrame([Row(x=1, y=1.5)])
+    with _pytest.raises(ValueError):
+        corr_matrix(df3, ["x", "y"])
+
+
+def test_time_to_convert_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        time_to_convert,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # u1 converts 90 min after first view -> bucket 1
+        Row(user_id=1, event_type="view", ts=t0),
+        Row(user_id=1, event_type="purchase", ts=t0 + dt.timedelta(minutes=90)),
+        # u2 converts exactly 2h after -> bucket 2 (floor of exact hours)
+        Row(user_id=2, event_type="view", ts=t0),
+        Row(user_id=2, event_type="purchase", ts=t0 + dt.timedelta(hours=2)),
+        # u3's purchase precedes the view -> never converts
+        Row(user_id=3, event_type="purchase", ts=t0),
+        Row(user_id=3, event_type="view", ts=t0 + dt.timedelta(hours=1)),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.hours_bucket: (r.users, r.cum_users, r.cum_pct)
+        for r in time_to_convert(df, "view", "purchase").collect()
+    }
+    assert out == {1: (1, 1, 50.0), 2: (1, 2, 100.0)}

@@ -529,3 +529,83 @@ def test_transitions_smoothed_broadcast_vocab_only(spark):
     assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
     assert "CartesianProduct" not in txt
     assert re.search(r"hashpartitioning\(user_id", txt)
+
+
+def test_reco_item_cosine_equi_joins_only(spark):
+    """Item-item cosine: pair generation is a basket-keyed self-EQUI-join
+    (pairs only materialize within a basket) and the n_i/n_j stitches are
+    equi-joins — no cartesian, no nested-loop anywhere."""
+    txt = plan_of(spark, "reco_item_cosine")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert re.search(r"hashpartitioning\(_b", txt) or re.search(
+        r"hashpartitioning\(basket", txt
+    )
+
+
+def test_funnel_windowed_join_chain_no_window(spark):
+    """Windowed funnel ships the whale-safe join-chain plan: per-stage
+    partial-aggregating groupBy + shuffle-hash joins on user, NO per-user
+    window sort; the only nested loops are the documented 1-row count
+    crossJoins."""
+    txt = plan_of(spark, "events_funnel_windowed")
+    assert "Window" not in txt
+    assert "ShuffledHashJoin" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_score_lift_documented_global_window(spark):
+    """Decile lift: the NTILE global-order window is the documented
+    eval-frame boundary; zero joins — totals ride a partition-all window
+    on the 10-row bucket frame."""
+    txt = plan_of(spark, "ml_score_lift")
+    assert "Window" in txt
+    assert "Join" not in txt
+
+
+def test_forecast_backtest_post_agg_window(spark):
+    """Seasonal-naive backtest: the lag window and the metric rollup both
+    run on the post-aggregation (type, day) frame; the only fact-sized
+    exchange is the daily partial agg.  No joins."""
+    txt = plan_of(spark, "events_forecast_backtest")
+    assert "Join" not in txt
+    assert re.search(r"hashpartitioning\(event_type", txt)
+
+
+def test_feature_hashing_single_shuffle_no_joins(spark):
+    """Hashing trick: map-side feature explode + ONE (key, bucket)
+    partial-agg shuffle.  Stateless — no vocabulary join anywhere."""
+    txt = plan_of(spark, "ml_feature_hashing")
+    assert "Join" not in txt
+    assert re.search(r"hashpartitioning\(user_id", txt)
+
+
+def test_churn_labels_one_pass_no_self_join(spark):
+    """Churn frame: features and label ride ONE user-keyed conditional
+    aggregation — no join between observation and label windows, no
+    window function."""
+    txt = plan_of(spark, "ml_churn_labels")
+    assert "Join" not in txt and "Window" not in txt
+    # COUNT(DISTINCT day) plans as the standard two-phase distinct
+    # aggregate: both exchanges key on user_id (the second on
+    # (user_id, day-case) for the distinct pass) — the fact stream is
+    # still never re-keyed off the user
+    parts = re.findall(r"hashpartitioning\(user_id", txt)
+    assert len(parts) == len(re.findall(r"hashpartitioning\(", txt)) == 2
+
+
+def test_corr_matrix_single_agg_pass(spark):
+    """Pairwise correlation matrix: all sums ride the daily partial agg
+    plus one global 1-row aggregate; the pair explode is metadata-scale.
+    No joins, no windows."""
+    txt = plan_of(spark, "stats_corr_matrix")
+    assert "Join" not in txt and "Window" not in txt
+
+
+def test_time_to_convert_join_chain(spark):
+    """Time-to-convert: the funnel join-chain shape — partial-aggregated
+    first-touch frame, shuffle-hash join, partial-aggregated conversion
+    frame; the cumulative window runs on the bucket frame only."""
+    txt = plan_of(spark, "events_time_to_convert")
+    assert "ShuffledHashJoin" in txt
+    assert "CartesianProduct" not in txt
