@@ -532,3 +532,71 @@ def hard_negatives(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def silhouette(
+    assigned: DataFrame,
+    cents: DataFrame,
+    dim: int | None = None,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per vector — the standard
+    clustering-quality readout: ``s = (b - a) / max(a, b)`` where ``a``
+    is the cosine distance to the OWN centroid and ``b`` the distance to
+    the nearest OTHER centroid.  ``s`` near 1 = well inside its cluster,
+    near 0 = on a boundary, negative = probably mis-assigned.
+
+    Full silhouette averages pairwise distances inside each cluster —
+    quadratic per cluster and hopeless at corpus scale; the centroid
+    form is the accepted linear substitute (one pass over vectors x K
+    centroids) and what the IVF index actually optimizes.
+
+    Inputs are :func:`ivf_build` outputs.  All cosines go through the
+    same rounded-6 contract as assignment/probing, so ``a`` and ``b``
+    are engine-replayable; the closing chain is one subtraction, one
+    ``greatest``, one division.  ``s = 0`` when both distances are zero
+    (duplicate of its centroid and of another).
+
+    Plan: K-row broadcast cross join (K = n_centroids, metadata-scale)
+    + ONE _id-keyed partial-aggregated shuffle.  Output: (vec_id,
+    centroid_id, dist_own, dist_other, silhouette).
+    """
+    from .dedup import _dot
+
+    k = F.round(
+        _dot(F.col("_v"), F.col("cv"), dim) / (F.col("_n") * F.col("cn")),
+        6,
+    )
+    per = assigned.crossJoin(
+        F.broadcast(
+            cents.select(
+                F.col("centroid_id").alias("_cid"), "cv", "cn"
+            )
+        )
+    ).select(
+        "_id",
+        "centroid_id",
+        F.col("_cid"),
+        k.alias("_c"),
+    )
+    ag = per.groupBy("_id", "centroid_id").agg(
+        F.max(
+            F.when(F.col("_cid") == F.col("centroid_id"), F.col("_c"))
+        ).alias("_cos_own"),
+        F.max(
+            F.when(F.col("_cid") != F.col("centroid_id"), F.col("_c"))
+        ).alias("_cos_other"),
+    )
+    a = F.lit(1.0) - F.col("_cos_own")
+    b = F.lit(1.0) - F.col("_cos_other")
+    return ag.select(
+        F.col("_id").alias("vec_id"),
+        "centroid_id",
+        a.alias("dist_own"),
+        b.alias("dist_other"),
+        F.when(
+            F.greatest(a, b) > 0,
+            F.round((b - a) / F.greatest(a, b), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("silhouette"),
+    )

@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted"]
 
 
 def _dec(col: Column) -> Column:
@@ -1374,4 +1374,119 @@ def corr_matrix(
         F.col("_pair.var_y").alias("var_y"),
         F.col("_pair.n").alias("n"),
         F.col("_pair.r").alias("r"),
+    )
+
+
+def period_decomposition(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    split_ts: str,
+) -> DataFrame:
+    """Volume/rate mix-shift decomposition between two periods — the BI
+    bridge that answers "did revenue move because we did MORE events or
+    because each event got BIGGER?"
+
+    Rows before ``split_ts`` form the baseline period, the rest the
+    comparison.  Per group: exact counts ``c0``/``c1`` and exact-decimal
+    value sums ``v0``/``v1`` from ONE conditional-aggregate pass, then
+    the Laspeyres-style split evaluated per group (no cross-group sum of
+    IEEE terms anywhere)::
+
+        volume_effect = (c1 - c0) * (v0 / c0)     -- change in count at
+                                                     baseline rate
+        rate_effect   = c1 * (v1/c1 - v0/c0)      -- change in rate at
+                                                     new volume
+
+    which reconciles exactly: volume_effect + rate_effect = v1 - v0 (in
+    exact arithmetic; the emitted doubles follow one fixed chain).
+    Groups with an empty baseline or comparison get NULL effects —
+    there is no rate to baseline against.
+
+    Plan: ONE group-keyed partial-aggregated shuffle, conditional
+    aggregates only; zero joins, zero windows.  Output: group cols, c0,
+    c1, v0, v1, total_change (exact decimal), volume_effect,
+    rate_effect.
+    """
+    cut = F.lit(split_ts).cast("timestamp")
+    before = F.col(ts_col) < cut
+    dec = F.col(value_col).cast("string").cast("decimal(18,6)")
+    g = df.groupBy(*group_cols).agg(
+        F.count_if(before).alias("c0"),
+        F.count_if(~before).alias("c1"),
+        F.sum(F.when(before, dec)).cast("decimal(18,6)").alias("v0"),
+        F.sum(F.when(~before, dec)).cast("decimal(18,6)").alias("v1"),
+    )
+    c0 = F.col("c0").cast("double")
+    c1 = F.col("c1").cast("double")
+    v0 = F.col("v0").cast("double")
+    v1 = F.col("v1").cast("double")
+    ok = (F.col("c0") > 0) & (F.col("c1") > 0)
+    return g.select(
+        *group_cols,
+        "c0",
+        "c1",
+        "v0",
+        "v1",
+        (F.col("v1") - F.col("v0")).cast("decimal(18,6)").alias(
+            "total_change"
+        ),
+        F.when(ok, F.round((c1 - c0) * (v0 / c0), 9)).alias(
+            "volume_effect"
+        ),
+        F.when(ok, F.round(c1 * (v1 / c1 - v0 / c0), 9)).alias(
+            "rate_effect"
+        ),
+    )
+
+
+def dow_adjusted(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Each day's activity as a share of its OWN day-of-week's normal —
+    "today ran at 137% of a typical Tuesday" — the seasonality-aware
+    anomaly readout a plain daily z-score gets wrong on weekly-cycled
+    traffic (every Saturday looks like an outlier against the global
+    mean).
+
+    ``pct_of_normal = 100 * y / dow_mean`` evaluated as ONE IEEE
+    division of exact BIGINT cross-products ``(y * dow_days * 100) /
+    dow_events`` — no intermediate mean is materialized, so the hash is
+    engine-stable.  ISO day numbering.
+
+    Plan: one (group, day) partial-agg shuffle over the fact stream;
+    the per-(group, dow) totals ride a window over the POST-AGG daily
+    frame.  Output: group cols, day, iso_dow, y, dow_days, dow_events,
+    pct_of_normal.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        *group_cols, F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("y"))
+    daily = daily.withColumn(
+        "iso_dow", F.dayofweek(F.col("day"))
+    ).withColumn(
+        # ISO: Monday=1..Sunday=7 from Spark's Sunday=1..Saturday=7
+        "iso_dow",
+        F.when(F.col("iso_dow") == 1, F.lit(7)).otherwise(
+            F.col("iso_dow") - 1
+        ).cast("int"),
+    )
+    w = Window.partitionBy(*group_cols, "iso_dow")
+    return daily.select(
+        *group_cols,
+        "day",
+        "iso_dow",
+        "y",
+        F.count("*").over(w).alias("dow_days"),
+        F.sum("y").over(w).alias("dow_events"),
+        F.round(
+            (F.col("y") * F.count("*").over(w) * F.lit(100)).cast("double")
+            / F.sum("y").over(w).cast("double"),
+            9,
+        ).alias("pct_of_normal"),
     )

@@ -2897,3 +2897,99 @@ def _time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_to_convert(
         load_table(spark, sf_dir, "events", spread=True), "view", "purchase"
     )
+
+
+# ---------------------------------------------------------------------------
+# Volume/rate mix-shift decomposition across the Jan-16 split: exact
+# conditional aggregates in one pass, Laspeyres-style effects as fixed
+# IEEE chains.  See functions/stats.py::period_decomposition.
+# ---------------------------------------------------------------------------
+@query(
+    "events_period_decomposition",
+    f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (
+               ts < TIMESTAMP '2024-01-16 00:00:00') AS BIGINT) AS c0,
+           CAST(COUNT(*) FILTER (
+               ts >= TIMESTAMP '2024-01-16 00:00:00') AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                         THEN CAST(value AS DECIMAL(18,6)) END)
+                AS DECIMAL(18,6)) AS v0,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                         THEN CAST(value AS DECIMAL(18,6)) END)
+                AS DECIMAL(18,6)) AS v1
+    FROM events GROUP BY 1
+)
+SELECT event_type, c0, c1, v0, v1,
+       CAST(v1 - v0 AS DECIMAL(18,6)) AS total_change,
+       CASE WHEN c0 > 0 AND c1 > 0 THEN {{ve}} END AS volume_effect,
+       CASE WHEN c0 > 0 AND c1 > 0 THEN {{re}} END AS rate_effect
+FROM g
+""".format(
+        ve=_round_sql(
+            "(CAST(c1 AS DOUBLE) - CAST(c0 AS DOUBLE))"
+            " * (CAST(v0 AS DOUBLE) / CAST(c0 AS DOUBLE))",
+            9,
+        ),
+        re=_round_sql(
+            "CAST(c1 AS DOUBLE)"
+            " * (CAST(v1 AS DOUBLE) / CAST(c1 AS DOUBLE)"
+            " - CAST(v0 AS DOUBLE) / CAST(c0 AS DOUBLE))",
+            9,
+        ),
+    ),
+)
+def _period_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import period_decomposition
+
+    return period_decomposition(
+        load_table(spark, sf_dir, "events", spread=True),
+        ["event_type"],
+        "ts",
+        "value",
+        "2024-01-16 00:00:00",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week-adjusted activity ratio: each day as a share of its own
+# dow's normal — exact BIGINT cross-product, one division; the dow
+# totals ride a window over the post-agg daily frame.  See
+# functions/stats.py::dow_adjusted.
+# ---------------------------------------------------------------------------
+@query(
+    "events_dow_adjusted",
+    f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type, day, CAST(isodow(day) AS INTEGER) AS iso_dow, y,
+           CAST(COUNT(*) OVER (
+               PARTITION BY event_type, isodow(day)) AS BIGINT) AS dow_days,
+           CAST(SUM(y) OVER (
+               PARTITION BY event_type, isodow(day)) AS BIGINT)
+               AS dow_events
+    FROM daily
+)
+SELECT event_type, day, iso_dow, y, dow_days, dow_events,
+       {{pct}} AS pct_of_normal
+FROM w
+""".format(
+        pct=_round_sql(
+            "CAST(y * dow_days * 100 AS DOUBLE)"
+            " / CAST(dow_events AS DOUBLE)",
+            9,
+        )
+    ),
+)
+def _dow_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import dow_adjusted
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    return dow_adjusted(ev, ["event_type"])

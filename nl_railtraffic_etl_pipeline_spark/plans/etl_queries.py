@@ -2785,3 +2785,72 @@ def _reco_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_cosine_similarity(
         baskets, "basket", "item", min_support=3, top_k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join (feature-store temporal correctness): purchases
+# enriched with the signup/error status interval valid AT purchase time —
+# union + per-key running-last window, ONE user-keyed shuffle, no range
+# join, gap/pre-history facts get NULLs.  See operators/pit.py.
+# ---------------------------------------------------------------------------
+@query(
+    "join_point_in_time",
+    """
+WITH changes AS (
+    SELECT user_id, event_type AS state, ts, event_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, ts ORDER BY event_id DESC
+           ) AS rn
+    FROM events
+    WHERE user_id % 20 = 0 AND event_type IN ('signup', 'error')
+),
+dim AS (
+    SELECT user_id, state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    FROM changes WHERE rn = 1
+),
+facts AS (
+    SELECT event_id, user_id, ts FROM events
+    WHERE user_id % 20 = 0 AND event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts,
+       CASE WHEN d.valid_to IS NULL OR f.ts < d.valid_to
+            THEN d.state END AS state,
+       CASE WHEN d.valid_to IS NULL OR f.ts < d.valid_to
+            THEN d.valid_from END AS pit_from
+FROM facts f
+ASOF LEFT JOIN dim d ON f.user_id = d.user_id AND f.ts >= d.valid_from
+""",
+)
+def _join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pit import point_in_time_join
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id") % 20 == 0
+    )
+    changes = (
+        ev.filter(F.col("event_type").isin("signup", "error"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(
+                    F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    dim = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts")
+        .over(Window.partitionBy("user_id").orderBy("ts"))
+        .alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return point_in_time_join(
+        facts, dim, ["user_id"], fact_ts="ts"
+    ).withColumnRenamed("_pit_from", "pit_from")

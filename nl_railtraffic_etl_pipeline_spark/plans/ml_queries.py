@@ -3779,3 +3779,65 @@ def _join_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_matches",
         (F.col("survivors") - F.col("true_matches")).alias("false_positives"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified (centroid-based) silhouette over the shared IVF artifact:
+# per-vector cluster-quality score from the rounded-6 cosine contract —
+# K-row broadcast cross join + one _id-keyed partial agg; the oracle
+# replays assignment and distances from the SAME published centroid
+# parquet.  See functions/simsearch.py::silhouette.
+# ---------------------------------------------------------------------------
+@query(
+    "emb_silhouette",
+    f"""
+WITH base AS (
+    SELECT vec_id AS _id, embedding AS _v, {_IVF_NORM} AS _n FROM embeddings
+),
+cents AS (
+    SELECT centroid_id, cv, cn
+    FROM read_parquet('{_IVF_CENTROIDS_PATH}/*.parquet')
+),
+allc AS (
+    SELECT b._id, c.centroid_id AS cid,
+           {_cos6('b._v', 'b._n', 'c.cv', 'c.cn')} AS c
+    FROM base b CROSS JOIN cents c
+),
+own AS (
+    SELECT _id, cid AS centroid_id FROM (
+        SELECT _id, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY _id ORDER BY c DESC, cid
+               ) AS rn
+        FROM allc
+    ) WHERE rn = 1
+),
+ag AS (
+    SELECT a._id, o.centroid_id,
+           MAX(CASE WHEN a.cid = o.centroid_id THEN a.c END) AS cos_own,
+           MAX(CASE WHEN a.cid <> o.centroid_id THEN a.c END) AS cos_other
+    FROM allc a JOIN own o ON a._id = o._id GROUP BY 1, 2
+),
+d AS (
+    SELECT _id, centroid_id,
+           1 - cos_own AS da, 1 - cos_other AS db
+    FROM ag
+)
+SELECT _id AS vec_id, centroid_id, da AS dist_own, db AS dist_other,
+       CASE WHEN GREATEST(da, db) > 0
+            THEN {_round_sql('(db - da) / GREATEST(da, db)', 6)}
+            ELSE 0.0 END AS silhouette
+FROM d
+""",
+)
+def _emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = _artifact(
+        spark,
+        sf_dir,
+        "ivf_index",
+        lambda: simsearch.ivf_build(
+            emb, dim=_EMB_DIM, centroids_path=_IVF_CENTROIDS_PATH
+        ),
+    )
+    return simsearch.silhouette(assigned, cents, dim=_EMB_DIM)

@@ -1582,3 +1582,133 @@ def test_time_to_convert_intent(spark):
         for r in time_to_convert(df, "view", "purchase").collect()
     }
     assert out == {1: (1, 1, 50.0), 2: (1, 2, 100.0)}
+
+
+def test_point_in_time_join_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.operators.pit import (
+        point_in_time_join,
+    )
+
+    t = lambda h: dt.datetime(2024, 1, 1, h, 0, 0)  # noqa: E731
+    dim = spark.createDataFrame(
+        [
+            # u1: [1,2) gold, gap, [5,7) silver
+            Row(k=1, state="gold", valid_from=t(1), valid_to=t(2)),
+            Row(k=1, state="silver", valid_from=t(5), valid_to=t(7)),
+            # u2: single open interval
+            Row(k=2, state="bronze", valid_from=t(3), valid_to=None),
+        ]
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(k=1, fid=1, ts=t(0)),   # pre-history -> NULL
+            Row(k=1, fid=2, ts=t(1)),   # exactly at open -> gold
+            Row(k=1, fid=3, ts=t(2)),   # exactly at close -> gap -> NULL
+            Row(k=1, fid=4, ts=t(6)),   # inside second -> silver
+            Row(k=1, fid=5, ts=t(9)),   # after close -> NULL
+            Row(k=2, fid=6, ts=t(4)),   # open interval -> bronze
+        ]
+    )
+    out = {
+        r.fid: (r.state, None if r._pit_from is None else r._pit_from.hour)
+        for r in point_in_time_join(facts, dim, ["k"], "ts").collect()
+    }
+    assert out == {
+        1: (None, None),
+        2: ("gold", 1),
+        3: (None, None),
+        4: ("silver", 5),
+        5: (None, None),
+        6: ("bronze", 3),
+    }
+
+
+def test_period_decomposition_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        period_decomposition,
+    )
+
+    cut = dt.datetime(2024, 1, 16)
+    rows = [
+        # type "a": 2 events @ avg 3.0 before, 3 events @ avg 5.0 after
+        Row(g="a", ts=cut - dt.timedelta(days=1), v=2.0),
+        Row(g="a", ts=cut - dt.timedelta(days=2), v=4.0),
+        Row(g="a", ts=cut + dt.timedelta(days=1), v=5.0),
+        Row(g="a", ts=cut + dt.timedelta(days=2), v=5.0),
+        Row(g="a", ts=cut + dt.timedelta(days=3), v=5.0),
+        # type "b": comparison only -> NULL effects
+        Row(g="b", ts=cut + dt.timedelta(days=1), v=9.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.g: (r.c0, r.c1, None if r.v0 is None else float(r.v0),
+              float(r.v1),
+              None if r.total_change is None else float(r.total_change),
+              r.volume_effect, r.rate_effect)
+        for r in period_decomposition(
+            df, ["g"], "ts", "v", "2024-01-16 00:00:00"
+        ).collect()
+    }
+    # volume: (3-2)*3 = 3; rate: 3*(5-3) = 6; total 15-6 = 9 = 3+6
+    assert out["a"] == (2, 3, 6.0, 15.0, 9.0, 3.0, 6.0)
+    assert out["b"] == (0, 1, None, 9.0, None, None, None)
+
+
+def test_dow_adjusted_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        dow_adjusted,
+    )
+
+    # Two Mondays (2024-01-01, 2024-01-08): 2 and 4 events -> dow mean 3
+    # -> 66.666666667% and 133.333333333%; one Tuesday alone -> 100%.
+    rows = (
+        [Row(g="a", ts=dt.datetime(2024, 1, 1, 10, i)) for i in range(2)]
+        + [Row(g="a", ts=dt.datetime(2024, 1, 8, 10, i)) for i in range(4)]
+        + [Row(g="a", ts=dt.datetime(2024, 1, 2, 10, 0))]
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.day.day, r.iso_dow): (r.y, r.dow_days, r.dow_events,
+                                 r.pct_of_normal)
+        for r in dow_adjusted(df, ["g"]).collect()
+    }
+    assert out[(1, 1)] == (2, 2, 6, round(400 / 6, 9))
+    assert out[(8, 1)] == (4, 2, 6, round(800 / 6, 9))
+    assert out[(2, 2)] == (1, 1, 1, 100.0)
+
+
+def test_silhouette_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.simsearch import (
+        silhouette,
+    )
+
+    cents = spark.createDataFrame(
+        [
+            Row(centroid_id=0, cv=[1.0, 0.0], cn=1.0),
+            Row(centroid_id=1, cv=[0.0, 1.0], cn=1.0),
+        ]
+    )
+    r2 = 2.0 ** 0.5 / 2.0
+    assigned = spark.createDataFrame(
+        [
+            # on its centroid: a=0, b=1 -> s=1
+            Row(_id=1, _v=[1.0, 0.0], _n=1.0, centroid_id=0),
+            # equidistant boundary point -> a == b -> s = 0
+            Row(_id=2, _v=[r2, r2], _n=1.0, centroid_id=0),
+            # mis-assigned (sits ON the other centroid): a=1, b=0 -> -1
+            Row(_id=3, _v=[0.0, 1.0], _n=1.0, centroid_id=0),
+        ]
+    )
+    out = {
+        r.vec_id: (r.dist_own, r.dist_other, r.silhouette)
+        for r in silhouette(assigned, cents, dim=2).collect()
+    }
+    assert out[1] == (0.0, 1.0, 1.0)
+    assert out[2][2] == 0.0 and abs(out[2][0] - out[2][1]) < 1e-12
+    assert out[3] == (1.0, 0.0, -1.0)

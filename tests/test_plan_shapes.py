@@ -609,3 +609,42 @@ def test_time_to_convert_join_chain(spark):
     txt = plan_of(spark, "events_time_to_convert")
     assert "ShuffledHashJoin" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_point_in_time_join_single_shuffle_no_range_join(spark):
+    """PIT join: union + running-last window on ONE user-keyed sort
+    shuffle; the validity check is map-side.  No range-condition join —
+    no nested loop, no cartesian."""
+    txt = plan_of(spark, "join_point_in_time")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "Join" not in txt  # the union IS the join
+    assert re.search(r"hashpartitioning\(user_id", txt)
+
+
+def test_period_decomposition_one_pass(spark):
+    """Mix-shift decomposition: both periods' counts and sums ride ONE
+    group-keyed conditional aggregation — no self-join between periods,
+    no window."""
+    txt = plan_of(spark, "events_period_decomposition")
+    assert "Join" not in txt and "Window" not in txt
+    assert len(re.findall(r"hashpartitioning\(", txt)) == 1
+
+
+def test_dow_adjusted_window_post_agg(spark):
+    """Dow-adjusted ratio: the (type, day) partial agg is the only
+    fact-sized exchange; the dow-totals window runs on the post-agg
+    daily frame."""
+    txt = plan_of(spark, "events_dow_adjusted")
+    assert "Join" not in txt
+    assert re.search(r"hashpartitioning\(event_type", txt)
+
+
+def test_silhouette_broadcast_centroids_only(spark):
+    """Silhouette: the K-row centroid side is broadcast (nested-loop on
+    a metadata-scale build side is the documented cross-join shape);
+    the only fact-keyed exchange is the per-vector partial agg."""
+    txt = plan_of(spark, "emb_silhouette")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" in txt
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
