@@ -53,6 +53,9 @@ __all__ = [
     "attribute_conversions",
     "churn_labels",
     "time_to_convert",
+    "dau_wau_stickiness",
+    "session_funnel",
+    "rate_limit_violations",
 ]
 
 
@@ -1134,4 +1137,215 @@ def time_to_convert(
             / F.sum("users").over(w_tot).cast("double"),
             9,
         ).alias("cum_pct"),
+    )
+
+
+def dau_wau_stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / trailing-WAU stickiness per day — the engagement ratio
+    (what share of this week's actives showed up today) product teams
+    track, computed EXACTLY.
+
+    Trailing distinct users are NOT decomposable (you cannot sum or
+    max per-day distincts into a window), so the operator uses the
+    coverage-explode form: each distinct (user, day) activity row is
+    exploded into the ``window_days`` trailing report days it covers,
+    re-distinctef per (user, report_day), and counted — exact at a cost
+    of window_days x the daily-distinct frame, all equi-keyed, no
+    sliding-window state.  Report days are restricted to OBSERVED
+    activity days (no synthetic calendar spine), and the leading
+    ``window_days - 1`` days are emitted with their partial windows —
+    callers wanting only full windows filter on ``day``.
+
+    Output per day: (day, dau, wau, stickiness_pct) where
+    ``stickiness_pct = 100 * dau / wau`` — one division of exact
+    BIGINTs.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    ud = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("_u"),
+            F.to_date(F.col(ts_col)).alias("_d"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy(F.col("_d").alias("day")).agg(
+        F.count("*").alias("dau")
+    )
+    covered = (
+        ud.select(
+            "_u",
+            F.explode(
+                F.sequence(
+                    F.col("_d"),
+                    F.date_add(F.col("_d"), window_days - 1),
+                )
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        dau.join(covered, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                (F.col("dau") * F.lit(100)).cast("double")
+                / F.col("wau").cast("double"),
+                9,
+            ).alias("stickiness_pct"),
+        )
+    )
+
+
+def session_funnel(
+    events: DataFrame,
+    stages: Sequence[str],
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Within-SESSION ordered funnel: conversion counted per session
+    (gap-based sessionization, same islands rule as the sessionize
+    operator), stages strictly ordered INSIDE the session — the form
+    "did this visit convert?" questions actually mean, which the
+    user-lifetime funnel overstates (a view today + purchase next month
+    counts there, not here).
+
+    Returns (stage, stage_name, sessions, conversion_pct) — sessions
+    reaching each stage, pct vs stage-1 sessions (round 2).
+
+    Plan: ONE user-keyed exchange serves everything — the lag/island
+    windows AND the per-(user, session) stage windows (hash(user)
+    already co-locates (user, session), so Spark adds sorts, not
+    shuffles), then a metadata-scale 1-row count aggregate.
+    """
+    if not stages:
+        raise ValueError("need at least one funnel stage")
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w_ord = Window.partitionBy(user_col).orderBy("_ts", "_id")
+    prev = F.lag("_ts").over(w_ord)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("_ts")) - F.unix_micros(prev)) > gap_us),
+        1,
+    ).otherwise(0)
+    cur = events.select(
+        user_col,
+        F.col(type_col).alias("_type"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    ).withColumn(
+        "_sid",
+        F.sum(is_new.cast("bigint")).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_sess = Window.partitionBy(user_col, "_sid")
+    entry_cols = [f"_entry_{i}" for i in range(len(stages))]
+    prev_entry = None
+    for i, stage_type in enumerate(stages):
+        qualifies = F.col("_type") == stage_type
+        if prev_entry is not None:
+            qualifies = qualifies & (F.col("_ts") > F.col(prev_entry))
+        cur = cur.withColumn(
+            entry_cols[i],
+            F.min(F.when(qualifies, F.col("_ts"))).over(w_sess),
+        )
+        prev_entry = entry_cols[i]
+    one_per_session = cur.groupBy(user_col, "_sid").agg(
+        *[F.max(F.col(c).isNotNull()).alias(c) for c in entry_cols]
+    )
+    counts = one_per_session.agg(
+        *[
+            F.coalesce(F.sum(F.col(c).cast("bigint")), F.lit(0)).alias(
+                f"_sessions_{i}"
+            )
+            for i, c in enumerate(entry_cols)
+        ]
+    )
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(stage_type).alias("stage_name"),
+                F.col(f"_sessions_{i}").alias("sessions"),
+            )
+            for i, stage_type in enumerate(stages)
+        ]
+    )
+    return (
+        counts.select(F.explode(stage_rows).alias("s"), F.col("_sessions_0"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.stage_name").alias("stage_name"),
+            F.col("s.sessions").alias("sessions"),
+            F.round(
+                F.lit(100.0)
+                * F.col("s.sessions")
+                / F.nullif(F.col("_sessions_0"), F.lit(0)),
+                2,
+            ).alias("conversion_pct"),
+        )
+    )
+
+
+def rate_limit_violations(
+    events: DataFrame,
+    window_hours: int = 24,
+    threshold: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Events whose trailing-window same-key count reaches ``threshold``
+    — the abuse/bot/rate-limit detector ("more than N requests in the
+    last H hours"), exact rather than bucket-approximated (a fixed
+    hourly bucket misses bursts straddling the boundary).
+
+    The trailing count is a RANGE-frame window over the key's
+    micros-ordered stream: ``RANGE (H*3600e6 - 1) PRECEDING`` — the
+    half-open window ``(t - H, t]`` in exact integer micros, so
+    boundary events resolve identically in any engine; simultaneous
+    events (ties) all carry the same count, per RANGE semantics.
+
+    Plan: ONE user-keyed window shuffle, map-side violation filter —
+    output is violations only, typically a vanishing share of input.
+    Whale caveat: like every per-key window, a bot key sorts in one
+    task — which is fine here, because bots are exactly what the
+    operator exists to surface.
+
+    Output: (event_id, user_id, ts, trailing_count).
+    """
+    if window_hours < 1:
+        raise ValueError(f"window_hours must be >= 1, got {window_hours}")
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    span = int(window_hours) * 3_600_000_000 - 1
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-span, Window.currentRow)
+    )
+    return (
+        events.select(
+            F.col(id_col).alias("event_id"),
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).alias("ts"),
+            F.count("*").over(w).alias("trailing_count"),
+        )
+        .filter(F.col("trailing_count") >= threshold)
     )

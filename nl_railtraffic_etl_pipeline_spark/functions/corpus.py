@@ -40,6 +40,7 @@ __all__ = [
     "leakproof_split",
     "kfold_assign",
     "feature_hash",
+    "temporal_split",
 ]
 
 
@@ -332,3 +333,65 @@ def feature_hash(
         .groupBy(key_col, "bucket")
         .agg(*aggs)
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    test_start: str,
+    embargo_days: int = 0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Temporal train/test split with an embargo gap and a leakage
+    report — the time-series answer to :func:`leakproof_split`: train
+    strictly BEFORE ``test_start - embargo``, test at/after
+    ``test_start``, the embargo band dropped so near-boundary
+    autocorrelation (the finance purged-CV concern) cannot leak.
+
+    Returns TWO summary rows (split = 'train' / 'test') with exact
+    counts: rows, n_users (distinct), value_sum (exact decimal when
+    ``value_col`` given), min_ts, max_ts, and ``spanning_users`` — the
+    number of users appearing in BOTH splits (the entity-leakage
+    metric; 0 only if the split is also entity-disjoint).  The split
+    frames themselves are cheap map-side filters the caller re-derives;
+    this operator is the audit.
+
+    Plan: one conditional tag projection, one (split, user) distinct +
+    rollup for users, one user-keyed both-sides check collapsed to a
+    1-row broadcast.  All exact aggregates.
+    """
+    if embargo_days < 0:
+        raise ValueError(f"embargo_days must be >= 0, got {embargo_days}")
+    t1 = F.lit(test_start).cast("timestamp")
+    t0 = t1 - F.expr(f"INTERVAL {int(embargo_days)} DAYS")
+    split = (
+        F.when(F.col(ts_col) < t0, F.lit("train"))
+        .when(F.col(ts_col) >= t1, F.lit("test"))
+    )
+    tagged = df.withColumn("_split", split).filter(
+        F.col("_split").isNotNull()
+    )
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col(user_col)).alias("n_users"),
+        F.min(F.col(ts_col)).alias("min_ts"),
+        F.max(F.col(ts_col)).alias("max_ts"),
+    ]
+    if value_col is not None:
+        aggs.insert(
+            2,
+            F.sum(F.col(value_col).cast("string").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("value_sum"),
+        )
+    per = tagged.groupBy(F.col("_split").alias("split")).agg(*aggs)
+    spanning = (
+        tagged.select("_split", F.col(user_col).alias("_u"))
+        .distinct()
+        .groupBy("_u")
+        .agg(F.count("*").alias("_k"))
+        .filter(F.col("_k") == 2)
+        .agg(F.count("*").alias("spanning_users"))
+    )
+    return per.crossJoin(F.broadcast(spanning))

@@ -152,6 +152,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    arrays: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram CONTAINMENT — shared shingles
+    over the SMALLER doc's shingle count — the asymmetric twin of
+    :func:`ngram_jaccard_pairs` that catches a short document embedded
+    whole inside a long one, where Jaccard dilutes toward zero (a quote
+    page inside an aggregator, a chunk inside its source).  Standard in
+    the set-similarity-join literature as the overlap/containment
+    predicate next to Jaccard.
+
+    Same inverted-index plan (shingle-keyed self-equi-join, shared
+    counts, size stitch); ``containment = shared / least(sz_a, sz_b)``
+    rounded 4.  Returns (doc_a, doc_b, shared, sz_a, sz_b, containment)
+    at or above ``threshold``.
+    """
+    if arrays is None:
+        arrays = _materialize(_shingle_arrays(df, text_col, id_col, n))
+    sh = arrays.select("doc", F.explode("sh_arr").alias("shingle"))
+    sizes = arrays.select("doc", F.size("sh_arr").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cont = F.col("shared") / F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared", "sz_a", "sz_b",
+            F.round(cont, 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def flag_contaminated(
     train: DataFrame,
     heldout: DataFrame,

@@ -24,7 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_profile", "check_rules"]
+__all__ = ["table_profile", "check_rules", "freshness_report"]
 
 
 def table_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
@@ -103,3 +103,64 @@ def check_rules(profile: DataFrame, rules: dict) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def freshness_report(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-slice data-freshness and volume-drift report — the first
+    data-quality dashboard every ingest pipeline needs: which slices
+    have stopped arriving, and which just changed volume.
+
+    All lateness is measured against the TABLE's own high-water mark
+    (no wall clock — deterministic and replayable): per group, the last
+    stamp, the whole-hours gap behind the global max (exact BIGINT
+    ``div`` of micros), rows in the trailing ``window_days`` vs the
+    window before it, and their percent ratio (one division of exact
+    BIGINTs; NULL when the prior window is empty).
+
+    Plan: one 1-row global-max aggregate broadcast back over the stream
+    (the documented 1-row nested-loop, metadata-scale), then ONE
+    group-keyed conditional-aggregate shuffle.  Output: group col,
+    last_ts, hours_behind, rows_last, rows_prior, volume_ratio_pct.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    mx = df.agg(F.max(F.col(ts_col)).alias("_mx"))
+    w1 = F.col("_mx") - F.expr(f"INTERVAL {int(window_days)} DAYS")
+    w2 = F.col("_mx") - F.expr(f"INTERVAL {int(2 * window_days)} DAYS")
+    g = (
+        df.crossJoin(F.broadcast(mx))
+        .groupBy(group_col)
+        .agg(
+            F.max(F.col(ts_col)).alias("last_ts"),
+            F.max(F.col("_mx")).alias("_mxg"),
+            F.count_if(F.col(ts_col) >= w1).alias("rows_last"),
+            F.count_if(
+                (F.col(ts_col) < w1) & (F.col(ts_col) >= w2)
+            ).alias("rows_prior"),
+        )
+        .withColumn(
+            "_diff_us",
+            F.unix_micros(F.col("_mxg")) - F.unix_micros(F.col("last_ts")),
+        )
+        .withColumn("hours_behind", F.expr("_diff_us div 3600000000"))
+    )
+    return g.select(
+        group_col,
+        "last_ts",
+        "hours_behind",
+        "rows_last",
+        "rows_prior",
+        F.when(
+            F.col("rows_prior") > 0,
+            F.round(
+                (F.col("rows_last") * F.lit(100)).cast("double")
+                / F.col("rows_prior").cast("double"),
+                9,
+            ),
+        ).alias("volume_ratio_pct"),
+    )

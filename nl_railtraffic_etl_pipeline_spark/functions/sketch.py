@@ -35,6 +35,7 @@ __all__ = [
     "kmv_sketch",
     "kmv_merge",
     "kmv_set_ops",
+    "kmv_difference",
     "bottom_k_sample",
     "bernoulli_sample",
     "stratified_bernoulli_sample",
@@ -247,6 +248,90 @@ def kmv_set_ops(
             union.alias("union_estimate"),
             F.round(rho * union, 2).alias("intersection_estimate"),
             F.round(rho, 4).alias("jaccard_estimate"),
+        )
+    )
+
+
+def kmv_difference(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_cols: Sequence[str] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-set DIFFERENCE estimates from two KMV sketches — the
+    directional completion of :func:`kmv_set_ops` (Beyer et al. 2007):
+    "how many documents are in source A that B does not have?", again
+    without rescanning either side.
+
+    Same combined bottom-k frame: with ``rho_a_only`` the fraction of K
+    present ONLY in A's sketch, ``|A \\ B| ~= rho_a_only * union`` (and
+    symmetrically for B).  Exact (not an estimate) whenever the combined
+    distinct hash count stays below k.  Inputs follow the
+    :func:`kmv_set_ops` contract (same k, same salt, fail-loud size
+    check).  Output per group: (group..., union_estimate,
+    a_not_b_estimate, b_not_a_estimate).
+    """
+    keys = list(group_cols)
+
+    def _checked(sketch: DataFrame, side: str) -> DataFrame:
+        w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+        n = F.count("*").over(w)
+        return (
+            sketch.withColumn(
+                "_ok",
+                F.when(n <= k, F.lit(True)).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(f"kmv_difference: sketch_{side} carries "),
+                            n.cast("string"),
+                            F.lit(
+                                f" hashes in one group but k={k} — rebuild"
+                                " both sketches with the same k (and salt)"
+                            ),
+                        )
+                    )
+                ),
+            )
+            .filter(F.col("_ok"))
+            .drop("_ok")
+        )
+
+    a = _checked(sketch_a, "a").select(*keys, "h", F.lit(1).alias("_a"))
+    b = _checked(sketch_b, "b").select(*keys, "h", F.lit(1).alias("_b"))
+    u = a.join(b, [*keys, "h"], "full_outer")
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("h")
+        bottom = u.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        )
+    else:
+        bottom = u.orderBy("h").limit(k)
+    est = (k - 1) * _HASH_SPACE / F.col("_hk")
+    union = (
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise(F.round(est, 2))
+    )
+    rho_a = F.col("_a_only").cast("double") / F.col("_n")
+    rho_b = F.col("_b_only").cast("double") / F.col("_n")
+    return (
+        bottom.groupBy(*keys)
+        .agg(
+            F.count("*").alias("_n"),
+            F.max("h").alias("_hk"),
+            F.sum(
+                F.when(F.col("_a").isNotNull() & F.col("_b").isNull(), 1)
+                .otherwise(0)
+            ).alias("_a_only"),
+            F.sum(
+                F.when(F.col("_b").isNotNull() & F.col("_a").isNull(), 1)
+                .otherwise(0)
+            ).alias("_b_only"),
+        )
+        .select(
+            *keys,
+            union.alias("union_estimate"),
+            F.round(rho_a * union, 2).alias("a_not_b_estimate"),
+            F.round(rho_b * union, 2).alias("b_not_a_estimate"),
         )
     )
 

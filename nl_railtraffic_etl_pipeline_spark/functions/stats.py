@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted", "share_of_parent", "poisson_bootstrap_ci"]
 
 
 def _dec(col: Column) -> Column:
@@ -1489,4 +1489,184 @@ def dow_adjusted(
             / F.sum("y").over(w).cast("double"),
             9,
         ).alias("pct_of_normal"),
+    )
+
+
+def share_of_parent(
+    agg: DataFrame,
+    parent_col: str,
+    child_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Each child's share of its parent's total plus its rank within
+    the parent — the hierarchy readout (nation within region, category
+    within department) every drill-down report opens with.
+
+    Input is an ALREADY-AGGREGATED (parent, child, value) frame with
+    exact-typed values (the caller's partial agg did the fact-scale
+    work); share is one IEEE division of the exact value by the exact
+    parent-total window sum, rank is value-desc with a child-name
+    tiebreak so it is total and portable.
+
+    Plan: two windows over the post-aggregation frame, both partitioned
+    by parent — metadata scale.  Output: parent, child, value,
+    share_pct, rank_in_parent.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(parent_col)
+    w_rank = Window.partitionBy(parent_col).orderBy(
+        F.desc(value_col), F.asc(child_col)
+    )
+    return agg.select(
+        parent_col,
+        child_col,
+        value_col,
+        F.round(
+            (F.col(value_col).cast("double") * F.lit(100.0))
+            / F.sum(value_col).over(w).cast("double"),
+            9,
+        ).alias("share_pct"),
+        F.row_number().over(w_rank).alias("rank_in_parent"),
+    )
+
+
+#: Cumulative Poisson(1) CDF, exact IEEE doubles — the inverse-CDF table
+#: of the Poisson bootstrap (P(K <= k) for k = 0..8; u above the last
+#: entry draws weight 9).  Identical literals on the oracle side.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    replicates: int = 40,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the per-group mean —
+    via the POISSON bootstrap (Chamandy et al., the resampling scheme
+    that works on data too large to index): instead of drawing n rows
+    with replacement (which needs global coordination), each row enters
+    replicate ``b`` with an independent Poisson(1) weight, which
+    converges to the multinomial bootstrap and is embarrassingly
+    parallel — the only bootstrap with a 100 TB shape.
+
+    Determinism: the weight is the Poisson(1) inverse CDF applied to
+    ``u = hash32(salt:b:id) / 2^32`` (repo md5 contract) against exact
+    double CDF literals, so every replicate is bit-reproducible on any
+    engine/partitioning.  Replicate sums are EXACT (integer weights x
+    exact-decimal values); each replicate mean is one IEEE division;
+    the CI bounds are ORDER STATISTICS of the replicate means (ranks
+    ``max(1, floor(0.025 B))`` / ``min(B, ceil(0.975 B))`` via exact
+    integer arithmetic) — no interpolation, no accumulation-order
+    hazard anywhere.
+
+    Plan: map-side explode x B -> ONE (group, replicate) partial-agg
+    shuffle -> B-row-per-group windows for the rank pick.  Cost is
+    exactly B x the input scan; state is B rows per group.
+
+    Output: group cols, n, mean (exact-sum point estimate), ci_low,
+    ci_high, n_replicates.
+    """
+    from pyspark.sql import Window
+
+    from .text import hash32
+
+    if replicates < 4:
+        raise ValueError(f"replicates must be >= 4, got {replicates}")
+    dec = F.col(value_col).cast("string").cast("decimal(18,6)")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, dec.alias("_v"), F.col(id_col).alias("_id")
+    )
+    point = base.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum("_v").cast("double") / F.count("*").cast("double"), 9
+        ).alias("mean"),
+    )
+    exploded = base.select(
+        *group_cols,
+        "_v",
+        "_id",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(replicates)))
+        ).alias("_b"),
+    )
+    u = hash32(
+        F.concat(
+            F.lit(f"{salt}:"),
+            F.col("_b").cast("string"),
+            F.lit(":"),
+            F.col("_id").cast("string"),
+        )
+    ).cast("double") / F.lit(4294967296.0)
+    w = F.lit(9)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    per = (
+        exploded.withColumn("_w", w)
+        .groupBy(*group_cols, "_b")
+        .agg(
+            F.sum("_w").alias("_n_eff"),
+            F.sum(F.col("_w") * F.col("_v")).alias("_s"),
+        )
+        .filter(F.col("_n_eff") > 0)
+        .select(
+            *group_cols,
+            "_b",
+            (F.col("_s").cast("double") / F.col("_n_eff").cast("double"))
+            .alias("_m"),
+        )
+    )
+    wg = Window.partitionBy(*group_cols)
+    w_rank = Window.partitionBy(*group_cols).orderBy("_m", "_b")
+    ranked = per.select(
+        *group_cols,
+        "_m",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count("*").over(wg).alias("_bv"),
+    )
+    # exact integer rank arithmetic — float 0.025*B/0.975*B sit within
+    # an ulp of integers and floor/ceil the wrong way
+    lo = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr("CAST((25 * _bv) DIV 1000 AS BIGINT)"),
+    )
+    hi = F.least(
+        F.col("_bv").cast("bigint"),
+        F.expr("CAST((975 * _bv + 999) DIV 1000 AS BIGINT)"),
+    )
+    ci = (
+        ranked.withColumn("_lo", lo)
+        .withColumn("_hi", hi)
+        .groupBy(*group_cols)
+        .agg(
+            F.max(
+                F.when(F.col("_rn") == F.col("_lo"), F.col("_m"))
+            ).alias("ci_low"),
+            F.max(
+                F.when(F.col("_rn") == F.col("_hi"), F.col("_m"))
+            ).alias("ci_high"),
+            F.max("_bv").alias("n_replicates"),
+        )
+    )
+    return point.join(ci, list(group_cols)).select(
+        *group_cols,
+        "n",
+        "mean",
+        F.round(F.col("ci_low"), 9).alias("ci_low"),
+        F.round(F.col("ci_high"), 9).alias("ci_high"),
+        "n_replicates",
     )

@@ -2993,3 +2993,328 @@ def _dow_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isNotNull()
     )
     return dow_adjusted(ev, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# DAU / trailing-7d-WAU stickiness: exact trailing distinct users via
+# the coverage-explode form (distinct activity days exploded into the 7
+# report days each covers) — no sliding-window distinct state.  See
+# functions/behavior.py::dau_wau_stickiness.
+# ---------------------------------------------------------------------------
+@query(
+    "events_dau_wau",
+    f"""
+WITH ud AS (
+    SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+cov AS (
+    SELECT DISTINCT u, d + CAST(i AS INTEGER) AS day
+    FROM ud CROSS JOIN generate_series(0, 6) t(i)
+),
+wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM cov GROUP BY 1)
+SELECT dau.day, dau.dau, wau.wau, {{pct}} AS stickiness_pct
+FROM dau JOIN wau ON dau.day = wau.day
+""".format(
+        pct=_round_sql(
+            "CAST(dau.dau * 100 AS DOUBLE) / CAST(wau.wau AS DOUBLE)", 9
+        )
+    ),
+)
+def _dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import dau_wau_stickiness
+
+    return dau_wau_stickiness(
+        load_table(spark, sf_dir, "events", spread=True), window_days=7
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-type freshness / volume-drift report against the table's own
+# high-water mark: exact BIGINT hour lag, trailing-vs-prior 7d volume
+# ratio — one 1-row max broadcast + one conditional-agg shuffle.  See
+# functions/profile.py::freshness_report.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_freshness",
+    f"""
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+g AS (
+    SELECT event_type,
+           MAX(ts) AS last_ts,
+           MAX(mx) AS mxg,
+           CAST(COUNT(*) FILTER (ts >= mx - INTERVAL 7 DAY) AS BIGINT)
+               AS rows_last,
+           CAST(COUNT(*) FILTER (
+               ts < mx - INTERVAL 7 DAY
+               AND ts >= mx - INTERVAL 14 DAY) AS BIGINT) AS rows_prior
+    FROM events, m GROUP BY event_type
+)
+SELECT event_type, last_ts,
+       CAST((epoch_us(mxg) - epoch_us(last_ts)) // 3600000000 AS BIGINT)
+           AS hours_behind,
+       rows_last, rows_prior,
+       CASE WHEN rows_prior > 0 THEN {{ratio}} END AS volume_ratio_pct
+FROM g
+""".format(
+        ratio=_round_sql(
+            "CAST(rows_last * 100 AS DOUBLE) / CAST(rows_prior AS DOUBLE)",
+            9,
+        )
+    ),
+)
+def _dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import freshness_report
+
+    return freshness_report(
+        load_table(spark, sf_dir, "events", spread=True),
+        "event_type",
+        window_days=7,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-session ordered funnel (30-min gap sessions): one user-keyed
+# exchange serves the island windows AND the per-session stage windows
+# (hash(user) co-locates (user, session)).  See
+# functions/behavior.py::session_funnel.
+# ---------------------------------------------------------------------------
+@query(
+    "events_session_funnel",
+    """
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_type,
+           CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS sid
+    FROM ordered
+),
+e1 AS (
+    SELECT user_id, sid, ts, event_type,
+           MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id, sid) AS t1
+    FROM sess
+),
+e2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id, sid) AS t2
+    FROM e1
+),
+e3 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id, sid) AS t3
+    FROM e2
+),
+per AS (
+    SELECT user_id, sid,
+           MAX(t1 IS NOT NULL) AS f1,
+           MAX(t2 IS NOT NULL) AS f2,
+           MAX(t3 IS NOT NULL) AS f3
+    FROM e3 GROUP BY 1, 2
+),
+counts AS (
+    SELECT 1 AS stage, 'view' AS stage_name,
+           CAST(COALESCE(SUM(CASE WHEN f1 THEN 1 END), 0) AS BIGINT)
+               AS sessions
+    FROM per
+    UNION ALL
+    SELECT 2, 'click',
+           CAST(COALESCE(SUM(CASE WHEN f2 THEN 1 END), 0) AS BIGINT)
+    FROM per
+    UNION ALL
+    SELECT 3, 'purchase',
+           CAST(COALESCE(SUM(CASE WHEN f3 THEN 1 END), 0) AS BIGINT)
+    FROM per
+)
+SELECT stage, stage_name, sessions,
+       ROUND(100.0 * sessions
+             / NULLIF((SELECT sessions FROM counts WHERE stage = 1), 0), 2)
+           AS conversion_pct
+FROM counts
+""",
+)
+def _session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import session_funnel
+
+    return session_funnel(
+        load_table(spark, sf_dir, "events", spread=True),
+        _FUNNEL_STAGES,
+        gap_minutes=30,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-24h rate-limit violations: exact half-open RANGE window on
+# integer micros, one user-keyed shuffle, violations-only output.  See
+# functions/behavior.py::rate_limit_violations.
+# ---------------------------------------------------------------------------
+@query(
+    "events_rate_limit",
+    """
+WITH c AS (
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_count
+    FROM events
+)
+SELECT event_id, user_id, ts, trailing_count
+FROM c WHERE trailing_count >= 8
+""",
+)
+def _rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import rate_limit_violations
+
+    return rate_limit_violations(
+        load_table(spark, sf_dir, "events", spread=True),
+        window_hours=24,
+        threshold=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embargoed temporal train/test split audit (purged-CV style): exact
+# per-split counts + the spanning-users entity-leakage metric.  See
+# functions/corpus.py::temporal_split.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_temporal_split",
+    """
+WITH tagged AS (
+    SELECT CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+                WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 'test'
+           END AS split, *
+    FROM events
+),
+t AS (SELECT * FROM tagged WHERE split IS NOT NULL),
+per AS (
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+               AS value_sum,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts
+    FROM t GROUP BY 1
+),
+sp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS spanning_users FROM (
+        SELECT _u FROM (SELECT DISTINCT split, user_id AS _u FROM t)
+        GROUP BY _u HAVING COUNT(*) = 2
+    )
+)
+SELECT per.split, per.n_rows, per.n_users, per.value_sum, per.min_ts,
+       per.max_ts, sp.spanning_users
+FROM per, sp
+""",
+)
+def _temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.corpus import temporal_split
+
+    return temporal_split(
+        load_table(spark, sf_dir, "events", spread=True),
+        test_start="2024-01-24 00:00:00",
+        embargo_days=2,
+        value_col="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap percentile CI for the per-type mean value — the only
+# bootstrap with a 100 TB shape (independent Poisson(1) weights instead
+# of coordinated with-replacement draws), fully deterministic on the md5
+# contract with exact-integer order-statistic ranks.  See
+# functions/stats.py::poisson_bootstrap_ci.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_bootstrap_ci",
+    """
+WITH base AS (
+    SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v, event_id AS id
+    FROM events WHERE value IS NOT NULL
+),
+point AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+               AS mean
+    FROM base GROUP BY 1
+),
+expl AS (
+    SELECT event_type, v, id, CAST(b AS INTEGER) AS b
+    FROM base CROSS JOIN generate_series(1, 40) t(b)
+),
+weighted AS (
+    SELECT event_type, b, v,
+           CASE
+             WHEN u < 0.36787944117144233 THEN 0
+             WHEN u < 0.7357588823428847 THEN 1
+             WHEN u < 0.9196986029286058 THEN 2
+             WHEN u < 0.9810118431238463 THEN 3
+             WHEN u < 0.9963401531726563 THEN 4
+             WHEN u < 0.9994058151824183 THEN 5
+             WHEN u < 0.999916758850712 THEN 6
+             WHEN u < 0.9999897508033253 THEN 7
+             WHEN u < 0.999998874797402 THEN 8
+             ELSE 9 END AS w
+    FROM (
+        SELECT event_type, v, b,
+               CAST(CAST(('0x' || substr(md5(
+                   'boot:' || CAST(b AS VARCHAR) || ':'
+                   || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 AS u
+        FROM expl
+    )
+),
+per AS (
+    SELECT event_type, b,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           SUM(w * v) AS s
+    FROM weighted GROUP BY 1, 2
+),
+means AS (
+    SELECT event_type, b, CAST(s AS DOUBLE) / CAST(n_eff AS DOUBLE) AS m
+    FROM per WHERE n_eff > 0
+),
+ranked AS (
+    SELECT event_type, m,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m, b) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS bv
+    FROM means
+),
+ci AS (
+    SELECT event_type,
+           MAX(CASE WHEN rn = GREATEST(1, (25 * bv) // 1000)
+                    THEN m END) AS ci_low,
+           MAX(CASE WHEN rn = LEAST(bv, (975 * bv + 999) // 1000)
+                    THEN m END) AS ci_high,
+           MAX(bv) AS n_replicates
+    FROM ranked GROUP BY 1
+)
+SELECT p.event_type, p.n, p.mean,
+       ROUND(c.ci_low, 9) AS ci_low,
+       ROUND(c.ci_high, 9) AS ci_high,
+       c.n_replicates
+FROM point p JOIN ci c ON p.event_type = c.event_type
+""",
+)
+def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(
+        load_table(spark, sf_dir, "events", spread=True),
+        ["event_type"],
+        "value",
+        "event_id",
+        replicates=40,
+    )

@@ -2854,3 +2854,57 @@ def _join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_time_join(
         facts, dim, ["user_id"], fact_ts="ts"
     ).withColumnRenamed("_pit_from", "pit_from")
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical share-of-parent: nation revenue share and rank within its
+# region — exact decimal money math at full product scale, share/rank as
+# windows over the 25-row post-agg frame.  See
+# functions/stats.py::share_of_parent.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_share_of_parent",
+    f"""
+WITH rev AS (
+    SELECT r_name AS region, n_name AS nation,
+           CAST(SUM({_REV_SQL}) AS DECIMAL(30,4)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+)
+SELECT region, nation, revenue,
+       {{share}} AS share_pct,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY region ORDER BY revenue DESC, nation
+       ) AS INTEGER) AS rank_in_parent
+FROM rev
+""".format(
+        share=_round_sql(
+            "(CAST(revenue AS DOUBLE) * 100.0)"
+            " / CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE)",
+            9,
+        )
+    ),
+)
+def _share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import share_of_parent
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(_rev_col()).cast("decimal(30,4)").alias("revenue"))
+    )
+    return share_of_parent(rev, "region", "nation", "revenue")

@@ -3841,3 +3841,106 @@ def _emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return simsearch.silhouette(assigned, cents, dim=_EMB_DIM)
+
+
+# ---------------------------------------------------------------------------
+# KMV set DIFFERENCE: "viewers who never purchased" (and the reverse)
+# from the two sketches alone — the directional completion of the Beyer
+# et al. estimator, exact below k, deterministic on the md5 contract.
+# See functions/sketch.py::kmv_difference.
+# ---------------------------------------------------------------------------
+@query(
+    "sketch_kmv_difference",
+    f"""
+WITH ha AS (
+    SELECT DISTINCT {_KMV_H} AS h FROM events WHERE event_type = 'view'
+),
+hb AS (
+    SELECT DISTINCT {_KMV_H} AS h FROM events WHERE event_type = 'purchase'
+),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+comb AS (
+    SELECT COALESCE(a.h, b.h) AS h,
+           (a.h IS NOT NULL AND b.h IS NULL) AS a_only,
+           (b.h IS NOT NULL AND a.h IS NULL) AS b_only
+    FROM ska a FULL OUTER JOIN skb b ON a.h = b.h
+),
+bottom AS (SELECT h, a_only, b_only FROM comb ORDER BY h LIMIT {_KMV_K}),
+agg AS (
+    SELECT COUNT(*) AS n, MAX(h) AS hk,
+           SUM(CASE WHEN a_only THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN b_only THEN 1 ELSE 0 END) AS nb
+    FROM bottom
+)
+SELECT CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+            ELSE ROUND({_KMV_K - 1} * 4294967296.0 / hk, 2)
+       END AS union_estimate,
+       ROUND((CAST(na AS DOUBLE) / n) *
+             CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+                  ELSE ROUND({_KMV_K - 1} * 4294967296.0 / hk, 2) END,
+             2) AS a_not_b_estimate,
+       ROUND((CAST(nb AS DOUBLE) / n) *
+             CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+                  ELSE ROUND({_KMV_K - 1} * 4294967296.0 / hk, 2) END,
+             2) AS b_not_a_estimate
+FROM agg
+""",
+)
+def _kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import kmv_difference, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    ska = kmv_sketch(
+        ev.filter(F.col("event_type") == "view"), [], "user_id", k=_KMV_K
+    )
+    skb = kmv_sketch(
+        ev.filter(F.col("event_type") == "purchase"), [], "user_id", k=_KMV_K
+    )
+    return kmv_difference(ska, skb, k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# N-gram CONTAINMENT near-dup pairs: shared shingles over the smaller
+# doc's shingle count — the asymmetric predicate that catches a short
+# doc embedded in a long one where Jaccard dilutes to zero.  Same
+# inverted-index equi-join plan as dedup_ngram_jaccard.  See
+# functions/dedup.py::ngram_containment_pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_containment",
+    """
+WITH sh AS (
+    SELECT doc_id AS doc,
+           UNNEST(list_distinct(
+               CASE WHEN len(string_split_regex(trim(lower(text)),
+                                                '\\s+')) >= 3
+                    THEN [array_to_string(
+                             string_split_regex(trim(lower(text)),
+                                                '\\s+')[i : i + 2], ' ')
+                          FOR i IN range(1,
+                              len(string_split_regex(trim(lower(text)),
+                                                     '\\s+')) - 1)]
+                    ELSE [] END)) AS shingle
+    FROM documents WHERE text IS NOT NULL
+),
+sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, s.shared, sa.sz AS sz_a, sb.sz AS sz_b,
+       ROUND(CAST(s.shared AS DOUBLE) / LEAST(sa.sz, sb.sz), 4)
+           AS containment
+FROM shared s
+JOIN sizes sa ON s.doc_a = sa.doc
+JOIN sizes sb ON s.doc_b = sb.doc
+WHERE CAST(s.shared AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.5
+""",
+)
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return ngram_containment_pairs(docs, threshold=0.5)

@@ -1712,3 +1712,215 @@ def test_silhouette_intent(spark):
     assert out[1] == (0.0, 1.0, 1.0)
     assert out[2][2] == 0.0 and abs(out[2][0] - out[2][1]) < 1e-12
     assert out[3] == (1.0, 0.0, -1.0)
+
+
+def test_kmv_difference_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.sketch import (
+        kmv_difference,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([Row(v=i) for i in range(1, 6)])     # 1..5
+    b = spark.createDataFrame([Row(v=i) for i in range(4, 9)])     # 4..8
+    ska = kmv_sketch(a, [], "v", k=64)
+    skb = kmv_sketch(b, [], "v", k=64)
+    (row,) = kmv_difference(ska, skb, k=64).collect()
+    # 8 distinct hashes < k -> every estimate is EXACT
+    assert row.union_estimate == 8.0
+    assert row.a_not_b_estimate == 3.0
+    assert row.b_not_a_estimate == 3.0
+
+
+def test_ngram_containment_vs_jaccard_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=short), Row(doc_id=2, text=long)]
+    )
+    (pair,) = ngram_containment_pairs(docs, threshold=0.5).collect()
+    # short doc fully embedded: every one of its 3 shingles is shared
+    assert (pair.doc_a, pair.doc_b) == (1, 2)
+    assert pair.shared == pair.sz_a == 3 and pair.sz_b == 8
+    assert pair.containment == 1.0
+    # Jaccard dilutes to 3/8 and misses at the same 0.5 bar
+    assert ngram_jaccard_pairs(docs, threshold=0.5).collect() == []
+
+
+def test_dau_wau_stickiness_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        dau_wau_stickiness,
+    )
+
+    d = lambda n, h=10: dt.datetime(2024, 1, n, h, 0, 0)  # noqa: E731
+    rows = [
+        Row(user_id=1, ts=d(1)),
+        Row(user_id=1, ts=d(1, 11)),  # same day dedups
+        Row(user_id=2, ts=d(1)),
+        Row(user_id=1, ts=d(3)),
+        Row(user_id=3, ts=d(20)),     # isolated far day
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.day.day: (r.dau, r.wau, r.stickiness_pct)
+        for r in dau_wau_stickiness(df).collect()
+    }
+    # day 1: both users active; trailing week saw only day-1 activity
+    assert out[1] == (2, 2, 100.0)
+    # day 3: u1 active; u1+u2's day-1 activity still covers day 3
+    assert out[3] == (1, 2, 50.0)
+    assert out[20] == (1, 1, 100.0)
+    # only observed activity days are reported
+    assert set(out) == {1, 3, 20}
+
+
+def test_freshness_report_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.profile import (
+        freshness_report,
+    )
+
+    mx = dt.datetime(2024, 1, 30, 12, 0, 0)
+    rows = (
+        # "fresh": sets the high-water mark; 2 rows in last window,
+        # 1 in the prior window -> ratio 200%
+        [Row(g="fresh", ts=mx), Row(g="fresh", ts=mx - dt.timedelta(days=2)),
+         Row(g="fresh", ts=mx - dt.timedelta(days=10))]
+        # "stale": last stamp 49.5h behind -> floor 49; nothing in
+        # either trailing window beyond its single old row
+        + [Row(g="stale", ts=mx - dt.timedelta(hours=49, minutes=30))]
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        r.g: (r.hours_behind, r.rows_last, r.rows_prior, r.volume_ratio_pct)
+        for r in freshness_report(df, "g").collect()
+    }
+    assert out["fresh"] == (0, 2, 1, 200.0)
+    assert out["stale"] == (49, 1, 0, None)
+
+
+def test_session_funnel_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        session_funnel,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # u1 session 1 converts fully (all within the 30-min gap chain)
+        Row(user_id=1, event_type="view", ts=at(0), event_id=1),
+        Row(user_id=1, event_type="click", ts=at(5), event_id=2),
+        Row(user_id=1, event_type="purchase", ts=at(10), event_id=3),
+        # u1 session 2 (61 min later): view only
+        Row(user_id=1, event_type="view", ts=at(71), event_id=4),
+        # u2: view, then purchase in a LATER session -> lifetime funnel
+        # would credit a conversion; session funnel must not
+        Row(user_id=2, event_type="view", ts=at(0), event_id=5),
+        Row(user_id=2, event_type="click", ts=at(1), event_id=6),
+        Row(user_id=2, event_type="purchase", ts=at(90), event_id=7),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.stage: (r.sessions, r.conversion_pct)
+        for r in session_funnel(
+            df, ("view", "click", "purchase"), gap_minutes=30
+        ).collect()
+    }
+    # sessions with a view: u1s1, u1s2, u2s1 = 3; click after view: 2;
+    # purchase inside the same session: only u1s1
+    assert out[1] == (3, 100.0)
+    assert out[2] == (2, round(200 / 3, 2))
+    assert out[3] == (1, round(100 / 3, 2))
+
+
+def test_rate_limit_violations_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        rate_limit_violations,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = (
+        # burst user: events 0..3 within one hour -> the 3rd and 4th
+        # event reach the threshold of 3
+        [Row(user_id=1, ts=t0 + dt.timedelta(minutes=10 * i),
+             event_id=i + 1) for i in range(4)]
+        # boundary: an event EXACTLY 1h before falls outside (t-1h, t]
+        + [Row(user_id=2, ts=t0, event_id=10),
+           Row(user_id=2, ts=t0 + dt.timedelta(hours=1), event_id=11),
+           Row(user_id=2, ts=t0 + dt.timedelta(hours=1), event_id=12)]
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        r.event_id: r.trailing_count
+        for r in rate_limit_violations(
+            df, window_hours=1, threshold=3
+        ).collect()
+    }
+    # u1: counts run 1,2,3,4 -> ids 3 and 4 violate
+    assert out == {3: 3, 4: 4}
+    # u2 never reaches 3: at t0+1h the t0 event is outside the
+    # half-open hour, and the two simultaneous events count 2 (ties
+    # share the RANGE frame)
+
+
+def test_temporal_split_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import (
+        temporal_split,
+    )
+
+    d = lambda n: dt.datetime(2024, 1, n, 12, 0, 0)  # noqa: E731
+    rows = [
+        Row(user_id=1, ts=d(10), value=1.0),   # train
+        Row(user_id=1, ts=d(25), value=2.0),   # test  -> user 1 spans
+        Row(user_id=2, ts=d(11), value=3.0),   # train
+        Row(user_id=3, ts=d(23), value=9.0),   # embargo band -> dropped
+        Row(user_id=4, ts=d(26), value=4.0),   # test
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.split: (r.n_rows, r.n_users, float(r.value_sum), r.min_ts.day,
+                  r.max_ts.day, r.spanning_users)
+        for r in temporal_split(
+            df, "2024-01-24 00:00:00", embargo_days=2, value_col="value"
+        ).collect()
+    }
+    assert out["train"] == (2, 2, 4.0, 10, 11, 1)
+    assert out["test"] == (2, 2, 6.0, 25, 26, 1)
+
+
+def test_share_of_parent_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        share_of_parent,
+    )
+
+    agg = spark.createDataFrame(
+        [
+            Row(p="r1", c="a", v=30),
+            Row(p="r1", c="b", v=10),
+            Row(p="r2", c="c", v=5),
+        ],
+        "p string, c string, v bigint",
+    )
+    out = {
+        r.c: (r.share_pct, r.rank_in_parent)
+        for r in share_of_parent(agg, "p", "c", "v").collect()
+    }
+    assert out["a"] == (75.0, 1)
+    assert out["b"] == (25.0, 2)
+    assert out["c"] == (100.0, 1)

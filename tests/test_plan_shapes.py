@@ -648,3 +648,75 @@ def test_silhouette_broadcast_centroids_only(spark):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" in txt
     assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+
+
+def test_kmv_difference_metadata_scale(spark):
+    """KMV difference: the only fact-sized work is the two distinct+
+    bottom-k sketch builds (TakeOrderedAndProject); the combined-K
+    full-outer join runs on <= 2k rows."""
+    txt = plan_of(spark, "sketch_kmv_difference")
+    assert "TakeOrderedAndProject" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_containment_inverted_index_equi_join(spark):
+    """Containment pairs: same inverted-index shape as ngram_jaccard —
+    shingle-keyed self-EQUI-join, no nested loop."""
+    txt = plan_of(spark, "dedup_containment")
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt)
+
+
+def test_dau_wau_coverage_explode(spark):
+    """DAU/WAU: trailing distinct users via coverage explode — the
+    7-day window never becomes sliding-window state or a range join;
+    everything is distinct/agg exchanges plus one day-keyed stitch."""
+    txt = plan_of(spark, "events_dau_wau")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "Window" not in txt
+
+
+def test_freshness_one_row_broadcast_plus_single_agg(spark):
+    """Freshness: the global max is a 1-row broadcast (documented BNLJ);
+    the per-type conditional aggregate is the only fact-keyed
+    exchange."""
+    txt = plan_of(spark, "dq_freshness")
+    assert "CartesianProduct" not in txt
+    assert re.search(r"hashpartitioning\(event_type", txt)
+
+
+def test_session_funnel_single_user_exchange(spark):
+    """Session funnel: islands + per-session stage windows all ride ONE
+    user-keyed exchange (hash(user) co-locates (user, session)) — no
+    joins, one hashpartitioning."""
+    txt = plan_of(spark, "events_session_funnel")
+    assert "Join" not in txt or "BroadcastNestedLoopJoin" in txt
+    assert len(re.findall(r"hashpartitioning\(", txt)) == 1
+
+
+def test_rate_limit_single_range_window(spark):
+    """Rate limit: ONE user-keyed RANGE window + map-side violation
+    filter — no joins, no second pass."""
+    txt = plan_of(spark, "events_rate_limit")
+    assert "Join" not in txt
+    assert len(re.findall(r"hashpartitioning\(", txt)) == 1
+
+
+def test_temporal_split_no_fact_rejoin(spark):
+    """Temporal split audit: the per-split aggregates and the spanning
+    check never re-join the fact table — the only join is the 1-row
+    spanning-count broadcast."""
+    txt = plan_of(spark, "ml_temporal_split")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_share_of_parent_windows_post_agg(spark):
+    """Share-of-parent: the star joins broadcast the dims; the share and
+    rank windows run on the 25-row post-agg frame (region-partitioned,
+    no single-partition global sort)."""
+    txt = plan_of(spark, "agg_share_of_parent")
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
