@@ -1924,3 +1924,67 @@ def test_share_of_parent_intent(spark):
     assert out["a"] == (75.0, 1)
     assert out["b"] == (25.0, 2)
     assert out["c"] == (100.0, 1)
+
+
+def test_poisson_bootstrap_ci_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        poisson_bootstrap_ci,
+    )
+
+    import pytest as _pytest
+
+    # constant values -> every replicate mean equals the constant ->
+    # degenerate CI exactly at the point estimate
+    const = spark.createDataFrame(
+        [Row(g="c", v=5.0, rid=i) for i in range(1, 21)]
+    )
+    (row,) = poisson_bootstrap_ci(
+        const, ["g"], "v", "rid", replicates=40
+    ).collect()
+    assert row.n == 20 and row.mean == 5.0
+    assert row.ci_low == 5.0 and row.ci_high == 5.0
+    assert row.n_replicates == 40
+
+    # spread values -> the interval brackets the point estimate and has
+    # positive width; ranks 1 and 39 of 40 replicates
+    spread = spark.createDataFrame(
+        [Row(g="s", v=float(i % 10), rid=i) for i in range(1, 101)]
+    )
+    (row2,) = poisson_bootstrap_ci(
+        spread, ["g"], "v", "rid", replicates=40
+    ).collect()
+    assert row2.ci_low < row2.mean < row2.ci_high
+
+    with _pytest.raises(ValueError):
+        poisson_bootstrap_ci(const, ["g"], "v", "rid", replicates=2)
+
+
+def test_poisson_bootstrap_weights_mean_one(spark):
+    """The inverse-CDF weights must average ~1 (Poisson(1)): over many
+    (row, replicate) draws the total effective mass stays within a few
+    percent of the row count — a wrong CDF table or a biased u would
+    show up immediately."""
+    from pyspark.sql import functions as F
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        _POISSON1_CDF,
+    )
+    from nl_railtraffic_etl_pipeline_spark.functions.text import hash32
+
+    df = spark.range(1, 2001).select(
+        F.explode(F.sequence(F.lit(1), F.lit(20))).alias("b"),
+        F.col("id"),
+    )
+    u = hash32(
+        F.concat(
+            F.lit("boot:"), F.col("b").cast("string"),
+            F.lit(":"), F.col("id").cast("string"),
+        )
+    ).cast("double") / F.lit(4294967296.0)
+    w = F.lit(9)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    total, n = df.select(w.alias("w")).agg(
+        F.sum("w"), F.count("*")
+    ).first()
+    assert abs(total / n - 1.0) < 0.03

@@ -720,3 +720,23 @@ def test_share_of_parent_windows_post_agg(spark):
     txt = plan_of(spark, "agg_share_of_parent")
     assert "BroadcastHashJoin" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_bootstrap_single_replicate_shuffle(spark):
+    """Poisson bootstrap: the B-way explode is map-side; the only
+    fact-sized exchanges are the (group, replicate) partial agg and the
+    point-estimate agg; the rank windows run on B-row frames.  No
+    cartesian, no fact re-join (the point/CI stitch joins two 5-row
+    frames)."""
+    txt = plan_of(spark, "stats_bootstrap_ci")
+    assert "CartesianProduct" not in txt
+    assert "Generate" in txt  # the explode, not a join
+
+
+def test_lake_partition_pruning_in_scan(spark):
+    """The day predicate must prune PARTITIONS (directory-level skip),
+    not just filter rows: the written-lake scan carries a non-empty
+    PartitionFilters list."""
+    txt = plan_of(spark, "lake_partition_pruning")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "day" in m.group(1), m
