@@ -2908,3 +2908,121 @@ def _share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_rev_col()).cast("decimal(30,4)").alias("revenue"))
     )
     return share_of_parent(rev, "region", "nation", "revenue")
+
+
+# ---------------------------------------------------------------------------
+# Pairwise association rules over the same customer-basket frame as
+# reco_item_cosine: support / confidence / lift as exact-BIGINT
+# rationals, one division each.  See functions/reco.py::association_rules.
+# ---------------------------------------------------------------------------
+@query(
+    "reco_association_rules",
+    f"""
+WITH b AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+tot AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n_baskets FROM b),
+n AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+co AS (
+    SELECT a.p AS item_i, b2.p AS item_j,
+           CAST(COUNT(*) AS BIGINT) AS co_baskets
+    FROM b a JOIN b b2 ON a.c = b2.c AND a.p <> b2.p
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT item_i, item_j, co_baskets, n_i, n_j, n_baskets,
+       confidence, lift
+FROM (
+    SELECT co.item_i, co.item_j, co.co_baskets,
+           ni.n AS n_i, nj.n AS n_j, tot.n_baskets,
+           {{conf}} AS confidence,
+           {{lift}} AS lift
+    FROM co
+    JOIN n ni ON co.item_i = ni.p
+    JOIN n nj ON co.item_j = nj.p
+    CROSS JOIN tot
+)
+WHERE confidence >= 0.2
+""".format(
+        conf=_round_sql(
+            "CAST(co.co_baskets AS DOUBLE) / CAST(ni.n AS DOUBLE)", 9
+        ),
+        lift=_round_sql(
+            "CAST(co.co_baskets * tot.n_baskets AS DOUBLE)"
+            " / CAST(ni.n * nj.n AS DOUBLE)",
+            9,
+        ),
+    ),
+)
+def _association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.reco import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    baskets = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    return association_rules(
+        baskets, "basket", "item", min_support=3, min_confidence=0.2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SCD-2 merge == full rebuild: the dimension built from
+# pre-Jan-16 changes, merged with the post-Jan-16 batch, must equal the
+# SCD-2 build over the whole stream row-for-row — the oracle IS the full
+# rebuild.  Unaffected keys stream through untouched.  See
+# operators/scd2.py.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_incremental_merge",
+    """
+SELECT user_id,
+       event_type AS state,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current,
+       event_id AS change_id
+FROM events
+WHERE user_id % 20 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def _scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd2_merge
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id") % 20 == 0
+    )
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    old = ev.filter(F.col("ts") < cut)
+    nxt = F.lead("ts").over(w)
+    dim0 = old.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.col("event_id").alias("change_id"),
+    )
+    batch = ev.filter(F.col("ts") >= cut).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        F.col("event_id").alias("change_id"),
+    )
+    return scd2_merge(
+        dim0,
+        batch,
+        "user_id",
+        batch_ts_col="ts",
+        batch_state_col="state",
+        batch_id_col="change_id",
+    )

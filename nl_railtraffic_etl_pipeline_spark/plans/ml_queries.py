@@ -3944,3 +3944,68 @@ def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return ngram_containment_pairs(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit: how much of the exact-Jaccard pair set does the
+# banded MinHash-LSH candidate path recover?  The
+# verify-your-approximation gate — both pair sets come from the engine's
+# own operators, the oracle replays both from the shared CTE chain.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_lsh_recall",
+    f"""
+WITH {_MINHASH_CTES},
+ex AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM jac WHERE jaccard >= 0.2
+),
+lp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM mh_pairs),
+hit AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM mh_pairs m
+    JOIN (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2) e
+      ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
+)
+SELECT ex.n_exact, lp.n_lsh, hit.n_hit,
+       CASE WHEN ex.n_exact > 0
+            THEN {_round_sql(
+                'CAST(hit.n_hit * 100 AS DOUBLE)'
+                ' / CAST(ex.n_exact AS DOUBLE)', 9)}
+       END AS recall_pct
+FROM ex, lp, hit
+""",
+)
+def _lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = _artifact(
+        spark, sf_dir, "doc_shingles_3", lambda: dedup.shingle_arrays(docs)
+    )
+    exact = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2, df_cap=_DF_CAP, arrays=arrays
+    ).select("doc_a", "doc_b")
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.2, arrays=arrays).select(
+        "doc_a", "doc_b"
+    )
+    ex = exact.agg(F.count("*").alias("n_exact"))
+    lp = lsh.agg(F.count("*").alias("n_lsh"))
+    hit = exact.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        ex.crossJoin(F.broadcast(lp))
+        .crossJoin(F.broadcast(hit))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(
+                    (F.col("n_hit") * F.lit(100)).cast("double")
+                    / F.col("n_exact").cast("double"),
+                    9,
+                ),
+            ).alias("recall_pct"),
+        )
+    )

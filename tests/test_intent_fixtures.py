@@ -1988,3 +1988,107 @@ def test_poisson_bootstrap_weights_mean_one(spark):
         F.sum("w"), F.count("*")
     ).first()
     assert abs(total / n - 1.0) < 0.03
+
+
+def test_association_rules_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.reco import (
+        association_rules,
+    )
+
+    import pytest as _pytest
+
+    # 4 baskets: {A,B} x3, {A} x1 -> n_A=4, n_B=3, co=3, N=4
+    rows = [
+        ("b1", "A"), ("b1", "B"),
+        ("b2", "A"), ("b2", "B"),
+        ("b3", "A"), ("b3", "B"),
+        ("b4", "A"),
+    ]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    out = {
+        (r.item_i, r.item_j): (r.co_baskets, r.n_i, r.n_j, r.n_baskets,
+                               r.confidence, r.lift)
+        for r in association_rules(
+            df, "basket", "item", min_support=2, min_confidence=0.5
+        ).collect()
+    }
+    # A -> B: conf 3/4, lift 3*4/(4*3) = 1; B -> A: conf 3/3 = 1
+    assert out[("A", "B")] == (3, 4, 3, 4, 0.75, 1.0)
+    assert out[("B", "A")] == (3, 3, 4, 4, 1.0, 1.0)
+
+    with _pytest.raises(ValueError):
+        association_rules(df, "basket", "item", min_confidence=0.0)
+
+
+def test_scd2_merge_equals_full_rebuild(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.operators.scd2 import scd2_merge
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    # full change stream: u1 has 3 changes (one arriving LATE in the
+    # batch, timestamped between two existing ones), u2 untouched
+    dim_changes = [
+        Row(user_id=1, state="a", ts=t(1), change_id=1),
+        Row(user_id=1, state="c", ts=t(5), change_id=2),
+        Row(user_id=2, state="x", ts=t(2), change_id=3),
+    ]
+    batch_rows = [
+        Row(user_id=1, state="b", ts=t(3), change_id=4),  # late arrival
+        Row(user_id=1, state="d", ts=t(7), change_id=5),
+    ]
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def build(rows):
+        df = spark.createDataFrame(rows)
+        w = Window.partitionBy("user_id").orderBy("ts", "change_id")
+        nxt = F.lead("ts").over(w)
+        return df.select(
+            "user_id",
+            "state",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            "change_id",
+        )
+
+    dim0 = build(dim_changes)
+    batch = spark.createDataFrame(batch_rows)
+    merged = scd2_merge(dim0, batch, "user_id").collect()
+    full = build(dim_changes + batch_rows).collect()
+    key = lambda r: (r.user_id, r.change_id)  # noqa: E731
+    assert sorted(map(tuple, merged), key=lambda x: (x[0], x[5])) == sorted(
+        map(tuple, full), key=lambda x: (x[0], x[5])
+    )
+    # the late row split u1's (a -> c) interval: a now closes at t(3)
+    m = {key(r): r for r in merged}
+    assert m[(1, 1)].valid_to.hour == 3
+    assert m[(1, 4)].valid_to.hour == 5
+    assert m[(1, 5)].is_current
+
+
+def test_lsh_recall_composition_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions import dedup
+
+    # two identical docs + one unrelated: exactly one exact pair, which
+    # LSH must also find (identical docs share every band) -> 100%
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=text),
+            Row(doc_id=2, text=text),
+            Row(doc_id=3, text="one two three four five six seven eight"),
+        ]
+    )
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    e = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    l = {(r.doc_a, r.doc_b) for r in lsh.collect()}
+    assert e == {(1, 2)}
+    assert l >= e  # identical docs always collide -> full recall here

@@ -740,3 +740,29 @@ def test_lake_partition_pruning_in_scan(spark):
     txt = plan_of(spark, "lake_partition_pruning")
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
     assert m and "day" in m.group(1), m
+
+
+def test_association_rules_equi_joins_only(spark):
+    """Association rules: the same basket-keyed self-equi-join frame as
+    item cosine; the only nested loop is the 1-row basket-total
+    broadcast."""
+    txt = plan_of(spark, "reco_association_rules")
+    assert "CartesianProduct" not in txt
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt)
+
+
+def test_scd2_merge_touches_affected_keys_only(spark):
+    """Incremental SCD-2 merge: the batch keys split the dimension with
+    semi/anti EQUI-joins and only the affected keys re-window; no
+    cartesian, no full-dimension window."""
+    txt = plan_of(spark, "scd2_incremental_merge")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert re.search(r"hashpartitioning\(user_id", txt)
+
+
+def test_lsh_recall_counts_are_one_row_broadcasts(spark):
+    """LSH recall audit: the three counts collapse before meeting — the
+    stitches are 1-row broadcasts, never a pair-frame cartesian."""
+    txt = plan_of(spark, "dedup_lsh_recall")
+    assert "CartesianProduct" not in txt
