@@ -522,3 +522,32 @@ def _streaming_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_to_memory(res, "streaming_moments_result", "complete")
     return spark.table("streaming_moments_result")
+
+
+@query(
+    "streaming_rate_limit",
+    # Streaming twin of events_rate_limit: the state-store fold counts
+    # ties as one group (every simultaneous event sees the full group's
+    # mass), which is exactly the batch RANGE frame's semantics — so
+    # under the single-batch drain the oracle IS the batch SQL.
+    """
+WITH c AS (
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_count
+    FROM events
+)
+SELECT user_id, event_id, ts, trailing_count
+FROM c WHERE trailing_count >= 8
+""",
+)
+def _streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import rate_limit_stream
+
+    out = rate_limit_stream(
+        _events_stream(spark, sf_dir), window_hours=24, threshold=8
+    )
+    _drain_to_memory(out, "streaming_rate_limit_result", "append")
+    return spark.table("streaming_rate_limit_result")

@@ -335,3 +335,123 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def rate_limit_stream(
+    events: DataFrame,
+    window_hours: int = 24,
+    threshold: int = 8,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``behavior.rate_limit_violations``: per-key
+    trailing-window event counts maintained as ONLINE state, emitting
+    only the violations — the shape an abuse detector actually runs in
+    (the batch operator is its backfill/audit).
+
+    State per key is the timestamps inside the trailing window (pruned
+    on every arrival — bounded by the key's in-window event count, which
+    for a rate LIMITER is bounded by the limit itself plus the burst
+    being caught) plus the (last_ts, last_id) late-arrival watermark.
+    Tie semantics match the batch RANGE frame exactly: simultaneous
+    events (same micros) are counted as ONE group — every member sees
+    the full group's mass — so under the single-batch drain the output
+    hash-matches the batch operator's oracle SQL row for row.
+    Cross-batch late arrivals (at-or-before the watermark) are dropped,
+    mirroring the sessionizer/EWMA contract.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if window_hours < 1:
+        raise ValueError(f"window_hours must be >= 1, got {window_hours}")
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    span = int(window_hours) * 3_600_000_000
+
+    in_schema = events.schema
+    key_t = in_schema[key_col].dataType
+    id_t = in_schema[id_col].dataType
+    ts_t = in_schema[ts_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_t),
+            StructField(id_col, id_t),
+            StructField(ts_col, ts_t),
+            StructField("trailing_count", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts", ts_t),
+            StructField("last_id", id_t),
+            StructField("recent", ArrayType(LongType())),
+        ]
+    )
+    cols = [key_col, id_col, ts_col, "trailing_count"]
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.exists:
+            last_ts, last_id, recent = state.get
+            recent = list(recent) if recent is not None else []
+        else:
+            last_ts, last_id, recent = None, None, []
+        batch = []
+        for pdf in pdfs:
+            for ts, eid in zip(pdf[ts_col].tolist(), pdf[id_col].tolist()):
+                ts_py = (
+                    ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                )
+                batch.append((ts_py, eid))
+        rows = []
+        batch.sort()
+        i = 0
+        while i < len(batch):
+            ts_py, _ = batch[i]
+            group = []
+            while i < len(batch) and batch[i][0] == ts_py:
+                if last_ts is None or (batch[i][0], batch[i][1]) > (
+                    last_ts,
+                    last_id,
+                ):
+                    group.append(batch[i])
+                i += 1
+            if not group:
+                continue
+            # exact integer micros via timedelta components — .timestamp()
+            # is a float (last-ulp hazard at the window boundary) and
+            # assumes local time for naive datetimes
+            d = ts_py - _EPOCH
+            t_us = (
+                d.days * 86_400_000_000
+                + d.seconds * 1_000_000
+                + d.microseconds
+            )
+            recent = [m for m in recent if m > t_us - span]
+            recent.extend([t_us] * len(group))
+            cnt = len(recent)
+            if cnt >= threshold:
+                for g_ts, g_id in group:
+                    rows.append((uid, g_id, g_ts, cnt))
+            last_ts, last_id = group[-1]
+        state.update((last_ts, last_id, recent))
+        yield pd.DataFrame(rows, columns=cols)
+
+    src = events.select(F.col(key_col), F.col(id_col), F.col(ts_col))
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -397,3 +397,70 @@ def test_streaming_moments_bit_identical_to_batch(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_rate_limit_stream_matches_batch_and_state(spark, tmp_path):
+    """The streaming rate limiter counts the trailing window across
+    micro-batch boundaries (state carries the in-window stamps), matches
+    the batch RANGE semantics on ties, and drops cross-batch late
+    arrivals."""
+    import datetime as dt
+    import os
+    import pathlib
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        rate_limit_violations,
+    )
+    from nl_railtraffic_etl_pipeline_spark.streaming.incremental import (
+        rate_limit_stream,
+    )
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    batch1 = [(1, 1, m(0)), (1, 2, m(10)), (2, 3, m(0))]
+    batch2 = [
+        (1, 4, m(20)),           # 3rd in window -> violation
+        (1, 5, m(20)),           # tie with id 4: both see count 4
+        (1, 6, m(75)),           # ids 1,2 aged out (65/75 min ago) ->
+                                 # window holds 4,5,6 -> violation (3)
+        (2, 7, m(-30)),          # late vs u2's watermark: dropped
+    ]
+    schema = "user_id bigint, event_id bigint, ts timestamp"
+    src = str(tmp_path / "rl_events")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(src + "/b2")
+    now = 1_900_000_000
+    for i, d in enumerate(("b1", "b2")):
+        for f in pathlib.Path(src, d).glob("*.parquet"):
+            os.utime(f, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        rate_limit_stream(stream, window_hours=1, threshold=3)
+        .writeStream.format("memory")
+        .queryName("rl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.trailing_count for r in spark.table("rl_out").collect()
+    }
+    assert got == {4: 4, 5: 4, 6: 3}
+
+    # batch twin over the same stream minus the dropped late row
+    ordered = spark.createDataFrame(
+        [r for r in batch1 + batch2 if r[1] != 7], schema
+    )
+    want = {
+        r.event_id: r.trailing_count
+        for r in rate_limit_violations(
+            ordered, window_hours=1, threshold=3
+        ).collect()
+    }
+    assert got == want
