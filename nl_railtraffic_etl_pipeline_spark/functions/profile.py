@@ -24,7 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_profile", "check_rules", "freshness_report"]
+__all__ = ["table_profile", "check_rules", "freshness_report", "run_quality_checks"]
 
 
 def table_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
@@ -164,3 +164,89 @@ def freshness_report(
             ),
         ).alias("volume_ratio_pct"),
     )
+
+
+def run_quality_checks(
+    tables: dict[str, DataFrame],
+    checks: Sequence[dict],
+) -> DataFrame:
+    """dbt-style declarative data-quality test suite: each check compiles
+    to ONE counting aggregate (or one anti-join for relationships), all
+    unioned into a single report frame — the "tests:" block of a dbt
+    schema.yml executed as Spark plans.
+
+    Supported check kinds (mirroring dbt-core's four built-ins):
+
+    - ``{"kind": "unique", "table": t, "column": c}`` — duplicated value
+      count (rows beyond the first per non-null value);
+    - ``{"kind": "not_null", "table": t, "column": c}`` — NULL count;
+    - ``{"kind": "accepted_values", "table": t, "column": c,
+      "values": [...]}`` — rows outside the list (NULLs excluded, as in
+      dbt);
+    - ``{"kind": "relationship", "table": t, "column": c, "to": t2,
+      "to_column": c2}`` — child rows whose non-null key has no parent
+      (anti-join count).
+
+    Output: (check_name, table_name, column_name, n_violations, passed)
+    — one row per check, ``passed = (n_violations == 0)``.  Every check
+    is a partial-aggregated single pass over its table; the relationship
+    check is a key-projected anti-join (AQE broadcasts the parent key
+    side when small).  Violation COUNTS, not violating rows: at 100 TB
+    the report must stay metadata-scale; drill-down re-runs the one
+    failing predicate as a filter.
+    """
+    if not checks:
+        raise ValueError("run_quality_checks needs at least one check")
+    frames = []
+    for chk in checks:
+        kind = chk["kind"]
+        t, c = chk["table"], chk["column"]
+        df = tables[t]
+        name = chk.get("name", f"{kind}__{t}__{c}")
+        if kind == "unique":
+            viol = (
+                df.filter(F.col(c).isNotNull())
+                .groupBy(c)
+                .agg(F.count("*").alias("_n"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("_n") - 1), F.lit(0).cast("bigint")
+                    ).alias("n_violations")
+                )
+            )
+        elif kind == "not_null":
+            viol = df.agg(
+                F.count_if(F.col(c).isNull()).alias("n_violations")
+            )
+        elif kind == "accepted_values":
+            vals = list(chk["values"])
+            viol = df.agg(
+                F.count_if(
+                    F.col(c).isNotNull() & ~F.col(c).isin(vals)
+                ).alias("n_violations")
+            )
+        elif kind == "relationship":
+            parent = tables[chk["to"]].select(
+                F.col(chk["to_column"]).alias("_pk")
+            ).distinct()
+            viol = (
+                df.filter(F.col(c).isNotNull())
+                .select(F.col(c).alias("_fk"))
+                .join(parent, F.col("_fk") == F.col("_pk"), "left_anti")
+                .agg(F.count("*").alias("n_violations"))
+            )
+        else:
+            raise ValueError(f"unknown check kind: {kind!r}")
+        frames.append(
+            viol.select(
+                F.lit(name).alias("check_name"),
+                F.lit(t).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                F.col("n_violations").cast("bigint").alias("n_violations"),
+                (F.col("n_violations") == 0).alias("passed"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

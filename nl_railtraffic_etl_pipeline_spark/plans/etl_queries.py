@@ -3026,3 +3026,74 @@ def _scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_state_col="state",
         batch_id_col="change_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# dbt-style declarative DQ test suite: unique / not_null /
+# accepted_values / relationship checks, each ONE counting pass (the
+# relationship check an anti-join), unioned into a metadata-scale
+# report.  An accepted_values check is deliberately configured to FAIL
+# ('P' excluded) so the gate proves violations are counted, not just
+# zeros.  See functions/profile.py::run_quality_checks.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_test_suite",
+    """
+SELECT 'unique__orders__o_orderkey' AS check_name,
+       'orders' AS table_name, 'o_orderkey' AS column_name,
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations,
+       COALESCE(SUM(n - 1), 0) = 0 AS passed
+FROM (SELECT COUNT(*) AS n FROM orders
+      WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+UNION ALL
+SELECT 'not_null__orders__o_custkey', 'orders', 'o_custkey',
+       CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT),
+       COUNT(*) FILTER (o_custkey IS NULL) = 0
+FROM orders
+UNION ALL
+SELECT 'accepted_values__orders__o_orderstatus', 'orders',
+       'o_orderstatus',
+       CAST(COUNT(*) FILTER (
+           o_orderstatus IS NOT NULL
+           AND o_orderstatus NOT IN ('O', 'F')) AS BIGINT),
+       COUNT(*) FILTER (
+           o_orderstatus IS NOT NULL
+           AND o_orderstatus NOT IN ('O', 'F')) = 0
+FROM orders
+UNION ALL
+SELECT 'relationship__orders__o_custkey', 'orders', 'o_custkey',
+       CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'relationship__lineitem__l_orderkey', 'lineitem', 'l_orderkey',
+       CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+FROM lineitem l
+WHERE l.l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey)
+""",
+)
+def _dq_test_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import run_quality_checks
+
+    tables = {
+        "orders": load_table(spark, sf_dir, "orders", spread=True),
+        "customer": load_table(spark, sf_dir, "customer"),
+        "lineitem": load_table(spark, sf_dir, "lineitem", spread=True),
+    }
+    checks = [
+        {"kind": "unique", "table": "orders", "column": "o_orderkey"},
+        {"kind": "not_null", "table": "orders", "column": "o_custkey"},
+        # 'P' deliberately excluded: the suite must COUNT violations
+        {"kind": "accepted_values", "table": "orders",
+         "column": "o_orderstatus", "values": ["O", "F"]},
+        {"kind": "relationship", "table": "orders", "column": "o_custkey",
+         "to": "customer", "to_column": "c_custkey"},
+        {"kind": "relationship", "table": "lineitem",
+         "column": "l_orderkey", "to": "orders",
+         "to_column": "o_orderkey"},
+    ]
+    return run_quality_checks(tables, checks)

@@ -4009,3 +4009,80 @@ def _lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@10 audit: the IVF (nprobe=2) top-10 lists vs the exact
+# brute-force top-10, per query — the approximation-quality loop closed
+# on the similarity-search side, mirroring dedup_lsh_recall.  The oracle
+# composes the two gates' own oracle texts as subqueries over the SAME
+# published centroid artifact.
+# ---------------------------------------------------------------------------
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "sim_ivf_recall",
+    f"""
+WITH brute AS (
+    SELECT query_id, neighbor_id
+    FROM ({_ORACLES['sim_knn_bruteforce']}) b
+),
+ivf AS (
+    SELECT query_id, neighbor_id
+    FROM ({_ORACLES['sim_knn_ivf']}) v
+),
+k AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM brute GROUP BY 1
+),
+hit AS (
+    SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM brute b JOIN ivf i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY 1
+)
+SELECT k.query_id, k.k,
+       CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+       {_round_sql(
+           'CAST(COALESCE(hit.n_hit, 0) * 100 AS DOUBLE)'
+           ' / CAST(k.k AS DOUBLE)', 9)} AS recall_pct
+FROM k LEFT JOIN hit ON k.query_id = hit.query_id
+""",
+)
+def _sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _artifact(
+        spark,
+        sf_dir,
+        "ivf_index",
+        lambda: simsearch.ivf_build(
+            emb, dim=_EMB_DIM, centroids_path=_IVF_CENTROIDS_PATH
+        ),
+    )
+    brute = simsearch.knn_bruteforce(emb, _KNN_QUERY_IDS, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = simsearch.ivf_topk(
+        emb, _KNN_QUERY_IDS, k=10, dim=_EMB_DIM, index=idx
+    ).select("query_id", "neighbor_id")
+    k = brute.groupBy("query_id").agg(F.count("*").alias("k"))
+    hit = brute.join(ivf, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hit"))
+    return (
+        k.join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias(
+                "n_hit"
+            ),
+            F.round(
+                (F.coalesce(F.col("n_hit"), F.lit(0)) * F.lit(100)).cast(
+                    "double"
+                )
+                / F.col("k").cast("double"),
+                9,
+            ).alias("recall_pct"),
+        )
+    )

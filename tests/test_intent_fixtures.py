@@ -2092,3 +2092,51 @@ def test_lsh_recall_composition_intent(spark):
     l = {(r.doc_a, r.doc_b) for r in lsh.collect()}
     assert e == {(1, 2)}
     assert l >= e  # identical docs always collide -> full recall here
+
+
+def test_run_quality_checks_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.profile import (
+        run_quality_checks,
+    )
+
+    import pytest as _pytest
+
+    child = spark.createDataFrame(
+        [Row(k=1, status="A"), Row(k=1, status="B"), Row(k=2, status="X"),
+         Row(k=None, status="A"), Row(k=9, status="A")]
+    )
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
+    checks = [
+        {"kind": "unique", "table": "child", "column": "k"},
+        {"kind": "not_null", "table": "child", "column": "k"},
+        {"kind": "accepted_values", "table": "child", "column": "status",
+         "values": ["A", "B"]},
+        {"kind": "relationship", "table": "child", "column": "k",
+         "to": "parent", "to_column": "pk"},
+    ]
+    out = {
+        r.check_name: (r.n_violations, r.passed)
+        for r in run_quality_checks(
+            {"child": child, "parent": parent}, checks
+        ).collect()
+    }
+    # k=1 twice -> 1 duplicate; one NULL k; one 'X'; k=9 orphan
+    assert out["unique__child__k"] == (1, False)
+    assert out["not_null__child__k"] == (1, False)
+    assert out["accepted_values__child__status"] == (1, False)
+    assert out["relationship__child__k"] == (1, False)
+
+    clean = spark.createDataFrame([Row(k=1, status="A")])
+    out2 = run_quality_checks(
+        {"child": clean, "parent": parent},
+        [{"kind": "unique", "table": "child", "column": "k"}],
+    ).collect()
+    assert out2[0].n_violations == 0 and out2[0].passed
+
+    with _pytest.raises(ValueError):
+        run_quality_checks({"child": clean}, [])
+    with _pytest.raises(ValueError):
+        run_quality_checks(
+            {"child": clean},
+            [{"kind": "nope", "table": "child", "column": "k"}],
+        )

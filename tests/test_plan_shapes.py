@@ -766,3 +766,20 @@ def test_lsh_recall_counts_are_one_row_broadcasts(spark):
     stitches are 1-row broadcasts, never a pair-frame cartesian."""
     txt = plan_of(spark, "dedup_lsh_recall")
     assert "CartesianProduct" not in txt
+
+
+def test_dq_suite_anti_join_and_counts(spark):
+    """DQ suite: every check is a counting aggregate; relationships are
+    key-projected anti-joins (LeftAnti), never row-materializing
+    cartesians."""
+    txt = plan_of(spark, "dq_test_suite")
+    assert "CartesianProduct" not in txt
+    assert "LeftAnti" in txt
+
+
+def test_sim_ivf_recall_reuses_artifacts(spark):
+    """ANN recall audit: both top-k lists come from the engine's own
+    operators off the shared centroid artifact; the count stitches are
+    metadata-scale equi-joins — no cartesian."""
+    txt = plan_of(spark, "sim_ivf_recall")
+    assert "CartesianProduct" not in txt
