@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted", "share_of_parent", "poisson_bootstrap_ci"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted", "share_of_parent", "poisson_bootstrap_ci", "flag_runs"]
 
 
 def _dec(col: Column) -> Column:
@@ -1669,4 +1669,45 @@ def poisson_bootstrap_ci(
         F.round(F.col("ci_low"), 9).alias("ci_low"),
         F.round(F.col("ci_high"), 9).alias("ci_high"),
         "n_replicates",
+    )
+
+
+def flag_runs(
+    daily: DataFrame,
+    group_cols: Sequence[str],
+    day_col: str,
+    flag_col: str,
+    min_run: int = 2,
+) -> DataFrame:
+    """Consecutive-calendar-day runs of a boolean flag per group — the
+    alert debouncer: raise only after ``min_run`` straight flagged days,
+    so one noisy day never pages anyone.  The gaps-and-islands key
+    (``day - row_number`` over flagged days) splits on any calendar gap,
+    flagged-but-separated days never merge.
+
+    Input is an already-aggregated per-(group, day) frame with the flag
+    computed upstream (exact integer cross-multiplied thresholds keep it
+    engine-portable).  Output: group cols, start_day, end_day, run_len
+    for runs of at least ``min_run``.
+
+    Plan: one group-keyed window (row_number over flagged days) + one
+    island partial agg, both on the POST-AGG daily frame.
+    """
+    from pyspark.sql import Window
+
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+    w = Window.partitionBy(*group_cols).orderBy(day_col)
+    flagged = daily.filter(F.col(flag_col)).withColumn(
+        "_island", F.date_sub(F.col(day_col), F.row_number().over(w))
+    )
+    return (
+        flagged.groupBy(*group_cols, "_island")
+        .agg(
+            F.min(day_col).alias("start_day"),
+            F.max(day_col).alias("end_day"),
+            F.count("*").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select(*group_cols, "start_day", "end_day", "run_len")
     )

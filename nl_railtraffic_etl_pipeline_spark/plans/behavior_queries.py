@@ -3318,3 +3318,68 @@ def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         replicates=40,
     )
+
+
+# ---------------------------------------------------------------------------
+# Alert debouncing: runs of >= 3 consecutive days strictly above the
+# day-of-week normal — the flag is an exact integer cross-multiplied
+# comparison (y*dow_days > dow_events; a ratio threshold would need one
+# more integer factor, same shape), the runs gaps-and-islands on the
+# post-agg daily frame.  See functions/stats.py::flag_runs.
+# ---------------------------------------------------------------------------
+@query(
+    "events_alert_runs",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type, day, y,
+           CAST(COUNT(*) OVER (
+               PARTITION BY event_type, isodow(day)) AS BIGINT) AS dow_days,
+           CAST(SUM(y) OVER (
+               PARTITION BY event_type, isodow(day)) AS BIGINT)
+               AS dow_events
+    FROM daily
+),
+flagged AS (
+    SELECT event_type, day FROM w
+    WHERE y * dow_days > dow_events
+),
+r AS (
+    SELECT event_type, day,
+           day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY day) AS INTEGER) AS island
+    FROM flagged
+)
+SELECT event_type, MIN(day) AS start_day, MAX(day) AS end_day,
+       CAST(COUNT(*) AS BIGINT) AS run_len
+FROM r GROUP BY event_type, island
+HAVING COUNT(*) >= 3
+""",
+)
+def _alert_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import flag_runs
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("y"))
+    from pyspark.sql import Window as _W
+
+    iso = F.when(F.dayofweek("day") == 1, F.lit(7)).otherwise(
+        F.dayofweek("day") - 1
+    )
+    w = _W.partitionBy("event_type", iso)
+    flagged = daily.select(
+        "event_type",
+        "day",
+        (
+            F.col("y") * F.count("*").over(w) > F.sum("y").over(w)
+        ).alias("flag"),
+    )
+    return flag_runs(flagged, ["event_type"], "day", "flag", min_run=3)

@@ -4086,3 +4086,80 @@ def _sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Index-version drift: each full-corpus IVF centroid matched to its
+# nearest sampled-train centroid (8x8 metadata cross) with the rounded-6
+# cosine — the governance readout for "did retraining move the
+# clustering?"; both artifacts are the published parquet the sim gates
+# already check against.
+# ---------------------------------------------------------------------------
+@query(
+    "emb_centroid_drift",
+    f"""
+WITH full_c AS (
+    SELECT centroid_id, cv, cn
+    FROM read_parquet('{_IVF_CENTROIDS_PATH}/*.parquet')
+),
+samp_c AS (
+    SELECT centroid_id AS matched_id, cv AS sv, cn AS sn
+    FROM read_parquet('{_IVF_SAMPLED_CENTROIDS_PATH}/*.parquet')
+)
+SELECT centroid_id, matched_id, cosine FROM (
+    SELECT f.centroid_id, s.matched_id,
+           {_cos6('f.cv', 'f.cn', 's.sv', 's.sn')} AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY f.centroid_id
+               ORDER BY {_cos6('f.cv', 'f.cn', 's.sv', 's.sn')} DESC,
+                        s.matched_id
+           ) AS rn
+    FROM full_c f CROSS JOIN samp_c s
+) WHERE rn = 1
+""",
+)
+def _emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_full, _ = _artifact(
+        spark,
+        sf_dir,
+        "ivf_index",
+        lambda: simsearch.ivf_build(
+            emb, dim=_EMB_DIM, centroids_path=_IVF_CENTROIDS_PATH
+        ),
+    )
+    cents_samp, _ = _artifact(
+        spark,
+        sf_dir,
+        "ivf_index_sampled",
+        lambda: simsearch.ivf_build(
+            emb,
+            dim=_EMB_DIM,
+            centroids_path=_IVF_SAMPLED_CENTROIDS_PATH,
+            train_mod=2,
+        ),
+    )
+    s = cents_samp.select(
+        F.col("centroid_id").alias("matched_id"),
+        F.col("cv").alias("sv"),
+        F.col("cn").alias("sn"),
+    )
+    cos = F.round(
+        _dot(F.col("cv"), F.col("sv"), _EMB_DIM)
+        / (F.col("cn") * F.col("sn")),
+        6,
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("centroid_id").orderBy(
+        F.desc("cosine"), F.asc("matched_id")
+    )
+    return (
+        cents_full.crossJoin(F.broadcast(s))
+        .select("centroid_id", "matched_id", cos.alias("cosine"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("centroid_id", "matched_id", "cosine")
+    )

@@ -2140,3 +2140,35 @@ def test_run_quality_checks_intent(spark):
             {"child": clean},
             [{"kind": "nope", "table": "child", "column": "k"}],
         )
+
+
+def test_flag_runs_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import flag_runs
+
+    import pytest as _pytest
+
+    d = lambda n: dt.date(2024, 1, n)  # noqa: E731
+    rows = [
+        # run of 3 (days 1-3), gap, isolated flagged day 5, run of 2
+        # (days 8-9), and an unflagged day inside what would otherwise
+        # be one long run
+        Row(g="a", day=d(1), flag=True),
+        Row(g="a", day=d(2), flag=True),
+        Row(g="a", day=d(3), flag=True),
+        Row(g="a", day=d(4), flag=False),
+        Row(g="a", day=d(5), flag=True),
+        Row(g="a", day=d(8), flag=True),
+        Row(g="a", day=d(9), flag=True),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.start_day.day, r.end_day.day): r.run_len
+        for r in flag_runs(df, ["g"], "day", "flag", min_run=2).collect()
+    }
+    # day 5 alone and the day-6/7 calendar gap both break runs
+    assert out == {(1, 3): 3, (8, 9): 2}
+
+    with _pytest.raises(ValueError):
+        flag_runs(df, ["g"], "day", "flag", min_run=0)

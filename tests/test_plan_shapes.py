@@ -783,3 +783,20 @@ def test_sim_ivf_recall_reuses_artifacts(spark):
     metadata-scale equi-joins — no cartesian."""
     txt = plan_of(spark, "sim_ivf_recall")
     assert "CartesianProduct" not in txt
+
+
+def test_alert_runs_post_agg_islands(spark):
+    """Alert runs: the daily partial agg is the only fact-sized
+    exchange; the dow windows and the island window run on the daily
+    frame.  No joins."""
+    txt = plan_of(spark, "events_alert_runs")
+    assert "Join" not in txt
+    assert re.search(r"hashpartitioning\(event_type", txt)
+
+
+def test_centroid_drift_metadata_cross(spark):
+    """Centroid drift: an 8x8 broadcast cross over two published
+    centroid artifacts — metadata-scale by construction."""
+    txt = plan_of(spark, "emb_centroid_drift")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" in txt
