@@ -3383,3 +3383,136 @@ def _alert_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("flag"),
     )
     return flag_runs(flagged, ["event_type"], "day", "flag", min_run=3)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-horizon Dn retention (D1/D3/D7): per first-activity cohort
+# day, the share of users active exactly n days later — the product
+# KPI form of retention (the cohort-week matrix is events_retention).
+# One user-keyed first-day aggregate + day-keyed equi-joins against the
+# (user, day) distinct; rates are exact-integer cross products.
+# ---------------------------------------------------------------------------
+@query(
+    "events_dn_retention",
+    """
+WITH ud AS (
+    SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+    FROM events WHERE user_id IS NOT NULL
+),
+first AS (SELECT u, MIN(d) AS d0 FROM ud GROUP BY 1),
+cohort AS (SELECT d0, CAST(COUNT(*) AS BIGINT) AS cohort_size
+           FROM first GROUP BY 1),
+ret AS (
+    SELECT f.d0,
+           CAST(COUNT(*) FILTER (a.d = f.d0 + 1) AS BIGINT) AS d1,
+           CAST(COUNT(*) FILTER (a.d = f.d0 + 3) AS BIGINT) AS d3,
+           CAST(COUNT(*) FILTER (a.d = f.d0 + 7) AS BIGINT) AS d7
+    FROM first f JOIN ud a ON f.u = a.u
+    GROUP BY 1
+)
+SELECT c.d0 AS cohort_day, c.cohort_size,
+       COALESCE(r.d1, 0) AS d1_users,
+       COALESCE(r.d3, 0) AS d3_users,
+       COALESCE(r.d7, 0) AS d7_users,
+       ROUND(CAST(COALESCE(r.d1, 0) * 100 AS DOUBLE)
+             / CAST(c.cohort_size AS DOUBLE), 9) AS d1_pct,
+       ROUND(CAST(COALESCE(r.d3, 0) * 100 AS DOUBLE)
+             / CAST(c.cohort_size AS DOUBLE), 9) AS d3_pct,
+       ROUND(CAST(COALESCE(r.d7, 0) * 100 AS DOUBLE)
+             / CAST(c.cohort_size AS DOUBLE), 9) AS d7_pct
+FROM cohort c LEFT JOIN ret r ON c.d0 = r.d0
+""",
+)
+def _dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull()
+    )
+    ud = ev.select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("d")
+    ).distinct()
+    first = ud.groupBy("u").agg(F.min("d").alias("d0"))
+    cohort = first.groupBy("d0").agg(F.count("*").alias("cohort_size"))
+    joined = first.join(ud, "u")
+    ret = joined.groupBy("d0").agg(
+        F.count_if(F.col("d") == F.date_add(F.col("d0"), 1)).alias("d1"),
+        F.count_if(F.col("d") == F.date_add(F.col("d0"), 3)).alias("d3"),
+        F.count_if(F.col("d") == F.date_add(F.col("d0"), 7)).alias("d7"),
+    )
+    out = cohort.join(ret, "d0", "left")
+    def pct(c):
+        return F.round(
+            (F.coalesce(F.col(c), F.lit(0)) * F.lit(100)).cast("double")
+            / F.col("cohort_size").cast("double"),
+            9,
+        )
+    return out.select(
+        F.col("d0").alias("cohort_day"),
+        "cohort_size",
+        F.coalesce(F.col("d1"), F.lit(0).cast("bigint")).alias("d1_users"),
+        F.coalesce(F.col("d3"), F.lit(0).cast("bigint")).alias("d3_users"),
+        F.coalesce(F.col("d7"), F.lit(0).cast("bigint")).alias("d7_users"),
+        pct("d1").alias("d1_pct"),
+        pct("d3").alias("d3_pct"),
+        pct("d7").alias("d7_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balance report + balanced class weights (sklearn's
+# n / (k * n_i) convention) for the event-type label — exact integer
+# cross products, one division per class; the imbalance ratio is
+# majority/minority over the same exact counts.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_class_weights",
+    """
+WITH c AS (
+    SELECT event_type AS label, CAST(COUNT(*) AS BIGINT) AS n_i
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1
+),
+t AS (
+    SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(MAX(n_i) AS BIGINT) AS n_max,
+           CAST(MIN(n_i) AS BIGINT) AS n_min
+    FROM c
+)
+SELECT label, n_i,
+       ROUND(CAST(n_i * 100 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS share_pct,
+       ROUND(CAST(n AS DOUBLE) / CAST(k * n_i AS DOUBLE), 9)
+           AS class_weight,
+       ROUND(CAST(n_max AS DOUBLE) / CAST(n_min AS DOUBLE), 9)
+           AS imbalance_ratio
+FROM c, t
+""",
+)
+def _class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    c = ev.groupBy(F.col("event_type").alias("label")).agg(
+        F.count("*").alias("n_i")
+    )
+    t = c.agg(
+        F.sum("n_i").alias("n"),
+        F.count("*").alias("k"),
+        F.max("n_i").alias("n_max"),
+        F.min("n_i").alias("n_min"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n_i",
+        F.round(
+            (F.col("n_i") * F.lit(100)).cast("double")
+            / F.col("n").cast("double"),
+            9,
+        ).alias("share_pct"),
+        F.round(
+            F.col("n").cast("double")
+            / (F.col("k") * F.col("n_i")).cast("double"),
+            9,
+        ).alias("class_weight"),
+        F.round(
+            F.col("n_max").cast("double") / F.col("n_min").cast("double"), 9
+        ).alias("imbalance_ratio"),
+    )

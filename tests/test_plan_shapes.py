@@ -800,3 +800,19 @@ def test_centroid_drift_metadata_cross(spark):
     txt = plan_of(spark, "emb_centroid_drift")
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" in txt
+
+
+def test_dn_retention_user_keyed_joins(spark):
+    """Dn retention: the (user, day) distinct + first-day aggregate and
+    the activity join all key on the user; the cohort stitch is
+    day-keyed.  No cartesian, no window over the fact."""
+    txt = plan_of(spark, "events_dn_retention")
+    assert "CartesianProduct" not in txt
+    assert re.search(r"hashpartitioning\(u", txt)
+
+
+def test_class_weights_one_pass(spark):
+    """Class weights: one label partial agg + a 1-row totals broadcast;
+    no fact re-join."""
+    txt = plan_of(spark, "ml_class_weights")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
