@@ -1,0 +1,240 @@
+"""ML evaluation / monitoring operators: exact rank-based ROC AUC,
+calibration report (reliability bins + ECE), and two-period categorical
+drift (total-variation distance + chi-square homogeneity).
+
+The reference pipeline (``/root/reference/src``) has no model-QA layer;
+these extend the engine along SURVEY.md §2.12 — the offline-eval
+counterpart of the ``ml_*`` training-data operators (score lift, churn
+labels, class weights).  All three follow the repo-wide exactness
+contract: every ratio is carried as cross-multiplied BIGINTs (or a
+single deterministic IEEE division of exact BIGINTs) until ONE final
+division per emitted column, so results hash-match any engine at any
+partitioning and cluster size.
+
+100 TB shape notes (per operator, also asserted in tests/test_plan_shapes):
+
+- ``auc_roc`` never materializes per-row ranks.  A naive rank() over the
+  raw fact table is a full-table sort per group; here the rank-sum runs
+  over the (group, DISTINCT score) frame — one partial-aggregated
+  shuffle, one cumulative window on the SAME key, one group agg.  State
+  per group is the distinct-score count, not the row count.
+- ``calibration_report`` is one partial agg over (group, bin) — bins are
+  map-side arithmetic — plus a 1-row-per-group totals broadcast for ECE.
+- ``categorical_drift`` is one partial agg over (bucket, period) pivoted
+  to two BIGINT count columns plus a 1-row totals broadcast; the
+  chi-square cell is two IEEE ops over exact BIGINT cross products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def auc_roc(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str = "score",
+    label_col: str = "label",
+) -> Column:
+    """Exact tie-corrected ROC AUC per group via the rank-sum identity.
+
+    ``AUC = (S_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)`` where
+    ``S_pos`` is the sum of MIDRANKS of the positive class (ties get the
+    average rank — the Mann-Whitney convention, equal to the area under
+    the tie-interpolated ROC curve).  Everything stays integer until the
+    final division: for a tied block of ``cnt`` rows preceded by ``cum``
+    rows, the midrank is ``(2*cum + cnt + 1) / 2``, so
+
+        2*S_pos = SUM_blocks pos * (2*cum + cnt + 1)        (BIGINT)
+        AUC     = (2*S_pos - n_pos*(n_pos+1)) / (2*n_pos*n_neg)
+
+    Returns (group_cols..., n_pos, n_neg, auc) with ``auc`` NULL when a
+    group lacks either class (never a division by zero).
+
+    ``label_col`` must be 0/1-valued (cast to BIGINT internally).
+    """
+    g = [F.col(c) for c in group_cols]
+    by_score = df.groupBy(*g, F.col(score_col).alias("_s")).agg(
+        F.count("*").alias("_cnt"),
+        F.sum(F.col(label_col).cast("bigint")).alias("_pos"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = by_score.withColumn(
+        "_cum", F.coalesce(F.sum("_cnt").over(w), F.lit(0).cast("bigint"))
+    )
+    per_group = cum.groupBy(*group_cols).agg(
+        F.sum(
+            F.col("_pos") * (F.lit(2) * F.col("_cum") + F.col("_cnt") + 1)
+        ).alias("_2spos"),
+        F.sum("_pos").alias("n_pos"),
+        F.sum(F.col("_cnt") - F.col("_pos")).alias("n_neg"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            (
+                F.col("_2spos") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            9,
+        ),
+    )
+    return per_group.select(*group_cols, "n_pos", "n_neg", auc.alias("auc"))
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    denom: int = 2**32,
+) -> DataFrame:
+    """Reliability diagram bins + Expected Calibration Error, EXACT.
+
+    Contract: ``score_col`` must be an INTEGER-valued column in
+    ``[0, denom)`` — e.g. the repo-wide 32-bit md5 hash contract
+    (``functions/text.py::hash32``, denom=2^32) or any quantized model
+    score.  Keeping the score integral makes every emitted number a
+    ratio of exact BIGINTs:
+
+        accuracy_b   = pos_b / n_b
+        confidence_b = sum_score_b / (n_b * denom)
+        ECE          = SUM_b |pos_b*denom - sum_score_b| / (denom * N)
+
+    (the |acc - conf| * n_b/N ECE term telescopes to that single
+    integer numerator).  One final IEEE division per column.
+
+    Returns one row per non-empty bin: (bin, n, pos, accuracy,
+    confidence, abs_gap_num) plus the group-constant (ece, total_n).
+    Plan: one (bin) partial agg + a 1-row totals broadcast.
+    """
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    s = F.col(score_col).cast("bigint")
+    binned = df.select(
+        F.floor(s * n_bins / F.lit(denom)).cast("int").alias("bin"),
+        s.alias("_s"),
+        F.col(label_col).cast("bigint").alias("_y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("_y").alias("pos"),
+        F.sum("_s").alias("_sum_s"),
+    )
+    gap_num = F.abs(F.col("pos") * F.lit(denom) - F.col("_sum_s"))
+    per_bin = per_bin.withColumn("_gap_num", gap_num)
+    totals = per_bin.agg(
+        F.sum("n").alias("total_n"),
+        F.sum("_gap_num").alias("_gap_total"),
+    )
+    out = per_bin.crossJoin(F.broadcast(totals))
+    return out.select(
+        "bin",
+        "n",
+        "pos",
+        F.round(
+            F.col("pos").cast("double") / F.col("n").cast("double"), 9
+        ).alias("accuracy"),
+        F.round(
+            F.col("_sum_s").cast("double")
+            / (F.col("n") * F.lit(denom)).cast("double"),
+            9,
+        ).alias("confidence"),
+        F.col("_gap_num").alias("abs_gap_num"),
+        F.round(
+            F.col("_gap_total").cast("double")
+            / (F.lit(denom) * F.col("total_n")).cast("double"),
+            9,
+        ).alias("ece"),
+        "total_n",
+    )
+
+
+def categorical_drift(
+    df: DataFrame,
+    bucket_col: str = "bucket",
+    period_col: str = "period",
+) -> DataFrame:
+    """Two-period categorical drift: per-bucket shares, total-variation
+    distance, and the chi-square homogeneity statistic — the exact
+    counterpart of the PSI drift monitor (PSI's ``ln(p/q)`` is
+    transcendental and engine-divergent in the last ulp; TVD and
+    chi-square carry the identical signal with exact arithmetic).
+
+    ``period_col`` must be 0/1-valued (reference vs current window).
+    For a 2xK contingency table the chi-square row contribution
+    collapses to one cross-product difference: with ``d = a*NB - b*NA``
+    (a, b the bucket counts; NA, NB the period totals; rt = a + b),
+
+        chi2_bucket = d^2 / (rt * NA * NB)
+        TVD         = SUM |d| / (2 * NA * NB)
+
+    ``d``, ``rt*NA*NB`` and ``SUM|d|`` are exact BIGINTs; ``chi2_bucket``
+    is two IEEE ops on their exact double images; ``chi2_total`` sums the
+    rounded per-bucket values as exact decimals (order-insensitive).
+
+    Returns one row per bucket with the group-constant totals attached.
+    """
+    counts = (
+        df.groupBy(F.col(bucket_col).alias("bucket"))
+        .agg(
+            F.sum(
+                (F.col(period_col).cast("bigint") == 0).cast("bigint")
+            ).alias("cnt_a"),
+            F.sum(
+                (F.col(period_col).cast("bigint") == 1).cast("bigint")
+            ).alias("cnt_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").alias("_na"), F.sum("cnt_b").alias("_nb")
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    d = F.col("cnt_a") * F.col("_nb") - F.col("cnt_b") * F.col("_na")
+    rt = F.col("cnt_a") + F.col("cnt_b")
+    chi2 = F.round(
+        d.cast("double")
+        * d.cast("double")
+        / (rt * F.col("_na") * F.col("_nb")).cast("double"),
+        9,
+    )
+    per_bucket = j.select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        F.round(
+            (F.col("cnt_a") * 100).cast("double") / F.col("_na").cast("double"),
+            9,
+        ).alias("share_a_pct"),
+        F.round(
+            (F.col("cnt_b") * 100).cast("double") / F.col("_nb").cast("double"),
+            9,
+        ).alias("share_b_pct"),
+        F.abs(d).alias("abs_d"),
+        chi2.alias("chi2_bucket"),
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+    )
+    grand = per_bucket.agg(
+        F.sum("abs_d").alias("_sum_abs_d"),
+        F.sum(F.col("chi2_bucket").cast("decimal(38,20)")).alias("_chi2_sum"),
+    )
+    return per_bucket.crossJoin(F.broadcast(grand)).select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        "share_a_pct",
+        "share_b_pct",
+        "chi2_bucket",
+        F.round(
+            F.col("_sum_abs_d").cast("double")
+            / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double"),
+            9,
+        ).alias("tvd"),
+        F.round(F.col("_chi2_sum").cast("double"), 9).alias("chi2_total"),
+    )

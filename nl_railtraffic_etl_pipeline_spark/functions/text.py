@@ -895,3 +895,88 @@ def novelty_scores(
             "novelty"
         ),
     )
+
+
+def lm_score(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Bigram-LM document scoring — the CCNet-style "perplexity filter"
+    (Wenzek et al. 2020) reshaped for exact cross-engine reproducibility.
+
+    Trains an add-one-smoothed bigram model on the corpus itself and
+    scores every document by its MEAN bigram probability
+
+        mean_p = avg over positions of (c(w1,w2) + 1) / (c(w1) + V)
+
+    where ``c`` are corpus counts and ``V`` the unigram vocabulary size.
+    The classical perplexity ``exp(-mean ln p)`` ranks documents by the
+    geometric mean of the same probabilities; we keep the ARITHMETIC
+    mean because ln/exp differ across engines in the last ulp while each
+    probability here is ONE IEEE division of exact BIGINTs and the
+    per-doc mean is an exact DECIMAL(38,20) sum — bit-reproducible at
+    any partitioning.  Direction matches (higher = more predictable,
+    i.e. lower perplexity); a KenLM/geometric variant is the same plan
+    with the probability expression swapped.
+
+    Returns (id_col, n_bigrams, mean_p) for EVERY input document;
+    docs with fewer than two tokens get n_bigrams=0, mean_p NULL.
+
+    100 TB shape: one tokenize pass feeds both the model counts and the
+    scoring frame; the bigram-count and unigram-count tables are
+    corpus-vocabulary-sized and joined TERM-KEYED (equi-joins — never
+    broadcast: a web-scale bigram vocabulary is itself huge); V is a
+    1-row broadcast; the per-doc mean is a doc-keyed partial agg.  No
+    per-row Python, no global sort, no driver collect.
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc"), w.alias("_w"))
+    pairs = (
+        base.filter(F.size("_w") >= 2)
+        .select(
+            "doc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_w) - 1), "
+                    "i -> struct(_w[i-1] AS w1, _w[i] AS w2))"
+                )
+            ).alias("_g"),
+        )
+        .select("doc", F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
+    c1 = (
+        base.select(F.explode("_w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("_c1"))
+    )
+    vocab = c1.agg(F.count("*").alias("_V"))
+    p = (F.col("_c2") + 1).cast("double") / (
+        F.col("_c1") + F.col("_V")
+    ).cast("double")
+    per_doc = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc")
+        .agg(
+            F.sum(p.cast("decimal(38,20)")).alias("_sum_p"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias(
+                "n_bigrams"
+            ),
+            F.round(
+                F.col("_sum_p").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                9,
+            ).alias("mean_p"),
+        )
+    )

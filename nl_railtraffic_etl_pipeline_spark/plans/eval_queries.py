@@ -1,0 +1,256 @@
+"""Model-evaluation and data-drift gate queries (functions/mleval.py +
+functions/text.py::lm_score): exact rank-based ROC AUC, reliability
+bins + ECE, two-period categorical drift, and the bigram-LM corpus
+quality score.
+
+The reference (``/root/reference/src``) ships no model-QA layer; these
+are SURVEY.md §2.12 engine extensions — the offline-eval half of the
+ml_* family.  Every oracle mirrors the exact-BIGINT-until-one-division
+contract, so all four gates are full rows+schema+hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.mleval import auc_roc, calibration_report, categorical_drift
+from ..functions.text import hash32, lm_score
+from .oracle_util import round_sql as _r
+from .registry import query
+from .testdata import load_table
+
+_H32_SQL = "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+_DENOM = 2**32
+
+
+@query(
+    "ml_auc_roc",
+    f"""
+WITH base AS (
+    SELECT CAST(isodow(CAST(ts AS DATE)) AS INTEGER) AS iso_dow,
+           value AS s,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+by_score AS (
+    SELECT iso_dow, s, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM base GROUP BY 1, 2
+),
+cum AS (
+    SELECT iso_dow, cnt, pos,
+           CAST(COALESCE(SUM(cnt) OVER (
+               PARTITION BY iso_dow ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cumb
+    FROM by_score
+),
+g AS (
+    SELECT iso_dow,
+           CAST(SUM(pos * (2 * cumb + cnt + 1)) AS BIGINT) AS spos2,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
+    FROM cum GROUP BY 1
+)
+SELECT iso_dow, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           {_r("CAST(spos2 - n_pos * (n_pos + 1) AS DOUBLE)"
+               " / CAST(2 * n_pos * n_neg AS DOUBLE)", 9)}
+       END AS auc
+FROM g
+""",
+)
+def _auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected AUC of `value` predicting purchase, per ISO
+    day-of-week segment — the rank-sum identity over the distinct-score
+    frame (never per-row ranks; see functions/mleval.py)."""
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        (F.weekday(F.to_date("ts")) + 1).cast("int").alias("iso_dow"),
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return auc_roc(base, ["iso_dow"], "score", "label")
+
+
+@query(
+    "ml_calibration_ece",
+    f"""
+WITH base AS (
+    SELECT {_H32_SQL} AS s,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events WHERE event_type IS NOT NULL
+),
+b AS (
+    SELECT CAST(floor(s * 10 / {_DENOM}) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos,
+           CAST(SUM(s) AS BIGINT) AS sum_s
+    FROM base GROUP BY 1
+),
+t AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+           CAST(SUM(ABS(pos * {_DENOM} - sum_s)) AS BIGINT) AS gap_total
+    FROM b
+)
+SELECT bin, n, pos,
+       {_r("CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)", 9)} AS accuracy,
+       {_r(f"CAST(sum_s AS DOUBLE) / CAST(n * {_DENOM} AS DOUBLE)", 9)}
+           AS confidence,
+       ABS(pos * {_DENOM} - sum_s) AS abs_gap_num,
+       {_r(f"CAST(gap_total AS DOUBLE) / CAST({_DENOM} * total_n AS DOUBLE)", 9)}
+           AS ece,
+       total_n
+FROM b, t
+""",
+)
+def _calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins + ECE over the md5-contract pseudo-score (an
+    uncalibrated-by-construction scorer: the gate proves the exact
+    arithmetic, not model quality — a real model plugs in any integer-
+    quantized score column)."""
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        hash32(F.col("event_id").cast("string")).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return calibration_report(base, "score", "label", n_bins=10, denom=_DENOM)
+
+
+@query(
+    "ml_drift_report",
+    f"""
+WITH base AS (
+    SELECT event_type AS bucket, CAST(ts AS DATE) AS d FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM base),
+flagged AS (
+    SELECT bucket,
+           CASE WHEN d >= d0 + CAST(floor(date_diff('day', d0, d1) / 2)
+                               AS INTEGER)
+                THEN 1 ELSE 0 END AS period
+    FROM base, bounds
+),
+c AS (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_a,
+           CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_b
+    FROM flagged GROUP BY 1
+),
+t AS (
+    SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+           CAST(SUM(cnt_b) AS BIGINT) AS nb
+    FROM c
+),
+p AS (
+    SELECT bucket, cnt_a, cnt_b,
+           {_r("CAST(cnt_a * 100 AS DOUBLE) / CAST(na AS DOUBLE)", 9)}
+               AS share_a_pct,
+           {_r("CAST(cnt_b * 100 AS DOUBLE) / CAST(nb AS DOUBLE)", 9)}
+               AS share_b_pct,
+           ABS(cnt_a * nb - cnt_b * na) AS abs_d,
+           {_r("CAST(cnt_a * nb - cnt_b * na AS DOUBLE)"
+               " * CAST(cnt_a * nb - cnt_b * na AS DOUBLE)"
+               " / CAST((cnt_a + cnt_b) * na * nb AS DOUBLE)", 9)}
+               AS chi2_bucket,
+           na, nb
+    FROM c, t
+),
+g AS (
+    SELECT CAST(SUM(abs_d) AS BIGINT) AS sum_abs_d,
+           SUM(CAST(CAST(chi2_bucket AS VARCHAR) AS DECIMAL(38,20)))
+               AS chi2_sum
+    FROM p
+)
+SELECT bucket, cnt_a, cnt_b, share_a_pct, share_b_pct, chi2_bucket,
+       {_r("CAST(sum_abs_d AS DOUBLE) / CAST(2 * na * nb AS DOUBLE)", 9)}
+           AS tvd,
+       {_r("CAST(chi2_sum AS DOUBLE)", 9)} AS chi2_total
+FROM p, g
+""",
+)
+def _drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type mix drift between the first and second half of the
+    observed date range: per-bucket shares + exact TVD + chi-square
+    homogeneity (the transcendental-free PSI stand-in)."""
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        F.col("event_type").alias("bucket"), F.to_date("ts").alias("d")
+    )
+    bounds = base.agg(F.min("d").alias("_d0"), F.max("d").alias("_d1"))
+    flagged = base.crossJoin(F.broadcast(bounds)).select(
+        "bucket",
+        (
+            F.col("d")
+            >= F.date_add(
+                F.col("_d0"),
+                F.floor(F.datediff("_d1", "_d0") / 2).cast("int"),
+            )
+        )
+        .cast("int")
+        .alias("period"),
+    )
+    return categorical_drift(flagged, "bucket", "period")
+
+
+@query(
+    "text_lm_score",
+    f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+    FROM documents
+),
+uni AS (SELECT unnest(w) AS w1 FROM toks),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vs FROM c1),
+pw AS (
+    SELECT doc_id,
+           unnest([{{'w1': w[i], 'w2': w[i+1]}}
+                   for i in range(1, len(w))]) AS g
+    FROM toks WHERE len(w) >= 2
+),
+pairs AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM pw),
+c2 AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+    FROM pairs GROUP BY 1, 2
+),
+scored AS (
+    SELECT pairs.doc_id,
+           CAST(CAST(CAST(c2.c2 + 1 AS DOUBLE)
+                     / CAST(c1.c1 + v.vs AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(38,20)) AS p
+    FROM pairs
+    JOIN c2 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+),
+agg AS (
+    SELECT doc_id, SUM(p) AS sum_p, CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       {_r("CAST(a.sum_p AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)", 9)}
+           AS mean_p
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+)
+def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality score per document (exactness-
+    adapted arithmetic-mean probability; see functions/text.py::lm_score
+    for the geometric/perplexity relationship)."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return lm_score(d, "text", "doc_id")

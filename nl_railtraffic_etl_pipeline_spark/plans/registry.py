@@ -315,6 +315,8 @@ def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # calls @query at import time).  Imported last: they need `query` above.
 from . import behavior_queries  # noqa: E402,F401  (registration side-effect)
 from . import etl_queries  # noqa: E402,F401  (registration side-effect)
+from . import eval_queries  # noqa: E402,F401  (registration side-effect)
+from . import geo_queries  # noqa: E402,F401  (registration side-effect)
 from . import lake_queries  # noqa: E402,F401  (registration side-effect)
 from . import ml_queries  # noqa: E402,F401  (registration side-effect)
 from . import streaming_queries  # noqa: E402,F401  (registration side-effect)

@@ -2172,3 +2172,205 @@ def test_flag_runs_intent(spark):
 
     with _pytest.raises(ValueError):
         flag_runs(df, ["g"], "day", "flag", min_run=0)
+
+
+# ---------------------------------------------------------------------------
+# mleval — exact AUC / calibration / drift (hand-computed expectations)
+# ---------------------------------------------------------------------------
+
+def test_auc_roc_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import auc_roc
+
+    rows = [
+        # group "t": scores [1,1,2,3], labels [0,1,0,1].
+        # midranks: the 1-tie block -> 1.5 each, 2 -> 3, 3 -> 4;
+        # S_pos = 1.5 + 4 = 5.5; AUC = (5.5 - 2*3/2) / (2*2) = 0.625
+        Row(g="t", score=1.0, label=0),
+        Row(g="t", score=1.0, label=1),
+        Row(g="t", score=2.0, label=0),
+        Row(g="t", score=3.0, label=1),
+        # group "p": perfect separation -> AUC 1.0
+        Row(g="p", score=1.0, label=0),
+        Row(g="p", score=2.0, label=1),
+        # group "o": one class only -> NULL (never a div-by-zero)
+        Row(g="o", score=5.0, label=1),
+    ]
+    out = {
+        r.g: (r.n_pos, r.n_neg, r.auc)
+        for r in auc_roc(
+            spark.createDataFrame(rows), ["g"], "score", "label"
+        ).collect()
+    }
+    assert out["t"] == (2, 2, 0.625)
+    assert out["p"] == (1, 1, 1.0)
+    assert out["o"] == (1, 0, None)
+
+
+def test_calibration_report_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import (
+        calibration_report,
+    )
+
+    # denom=10, 2 bins. bin0: scores {1,2}, labels {0,1} ->
+    # acc 0.5, conf 3/20 = 0.15, |1*10-3| = 7.
+    # bin1: scores {7,9}, labels {1,1} -> acc 1.0, conf 16/20 = 0.8,
+    # |2*10-16| = 4.  ECE = (7+4)/(10*4) = 0.275.
+    rows = [
+        Row(score=1, label=0),
+        Row(score=2, label=1),
+        Row(score=7, label=1),
+        Row(score=9, label=1),
+    ]
+    out = {
+        r.bin: (r.n, r.pos, r.accuracy, r.confidence, r.abs_gap_num, r.ece)
+        for r in calibration_report(
+            spark.createDataFrame(rows), "score", "label",
+            n_bins=2, denom=10,
+        ).collect()
+    }
+    assert out[0] == (2, 1, 0.5, 0.15, 7, 0.275)
+    assert out[1] == (2, 2, 1.0, 0.8, 4, 0.275)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        calibration_report(
+            spark.createDataFrame(rows), "score", "label", n_bins=0
+        )
+
+
+def test_categorical_drift_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import (
+        categorical_drift,
+    )
+
+    # bucket a: 3 vs 1; bucket b: 1 vs 3.  NA = NB = 4.
+    # d_a = 3*4 - 1*4 = 8, d_b = -8 -> TVD = 16/(2*16) = 0.5;
+    # chi2 per bucket = 64/(4*4*4) = 1.0, total 2.0.
+    rows = (
+        [Row(bucket="a", period=0)] * 3
+        + [Row(bucket="a", period=1)]
+        + [Row(bucket="b", period=0)]
+        + [Row(bucket="b", period=1)] * 3
+    )
+    out = {
+        r.bucket: (
+            r.cnt_a, r.cnt_b, r.share_a_pct, r.share_b_pct,
+            r.chi2_bucket, r.tvd, r.chi2_total,
+        )
+        for r in categorical_drift(spark.createDataFrame(rows)).collect()
+    }
+    assert out["a"] == (3, 1, 75.0, 25.0, 1.0, 0.5, 2.0)
+    assert out["b"] == (1, 3, 25.0, 75.0, 1.0, 0.5, 2.0)
+
+
+def test_lm_score_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.text import lm_score
+
+    # corpus: "a b a" + "b".  c1: a=2, b=2; V=2.
+    # doc 1 bigrams (a,b),(b,a), each count 1 -> p = (1+1)/(2+2) = 0.5
+    # -> mean 0.5.  doc 2 has < 2 tokens -> n_bigrams 0, mean NULL.
+    rows = [Row(doc_id=1, text="a b a"), Row(doc_id=2, text="b")]
+    out = {
+        r.doc_id: (r.n_bigrams, r.mean_p)
+        for r in lm_score(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1] == (2, 0.5)
+    assert out[2] == (0, None)
+
+
+# ---------------------------------------------------------------------------
+# Wave 19 — survival / robust trend / spatial / data-selection fixtures
+# ---------------------------------------------------------------------------
+
+def test_kaplan_meier_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        kaplan_meier,
+    )
+
+    # 4 subjects: two events at t=1, one censored at t=2, one event at
+    # t=3.  S(1) = (4-2)/4 = 0.5; t=2 censor-only keeps S = 0.5; at
+    # t=3 the last at-risk subject dies -> factor 0, survival exactly 0.
+    rows = [
+        Row(duration=1, event=1),
+        Row(duration=1, event=1),
+        Row(duration=2, event=0),
+        Row(duration=3, event=1),
+    ]
+    out = {
+        r.t: (r.n_risk, r.d_events, r.c_censored, r.factor, r.survival)
+        for r in kaplan_meier(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1] == (4, 2, 0, 0.5, 0.5)
+    assert out[2] == (2, 0, 1, 1.0, 0.5)
+    assert out[3] == (1, 1, 0, 0.0, 0.0)
+
+
+def test_theil_sen_slope_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        theil_sen_slope,
+    )
+
+    # points (0,0),(1,1),(2,2),(3,10): slopes 1,1,1,10/3,4.5,8 ->
+    # median = (1 + 10/3)/2 = 2.1666666666666665 -> 2.166666667
+    rows = [
+        Row(g="a", x=0, y=0),
+        Row(g="a", x=1, y=1),
+        Row(g="a", x=2, y=2),
+        Row(g="a", x=3, y=10),
+    ]
+    out = {
+        r.g: (r.n_pairs, r.slope)
+        for r in theil_sen_slope(
+            spark.createDataFrame(rows), ["g"], "x", "y"
+        ).collect()
+    }
+    assert out["a"] == (6, 2.166666667)
+
+
+def test_grid_nearest_neighbors_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.geo import (
+        grid_nearest_neighbors,
+    )
+
+    # radius 50: a(20,0) and f(60,0) sit in ADJACENT cells (0 and 1)
+    # but are 40 apart -> neighbors (the 3x3 explode must find them);
+    # c is far away -> omitted.
+    rows = [
+        Row(id=1, x=20, y=0),
+        Row(id=2, x=60, y=0),
+        Row(id=3, x=1000, y=1000),
+    ]
+    out = {
+        r.id: (r.n_neighbors, r.nearest_id, r.nearest_dist2)
+        for r in grid_nearest_neighbors(
+            spark.createDataFrame(rows), 50, "id", "x", "y"
+        ).collect()
+    }
+    assert out == {1: (1, 2, 1600), 2: (1, 1, 1600)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        grid_nearest_neighbors(spark.createDataFrame(rows), 0)
+
+
+def test_lexical_shift_scores_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import (
+        lexical_shift_scores,
+    )
+
+    # d1 "a a" is the target; d2 "b b" is not.  counts: a cr=2 ct=2,
+    # b cr=2 ct=0; N_r=4, N_t=2.  d1 per-position 2*4-2*2 = 4 ->
+    # shift = 8/(2*2*4) = 0.5; d2 per-position -4 -> shift = -0.5.
+    rows = [
+        Row(doc_id=1, text="a a", tgt=1),
+        Row(doc_id=2, text="b b", tgt=0),
+    ]
+    out = {
+        r.doc_id: (r.n_tokens, r.shift)
+        for r in lexical_shift_scores(
+            spark.createDataFrame(rows), "tgt"
+        ).collect()
+    }
+    assert out == {1: (2, 0.5), 2: (2, -0.5)}

@@ -816,3 +816,79 @@ def test_class_weights_one_pass(spark):
     no fact re-join."""
     txt = plan_of(spark, "ml_class_weights")
     assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+
+
+def test_auc_roc_no_per_row_ranks_no_joins(spark):
+    """AUC: rank-sum over the DISTINCT-score frame — a partial agg feeds
+    the cumulative window; no join anywhere in the plan."""
+    txt = plan_of(spark, "ml_auc_roc")
+    assert "Join" not in txt
+    assert "Window" in txt
+    assert txt.count("HashAggregate") >= 2  # (g,score) partial + per-g
+
+
+def test_calibration_one_pass_plus_totals_broadcast(spark):
+    """Calibration: one (bin) partial agg + 1-row totals broadcast; the
+    fact table is scanned once and never re-joined on a shuffle key."""
+    txt = plan_of(spark, "ml_calibration_ece")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+
+
+def test_drift_report_broadcast_only(spark):
+    """Drift: bucket partial agg + 1-row bounds/totals broadcasts only."""
+    txt = plan_of(spark, "ml_drift_report")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+
+
+def test_lm_score_term_keyed_model_joins(spark):
+    """LM score: the bigram/unigram model joins are equi-joins on term
+    keys (hash joins — broadcastable at toy SF, never a nested-loop pair
+    scan); the only BNLJ is the 1-row vocab-size broadcast."""
+    txt = plan_of(spark, "text_lm_score")
+    # "formatted" prints each operator twice (tree + detail section)
+    assert len(re.findall(r"BroadcastNestedLoopJoin", txt)) <= 2
+    assert len(
+        re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt)
+    ) >= 4
+
+
+def test_kaplan_meier_distinct_duration_frame(spark):
+    """KM: one duration partial agg + cumulative window over the
+    distinct-duration frame + 1-row total broadcast — no key-shuffle
+    joins."""
+    txt = plan_of(spark, "events_kaplan_meier")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+    assert "Window" in txt
+
+
+def test_theilsen_pairs_are_group_keyed_equi_join(spark):
+    """Theil-Sen: the quadratic pair generator is an equi-self-join on
+    the group key over the PRE-AGGREGATED daily frame, never the raw
+    fact table and never a cartesian."""
+    txt = plan_of(spark, "events_theilsen_trend")
+    assert len(
+        re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt)
+    ) >= 2  # formatted prints tree + detail
+    assert "CartesianProduct" not in txt
+
+
+def test_geo_candidates_cell_keyed(spark):
+    """Grid neighbors: candidate pairs come from the cell equi-join —
+    zero nested-loop joins anywhere in the plan."""
+    txt = plan_of(spark, "geo_grid_neighbors")
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
+    assert len(
+        re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt)
+    ) >= 2
+
+
+def test_dsir_shift_term_keyed(spark):
+    """DSIR shift: one tokenize feeds counts and scoring; model joins
+    are term-keyed equi-joins; only the 1-row totals broadcast may be a
+    BNLJ."""
+    txt = plan_of(spark, "corpus_dsir_shift")
+    assert len(re.findall(r"BroadcastNestedLoopJoin", txt)) <= 2
+    assert len(
+        re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt)
+    ) >= 2
