@@ -395,3 +395,82 @@ def temporal_split(
         .agg(F.count("*").alias("spanning_users"))
     )
     return per.crossJoin(F.broadcast(spanning))
+
+
+def lexical_shift_scores(
+    docs: DataFrame,
+    target_flag_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-flavored data-selection score: how much a document's token
+    mix resembles a TARGET subcorpus versus the raw corpus.
+
+    DSIR (Xie et al. 2023) weighs documents by the hashed-n-gram
+    log-likelihood ratio ``sum log(p_target / p_raw)``.  The log is
+    transcendental (engine-divergent in the last ulp), so this variant
+    scores with the LINEAR frequency difference — per token position,
+    ``f_target(t) - f_raw(t)`` carried as the exact BIGINT cross
+    product ``c_t(t)*N_r - c_r(t)*N_t`` — and averages over the doc:
+
+        shift = SUM_positions (c_t*N_r - c_r*N_t) / (n_tok * N_t * N_r)
+
+    Positive = token mix leans toward the target distribution.  Same
+    direction, same plumbing (feature counts from the target and raw
+    corpora joined term-keyed onto the doc's tokens, one per-doc
+    reduce); swapping in the log-ratio is a one-line change where exact
+    cross-engine hashes are not required.
+
+    Returns (id_col, n_tokens, shift) for every input document; empty
+    docs get n_tokens=0, shift NULL.  Whitespace tokenization, matching
+    the registry's ``_TOKENS`` oracle macro.
+
+    100 TB shape: ONE tokenize+explode feeds the raw counts, the target
+    counts (filtered partial agg off the same frame — no second scan),
+    and the scoring join; count tables join TERM-KEYED (vocabulary never
+    broadcasts); totals are a 1-row broadcast; per-doc sums are BIGINT
+    partial aggs on the doc key.
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(target_flag_col).cast("int").alias("_tgt"),
+        F.explode(w).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.count("*").alias("_cr"),
+        F.sum("_tgt").alias("_ct"),
+    )
+    totals = counts.agg(
+        F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt")
+    )
+    contrib = (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.col("_ct") * F.col("_nr") - F.col("_cr") * F.col("_nt")
+            ).alias("_num"),
+            F.count("*").alias("n_tokens"),
+            F.max("_nr").alias("_nr"),
+            F.max("_nt").alias("_nt"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(contrib, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_tokens"
+            ),
+            F.round(
+                F.col("_num").cast("double")
+                / (
+                    F.col("n_tokens") * F.col("_nt") * F.col("_nr")
+                ).cast("double"),
+                12,
+            ).alias("shift"),
+        )
+    )

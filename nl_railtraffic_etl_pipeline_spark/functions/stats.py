@@ -1711,3 +1711,135 @@ def flag_runs(
         .filter(F.col("run_len") >= min_run)
         .select(*group_cols, "start_day", "end_day", "run_len")
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier survival curve over right-censored integer durations.
+
+    Input: one row per subject with a non-negative integer duration and
+    ``event`` 1 (event observed, e.g. churned) / 0 (censored — still
+    alive at cutoff).  Output: one row per DISTINCT duration t with the
+    at-risk count ``n_risk`` (subjects whose duration >= t), events
+    ``d_events`` and censorings ``c_censored`` at t, the step factor
+    ``(n_risk - d) / n_risk``, and the KM estimate
+    ``survival(t) = PROD_{t_j <= t} factor_j``.
+
+    Exactness contract: ``n_risk``/``d``/``c`` and each factor's
+    numerator/denominator are exact BIGINTs; ``factor`` is ONE IEEE
+    division.  The cumulative product is the one place this module
+    permits transcendentals — ``exp(sum(ln(factor)))`` — because an
+    exact rational product overflows any fixed precision after a few
+    hundred steps.  Error bound: |ln ulp| <= 2^-52 per term over <=
+    |distinct durations| terms, so the relative error is < 1e-12 at
+    10^3 steps; ``survival`` is therefore rounded to SIX decimals (not
+    the house 9) and documented as such.  Zero factors (everyone at
+    risk dies at t) force survival to exactly 0.0 from that step on —
+    never fed to ln.
+
+    Plan: one (duration) partial agg + an ordered cumulative window over
+    the distinct-duration frame + a 1-row total broadcast.  Window state
+    is bounded by the number of distinct durations, never the cohort.
+    """
+    from pyspark.sql import Window
+
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col).cast("bigint")).alias("d_events"),
+        F.sum(F.lit(1) - F.col(event_col).cast("bigint")).alias(
+            "c_censored"
+        ),
+        F.count("*").alias("_n_t"),
+    )
+    total = per_t.agg(F.sum("_n_t").alias("_N"))
+    w_prev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cur = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("_N")
+            - F.coalesce(F.sum("_n_t").over(w_prev), F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "_factor_raw",
+            (F.col("n_risk") - F.col("d_events")).cast("double")
+            / F.col("n_risk").cast("double"),
+        )
+        .withColumn(
+            "_zeros",
+            F.sum(
+                (F.col("n_risk") == F.col("d_events")).cast("int")
+            ).over(w_cum),
+        )
+    )
+    survival = F.when(F.col("_zeros") > 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(
+                F.sum(
+                    F.ln(
+                        F.when(
+                            F.col("_factor_raw") > 0, F.col("_factor_raw")
+                        )
+                    )
+                ).over(w_cum)
+            ),
+            6,
+        )
+    )
+    return cur.select(
+        "t",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.round("_factor_raw", 9).alias("factor"),
+        survival.alias("survival"),
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Theil-Sen robust trend estimator per group: the MEDIAN of all
+    pairwise slopes ``(y_j - y_i) / (x_j - x_i)`` over ``x_i < x_j`` —
+    the outlier-resistant alternative to the OLS slope (breakdown
+    point ~29%; Sen 1968).
+
+    ``x``/``y`` must be integer-valued (day indexes, counts): each
+    pairwise slope is then ONE IEEE division of exact BIGINTs, and the
+    median (both engines average the two middle values on even counts)
+    interpolates identical doubles — hash-exact cross-engine.
+
+    Scale contract: pairs are quadratic in the GROUP's point count, so
+    this is for series bounded by a time axis (daily aggregates: 365
+    points -> 66k pairs/group), not raw facts — aggregate first.  The
+    pair generator is a group-keyed equi-self-join, never a cartesian.
+    """
+    g = list(group_cols)
+    a = df.select(
+        *g, F.col(x_col).alias("_x1"), F.col(y_col).alias("_y1")
+    )
+    b = df.select(
+        *g, F.col(x_col).alias("_x2"), F.col(y_col).alias("_y2")
+    )
+    pairs = a.join(b, g).filter(F.col("_x1") < F.col("_x2"))
+    slope = (F.col("_y2") - F.col("_y1")).cast("double") / (
+        F.col("_x2") - F.col("_x1")
+    ).cast("double")
+    return (
+        pairs.select(*g, slope.alias("_slope"))
+        .groupBy(*g)
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.median("_slope"), 9).alias("slope"),
+        )
+    )

@@ -3516,3 +3516,135 @@ def _class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_max").cast("double") / F.col("n_min").cast("double"), 9
         ).alias("imbalance_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival over user lifetimes: duration = days between a
+# user's first and last event, right-censored when the last event falls
+# in the final 7 days of the observed window (the user may still be
+# active).  Counts/factors exact; the cumulative product is the module's
+# one documented transcendental (see functions/stats.py::kaplan_meier
+# for the <1e-12 error bound behind the 6-decimal round).
+# ---------------------------------------------------------------------------
+@query(
+    "events_kaplan_meier",
+    """
+WITH ud AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS dfirst,
+           MAX(CAST(ts AS DATE)) AS dlast
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1
+),
+gl AS (SELECT MAX(dlast) AS gmax FROM ud),
+base AS (
+    SELECT CAST(date_diff('day', dfirst, dlast) AS BIGINT) AS t,
+           CASE WHEN dlast < gmax - 7 THEN 1 ELSE 0 END AS ev
+    FROM ud, gl
+),
+per_t AS (
+    SELECT t, CAST(SUM(ev) AS BIGINT) AS d_events,
+           CAST(SUM(1 - ev) AS BIGINT) AS c_censored,
+           CAST(COUNT(*) AS BIGINT) AS n_t
+    FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM per_t),
+risk AS (
+    SELECT t, d_events, c_censored,
+           n - CAST(COALESCE(SUM(n_t) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+    FROM per_t, tot
+),
+fac AS (
+    SELECT t, n_risk, d_events, c_censored,
+           CAST(n_risk - d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+               AS factor_raw,
+           CAST(SUM(CASE WHEN n_risk = d_events THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS BIGINT) AS zeros
+    FROM risk
+)
+SELECT t, n_risk, d_events, c_censored,
+       {factor_round} AS factor,
+       CASE WHEN zeros > 0 THEN 0.0 ELSE
+           {survival_round}
+       END AS survival
+FROM fac
+""".format(
+        factor_round=_round_sql("factor_raw", 9),
+        survival_round=_round_sql(
+            "EXP(SUM(LN(CASE WHEN factor_raw > 0 THEN factor_raw END))"
+            " OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW))",
+            6,
+        ),
+    ),
+)
+def _kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ud = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("_dfirst"),
+        F.max(F.to_date("ts")).alias("_dlast"),
+    )
+    gl = ud.agg(F.max("_dlast").alias("_gmax"))
+    base = ud.crossJoin(F.broadcast(gl)).select(
+        F.datediff("_dlast", "_dfirst").cast("bigint").alias("duration"),
+        (F.col("_dlast") < F.date_sub(F.col("_gmax"), 7))
+        .cast("int")
+        .alias("event"),
+    )
+    return kaplan_meier(base, "duration", "event")
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust daily trend per event type: median of all pairwise
+# slopes over the (day index, daily count) series.  Quadratic only in
+# the BOUNDED time axis (30-365 points), never in the fact table —
+# aggregate first, pair second.
+# ---------------------------------------------------------------------------
+@query(
+    "events_theilsen_trend",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+),
+gl AS (SELECT MIN(day) AS d0 FROM daily),
+pts AS (
+    SELECT event_type,
+           CAST(date_diff('day', d0, day) AS BIGINT) AS x, y
+    FROM daily, gl
+),
+pairs AS (
+    SELECT a.event_type,
+           CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+    FROM pts a JOIN pts b
+      ON a.event_type = b.event_type AND a.x < b.x
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {slope} AS slope
+FROM pairs GROUP BY event_type
+""".format(slope=_round_sql("MEDIAN(s)", 9)),
+)
+def _theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import theil_sen_slope
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("y")
+    )
+    gl = daily.agg(F.min("day").alias("_d0"))
+    pts = daily.crossJoin(F.broadcast(gl)).select(
+        "event_type",
+        F.datediff("day", "_d0").cast("bigint").alias("x"),
+        "y",
+    )
+    return theil_sen_slope(pts, ["event_type"], "x", "y")

@@ -4163,3 +4163,55 @@ def _emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("centroid_id", "matched_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-flavored data selection (functions/corpus.py::lexical_shift_scores):
+# score every document by how much its token mix leans toward the
+# English subcorpus vs the raw corpus — the linear-frequency-difference
+# variant of DSIR's hashed-n-gram log-likelihood ratio (log is
+# engine-divergent; the cross products here are exact BIGINTs).
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_dsir_shift",
+    f"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+           unnest({_TOKENS}) AS term
+    FROM documents
+),
+counts AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cr,
+           CAST(SUM(tgt) AS BIGINT) AS ct
+    FROM toks GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+    FROM counts
+),
+per_doc AS (
+    SELECT t.doc_id,
+           CAST(SUM(c.ct * x.nr - c.cr * x.nt) AS BIGINT) AS num,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks t JOIN counts c USING (term) CROSS JOIN tot x
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       {_round_sql(
+           "CAST(p.num AS DOUBLE)"
+           " / CAST(p.n_tokens * x2.nt * x2.nr AS DOUBLE)", 12)}
+           AS shift
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+CROSS JOIN tot x2
+""",
+)
+def _dsir_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.corpus import lexical_shift_scores
+
+    d = load_table(spark, sf_dir, "documents", spread=True).withColumn(
+        "_is_tgt", (F.col("lang") == "en").cast("int")
+    )
+    return lexical_shift_scores(d, "_is_tgt", "text", "doc_id")
