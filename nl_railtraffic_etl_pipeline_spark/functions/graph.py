@@ -217,3 +217,59 @@ def triangle_count(
     ).select(F.col("o1.v").alias("u"), F.col("o2.v").alias("v"))
     tri = wedges.join(oriented, ["u", "v"], "left_semi")
     return tri.agg(F.count("*").cast("bigint").alias("triangles"))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    seed_col: str = "node",
+    persist_frontier: bool = True,
+) -> DataFrame:
+    """Bounded multi-source shortest paths over positive INTEGER edge
+    weights — ``rounds`` synchronous Bellman-Ford relaxations (the
+    weighted companion of :func:`bfs_hops`; after ``rounds`` rounds the
+    result is exact for every path of <= ``rounds`` edges).
+
+    All arithmetic is BIGINT (dist sums, MIN tie-resolution), so the
+    distance map hash-matches any engine at any partitioning — the
+    oracle unrolls the same rounds as chained CTEs.
+
+    Scale shape: one src-keyed equi-join (frontier x edges) + one
+    node-keyed MIN partial agg per round; the distance map is
+    node-sized, edges are reused every round (localCheckpoint barrier —
+    without it the k-round lineage embeds k copies of the edge
+    subtree).  Per-round cost is O(settled-adjacent edges), the classic
+    level-synchronous Pregel shape.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = edges.select(
+        F.col(src_col).alias("_src"),
+        F.col(dst_col).alias("_dst"),
+        F.col(weight_col).cast("bigint").alias("_w"),
+    )
+    if persist_frontier:
+        e = e.localCheckpoint(eager=True)
+    dist = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).cast("bigint").alias("dist")
+    ).distinct()
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist, e["_src"] == dist["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if persist_frontier:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

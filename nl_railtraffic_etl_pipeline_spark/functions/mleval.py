@@ -238,3 +238,61 @@ def categorical_drift(
         ).alias("tvd"),
         F.round(F.col("_chi2_sum").cast("double"), 9).alias("chi2_total"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Precision/recall/F1 at every distinct score threshold — the PR
+    curve companion of :func:`auc_roc`, same exactness and same
+    distinct-score-frame shape.
+
+    For each threshold t (predict positive when score >= t):
+    ``tp``/``fp``/``fn`` come from DESCENDING cumulative sums over the
+    (distinct score) partial-agg frame; ``precision = tp/pp``,
+    ``recall = tp/P`` and — via the harmonic identity
+    ``F1 = 2PR/(P+R) = 2*tp/(pp + P)`` — every metric is ONE IEEE
+    division of exact BIGINTs.  ``score_col`` must be integer-valued
+    (quantize upstream: thresholds on a raw float score are one
+    ``floor`` away).
+
+    Plan: one (score) partial agg, one cumulative window over the
+    distinct-score frame (ungrouped — the window partition is the
+    distinct-threshold set, bounded by the score quantization, never
+    the fact table), one 1-row totals broadcast.
+    """
+    by_s = df.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.count("*").alias("_cnt"),
+        F.sum(F.col(label_col).cast("bigint")).alias("_pos"),
+    )
+    w = (
+        Window.orderBy(F.desc("threshold"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = by_s.select(
+        "threshold",
+        F.sum("_cnt").over(w).alias("_pp"),
+        F.sum("_pos").over(w).alias("tp"),
+    )
+    totals = by_s.agg(F.sum("_pos").alias("_p_total"))
+    out = cum.crossJoin(F.broadcast(totals))
+    return out.select(
+        "threshold",
+        "tp",
+        (F.col("_pp") - F.col("tp")).alias("fp"),
+        (F.col("_p_total") - F.col("tp")).alias("fn"),
+        F.round(
+            F.col("tp").cast("double") / F.col("_pp").cast("double"), 9
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.col("_p_total").cast("double"),
+            9,
+        ).alias("recall"),
+        F.round(
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.col("_pp") + F.col("_p_total")).cast("double"),
+            9,
+        ).alias("f1"),
+    )

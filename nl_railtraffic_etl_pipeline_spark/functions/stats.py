@@ -1843,3 +1843,82 @@ def theil_sen_slope(
             F.round(F.median("_slope"), 9).alias("slope"),
         )
     )
+
+
+def runs_test(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per group: is the above/below-median
+    sign sequence random, or does it trend/cluster?
+
+    Signs come from comparing each value to the group MEDIAN (ties with
+    the median are dropped — the standard convention); a run is a
+    maximal same-sign stretch in ``order_cols`` order (pass a total
+    order: ties in the sort key would make run counts engine-dependent).
+    With ``n1``/``n2`` the sign counts, ``R`` the run count:
+
+        E[R]   = 2*n1*n2/n + 1
+        Var[R] = 2*n1*n2*(2*n1*n2 - n) / (n^2 * (n-1))
+        z      = (R - E[R]) / sqrt(Var[R])
+
+    ``R``, ``n1``, ``n2`` and every numerator/denominator are exact
+    BIGINTs; ``z`` is a fixed four-op IEEE chain (two divisions, one
+    correctly-rounded sqrt, one division) — hash-exact cross-engine.
+    |z| > 1.96 rejects randomness at 5%.
+
+    Plan: one group-keyed median agg joined back (broadcast at dim
+    scale), one group-keyed lag window for run boundaries, one group
+    agg.  BIGINT ranges: n up to ~3e6 per group before
+    ``2*n1*n2*(2*n1*n2-n)`` nears 2^63 — assert upstream for wilder
+    groups.
+    """
+    g = list(group_cols)
+    med = df.groupBy(*g).agg(F.median(value_col).alias("_med"))
+    signed = (
+        df.join(med, g)
+        .filter(F.col(value_col) != F.col("_med"))
+        .select(
+            *g,
+            *order_cols,
+            (F.col(value_col) > F.col("_med")).cast("int").alias("_sign"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*g).orderBy(*[F.asc(c) for c in order_cols])
+    flagged = signed.select(
+        *g,
+        "_sign",
+        (
+            F.lag("_sign").over(w).isNull()
+            | (F.lag("_sign").over(w) != F.col("_sign"))
+        )
+        .cast("bigint")
+        .alias("_new_run"),
+    )
+    agg = flagged.groupBy(*g).agg(
+        F.sum("_sign").alias("n1"),
+        F.sum(F.lit(1) - F.col("_sign")).alias("n2"),
+        F.sum("_new_run").alias("runs"),
+    )
+    n = F.col("n1") + F.col("n2")
+    two_n1n2 = F.lit(2) * F.col("n1") * F.col("n2")
+    # z = ((R*n - 2*n1*n2 - n) / n) / sqrt(num / den): exact BIGINTs
+    # into a fixed IEEE chain
+    num = two_n1n2 * (two_n1n2 - n)
+    den = n * n * (n - 1)
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (n > 1) & (num > 0),
+        F.round(
+            (
+                (F.col("runs") * n - two_n1n2 - n).cast("double")
+                / n.cast("double")
+            )
+            / F.sqrt(num.cast("double") / den.cast("double")),
+            9,
+        ),
+    )
+    return agg.select(*g, "n1", "n2", "runs", z.alias("z"))

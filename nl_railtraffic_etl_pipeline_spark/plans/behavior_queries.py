@@ -3648,3 +3648,66 @@ def _theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     )
     return theil_sen_slope(pts, ["event_type"], "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test per event type (functions/stats.py::runs_test):
+# randomness of the above/below-median value sequence in (ts, event_id)
+# order.  R, n1, n2 and every moment numerator/denominator are exact
+# BIGINTs; z is a fixed four-op IEEE chain (sqrt is correctly rounded).
+# ---------------------------------------------------------------------------
+@query(
+    "events_runs_test",
+    """
+WITH med AS (
+    SELECT event_type, MEDIAN(value) AS m
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1
+),
+s AS (
+    SELECT e.event_type, e.ts, e.event_id,
+           CASE WHEN e.value > med.m THEN 1 ELSE 0 END AS sign
+    FROM events e JOIN med USING (event_type)
+    WHERE e.value IS NOT NULL AND e.ts IS NOT NULL AND e.value <> med.m
+),
+f AS (
+    SELECT event_type, sign,
+           CASE WHEN LAG(sign) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id)
+                IS DISTINCT FROM sign THEN 1 ELSE 0 END AS new_run
+    FROM s
+),
+a AS (
+    SELECT event_type,
+           CAST(SUM(sign) AS BIGINT) AS n1,
+           CAST(SUM(1 - sign) AS BIGINT) AS n2,
+           CAST(SUM(new_run) AS BIGINT) AS runs
+    FROM f GROUP BY 1
+)
+SELECT event_type, n1, n2, runs,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                 AND 2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) > 0 THEN
+           {z}
+       END AS z
+FROM a
+""".format(
+        z=_round_sql(
+            "(CAST(runs * (n1 + n2) - 2 * n1 * n2 - (n1 + n2) AS DOUBLE)"
+            " / CAST(n1 + n2 AS DOUBLE))"
+            " / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))"
+            " AS DOUBLE)"
+            " / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE))",
+            9,
+        )
+    ),
+)
+def _runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import runs_test
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    return runs_test(ev, ["event_type"], ["ts", "event_id"], "value")

@@ -79,9 +79,10 @@ def _auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_roc(base, ["iso_dow"], "score", "label")
 
 
-@query(
-    "ml_calibration_ece",
-    f"""
+# shared with the streaming twin (streaming_calibration): the per-bin
+# integers are exactly mergeable, so the batch oracle IS the streaming
+# oracle under the availableNow drain
+CALIBRATION_ORACLE_SQL = f"""
 WITH base AS (
     SELECT {_H32_SQL} AS s,
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
@@ -108,8 +109,10 @@ SELECT bin, n, pos,
            AS ece,
        total_n
 FROM b, t
-""",
-)
+"""
+
+
+@query("ml_calibration_ece", CALIBRATION_ORACLE_SQL)
 def _calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability bins + ECE over the md5-contract pseudo-score (an
     uncalibrated-by-construction scorer: the gate proves the exact
@@ -254,3 +257,54 @@ def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the geometric/perplexity relationship)."""
     d = load_table(spark, sf_dir, "documents", spread=True)
     return lm_score(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PR curve at every integer threshold (functions/mleval.py::pr_curve):
+# precision / recall / F1 from descending cumulative sums over the
+# distinct-threshold frame — the PR companion of ml_auc_roc, same
+# exact-BIGINT contract (F1 via the harmonic identity 2*tp/(pp + P)).
+# ---------------------------------------------------------------------------
+@query(
+    "ml_pr_curve",
+    f"""
+WITH base AS (
+    SELECT CAST(floor(value) AS BIGINT) AS threshold,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+by_s AS (
+    SELECT threshold, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM base GROUP BY 1
+),
+cum AS (
+    SELECT threshold,
+           CAST(SUM(cnt) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pp,
+           CAST(SUM(pos) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tp
+    FROM by_s
+),
+t AS (SELECT CAST(SUM(pos) AS BIGINT) AS p_total FROM by_s)
+SELECT threshold, tp, pp - tp AS fp, p_total - tp AS fn,
+       {_r("CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)", 9)} AS precision,
+       {_r("CAST(tp AS DOUBLE) / CAST(p_total AS DOUBLE)", 9)} AS recall,
+       {_r("CAST(2 * tp AS DOUBLE) / CAST(pp + p_total AS DOUBLE)", 9)}
+           AS f1
+FROM cum, t
+""",
+)
+def _pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import pr_curve
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        F.floor("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return pr_curve(base, "score", "label")

@@ -4215,3 +4215,55 @@ def _dsir_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_is_tgt", (F.col("lang") == "en").cast("int")
     )
     return lexical_shift_scores(d, "_is_tgt", "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Bounded weighted shortest paths (functions/graph.py::shortest_paths):
+# the weighted companion of graph_bfs_hops over the SAME deterministic
+# doc-link graph, edge weight 1 + (src+dst) % 9, four Bellman-Ford
+# relaxation rounds.  All BIGINT, so the distance map is hash-exact; the
+# oracle unrolls the rounds as chained min-aggregation CTEs.
+# ---------------------------------------------------------------------------
+from ..functions.graph import shortest_paths  # noqa: E402
+
+_SP_ROUNDS = 4
+_SP_SEED_MOD = 97
+
+
+def _sp_step_sql(k: int) -> str:
+    return f"""
+sp{k} AS (
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM (
+        SELECT node, dist AS d FROM sp{k - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + e.w AS d
+        FROM wedges e JOIN sp{k - 1} p ON e.src = p.node
+    ) GROUP BY node
+)"""
+
+
+@query(
+    "graph_shortest_paths",
+    "WITH "
+    + _PR_EDGES_CTE
+    + f""",
+wedges AS (SELECT src, dst, 1 + (src + dst) % 9 AS w FROM edges),
+sp0 AS (
+    SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist FROM documents
+    WHERE doc_id % {_SP_SEED_MOD} = 0
+),"""
+    + ",".join(_sp_step_sql(k) for k in range(1, _SP_ROUNDS + 1))
+    + f"""
+SELECT node AS doc_id, dist FROM sp{_SP_ROUNDS}""",
+)
+def _graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    edges = _pr_edges_df(docs).withColumn(
+        "w", F.lit(1) + (F.col("src") + F.col("dst")) % 9
+    )
+    seeds = docs.filter(F.col("doc_id") % _SP_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return shortest_paths(edges, seeds, rounds=_SP_ROUNDS).select(
+        F.col("node").alias("doc_id"), "dist"
+    )

@@ -551,3 +551,69 @@ def _streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_to_memory(out, "streaming_rate_limit_result", "append")
     return spark.table("streaming_rate_limit_result")
+
+
+from .eval_queries import CALIBRATION_ORACLE_SQL  # noqa: E402
+
+
+@query(
+    "streaming_calibration",
+    # Streaming twin of ml_calibration_ece: the state per bin is three
+    # BIGINTs (n, pos, sum of integer scores) — exactly mergeable across
+    # micro-batches — so the drained bins feed the identical final
+    # arithmetic and the batch oracle IS the streaming oracle.
+    CALIBRATION_ORACLE_SQL,
+)
+def _streaming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration monitoring THROUGH the streaming engine: the
+    md5-contract score is binned map-side, per-bin integer sums
+    aggregate incrementally in complete mode (state = 10 bins x three
+    BIGINTs, watermark-free), and the drained bins get the exact
+    ECE/accuracy/confidence arithmetic batch-side — bit-identical to the
+    batch ml_calibration_ece gate no matter how the stream micro-batches."""
+    from ..functions.text import hash32
+
+    denom = 2**32
+    ev = _events_stream(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
+    )
+    s = hash32(F.col("event_id").cast("string"))
+    binned = ev.select(
+        F.floor(s * 10 / F.lit(denom)).cast("int").alias("bin"),
+        s.alias("_s"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("_y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("_y").alias("pos"),
+        F.sum("_s").alias("_sum_s"),
+    )
+    _drain_to_memory(per_bin, "streaming_calibration_bins", "complete")
+    bins = spark.table("streaming_calibration_bins").withColumn(
+        "_gap_num",
+        F.abs(F.col("pos") * F.lit(denom) - F.col("_sum_s")),
+    )
+    totals = bins.agg(
+        F.sum("n").alias("total_n"),
+        F.sum("_gap_num").alias("_gap_total"),
+    )
+    return bins.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n",
+        "pos",
+        F.round(
+            F.col("pos").cast("double") / F.col("n").cast("double"), 9
+        ).alias("accuracy"),
+        F.round(
+            F.col("_sum_s").cast("double")
+            / (F.col("n") * F.lit(denom)).cast("double"),
+            9,
+        ).alias("confidence"),
+        F.col("_gap_num").alias("abs_gap_num"),
+        F.round(
+            F.col("_gap_total").cast("double")
+            / (F.lit(denom) * F.col("total_n")).cast("double"),
+            9,
+        ).alias("ece"),
+        "total_n",
+    )

@@ -2374,3 +2374,79 @@ def test_lexical_shift_scores_intent(spark):
         ).collect()
     }
     assert out == {1: (2, 0.5), 2: (2, -0.5)}
+
+
+# ---------------------------------------------------------------------------
+# Wave 20 — PR curve / shortest paths / runs test fixtures
+# ---------------------------------------------------------------------------
+
+def test_pr_curve_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import pr_curve
+
+    # scores [2,2,1,0], labels [1,0,1,0]; P=2.
+    # t=2: pp=2 tp=1 -> prec .5, rec .5, f1 2*1/(2+2)=.5
+    # t=1: pp=3 tp=2 -> prec 2/3, rec 1.0, f1 4/5
+    # t=0: pp=4 tp=2 -> prec .5, rec 1.0, f1 4/6
+    rows = [
+        Row(score=2, label=1),
+        Row(score=2, label=0),
+        Row(score=1, label=1),
+        Row(score=0, label=0),
+    ]
+    out = {
+        r.threshold: (r.tp, r.fp, r.fn, r.precision, r.recall, r.f1)
+        for r in pr_curve(spark.createDataFrame(rows)).collect()
+    }
+    assert out[2] == (1, 1, 1, 0.5, 0.5, 0.5)
+    assert out[1] == (2, 1, 0, 0.666666667, 1.0, 0.8)
+    assert out[0] == (2, 2, 0, 0.5, 1.0, 0.666666667)
+
+
+def test_shortest_paths_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.graph import (
+        shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2, w=5), Row(src=2, dst=3, w=1),
+         Row(src=1, dst=3, w=10)]
+    )
+    seeds = spark.createDataFrame([Row(node=1)])
+    one = {
+        r.node: r.dist
+        for r in shortest_paths(edges, seeds, rounds=1).collect()
+    }
+    # one relaxation: the 2-hop path to 3 not yet found
+    assert one == {1: 0, 2: 5, 3: 10}
+    two = {
+        r.node: r.dist
+        for r in shortest_paths(edges, seeds, rounds=2).collect()
+    }
+    assert two == {1: 0, 2: 5, 3: 6}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shortest_paths(edges, seeds, rounds=-1)
+
+
+def test_runs_test_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import runs_test
+
+    # values [1,9,1,9,5]: median 5, the 5 itself is DROPPED (tie), signs
+    # 0,1,0,1 -> runs=4, n1=n2=2; E[R]=3, Var=2/3,
+    # z = 1/sqrt(2/3) = 1.224744871
+    rows = [
+        Row(g="a", x=1, value=1.0),
+        Row(g="a", x=2, value=9.0),
+        Row(g="a", x=3, value=1.0),
+        Row(g="a", x=4, value=9.0),
+        Row(g="a", x=5, value=5.0),
+    ]
+    out = {
+        r.g: (r.n1, r.n2, r.runs, r.z)
+        for r in runs_test(
+            spark.createDataFrame(rows), ["g"], ["x"], "value"
+        ).collect()
+    }
+    assert out["a"] == (2, 2, 4, 1.224744871)

@@ -892,3 +892,18 @@ def test_dsir_shift_term_keyed(spark):
     assert len(
         re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt)
     ) >= 2
+
+
+def test_pr_curve_distinct_threshold_frame(spark):
+    """PR curve: partial agg to the distinct-threshold frame, cumulative
+    window there, 1-row totals broadcast — no key-shuffle joins."""
+    txt = plan_of(spark, "ml_pr_curve")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+    assert "Window" in txt
+
+
+def test_runs_test_group_keyed(spark):
+    """Runs test: group-keyed median join-back + group-keyed lag window —
+    never a single-partition funnel."""
+    txt = plan_of(spark, "events_runs_test")
+    assert "SinglePartition" not in txt
