@@ -273,3 +273,54 @@ def shortest_paths(
         if persist_frontier:
             dist = dist.localCheckpoint(eager=True)
     return dist
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: repeatedly drop nodes with undirected
+    degree < ``k``; after ``rounds`` synchronous rounds return the
+    surviving nodes with their degree in the surviving subgraph — the
+    standard dense-substructure / spam-cluster detector next to
+    triangle counting.
+
+    Fully converged k-core needs peeling until fixpoint; the bounded
+    version is the distributed contract (one degree recount per round,
+    like the PageRank/BFS/Bellman-Ford families — at 100 TB you bound
+    rounds and checkpoint).  All counts are BIGINT, edges symmetrize
+    once (union + distinct, self-loops dropped), every round is two
+    semi-joins against the alive set + one src-keyed degree count.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    a, b = F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    und = (
+        edges.select(a, b)
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")
+            )
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = und.select(F.col("_a").alias("node")).distinct()
+    deg = None
+    for _ in range(rounds):
+        e = und.join(
+            alive.select(F.col("node").alias("_a")), "_a", "left_semi"
+        ).join(alive.select(F.col("node").alias("_b")), "_b", "left_semi")
+        deg = e.groupBy(F.col("_a").alias("node")).agg(
+            F.count("*").alias("degree")
+        )
+        alive = (
+            deg.filter(F.col("degree") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    return deg.filter(F.col("degree") >= k)

@@ -296,3 +296,97 @@ def pr_curve(
             9,
         ).alias("f1"),
     )
+
+
+def stratified_ate(
+    df: DataFrame,
+    stratum_col: str = "stratum",
+    treat_col: str = "treat",
+    outcome_col: str = "outcome",
+) -> DataFrame:
+    """Stratified average treatment effect with exact arithmetic — the
+    observational-causal estimator where the propensity score is the
+    within-stratum treatment share (subclassification; with strata as
+    the propensity model, IPW and stratification coincide).
+
+    ``treat_col`` and ``outcome_col`` must be 0/1.  Per stratum s:
+
+        p_score_s = n_treat_s / n_s
+        ate_s     = y1/n1 - y0/n0 = (y1*n0 - y0*n1) / (n1*n0)
+        contrib_s = n_s * (y1*n0 - y0*n1) / (N * n1 * n0)
+        ATE       = SUM_s contrib_s          (precision-weighted by n_s/N)
+
+    Every numerator/denominator is an exact BIGINT (ranges safe to
+    ~3e5 subjects per stratum); each emitted value is ONE IEEE
+    division; the cross-stratum ATE total sums the single-division
+    contributions as exact decimals (order-insensitive).  Strata
+    missing an arm get NULL ate_s and are excluded from the total
+    (the standard overlap/positivity exclusion — emitted, not hidden).
+
+    Returns one row per stratum plus the group-constant (ate_total, n_total).
+    Plan: one stratum partial agg + a 1-row totals broadcast + a 1-row
+    contribution sum — no fact re-scan.
+    """
+    agg = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(treat_col).cast("bigint")).alias("n_treat"),
+        F.sum(
+            F.when(F.col(treat_col) == 1, F.col(outcome_col))
+            .otherwise(0)
+            .cast("bigint")
+        ).alias("y_treat"),
+        F.sum(
+            F.when(F.col(treat_col) == 0, F.col(outcome_col))
+            .otherwise(0)
+            .cast("bigint")
+        ).alias("y_control"),
+    )
+    agg = agg.withColumn("n_control", F.col("n") - F.col("n_treat"))
+    totals = agg.agg(F.sum("n").alias("n_total"))
+    j = agg.crossJoin(F.broadcast(totals))
+    d = F.col("y_treat") * F.col("n_control") - F.col("y_control") * F.col(
+        "n_treat"
+    )
+    both_arms = (F.col("n_treat") > 0) & (F.col("n_control") > 0)
+    per = j.select(
+        "stratum",
+        "n",
+        "n_treat",
+        "n_control",
+        "y_treat",
+        "y_control",
+        F.round(
+            F.col("n_treat").cast("double") / F.col("n").cast("double"), 9
+        ).alias("p_score"),
+        F.when(
+            both_arms,
+            F.round(
+                d.cast("double")
+                / (F.col("n_treat") * F.col("n_control")).cast("double"),
+                9,
+            ),
+        ).alias("ate_stratum"),
+        F.when(
+            both_arms,
+            (F.col("n") * d).cast("double")
+            / (
+                F.col("n_total") * F.col("n_treat") * F.col("n_control")
+            ).cast("double"),
+        ).alias("_contrib"),
+        "n_total",
+    )
+    grand = per.agg(
+        F.sum(F.col("_contrib").cast("decimal(38,20)")).alias("_ate_sum")
+    )
+    return per.crossJoin(F.broadcast(grand)).select(
+        "stratum",
+        "n",
+        "n_treat",
+        "n_control",
+        "y_treat",
+        "y_control",
+        "p_score",
+        "ate_stratum",
+        F.round(F.col("_ate_sum").cast("double"), 9).alias("ate_total"),
+        "n_total",
+    )

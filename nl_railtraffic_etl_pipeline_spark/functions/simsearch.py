@@ -600,3 +600,91 @@ def silhouette(
         .otherwise(F.lit(0.0))
         .alias("silhouette"),
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_centroids: int = 8,
+    max_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (Jegou et al. 2011): split each vector into
+    ``m`` subvectors, k-means each subspace independently, and encode
+    every vector as ``m`` small centroid ids — the memory-compression
+    layer under billion-scale ANN (codes are m bytes instead of dim
+    floats; IVF+PQ is the standard pairing).
+
+    Deterministic end to end: each subspace codebook comes from the
+    same exact-decimal Lloyd's as the IVF index (:func:`kmeans_centroids`
+    — cosine argmax, id-tiebreak init); assignment is a cosine argmax
+    with centroid_id tiebreak.  ``codebook_path`` publishes the
+    codebook parquet so downstream (and the correctness oracle) scores
+    against the exact written bits — the ivf_build contract.
+    Zero-norm subvectors are assumed absent (assert upstream: a zero
+    subvector has no cosine-nearest codeword).
+
+    Returns (codebook, codes): codebook = (subspace, centroid_id, cv,
+    cn); codes = (id_col, subspace, code) in long form.
+
+    100 TB shape: the ``m`` trainings iterate the corpus (sampling via
+    kmeans_centroids' ``train_mod`` slots in); encoding is ONE pass —
+    the m slices posexplode map-side, the m*n_centroids-row codebook
+    broadcasts, argmax is a (vector, subspace)-keyed window whose frame
+    is the codebook size.  No shuffle grows with m.
+    """
+    from .dedup import _dot, _materialize, _norm, _spread
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    full = _materialize(
+        _spread(
+            embeddings.select(F.col(id_col).alias("_id"), vd.alias("_full"))
+        )
+    )
+    codebook = None
+    for s in range(m):
+        sl = F.slice(F.col("_full"), s * sub + 1, sub)
+        base_s = _materialize(
+            full.select("_id", sl.alias("_v"), _norm(sl).alias("_n"))
+        )
+        cents = kmeans_centroids(base_s, n_centroids, max_iter, sub).select(
+            F.lit(s).cast("int").alias("subspace"), "centroid_id", "cv", "cn"
+        )
+        codebook = cents if codebook is None else codebook.unionByName(cents)
+    if codebook_path is not None:
+        codebook.write.mode("overwrite").parquet(codebook_path)
+        codebook = _materialize(
+            embeddings.sparkSession.read.parquet(codebook_path)
+        )
+    else:
+        codebook = _materialize(codebook)
+    slices = F.array(
+        *[F.slice(F.col("_full"), s * sub + 1, sub) for s in range(m)]
+    )
+    long = full.select(
+        "_id", F.posexplode(slices).alias("subspace", "_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    cos = F.round(
+        _dot(F.col("_v"), F.col("cv"), sub) / (F.col("_n") * F.col("cn")), 6
+    )
+    w = Window.partitionBy("_id", "subspace").orderBy(
+        F.desc("_ccos"), F.asc("centroid_id")
+    )
+    codes = (
+        long.join(F.broadcast(codebook), "subspace")
+        .withColumn("_ccos", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("centroid_id").cast("int").alias("code"),
+        )
+    )
+    return codebook, codes

@@ -308,3 +308,82 @@ def _pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("label"),
     )
     return pr_curve(base, "score", "label")
+
+
+# ---------------------------------------------------------------------------
+# Stratified ATE (functions/mleval.py::stratified_ate): does signing up
+# "cause" purchasing, controlling for the user's first-activity weekday?
+# Subclassification estimator — within-stratum treatment share IS the
+# propensity score; all arithmetic exact BIGINT cross products, the
+# cross-stratum total an exact decimal sum of single-division terms.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_ipw_ate",
+    f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(isodow(MIN(CAST(ts AS DATE))) AS INTEGER) AS stratum,
+           MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS treat,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS outcome
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1
+),
+agg AS (
+    SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(treat) AS BIGINT) AS n_treat,
+           CAST(SUM(CASE WHEN treat = 1 THEN outcome ELSE 0 END)
+                AS BIGINT) AS y_treat,
+           CAST(SUM(CASE WHEN treat = 0 THEN outcome ELSE 0 END)
+                AS BIGINT) AS y_control
+    FROM u GROUP BY 1
+),
+agg2 AS (SELECT *, n - n_treat AS n_control FROM agg),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM agg2),
+per AS (
+    SELECT stratum, n, n_treat, n_control, y_treat, y_control,
+           {_r("CAST(n_treat AS DOUBLE) / CAST(n AS DOUBLE)", 9)}
+               AS p_score,
+           CASE WHEN n_treat > 0 AND n_control > 0 THEN
+               {_r("CAST(y_treat * n_control - y_control * n_treat"
+                   " AS DOUBLE) / CAST(n_treat * n_control AS DOUBLE)", 9)}
+           END AS ate_stratum,
+           CASE WHEN n_treat > 0 AND n_control > 0 THEN
+               CAST(n * (y_treat * n_control - y_control * n_treat)
+                    AS DOUBLE)
+               / CAST(n_total * n_treat * n_control AS DOUBLE)
+           END AS contrib,
+           n_total
+    FROM agg2, t
+),
+g AS (
+    SELECT SUM(CAST(CAST(contrib AS VARCHAR) AS DECIMAL(38,20)))
+        AS ate_sum
+    FROM per
+)
+SELECT stratum, n, n_treat, n_control, y_treat, y_control, p_score,
+       ate_stratum,
+       {_r("CAST(ate_sum AS DOUBLE)", 9)} AS ate_total,
+       n_total
+FROM per, g
+""",
+)
+def _ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import stratified_ate
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        (F.weekday(F.min(F.to_date("ts"))) + 1)
+        .cast("int")
+        .alias("stratum"),
+        F.max((F.col("event_type") == "signup").cast("int")).alias("treat"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "outcome"
+        ),
+    )
+    return stratified_ate(u, "stratum", "treat", "outcome")

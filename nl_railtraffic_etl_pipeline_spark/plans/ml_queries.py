@@ -4267,3 +4267,115 @@ def _graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths(edges, seeds, rounds=_SP_ROUNDS).select(
         F.col("node").alias("doc_id"), "dist"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization codes (functions/simsearch.py::pq_encode): the
+# vector-compression layer under billion-scale ANN (IVF+PQ).  Four
+# 16-dim subspaces, 8 codewords each, trained by the same exact-decimal
+# Lloyd's as the IVF index; the codebook parquet is the published
+# artifact the oracle replays assignment against (ivf contract — read
+# the exact written bits; run artifact-reading gates single-writer).
+# ---------------------------------------------------------------------------
+_PQ_CODEBOOK_PATH = "/tmp/nl_spark_pq_codebook.parquet"
+_PQ_M = 4
+_PQ_SUB = _EMB_DIM // _PQ_M
+
+
+@query(
+    "emb_pq_codes",
+    f"""
+WITH base AS (SELECT vec_id AS _id, embedding AS _v FROM embeddings),
+cb AS (
+    SELECT subspace, centroid_id, cv, cn
+    FROM read_parquet('{_PQ_CODEBOOK_PATH}/*.parquet')
+),
+sv AS (
+    SELECT _id, CAST(u.s AS INTEGER) AS subspace,
+           _v[CAST(u.s * {_PQ_SUB} + 1 AS BIGINT)
+              :CAST((u.s + 1) * {_PQ_SUB} AS BIGINT)] AS v
+    FROM base, UNNEST(range(0, {_PQ_M})) AS u(s)
+),
+svn AS (
+    SELECT _id, subspace, v,
+           sqrt(list_sum(list_transform(
+               v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+    FROM sv
+)
+SELECT _id AS vec_id, subspace, code FROM (
+    SELECT s._id, s.subspace, CAST(c.centroid_id AS INTEGER) AS code,
+           ROW_NUMBER() OVER (
+               PARTITION BY s._id, s.subspace
+               ORDER BY {_cos6('s.v', 's.n', 'c.cv', 'c.cn')} DESC,
+                        c.centroid_id
+           ) AS rn
+    FROM svn s JOIN cb c USING (subspace)
+) WHERE rn = 1
+""",
+)
+def _emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _cb, codes = _artifact(
+        spark,
+        sf_dir,
+        "pq_codes",
+        lambda: simsearch.pq_encode(
+            emb,
+            dim=_EMB_DIM,
+            m=_PQ_M,
+            codebook_path=_PQ_CODEBOOK_PATH,
+        ),
+    )
+    return codes
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling (functions/graph.py::k_core) over the same
+# deterministic doc-link graph as PageRank/BFS/shortest-paths: nodes
+# surviving 3 peels at k=3, with their surviving-subgraph degree.
+# The oracle unrolls the peels as chained CTEs.
+# ---------------------------------------------------------------------------
+from ..functions.graph import k_core  # noqa: E402
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_step_sql(i: int) -> str:
+    return f"""
+ke{i} AS (
+    SELECT u._a, u._b FROM und u
+    JOIN ka{i - 1} s ON u._a = s.node
+    JOIN ka{i - 1} t ON u._b = t.node
+),
+kd{i} AS (
+    SELECT _a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM ke{i} GROUP BY 1
+),
+ka{i} AS (SELECT node FROM kd{i} WHERE degree >= {_KCORE_K})"""
+
+
+@query(
+    "graph_k_core",
+    "WITH "
+    + _PR_EDGES_CTE
+    + """,
+und AS (
+    SELECT DISTINCT _a, _b FROM (
+        SELECT src AS _a, dst AS _b FROM edges
+        UNION ALL
+        SELECT dst AS _a, src AS _b FROM edges
+    ) WHERE _a <> _b
+),
+ka0 AS (SELECT DISTINCT _a AS node FROM und),"""
+    + ",".join(_kcore_step_sql(i) for i in range(1, _KCORE_ROUNDS + 1))
+    + f"""
+SELECT node AS doc_id, degree FROM kd{_KCORE_ROUNDS}
+WHERE degree >= {_KCORE_K}""",
+)
+def _graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    edges = _pr_edges_df(docs)
+    return k_core(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).select(
+        F.col("node").alias("doc_id"), "degree"
+    )

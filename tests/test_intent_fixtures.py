@@ -2450,3 +2450,86 @@ def test_runs_test_intent(spark):
         ).collect()
     }
     assert out["a"] == (2, 2, 4, 1.224744871)
+
+
+# ---------------------------------------------------------------------------
+# Wave 21 — PQ codes / k-core / stratified ATE fixtures
+# ---------------------------------------------------------------------------
+
+def test_pq_encode_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.simsearch import (
+        pq_encode,
+    )
+
+    # dim 4, m=2 subspaces, 2 codewords.  Subspace halves are the
+    # one-hot pair, init = two lowest ids -> codebook {[1,0],[0,1]} /
+    # {[0,1],[1,0]}; id3 duplicates id1's halves.
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 1.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[1.0, 0.0, 0.0, 1.0]),
+    ]
+    cb, codes = pq_encode(
+        spark.createDataFrame(rows), dim=4, m=2, n_centroids=2, max_iter=2
+    )
+    assert cb.count() == 4  # m * n_centroids codewords
+    got = {
+        (r.vec_id, r.subspace): r.code for r in codes.collect()
+    }
+    assert got == {
+        (1, 0): 0, (1, 1): 0,
+        (2, 0): 1, (2, 1): 1,
+        (3, 0): 0, (3, 1): 0,
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pq_encode(spark.createDataFrame(rows), dim=4, m=3)
+
+
+def test_k_core_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.graph import k_core
+
+    # triangle 1-2-3 plus pendant 4: first peel drops 4 (degree 1),
+    # second recount leaves the triangle at degree 2 each.
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=1),
+         Row(src=4, dst=1)]
+    )
+    out = {
+        r.node: r.degree for r in k_core(edges, k=2, rounds=2).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_core(edges, k=0, rounds=1)
+
+
+def test_stratified_ate_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import (
+        stratified_ate,
+    )
+
+    # stratum a: 2 treated (1 converts) vs 2 control (0 convert) ->
+    # ate_a = 0.5, p=0.5.  stratum b: control-only -> NULL (excluded).
+    # ATE = (4/6) * 0.5 = 0.333333333.
+    rows = [
+        Row(stratum="a", treat=1, outcome=1),
+        Row(stratum="a", treat=1, outcome=0),
+        Row(stratum="a", treat=0, outcome=0),
+        Row(stratum="a", treat=0, outcome=0),
+        Row(stratum="b", treat=0, outcome=1),
+        Row(stratum="b", treat=0, outcome=0),
+    ]
+    out = {
+        r.stratum: (
+            r.n, r.n_treat, r.n_control, r.p_score, r.ate_stratum,
+            r.ate_total,
+        )
+        for r in stratified_ate(spark.createDataFrame(rows)).collect()
+    }
+    assert out["a"] == (4, 2, 2, 0.5, 0.5, 0.333333333)
+    assert out["b"] == (2, 0, 2, 0.0, None, 0.333333333)

@@ -907,3 +907,25 @@ def test_runs_test_group_keyed(spark):
     never a single-partition funnel."""
     txt = plan_of(spark, "events_runs_test")
     assert "SinglePartition" not in txt
+
+
+def test_pq_codebook_broadcast_assignment(spark):
+    """PQ encoding: the m*k-row codebook broadcasts; the argmax window
+    partitions on (vector, subspace), never a single partition."""
+    txt = plan_of(spark, "emb_pq_codes")
+    assert "BroadcastHashJoin" in txt
+    assert "SinglePartition" not in txt
+
+
+def test_k_core_semi_joins(spark):
+    """k-core peels via alive-set semi-joins — equi-joins only."""
+    txt = plan_of(spark, "graph_k_core")
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert re.search(r"LeftSemi|SortMergeJoin|BroadcastHashJoin", txt)
+
+
+def test_ipw_ate_one_pass(spark):
+    """Stratified ATE: one stratum partial agg + 1-row broadcasts —
+    no key-shuffle joins."""
+    txt = plan_of(spark, "ml_ipw_ate")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
