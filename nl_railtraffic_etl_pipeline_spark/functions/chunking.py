@@ -231,3 +231,95 @@ def pack_sequences(
             "spans_boundary"
         ),
     )
+
+
+def span_corruption_masks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate_mod: int = 20,
+    min_len: int = 2,
+    len_mod: int = 3,
+) -> DataFrame:
+    """T5-style span-corruption mask plan (Raffel et al. 2020): pick
+    deterministic noise spans over each document's token positions —
+    the pretraining-objective prep step (the trainer replaces each span
+    with a sentinel and learns to reconstruct it).
+
+    Spans are drawn from the repo-wide md5 hash contract, so the SAME
+    masks come out on any engine, partitioning, or rerun — the property
+    a resumable preprocessing pipeline needs (pandas/Spark/DuckDB all
+    agree on which tokens are masked).  A position p (1-based) starts a
+    span iff ``h32(doc|p) % rate_mod == 0``; its length is ``min_len +
+    h32(doc|p|len) % len_mod``; spans clip at the doc end and
+    OVERLAPPING spans merge (gaps-and-islands), matching the "merge
+    adjacent noise" convention.  Defaults give ~5% starts x ~3 tokens
+    ~= 15% corruption.
+
+    Returns (id_col, span_id, start_pos, span_len, n_tokens) — span_id
+    numbers islands per doc in position order.
+
+    Plan: ONE pass — position sequences explode map-side (no token
+    values needed, just counts), flagged starts expand map-side, then a
+    doc-keyed dedup + doc-keyed islands window.  All integers.
+    """
+    from .text import hash32
+
+    if rate_mod < 1 or min_len < 1 or len_mod < 1:
+        raise ValueError("rate_mod, min_len, len_mod must be >= 1")
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc"), F.size(w).alias("_n"))
+    pos = base.select(
+        "doc",
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_p"),
+    )
+    key = F.concat(
+        F.col("doc").cast("string"), F.lit("|"), F.col("_p").cast("string")
+    )
+    flagged = pos.filter(hash32(key) % rate_mod == 0).select(
+        "doc",
+        "_n",
+        "_p",
+        (
+            F.lit(min_len) + hash32(F.concat(key, F.lit("|len"))) % len_mod
+        ).alias("_len"),
+    )
+    masked = flagged.select(
+        "doc",
+        "_n",
+        F.explode(
+            F.sequence(
+                F.col("_p"),
+                F.least(F.col("_p") + F.col("_len") - 1, F.col("_n")),
+            )
+        ).alias("_mp"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("doc").orderBy("_mp")
+    isl = masked.withColumn(
+        "_brk",
+        F.when(F.col("_mp") - F.lag("_mp").over(w1) == 1, 0).otherwise(1),
+    )
+    grp = isl.withColumn(
+        "_g",
+        F.sum("_brk").over(
+            w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        grp.groupBy("doc", "_g")
+        .agg(
+            F.min("_mp").cast("bigint").alias("start_pos"),
+            F.count("*").alias("span_len"),
+            F.max("_n").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("_g").cast("int").alias("span_id"),
+            "start_pos",
+            "span_len",
+            "n_tokens",
+        )
+    )

@@ -390,3 +390,58 @@ def stratified_ate(
         F.round(F.col("_ate_sum").cast("double"), 9).alias("ate_total"),
         "n_total",
     )
+
+
+def target_encode(
+    df: DataFrame,
+    category_cols: list[str],
+    label_col: str = "label",
+    smoothing: int = 10,
+) -> DataFrame:
+    """Smoothed (empirical-Bayes) target encoding of a categorical key —
+    the standard high-cardinality feature encoder (micci-barreca 2001):
+
+        enc = (sum_y + w * global_rate) / (n + w)
+            = (sum_y * N + w * Y) / (N * (n + w))      -- exact BIGINTs
+
+    Rare categories shrink toward the global rate; ``smoothing`` (w) is
+    the pseudo-count weight.  ``label_col`` must be 0/1.  Emits one row
+    per category with (n, sum_y, raw_rate, encoded, global_rate) — each
+    a single IEEE division of exact BIGINT cross products.
+
+    Leakage note: this is the FIT half (category table to join onto
+    train/serve rows).  Leave-one-out/per-fold variants reuse the same
+    aggregate minus the row's own label — derivable from this table and
+    the row, no second aggregate.
+
+    Plan: one category partial agg + a 1-row global broadcast.  BIGINT
+    range: sum_y * N caps at ~3e9 rows before overflow — assert
+    upstream beyond that (or pre-aggregate per shard).
+    """
+    if smoothing < 0:
+        raise ValueError("smoothing must be >= 0")
+    agg = df.groupBy(*category_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(label_col).cast("bigint")).alias("sum_y"),
+    )
+    totals = agg.agg(
+        F.sum("n").alias("_N"), F.sum("sum_y").alias("_Y")
+    )
+    j = agg.crossJoin(F.broadcast(totals))
+    w = F.lit(smoothing)
+    return j.select(
+        *category_cols,
+        "n",
+        "sum_y",
+        F.round(
+            F.col("sum_y").cast("double") / F.col("n").cast("double"), 9
+        ).alias("raw_rate"),
+        F.round(
+            (F.col("sum_y") * F.col("_N") + w * F.col("_Y")).cast("double")
+            / (F.col("_N") * (F.col("n") + w)).cast("double"),
+            9,
+        ).alias("encoded"),
+        F.round(
+            F.col("_Y").cast("double") / F.col("_N").cast("double"), 9
+        ).alias("global_rate"),
+    )

@@ -3097,3 +3097,67 @@ def _dq_test_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          "to_column": "o_orderkey"},
     ]
     return run_quality_checks(tables, checks)
+
+
+# ---------------------------------------------------------------------------
+# Open-order aging report: the classic warehouse backlog readout.  The
+# snapshot date is the data's own max order date (as-of semantics, no
+# wall clock); age buckets are exact day arithmetic; money sums go
+# through the VARCHAR->DECIMAL bridge so the totals are exact.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_aging_buckets",
+    f"""
+WITH snap AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS s FROM orders),
+open_o AS (
+    SELECT o_orderpriority AS priority,
+           date_diff('day', CAST(o_orderdate AS DATE), s) AS age,
+           CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(24,6)) AS v
+    FROM orders, snap
+    WHERE o_orderstatus <> 'F'
+),
+b AS (
+    SELECT priority,
+           CASE WHEN age <= 30 THEN '0-30'
+                WHEN age <= 60 THEN '31-60'
+                WHEN age <= 90 THEN '61-90'
+                ELSE '90+' END AS age_bucket,
+           v
+    FROM open_o
+)
+SELECT priority, age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_round_sql("CAST(SUM(v) AS DOUBLE)", 2)} AS total_value
+FROM b GROUP BY 1, 2
+""",
+)
+def _orders_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders", spread=True).filter(
+        F.col("o_orderstatus") != "F"
+    )
+    snap = load_table(spark, sf_dir, "orders").agg(
+        F.max(F.to_date("o_orderdate")).alias("_s")
+    )
+    age = F.datediff(F.col("_s"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        o.crossJoin(F.broadcast(snap))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            bucket.alias("age_bucket"),
+            F.col("o_totalprice")
+            .cast("string")
+            .cast("decimal(24,6)")
+            .alias("_v"),
+        )
+        .groupBy("priority", "age_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("_v").cast("double"), 2).alias("total_value"),
+        )
+    )

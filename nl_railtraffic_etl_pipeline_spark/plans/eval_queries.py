@@ -128,9 +128,10 @@ def _calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_report(base, "score", "label", n_bins=10, denom=_DENOM)
 
 
-@query(
-    "ml_drift_report",
-    f"""
+# shared with the streaming twin (streaming_drift): the per-(bucket,
+# day) counts are exactly mergeable, so the batch oracle IS the
+# streaming oracle under the availableNow drain
+DRIFT_ORACLE_SQL = f"""
 WITH base AS (
     SELECT event_type AS bucket, CAST(ts AS DATE) AS d FROM events
     WHERE event_type IS NOT NULL AND ts IS NOT NULL
@@ -181,8 +182,10 @@ SELECT bucket, cnt_a, cnt_b, share_a_pct, share_b_pct, chi2_bucket,
            AS tvd,
        {_r("CAST(chi2_sum AS DOUBLE)", 9)} AS chi2_total
 FROM p, g
-""",
-)
+"""
+
+
+@query("ml_drift_report", DRIFT_ORACLE_SQL)
 def _drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type mix drift between the first and second half of the
     observed date range: per-bucket shares + exact TVD + chi-square
@@ -387,3 +390,51 @@ def _ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return stratified_ate(u, "stratum", "treat", "outcome")
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding (functions/mleval.py::target_encode): encode
+# the (event_type, iso_dow) category by its high-value-event rate,
+# shrunk toward the global rate with pseudo-count weight 10 — every
+# emitted rate a single division of exact BIGINT cross products.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_target_encoding",
+    f"""
+WITH base AS (
+    SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS INTEGER) AS iso_dow,
+           CASE WHEN value > 100 THEN 1 ELSE 0 END AS y
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+agg AS (
+    SELECT event_type, iso_dow, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sum_y
+    FROM base GROUP BY 1, 2
+),
+t AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(sum_y) AS BIGINT) AS yy
+    FROM agg
+)
+SELECT event_type, iso_dow, n, sum_y,
+       {_r("CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE)", 9)} AS raw_rate,
+       {_r("CAST(sum_y * nn + 10 * yy AS DOUBLE)"
+           " / CAST(nn * (n + 10) AS DOUBLE)", 9)} AS encoded,
+       {_r("CAST(yy AS DOUBLE) / CAST(nn AS DOUBLE)", 9)} AS global_rate
+FROM agg, t
+""",
+)
+def _target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import target_encode
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        (F.weekday(F.to_date("ts")) + 1).cast("int").alias("iso_dow"),
+        (F.col("value") > 100).cast("int").alias("label"),
+    )
+    return target_encode(base, ["event_type", "iso_dow"], "label", 10)

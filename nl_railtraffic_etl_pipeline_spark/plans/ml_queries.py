@@ -4379,3 +4379,62 @@ def _graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).select(
         F.col("node").alias("doc_id"), "degree"
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption masks (functions/chunking.py::
+# span_corruption_masks): deterministic noise spans from the md5
+# contract — ~5% of positions start a 2-4 token span, overlaps merge.
+# The pretraining-objective prep step; all integers, hash-exact.
+# ---------------------------------------------------------------------------
+from ..functions.chunking import span_corruption_masks  # noqa: E402
+
+_SPAN_KEY = (
+    "CAST(doc_id AS VARCHAR) || '|' || CAST(p AS VARCHAR)"
+)
+
+
+@query(
+    "corpus_span_corruption",
+    f"""
+WITH toks AS (
+    SELECT doc_id, len({_TOKENS}) AS n FROM documents
+),
+pos AS (
+    SELECT doc_id, n, CAST(unnest(range(1, n + 1)) AS BIGINT) AS p
+    FROM toks
+),
+flagged AS (
+    SELECT doc_id, n, p,
+           2 + {_H32.format(x=_SPAN_KEY + " || '|len'")} % 3 AS sl
+    FROM pos
+    WHERE {_H32.format(x=_SPAN_KEY)} % 20 = 0
+),
+masked AS (
+    SELECT DISTINCT doc_id, n,
+           CAST(unnest(range(p, least(p + sl, n + 1))) AS BIGINT) AS mp
+    FROM flagged
+),
+isl AS (
+    SELECT doc_id, n, mp,
+           CASE WHEN mp - LAG(mp) OVER (
+                    PARTITION BY doc_id ORDER BY mp) = 1
+                THEN 0 ELSE 1 END AS brk
+    FROM masked
+),
+grp AS (
+    SELECT doc_id, n, mp,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY mp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+    FROM isl
+)
+SELECT doc_id, CAST(g AS INTEGER) AS span_id,
+       CAST(MIN(mp) AS BIGINT) AS start_pos,
+       CAST(COUNT(*) AS BIGINT) AS span_len,
+       CAST(MAX(n) AS BIGINT) AS n_tokens
+FROM grp GROUP BY doc_id, g
+""",
+)
+def _span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return span_corruption_masks(d, "text", "doc_id")

@@ -617,3 +617,103 @@ def _streaming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ece"),
         "total_n",
     )
+
+
+from .eval_queries import DRIFT_ORACLE_SQL  # noqa: E402
+
+
+@query(
+    "streaming_drift",
+    # Streaming twin of ml_drift_report: the stream aggregates the
+    # (bucket, day) BIGINT counts — exactly mergeable state — and the
+    # metadata-scale period stitch + drift arithmetic run on the drained
+    # frame, so the batch oracle IS the streaming oracle.
+    DRIFT_ORACLE_SQL,
+)
+def _streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitoring THROUGH the streaming engine: per-(bucket,
+    day) counts aggregate incrementally in complete mode (state =
+    buckets x days BIGINTs, watermark-free); after the drain, the
+    first-half/second-half split and the exact TVD + chi-square
+    arithmetic run on the counts frame — bit-identical to the batch
+    ml_drift_report gate regardless of micro-batching."""
+    ev = _events_stream(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        F.col("event_type").alias("bucket"), F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    _drain_to_memory(daily, "streaming_drift_days", "complete")
+    days = spark.table("streaming_drift_days")
+    bounds = days.agg(F.min("d").alias("_d0"), F.max("d").alias("_d1"))
+    flagged = days.crossJoin(F.broadcast(bounds)).select(
+        "bucket",
+        "cnt",
+        (
+            F.col("d")
+            >= F.date_add(
+                F.col("_d0"),
+                F.floor(F.datediff("_d1", "_d0") / 2).cast("int"),
+            )
+        )
+        .cast("int")
+        .alias("period"),
+    )
+    counts = flagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_a"),
+        F.sum(F.when(F.col("period") == 1, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_b"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").alias("_na"), F.sum("cnt_b").alias("_nb")
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    d = F.col("cnt_a") * F.col("_nb") - F.col("cnt_b") * F.col("_na")
+    rt = F.col("cnt_a") + F.col("cnt_b")
+    per_bucket = j.select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        F.round(
+            (F.col("cnt_a") * 100).cast("double")
+            / F.col("_na").cast("double"),
+            9,
+        ).alias("share_a_pct"),
+        F.round(
+            (F.col("cnt_b") * 100).cast("double")
+            / F.col("_nb").cast("double"),
+            9,
+        ).alias("share_b_pct"),
+        F.abs(d).alias("_abs_d"),
+        F.round(
+            d.cast("double")
+            * d.cast("double")
+            / (rt * F.col("_na") * F.col("_nb")).cast("double"),
+            9,
+        ).alias("chi2_bucket"),
+        F.col("_na").alias("_n_a"),
+        F.col("_nb").alias("_n_b"),
+    )
+    grand = per_bucket.agg(
+        F.sum("_abs_d").alias("_sum_abs_d"),
+        F.sum(F.col("chi2_bucket").cast("decimal(38,20)")).alias(
+            "_chi2_sum"
+        ),
+    )
+    return per_bucket.crossJoin(F.broadcast(grand)).select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        "share_a_pct",
+        "share_b_pct",
+        "chi2_bucket",
+        F.round(
+            F.col("_sum_abs_d").cast("double")
+            / (F.lit(2) * F.col("_n_a") * F.col("_n_b")).cast("double"),
+            9,
+        ).alias("tvd"),
+        F.round(F.col("_chi2_sum").cast("double"), 9).alias("chi2_total"),
+    )

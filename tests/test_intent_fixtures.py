@@ -2533,3 +2533,72 @@ def test_stratified_ate_intent(spark):
     }
     assert out["a"] == (4, 2, 2, 0.5, 0.5, 0.333333333)
     assert out["b"] == (2, 0, 2, 0.0, None, 0.333333333)
+
+
+# ---------------------------------------------------------------------------
+# Wave 22 — target encoding / span corruption fixtures
+# ---------------------------------------------------------------------------
+
+def test_target_encode_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import (
+        target_encode,
+    )
+
+    # cat a: 4 rows, 3 positive; cat b: 1 row, 0 positive.
+    # global 3/5; w=5: enc_a = (3*5 + 5*3)/(5*(4+5)) = 30/45 = 2/3,
+    # enc_b = (0*5 + 5*3)/(5*(1+5)) = 15/30 = 0.5 (shrunk to ~global).
+    rows = (
+        [Row(cat="a", label=1)] * 3
+        + [Row(cat="a", label=0)]
+        + [Row(cat="b", label=0)]
+    )
+    out = {
+        r.cat: (r.n, r.sum_y, r.raw_rate, r.encoded, r.global_rate)
+        for r in target_encode(
+            spark.createDataFrame(rows), ["cat"], "label", smoothing=5
+        ).collect()
+    }
+    assert out["a"] == (4, 3, 0.75, 0.666666667, 0.6)
+    assert out["b"] == (1, 0, 0.0, 0.5, 0.6)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        target_encode(spark.createDataFrame(rows), ["cat"], smoothing=-1)
+
+
+def test_span_corruption_masks_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.chunking import (
+        span_corruption_masks,
+    )
+
+    # rate_mod=1 flags EVERY position; min_len=1, len_mod=1 makes every
+    # span exactly one token -> all positions masked, merged into ONE
+    # island covering the whole doc.
+    rows = [Row(doc_id=1, text="a b c")]
+    out = [
+        (r.span_id, r.start_pos, r.span_len, r.n_tokens)
+        for r in span_corruption_masks(
+            spark.createDataFrame(rows),
+            rate_mod=1, min_len=1, len_mod=1,
+        ).collect()
+    ]
+    assert out == [(1, 1, 3, 3)]
+
+    # determinism: same inputs -> identical spans on a rerun
+    a = sorted(
+        tuple(r) for r in span_corruption_masks(
+            spark.createDataFrame(rows)
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in span_corruption_masks(
+            spark.createDataFrame(rows)
+        ).collect()
+    )
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        span_corruption_masks(spark.createDataFrame(rows), rate_mod=0)

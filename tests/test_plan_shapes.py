@@ -929,3 +929,26 @@ def test_ipw_ate_one_pass(spark):
     no key-shuffle joins."""
     txt = plan_of(spark, "ml_ipw_ate")
     assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+
+
+def test_target_encoding_one_pass(spark):
+    """Target encoding: one category partial agg + 1-row global
+    broadcast — no key-shuffle joins."""
+    txt = plan_of(spark, "ml_target_encoding")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+
+
+def test_span_corruption_map_side_expansion(spark):
+    """Span corruption: position sequences and span expansion are
+    map-side Generates; shuffles are doc-keyed only."""
+    txt = plan_of(spark, "corpus_span_corruption")
+    assert "Generate" in txt
+    assert "Join" not in txt
+    assert "SinglePartition" not in txt
+
+
+def test_orders_aging_snapshot_broadcast(spark):
+    """Aging report: the as-of snapshot is a 1-row broadcast over one
+    scan + one bucket aggregation."""
+    txt = plan_of(spark, "orders_aging_buckets")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
