@@ -688,3 +688,77 @@ def pq_encode(
         )
     )
     return codebook, codes
+
+
+def pq_fidelity(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    dim: int,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Reconstruction fidelity of PQ codes: cosine between each vector
+    and its codeword reconstruction — the governance readout for a
+    deployed codebook (pair of :func:`pq_encode`, as sim_ivf_recall is
+    to the IVF index).  Distortion shows up as fidelity < 1.
+
+    The cosine decomposes over subspaces: ``dot(v, r) = SUM_s
+    dot(v_s, c_s)`` and ``|r|^2 = SUM_s |c_s|^2`` — each per-subspace
+    term is the deterministic sequential fold (`_dot`), and the
+    cross-subspace sums go through exact DECIMAL so the result is
+    partition-order-free; the final chain is ``dot / (|v| * sqrt(|r|^2))``
+    (sqrt correctly rounded), rounded to the repo-wide cosine-6 contract.
+
+    Plan: the m slices posexplode map-side; codes join vector-keyed
+    (the code table is corpus-sized); the m*k codebook broadcasts; one
+    vector-keyed partial agg.
+    """
+    from .dedup import _dot, _norm
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    full = embeddings.select(
+        F.col(id_col).alias("_id"), vd.alias("_full"), _norm(vd).alias("_vn")
+    )
+    slices = F.array(
+        *[F.slice(F.col("_full"), s * sub + 1, sub) for s in range(m)]
+    )
+    long = full.select(
+        "_id", "_vn", F.posexplode(slices).alias("subspace", "_v")
+    )
+    joined = long.join(
+        codes.select(
+            F.col(id_col).alias("_id"), "subspace", F.col("code")
+        ),
+        ["_id", "subspace"],
+    ).join(
+        F.broadcast(
+            codebook.select(
+                "subspace",
+                F.col("centroid_id").alias("code"),
+                "cv",
+                "cn",
+            )
+        ),
+        ["subspace", "code"],
+    )
+    pdot = _dot(F.col("_v"), F.col("cv"), sub)
+    per_vec = joined.groupBy("_id").agg(
+        F.sum(pdot.cast("decimal(38,18)")).alias("_dot_sum"),
+        F.sum((F.col("cn") * F.col("cn")).cast("decimal(38,18)")).alias(
+            "_r2_sum"
+        ),
+        F.max("_vn").alias("_vn"),
+    )
+    return per_vec.select(
+        F.col("_id").alias(id_col),
+        F.round(
+            F.col("_dot_sum").cast("double")
+            / (F.col("_vn") * F.sqrt(F.col("_r2_sum").cast("double"))),
+            6,
+        ).alias("fidelity"),
+    )

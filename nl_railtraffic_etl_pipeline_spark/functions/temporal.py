@@ -161,3 +161,63 @@ def interpolate_daily_linear(
         F.col(value_col).isNull().alias("is_gap"),
         F.round(filled, 6).alias("filled_value"),
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Maximum concurrent open intervals per group — the sweep-line
+    counter (capacity planning: peak simultaneous sessions / live
+    incidents; the max-of-running-sum companion of interval_union's
+    covered-seconds).
+
+    Half-open interval convention [start, end): an interval ending at
+    the exact instant another starts does NOT overlap it, so deltas at
+    equal timestamps order ends (-1) before starts (+1); ``id_col``
+    breaks remaining ties so the running sum is a total order.  Returns
+    (group..., peak_concurrency, first_peak_ts, n_at_peak) where
+    ``first_peak_ts`` is the earliest sweep position attaining the peak
+    and ``n_at_peak`` counts positions at it.  All integers.
+
+    Plan: the +-1 delta union is map-side; ONE group-keyed shuffle
+    serves both the running-sum window and the group-max window; the
+    peak filter + final agg reuse the same key.
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    starts = df.select(
+        *g,
+        F.col(start_col).alias("_t"),
+        F.lit(1).alias("_delta"),
+        F.col(id_col).alias("_id"),
+    )
+    ends = df.select(
+        *g,
+        F.col(end_col).alias("_t"),
+        F.lit(-1).alias("_delta"),
+        F.col(id_col).alias("_id"),
+    )
+    deltas = starts.unionByName(ends)
+    w = Window.partitionBy(*g).orderBy("_t", "_delta", "_id")
+    cum = deltas.withColumn(
+        "_cur",
+        F.sum("_delta").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    peaked = cum.withColumn(
+        "_peak", F.max("_cur").over(Window.partitionBy(*g))
+    )
+    return (
+        peaked.filter(F.col("_cur") == F.col("_peak"))
+        .groupBy(*g, F.col("_peak").alias("peak_concurrency"))
+        .agg(
+            F.min("_t").alias("first_peak_ts"),
+            F.count("*").alias("n_at_peak"),
+        )
+    )

@@ -3711,3 +3711,174 @@ def _runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("ts").isNotNull()
     )
     return runs_test(ev, ["event_type"], ["ts", "event_id"], "value")
+
+
+# ---------------------------------------------------------------------------
+# Cart abandonment: users whose first click gets no purchase within 24h
+# — the timeout-bounded funnel complement (funnel counts conversions;
+# this counts the drop-off with its deadline semantics explicit).
+# ---------------------------------------------------------------------------
+@query(
+    "events_abandonment",
+    """
+WITH clicks AS (
+    SELECT user_id AS u, MIN(ts) AS c FROM events
+    WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1
+),
+flags AS (
+    SELECT cl.u, cl.c,
+           MAX(CASE WHEN e.event_type = 'purchase'
+                     AND e.ts > cl.c
+                     AND e.ts <= cl.c + INTERVAL 24 HOUR
+                    THEN 1 ELSE 0 END) AS converted
+    FROM clicks cl JOIN events e ON cl.u = e.user_id
+    GROUP BY 1, 2
+)
+SELECT CAST(c AS DATE) AS click_day,
+       CAST(COUNT(*) AS BIGINT) AS n_clickers,
+       CAST(SUM(1 - converted) AS BIGINT) AS n_abandoned,
+       {pct} AS abandon_pct
+FROM flags GROUP BY 1
+""".format(
+        pct=_round_sql(
+            "CAST(SUM(1 - converted) * 100 AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)",
+            9,
+        )
+    ),
+)
+def _abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(F.min("ts").alias("c"))
+    )
+    flags = (
+        clicks.join(ev, clicks["u"] == ev["user_id"])
+        .groupBy("u", "c")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("c"))
+                    & (
+                        F.col("ts")
+                        <= F.col("c") + F.expr("INTERVAL 24 HOURS")
+                    )
+                ).cast("int")
+            ).alias("converted")
+        )
+    )
+    return flags.groupBy(F.to_date("c").alias("click_day")).agg(
+        F.count("*").alias("n_clickers"),
+        F.sum(F.lit(1) - F.col("converted")).alias("n_abandoned"),
+        F.round(
+            (F.sum(F.lit(1) - F.col("converted")) * 100).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("abandon_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (functions/temporal.py::peak_concurrency): sweep-line
+# max of simultaneous open 10-minute event intervals per type —
+# capacity planning's "how many at once", next to interval_coverage's
+# "how long covered".  Half-open ends sort before starts at ties.
+# ---------------------------------------------------------------------------
+@query(
+    "events_peak_concurrency",
+    """
+WITH deltas AS (
+    SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    UNION ALL
+    SELECT event_type, ts + INTERVAL 10 MINUTE, -1, event_id FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+c AS (
+    SELECT event_type, t,
+           CAST(SUM(delta) OVER (
+               PARTITION BY event_type ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cur
+    FROM deltas
+),
+p AS (
+    SELECT event_type, t, cur,
+           MAX(cur) OVER (PARTITION BY event_type) AS peak
+    FROM c
+)
+SELECT event_type, CAST(peak AS BIGINT) AS peak_concurrency,
+       MIN(t) AS first_peak_ts, CAST(COUNT(*) AS BIGINT) AS n_at_peak
+FROM p WHERE cur = peak GROUP BY 1, 2
+""",
+)
+def _peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.temporal import peak_concurrency
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+        "event_id",
+    )
+    return peak_concurrency(
+        iv, ["event_type"], "s", "e", "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time quantiles per event type: the point-process health
+# readout (burstiness / dead-air).  Gaps are exact BIGINT microseconds
+# between a user's consecutive events; quantiles are the sort-based
+# interpolated exact family (quantile_cont twin).
+# ---------------------------------------------------------------------------
+@query(
+    "events_interarrival_quantiles",
+    """
+WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_us
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap_us, 0.5), 6) AS p50_us,
+       ROUND(quantile_cont(gap_us, 0.9), 6) AS p90_us,
+       ROUND(quantile_cont(gap_us, 0.99), 6) AS p99_us
+FROM g GROUP BY event_type
+""",
+)
+def _interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.percentile("gap_us", 0.5), 6).alias("p50_us"),
+        F.round(F.percentile("gap_us", 0.9), 6).alias("p90_us"),
+        F.round(F.percentile("gap_us", 0.99), 6).alias("p99_us"),
+    )

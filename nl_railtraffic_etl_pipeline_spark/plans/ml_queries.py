@@ -4438,3 +4438,87 @@ FROM grp GROUP BY doc_id, g
 def _span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", spread=True)
     return span_corruption_masks(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PQ reconstruction fidelity (functions/simsearch.py::pq_fidelity): the
+# governance readout over the published codebook — cosine between each
+# vector and its codeword reconstruction, decomposed per subspace with
+# exact decimal cross-subspace sums.  Shares the pq_codes artifact.
+# ---------------------------------------------------------------------------
+_PQ_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+)
+
+
+@query(
+    "emb_pq_reconstruction",
+    f"""
+WITH base AS (SELECT vec_id AS _id, embedding AS _v FROM embeddings),
+cb AS (
+    SELECT subspace, centroid_id, cv, cn
+    FROM read_parquet('{_PQ_CODEBOOK_PATH}/*.parquet')
+),
+sv AS (
+    SELECT _id, CAST(u.s AS INTEGER) AS subspace,
+           _v[CAST(u.s * {_PQ_SUB} + 1 AS BIGINT)
+              :CAST((u.s + 1) * {_PQ_SUB} AS BIGINT)] AS v
+    FROM base, UNNEST(range(0, {_PQ_M})) AS u(s)
+),
+svn AS (
+    SELECT _id, subspace, v,
+           sqrt(list_sum(list_transform(
+               v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+    FROM sv
+),
+assigned AS (
+    SELECT _id, subspace, code, v FROM (
+        SELECT s._id, s.subspace, c.centroid_id AS code, s.v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s._id, s.subspace
+                   ORDER BY {_cos6('s.v', 's.n', 'c.cv', 'c.cn')} DESC,
+                            c.centroid_id
+               ) AS rn
+        FROM svn s JOIN cb c USING (subspace)
+    ) WHERE rn = 1
+),
+vn AS (
+    SELECT _id,
+           sqrt(list_sum(list_transform(
+               _v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+    FROM base
+),
+terms AS (
+    SELECT a._id,
+           CAST(CAST({_PQ_DOT.format(a='a.v', b='c.cv')} AS VARCHAR)
+                AS DECIMAL(38,18)) AS pdot,
+           CAST(CAST(c.cn * c.cn AS VARCHAR) AS DECIMAL(38,18)) AS cn2
+    FROM assigned a
+    JOIN cb c ON a.subspace = c.subspace AND a.code = c.centroid_id
+),
+agg AS (
+    SELECT _id, SUM(pdot) AS dot_sum, SUM(cn2) AS r2_sum
+    FROM terms GROUP BY 1
+)
+SELECT a._id AS vec_id,
+       {_round_sql(
+           "CAST(a.dot_sum AS DOUBLE)"
+           " / (v.vn * sqrt(CAST(a.r2_sum AS DOUBLE)))", 6)} AS fidelity
+FROM agg a JOIN vn v USING (_id)
+""",
+)
+def _emb_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, codes = _artifact(
+        spark,
+        sf_dir,
+        "pq_codes",
+        lambda: simsearch.pq_encode(
+            emb,
+            dim=_EMB_DIM,
+            m=_PQ_M,
+            codebook_path=_PQ_CODEBOOK_PATH,
+        ),
+    )
+    return simsearch.pq_fidelity(emb, cb, codes, dim=_EMB_DIM, m=_PQ_M)

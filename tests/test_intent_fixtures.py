@@ -2602,3 +2602,59 @@ def test_span_corruption_masks_intent(spark):
 
     with _pytest.raises(ValueError):
         span_corruption_masks(spark.createDataFrame(rows), rate_mod=0)
+
+
+# ---------------------------------------------------------------------------
+# Wave 23 — peak concurrency / PQ fidelity fixtures
+# ---------------------------------------------------------------------------
+
+def test_peak_concurrency_intent(spark):
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.temporal import (
+        peak_concurrency,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    # [10:00,10:10), [10:05,10:15): overlap 10:05-10:10 -> peak 2.
+    # [10:10,10:20) starts exactly when the first ends: half-open, so
+    # the instant 10:10 sees the -1 BEFORE the +1 -> still peak 2.
+    rows = [
+        Row(g="a", s=t(0), e=t(10), id=1),
+        Row(g="a", s=t(5), e=t(15), id=2),
+        Row(g="a", s=t(10), e=t(20), id=3),
+    ]
+    out = {
+        r.g: (r.peak_concurrency, r.first_peak_ts, r.n_at_peak)
+        for r in peak_concurrency(
+            spark.createDataFrame(rows), ["g"], "s", "e", "id"
+        ).collect()
+    }
+    assert out["a"] == (2, t(5), 2)  # at 10:05 and again at 10:10
+
+
+def test_pq_fidelity_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.simsearch import (
+        pq_encode,
+        pq_fidelity,
+    )
+
+    # id2 sits alone on its codewords in both subspaces -> fidelity
+    # exactly 1.0.  id4 drags subspace-0's centroid to [1, 1/3], so
+    # id1/id3 (members [1,0]) reconstruct at cos = 2 / (sqrt(2) *
+    # sqrt(1 + 10/9)) = 0.973329, and id4 itself lands lower still.
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 1.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[1.0, 0.0, 0.0, 1.0]),
+        Row(vec_id=4, embedding=[1.0, 1.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows)
+    cb, codes = pq_encode(emb, dim=4, m=2, n_centroids=2, max_iter=2)
+    out = {
+        r.vec_id: r.fidelity
+        for r in pq_fidelity(emb, cb, codes, dim=4, m=2).collect()
+    }
+    assert out[2] == 1.0
+    assert out[1] == out[3] == 0.973329
+    assert out[4] < out[1]

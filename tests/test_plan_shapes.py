@@ -952,3 +952,26 @@ def test_orders_aging_snapshot_broadcast(spark):
     scan + one bucket aggregation."""
     txt = plan_of(spark, "orders_aging_buckets")
     assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+
+
+def test_abandonment_user_keyed(spark):
+    """Abandonment: one user-keyed click/event join + day rollup."""
+    txt = plan_of(spark, "events_abandonment")
+    assert "CartesianProduct" not in txt
+    assert "SinglePartition" not in txt
+
+
+def test_peak_concurrency_single_key_shuffle(spark):
+    """Peak concurrency: the delta union is map-side; the running-sum
+    and group-max windows share ONE type-keyed exchange."""
+    txt = plan_of(spark, "events_peak_concurrency")
+    assert "SinglePartition" not in txt
+    assert len(re.findall(r"hashpartitioning\(", txt)) <= 4  # tree+detail
+
+
+def test_pq_reconstruction_vector_keyed(spark):
+    """PQ fidelity: codes join vector-keyed, codebook broadcasts, one
+    vector-keyed partial agg — no nested-loop joins."""
+    txt = plan_of(spark, "emb_pq_reconstruction")
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
