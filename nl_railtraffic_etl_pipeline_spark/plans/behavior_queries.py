@@ -3882,3 +3882,152 @@ def _interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_us", 0.9), 6).alias("p90_us"),
         F.round(F.percentile("gap_us", 0.99), 6).alias("p99_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: each active (user, day) classified as new /
+# retained / resurrected, plus churned = active yesterday, absent
+# today.  The canonical DAU decomposition (new + retained + resurrected
+# = DAU).  One user-keyed lag window over the distinct activity frame;
+# churn attributes to the day AFTER the lapsed activity.
+# ---------------------------------------------------------------------------
+@query(
+    "events_growth_accounting",
+    """
+WITH ud AS (
+    SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+marked AS (
+    SELECT u, d,
+           LAG(d) OVER (PARTITION BY u ORDER BY d) AS prev_d
+    FROM ud
+),
+classed AS (
+    SELECT d,
+           CASE WHEN prev_d IS NULL THEN 'new'
+                WHEN d - prev_d = 1 THEN 'retained'
+                ELSE 'resurrected' END AS klass
+    FROM marked
+),
+actives AS (
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS dau,
+           CAST(SUM(CASE WHEN klass = 'new' THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN klass = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS retained,
+           CAST(SUM(CASE WHEN klass = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS resurrected
+    FROM classed GROUP BY 1
+),
+churn AS (
+    SELECT a.d + 1 AS d, CAST(COUNT(*) AS BIGINT) AS churned
+    FROM marked a
+    LEFT JOIN ud b ON a.u = b.u AND b.d = a.d + 1
+    WHERE b.u IS NULL
+    GROUP BY 1
+)
+SELECT a.d AS day, a.dau, a.new_users, a.retained, a.resurrected,
+       COALESCE(c.churned, 0) AS churned_from_prev_day
+FROM actives a LEFT JOIN churn c ON a.d = c.d
+""",
+)
+def _growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ud = ev.select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("d")
+    ).distinct()
+    w = _W.partitionBy("u").orderBy("d")
+    marked = ud.withColumn("prev_d", F.lag("d").over(w))
+    klass = (
+        F.when(F.col("prev_d").isNull(), "new")
+        .when(F.datediff("d", "prev_d") == 1, "retained")
+        .otherwise("resurrected")
+    )
+    actives = (
+        marked.select("d", klass.alias("klass"))
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("dau"),
+            F.count_if(F.col("klass") == "new").alias("new_users"),
+            F.count_if(F.col("klass") == "retained").alias("retained"),
+            F.count_if(F.col("klass") == "resurrected").alias(
+                "resurrected"
+            ),
+        )
+    )
+    nxt = ud.select("u", F.date_sub("d", 1).alias("d"))
+    churn = (
+        marked.select("u", "d")
+        .join(nxt, ["u", "d"], "left_anti")
+        .groupBy(F.date_add("d", 1).alias("d"))
+        .agg(F.count("*").alias("churned"))
+    )
+    return actives.join(churn, "d", "left").select(
+        F.col("d").alias("day"),
+        "dau",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce(F.col("churned"), F.lit(0).cast("bigint")).alias(
+            "churned_from_prev_day"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann pseudo-median of the daily-count series per type: the
+# median of all pairwise MEANS — the location companion of the
+# Theil-Sen slope (same bounded-pair contract: aggregate to the time
+# axis first, pair second).  Pair means are exact halves of BIGINTs.
+# ---------------------------------------------------------------------------
+@query(
+    "events_hodges_lehmann",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type,
+           CAST(a.y + b.y AS DOUBLE) / CAST(2 AS DOUBLE) AS m
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day <= b.day
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {hl} AS pseudo_median
+FROM pairs GROUP BY event_type
+""".format(hl=_round_sql("MEDIAN(m)", 9)),
+)
+def _hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("y")
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("_d1"), F.col("y").alias("_y1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("_d2"), F.col("y").alias("_y2")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("_d1") <= F.col("_d2"))
+    m = (F.col("_y1") + F.col("_y2")).cast("double") / F.lit(2).cast(
+        "double"
+    )
+    return (
+        pairs.select("event_type", m.alias("_m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.median("_m"), 9).alias("pseudo_median"),
+        )
+    )

@@ -3161,3 +3161,122 @@ def _orders_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_v").cast("double"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase curve: per order ordinal (a customer's 1st, 2nd,
+# 3rd... order), how many customers reach it and the exact share of the
+# customer base — the retention curve of the orders table.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_repeat_purchase",
+    f"""
+WITH ranked AS (
+    SELECT o_custkey,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+           ) AS ordinal
+    FROM orders
+),
+base AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+         FROM ranked),
+curve AS (
+    SELECT ordinal, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM ranked GROUP BY 1
+)
+SELECT CAST(ordinal AS INTEGER) AS ordinal, n_customers,
+       {_round_sql("CAST(n_customers * 100 AS DOUBLE)"
+                   " / CAST(n_cust AS DOUBLE)", 9)} AS pct_of_base
+FROM curve, base
+""",
+)
+def _repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    o = load_table(spark, sf_dir, "orders", spread=True)
+    w = _W.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    ranked = o.select(
+        "o_custkey", F.row_number().over(w).alias("ordinal")
+    )
+    base = ranked.agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+    curve = ranked.groupBy("ordinal").agg(
+        F.count("*").alias("n_customers")
+    )
+    return curve.crossJoin(F.broadcast(base)).select(
+        F.col("ordinal").cast("int").alias("ordinal"),
+        "n_customers",
+        F.round(
+            (F.col("n_customers") * 100).cast("double")
+            / F.col("n_cust").cast("double"),
+            9,
+        ).alias("pct_of_base"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification: parts ranked by exact-decimal revenue,
+# bucketed by cumulative revenue share (A <= 80% < B <= 95% < C) — the
+# Pareto workhorse of inventory/SKU analysis.  The cumulative share
+# comparison is decimal-exact (no float cumsum): cum_revenue and
+# total_revenue are exact DECIMAL sums, and the A/B/C cut compares
+# cum * 100 <= total * threshold in DECIMAL.
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_abc_classification",
+    f"""
+WITH rev AS (
+    SELECT l_partkey,
+           SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(24,6))
+               * (1 - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(24,6))))
+               AS revenue
+    FROM lineitem GROUP BY 1
+),
+t AS (SELECT SUM(revenue) AS total FROM rev),
+c AS (
+    SELECT l_partkey, revenue,
+           SUM(revenue) OVER (
+               ORDER BY revenue DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM rev
+)
+SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       {_round_sql("CAST(SUM(revenue) AS DOUBLE)", 2)} AS class_revenue
+FROM c, t GROUP BY 1
+""",
+)
+def _abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    dec = lambda c: F.col(c).cast("string").cast("decimal(24,6)")  # noqa: E731
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    t = rev.agg(F.sum("revenue").alias("total"))
+    w = (
+        _W.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    c = rev.withColumn("cum", F.sum("revenue").over(w)).crossJoin(
+        F.broadcast(t)
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return c.groupBy(abc.alias("abc_class")).agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("revenue").cast("double"), 2).alias("class_revenue"),
+    )

@@ -975,3 +975,29 @@ def test_pq_reconstruction_vector_keyed(spark):
     txt = plan_of(spark, "emb_pq_reconstruction")
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
+
+
+def test_growth_accounting_user_keyed(spark):
+    """Growth accounting: lag window and churn anti-join both run on the
+    user-keyed distinct-activity frame — never single-partition."""
+    txt = plan_of(spark, "events_growth_accounting")
+    assert "SinglePartition" not in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_abc_cumulative_is_decimal_exact(spark):
+    """ABC classification: the Pareto cut compares exact DECIMAL
+    cumulative sums (no float cumsum); the ranked window runs over the
+    part-level (metadata-scale) aggregate, not the fact table."""
+    txt = plan_of(spark, "lineitem_abc_classification")
+    assert "CartesianProduct" not in txt
+    # the fact-table aggregation precedes the single ranked window over
+    # parts; assert the window input is the aggregated frame
+    assert "HashAggregate" in txt and "Window" in txt
+
+
+def test_repeat_purchase_customer_keyed(spark):
+    """Repeat purchase: ordinal window is customer-keyed; the base is a
+    1-row broadcast."""
+    txt = plan_of(spark, "orders_repeat_purchase")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
