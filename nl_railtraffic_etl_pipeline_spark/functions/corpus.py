@@ -474,3 +474,60 @@ def lexical_shift_scores(
             ).alias("shift"),
         )
     )
+
+
+def training_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    batch_size: int = 256,
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """Deterministic global training order: shuffle the corpus by the
+    md5 hash contract and assign every document its 0-based ordinal and
+    micro-batch id — the epoch-shuffle layout step of a training-data
+    pipeline, reproducible on any engine/partitioning (unlike
+    ``orderBy(rand())``).
+
+    The global ordinal NEVER runs a row-scale single-partition sort:
+    the top ``bucket_bits`` bits of the 32-bit shuffle key form 2^bits
+    ordered buckets (monotone in the key, so bucket-then-local order IS
+    the global (key, id) order); local ordinals are a bucket-keyed
+    row_number, bucket offsets come from a window over the
+    2^bucket_bits-row counts table (metadata-scale), and the offset
+    joins back by bucket.  Same contract as prefixsum.running_total,
+    specialized to the dense-rank case.
+
+    Returns (id_col, shuffle_key, ordinal, microbatch).
+    """
+    from .text import hash32
+
+    if batch_size < 1 or not 1 <= bucket_bits <= 20:
+        raise ValueError("batch_size >= 1 and 1 <= bucket_bits <= 20")
+    from pyspark.sql import Window
+
+    shift = 2 ** (32 - bucket_bits)
+    h = hash32(
+        F.concat(F.lit("shuf|"), F.col(id_col).cast("string"))
+    )
+    base = docs.select(
+        F.col(id_col), h.alias("shuffle_key")
+    ).withColumn("_bkt", F.expr(f"shuffle_key div {shift}"))
+    w_local = Window.partitionBy("_bkt").orderBy("shuffle_key", id_col)
+    local = base.withColumn("_rn", F.row_number().over(w_local))
+    counts = base.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0).cast("bigint"))
+    ).select("_bkt", "_off")
+    out = local.join(F.broadcast(offsets), "_bkt")
+    ordinal = F.col("_off") + F.col("_rn") - 1
+    return out.select(
+        F.col(id_col),
+        "shuffle_key",
+        ordinal.alias("ordinal"),
+        F.expr(f"CAST((_off + _rn - 1) div {batch_size} AS BIGINT)").alias(
+            "microbatch"
+        ),
+    )

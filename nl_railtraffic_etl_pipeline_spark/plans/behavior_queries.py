@@ -4031,3 +4031,57 @@ def _hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.median("_m"), 9).alias("pseudo_median"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap distinct rollup: daily distinct users via 32-bit bucket
+# bitmaps (bit_or partial aggregation + popcount) — the
+# constant-state-per-bucket exact-distinct used at warehouse scale
+# (roaring-style), emitted NEXT TO count(distinct) so the gate verifies
+# the bitmap math against the naive path inside one result.
+# ---------------------------------------------------------------------------
+@query(
+    "events_bitmap_distinct",
+    """
+WITH m AS (
+    SELECT CAST(ts AS DATE) AS day,
+           user_id // 32 AS bucket,
+           (CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS mask
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+bm AS (SELECT day, bucket, bit_or(mask) AS bits FROM m GROUP BY 1, 2),
+b AS (
+    SELECT day, CAST(SUM(bit_count(bits)) AS BIGINT) AS distinct_bitmap
+    FROM bm GROUP BY 1
+),
+e AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_exact
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1
+)
+SELECT b.day, b.distinct_bitmap, e.distinct_exact
+FROM b JOIN e ON b.day = e.day
+""",
+)
+def _bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    m = ev.select(
+        F.to_date("ts").alias("day"),
+        F.expr("user_id div 32").alias("bucket"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+        ).alias("mask"),
+    )
+    bm = m.groupBy("day", "bucket").agg(F.expr("bit_or(mask)").alias("bits"))
+    b = bm.groupBy("day").agg(
+        F.sum(F.expr("bit_count(bits)")).alias("distinct_bitmap")
+    )
+    e = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("distinct_exact")
+    )
+    return b.join(e, "day").select(
+        "day", "distinct_bitmap", "distinct_exact"
+    )

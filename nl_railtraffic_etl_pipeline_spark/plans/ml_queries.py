@@ -4522,3 +4522,114 @@ def _emb_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return simsearch.pq_fidelity(emb, cb, codes, dim=_EMB_DIM, m=_PQ_M)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (functions/corpus.py::training_order):
+# md5-contract shuffle key, global ordinal WITHOUT a row-scale global
+# sort (hash-prefix buckets + local row_number + metadata-scale offset
+# window), micro-batch ids off the ordinal.  The oracle is the naive
+# global ROW_NUMBER — same total order, different plan.
+# ---------------------------------------------------------------------------
+from ..functions.corpus import training_order  # noqa: E402
+
+_SHUF_H = _H32.format(x="'shuf|' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "corpus_training_order",
+    f"""
+WITH keyed AS (
+    SELECT doc_id, {_SHUF_H} AS shuffle_key FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+            AS BIGINT) AS ordinal,
+       CAST((ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1) // 256
+            AS BIGINT) AS microbatch
+FROM keyed
+""",
+)
+def _training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return training_order(d, "doc_id", batch_size=256)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit: recall@10 of brute-force KNN over the
+# FIRST 16 of 64 dimensions vs the full-dimension ground truth — the
+# governance readout for MRL-style dimension reduction (store/search
+# short prefixes, re-rank with full vectors).  Pure composition of the
+# existing exact-cosine machinery on sliced vectors.
+# ---------------------------------------------------------------------------
+_MRL_DIM = 16
+
+
+@query(
+    "emb_matryoshka_recall",
+    f"""
+WITH brute AS (
+    SELECT query_id, neighbor_id FROM ({_ORACLES['sim_knn_bruteforce']}) b
+),
+tq AS (
+    SELECT vec_id AS query_id, embedding[1:{_MRL_DIM}] AS qv
+    FROM embeddings WHERE vec_id IN ({", ".join(map(str, _KNN_QUERY_IDS))})
+),
+tc AS (SELECT vec_id, embedding[1:{_MRL_DIM}] AS cv FROM embeddings),
+tscored AS (
+    SELECT tq.query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL.format(va='qv', vb='cv').replace('a.', 'tq.').replace('b.', 'c.')} AS cosine
+    FROM tc c CROSS JOIN tq
+    WHERE c.vec_id <> tq.query_id
+),
+trunc AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM tscored
+    ) WHERE rank <= 10
+),
+k AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM brute GROUP BY 1
+),
+hit AS (
+    SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM brute b JOIN trunc t
+      ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+    GROUP BY 1
+)
+SELECT k.query_id, k.k,
+       CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+       {_round_sql(
+           'CAST(COALESCE(hit.n_hit, 0) * 100 AS DOUBLE)'
+           ' / CAST(k.k AS DOUBLE)', 9)} AS recall_pct
+FROM k LEFT JOIN hit ON k.query_id = hit.query_id
+""",
+)
+def _matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = simsearch.knn_bruteforce(emb, _KNN_QUERY_IDS, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    trunc_emb = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+    )
+    trunc = simsearch.knn_bruteforce(
+        trunc_emb, _KNN_QUERY_IDS, k=10
+    ).select("query_id", "neighbor_id")
+    k = full.groupBy("query_id").agg(F.count("*").alias("k"))
+    hit = full.join(trunc, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hit"))
+    return k.join(hit, "query_id", "left").select(
+        "query_id",
+        "k",
+        F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias("n_hit"),
+        F.round(
+            (F.coalesce(F.col("n_hit"), F.lit(0)) * F.lit(100)).cast(
+                "double"
+            )
+            / F.col("k").cast("double"),
+            9,
+        ).alias("recall_pct"),
+    )

@@ -2658,3 +2658,37 @@ def test_pq_fidelity_intent(spark):
     assert out[2] == 1.0
     assert out[1] == out[3] == 0.973329
     assert out[4] < out[1]
+
+
+# ---------------------------------------------------------------------------
+# Wave 25 — training order fixture
+# ---------------------------------------------------------------------------
+
+def test_training_order_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import (
+        training_order,
+    )
+
+    rows = [Row(doc_id=i) for i in range(10)]
+    out = training_order(
+        spark.createDataFrame(rows), "doc_id", batch_size=4
+    ).collect()
+    # a permutation: ordinals are exactly 0..9, each doc once
+    assert sorted(r.ordinal for r in out) == list(range(10))
+    # ordinal order == (shuffle_key, doc_id) order
+    by_key = sorted(out, key=lambda r: (r.shuffle_key, r.doc_id))
+    assert [r.ordinal for r in by_key] == list(range(10))
+    # microbatch = ordinal div batch_size
+    assert all(r.microbatch == r.ordinal // 4 for r in out)
+    # deterministic across reruns
+    again = training_order(
+        spark.createDataFrame(rows), "doc_id", batch_size=4
+    ).collect()
+    assert {r.doc_id: r.ordinal for r in out} == {
+        r.doc_id: r.ordinal for r in again
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        training_order(spark.createDataFrame(rows), "doc_id", batch_size=0)

@@ -1001,3 +1001,28 @@ def test_repeat_purchase_customer_keyed(spark):
     1-row broadcast."""
     txt = plan_of(spark, "orders_repeat_purchase")
     assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+
+
+def test_training_order_no_global_sort(spark):
+    """Training order: the global ordinal must come from bucket-local
+    row_numbers + a metadata-scale offset window — never a row-scale
+    single-partition sort of the corpus.  The only single-partition
+    window allowed is over the 2^bits-row bucket-counts table."""
+    txt = plan_of(spark, "corpus_training_order")
+    # the offsets window is fed by an aggregate, never a raw scan
+    assert not re.search(r"SinglePartition[\s\S]{0,400}?Scan parquet", txt)
+
+
+def test_bitmap_distinct_partial_agg(spark):
+    """Bitmap distinct: bit_or is a partial aggregate over (day, bucket)
+    — constant state per bucket; no window, no single partition."""
+    txt = plan_of(spark, "events_bitmap_distinct")
+    assert "SinglePartition" not in txt
+    assert "Window" not in txt
+
+
+def test_matryoshka_recall_composition(spark):
+    """Matryoshka audit: two broadcast-query brute passes + count
+    stitches; no cartesian beyond the intended query broadcast."""
+    txt = plan_of(spark, "emb_matryoshka_recall")
+    assert "CartesianProduct" not in txt
