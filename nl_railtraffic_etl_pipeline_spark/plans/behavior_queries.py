@@ -3891,9 +3891,10 @@ def _interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # = DAU).  One user-keyed lag window over the distinct activity frame;
 # churn attributes to the day AFTER the lapsed activity.
 # ---------------------------------------------------------------------------
-@query(
-    "events_growth_accounting",
-    """
+# shared with the streaming twin (streaming_growth): the distinct
+# (user, day) activity state is exactly mergeable, so the batch oracle
+# IS the streaming oracle under the availableNow drain
+GROWTH_ORACLE_SQL = """
 WITH ud AS (
     SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
     FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
@@ -3931,8 +3932,10 @@ churn AS (
 SELECT a.d AS day, a.dau, a.new_users, a.retained, a.resurrected,
        COALESCE(c.churned, 0) AS churned_from_prev_day
 FROM actives a LEFT JOIN churn c ON a.d = c.d
-""",
-)
+"""
+
+
+@query("events_growth_accounting", GROWTH_ORACLE_SQL)
 def _growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as _W
 

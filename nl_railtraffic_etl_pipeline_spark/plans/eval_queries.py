@@ -438,3 +438,118 @@ def _target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") > 100).cast("int").alias("label"),
     )
     return target_encode(base, ["event_type", "iso_dow"], "label", 10)
+
+
+# ---------------------------------------------------------------------------
+# Group-fairness report: selection rate / TPR / FPR per (synthetic)
+# demographic group plus the demographic-parity and equalized-odds
+# gaps — the model-governance readout.  Every rate is one division of
+# exact BIGINT confusion-cell counts; the gaps subtract the UNROUNDED
+# single-division doubles (deterministic values), rounding at emission.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_fairness_report",
+    f"""
+WITH base AS (
+    SELECT user_id % 3 AS grp,
+           CASE WHEN value > 100 THEN 1 ELSE 0 END AS pred,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL
+      AND event_type IS NOT NULL
+),
+cells AS (
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pred) AS BIGINT) AS pred_pos,
+           CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn
+    FROM base GROUP BY 1
+),
+rates AS (
+    SELECT grp, n, pred_pos, tp, fn, fp, tn,
+           CAST(pred_pos AS DOUBLE) / CAST(n AS DOUBLE) AS sel,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS tpr,
+           CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) AS fpr
+    FROM cells
+),
+g AS (
+    SELECT MAX(sel) - MIN(sel) AS dp_gap,
+           MAX(tpr) - MIN(tpr) AS tpr_gap,
+           MAX(fpr) - MIN(fpr) AS fpr_gap
+    FROM rates
+)
+SELECT grp, n, pred_pos, tp, fn, fp, tn,
+       {_r("sel", 9)} AS selection_rate,
+       {_r("tpr", 9)} AS tpr,
+       {_r("fpr", 9)} AS fpr,
+       {_r("dp_gap", 9)} AS demographic_parity_gap,
+       {_r("tpr_gap", 9)} AS tpr_gap,
+       {_r("fpr_gap", 9)} AS fpr_gap
+FROM rates, g
+""",
+)
+def _fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        (F.col("user_id") % 3).alias("grp"),
+        (F.col("value") > 100).cast("int").alias("pred"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    cells = base.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("pred").cast("bigint").alias("pred_pos"),
+        F.count_if((F.col("pred") == 1) & (F.col("y") == 1)).alias("tp"),
+        F.count_if((F.col("pred") == 0) & (F.col("y") == 1)).alias("fn"),
+        F.count_if((F.col("pred") == 1) & (F.col("y") == 0)).alias("fp"),
+        F.count_if((F.col("pred") == 0) & (F.col("y") == 0)).alias("tn"),
+    )
+    sel = F.col("pred_pos").cast("double") / F.col("n").cast("double")
+    tpr = F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast(
+        "double"
+    )
+    fpr = F.col("fp").cast("double") / (F.col("fp") + F.col("tn")).cast(
+        "double"
+    )
+    rates = cells.select(
+        "grp",
+        "n",
+        "pred_pos",
+        "tp",
+        "fn",
+        "fp",
+        "tn",
+        sel.alias("_sel"),
+        tpr.alias("_tpr"),
+        fpr.alias("_fpr"),
+    )
+    g = rates.agg(
+        (F.max("_sel") - F.min("_sel")).alias("_dp"),
+        (F.max("_tpr") - F.min("_tpr")).alias("_tg"),
+        (F.max("_fpr") - F.min("_fpr")).alias("_fg"),
+    )
+    return rates.crossJoin(F.broadcast(g)).select(
+        "grp",
+        "n",
+        "pred_pos",
+        "tp",
+        "fn",
+        "fp",
+        "tn",
+        F.round("_sel", 9).alias("selection_rate"),
+        F.round("_tpr", 9).alias("tpr"),
+        F.round("_fpr", 9).alias("fpr"),
+        F.round("_dp", 9).alias("demographic_parity_gap"),
+        F.round("_tg", 9).alias("tpr_gap"),
+        F.round("_fg", 9).alias("fpr_gap"),
+    )

@@ -4633,3 +4633,85 @@ def _matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("recall_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-set Jaccard node similarity over the deterministic doc graph:
+# candidate pairs from the shared-neighbor (wedge) equi-join — the
+# inverted-index pattern again, never all-pairs — with exact integer
+# |intersection| / |union|.  The link-graph companion of the text/
+# embedding dedup families (co-citation similarity).
+# ---------------------------------------------------------------------------
+_JACCARD_MIN = 0.25
+
+
+@query(
+    "graph_node_jaccard",
+    "WITH "
+    + _PR_EDGES_CTE
+    + f""",
+und AS (
+    SELECT DISTINCT _a, _b FROM (
+        SELECT src AS _a, dst AS _b FROM edges
+        UNION ALL
+        SELECT dst AS _a, src AS _b FROM edges
+    ) WHERE _a <> _b
+),
+deg AS (SELECT _a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+common AS (
+    SELECT x._b AS u, y._b AS v, CAST(COUNT(*) AS BIGINT) AS common
+    FROM und x JOIN und y ON x._a = y._a AND x._b < y._b
+    GROUP BY 1, 2
+)
+SELECT u, v, common,
+       du.d + dv.d - common AS union_size,
+       {_round_sql("CAST(common AS DOUBLE)"
+                   " / CAST(du.d + dv.d - common AS DOUBLE)", 9)}
+           AS jaccard
+FROM common
+JOIN deg du ON common.u = du.node
+JOIN deg dv ON common.v = dv.node
+WHERE CAST(common AS DOUBLE)
+      / CAST(du.d + dv.d - common AS DOUBLE) >= {_JACCARD_MIN}
+""",
+)
+def _graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    edges = _pr_edges_df(docs)
+    und = (
+        edges.select(F.col("src").alias("_a"), F.col("dst").alias("_b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("_a"), F.col("src").alias("_b"))
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("_a").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    x = und.select(F.col("_a").alias("_w"), F.col("_b").alias("u"))
+    y = und.select(F.col("_a").alias("_w"), F.col("_b").alias("v"))
+    common = (
+        x.join(y, "_w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+    )
+    j = (
+        common.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("d", "_du")
+        .join(deg.withColumnRenamed("node", "v"), "v")
+        .withColumnRenamed("d", "_dv")
+    )
+    union_size = F.col("_du") + F.col("_dv") - F.col("common")
+    jac = F.col("common").cast("double") / union_size.cast("double")
+    return (
+        j.filter(jac >= _JACCARD_MIN)
+        .select(
+            "u",
+            "v",
+            "common",
+            union_size.alias("union_size"),
+            F.round(jac, 9).alias("jaccard"),
+        )
+    )

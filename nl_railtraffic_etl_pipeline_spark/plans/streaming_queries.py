@@ -717,3 +717,76 @@ def _streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tvd"),
         F.round(F.col("_chi2_sum").cast("double"), 9).alias("chi2_total"),
     )
+
+
+from .behavior_queries import GROWTH_ORACLE_SQL  # noqa: E402
+
+
+@query(
+    "streaming_growth",
+    # Streaming twin of events_growth_accounting: the engine-side state
+    # is the DISTINCT (user, day) activity set — merge-idempotent across
+    # micro-batches — and the new/retained/resurrected/churn
+    # classification runs on the drained activity frame.
+    GROWTH_ORACLE_SQL,
+)
+def _streaming_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting THROUGH the streaming engine: distinct (user,
+    day) pairs accumulate incrementally in complete mode (dedup state is
+    idempotent under any micro-batching), then the user-keyed lag
+    classification and churn anti-join run on the drained frame —
+    bit-identical to the batch gate."""
+    ev = _events_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ud = ev.select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("d")
+    ).groupBy("u", "d").agg(F.count("*").alias("_n"))
+    _drain_to_memory(ud, "streaming_growth_activity", "complete")
+    # the classification self-joins the drained frame (lag vs next-day
+    # anti-join); checkpoint breaks the shared memory-sink view lineage
+    # (Spark 4 rejects the ambiguous self-reference) and the frame is
+    # activity-scale, not event-scale
+    act = (
+        spark.table("streaming_growth_activity")
+        .select("u", "d")
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("u").orderBy("d")
+    marked = act.withColumn("prev_d", F.lag("d").over(w))
+    klass = (
+        F.when(F.col("prev_d").isNull(), "new")
+        .when(F.datediff("d", "prev_d") == 1, "retained")
+        .otherwise("resurrected")
+    )
+    actives = (
+        marked.select("d", klass.alias("klass"))
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("dau"),
+            F.count_if(F.col("klass") == "new").alias("new_users"),
+            F.count_if(F.col("klass") == "retained").alias("retained"),
+            F.count_if(F.col("klass") == "resurrected").alias(
+                "resurrected"
+            ),
+        )
+    )
+    nxt = act.select("u", F.date_sub("d", 1).alias("d"))
+    churn = (
+        marked.select("u", "d")
+        .join(nxt, ["u", "d"], "left_anti")
+        .groupBy(F.date_add("d", 1).alias("d"))
+        .agg(F.count("*").alias("churned"))
+    )
+    return actives.join(churn, "d", "left").select(
+        F.col("d").alias("day"),
+        "dau",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce(F.col("churned"), F.lit(0).cast("bigint")).alias(
+            "churned_from_prev_day"
+        ),
+    )

@@ -1026,3 +1026,20 @@ def test_matryoshka_recall_composition(spark):
     stitches; no cartesian beyond the intended query broadcast."""
     txt = plan_of(spark, "emb_matryoshka_recall")
     assert "CartesianProduct" not in txt
+
+
+def test_node_jaccard_wedge_equi_join(spark):
+    """Node Jaccard: candidate pairs from the shared-neighbor equi-join,
+    never all-pairs."""
+    txt = plan_of(spark, "graph_node_jaccard")
+    assert "CartesianProduct" not in txt
+    # the only BNLJs are _pr_edges_df's 1-row corpus-count broadcasts
+    # (same shape as pagerank/bfs); the wedge pair generator itself must
+    # be a hash equi-join
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt)
+
+
+def test_fairness_report_one_pass(spark):
+    """Fairness report: one group partial agg + a 1-row gaps broadcast."""
+    txt = plan_of(spark, "ml_fairness_report")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
