@@ -980,3 +980,75 @@ def lm_score(
             ).alias("mean_p"),
         )
     )
+
+
+def compression_ratio(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+):
+    """zlib compression ratio per document — the compressibility quality
+    signal (highly repetitive / boilerplate text compresses far below
+    natural prose; filters on ratio are standard in crawl pipelines).
+
+    This is the repo's one TEXT operator that cannot carry a SQL oracle:
+    DEFLATE is not expressible in SQL, so the driver records a rows-only
+    check and pytest carries the semantic fixtures (known-repetitive vs
+    natural text, determinism across reruns).  Within one zlib build the
+    output length at a fixed level is deterministic, so the column is
+    stable run-to-run on this engine.
+
+    Arrow ``mapInPandas`` shape (the multimodal contract): utf-8 encode +
+    compress per batch, Python memory bounded by
+    ``arrow.maxRecordsPerBatch``; emits (id, n_bytes, n_compressed,
+    ratio) with NULL text quarantined as nulls, ratio rounded to 6.
+    """
+    import zlib
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_type = docs.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+
+    def _batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nb, nc, ratio = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ids.append(i)
+                if t is None:
+                    nb.append(None)
+                    nc.append(None)
+                    ratio.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(
+                    round(len(comp) / len(raw), 6) if raw else None
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                    "n_compressed": pd.array(nc, dtype="Int64"),
+                    "ratio": ratio,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)

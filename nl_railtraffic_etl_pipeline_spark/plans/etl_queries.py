@@ -3280,3 +3280,53 @@ def _abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.round(F.sum("revenue").cast("double"), 2).alias("class_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shipping SLA compliance: share of orders whose FIRST lineitem ships
+# within 30 days, by priority — the order-fulfilment health readout.
+# One orderkey-keyed min-shipdate aggregate + an order join; exact
+# day arithmetic and integer shares.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_sla_compliance",
+    f"""
+WITH first_ship AS (
+    SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship0
+    FROM lineitem GROUP BY 1
+),
+j AS (
+    SELECT o.o_orderpriority AS priority,
+           CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), f.ship0)
+                     <= 30
+                THEN 1 ELSE 0 END AS ok
+    FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(ok) AS BIGINT) AS n_within_sla,
+       {_round_sql("CAST(SUM(ok) * 100 AS DOUBLE)"
+                   " / CAST(COUNT(*) AS DOUBLE)", 9)} AS sla_pct
+FROM j GROUP BY 1
+""",
+)
+def _sla_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    o = load_table(spark, sf_dir, "orders", spread=True)
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("ship0")
+    )
+    j = o.join(first_ship, o["o_orderkey"] == first_ship["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.datediff("ship0", F.to_date("o_orderdate")) <= 30
+        ).cast("int").alias("ok"),
+    )
+    return j.groupBy("priority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("ok").cast("bigint").alias("n_within_sla"),
+        F.round(
+            (F.sum("ok") * 100).cast("double") / F.count("*").cast("double"),
+            9,
+        ).alias("sla_pct"),
+    )

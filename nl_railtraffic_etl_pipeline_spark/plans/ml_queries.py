@@ -4715,3 +4715,122 @@ def _graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 9).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold sweep: cumulative pair counts at a ladder of cosine
+# thresholds, all from ONE pair table (the 0.35-base blocked kernel) —
+# the dedup-policy tuning curve ("how many pairs would each threshold
+# merge?").  Thresholds explode map-side over the pair frame.
+# ---------------------------------------------------------------------------
+_SWEEP_THRESHOLDS = (0.35, 0.5, 0.65, 0.8, 0.95)
+
+
+@query(
+    "dedup_threshold_sweep",
+    f"""
+WITH pairs AS (
+    SELECT {_COS_SQL.format(va='embedding', vb='embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(va='embedding', vb='embedding')} > 0.35
+),
+th AS (SELECT CAST(unnest([{", ".join(map(str, _SWEEP_THRESHOLDS))}])
+              AS DOUBLE) AS threshold)
+SELECT threshold, CAST(COUNT(*) FILTER (cosine >= threshold) AS BIGINT)
+           AS n_pairs
+FROM th LEFT JOIN pairs ON TRUE
+GROUP BY threshold
+""",
+)
+def _dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.embedding_near_dup_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    ).select("cosine")
+    th = F.array(*[F.lit(float(t)) for t in _SWEEP_THRESHOLDS])
+    exploded = pairs.select(
+        F.explode(th).alias("threshold"), "cosine"
+    )
+    counts = exploded.groupBy("threshold").agg(
+        F.count_if(F.col("cosine") >= F.col("threshold")).alias("n_pairs")
+    )
+    all_th = spark.createDataFrame(
+        [(float(t),) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    return all_th.join(counts, "threshold", "left").select(
+        "threshold",
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint")).alias(
+            "n_pairs"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the engine's n-gram language classifier
+# (text_language_id) audited against the corpus ground-truth `lang`
+# column — per (true, predicted) cell counts plus exact per-true-lang
+# accuracy.  Reuses the proven _PRED_SQL oracle expression.
+# ---------------------------------------------------------------------------
+@query(
+    "text_langid_confusion",
+    f"""
+WITH t AS (SELECT doc_id, lang, {_TOKENS} AS toks FROM documents),
+p AS (SELECT doc_id, lang AS true_lang, {_PRED_SQL} AS pred_lang FROM t),
+cells AS (
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+),
+tot AS (
+    SELECT true_lang, CAST(SUM(n) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM cells GROUP BY 1
+)
+SELECT c.true_lang, c.pred_lang, c.n,
+       {_round_sql("CAST(t2.n_correct * 100 AS DOUBLE)"
+                   " / CAST(t2.n_true AS DOUBLE)", 9)} AS true_lang_accuracy
+FROM cells c JOIN tot t2 ON c.true_lang = t2.true_lang
+""",
+)
+def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+    p = d.select(
+        F.col("lang").alias("true_lang"),
+        predicted_lang(toks).alias("pred_lang"),
+    )
+    cells = p.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    tot = cells.groupBy("true_lang").agg(
+        F.sum("n").alias("n_true"),
+        F.sum(
+            F.when(F.col("true_lang") == F.col("pred_lang"), F.col("n"))
+            .otherwise(0)
+        ).alias("n_correct"),
+    )
+    return cells.join(tot, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(
+            (F.col("n_correct") * 100).cast("double")
+            / F.col("n_true").cast("double"),
+            9,
+        ).alias("true_lang_accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compressibility quality signal (functions/text.py::compression_ratio):
+# zlib ratio per doc via the Arrow mapInPandas contract.  DEFLATE is not
+# SQL-expressible, so this is a deliberate NO-ORACLE registration — the
+# driver records a rows-only check; semantics live in pytest fixtures
+# (repetitive text compresses below natural prose, determinism).
+# ---------------------------------------------------------------------------
+@query("text_compression_ratio")
+def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import compression_ratio
+
+    return compression_ratio(
+        load_table(spark, sf_dir, "documents", spread=True)
+    )

@@ -2692,3 +2692,35 @@ def test_training_order_intent(spark):
 
     with _pytest.raises(ValueError):
         training_order(spark.createDataFrame(rows), "doc_id", batch_size=0)
+
+
+# ---------------------------------------------------------------------------
+# Wave 27 — compression-ratio fixtures (no SQL oracle: semantics live here)
+# ---------------------------------------------------------------------------
+
+def test_compression_ratio_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        compression_ratio,
+    )
+
+    rows = [
+        Row(doc_id=1, text="abc " * 500),       # highly repetitive
+        Row(doc_id=2, text=" ".join(            # varied pseudo-prose
+            f"w{i}x{i*7%13}" for i in range(500)
+        )),
+        Row(doc_id=3, text=None),                # quarantined
+    ]
+    out = {
+        r.doc_id: (r.n_bytes, r.n_compressed, r.ratio)
+        for r in compression_ratio(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1][0] == 2000
+    # repetitive text compresses much harder than varied text
+    assert out[1][2] < 0.05 < out[2][2]
+    assert out[3] == (None, None, None)
+    # deterministic across reruns
+    again = {
+        r.doc_id: r.ratio
+        for r in compression_ratio(spark.createDataFrame(rows)).collect()
+    }
+    assert {k: v[2] for k, v in out.items()} == again

@@ -135,6 +135,7 @@ def test_python_only_in_arrow_kernels(spark):
             "dedup_embedding_cosine",
             "mm_decode_image_meta",
             "mm_parse_image_headers",
+            "text_compression_ratio",
         ):
             assert has_python, name
         else:
