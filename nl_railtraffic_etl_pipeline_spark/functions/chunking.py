@@ -240,6 +240,7 @@ def span_corruption_masks(
     rate_mod: int = 20,
     min_len: int = 2,
     len_mod: int = 3,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """T5-style span-corruption mask plan (Raffel et al. 2020): pick
     deterministic noise spans over each document's token positions —
@@ -262,6 +263,13 @@ def span_corruption_masks(
     Plan: ONE pass — position sequences explode map-side (no token
     values needed, just counts), flagged starts expand map-side, then a
     doc-keyed dedup + doc-keyed islands window.  All integers.
+
+    ``max_tokens`` is the WHALE-DOC guard (the encode_tokens contract):
+    the islands window buffers a document's masked positions in one
+    partition, so one pathological multi-GB doc becomes one executor's
+    sort buffer.  With a cap, longer docs are QUARANTINED — one row with
+    NULL span fields, their true ``n_tokens``, ``quarantined = true`` —
+    and a ``quarantined`` boolean is appended to every row.
     """
     from .text import hash32
 
@@ -269,6 +277,18 @@ def span_corruption_masks(
         raise ValueError("rate_mod, min_len, len_mod must be >= 1")
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = docs.select(F.col(id_col).alias("doc"), F.size(w).alias("_n"))
+    quarantined = None
+    if max_tokens is not None:
+        n_w = F.coalesce(F.col("_n"), F.lit(0))
+        quarantined = base.filter(n_w > max_tokens).select(
+            F.col("doc").alias(id_col),
+            F.lit(None).cast("int").alias("span_id"),
+            F.lit(None).cast("bigint").alias("start_pos"),
+            F.lit(None).cast("bigint").alias("span_len"),
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            F.lit(True).alias("quarantined"),
+        )
+        base = base.filter(n_w <= max_tokens)
     pos = base.select(
         "doc",
         "_n",
@@ -308,7 +328,7 @@ def span_corruption_masks(
             w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return (
+    out = (
         grp.groupBy("doc", "_g")
         .agg(
             F.min("_mp").cast("bigint").alias("start_pos"),
@@ -323,3 +343,8 @@ def span_corruption_masks(
             "n_tokens",
         )
     )
+    if quarantined is not None:
+        out = out.withColumn("quarantined", F.lit(False)).unionByName(
+            quarantined
+        )
+    return out

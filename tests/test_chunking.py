@@ -269,3 +269,38 @@ def test_encode_tokens_null_text_routes_to_base_when_capped(spark):
     # both branches) and mirror the uncapped empty-doc row
     assert 2 in out and out[2].quarantined is False
     assert out[1].quarantined is False and out[1].n_tokens == 3
+
+
+def test_span_corruption_whale_guard(spark):
+    """max_tokens quarantines overlong docs (NULL span fields, true
+    n_tokens) while normal docs mask identically to the uncapped call."""
+    from pyspark.sql import Row
+
+    from nl_railtraffic_etl_pipeline_spark.functions.chunking import (
+        span_corruption_masks,
+    )
+
+    rows = [
+        Row(doc_id=1, text="a b c d e f g h"),
+        Row(doc_id=2, text="x " * 5000),  # whale
+    ]
+    df = spark.createDataFrame(rows)
+    capped = span_corruption_masks(
+        df, rate_mod=3, min_len=1, len_mod=2, max_tokens=100
+    ).collect()
+    q = [r for r in capped if r.quarantined]
+    assert len(q) == 1 and q[0].doc_id == 2
+    assert q[0].span_id is None and q[0].start_pos is None
+    assert q[0].n_tokens == 5000
+    normal_capped = sorted(
+        (r.doc_id, r.span_id, r.start_pos, r.span_len)
+        for r in capped
+        if not r.quarantined
+    )
+    uncapped = sorted(
+        (r.doc_id, r.span_id, r.start_pos, r.span_len)
+        for r in span_corruption_masks(
+            df.filter("doc_id = 1"), rate_mod=3, min_len=1, len_mod=2
+        ).collect()
+    )
+    assert normal_capped == uncapped
