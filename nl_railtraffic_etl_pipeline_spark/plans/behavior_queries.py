@@ -4043,9 +4043,9 @@ def _hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (roaring-style), emitted NEXT TO count(distinct) so the gate verifies
 # the bitmap math against the naive path inside one result.
 # ---------------------------------------------------------------------------
-@query(
-    "events_bitmap_distinct",
-    """
+# shared with the streaming twin (streaming_bitmap_distinct): bitmaps
+# and the distinct-user frame are both merge-idempotent state
+BITMAP_ORACLE_SQL = """
 WITH m AS (
     SELECT CAST(ts AS DATE) AS day,
            user_id // 32 AS bucket,
@@ -4065,8 +4065,10 @@ e AS (
 )
 SELECT b.day, b.distinct_bitmap, e.distinct_exact
 FROM b JOIN e ON b.day = e.day
-""",
-)
+"""
+
+
+@query("events_bitmap_distinct", BITMAP_ORACLE_SQL)
 def _bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events", spread=True).filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()

@@ -3330,3 +3330,70 @@ def _sla_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("sla_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier scorecard: revenue (exact DECIMAL), line volume, return rate,
+# and revenue dense-rank within nation — the composite vendor-management
+# readout.  One lineitem supplier-keyed aggregate + a broadcast supplier
+# dim join; rank windows run over the supplier-level aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_scorecard",
+    f"""
+WITH li AS (
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(24,6))
+               * (1 - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(24,6))))
+               AS revenue,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned
+    FROM lineitem GROUP BY 1
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+       s.s_nationkey AS nationkey,
+       li.n_lines, li.n_returned,
+       {_round_sql("CAST(li.n_returned * 100 AS DOUBLE)"
+                   " / CAST(li.n_lines AS DOUBLE)", 9)} AS return_pct,
+       {_round_sql("CAST(li.revenue AS DOUBLE)", 2)} AS revenue,
+       CAST(DENSE_RANK() OVER (
+           PARTITION BY s.s_nationkey
+           ORDER BY li.revenue DESC, s.s_suppkey
+       ) AS INTEGER) AS nation_revenue_rank
+FROM li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+""",
+)
+def _supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    s = load_table(spark, sf_dir, "supplier")
+    dec = lambda c: F.col(c).cast("string").cast("decimal(24,6)")  # noqa: E731
+    agg = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+            "_revenue"
+        ),
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+    )
+    j = agg.join(
+        F.broadcast(s), agg["l_suppkey"] == s["s_suppkey"]
+    )
+    w = _W.partitionBy("s_nationkey").orderBy(
+        F.desc("_revenue"), F.asc("s_suppkey")
+    )
+    return j.select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+        "n_lines",
+        "n_returned",
+        F.round(
+            (F.col("n_returned") * 100).cast("double")
+            / F.col("n_lines").cast("double"),
+            9,
+        ).alias("return_pct"),
+        F.round(F.col("_revenue").cast("double"), 2).alias("revenue"),
+        F.dense_rank().over(w).cast("int").alias("nation_revenue_rank"),
+    )

@@ -790,3 +790,51 @@ def _streaming_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "churned_from_prev_day"
         ),
     )
+
+
+from .behavior_queries import BITMAP_ORACLE_SQL  # noqa: E402
+
+
+@query(
+    "streaming_bitmap_distinct",
+    # Streaming twin of events_bitmap_distinct: BOTH sides of the
+    # result drain mergeable state — bit_or bitmaps per (day, bucket)
+    # and per-(day, user) distinct rows — so the batch oracle IS the
+    # streaming oracle.
+    BITMAP_ORACLE_SQL,
+)
+def _streaming_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap exact-distinct THROUGH the streaming engine: per-(day,
+    bucket) bit_or bitmaps and the per-(day, user) distinct frame each
+    accumulate incrementally (bitwise OR and dedup are both
+    merge-idempotent), and the popcount + verification join run on the
+    drained frames — bit-identical to the batch gate."""
+    ev = _events_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    m = ev.select(
+        F.to_date("ts").alias("day"),
+        F.expr("user_id div 32").alias("bucket"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+        ).alias("mask"),
+    )
+    bm = m.groupBy("day", "bucket").agg(F.expr("bit_or(mask)").alias("bits"))
+    _drain_to_memory(bm, "streaming_bitmap_bm", "complete")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").groupBy(
+        "day", "user_id"
+    ).agg(F.count("*").alias("_n"))
+    _drain_to_memory(ud, "streaming_bitmap_users", "complete")
+    b = (
+        spark.table("streaming_bitmap_bm")
+        .groupBy("day")
+        .agg(F.sum(F.expr("bit_count(bits)")).alias("distinct_bitmap"))
+    )
+    e = (
+        spark.table("streaming_bitmap_users")
+        .groupBy("day")
+        .agg(F.count("*").alias("distinct_exact"))
+    )
+    return b.join(e, "day").select(
+        "day", "distinct_bitmap", "distinct_exact"
+    )
