@@ -3,11 +3,14 @@
 ``entry(spark)`` runs the flagship rolling-trend query at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the full registry from
 ``nl_railtraffic_etl_pipeline_spark.plans.registry`` — one entry per
-implemented operator from SURVEY.md §2/§2.12, EVERY entry carrying a full
-DuckDB oracle (including the streaming sessionizer and duplicate-clustering
-gates, via gaps-and-islands and recursive-CTE reachability).  The committed
-``CORRECTNESS_local_r6.json`` records the full-registry oracle run at
-sf0.001/0.01/0.1.
+implemented operator from SURVEY.md §2/§2.12.  Every entry except ONE
+carries a full DuckDB oracle (including the streaming sessionizer and
+duplicate-clustering gates, via gaps-and-islands and recursive-CTE
+reachability); ``text_compression_ratio`` is the deliberate rows-only
+exception (DEFLATE is not SQL-expressible — pytest pins its semantics).
+The committed ``CORRECTNESS_local_r6.json`` records the full 278-gate
+oracle run at sf0.001/0.01/0.1: 277 hash-green + 1 rows-only per SF,
+zero failures.
 """
 
 from __future__ import annotations
