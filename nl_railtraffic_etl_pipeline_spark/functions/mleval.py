@@ -27,7 +27,7 @@ partitioning and cluster size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -36,7 +36,7 @@ def auc_roc(
     group_cols: list[str],
     score_col: str = "score",
     label_col: str = "label",
-) -> Column:
+) -> DataFrame:
     """Exact tie-corrected ROC AUC per group via the rank-sum identity.
 
     ``AUC = (S_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)`` where
