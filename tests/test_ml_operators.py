@@ -391,10 +391,13 @@ def test_multimodal_decode_roundtrip(spark):
 
 
 def test_registry_oracle_coverage():
-    """Every registered query has a full DuckDB oracle — no rows-only gaps."""
+    """Every registered query has a full DuckDB oracle, except the ONE
+    documented rows-only gate (DEFLATE is not SQL-expressible — see
+    plans/ml_queries.py text_compression_ratio)."""
     from nl_railtraffic_etl_pipeline_spark.plans.registry import ORACLES, QUERIES
 
-    assert set(QUERIES) == set(ORACLES)
+    assert set(QUERIES) - set(ORACLES) == {"text_compression_ratio"}
+    assert set(ORACLES) <= set(QUERIES)
 
 
 def test_kmv_distinct_exact_below_k_and_close_above(spark):

@@ -133,6 +133,7 @@ def test_python_only_in_arrow_kernels(spark):
         has_python = re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", txt)
         if name in (
             "dedup_embedding_cosine",
+            "dedup_threshold_sweep",  # reuses the blocked Arrow pair kernel
             "mm_decode_image_meta",
             "mm_parse_image_headers",
             "text_compression_ratio",
