@@ -4090,3 +4090,113 @@ def _bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.join(e, "day").select(
         "day", "distinct_bitmap", "distinct_exact"
     )
+
+
+# ---------------------------------------------------------------------------
+# Transition-matrix drift: is user behavior time-homogeneous?  The
+# (prev -> next) transition counts of the first and second half of the
+# window feed the SAME exact TVD + chi-square machinery as
+# ml_drift_report — bucket = the transition pair, one user-keyed lag
+# window + one bucket partial agg.
+# ---------------------------------------------------------------------------
+@query(
+    "events_transition_drift",
+    """
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           CAST(ts AS DATE) AS d
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+           FROM events WHERE ts IS NOT NULL),
+base AS (
+    SELECT prev_type || '>' || event_type AS bucket,
+           CASE WHEN d >= d0 + CAST(floor(date_diff('day', d0, d1) / 2)
+                               AS INTEGER)
+                THEN 1 ELSE 0 END AS period
+    FROM seq, bounds WHERE prev_type IS NOT NULL
+),
+c AS (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_a,
+           CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_b
+    FROM base GROUP BY 1
+),
+t AS (
+    SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+           CAST(SUM(cnt_b) AS BIGINT) AS nb
+    FROM c
+),
+p AS (
+    SELECT bucket, cnt_a, cnt_b,
+           {sa} AS share_a_pct,
+           {sb} AS share_b_pct,
+           ABS(cnt_a * nb - cnt_b * na) AS abs_d,
+           {chi} AS chi2_bucket,
+           na, nb
+    FROM c, t
+),
+g AS (
+    SELECT CAST(SUM(abs_d) AS BIGINT) AS sum_abs_d,
+           SUM(CAST(CAST(chi2_bucket AS VARCHAR) AS DECIMAL(38,20)))
+               AS chi2_sum
+    FROM p
+)
+SELECT bucket, cnt_a, cnt_b, share_a_pct, share_b_pct, chi2_bucket,
+       {tvd} AS tvd,
+       {ct} AS chi2_total
+FROM p, g
+""".format(
+        sa=_round_sql("CAST(cnt_a * 100 AS DOUBLE) / CAST(na AS DOUBLE)", 9),
+        sb=_round_sql("CAST(cnt_b * 100 AS DOUBLE) / CAST(nb AS DOUBLE)", 9),
+        chi=_round_sql(
+            "CAST(cnt_a * nb - cnt_b * na AS DOUBLE)"
+            " * CAST(cnt_a * nb - cnt_b * na AS DOUBLE)"
+            " / CAST((cnt_a + cnt_b) * na * nb AS DOUBLE)",
+            9,
+        ),
+        tvd=_round_sql(
+            "CAST(sum_abs_d AS DOUBLE) / CAST(2 * na * nb AS DOUBLE)", 9
+        ),
+        ct=_round_sql("CAST(chi2_sum AS DOUBLE)", 9),
+    ),
+)
+def _transition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from ..functions.mleval import categorical_drift
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("ts").isNotNull()
+    )
+    seq = ev.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = seq.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        "event_type",
+        F.to_date("ts").alias("d"),
+    ).filter(F.col("prev_type").isNotNull())
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("_d0"),
+        F.max(F.to_date("ts")).alias("_d1"),
+    )
+    flagged = pairs.crossJoin(F.broadcast(bounds)).select(
+        F.concat_ws(">", "prev_type", "event_type").alias("bucket"),
+        (
+            F.col("d")
+            >= F.date_add(
+                F.col("_d0"),
+                F.floor(F.datediff("_d1", "_d0") / 2).cast("int"),
+            )
+        )
+        .cast("int")
+        .alias("period"),
+    )
+    return categorical_drift(flagged, "bucket", "period")

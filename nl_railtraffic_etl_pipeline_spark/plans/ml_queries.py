@@ -4834,3 +4834,73 @@ def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(
         load_table(spark, sf_dir, "documents", spread=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree histogram of the deterministic doc graph: undirected degree ->
+# node count + exact cumulative share (descending degree — "what share
+# of nodes have degree >= d"), the structural-health readout next to
+# triangles/k-core.  Window over the degree-level (metadata-scale) frame.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_degree_histogram",
+    "WITH "
+    + _PR_EDGES_CTE
+    + f""",
+und AS (
+    SELECT DISTINCT _a, _b FROM (
+        SELECT src AS _a, dst AS _b FROM edges
+        UNION ALL
+        SELECT dst AS _a, src AS _b FROM edges
+    ) WHERE _a <> _b
+),
+deg AS (SELECT _a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+hist AS (
+    SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n FROM hist)
+SELECT degree, n_nodes,
+       CAST(SUM(n_nodes) OVER (ORDER BY degree DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_at_least,
+       {_round_sql(
+           "CAST(SUM(n_nodes) OVER (ORDER BY degree DESC"
+           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100"
+           " AS DOUBLE) / CAST(n AS DOUBLE)", 9)} AS pct_at_least
+FROM hist, tot
+""",
+)
+def _graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    edges = _pr_edges_df(docs)
+    und = (
+        edges.select(F.col("src").alias("_a"), F.col("dst").alias("_b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("_a"), F.col("src").alias("_b"))
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("_a").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    tot = hist.agg(F.sum("n_nodes").alias("n"))
+    w = _W.orderBy(F.desc("degree")).rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(w).alias("n_at_least"),
+        F.round(
+            (F.sum("n_nodes").over(w) * 100).cast("double")
+            / F.col("n").cast("double"),
+            9,
+        ).alias("pct_at_least"),
+    )

@@ -1045,3 +1045,18 @@ def test_fairness_report_one_pass(spark):
     """Fairness report: one group partial agg + a 1-row gaps broadcast."""
     txt = plan_of(spark, "ml_fairness_report")
     assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+
+
+def test_transition_drift_one_lag_one_agg(spark):
+    """Transition drift: one user-keyed lag window + one bucket partial
+    agg + 1-row broadcasts — the categorical_drift tail unchanged."""
+    txt = plan_of(spark, "events_transition_drift")
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+
+
+def test_degree_histogram_metadata_window(spark):
+    """Degree histogram: the cumulative window runs over the degree-level
+    frame (bounded by max degree), never the node or edge table."""
+    txt = plan_of(spark, "graph_degree_histogram")
+    assert "CartesianProduct" not in txt
+    assert "Window" in txt
