@@ -4904,3 +4904,61 @@ def _graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("pct_at_least"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edge reciprocity per node over the DIRECTED doc graph: the share of a
+# node's out-links that link back — the link-farm / mutual-citation
+# signal next to degree/triangles/k-core.  Reciprocal edges come from
+# ONE equi-self-join of the edge list against its reverse; counts and
+# the share are exact integers with one closing division.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_reciprocity",
+    "WITH "
+    + _PR_EDGES_CTE
+    + f""",
+d_edges AS (SELECT src, dst FROM edges WHERE src <> dst),
+recip AS (
+    SELECT a.src, CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+    FROM d_edges a JOIN d_edges b ON a.src = b.dst AND a.dst = b.src
+    GROUP BY 1
+),
+outd AS (
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS out_degree
+    FROM d_edges GROUP BY 1
+)
+SELECT o.src AS doc_id, o.out_degree,
+       COALESCE(r.n_reciprocal, 0) AS n_reciprocal,
+       {_round_sql("CAST(COALESCE(r.n_reciprocal, 0) * 100 AS DOUBLE)"
+                   " / CAST(o.out_degree AS DOUBLE)", 9)}
+           AS reciprocity_pct
+FROM outd o LEFT JOIN recip r ON o.src = r.src
+""",
+)
+def _graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    edges = _pr_edges_df(docs).filter(F.col("src") != F.col("dst"))
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = (
+        edges.join(rev, ["src", "dst"])
+        .groupBy("src")
+        .agg(F.count("*").alias("n_reciprocal"))
+    )
+    outd = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+    return outd.join(recip, "src", "left").select(
+        F.col("src").alias("doc_id"),
+        "out_degree",
+        F.coalesce(F.col("n_reciprocal"), F.lit(0).cast("bigint")).alias(
+            "n_reciprocal"
+        ),
+        F.round(
+            (F.coalesce(F.col("n_reciprocal"), F.lit(0)) * 100).cast(
+                "double"
+            )
+            / F.col("out_degree").cast("double"),
+            9,
+        ).alias("reciprocity_pct"),
+    )

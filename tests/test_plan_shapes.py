@@ -1060,3 +1060,11 @@ def test_degree_histogram_metadata_window(spark):
     txt = plan_of(spark, "graph_degree_histogram")
     assert "CartesianProduct" not in txt
     assert "Window" in txt
+
+
+def test_reciprocity_edge_equi_self_join(spark):
+    """Reciprocity: the reverse-edge match is a (src, dst) equi-self-join
+    of the edge list — hash joins only."""
+    txt = plan_of(spark, "graph_reciprocity")
+    assert "CartesianProduct" not in txt
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", txt)
