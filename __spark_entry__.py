@@ -8,8 +8,8 @@ carries a full DuckDB oracle (including the streaming sessionizer and
 duplicate-clustering gates, via gaps-and-islands and recursive-CTE
 reachability); ``text_compression_ratio`` is the deliberate rows-only
 exception (DEFLATE is not SQL-expressible — pytest pins its semantics).
-The committed ``CORRECTNESS_local_r6.json`` records the full 280-gate
-oracle run at sf0.001/0.01/0.1: 279 hash-green + 1 rows-only per SF,
+The committed ``CORRECTNESS_local_r6.json`` records the full 281-gate
+oracle run at sf0.001/0.01/0.1: 280 hash-green + 1 rows-only per SF,
 zero failures.
 """
 
