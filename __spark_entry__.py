@@ -8,18 +8,51 @@ carries a full DuckDB oracle (including the streaming sessionizer and
 duplicate-clustering gates, via gaps-and-islands and recursive-CTE
 reachability); ``text_compression_ratio`` is the deliberate rows-only
 exception (DEFLATE is not SQL-expressible — pytest pins its semantics).
-The committed ``CORRECTNESS_local_r6.json`` records the full 281-gate
-oracle run at sf0.001/0.01/0.1: 280 hash-green + 1 rows-only per SF,
-zero failures.
+The committed ``CORRECTNESS_local_r7.json`` records the full-registry
+oracle run at sf0.001/0.01/0.1.
+
+Sampling rotation: the driver's correctness gate checks the FIRST 50
+entries of ``queries()`` each round, so a registry this size (281+)
+would leave most gates driver-unverified forever under a fixed order.
+``queries()`` therefore orders gates NEVER seen in any committed
+``CORRECTNESS_r*.json`` first (registry order within each class) — each
+round the driver's 50-gate sample lands on previously-unsampled gates,
+and the rotation advances automatically as artifacts are committed.
+``bench.py`` is NOT affected: it re-emits its timings keyed in canonical
+registry order, so bench visibility stays comparable round-over-round.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from nl_railtraffic_etl_pipeline_spark.plans.registry import ORACLES, QUERIES
+
+
+def _driver_sampled() -> set[str]:
+    """Gates present in any committed driver correctness artifact."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rec = json.load(fh)
+            if isinstance(rec, dict):
+                seen.update(rec.keys())
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _rotated(names: list[str]) -> list[str]:
+    seen = _driver_sampled()
+    fresh = [n for n in names if n not in seen]
+    return fresh + [n for n in names if n in seen]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,8 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _rotated(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    order = _rotated(list(QUERIES))
+    return {n: ORACLES[n] for n in order if n in ORACLES}

@@ -7,6 +7,23 @@ Prints ONE JSON line:
 Config via env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32).  Each query is fully executed (collect) and
 timed individually after a warm-up of the input file listing.
+
+Two measurement-stability mechanisms (a 281-query registry in one session
+was drifting its end-of-run timings 1.2-1.5x):
+
+- SESSION RECYCLING: the SparkSession is stopped and rebuilt every
+  ``SPARK_GRAFT_BENCH_RECYCLE`` queries (default 64), with the warm-up
+  re-run afterwards, so block-manager / state-store / listener
+  accumulation from earlier families cannot tax later ones.  All plan
+  caches key on applicationId, so a fresh session rebuilds cleanly.
+- CANONICAL ORDER: queries execute AND report in registry-definition
+  order (NOT the driver-sampling rotation that ``__spark_entry__.
+  queries()`` applies), so per-query timings stay comparable
+  round-over-round even while the correctness sample rotates.
+
+``SPARK_GRAFT_BENCH_TIER=smoke|standard|full`` (default full) restricts
+the run to the registry's tier subsets — the local iteration loop; the
+driver runs the default full sweep.
 """
 
 from __future__ import annotations
@@ -19,16 +36,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    import __spark_entry__ as entry_mod
-    from nl_railtraffic_etl_pipeline_spark.session import get_spark
-
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def _warm_up(spark, entry_mod, sf_dir: str) -> None:
     # Untimed warm-up: JVM/codegen/parquet-reader/Python-worker initialization
     # would otherwise be attributed to whichever query happens to run first.
     # Run the flagship query shape at the smallest SF so window execution,
@@ -42,14 +50,41 @@ def main() -> None:
         "n_regionkey"
     ).count().write.format("noop").mode("overwrite").save()
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry_mod
+    from nl_railtraffic_etl_pipeline_spark.plans.registry import (
+        QUERIES,
+        tier_names,
+    )
+    from nl_railtraffic_etl_pipeline_spark.session import get_spark
+
+    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "full")
+    names = tier_names(tier)
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm_up(spark, entry_mod, sf_dir)
+
     # min-of-N per query: single-shot timings on this box vary +/-50% on the
     # heavy queries (GC, virtio jitter); the min is the stable signal.
     # 3 reps since warehouse tables / dedup+ANN artifacts are cached per
     # application — later reps time the query proper, not artifact builds.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    recycle = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "64"))
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in entry_mod.queries().items():
+    for i, name in enumerate(names):
+        if recycle > 0 and i > 0 and i % recycle == 0:
+            spark.stop()
+            spark = get_spark("bench")
+            spark.sparkContext.setLogLevel("ERROR")
+            _warm_up(spark, entry_mod, sf_dir)
+            print(f"# session recycled before query {i}", file=sys.stderr)
+        fn = QUERIES[name]
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()

@@ -275,8 +275,12 @@ def span_corruption_masks(
 
     if rate_mod < 1 or min_len < 1 or len_mod < 1:
         raise ValueError("rate_mod, min_len, len_mod must be >= 1")
-    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = docs.select(F.col(id_col).alias("doc"), F.size(w).alias("_n"))
+    # Empty/whitespace-only docs split to [''] (the empty-split sentinel,
+    # _n = 1) which would let position 1 start a span over a nonexistent
+    # token — size them 0 explicitly, like chunk_documents does.
+    t = F.trim(F.lower(F.col(text_col)))
+    n_expr = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    base = docs.select(F.col(id_col).alias("doc"), n_expr.alias("_n"))
     quarantined = None
     if max_tokens is not None:
         n_w = F.coalesce(F.col("_n"), F.lit(0))
@@ -289,7 +293,9 @@ def span_corruption_masks(
             F.lit(True).alias("quarantined"),
         )
         base = base.filter(n_w <= max_tokens)
-    pos = base.select(
+    # _n >= 1 guard: sequence(1, 0) would DESCEND ([1, 0]) rather than be
+    # empty, so zero-token docs must be filtered before the explode.
+    pos = base.filter(F.col("_n") >= 1).select(
         "doc",
         "_n",
         F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_p"),

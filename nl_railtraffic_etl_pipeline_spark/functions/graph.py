@@ -293,7 +293,10 @@ def k_core(
     like the PageRank/BFS/Bellman-Ford families — at 100 TB you bound
     rounds and checkpoint).  All counts are BIGINT, edges symmetrize
     once (union + distinct, self-loops dropped), every round is two
-    semi-joins against the alive set + one src-keyed degree count.
+    semi-joins against the alive set + one src-keyed degree count; ONE
+    extra recount against the final alive set makes the returned degree
+    the true induced-subgraph degree (it may drop below ``k`` — bounded
+    rounds stop before fixpoint).
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
@@ -310,7 +313,6 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     alive = und.select(F.col("_a").alias("node")).distinct()
-    deg = None
     for _ in range(rounds):
         e = und.join(
             alive.select(F.col("node").alias("_a")), "_a", "left_semi"
@@ -323,4 +325,97 @@ def k_core(
             .select("node")
             .localCheckpoint(eager=True)
         )
-    return deg.filter(F.col("degree") >= k)
+    # Recount against the FINAL alive set so the reported degree really is
+    # the degree in the surviving induced subgraph (the degree computed
+    # inside the last round still counts neighbors peeled during it).  A
+    # survivor can legitimately report degree < k (even 0) — bounded
+    # rounds stop before fixpoint, so it simply hasn't been peeled yet.
+    ef = und.join(
+        alive.select(F.col("node").alias("_a")), "_a", "left_semi"
+    ).join(alive.select(F.col("node").alias("_b")), "_b", "left_semi")
+    degf = ef.groupBy(F.col("_a").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    return alive.join(degf, "node", "left").select(
+        "node",
+        F.coalesce(F.col("degree"), F.lit(0).cast("bigint")).alias("degree"),
+    )
+
+
+def node_jaccard(
+    edges: DataFrame,
+    min_jaccard: float,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighbor-set Jaccard similarity between node pairs of the
+    undirected simple graph under ``edges`` — candidate pairs from the
+    shared-neighbor (wedge) equi-join, exact integer |intersection| /
+    |union| — the link-graph co-citation companion of the text/embedding
+    dedup families.
+
+    HUB-DEGREE FENCE (``max_degree``): wedge fan-out per pivot node is
+    C(deg, 2), and unlike :func:`triangle_count` there is no degree
+    orientation to cap it — a power-law hub with 10^6 neighbors would
+    concentrate 5*10^11 wedge pairs on ONE shuffle key.  With
+    ``max_degree`` set, nodes whose undirected degree exceeds it are
+    QUARANTINED — removed from the graph before pairing, exactly the
+    ``df_cap`` hot-shingle fence from dedup: the semantics become
+    "node Jaccard over the subgraph induced by nodes with degree <=
+    max_degree", which is also the statistically honest choice (a hub
+    shared by everyone carries near-zero similarity signal, the same
+    argument that drops stop-shingles).  The fence costs one extra
+    degree count + two semi-joins, all equi-keyed.
+
+    Output: (u, v, common, union_size, jaccard) for pairs with
+    ``jaccard >= min_jaccard``; jaccard rounded to 9 digits.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")
+            )
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError("max_degree must be >= 1")
+        keep = (
+            und.groupBy(F.col("_a").alias("node"))
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") <= max_degree)
+            .select("node")
+        )
+        und = und.join(
+            keep.select(F.col("node").alias("_a")), "_a", "left_semi"
+        ).join(keep.select(F.col("node").alias("_b")), "_b", "left_semi")
+    deg = und.groupBy(F.col("_a").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    x = und.select(F.col("_a").alias("_w"), F.col("_b").alias("u"))
+    y = und.select(F.col("_a").alias("_w"), F.col("_b").alias("v"))
+    common = (
+        x.join(y, "_w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+    )
+    j = (
+        common.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("d", "_du")
+        .join(deg.withColumnRenamed("node", "v"), "v")
+        .withColumnRenamed("d", "_dv")
+    )
+    union_size = F.col("_du") + F.col("_dv") - F.col("common")
+    jac = F.col("common").cast("double") / union_size.cast("double")
+    return j.filter(jac >= min_jaccard).select(
+        "u",
+        "v",
+        "common",
+        union_size.alias("union_size"),
+        F.round(jac, 9).alias("jaccard"),
+    )

@@ -226,3 +226,202 @@ def plan_audio_chunks(
             end.alias("end_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode: pure-stdlib PNG (zlib inflate + scanline unfilter).
+# Closes the "pixel decode is stubbed" gap for the one container that needs
+# no media library: PNG's pixel path is DEFLATE (stdlib zlib) + five
+# per-scanline predictors (PNG spec / RFC 2083 §6).  JPEG/video pixel
+# decode still requires codec libraries and remains stubbed.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
+
+
+def _png_decode_pixels(b: bytes):
+    """Decode 8-bit non-interlaced PNG bytes -> (width, height, channels,
+    numpy array h x w x channels), or None for anything unsupported /
+    malformed (the quarantine contract: never raise).
+
+    Supports color types 0/2/6 (gray, RGB, RGBA) at bit depth 8 and all
+    five scanline filters (None/Sub/Up/Average/Paeth).  Filters 2 (Up)
+    and 0 vectorize; Sub/Average/Paeth scan within the row — fine for the
+    fixture-scale images this environment decodes; a production deployment
+    swaps this kernel for PIL/libpng behind the SAME mapInPandas contract.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        return None
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(b):
+            return None
+        data = b[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            w, h, bd, ct, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bd != 8 or ct not in _PNG_CHANNELS or inter != 0:
+                return None
+            meta = (w, h, _PNG_CHANNELS[ct])
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None or not idat:
+        return None
+    w, h, ch = meta
+    if w == 0 or h == 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = y * (stride + 1)
+        f = raw[base]
+        row = np.frombuffer(raw, np.uint8, stride, base + 1).copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(ch, stride):
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+        elif f == 2:  # Up (uint8 addition wraps mod 256 by itself)
+            row += prev
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = row
+        prev = row
+    return w, h, ch, out.reshape(h, w, ch)
+
+
+#: Output schema of the pixel-stats decoder: exact integer channel sums so
+#: the gate hash-matches an arithmetic oracle (no float means).
+PIXEL_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("ch0_sum", T.LongType()),
+        T.StructField("ch1_sum", T.LongType()),
+        T.StructField("ch2_sum", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def _pixel_stats_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            dec = _png_decode_pixels(bytes(payload))
+            if dec is None:
+                rows.append((doc_id, None, None, None, None, None, None, False))
+                continue
+            w, h, ch, px = dec
+            sums = px.astype("int64").sum(axis=(0, 1))
+            rows.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    ch,
+                    int(sums[0]),
+                    int(sums[1]) if ch >= 3 else None,
+                    int(sums[2]) if ch >= 3 else None,
+                    True,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "channels",
+                "ch0_sum", "ch1_sum", "ch2_sum", "decoded",
+            ],
+        ).astype(
+            {
+                "width": "Int32", "height": "Int32", "channels": "Int32",
+                "ch0_sum": "Int64", "ch1_sum": "Int64", "ch2_sum": "Int64",
+            }
+        )
+
+
+def decode_png_pixel_stats(df_with_payload: DataFrame) -> DataFrame:
+    """REAL pixel decode over a binary PNG column: inflate + unfilter via
+    :func:`_png_decode_pixels`, then exact per-channel pixel sums — the
+    integer statistics an oracle can recompute, unlike a float mean.
+    Unsupported/corrupt payloads come back quarantined
+    (``decoded = false``, null stats), never as task failures.
+
+    Same scale shape as the other kernels: Arrow ``mapInPandas``, map-only
+    (zero shuffles), Python memory bounded by ``arrow.maxRecordsPerBatch``.
+    """
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        _pixel_stats_batch, PIXEL_STATS
+    )
+
+
+def png_encode_rgb(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic RGB PNG fixture: pixel (p = y*width+x) channel c has
+    value ``(doc_id*31 + p*3 + c) % 256`` — an arithmetic formula a SQL
+    oracle reproduces without any image code, while the bytes themselves
+    are a fully valid zlib-compressed PNG (filter 0 scanlines, CRC'd
+    chunks).  The encode side of the decode gate; filters 1-4 and the
+    gray/RGBA paths are pinned by pytest instead."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    base = doc_id * 31
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        off = base + y * stride
+        raw.extend((off + i) % 256 for i in range(stride))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )

@@ -642,12 +642,15 @@ def mann_whitney_u(
         F.count_if(~is0).alias("n2"),
         F.sum(F.when(is0, F.col("_rk")).otherwise(F.lit(0))).alias("_r1"),
     )
-    u1 = F.col("_r1") - (F.col("n1") * (F.col("n1") + 1)) / 2
+    # n1*(n1+1) is always even, so integer `div` is exact — routing
+    # through `/` (double division) would silently lose precision once
+    # rank sums exceed 2^53 (~1.3e8 rows per group).
+    u1 = F.expr("_r1 - (n1 * (n1 + 1)) div 2").cast("bigint")
     return agg.select(
         *group_cols,
         "n1",
         "n2",
-        u1.cast("bigint").alias("u1"),
+        u1.alias("u1"),
         F.when(
             (F.col("n1") > 0) & (F.col("n2") > 0),
             F.round(

@@ -29,6 +29,8 @@ not implemented here because every gate keys on user-sized partitions.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 

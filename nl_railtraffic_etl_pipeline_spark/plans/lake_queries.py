@@ -337,3 +337,69 @@ def _lake_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-writer-safe versioned zone (sources/zones.py): three sequential
+# latest-wins upserts commit through the claim -> stage -> audit ->
+# publish protocol, old snapshots prune to the retention window, and the
+# read-back must equal the SQL replay of the same three merges.  The
+# concurrency properties (interleaved writers, dead-claim recovery,
+# audit abort) are pinned by tests/test_upsert.py; this gate proves the
+# happy-path protocol end-to-end on the cluster with oracle-checked
+# CONTENT.  Batch i carries version literal i so latest-wins is
+# deterministic: each user's surviving row comes from the highest batch
+# that saw them.
+# ---------------------------------------------------------------------------
+@query(
+    "lake_versioned_zone",
+    """
+WITH b AS (
+    SELECT user_id, 0 AS ver, CAST(COUNT(*) AS BIGINT) AS n, MAX(ts) AS last_ts
+    FROM events WHERE event_id % 7 = 0 GROUP BY user_id
+    UNION ALL
+    SELECT user_id, 1, CAST(COUNT(*) AS BIGINT), MAX(ts)
+    FROM events WHERE event_id % 7 = 1 GROUP BY user_id
+    UNION ALL
+    SELECT user_id, 2, CAST(COUNT(*) AS BIGINT), MAX(ts)
+    FROM events WHERE event_id % 7 = 2 GROUP BY user_id
+),
+latest AS (
+    SELECT user_id, ver, n, last_ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ver DESC) AS rn
+    FROM b
+)
+SELECT user_id, CAST(ver AS INTEGER) AS ver, n, last_ts
+FROM latest WHERE rn = 1
+""",
+)
+def _lake_versioned_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.zones import VersionedZone
+
+    base = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_zone_gate_{_os.getpid()}/{base}"
+    _shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    zone = VersionedZone(spark, path)
+
+    def audit(staged: DataFrame) -> None:
+        dups = staged.groupBy("user_id").count().filter("count > 1").count()
+        if dups:
+            raise AssertionError(f"{dups} duplicate keys staged")
+
+    for i in range(3):
+        batch = (
+            ev.filter(F.col("event_id") % 7 == i)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.max("ts").alias("last_ts"))
+            .select(
+                "user_id",
+                F.lit(i).cast("int").alias("ver"),
+                "n",
+                "last_ts",
+            )
+        )
+        zone.upsert(batch, ["user_id"], "ver", audit_fn=audit)
+    zone.prune(keep=2)
+    assert zone.current_version() == 3 and zone.manifest()["version"] == 3
+    return zone.read().select("user_id", "ver", "n", "last_ts")

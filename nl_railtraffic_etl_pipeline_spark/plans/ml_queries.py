@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dedup, multimodal, simsearch
+from ..functions import dedup, graph, multimodal, simsearch
 from ..functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -843,6 +843,82 @@ def _mm_parse_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", spread=True)
     payload = d.select("doc_id", _mm_header_payload().alias("payload"))
     return multimodal.parse_image_headers(payload)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode (multimodal.decode_png_pixel_stats): each selected doc
+# gets a genuine zlib-compressed PNG whose pixel values follow an
+# arithmetic formula (multimodal.png_encode_rgb), the engine inflates +
+# unfilters the ACTUAL BYTES and sums channels, and the oracle recomputes
+# the sums from the formula alone — it never sees a byte.  Any mistake in
+# chunk walking, DEFLATE framing, stride math, or filter reconstruction
+# hash-mismatches.  Every third doc ships truncated bytes to pin the
+# quarantine row.  Closes the round-6 "pixel decode is stubbed" gap for
+# the container stdlib zlib can decode; JPEG/video stay stubbed (codec
+# libraries absent in this environment).
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_png_pixels",
+    """
+WITH sel AS (
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS INTEGER) AS w,
+           CAST(6 + doc_id % 7 AS INTEGER) AS h,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 97 = 0
+),
+px AS (
+    SELECT doc_id, w, h, unnest(range(0, w * h)) AS p
+    FROM sel WHERE NOT corrupt
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM((doc_id * 31 + p * 3    ) % 256) AS BIGINT) AS ch0_sum,
+           CAST(SUM((doc_id * 31 + p * 3 + 1) % 256) AS BIGINT) AS ch1_sum,
+           CAST(SUM((doc_id * 31 + p * 3 + 2) % 256) AS BIGINT) AS ch2_sum
+    FROM px GROUP BY 1
+)
+SELECT sel.doc_id,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.w END AS width,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.h END AS height,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE 3 END AS INTEGER)
+           AS channels,
+       sums.ch0_sum, sums.ch1_sum, sums.ch2_sum,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 97 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("_w"),
+        (F.lit(6) + F.col("doc_id") % 7).cast("int").alias("_h"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import png_encode_rgb
+
+        for pdf in batches:
+            payloads = [
+                png_encode_rgb(int(doc), int(w), int(h))[
+                    : 10 if corrupt else None
+                ]
+                for doc, w, h, corrupt in zip(
+                    pdf["doc_id"], pdf["_w"], pdf["_h"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_png_pixel_stats(payload)
 
 
 # ---------------------------------------------------------------------------
@@ -4369,9 +4445,19 @@ und AS (
 ),
 ka0 AS (SELECT DISTINCT _a AS node FROM und),"""
     + ",".join(_kcore_step_sql(i) for i in range(1, _KCORE_ROUNDS + 1))
-    + f"""
-SELECT node AS doc_id, degree FROM kd{_KCORE_ROUNDS}
-WHERE degree >= {_KCORE_K}""",
+    + f""",
+kef AS (
+    SELECT u._a, u._b FROM und u
+    JOIN ka{_KCORE_ROUNDS} s ON u._a = s.node
+    JOIN ka{_KCORE_ROUNDS} t ON u._b = t.node
+),
+kdf AS (
+    SELECT _a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM kef GROUP BY 1
+)
+SELECT s.node AS doc_id,
+       CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree
+FROM ka{_KCORE_ROUNDS} s LEFT JOIN kdf d ON s.node = d.node""",
 )
 def _graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
@@ -4398,11 +4484,14 @@ _SPAN_KEY = (
     "corpus_span_corruption",
     f"""
 WITH toks AS (
-    SELECT doc_id, len({_TOKENS}) AS n FROM documents
+    SELECT doc_id,
+           CASE WHEN trim(lower(text)) = '' THEN 0
+                ELSE len({_TOKENS}) END AS n
+    FROM documents
 ),
 pos AS (
     SELECT doc_id, n, CAST(unnest(range(1, n + 1)) AS BIGINT) AS p
-    FROM toks
+    FROM toks WHERE n >= 1
 ),
 flagged AS (
     SELECT doc_id, n, p,
@@ -4678,43 +4767,63 @@ WHERE CAST(common AS DOUBLE)
 def _graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     edges = _pr_edges_df(docs)
-    und = (
-        edges.select(F.col("src").alias("_a"), F.col("dst").alias("_b"))
-        .unionByName(
-            edges.select(F.col("dst").alias("_a"), F.col("src").alias("_b"))
-        )
-        .filter(F.col("_a") != F.col("_b"))
-        .distinct()
-    )
-    deg = und.groupBy(F.col("_a").alias("node")).agg(
-        F.count("*").alias("d")
-    )
-    x = und.select(F.col("_a").alias("_w"), F.col("_b").alias("u"))
-    y = und.select(F.col("_a").alias("_w"), F.col("_b").alias("v"))
-    common = (
-        x.join(y, "_w")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("common"))
-    )
-    j = (
-        common.join(deg.withColumnRenamed("node", "u"), "u")
-        .withColumnRenamed("d", "_du")
-        .join(deg.withColumnRenamed("node", "v"), "v")
-        .withColumnRenamed("d", "_dv")
-    )
-    union_size = F.col("_du") + F.col("_dv") - F.col("common")
-    jac = F.col("common").cast("double") / union_size.cast("double")
-    return (
-        j.filter(jac >= _JACCARD_MIN)
-        .select(
-            "u",
-            "v",
-            "common",
-            union_size.alias("union_size"),
-            F.round(jac, 9).alias("jaccard"),
-        )
-    )
+    return graph.node_jaccard(edges, _JACCARD_MIN)
+
+
+# ---------------------------------------------------------------------------
+# The same node-Jaccard with the HUB-DEGREE FENCE live: nodes whose
+# undirected degree exceeds the cap are quarantined before pairing
+# (functions/graph.py::node_jaccard max_degree) — the df_cap hot-shingle
+# fence transplanted to the link graph, the knob that keeps wedge fan-out
+# off power-law hubs at 100 TB.  The oracle mirrors the induced-subgraph
+# semantics with one extra degree CTE + two key joins.
+# ---------------------------------------------------------------------------
+_JACCARD_CAP = 4
+
+
+@query(
+    "graph_node_jaccard_capped",
+    "WITH "
+    + _PR_EDGES_CTE
+    + f""",
+und0 AS (
+    SELECT DISTINCT _a, _b FROM (
+        SELECT src AS _a, dst AS _b FROM edges
+        UNION ALL
+        SELECT dst AS _a, src AS _b FROM edges
+    ) WHERE _a <> _b
+),
+keep AS (
+    SELECT _a AS node FROM und0 GROUP BY 1
+    HAVING COUNT(*) <= {_JACCARD_CAP}
+),
+und AS (
+    SELECT u._a, u._b FROM und0 u
+    JOIN keep s ON u._a = s.node
+    JOIN keep t ON u._b = t.node
+),
+deg AS (SELECT _a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+common AS (
+    SELECT x._b AS u, y._b AS v, CAST(COUNT(*) AS BIGINT) AS common
+    FROM und x JOIN und y ON x._a = y._a AND x._b < y._b
+    GROUP BY 1, 2
+)
+SELECT u, v, common,
+       du.d + dv.d - common AS union_size,
+       {_round_sql("CAST(common AS DOUBLE)"
+                   " / CAST(du.d + dv.d - common AS DOUBLE)", 9)}
+           AS jaccard
+FROM common
+JOIN deg du ON common.u = du.node
+JOIN deg dv ON common.v = dv.node
+WHERE CAST(common AS DOUBLE)
+      / CAST(du.d + dv.d - common AS DOUBLE) >= {_JACCARD_MIN}
+""",
+)
+def _graph_node_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    edges = _pr_edges_df(docs)
+    return graph.node_jaccard(edges, _JACCARD_MIN, max_degree=_JACCARD_CAP)
 
 
 # ---------------------------------------------------------------------------

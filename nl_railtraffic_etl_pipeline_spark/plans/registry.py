@@ -320,3 +320,57 @@ from . import geo_queries  # noqa: E402,F401  (registration side-effect)
 from . import lake_queries  # noqa: E402,F401  (registration side-effect)
 from . import ml_queries  # noqa: E402,F401  (registration side-effect)
 from . import streaming_queries  # noqa: E402,F401  (registration side-effect)
+
+
+# ---------------------------------------------------------------------------
+# Cost tiers.  At 281 gates the full 3-SF oracle sweep is the long pole of
+# the closing ritual, so tooling (bench.py, tools/check_correctness.py)
+# accepts a tier: "smoke" = one representative gate per family prefix (fast
+# sanity loop while iterating), "standard" = everything except the heavy
+# tail, "full" = the whole registry (the committed evidence; the driver
+# always runs full).  HEAVY is declared, not timed: the gates whose idle
+# sf0.1 min-of-3 exceeds ~2 s — double-candidate dedup audits, wedge-join
+# graph ops, the zlib kernel, stream+batch twin pairs.
+# ---------------------------------------------------------------------------
+HEAVY_TIER = frozenset(
+    {
+        "dedup_lsh_recall",
+        "text_compression_ratio",
+        "dedup_prefix_filter",
+        "graph_node_jaccard",
+        "graph_degree_histogram",
+        "graph_k_core",
+        "graph_triangles",
+        "graph_pagerank",
+        "graph_bfs_hops",
+        "graph_reciprocity",
+        "dedup_threshold_sweep",
+        "dedup_remove_spans",
+        "join_bloom_prejoin",
+        "streaming_sessionize",
+        "streaming_attribution_join",
+        "streaming_attribution_left",
+        "emb_matryoshka_recall",
+        "corpus_training_order",
+        "sim_ivf_recall",
+    }
+)
+
+
+def tier_names(tier: str = "full") -> list[str]:
+    """Registry names for a cost tier, in registration (canonical) order."""
+    names = list(QUERIES)
+    if tier == "full":
+        return names
+    if tier == "standard":
+        return [n for n in names if n not in HEAVY_TIER]
+    if tier == "smoke":
+        seen: set[str] = set()
+        out: list[str] = []
+        for n in names:
+            fam = n.split("_", 1)[0]
+            if fam not in seen and n not in HEAVY_TIER:
+                seen.add(fam)
+                out.append(n)
+        return out
+    raise ValueError(f"unknown tier {tier!r} (smoke|standard|full)")

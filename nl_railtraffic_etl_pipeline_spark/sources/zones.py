@@ -1,0 +1,297 @@
+"""Multi-writer-safe versioned zone: optimistic concurrency over plain
+parquet with a write-audit-publish commit protocol.
+
+The single-writer zone swap (``pipeline._overwrite``: stage -> delete ->
+rename) is atomic for readers but loses updates under concurrent writers:
+two writers both merge from snapshot N and the second rename silently
+shadows the first's rows.  This module is the multi-writer upgrade the
+table formats (Delta/Iceberg, public designs) provide, rebuilt on the two
+filesystem primitives that ARE atomic on local/HDFS:
+
+- ``FileSystem.createNewFile`` — atomic create-if-absent (the CLAIM);
+- ``FileSystem.rename`` onto a non-existent destination (the PUBLISH).
+
+(Hadoop's ``rename`` onto an EXISTING directory nests the source inside it
+— measured, not assumed — so the destination-free rename is only safe
+because the claim file already guarantees exclusivity for that version
+number.)
+
+Layout under the zone root::
+
+    v00000001/            published snapshot (parquet + _manifest.json)
+    v00000002.claim       version number claimed by some writer
+    v00000002/            ... published once that writer renames its WIP
+    v00000003.skip        tombstone: claimed but declared dead, never
+                          published; merge bases skip it
+    v00000004__wip_<tok>  staged write, invisible to readers
+
+Commit protocol (per attempt):
+
+1. CLAIM   t = max(any claimed/published version) + 1 via
+           ``createNewFile(v{t}.claim)``; on loss, recompute and retry.
+2. RESOLVE every version s in (published_max, t): wait until s is
+           published or tombstone it after ``claim_timeout`` seconds
+           (dead-writer recovery).  After this, the merge base — the
+           highest published snapshot below t — is FINAL: no live writer
+           can publish below t anymore (a zombie publisher re-checks its
+           own tombstone before renaming; the residual check-to-rename
+           window is the documented caveat every rename-based OCC carries
+           on stores without compare-and-swap — the timeout must exceed
+           plausible writer pauses).
+3. WRITE   merge_fn(base) -> parquet under ``v{t}__wip_<token>``.
+4. AUDIT   re-read the STAGED files (what was actually written, not the
+           plan) and run ``audit_fn``; any exception aborts the commit,
+           tombstones t, and removes the WIP — readers never saw it.
+5. PUBLISH rename WIP -> ``v{t}`` (destination cannot exist: t was ours).
+
+Readers (``read``) take the highest published snapshot — complete by
+construction since rename is atomic.  Lost updates are impossible: the
+merge base is read strictly after the claim, and every lower version is
+resolved first, so the base always contains every previously published
+row.  ``prune`` retires old snapshots (time travel window).
+
+At 100 TB the protocol is unchanged — snapshots are directories of
+task-written parquet, the commit path touches only O(1) metadata ops —
+but rename-as-copy object stores (raw S3) need the same external
+arbiter the table formats need there; on S3+DynamoDB-style locking or
+HDFS/ABFS this works as written.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+_VDIR = re.compile(r"^v(\d{8})$")
+_VCLAIM = re.compile(r"^v(\d{8})\.claim$")
+_VSKIP = re.compile(r"^v(\d{8})\.skip$")
+
+
+class ZoneAuditError(RuntimeError):
+    """The staged snapshot failed its pre-publish audit; nothing published."""
+
+
+class VersionedZone:
+    """One logical table as a sequence of immutable published snapshots."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        claim_timeout: float = 60.0,
+        poll_interval: float = 0.2,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.claim_timeout = claim_timeout
+        self.poll_interval = poll_interval
+        jvm = spark.sparkContext._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(self.path).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        self._fs.mkdirs(self._Path(self.path))
+
+    # -- filesystem helpers --------------------------------------------------
+    def _p(self, name: str):
+        return self._Path(f"{self.path}/{name}")
+
+    def _names(self) -> list[str]:
+        return [
+            s.getPath().getName()
+            for s in self._fs.listStatus(self._Path(self.path))
+        ]
+
+    def _scan(self) -> tuple[set[int], set[int], set[int]]:
+        """(published, claimed, skipped) version numbers."""
+        pub: set[int] = set()
+        clm: set[int] = set()
+        skp: set[int] = set()
+        for n in self._names():
+            if m := _VDIR.match(n):
+                pub.add(int(m.group(1)))
+            elif m := _VCLAIM.match(n):
+                clm.add(int(m.group(1)))
+            elif m := _VSKIP.match(n):
+                skp.add(int(m.group(1)))
+        return pub, clm, skp
+
+    # -- read side -------------------------------------------------------------
+    def current_version(self) -> int | None:
+        pub, _, _ = self._scan()
+        return max(pub) if pub else None
+
+    def read(self, schema=None) -> DataFrame:
+        """Highest published snapshot; empty frame with ``schema`` if none."""
+        v = self.current_version()
+        if v is None:
+            if schema is None:
+                raise FileNotFoundError(
+                    f"zone {self.path} has no published snapshot"
+                )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(self._snap(v))
+
+    def _snap(self, v: int) -> str:
+        return f"{self.path}/v{v:08d}"
+
+    def manifest(self, v: int | None = None) -> dict:
+        v = self.current_version() if v is None else v
+        if v is None:
+            raise FileNotFoundError(f"zone {self.path} has no snapshot")
+        # commons-io ships with Hadoop; py4j byte[] reads don't copy back
+        # into Python bytearrays, so stream-to-string happens JVM-side.
+        jvm = self.spark.sparkContext._jvm
+        stream = self._fs.open(self._Path(f"{self._snap(v)}/_manifest.json"))
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    # -- write side --------------------------------------------------------------
+    def _claim(self, t: int) -> bool:
+        return bool(self._fs.createNewFile(self._p(f"v{t:08d}.claim")))
+
+    def _tombstone(self, t: int) -> None:
+        self._fs.createNewFile(self._p(f"v{t:08d}.skip"))
+
+    def _resolve_below(self, t: int) -> None:
+        """Wait until every claimed version in (published_max, t) is
+        published or tombstoned; tombstone dead claims after timeout."""
+        deadline = time.monotonic() + self.claim_timeout
+        while True:
+            pub, clm, skp = self._scan()
+            pending = {
+                s for s in clm if s < t and s not in pub and s not in skp
+            }
+            if not pending:
+                return
+            if time.monotonic() >= deadline:
+                for s in pending:
+                    self._tombstone(s)
+                return
+            time.sleep(self.poll_interval)
+
+    def commit(
+        self,
+        merge_fn,
+        schema=None,
+        audit_fn=None,
+        max_attempts: int = 16,
+    ) -> tuple[int, int]:
+        """Merge-and-publish: ``merge_fn(base_df) -> merged_df``.
+
+        Returns (published_version, row_count).  ``audit_fn(staged_df)``
+        runs over the staged files before publish and aborts the commit
+        by raising (wrapped in :class:`ZoneAuditError`).
+        """
+        for _ in range(max_attempts):
+            pub, clm, skp = self._scan()
+            t = max(pub | clm | skp, default=0) + 1
+            if not self._claim(t):
+                continue  # raced: someone claimed t first
+            self._resolve_below(t)
+            pub, _, _ = self._scan()
+            base_v = max((s for s in pub if s < t), default=None)
+            base = (
+                self.spark.read.parquet(self._snap(base_v))
+                if base_v is not None
+                else self.spark.createDataFrame([], schema)
+            )
+            wip = f"{self.path}/v{t:08d}__wip_{uuid.uuid4().hex[:12]}"
+            obs = Observation()
+            merged = merge_fn(base)
+            merged.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(wip)
+            rows = int(obs.get["rows"])
+            if audit_fn is not None:
+                try:
+                    audit_fn(self.spark.read.parquet(wip))
+                except Exception as ex:
+                    self._fs.delete(self._Path(wip), True)
+                    self._tombstone(t)
+                    raise ZoneAuditError(
+                        f"zone {self.path} v{t}: audit failed: {ex}"
+                    ) from ex
+            self._write_manifest(wip, t, base_v, rows)
+            # zombie guard: if we were declared dead while writing, our
+            # version number is burned — abort rather than publish over it
+            if self._fs.exists(self._p(f"v{t:08d}.skip")):
+                self._fs.delete(self._Path(wip), True)
+                continue
+            if not self._fs.rename(self._Path(wip), self._Path(self._snap(t))):
+                self._fs.delete(self._Path(wip), True)
+                raise IOError(
+                    f"zone {self.path}: publish rename failed for v{t}"
+                )
+            return t, rows
+        raise RuntimeError(
+            f"zone {self.path}: gave up after {max_attempts} commit attempts"
+        )
+
+    def _write_manifest(
+        self, wip: str, t: int, base_v: int | None, rows: int
+    ) -> None:
+        body = json.dumps(
+            {
+                "version": t,
+                "base_version": base_v,
+                "rows": rows,
+                "committed_unix": time.time(),
+            }
+        ).encode("utf-8")
+        out = self._fs.create(self._Path(f"{wip}/_manifest.json"), True)
+        try:
+            out.write(bytearray(body))
+        finally:
+            out.close()
+
+    def upsert(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        order_col: str,
+        audit_fn=None,
+    ) -> tuple[int, int]:
+        """Latest-wins upsert as a zone commit — the multi-writer form of
+        ``operators.upsert.upsert_latest_wins`` behind the same semantics."""
+        from ..operators.upsert import upsert_latest_wins
+
+        return self.commit(
+            lambda base: upsert_latest_wins(base, updates, keys, order_col),
+            schema=updates.schema,
+            audit_fn=audit_fn,
+        )
+
+    # -- maintenance -------------------------------------------------------------
+    def prune(self, keep: int = 2) -> list[int]:
+        """Delete published snapshots older than the newest ``keep`` (and
+        their markers).  Claims at or above the retained window are never
+        touched."""
+        pub, _, _ = self._scan()
+        if not pub:
+            return []
+        cutoff = sorted(pub)[-keep:] if keep > 0 else []
+        dropped = sorted(s for s in pub if s not in cutoff)
+        for s in dropped:
+            self._fs.delete(self._Path(self._snap(s)), True)
+            self._fs.delete(self._p(f"v{s:08d}.claim"), False)
+            self._fs.delete(self._p(f"v{s:08d}.skip"), False)
+        # crashed writers' WIP litter: any staged dir whose version is
+        # below the retained window belongs to a writer that can no longer
+        # publish (claims only grow) — safe to clear
+        floor = min(cutoff, default=0)
+        for n in self._names():
+            m = re.match(r"^v(\d{8})__wip_", n)
+            if m and int(m.group(1)) < floor:
+                self._fs.delete(self._p(n), True)
+        return dropped

@@ -2724,3 +2724,40 @@ def test_compression_ratio_intent(spark):
         for r in compression_ratio(spark.createDataFrame(rows)).collect()
     }
     assert {k: v[2] for k, v in out.items()} == again
+
+
+def test_node_jaccard_hub_degree_fence(spark):
+    """Power-law fixture: one hub with 60 spokes would generate C(60,2) =
+    1770 wedge pairs through the single hub pivot; with the max_degree
+    fence the hub is quarantined (removed from the induced subgraph) and
+    the candidate pair space collapses to the honest structure among the
+    low-degree nodes."""
+    from nl_railtraffic_etl_pipeline_spark.functions.graph import (
+        node_jaccard,
+    )
+
+    hub = [(0, i) for i in range(1, 61)]           # hub 0 -> 60 spokes
+    # two genuine co-citation pairs among the leaves: 1 and 2 both link
+    # to {100, 101}; 3 and 4 both link to {200}
+    tail = [(1, 100), (1, 101), (2, 100), (2, 101), (3, 200), (4, 200)]
+    edges = spark.createDataFrame(hub + tail, "src bigint, dst bigint")
+
+    # Uncapped: every spoke pair shares the hub -> C(60,2) candidate
+    # pairs exist before the threshold, and spokes 5..60 (degree 1, only
+    # the hub) are pairwise jaccard 1.0 — the hub-noise explosion.
+    full = node_jaccard(edges, min_jaccard=0.99).collect()
+    assert len(full) >= (56 * 55) // 2
+
+    # Capped at degree 3: hub (degree 60) quarantined; surviving pairs
+    # are only the genuine co-citation structure (100/101 both cite
+    # {1, 2} under symmetrization, so they are a real pair too).
+    capped = {
+        (r.u, r.v): r.jaccard
+        for r in node_jaccard(edges, min_jaccard=0.5, max_degree=3).collect()
+    }
+    assert capped == {(1, 2): 1.0, (3, 4): 1.0, (100, 101): 1.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        node_jaccard(edges, 0.5, max_degree=0)

@@ -1728,3 +1728,108 @@ def test_remove_repeated_spans_null_text_survives_cap(spark):
     # NULL text mirrors the uncapped ("", 0, 0) row instead of vanishing
     assert 2 in out and out[2].quarantined is False
     assert out[2].clean_text == "" and out[2].n_tokens == 0
+
+
+def _png_with_filter(f, w, h, ch, color_type):
+    """Hand-encode a PNG using scanline filter ``f`` so the decoder's
+    reconstruction of every predictor (None/Sub/Up/Average/Paeth) is
+    pinned — the gate's encoder only emits filter 0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.array(
+        [(i * 37 + 11) % 256 for i in range(w * h * ch)], dtype=np.uint8
+    ).reshape(h, w * ch)
+    rows = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        row = px[y].astype(int)
+        rows.append(f)
+        for x in range(w * ch):
+            a = int(row[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - a
+            elif f == 2:
+                v = row[x] - b
+            elif f == 3:
+                v = row[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[x] - pred
+            rows.append(v & 0xFF)
+        prev = px[y]
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    ), px
+
+
+def test_png_decode_all_filters_and_color_types():
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _png_decode_pixels,
+        png_encode_rgb,
+    )
+
+    # every scanline predictor reconstructs bit-exactly (RGB)
+    for f in range(5):
+        blob, px = _png_with_filter(f, 5, 4, 3, color_type=2)
+        got = _png_decode_pixels(blob)
+        assert got is not None, f
+        w, h, ch, arr = got
+        assert (w, h, ch) == (5, 4, 3)
+        assert (arr.reshape(h, w * ch) == px).all(), f
+
+    # grayscale and RGBA channel layouts
+    blob, px = _png_with_filter(4, 6, 3, 1, color_type=0)
+    w, h, ch, arr = _png_decode_pixels(blob)
+    assert ch == 1 and (arr.reshape(3, 6) == px).all()
+    blob, px = _png_with_filter(1, 4, 4, 4, color_type=6)
+    w, h, ch, arr = _png_decode_pixels(blob)
+    assert ch == 4 and (arr.reshape(4, 16) == px).all()
+
+    # quarantine contract: truncation / junk / bad zlib never raise
+    good = png_encode_rgb(7, 9, 5)
+    assert _png_decode_pixels(good) is not None
+    assert _png_decode_pixels(good[:10]) is None
+    assert _png_decode_pixels(b"not a png") is None
+    corrupt_idat = bytearray(good)
+    corrupt_idat[40] ^= 0xFF
+    assert _png_decode_pixels(bytes(corrupt_idat)) is None
+
+
+def test_png_pixel_stats_kernel(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        decode_png_pixel_stats,
+        png_encode_rgb,
+    )
+
+    rows = [
+        (1, bytearray(png_encode_rgb(1, 3, 2))),
+        (2, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_png_pixel_stats(df).collect()}
+    exp = [sum((31 + p * 3 + c) % 256 for p in range(6)) for c in range(3)]
+    assert got[1].decoded and (got[1].width, got[1].height) == (3, 2)
+    assert [got[1].ch0_sum, got[1].ch1_sum, got[1].ch2_sum] == exp
+    assert not got[2].decoded and got[2].width is None

@@ -206,3 +206,149 @@ def test_asof_join_null_left_ts_matches_nothing(spark):
         ).collect()
     }
     assert tol[None] is None
+
+
+# ---------------------------------------------------------------------------
+# VersionedZone: multi-writer write-audit-publish (sources/zones.py)
+# ---------------------------------------------------------------------------
+
+
+def _zone(spark, tmp_path, **kw):
+    from nl_railtraffic_etl_pipeline_spark.sources.zones import VersionedZone
+
+    return VersionedZone(spark, str(tmp_path / "zone"), **kw)
+
+
+def test_versioned_zone_sequential_upserts(spark, tmp_path):
+    z = _zone(spark, tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k bigint, ver bigint, val string"
+    )
+    v, rows = z.upsert(b1, ["k"], "ver")
+    assert (v, rows) == (1, 2)
+    b2 = spark.createDataFrame(
+        [(2, 20, "b2"), (3, 5, "c")], "k bigint, ver bigint, val string"
+    )
+    v, rows = z.upsert(b2, ["k"], "ver")
+    assert (v, rows) == (2, 3)
+    got = {r.k: r.val for r in z.read().collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    m = z.manifest()
+    assert m["version"] == 2 and m["base_version"] == 1 and m["rows"] == 3
+
+
+def test_versioned_zone_concurrent_upserts_no_lost_update(spark, tmp_path):
+    """Two writers commit interleaved upserts from the same starting
+    snapshot; the claim protocol serializes them, so BOTH updates land —
+    the lost-update failure mode of the naive delete+rename swap."""
+    import threading
+    import time as _time
+
+    z = _zone(spark, tmp_path)
+    z.upsert(
+        spark.createDataFrame(
+            [(1, 1, "base1"), (2, 1, "base2")],
+            "k bigint, ver bigint, val string",
+        ),
+        ["k"],
+        "ver",
+    )
+
+    errs = []
+
+    def writer(k, val):
+        def run():
+            try:
+                batch = spark.createDataFrame(
+                    [(k, 2, val)], "k bigint, ver bigint, val string"
+                )
+
+                def merge(base):
+                    _time.sleep(0.5)  # widen the race window
+                    from nl_railtraffic_etl_pipeline_spark.operators.upsert import (
+                        upsert_latest_wins,
+                    )
+
+                    return upsert_latest_wins(base, batch, ["k"], "ver")
+
+                z.commit(merge, schema=batch.schema)
+            except Exception as ex:  # pragma: no cover - surfaced below
+                errs.append(ex)
+
+        return run
+
+    t1 = threading.Thread(target=writer(1, "w1"))
+    t2 = threading.Thread(target=writer(2, "w2"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    got = {r.k: r.val for r in z.read().collect()}
+    assert got == {1: "w1", 2: "w2"}          # neither update lost
+    assert z.current_version() == 3           # strictly serialized commits
+    assert z.manifest(3)["base_version"] == 2  # loser re-based on winner
+
+
+def test_versioned_zone_audit_blocks_publish(spark, tmp_path):
+    import pytest as _pytest
+
+    from nl_railtraffic_etl_pipeline_spark.sources.zones import ZoneAuditError
+
+    z = _zone(spark, tmp_path)
+    z.upsert(
+        spark.createDataFrame([(1, 1, "a")], "k bigint, ver bigint, val string"),
+        ["k"],
+        "ver",
+    )
+
+    def audit(staged):
+        dup = (
+            staged.groupBy("k").count().filter("count > 1").count()
+        )
+        if dup:
+            raise AssertionError(f"{dup} duplicate keys in staged snapshot")
+
+    bad = spark.createDataFrame(
+        [(2, 2, "x"), (2, 3, "y")], "k bigint, ver bigint, val string"
+    )
+    # a merge_fn that does NOT dedup -> audit must reject the stage
+    with _pytest.raises(ZoneAuditError):
+        z.commit(lambda base: base.unionByName(bad), audit_fn=audit)
+    # nothing published, reader still sees v1; version 2 tombstoned
+    assert z.current_version() == 1
+    assert {r.k for r in z.read().collect()} == {1}
+    # next commit skips the burned version number
+    v, _ = z.upsert(bad.limit(1), ["k"], "ver")
+    assert v == 3
+
+
+def test_versioned_zone_dead_claim_recovery(spark, tmp_path):
+    """A claim file without a writer (crashed before staging) must not
+    wedge the zone: the next committer tombstones it after the timeout
+    and publishes at a higher version."""
+    z = _zone(spark, tmp_path, claim_timeout=1.0, poll_interval=0.1)
+    b = spark.createDataFrame([(1, 1, "a")], "k bigint, ver bigint, val string")
+    z.upsert(b, ["k"], "ver")
+    # synthesize a dead writer holding v2
+    assert z._claim(2)
+    v, _ = z.upsert(
+        spark.createDataFrame([(2, 1, "b")], "k bigint, ver bigint, val string"),
+        ["k"],
+        "ver",
+    )
+    assert v == 3 and z.current_version() == 3
+    assert {r.k for r in z.read().collect()} == {1, 2}
+
+
+def test_versioned_zone_prune_keeps_window(spark, tmp_path):
+    z = _zone(spark, tmp_path)
+    for i in range(1, 5):
+        z.upsert(
+            spark.createDataFrame(
+                [(i, i, f"v{i}")], "k bigint, ver bigint, val string"
+            ),
+            ["k"],
+            "ver",
+        )
+    dropped = z.prune(keep=2)
+    assert dropped == [1, 2]
+    assert z.current_version() == 4
+    assert {r.k for r in z.read().collect()} == {1, 2, 3, 4}
