@@ -445,3 +445,109 @@ def target_encode(
             F.col("_Y").cast("double") / F.col("_N").cast("double"), 9
         ).alias("global_rate"),
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k per query over an already-ranked list with graded relevance
+    — the standard ranking-quality metric (Järvelin & Kekäläinen, public
+    literature) the retrieval gates were missing next to recall.
+
+    ``DCG = sum_{rank<=k} rel / log2(rank + 1)``; IDCG re-sorts the SAME
+    k-truncated pool by relevance (rel desc, original rank as tiebreak —
+    ties share a rel value so the tiebreak cannot change the sum).
+    Transcendental log2 differs across libm in the last ulp, so each
+    term is rounded to 12 digits and summed as DECIMAL(28,12) — exact,
+    partitioning-proof addition — with ONE closing division rounded to
+    9 (the repo-wide pattern; the oracle mirrors the identical op
+    chain).  NULL ndcg when IDCG is zero (an all-irrelevant pool).
+
+    Scale shape: one query-keyed window for the ideal re-rank + one
+    query-keyed aggregate over rows already k-bounded by the upstream
+    ranker — never touches the corpus.
+    """
+    t = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_col),
+        F.col(rank_col).cast("int").alias("_rk"),
+        F.col(rel_col).cast("bigint").alias("_rel"),
+    )
+    ideal = Window.partitionBy(query_col).orderBy(
+        F.desc("_rel"), F.asc("_rk")
+    )
+    t = t.withColumn("_irk", F.row_number().over(ideal))
+    term = lambda pos: F.round(  # noqa: E731
+        F.col("_rel").cast("double") / F.log2(pos.cast("double") + 1.0), 12
+    ).cast("decimal(28,12)")
+    agg = t.groupBy(query_col).agg(
+        F.sum(term(F.col("_rk"))).alias("_dcg"),
+        F.sum(term(F.col("_irk"))).alias("_idcg"),
+        F.count("*").alias("n_ranked"),
+    )
+    return agg.select(
+        query_col,
+        "n_ranked",
+        F.round(F.col("_dcg").cast("double"), 9).alias("dcg"),
+        F.round(F.col("_idcg").cast("double"), 9).alias("idcg"),
+        F.when(
+            F.col("_idcg") > 0,
+            F.round(
+                F.col("_dcg").cast("double") / F.col("_idcg").cast("double"),
+                9,
+            ),
+        ).alias("ndcg"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa: agreement between two labelers beyond chance — the
+    annotation-QA statistic for any human-labeled or model-vs-model
+    training-data audit.  ``kappa = (po - pe) / (1 - pe)`` computed as
+    exact BIGINT cross products with ONE closing division:
+    ``kappa = (agree*n - sum_c a_c*b_c) / (n*n - sum_c a_c*b_c)`` where
+    ``a_c``/``b_c`` are the per-category marginal counts.
+
+    Scale shape: one category-keyed partial aggregate (two count columns
+    per category) + a 1-row total — the per-category frame is
+    vocabulary-sized, never row-sized.  Output: 1 row (n, n_agree,
+    kappa), kappa NULL when pe = 1 (both raters constant and equal).
+    """
+    pairs = df.select(
+        F.col(rater_a_col).alias("_a"), F.col(rater_b_col).alias("_b")
+    )
+    a_marg = pairs.groupBy(F.col("_a").alias("_c")).agg(
+        F.count("*").alias("_na")
+    )
+    b_marg = pairs.groupBy(F.col("_b").alias("_c")).agg(
+        F.count("*").alias("_nb")
+    )
+    chance = (
+        a_marg.join(b_marg, "_c")
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_chance"))
+    )
+    tot = pairs.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("_a") == F.col("_b")).alias("n_agree"),
+    )
+    return tot.crossJoin(F.broadcast(chance)).select(
+        "n",
+        "n_agree",
+        F.when(
+            F.col("n") * F.col("n") != F.col("_chance"),
+            F.round(
+                (F.col("n_agree") * F.col("n") - F.col("_chance")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("n") - F.col("_chance")).cast("double"),
+                9,
+            ),
+        ).alias("kappa"),
+    )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_topk", "tfidf_top_terms"]
+__all__ = ["bm25_topk", "reciprocal_rank_fusion", "tfidf_top_terms"]
 
 
 def bm25_topk(
@@ -174,5 +174,69 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(
             F.col("doc").alias(id_col), "term", "tf", "df", "score", "rank"
+        )
+    )
+
+
+def reciprocal_rank_fusion(
+    rankings: Sequence[DataFrame],
+    k_const: int = 60,
+    top_k: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09 — public method):
+    combine per-query rankings from multiple retrieval systems as
+    ``score(item) = sum over systems of 1 / (k_const + rank)``, items a
+    system missed contributing nothing.  The standard zero-training way
+    to fuse lexical + dense (or multi-resolution) retrieval.
+
+    Determinism: double summation does not commute, so the per-system
+    contributions are NOT an aggregate — the rankings full-outer-join on
+    (query, item) and the score is ONE fixed left-to-right IEEE addition
+    chain in system order, bit-identical on any engine and partitioning.
+    Final order: (rrf_score desc, item) with row_number, top_k kept.
+
+    Scale shape: len(rankings)-1 equi-joins on (query, item) — ranked
+    lists are top-k-sized (k rows per query per system), orders of
+    magnitude smaller than the corpora they rank — then one query-keyed
+    window.  Output: (query, item, per-system ranks, rrf_score,
+    fused_rank).
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    sides = []
+    for i, r in enumerate(rankings):
+        sides.append(
+            r.select(
+                F.col(query_col),
+                F.col(item_col),
+                F.col(rank_col).cast("int").alias(f"rank_{i}"),
+            )
+        )
+    fused = sides[0]
+    for s in sides[1:]:
+        fused = fused.join(s, [query_col, item_col], "full_outer")
+    score = None
+    for i in range(len(sides)):
+        term = F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(k_const) + F.col(f"rank_{i}")).cast("double"),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(item_col)
+    )
+    return (
+        fused.withColumn("rrf_score", F.round(score, 9))
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top_k)
+        .select(
+            query_col,
+            item_col,
+            *[f"rank_{i}" for i in range(len(sides))],
+            "rrf_score",
+            "fused_rank",
         )
     )

@@ -1052,3 +1052,166 @@ def compression_ratio(
             )
 
     return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)
+
+
+def winnow_fingerprints(
+    docs,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting algorithm, public method):
+    hash every word k-gram, slide a window of ``w`` consecutive k-gram
+    hashes, and in each window select the minimum hash — rightmost
+    position on ties (robust winnowing).  The selected (hash, position)
+    pairs, deduplicated, are the document's fingerprint set: any shared
+    substring of at least ``k + w - 1`` tokens between two documents is
+    GUARANTEED to share a fingerprint — the detection-threshold contract
+    plain rolling-hash sampling (``fingerprint``/0-mod-p) cannot give.
+
+    All integer (the shared md5 ``hash32`` contract), so fingerprints
+    are bit-identical cross-engine.  Documents shorter than
+    ``k + w - 1`` tokens yield no fingerprints (no full window exists).
+
+    Scale shape: k-grams explode map-side; the window min runs over ONE
+    doc-keyed exchange (frame bounded by ``w``); the dedup is a partial
+    aggregate over the same partitioning — no joins, no all-pairs.  The
+    downstream use joins fingerprint sets on the hash key (the standard
+    inverted-index candidate generator, same as the shingle families).
+
+    Output: (id_col, fp_hash, pos) — pos is the 1-based k-gram position
+    the fingerprint was selected at.
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    base = docs.filter(t != "").select(
+        F.col(id_col).alias("_doc"), toks.alias("_w")
+    )
+    m = F.size(F.col("_w")) - (k - 1)  # number of k-grams
+    grams = F.slice(F.col("_w"), 1, F.greatest(m, F.lit(0)))
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(F.col("_w"), j + 1, F.greatest(m, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    pos = base.select(
+        "_doc",
+        F.posexplode(grams).alias("_p0", "_g"),
+    ).select(
+        "_doc",
+        (F.col("_p0") + 1).alias("_p"),
+        hash32(F.col("_g")).alias("_h"),
+    )
+    # full windows only: the window starting at p covers [p, p+w-1], so
+    # p must leave w k-grams; counting rides a doc-keyed max window on
+    # the SAME exchange the frame min uses
+    dw = Window.partitionBy("_doc")
+    ordered = Window.partitionBy("_doc").orderBy("_p")
+    frame = ordered.rowsBetween(0, w - 1)
+    sel = (
+        pos.withColumn("_m", F.max("_p").over(dw))
+        .withColumn(
+            "_min",
+            F.min(F.struct(F.col("_h"), (-F.col("_p")).alias("_np"))).over(
+                frame
+            ),
+        )
+        .filter(F.col("_p") <= F.col("_m") - (w - 1))
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("_min._h").alias("fp_hash"),
+            (-F.col("_min._np")).alias("pos"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def pmi_collocations(
+    docs,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+):
+    """Corpus collocations by pointwise mutual information: rank adjacent
+    token pairs by ``pmi = ln(P(x,y) / (P(x) P(y)))`` — the classic
+    collocation / multi-word-expression detector (Church & Hanks, public
+    literature) that separates "new york" from "of the".
+
+    Exactness: all counts are BIGINT; the PMI argument is ONE fixed
+    left-associated IEEE chain
+    ``(c_xy * n_uni * n_uni) / ((n_bi * c_x) * c_y)`` over doubles
+    (BIGINT products would overflow at corpus scale), then one ``ln``
+    rounded to 9 — the oracle mirrors the identical op order.  Ranking
+    orders by the ROUNDED pmi with (w1, w2) tiebreak, so the LIMIT
+    boundary is engine-portable.
+
+    Scale shape: bigrams explode map-side via the shifted-slice
+    ``zip_with`` (no per-element ``element_at`` quadratics); unigram and
+    bigram counts are two partial-aggregated shuffles on term keys;
+    marginals join term-keyed (vocabulary-sized, never broadcast — the
+    web-scale-vocab contract); corpus totals ride a 1-row broadcast; the
+    top-k is TakeOrderedAndProject, never a global sort.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    base = docs.filter(t != "").select(toks.alias("_w"))
+    n1 = F.size(F.col("_w")) - 1
+    pairs = F.zip_with(
+        F.slice(F.col("_w"), 1, F.greatest(n1, F.lit(0))),
+        F.slice(F.col("_w"), 2, F.greatest(n1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    uni = base.select(F.explode("_w").alias("_t")).groupBy("_t").agg(
+        F.count("*").alias("_c")
+    )
+    bi = (
+        base.select(F.explode(pairs).alias("_g"))
+        .groupBy("_g")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+        .select(
+            F.split(F.col("_g"), " ").getItem(0).alias("w1"),
+            F.split(F.col("_g"), " ").getItem(1).alias("w2"),
+            "c_xy",
+        )
+    )
+    totals = uni.agg(
+        F.sum("_c").alias("_nu"), F.count("*").alias("_v")
+    ).crossJoin(
+        base.select(F.explode(pairs).alias("_g")).agg(
+            F.count("*").alias("_nb")
+        )
+    )
+    scored = (
+        bi.join(uni.withColumnRenamed("_t", "w1").withColumnRenamed("_c", "c_x"), "w1")
+        .join(uni.withColumnRenamed("_t", "w2").withColumnRenamed("_c", "c_y"), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    num = (
+        F.col("c_xy").cast("double")
+        * F.col("_nu").cast("double")
+        * F.col("_nu").cast("double")
+    )
+    den = (
+        F.col("_nb").cast("double") * F.col("c_x").cast("double")
+    ) * F.col("c_y").cast("double")
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(F.log(num / den), 9).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )

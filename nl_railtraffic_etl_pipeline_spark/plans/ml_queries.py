@@ -5071,3 +5071,261 @@ def _graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("reciprocity_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 wave: retrieval fusion + ranking quality + annotation agreement +
+# winnowing fingerprints + PMI collocations.  Five operators extending the
+# search/eval/dedup families; each fully oracle-gated.
+# ---------------------------------------------------------------------------
+from ..functions import mleval  # noqa: E402
+from ..functions.search import reciprocal_rank_fusion  # noqa: E402
+from ..functions.text import pmi_collocations, winnow_fingerprints  # noqa: E402
+
+_RRF_K = 60
+
+
+def _knn_rank_sql(qv_expr: str, cv_expr: str, alias: str) -> str:
+    """Scored+ranked CTE body over embeddings for a cosine ranker."""
+    cos = (
+        _COS_SQL.format(va="qv", vb="cv").replace("a.", "q.").replace("b.", "c.")
+    )
+    ids = ", ".join(map(str, _KNN_QUERY_IDS))
+    return f"""
+{alias}q AS (
+    SELECT vec_id AS query_id, {qv_expr} AS qv FROM embeddings
+    WHERE vec_id IN ({ids})
+),
+{alias}s AS (
+    SELECT query_id, neighbor_id, r FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id ORDER BY {cos} DESC, c.vec_id
+               ) AS r
+        FROM (SELECT vec_id, {cv_expr} AS cv FROM embeddings) c
+        CROSS JOIN {alias}q q
+        WHERE c.vec_id <> q.query_id
+    ) WHERE r <= 10
+)"""
+
+
+@query(
+    "search_rrf_fusion",
+    f"""
+WITH {_knn_rank_sql('embedding', 'embedding', 'f')},
+{_knn_rank_sql(f'embedding[1:{_MRL_DIM}]', f'embedding[1:{_MRL_DIM}]', 't')[1:]},
+j AS (
+    SELECT COALESCE(fs.query_id, ts.query_id) AS query_id,
+           COALESCE(fs.neighbor_id, ts.neighbor_id) AS neighbor_id,
+           CAST(fs.r AS INTEGER) AS rank_0,
+           CAST(ts.r AS INTEGER) AS rank_1
+    FROM fs FULL OUTER JOIN ts
+      ON fs.query_id = ts.query_id AND fs.neighbor_id = ts.neighbor_id
+),
+sc AS (
+    SELECT query_id, neighbor_id, rank_0, rank_1,
+           ROUND(
+               (CASE WHEN rank_0 IS NOT NULL
+                     THEN CAST(1 AS DOUBLE) / CAST({_RRF_K} + rank_0 AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END)
+             + (CASE WHEN rank_1 IS NOT NULL
+                     THEN CAST(1 AS DOUBLE) / CAST({_RRF_K} + rank_1 AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END), 9) AS rrf_score
+    FROM j
+)
+SELECT query_id, neighbor_id, rank_0, rank_1, rrf_score,
+       CAST(fr AS INTEGER) AS fused_rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id
+    ) AS fr FROM sc
+) WHERE fr <= 10
+""",
+)
+def _search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse full-dim and Matryoshka-truncated cosine rankings per query
+    via RRF — the multi-resolution retrieval ensemble
+    (functions/search.py::reciprocal_rank_fusion)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = simsearch.knn_bruteforce(emb, _KNN_QUERY_IDS, k=10)
+    trunc = simsearch.knn_bruteforce(
+        emb.select("vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")),
+        _KNN_QUERY_IDS,
+        k=10,
+    )
+    return reciprocal_rank_fusion([full, trunc], k_const=_RRF_K, top_k=10)
+
+
+@query(
+    "ml_ndcg_at_k",
+    f"""
+WITH {_knn_rank_sql('embedding', 'embedding', 'f')},
+r AS (
+    SELECT query_id, CAST(r AS INTEGER) AS rk,
+           CAST((neighbor_id + query_id) % 4 AS BIGINT) AS rel
+    FROM fs
+),
+i AS (
+    SELECT query_id, rk, rel,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rel DESC, rk
+           ) AS irk
+    FROM r
+),
+terms AS (
+    SELECT query_id,
+           CAST({_round_sql(
+               'CAST(rel AS DOUBLE) / log2(CAST(rk AS DOUBLE) + 1.0)', 12)}
+               AS DECIMAL(28,12)) AS td,
+           CAST({_round_sql(
+               'CAST(rel AS DOUBLE) / log2(CAST(irk AS DOUBLE) + 1.0)', 12)}
+               AS DECIMAL(28,12)) AS ti
+    FROM i
+),
+a AS (
+    SELECT query_id, SUM(td) AS dcgd, SUM(ti) AS idcgd,
+           CAST(COUNT(*) AS BIGINT) AS n_ranked
+    FROM terms GROUP BY 1
+)
+SELECT query_id, n_ranked,
+       ROUND(CAST(dcgd AS DOUBLE), 9) AS dcg,
+       ROUND(CAST(idcgd AS DOUBLE), 9) AS idcg,
+       CASE WHEN idcgd > 0 THEN
+           {_round_sql('CAST(dcgd AS DOUBLE) / CAST(idcgd AS DOUBLE)', 9)}
+       END AS ndcg
+FROM a
+""",
+)
+def _ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the brute-force cosine ranking against deterministic
+    graded relevance ``(neighbor_id + query_id) % 4`` — the oracle
+    re-derives the grades arithmetically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranked = simsearch.knn_bruteforce(emb, _KNN_QUERY_IDS, k=10).withColumn(
+        "rel", (F.col("neighbor_id") + F.col("query_id")) % 4
+    )
+    return mleval.ndcg_at_k(ranked, k=10)
+
+
+@query(
+    "ml_cohens_kappa",
+    f"""
+WITH t AS (SELECT doc_id, lang, {_TOKENS} AS toks FROM documents),
+p AS (SELECT lang AS _b, {_PRED_SQL} AS _a FROM t),
+am AS (SELECT _a AS c, CAST(COUNT(*) AS BIGINT) AS na FROM p GROUP BY 1),
+bm AS (SELECT _b AS c, CAST(COUNT(*) AS BIGINT) AS nb FROM p GROUP BY 1),
+ch AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS chance FROM am JOIN bm USING (c)),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (_a = _b) AS BIGINT) AS n_agree
+    FROM p
+)
+SELECT n, n_agree,
+       CASE WHEN n * n <> chance THEN
+           {_round_sql(
+               'CAST(n_agree * n - chance AS DOUBLE)'
+               ' / CAST(n * n - chance AS DOUBLE)', 9)}
+       END AS kappa
+FROM tot, ch
+""",
+)
+def _ml_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the engine's n-gram language-ID prediction
+    and the corpus ground-truth ``lang`` — agreement beyond chance, the
+    annotation-QA reading of the existing confusion matrix."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+    pairs = d.select(
+        predicted_lang(toks).alias("pred"), F.col("lang")
+    )
+    return mleval.cohens_kappa(pairs, "pred", "lang")
+
+
+_WINNOW_K, _WINNOW_W = 3, 4
+
+
+@query(
+    "dedup_winnow_fingerprints",
+    f"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(lower(text)) = '' THEN NULL ELSE {_TOKENS} END AS w
+    FROM documents
+),
+g AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS p,
+           {_H32.format(x="w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2]")} AS h
+    FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+),
+lim AS (SELECT doc_id, MAX(p) AS mp FROM g GROUP BY 1),
+wins AS (
+    SELECT l.doc_id, CAST(u.s AS BIGINT) AS s
+    FROM lim l, UNNEST(range(1, l.mp - {_WINNOW_W - 2})) AS u(s)
+),
+cand AS (
+    SELECT w.doc_id, w.s, g.p, g.h
+    FROM wins w JOIN g ON g.doc_id = w.doc_id
+                      AND g.p BETWEEN w.s AND w.s + {_WINNOW_W - 1}
+),
+sel AS (
+    SELECT doc_id, p, h,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id, s ORDER BY h, p DESC
+           ) AS rn
+    FROM cand
+)
+SELECT DISTINCT doc_id, h AS fp_hash, p AS pos FROM sel WHERE rn = 1
+""",
+)
+def _dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-winnowing fingerprints (k=3-gram hashes, window w=4) — the
+    MOSS guarantee: any shared run of >= k+w-1 tokens shares a
+    fingerprint.  The oracle selects per-window minima by brute-force
+    window x candidate join; the engine uses ONE doc-keyed frame min."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return winnow_fingerprints(d, k=_WINNOW_K, w=_WINNOW_W)
+
+
+_PMI_MIN_COUNT, _PMI_TOP_K = 5, 50
+
+
+@query(
+    "text_pmi_collocations",
+    f"""
+WITH toks AS (
+    SELECT CASE WHEN trim(lower(text)) = '' THEN NULL ELSE {_TOKENS} END AS w
+    FROM documents
+),
+uni AS (
+    SELECT u.t AS _t, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks, UNNEST(w) AS u(t) GROUP BY 1
+),
+big AS (
+    SELECT w[u.i] AS w1, w[u.i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+    FROM toks, UNNEST(range(1, len(w))) AS u(i) GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+totb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS nb FROM big),
+sc AS (
+    SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+           {_round_sql(
+               'ln((CAST(b.c_xy AS DOUBLE) * CAST(t.nu AS DOUBLE)'
+               ' * CAST(t.nu AS DOUBLE))'
+               ' / ((CAST(tb.nb AS DOUBLE) * CAST(ux.c AS DOUBLE))'
+               ' * CAST(uy.c AS DOUBLE)))', 9)} AS pmi
+    FROM big b
+    JOIN uni ux ON b.w1 = ux._t
+    JOIN uni uy ON b.w2 = uy._t, tot t, totb tb
+    WHERE b.c_xy >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_xy, c_x, c_y, pmi FROM sc
+ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP_K}
+""",
+)
+def _text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token collocations by PMI with a count floor —
+    Church & Hanks over the corpus bigram/unigram frames."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return pmi_collocations(
+        d, min_count=_PMI_MIN_COUNT, top_k=_PMI_TOP_K
+    )

@@ -1833,3 +1833,137 @@ def test_png_pixel_stats_kernel(spark):
     assert got[1].decoded and (got[1].width, got[1].height) == (3, 2)
     assert [got[1].ch0_sum, got[1].ch1_sum, got[1].ch2_sum] == exp
     assert not got[2].decoded and got[2].width is None
+
+
+def test_reciprocal_rank_fusion_semantics(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.search import (
+        reciprocal_rank_fusion,
+    )
+
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id bigint, neighbor_id bigint, rank int",
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id bigint, neighbor_id bigint, rank int",
+    )
+    out = {
+        r.neighbor_id: r
+        for r in reciprocal_rank_fusion([r1, r2], k_const=60, top_k=10)
+        .collect()
+    }
+    # 11 appears in both systems -> highest fused score
+    assert out[11].fused_rank == 1
+    assert out[11].rrf_score == round(1 / 62 + 1 / 61, 9)
+    # 13 only in system 2; its rank_0 is null, score is one term
+    assert out[13].rank_0 is None and out[13].rrf_score == round(1 / 62, 9)
+    # item 10: rank 1 in system 1 only
+    assert out[10].rrf_score == round(1 / 61, 9)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reciprocal_rank_fusion([])
+
+
+def test_ndcg_at_k_hand_case(spark):
+    import math
+
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import ndcg_at_k
+
+    # ranking with rels [1, 3, 0]: dcg = 1/log2(2) + 3/log2(3) + 0
+    # ideal order [3, 1, 0]: idcg = 3/log2(2) + 1/log2(3)
+    df = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 3), (1, 3, 0)],
+        "query_id bigint, rank int, rel bigint",
+    )
+    row = ndcg_at_k(df, k=10).collect()[0]
+    term = lambda rel, pos: round(rel / math.log2(pos + 1), 12)  # noqa: E731
+    dcg = term(1, 1) + term(3, 2) + term(0, 3)
+    idcg = term(3, 1) + term(1, 2) + term(0, 3)
+    assert row.dcg == round(dcg, 9) and row.idcg == round(idcg, 9)
+    assert row.ndcg == round(dcg / idcg, 9)
+    # all-zero relevance -> NULL ndcg (idcg = 0)
+    z = spark.createDataFrame(
+        [(2, 1, 0), (2, 2, 0)], "query_id bigint, rank int, rel bigint"
+    )
+    assert ndcg_at_k(z, k=10).collect()[0].ndcg is None
+
+
+def test_cohens_kappa_textbook(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import (
+        cohens_kappa,
+    )
+
+    # classic 2x2: a=20 agree-yes, d=15 agree-no, b=5, c=10 (n=50)
+    rows = (
+        [("y", "y")] * 20 + [("n", "n")] * 15
+        + [("y", "n")] * 5 + [("n", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    row = cohens_kappa(df, "a", "b").collect()[0]
+    # po = 35/50; pe = (25*30 + 25*20)/2500 = 0.5 -> kappa = 0.4
+    assert (row.n, row.n_agree) == (50, 35)
+    assert row.kappa == 0.4
+    # constant equal raters: pe = 1 -> NULL kappa
+    const = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    assert cohens_kappa(const, "a", "b").collect()[0].kappa is None
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """MOSS guarantee: two docs sharing a run of >= k+w-1 tokens share at
+    least one fingerprint; short docs yield none."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = k+w-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} four five six seven"),
+            (3, "tiny doc"),          # < k tokens after winnowing window
+            (4, "   "),                # empty after trim
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = winnow_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc.get(3) is None and by_doc.get(4) is None
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    # positions are within each doc's k-gram range
+    assert all(r.pos >= 1 for r in fps)
+
+
+def test_pmi_collocations_ranking(spark):
+    import math
+
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"the a the b strong glue the c {'strong glue ' * 2}",)] * 3,
+        "text string",
+    )
+    out = pmi_collocations(docs, min_count=3, top_k=10).collect()
+    assert out, "collocations expected"
+    nu = sum(len(r.text.split()) for r in docs.collect())
+    nb = nu - 3  # bigrams per doc = tokens - 1, three docs
+
+    # exact pmi for the perfect collocation (strong -> glue, 3x per doc)
+    sg = next(r for r in out if (r.w1, r.w2) == ("strong", "glue"))
+    assert (sg.c_xy, sg.c_x, sg.c_y) == (9, 9, 9)
+    exp = round(math.log((9 * nu * nu) / ((nb * 9) * 9)), 9)
+    assert sg.pmi == exp
+
+    # a frequent-but-promiscuous pair scores strictly lower: glue is
+    # followed by 'the' only 1 of 3 times (both words frequent)
+    gt = next(r for r in out if (r.w1, r.w2) == ("glue", "the"))
+    assert gt.pmi < sg.pmi
+
+    # result is ordered by rounded pmi desc with (w1, w2) tiebreak
+    keys = [(-r.pmi, r.w1, r.w2) for r in out]
+    assert keys == sorted(keys)
