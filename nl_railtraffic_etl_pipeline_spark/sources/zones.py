@@ -126,8 +126,20 @@ class VersionedZone:
         pub, _, _ = self._scan()
         return max(pub) if pub else None
 
-    def read(self, schema=None) -> DataFrame:
-        """Highest published snapshot; empty frame with ``schema`` if none."""
+    def read(self, schema=None, version: int | None = None) -> DataFrame:
+        """Snapshot read: the highest published snapshot, or — time travel —
+        the exact published ``version`` (snapshots are immutable, so any
+        retained version replays byte-identically).  Empty frame with
+        ``schema`` when the zone has no snapshot and no version was asked.
+        """
+        if version is not None:
+            pub, _, _ = self._scan()
+            if version not in pub:
+                raise FileNotFoundError(
+                    f"zone {self.path} has no published v{version} "
+                    f"(published: {sorted(pub)})"
+                )
+            return self.spark.read.parquet(self._snap(version))
         v = self.current_version()
         if v is None:
             if schema is None:

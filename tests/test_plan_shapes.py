@@ -136,6 +136,7 @@ def test_python_only_in_arrow_kernels(spark):
             "dedup_threshold_sweep",  # reuses the blocked Arrow pair kernel
             "mm_decode_image_meta",
             "mm_parse_image_headers",
+            "mm_decode_png_pixels",  # PNG encode fixture + pixel decode kernels
             "text_compression_ratio",
         ):
             assert has_python, name

@@ -352,3 +352,27 @@ def test_versioned_zone_prune_keeps_window(spark, tmp_path):
     assert dropped == [1, 2]
     assert z.current_version() == 4
     assert {r.k for r in z.read().collect()} == {1, 2, 3, 4}
+
+
+def test_versioned_zone_time_travel(spark, tmp_path):
+    import pytest as _pytest
+
+    z = _zone(spark, tmp_path)
+    for i in (1, 2, 3):
+        z.upsert(
+            spark.createDataFrame(
+                [(1, i, f"v{i}")], "k bigint, ver bigint, val string"
+            ),
+            ["k"],
+            "ver",
+        )
+    assert z.read().collect()[0].val == "v3"
+    assert z.read(version=2).collect()[0].val == "v2"
+    assert z.read(version=1).collect()[0].val == "v1"
+    with _pytest.raises(FileNotFoundError):
+        z.read(version=9)
+    # pruned versions are gone for time travel too
+    z.prune(keep=1)
+    with _pytest.raises(FileNotFoundError):
+        z.read(version=1)
+    assert z.read(version=3).collect()[0].val == "v3"
