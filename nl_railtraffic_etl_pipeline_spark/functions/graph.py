@@ -370,8 +370,16 @@ def node_jaccard(
 
     Output: (u, v, common, union_size, jaccard) for pairs with
     ``jaccard >= min_jaccard``; jaccard rounded to 9 digits.
+
+    The symmetrized edge list feeds FOUR consumers (degree count, both
+    wedge sides, and under the fence two semi-joins), so it gets the
+    compute-once barrier (``dedup._materialize``) — without it the whole
+    edge-derivation subtree re-embeds per consumer (the unbarriered plan
+    carried 150+ exchanges; triangle_count documents the same hazard).
     """
-    und = (
+    from .dedup import _materialize
+
+    und = _materialize(
         edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
         .unionByName(
             edges.select(
@@ -390,9 +398,11 @@ def node_jaccard(
             .filter(F.col("d") <= max_degree)
             .select("node")
         )
-        und = und.join(
-            keep.select(F.col("node").alias("_a")), "_a", "left_semi"
-        ).join(keep.select(F.col("node").alias("_b")), "_b", "left_semi")
+        und = _materialize(
+            und.join(
+                keep.select(F.col("node").alias("_a")), "_a", "left_semi"
+            ).join(keep.select(F.col("node").alias("_b")), "_b", "left_semi")
+        )
     deg = und.groupBy(F.col("_a").alias("node")).agg(
         F.count("*").alias("d")
     )

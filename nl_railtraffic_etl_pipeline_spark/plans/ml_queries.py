@@ -2741,6 +2741,13 @@ def _pr_edges_df(docs: DataFrame) -> DataFrame:
     e3 = base.filter(d % 3 >= 2).select(
         d.alias("src"), ((d * 3 + 5) % F.col("_n")).alias("dst")
     )
+    # NO source-level barrier here, deliberately (measured, r7): pagerank /
+    # BFS / k-core / triangles / shortest-paths / node-Jaccard all apply
+    # their OWN persist or checkpoint barrier tuned to their loop shape, and
+    # an extra eager checkpoint at the source costs a full materialization
+    # round trip per call (pagerank idle 2.75 s -> 4.1 s when this returned
+    # _materialize(...)).  Multi-consumer plan sites WITHOUT an internal
+    # barrier (degree histogram, reciprocity) barrier at the call site.
     return e1.union(e2).union(e3).distinct()
 
 
@@ -4984,7 +4991,9 @@ def _graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as _W
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    edges = _pr_edges_df(docs)
+    # both symmetrize branches + the downstream windows reference the edge
+    # derivation -> call-site barrier (see _pr_edges_df's no-barrier note)
+    edges = dedup._materialize(_pr_edges_df(docs))
     und = (
         edges.select(F.col("src").alias("_a"), F.col("dst").alias("_b"))
         .unionByName(
@@ -5047,7 +5056,11 @@ FROM outd o LEFT JOIN recip r ON o.src = r.src
 )
 def _graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    edges = _pr_edges_df(docs).filter(F.col("src") != F.col("dst"))
+    # forward + reverse + out-degree all read the edge list -> call-site
+    # barrier (see _pr_edges_df's no-barrier note)
+    edges = dedup._materialize(
+        _pr_edges_df(docs).filter(F.col("src") != F.col("dst"))
+    )
     rev = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
