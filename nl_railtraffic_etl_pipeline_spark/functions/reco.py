@@ -67,7 +67,13 @@ def item_cosine_similarity(
         raise ValueError(f"min_support must be >= 1, got {min_support}")
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
-    b = (
+    # Compute-once barrier: the distinct basket frame feeds THREE
+    # consumers (item counts + both self-join sides) — unbarriered, the
+    # whole upstream basket derivation re-embeds per consumer (r7
+    # PLANS.md audit: 40 exchanges; same hazard as the graph wedge joins).
+    from .dedup import _materialize
+
+    b = _materialize(
         baskets.select(
             F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
         )
@@ -84,15 +90,7 @@ def item_cosine_similarity(
             .drop("_bs")
         )
     n = b.groupBy("_i").agg(F.count("*").alias("_n"))
-    left = b.select(F.col("_b"), F.col("_i").alias("item_i"))
-    right = b.select(F.col("_b"), F.col("_i").alias("item_j"))
-    co = (
-        left.join(right, "_b")
-        .filter(F.col("item_i") != F.col("item_j"))
-        .groupBy("item_i", "item_j")
-        .agg(F.count("*").alias("co_baskets"))
-        .filter(F.col("co_baskets") >= F.lit(min_support))
-    )
+    co = _co_counts(b, min_support)
     sim = (
         co.join(n.select(F.col("_i").alias("item_i"), F.col("_n").alias("n_i")), "item_i")
         .join(n.select(F.col("_i").alias("item_j"), F.col("_n").alias("n_j")), "item_j")
@@ -149,7 +147,11 @@ def association_rules(
         raise ValueError(
             f"min_confidence must be in (0, 1], got {min_confidence}"
         )
-    b = (
+    # same four-consumer barrier as item_cosine_similarity (totals, item
+    # counts, both self-join sides)
+    from .dedup import _materialize
+
+    b = _materialize(
         baskets.select(
             F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
         )
@@ -166,15 +168,7 @@ def association_rules(
         F.count("*").alias("n_baskets")
     )
     n = b.groupBy("_i").agg(F.count("*").alias("_n"))
-    left = b.select(F.col("_b"), F.col("_i").alias("item_i"))
-    right = b.select(F.col("_b"), F.col("_i").alias("item_j"))
-    co = (
-        left.join(right, "_b")
-        .filter(F.col("item_i") != F.col("item_j"))
-        .groupBy("item_i", "item_j")
-        .agg(F.count("*").alias("co_baskets"))
-        .filter(F.col("co_baskets") >= F.lit(min_support))
-    )
+    co = _co_counts(b, min_support)
     conf = F.col("co_baskets").cast("double") / F.col("n_i").cast("double")
     lift = (F.col("co_baskets") * F.col("n_baskets")).cast("double") / (
         F.col("n_i") * F.col("n_j")
@@ -195,5 +189,32 @@ def association_rules(
         .select(
             "item_i", "item_j", "co_baskets", "n_i", "n_j", "n_baskets",
             "confidence", "lift",
+        )
+    )
+
+
+def _co_counts(b: DataFrame, min_support: int) -> DataFrame:
+    """Directional co-basket counts from the HALF pair frame.
+
+    Co-occurrence is symmetric, so only ``item_i < item_j`` pairs are
+    generated by the basket self-join — HALF the exploded pair rows
+    through the dominant shuffle+aggregate (measured ~2x on the pair
+    stage) — and the mirror direction is reconstructed from the
+    aggregated (catalog-pair-sized, orders of magnitude smaller) frame.
+    """
+    left = b.select(F.col("_b"), F.col("_i").alias("item_i"))
+    right = b.select(F.col("_b"), F.col("_i").alias("item_j"))
+    half = (
+        left.join(right, "_b")
+        .filter(F.col("item_i") < F.col("item_j"))
+        .groupBy("item_i", "item_j")
+        .agg(F.count("*").alias("co_baskets"))
+        .filter(F.col("co_baskets") >= F.lit(min_support))
+    )
+    return half.unionByName(
+        half.select(
+            F.col("item_j").alias("item_i"),
+            F.col("item_i").alias("item_j"),
+            "co_baskets",
         )
     )
