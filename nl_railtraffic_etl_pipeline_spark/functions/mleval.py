@@ -551,3 +551,45 @@ def cohens_kappa(
             ),
         ).alias("kappa"),
     )
+
+
+def label_vote(
+    df: DataFrame,
+    lf_cols: Sequence[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weak-supervision majority vote (the Snorkel-style label model's
+    zero-parameter baseline, public method): each labeling-function
+    column holds 1 / 0 / NULL (abstain); the row's label is the strict
+    majority of non-abstains, NULL on ties or all-abstain.  The
+    programmatic-labeling primitive a training-data pipeline uses to
+    bootstrap classifiers from rules.
+
+    Pure map-side codegen — a fixed CASE chain over the LF columns, no
+    shuffle at all; per-LF coverage/agreement audits aggregate downstream
+    however the caller groups.  Output: (id, each LF, n_votes, n_pos,
+    n_neg, label).
+    """
+    if not lf_cols:
+        raise ValueError("lf_cols must be non-empty")
+    one = lambda c: F.when(F.col(c).isNotNull(), 1).otherwise(0)  # noqa: E731
+    pos = lambda c: F.when(F.col(c) == 1, 1).otherwise(0)  # noqa: E731
+    neg = lambda c: F.when(F.col(c) == 0, 1).otherwise(0)  # noqa: E731
+    n_votes = sum(one(c) for c in lf_cols[1:]) + one(lf_cols[0])
+    n_pos = sum(pos(c) for c in lf_cols[1:]) + pos(lf_cols[0])
+    n_neg = sum(neg(c) for c in lf_cols[1:]) + neg(lf_cols[0])
+    label = (
+        F.when(F.col("n_pos") > F.col("n_neg"), F.lit(1))
+        .when(F.col("n_neg") > F.col("n_pos"), F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    return (
+        df.select(
+            id_col,
+            *lf_cols,
+            n_votes.cast("int").alias("n_votes"),
+            n_pos.cast("int").alias("n_pos"),
+            n_neg.cast("int").alias("n_neg"),
+        )
+        .withColumn("label", label)
+    )

@@ -3185,9 +3185,9 @@ _CM_HI = _H32.format(
 )
 
 
-@query(
-    "sketch_cm_frequency",
-    f"""
+# shared with the streaming twin (streaming_cm_frequency) — the drained
+# incremental state must hash-match exactly this batch spec
+CM_FREQUENCY_ORACLE_SQL = f"""
 WITH state AS (
     SELECT k.k AS row, CAST({_CM_H} % {_CM_W} AS INTEGER) AS bucket,
            COUNT(*) AS c
@@ -3205,8 +3205,10 @@ probes AS (
 SELECT p.value, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS est
 FROM probes p LEFT JOIN state s USING (row, bucket)
 GROUP BY p.value
-""",
-)
+"""
+
+
+@query("sketch_cm_frequency", CM_FREQUENCY_ORACLE_SQL)
 def _sketch_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency estimates (sketch.cm_build/cm_query): the
     deterministic md5-contract CMS — state and estimates replay exactly
@@ -5341,4 +5343,118 @@ def _text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", spread=True)
     return pmi_collocations(
         d, min_count=_PMI_MIN_COUNT, top_k=_PMI_TOP_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over a sparsified deterministic doc-link subgraph
+# (src % 17 < 4 keeps ~39 components at sf0.01, biggest ~68 nodes — a
+# structure that actually discriminates, unlike the full link graph's one
+# giant component).  The engine runs the same min-label-propagation
+# fixpoint dedup clustering uses (functions/dedup.py::duplicate_clusters);
+# the oracle walks recursive-CTE reachability.  Two independent
+# algorithms, one answer.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_components",
+    "WITH RECURSIVE "
+    + _PR_EDGES_CTE
+    + """,
+edges0 AS (
+    SELECT src, dst FROM edges WHERE src % 17 < 4 AND src <> dst
+),
+und AS (
+    SELECT src, dst FROM edges0
+    UNION ALL
+    SELECT dst, src FROM edges0
+),
+nodes AS (SELECT DISTINCT src AS doc FROM und),
+reach(doc, lab) AS (
+    SELECT doc, doc FROM nodes
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN und e ON e.src = r.doc
+),
+comp AS (SELECT doc, MIN(lab) AS rep FROM reach GROUP BY doc),
+sizes AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS component_size
+          FROM comp GROUP BY rep)
+SELECT c.doc AS doc_id, c.rep AS component_rep, s.component_size
+FROM comp c JOIN sizes s ON c.rep = s.rep
+""",
+)
+def _graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    e = _pr_edges_df(docs).filter(
+        (F.col("src") % 17 < 4) & (F.col("src") != F.col("dst"))
+    )
+    cc = dedup.duplicate_clusters(e, id_a="src", id_b="dst", max_iter=64)
+    sizes = cc.groupBy("cluster_rep").agg(
+        F.count("*").alias("component_size")
+    )
+    return cc.join(sizes, "cluster_rep").select(
+        F.col("doc").alias("doc_id"),
+        F.col("cluster_rep").alias("component_rep"),
+        "component_size",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weak-supervision label vote (functions/mleval.py::label_vote): three
+# deterministic labeling functions over documents — token-count band,
+# disjoint keyword hit, language rule — majority-voted with abstains.
+# The Snorkel-style programmatic-labeling baseline; everything map-side.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_label_vote",
+    f"""
+WITH t AS (
+    SELECT doc_id, text, lang, len({_TOKENS}) AS n_tok FROM documents
+),
+lf AS (
+    SELECT doc_id,
+           CASE WHEN n_tok >= 30 THEN 1 WHEN n_tok < 10 THEN 0 END AS lf_length,
+           CASE WHEN text LIKE '%spark%' AND text NOT LIKE '%dup%' THEN 1
+                WHEN text LIKE '%dup%' AND text NOT LIKE '%spark%' THEN 0
+           END AS lf_keyword,
+           CASE WHEN lang = 'en' THEN 1
+                WHEN lang IN ('de', 'fr', 'es') THEN 0 END AS lf_lang
+    FROM t
+),
+v AS (
+    SELECT doc_id, lf_length, lf_keyword, lf_lang,
+           CAST((CASE WHEN lf_length IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN lf_keyword IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN lf_lang IS NOT NULL THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_votes,
+           CAST((CASE WHEN lf_length = 1 THEN 1 ELSE 0 END)
+              + (CASE WHEN lf_keyword = 1 THEN 1 ELSE 0 END)
+              + (CASE WHEN lf_lang = 1 THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_pos,
+           CAST((CASE WHEN lf_length = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN lf_keyword = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN lf_lang = 0 THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_neg
+    FROM lf
+)
+SELECT doc_id, lf_length, lf_keyword, lf_lang, n_votes, n_pos, n_neg,
+       CASE WHEN n_pos > n_neg THEN 1
+            WHEN n_neg > n_pos THEN 0 END AS label
+FROM v
+""",
+)
+def _ml_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    n_tok = F.size(tokens(F.col("text")))
+    has = lambda s: F.col("text").contains(s)  # noqa: E731
+    lfs = d.select(
+        "doc_id",
+        F.when(n_tok >= 30, 1).when(n_tok < 10, 0).alias("lf_length"),
+        F.when(has("spark") & ~has("dup"), 1)
+        .when(has("dup") & ~has("spark"), 0)
+        .alias("lf_keyword"),
+        F.when(F.col("lang") == "en", 1)
+        .when(F.col("lang").isin("de", "fr", "es"), 0)
+        .alias("lf_lang"),
+    )
+    return mleval.label_vote(
+        lfs, ["lf_length", "lf_keyword", "lf_lang"], id_col="doc_id"
     )

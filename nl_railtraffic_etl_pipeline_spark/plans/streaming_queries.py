@@ -838,3 +838,33 @@ def _streaming_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.join(e, "day").select(
         "day", "distinct_bitmap", "distinct_exact"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min twin: the sketch state (depth x width counters)
+# built INCREMENTALLY by Structured Streaming — counters merge across
+# micro-batches by summation, the CM union contract — then the drained
+# state answers the SAME probe set as the batch gate, against the SAME
+# oracle SQL.  State is <= depth x width rows regardless of stream
+# volume: the bounded-memory frequency monitor of a 100 TB event feed.
+# ---------------------------------------------------------------------------
+from .ml_queries import _CM_D, _CM_W, CM_FREQUENCY_ORACLE_SQL  # noqa: E402
+
+
+@query("streaming_cm_frequency", CM_FREQUENCY_ORACLE_SQL)
+def _streaming_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import cm_build, cm_query
+    from .testdata import load_table
+
+    state = cm_build(
+        _events_stream(spark, sf_dir), "user_id", width=_CM_W, depth=_CM_D
+    )
+    _drain_to_memory(state, "streaming_cm_state", "complete")
+    drained = spark.table("streaming_cm_state")
+    items = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .select(F.col("user_id").alias("value"))
+        .filter("value % 50 = 0")
+        .distinct()
+    )
+    return cm_query(drained, items, "value", width=_CM_W, depth=_CM_D)

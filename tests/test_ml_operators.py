@@ -1967,3 +1967,49 @@ def test_pmi_collocations_ranking(spark):
     # result is ordered by rounded pmi desc with (w1, w2) tiebreak
     keys = [(-r.pmi, r.w1, r.w2) for r in out]
     assert keys == sorted(keys)
+
+
+def test_label_vote_majority_and_ties(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import label_vote
+
+    rows = [
+        (1, 1, 1, 0),        # 2 pos vs 1 neg -> 1
+        (2, 0, 0, 1),        # 2 neg vs 1 pos -> 0
+        (3, 1, 0, None),     # tie -> NULL
+        (4, None, None, None),  # all abstain -> NULL
+        (5, None, None, 1),  # single vote wins
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, a int, b int, c int"
+    )
+    out = {r.doc_id: r for r in label_vote(df, ["a", "b", "c"]).collect()}
+    assert out[1].label == 1 and out[1].n_votes == 3
+    assert out[2].label == 0
+    assert out[3].label is None and out[3].n_votes == 2
+    assert out[4].label is None and out[4].n_votes == 0
+    assert out[5].label == 1 and out[5].n_votes == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        label_vote(df, [])
+
+
+def test_duplicate_clusters_as_graph_components(spark):
+    """duplicate_clusters doubles as the connected-components primitive:
+    a two-triangle + bridge + isolate-pair fixture labels exactly by
+    component minimum."""
+    from nl_railtraffic_etl_pipeline_spark.functions.dedup import (
+        duplicate_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r.doc: r.cluster_rep
+        for r in duplicate_clusters(
+            edges, id_a="src", id_b="dst", max_iter=16
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
