@@ -168,7 +168,13 @@ def _records(spark: SparkSession, sf_dir: str) -> list[dict]:
 def _lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline import SparkETLPipeline
 
-    lake = f"/tmp/spark_graft_lake_gate/{os.path.basename(sf_dir.rstrip('/'))}"
+    # pid-scoped so concurrent same-SF runs never race rmtree vs read —
+    # the same fix the ORC/drift gates got in r6 (a concurrent pytest +
+    # sweep run reproduced the race here in r7: FILE_NOT_EXIST mid-read)
+    lake = (
+        f"/tmp/spark_graft_lake_gate_{os.getpid()}/"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     shutil.rmtree(lake, ignore_errors=True)
     os.makedirs(lake, exist_ok=True)
 
