@@ -848,7 +848,11 @@ def _streaming_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle SQL.  State is <= depth x width rows regardless of stream
 # volume: the bounded-memory frequency monitor of a 100 TB event feed.
 # ---------------------------------------------------------------------------
-from .ml_queries import _CM_D, _CM_W, CM_FREQUENCY_ORACLE_SQL  # noqa: E402
+from .oracle_util import (  # noqa: E402
+    CM_DEPTH as _CM_D,
+    CM_FREQUENCY_ORACLE_SQL,
+    CM_WIDTH as _CM_W,
+)
 
 
 @query("streaming_cm_frequency", CM_FREQUENCY_ORACLE_SQL)
