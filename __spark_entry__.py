@@ -12,12 +12,16 @@ The committed ``CORRECTNESS_local_r7.json`` records the full-registry
 oracle run at sf0.001/0.01/0.1.
 
 Sampling rotation: the driver's correctness gate checks the FIRST 50
-entries of ``queries()`` each round, so a registry this size (281+)
+entries of ``queries()`` each round, so a registry this size (292+)
 would leave most gates driver-unverified forever under a fixed order.
-``queries()`` therefore orders gates NEVER seen in any committed
-``CORRECTNESS_r*.json`` first (registry order within each class) — each
-round the driver's 50-gate sample lands on previously-unsampled gates,
-and the rotation advances automatically as artifacts are committed.
+``queries()`` therefore orders gates by (1) most-recent driver sample
+FAILED — a fix must be re-verified by the driver, not just locally
+(the r7 DECIMAL episode proved local and driver evidence can diverge);
+(2) NEVER seen in any committed ``CORRECTNESS_r*.json``; (3) everything
+else, least-recently-sampled first — so previously verified gates
+periodically re-enter the 50-gate window and regressions can't stay
+driver-invisible forever.  Registry order breaks ties within each
+class, keeping iteration deterministic for a fixed artifact set.
 ``bench.py`` is NOT affected: it re-emits its timings keyed in canonical
 registry order, so bench visibility stays comparable round-over-round.
 """
@@ -27,6 +31,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,25 +39,58 @@ from pyspark.sql import DataFrame, SparkSession
 from nl_railtraffic_etl_pipeline_spark.plans.registry import ORACLES, QUERIES
 
 
-def _driver_sampled() -> set[str]:
-    """Gates present in any committed driver correctness artifact."""
+def _driver_history() -> tuple[dict[str, int], set[str]]:
+    """(gate -> latest round sampled, gates whose LATEST sample failed).
+
+    A gate counts as failed when its most recent committed driver record
+    shows ``hash_match: false`` / ``rows_match: false`` /
+    ``schema_match: false`` or a non-empty ``err`` — a later green
+    sample clears the flag.
+    """
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    last_round: dict[str, int] = {}
+    last_ok: dict[str, bool] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path, encoding="utf-8") as fh:
                 rec = json.load(fh)
-            if isinstance(rec, dict):
-                seen.update(rec.keys())
         except (OSError, ValueError):
             continue
-    return seen
+        if not isinstance(rec, dict):
+            continue
+        for name, r in rec.items():
+            if rnd < last_round.get(name, -1):
+                continue
+            ok = True
+            if isinstance(r, dict):
+                ok = (
+                    not r.get("err")
+                    and r.get("rows_match") is not False
+                    and r.get("schema_match") is not False
+                    and r.get("hash_match") is not False
+                )
+            last_round[name] = rnd
+            last_ok[name] = ok
+    failed = {n for n, ok in last_ok.items() if not ok}
+    return last_round, failed
 
 
 def _rotated(names: list[str]) -> list[str]:
-    seen = _driver_sampled()
-    fresh = [n for n in names if n not in seen]
-    return fresh + [n for n in names if n in seen]
+    last_round, failed = _driver_history()
+    pos = {n: i for i, n in enumerate(names)}
+
+    def key(n: str) -> tuple[int, int, int]:
+        if n in failed:
+            return (0, 0, pos[n])
+        if n not in last_round:
+            return (1, 0, pos[n])
+        return (2, last_round[n], pos[n])
+
+    return sorted(names, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

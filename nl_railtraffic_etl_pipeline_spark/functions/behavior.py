@@ -1047,7 +1047,7 @@ def churn_labels(
                     in_obs,
                     F.col(value_col).cast("string").cast("decimal(18,6)"),
                 )
-            ).cast("decimal(18,6)").alias("obs_value"),
+            ).cast("decimal(18,6)").cast("double").alias("obs_value"),
             F.count_distinct(
                 F.when(in_obs, F.to_date(F.col(ts_col)))
             ).alias("active_days"),

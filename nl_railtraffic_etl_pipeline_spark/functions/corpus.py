@@ -325,7 +325,14 @@ def feature_hash(
     ).cast("int")
     aggs = [F.count("*").alias("feat_count")]
     if value_col is not None:
-        aggs.append(F.sum("_v").cast("decimal(18,6)").alias("value_sum"))
+        # Decimal math stays internal; the OUTPUT boundary is a plain
+        # correctly-rounded decimal->double cast (driver-safe — raw
+        # DECIMAL output columns hash-fail at the driver even when the
+        # values are equal; see plans/registry.py output-type contract).
+        aggs.append(
+            F.sum("_v").cast("decimal(18,6)").cast("double")
+            .alias("value_sum")
+        )
     return (
         exploded.select(key_col, bucket.alias("bucket"), *(
             ["_v"] if value_col is not None else []
@@ -381,8 +388,11 @@ def temporal_split(
     if value_col is not None:
         aggs.insert(
             2,
+            # exact decimal sum internally; double at the output
+            # boundary (driver-safe — see registry output-type contract)
             F.sum(F.col(value_col).cast("string").cast("decimal(18,6)"))
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("value_sum"),
         )
     per = tagged.groupBy(F.col("_split").alias("split")).agg(*aggs)

@@ -1430,11 +1430,13 @@ def period_decomposition(
         *group_cols,
         "c0",
         "c1",
-        "v0",
-        "v1",
-        (F.col("v1") - F.col("v0")).cast("decimal(18,6)").alias(
-            "total_change"
-        ),
+        # decimal math stays internal (the effects below read the exact
+        # v0/v1); outputs cross the boundary as correctly-rounded
+        # doubles (driver-safe — see registry output-type contract)
+        F.col("v0").cast("double").alias("v0"),
+        F.col("v1").cast("double").alias("v1"),
+        (F.col("v1") - F.col("v0")).cast("decimal(18,6)").cast("double")
+        .alias("total_change"),
         F.when(ok, F.round((c1 - c0) * (v0 / c0), 9)).alias(
             "volume_effect"
         ),

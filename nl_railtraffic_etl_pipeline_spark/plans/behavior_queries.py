@@ -2728,7 +2728,7 @@ SELECT user_id,
        CAST(CAST(('0x' || substr(md5('fh:' || feat), 1, 8)) AS BIGINT) % 16
             AS INTEGER) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS feat_count,
-       CAST(SUM(v) AS DECIMAL(18,6)) AS value_sum
+       CAST(CAST(SUM(v) AS DECIMAL(18,6)) AS DOUBLE) AS value_sum
 FROM f GROUP BY 1, 2
 """,
 )
@@ -2760,9 +2760,9 @@ WITH g AS (
            CAST(COUNT(*) FILTER (
                ts < TIMESTAMP '2024-01-21 00:00:00'
                AND event_type = 'purchase') AS BIGINT) AS n_purchases,
-           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00'
-                         THEN CAST(value AS DECIMAL(18,6)) END)
-                AS DECIMAL(18,6)) AS obs_value,
+           CAST(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00'
+                              THEN CAST(value AS DECIMAL(18,6)) END)
+                     AS DECIMAL(18,6)) AS DOUBLE) AS obs_value,
            CAST(COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00'
                                     THEN CAST(ts AS DATE) END)
                 AS BIGINT) AS active_days,
@@ -2921,8 +2921,10 @@ WITH g AS (
                 AS DECIMAL(18,6)) AS v1
     FROM events GROUP BY 1
 )
-SELECT event_type, c0, c1, v0, v1,
-       CAST(v1 - v0 AS DECIMAL(18,6)) AS total_change,
+SELECT event_type, c0, c1,
+       CAST(v0 AS DOUBLE) AS v0,
+       CAST(v1 AS DOUBLE) AS v1,
+       CAST(CAST(v1 - v0 AS DECIMAL(18,6)) AS DOUBLE) AS total_change,
        CASE WHEN c0 > 0 AND c1 > 0 THEN {{ve}} END AS volume_effect,
        CASE WHEN c0 > 0 AND c1 > 0 THEN {{re}} END AS rate_effect
 FROM g
@@ -3202,8 +3204,8 @@ per AS (
     SELECT split,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
-               AS value_sum,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                AS DOUBLE) AS value_sum,
            MIN(ts) AS min_ts,
            MAX(ts) AS max_ts
     FROM t GROUP BY 1

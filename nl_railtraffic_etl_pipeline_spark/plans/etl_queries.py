@@ -2875,7 +2875,8 @@ WITH rev AS (
     JOIN region   ON n_regionkey = r_regionkey
     GROUP BY 1, 2
 )
-SELECT region, nation, revenue,
+SELECT region, nation,
+       CAST(revenue AS DOUBLE) AS revenue,
        {{share}} AS share_pct,
        CAST(ROW_NUMBER() OVER (
            PARTITION BY region ORDER BY revenue DESC, nation
@@ -2907,7 +2908,12 @@ def _share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(_rev_col()).cast("decimal(30,4)").alias("revenue"))
     )
-    return share_of_parent(rev, "region", "nation", "revenue")
+    # share/rank are computed from the EXACT decimal revenue inside
+    # share_of_parent; only the output boundary crosses to double
+    # (driver-safe — raw DECIMAL output columns hash-fail at the driver)
+    return share_of_parent(rev, "region", "nation", "revenue").withColumn(
+        "revenue", F.col("revenue").cast("double")
+    )
 
 
 # ---------------------------------------------------------------------------

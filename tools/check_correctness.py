@@ -15,6 +15,7 @@ machine-auditable evidence rather than prose claims.
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import json
 import math
@@ -32,6 +33,16 @@ TABLES = (
 
 
 def canon(v) -> str:
+    if isinstance(v, decimal.Decimal):
+        # The driver's canonicalization of DECIMAL values differs from
+        # str() (the r7 hash-fail class: ml_feature_hashing & co. passed
+        # here but failed the driver).  Raw DECIMAL output columns are
+        # driver-UNSAFE, period — fail loudly so the local harness
+        # predicts the driver instead of masking the defect.
+        raise ValueError(
+            "raw DECIMAL output value reached the output boundary — "
+            "cast to DOUBLE (registry output-type contract): " + str(v)
+        )
     if v is None:
         return "NULL"
     if isinstance(v, bool):
