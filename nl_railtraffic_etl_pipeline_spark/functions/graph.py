@@ -281,6 +281,7 @@ def k_core(
     rounds: int,
     src_col: str = "src",
     dst_col: str = "dst",
+    core_only: bool = False,
 ) -> DataFrame:
     """Bounded k-core peeling: repeatedly drop nodes with undirected
     degree < ``k``; after ``rounds`` synchronous rounds return the
@@ -295,8 +296,14 @@ def k_core(
     once (union + distinct, self-loops dropped), every round is two
     semi-joins against the alive set + one src-keyed degree count; ONE
     extra recount against the final alive set makes the returned degree
-    the true induced-subgraph degree (it may drop below ``k`` — bounded
-    rounds stop before fixpoint).
+    the true induced-subgraph degree.
+
+    CONTRACT NOTE: under bounded rounds a survivor's recounted degree
+    may be < ``k`` (even 0) — it simply hasn't been peeled yet.  Callers
+    that need "members of the k-core, degree >= k" semantics (the
+    pre-recount contract) must pass ``core_only=True``, which applies a
+    final ``degree >= k`` filter; the default keeps the full survivor
+    set so the bounded-rounds progress is visible and auditable.
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
@@ -336,10 +343,13 @@ def k_core(
     degf = ef.groupBy(F.col("_a").alias("node")).agg(
         F.count("*").alias("degree")
     )
-    return alive.join(degf, "node", "left").select(
+    out = alive.join(degf, "node", "left").select(
         "node",
         F.coalesce(F.col("degree"), F.lit(0).cast("bigint")).alias("degree"),
     )
+    if core_only:
+        out = out.filter(F.col("degree") >= k)
+    return out
 
 
 def node_jaccard(

@@ -531,7 +531,13 @@ def cohens_kappa(
     )
     chance = (
         a_marg.join(b_marg, "_c")
-        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_chance"))
+        # disjoint label sets -> empty join -> SUM is NULL; the correct
+        # chance agreement is 0 (pe = 0, kappa = po), not NULL kappa
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_na") * F.col("_nb")), F.lit(0).cast("bigint")
+            ).alias("_chance")
+        )
     )
     tot = pairs.agg(
         F.count("*").alias("n"),

@@ -284,12 +284,25 @@ def _png_decode_pixels(b: bytes):
     w, h, ch = meta
     if w == 0 or h == 0:
         return None
+    stride = w * ch
+    expected = (stride + 1) * h
+    # A header can DECLARE absurd dimensions too — cap the inflated
+    # buffer at 64 MiB (far above any fixture, far below executor RAM)
+    # so the max_length bound below is itself bounded.
+    if expected > 64 * 1024 * 1024:
+        return None
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # Bound inflation by the declared dimensions BEFORE allocating:
+        # a crafted decompression-bomb IDAT must quarantine (None), not
+        # exhaust executor memory.  Valid streams inflate to exactly
+        # `expected` bytes and are fully consumed.
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected)
+        if dec.unconsumed_tail or dec.decompress(b"", 1):
+            return None
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
+    if len(raw) != expected:
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

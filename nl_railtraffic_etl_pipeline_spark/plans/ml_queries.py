@@ -5206,7 +5206,8 @@ WITH t AS (SELECT doc_id, lang, {_TOKENS} AS toks FROM documents),
 p AS (SELECT lang AS _b, {_PRED_SQL} AS _a FROM t),
 am AS (SELECT _a AS c, CAST(COUNT(*) AS BIGINT) AS na FROM p GROUP BY 1),
 bm AS (SELECT _b AS c, CAST(COUNT(*) AS BIGINT) AS nb FROM p GROUP BY 1),
-ch AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS chance FROM am JOIN bm USING (c)),
+ch AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS chance
+       FROM am JOIN bm USING (c)),
 tot AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COUNT(*) FILTER (_a = _b) AS BIGINT) AS n_agree

@@ -29,15 +29,26 @@ Commit protocol (per attempt):
 
 1. CLAIM   t = max(any claimed/published version) + 1 via
            ``createNewFile(v{t}.claim)``; on loss, recompute and retry.
+           While staging, the owner HEARTBEATS the claim (rewrites the
+           claim file's mtime every ``heartbeat_interval`` seconds, a
+           daemon thread alongside the Spark write) — liveness is a
+           lease, not a bound on how long the merge+stage may take.
 2. RESOLVE every version s in (published_max, t): wait until s is
-           published or tombstone it after ``claim_timeout`` seconds
-           (dead-writer recovery).  After this, the merge base — the
+           published or tombstoned.  A claim is declared dead ONLY when
+           its heartbeat is stale — mtime older than ``claim_timeout``
+           seconds — so a live writer staging a long merge is waited
+           on indefinitely, never tombstoned (the r7 behavior clocked
+           the writer's ENTIRE stage against the timeout, which let
+           concurrent long commits tombstone each other into mutual
+           abort/retry starvation).  After this, the merge base — the
            highest published snapshot below t — is FINAL: no live writer
            can publish below t anymore (a zombie publisher re-checks its
            own tombstone before renaming; the residual check-to-rename
            window is the documented caveat every rename-based OCC carries
-           on stores without compare-and-swap — the timeout must exceed
-           plausible writer pauses).
+           on stores without compare-and-swap — now reachable only if a
+           writer's heartbeat thread dies while its commit survives, and
+           the timeout need only exceed heartbeat jitter + clock skew,
+           not stage duration).
 3. WRITE   merge_fn(base) -> parquet under ``v{t}__wip_<token>``.
 4. AUDIT   re-read the STAGED files (what was actually written, not the
            plan) and run ``audit_fn``; any exception aborts the commit,
@@ -61,6 +72,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 import time
 import uuid
 
@@ -85,11 +97,23 @@ class VersionedZone:
         path: str,
         claim_timeout: float = 60.0,
         poll_interval: float = 0.2,
+        heartbeat_interval: float | None = None,
     ) -> None:
+        """``claim_timeout`` is the HEARTBEAT staleness bound (a lease):
+        a claim whose file mtime is older than this is declared dead.
+        It must exceed heartbeat jitter + cross-writer clock skew — NOT
+        the stage duration; live writers heartbeat every
+        ``heartbeat_interval`` (default ``claim_timeout / 4``) for as
+        long as the merge+stage runs."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.claim_timeout = claim_timeout
         self.poll_interval = poll_interval
+        self.heartbeat_interval = (
+            claim_timeout / 4.0
+            if heartbeat_interval is None
+            else heartbeat_interval
+        )
         jvm = spark.sparkContext._jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(self.path).getFileSystem(
@@ -175,10 +199,30 @@ class VersionedZone:
     def _tombstone(self, t: int) -> None:
         self._fs.createNewFile(self._p(f"v{t:08d}.skip"))
 
+    def _touch_claim(self, t: int) -> None:
+        """Heartbeat: refresh the claim file's mtime to 'now'."""
+        self._fs.setTimes(
+            self._p(f"v{t:08d}.claim"), int(time.time() * 1000), -1
+        )
+
+    def _claim_stale(self, s: int) -> bool:
+        """True when claim s's heartbeat (file mtime) is older than
+        ``claim_timeout`` — the owner stopped beating, so it is dead.
+        A vanished claim file (pruned) also counts as dead."""
+        try:
+            st = self._fs.getFileStatus(self._p(f"v{s:08d}.claim"))
+        except Exception:
+            return True
+        age_s = time.time() - st.getModificationTime() / 1000.0
+        return age_s > self.claim_timeout
+
     def _resolve_below(self, t: int) -> None:
         """Wait until every claimed version in (published_max, t) is
-        published or tombstoned; tombstone dead claims after timeout."""
-        deadline = time.monotonic() + self.claim_timeout
+        published or tombstoned.  Only claims with a STALE heartbeat are
+        tombstoned — a live writer mid-stage keeps its claim fresh and
+        is waited on for as long as it beats (lease semantics; the wait
+        is bounded by the owner's real lifetime, not by a fixed clock
+        on its stage duration)."""
         while True:
             pub, clm, skp = self._scan()
             pending = {
@@ -186,10 +230,9 @@ class VersionedZone:
             }
             if not pending:
                 return
-            if time.monotonic() >= deadline:
-                for s in pending:
+            for s in pending:
+                if self._claim_stale(s):
                     self._tombstone(s)
-                return
             time.sleep(self.poll_interval)
 
     def commit(
@@ -210,45 +253,73 @@ class VersionedZone:
             t = max(pub | clm | skp, default=0) + 1
             if not self._claim(t):
                 continue  # raced: someone claimed t first
-            self._resolve_below(t)
-            pub, _, _ = self._scan()
-            base_v = max((s for s in pub if s < t), default=None)
-            base = (
-                self.spark.read.parquet(self._snap(base_v))
-                if base_v is not None
-                else self.spark.createDataFrame([], schema)
+            stop_beat = threading.Event()
+            beater = threading.Thread(
+                target=self._beat_claim, args=(t, stop_beat), daemon=True
             )
-            wip = f"{self.path}/v{t:08d}__wip_{uuid.uuid4().hex[:12]}"
-            obs = Observation()
-            merged = merge_fn(base)
-            merged.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-                "overwrite"
-            ).parquet(wip)
-            rows = int(obs.get["rows"])
-            if audit_fn is not None:
-                try:
-                    audit_fn(self.spark.read.parquet(wip))
-                except Exception as ex:
-                    self._fs.delete(self._Path(wip), True)
-                    self._tombstone(t)
-                    raise ZoneAuditError(
-                        f"zone {self.path} v{t}: audit failed: {ex}"
-                    ) from ex
-            self._write_manifest(wip, t, base_v, rows)
-            # zombie guard: if we were declared dead while writing, our
-            # version number is burned — abort rather than publish over it
-            if self._fs.exists(self._p(f"v{t:08d}.skip")):
-                self._fs.delete(self._Path(wip), True)
-                continue
-            if not self._fs.rename(self._Path(wip), self._Path(self._snap(t))):
-                self._fs.delete(self._Path(wip), True)
-                raise IOError(
-                    f"zone {self.path}: publish rename failed for v{t}"
+            beater.start()
+            try:
+                published = self._commit_at(
+                    t, merge_fn, schema, audit_fn
                 )
-            return t, rows
+            finally:
+                stop_beat.set()
+                beater.join(timeout=5.0)
+            if published is not None:
+                return published
         raise RuntimeError(
             f"zone {self.path}: gave up after {max_attempts} commit attempts"
         )
+
+    def _beat_claim(self, t: int, stop: threading.Event) -> None:
+        """Daemon heartbeat: keep claim t's lease fresh while staging.
+        Best-effort — a dropped beat only narrows the lease; the publish
+        path re-checks the tombstone regardless."""
+        while not stop.wait(self.heartbeat_interval):
+            try:
+                self._touch_claim(t)
+            except Exception:  # pragma: no cover - fs hiccup, keep trying
+                pass
+
+    def _commit_at(self, t, merge_fn, schema, audit_fn) -> tuple | None:
+        """One claimed attempt at version t; None means retry (zombie)."""
+        self._resolve_below(t)
+        pub, _, _ = self._scan()
+        base_v = max((s for s in pub if s < t), default=None)
+        base = (
+            self.spark.read.parquet(self._snap(base_v))
+            if base_v is not None
+            else self.spark.createDataFrame([], schema)
+        )
+        wip = f"{self.path}/v{t:08d}__wip_{uuid.uuid4().hex[:12]}"
+        obs = Observation()
+        merged = merge_fn(base)
+        merged.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(wip)
+        rows = int(obs.get["rows"])
+        if audit_fn is not None:
+            try:
+                audit_fn(self.spark.read.parquet(wip))
+            except Exception as ex:
+                self._fs.delete(self._Path(wip), True)
+                self._tombstone(t)
+                raise ZoneAuditError(
+                    f"zone {self.path} v{t}: audit failed: {ex}"
+                ) from ex
+        self._write_manifest(wip, t, base_v, rows)
+        # zombie guard: if we were declared dead while writing (heartbeat
+        # thread died + lease expired), our version number is burned —
+        # abort rather than publish over it
+        if self._fs.exists(self._p(f"v{t:08d}.skip")):
+            self._fs.delete(self._Path(wip), True)
+            return None
+        if not self._fs.rename(self._Path(wip), self._Path(self._snap(t))):
+            self._fs.delete(self._Path(wip), True)
+            raise IOError(
+                f"zone {self.path}: publish rename failed for v{t}"
+            )
+        return t, rows
 
     def _write_manifest(
         self, wip: str, t: int, base_v: int | None, rows: int

@@ -2502,6 +2502,23 @@ def test_k_core_intent(spark):
     }
     assert out == {1: 2, 2: 2, 3: 2}
 
+    # bounded rounds stop before fixpoint: a chain 1-2-3-4-5 under
+    # k=2, rounds=1 peels only the endpoints; survivors 2/3/4 recount
+    # to degrees 1/2/1 — core_only=True restores the strict
+    # "degree >= k" membership contract for callers that assume it
+    chain = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(1, 5)]
+    )
+    loose = {
+        r.node: r.degree for r in k_core(chain, k=2, rounds=1).collect()
+    }
+    assert loose == {2: 1, 3: 2, 4: 1}
+    strict = {
+        r.node: r.degree
+        for r in k_core(chain, k=2, rounds=1, core_only=True).collect()
+    }
+    assert strict == {3: 2}
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

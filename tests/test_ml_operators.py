@@ -1816,6 +1816,36 @@ def test_png_decode_all_filters_and_color_types():
     corrupt_idat[40] ^= 0xFF
     assert _png_decode_pixels(bytes(corrupt_idat)) is None
 
+    # decompression-bomb quarantine: (a) IDAT inflating far past the
+    # declared 2x2 dimensions is rejected by the bounded inflate without
+    # materializing the payload; (b) a header DECLARING absurd
+    # dimensions is rejected before any allocation
+    import struct
+    import zlib as _z
+
+    def _chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", _z.compress(b"\x00" * (256 * 1024 * 1024)))
+        + _chunk(b"IEND", b"")
+    )
+    assert _png_decode_pixels(bomb) is None
+    huge_hdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2**20, 2**20, 8, 2, 0, 0, 0)
+        )
+        + _chunk(b"IDAT", _z.compress(b"\x00" * 16))
+        + _chunk(b"IEND", b"")
+    )
+    assert _png_decode_pixels(huge_hdr) is None
+
 
 def test_png_pixel_stats_kernel(spark):
     from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
@@ -1908,6 +1938,14 @@ def test_cohens_kappa_textbook(spark):
     # constant equal raters: pe = 1 -> NULL kappa
     const = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
     assert cohens_kappa(const, "a", "b").collect()[0].kappa is None
+    # disjoint label sets: empty marginal join -> pe = 0, kappa = po
+    # (NOT NULL — the SUM over the empty join must coalesce to 0)
+    disj = spark.createDataFrame(
+        [("p", "q")] * 3 + [("r", "s")], "a string, b string"
+    )
+    row = cohens_kappa(disj, "a", "b").collect()[0]
+    assert (row.n, row.n_agree) == (4, 0)
+    assert row.kappa == 0.0
 
 
 def test_winnow_fingerprint_guarantee(spark):

@@ -320,6 +320,67 @@ def test_versioned_zone_audit_blocks_publish(spark, tmp_path):
     assert v == 3
 
 
+def test_versioned_zone_slow_live_writer_not_tombstoned(spark, tmp_path):
+    """A writer whose merge+stage takes MUCH longer than claim_timeout
+    must not be declared dead while it heartbeats: the concurrent fast
+    writer waits on the live lease instead of tombstoning it (the
+    pre-heartbeat protocol clocked the whole stage against the timeout,
+    so long concurrent commits starved each other)."""
+    import threading
+    import time as _time
+
+    z = _zone(
+        spark, tmp_path, claim_timeout=1.0, poll_interval=0.1,
+        heartbeat_interval=0.2,
+    )
+    z.upsert(
+        spark.createDataFrame(
+            [(1, 1, "base")], "k bigint, ver bigint, val string"
+        ),
+        ["k"],
+        "ver",
+    )
+    errs = []
+
+    def slow_writer():
+        try:
+            batch = spark.createDataFrame(
+                [(2, 2, "slow")], "k bigint, ver bigint, val string"
+            )
+
+            def merge(base):
+                _time.sleep(3.0)  # 3x the claim_timeout
+                from nl_railtraffic_etl_pipeline_spark.operators.upsert import (
+                    upsert_latest_wins,
+                )
+
+                return upsert_latest_wins(base, batch, ["k"], "ver")
+
+            z.commit(merge, schema=batch.schema)
+        except Exception as ex:  # pragma: no cover - surfaced below
+            errs.append(ex)
+
+    th = threading.Thread(target=slow_writer)
+    th.start()
+    _time.sleep(0.5)  # let the slow writer claim v2 and start staging
+    v_fast, _ = z.upsert(
+        spark.createDataFrame(
+            [(3, 2, "fast")], "k bigint, ver bigint, val string"
+        ),
+        ["k"],
+        "ver",
+    )
+    th.join()
+    assert not errs, errs
+    # both landed, strictly serialized; the slow claim was never skipped
+    got = {r.k: r.val for r in z.read().collect()}
+    assert got == {1: "base", 2: "slow", 3: "fast"}
+    assert z.current_version() == 3
+    assert not any(n.endswith(".skip") for n in z._names())
+    assert v_fast == 3  # the fast writer WAITED and rebased on the slow one
+    assert z.manifest(3)["base_version"] == 2
+
+
 def test_versioned_zone_dead_claim_recovery(spark, tmp_path):
     """A claim file without a writer (crashed before staging) must not
     wedge the zone: the next committer tombstones it after the timeout
