@@ -413,16 +413,22 @@ def duplicate_clusters(
 
     The step after pair generation in every dedup pipeline: transitively
     connected docs form one duplicate cluster; the representative is the
-    cluster's minimum id (the keep-one policy).  Iterative min-label
-    propagation (public algorithm; the DataFrame cousin of
-    large-star/small-star): each round, every node takes the min of its
-    own label and its neighbors' labels — one key-shuffle join + one
-    aggregation per round, labels checkpointed, converging in O(distance
-    from each node to its component's min) rounds.  Near-dup clusters are
-    shallow (most are pairs/triangles), so rounds stay single-digit at any
-    corpus size.  Convergence is an ``observe`` metric (sum of changed
-    labels) riding the SAME action that checkpoints the round's labels —
-    exactly ONE Spark job per round, no separate probe pass.
+    cluster's minimum id (the keep-one policy).  Min-label propagation
+    WITH pointer doubling (both public algorithms — the shortcutting
+    idea of Shiloach-Vishkin / the star operations of the MapReduce CC
+    literature): each round every node takes the min of (its own label,
+    its neighbors' labels, its label's label).  The neighbor step flows
+    labels along edges; the label-of-label step halves the pointer-chain
+    depth each round, so a component of diameter d converges in
+    O(log d) rounds instead of O(d) — at 100 TB a single long-chain
+    component no longer dictates the round count.  Per round: one
+    edge-keyed shuffle join + aggregation, plus one node-sized
+    label-to-label equi-join (labels frame is node-sized, exact
+    equi-keys, no fan-out).  Convergence is an ``observe`` metric (sum
+    of changed labels) riding the SAME action that checkpoints the
+    round's labels — exactly ONE Spark job per round, no separate probe
+    pass; non-convergence within ``max_iter`` raises rather than
+    returning silently-wrong clusters.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = _materialize(
@@ -442,20 +448,28 @@ def duplicate_clusters(
             .groupBy(F.col("dst").alias("doc"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # pointer doubling: label(label(u)) from the node-sized labels
+        # frame itself — labels always point at existing nodes, so the
+        # left join only misses when label == doc already (coalesced)
+        jump = labels.select(
+            F.col("doc").alias("_jdoc"), F.col("label").alias("jump_min")
+        )
         # The changed-count rides the checkpoint action as an observe
         # metric (verified: Observation fires on eager localCheckpoint),
         # so each round is one job — not checkpoint + probe.
         obs = Observation()
+        best = F.least(
+            F.col("label"),
+            F.coalesce("nbr_min", F.col("label")),
+            F.coalesce("jump_min", F.col("label")),
+        )
         new_labels = _materialize(
             labels.join(nbr_min, "doc", "left")
+            .join(jump, F.col("label") == F.col("_jdoc"), "left")
             .select(
                 "doc",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-                (
-                    F.coalesce("nbr_min", F.col("label")) < F.col("label")
-                ).cast("long").alias("_chg"),
+                best.alias("label"),
+                (best < F.col("label")).cast("long").alias("_chg"),
             )
             .observe(obs, F.sum("_chg").alias("n_changed"))
         )

@@ -189,6 +189,22 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert {r.cluster_rep for r in clusters.collect()} == {0}
 
 
+def test_duplicate_clusters_deep_chain_log_rounds(spark):
+    """Pointer doubling makes convergence O(log d), not O(d): a path of
+    diameter 99 must finish within ceil(log2 d) + 2 rounds — plain
+    min-label propagation would need ~99 and must raise here instead."""
+    import math
+
+    d = 99
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(d)], "doc_a bigint, doc_b bigint"
+    )
+    cap = math.ceil(math.log2(d)) + 2  # = 9
+    out = dedup.duplicate_clusters(pairs, max_iter=cap).collect()
+    assert len(out) == d + 1
+    assert {r.cluster_rep for r in out} == {0}
+
+
 def test_clean_corpus_drops_dups_and_junk(spark):
     """Exact-dup loser, near-dup cluster loser, and a too-short doc all
     fall out; survivors carry their token counts."""
