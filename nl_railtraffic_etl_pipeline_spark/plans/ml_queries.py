@@ -922,6 +922,91 @@ def _mm_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL JPEG entropy decode, DC-only (multimodal.decode_jpeg_dc_stats):
+# each selected doc gets a genuine baseline JPEG (canonical-Huffman DC
+# stream, std luminance table, byte stuffing — multimodal.
+# jpeg_encode_gray_blocks) whose per-block means follow an arithmetic
+# formula; the engine Huffman-decodes the ACTUAL BYTES (marker walk,
+# DHT build, DC predict + EXTEND) and the oracle recomputes the exact
+# DC sums — plain AND position-weighted, so block ORDER is pinned —
+# from the formula alone.  Every third doc ships truncated bytes to pin
+# the quarantine row.  DC = 8 * (block_mean - 128) with an all-ones
+# quant table, all exact BIGINTs.  Closes the r7 "JPEG decode stubbed"
+# row for the entropy/DC layer; full AC pixel decode (IDCT) still wants
+# a codec library.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_jpeg_dc",
+    """
+WITH sel AS (
+    SELECT doc_id,
+           CAST(2 + doc_id % 4 AS INTEGER) AS bw,
+           CAST(1 + doc_id % 3 AS INTEGER) AS bh,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 13 = 0
+),
+blk AS (
+    SELECT doc_id, bw, bh, unnest(range(0, bw * bh)) AS i
+    FROM sel WHERE NOT corrupt
+),
+dc AS (
+    SELECT doc_id,
+           8 * (((doc_id * 17 + i * 7) % 256) - 128) AS d,
+           i
+    FROM blk
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM(d) AS BIGINT) AS dc_sum,
+           CAST(SUM((i + 1) * d) AS BIGINT) AS dc_weighted
+    FROM dc GROUP BY 1
+)
+SELECT sel.doc_id,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE sel.bw * 8 END
+            AS INTEGER) AS width,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE sel.bh * 8 END
+            AS INTEGER) AS height,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.bw END AS blocks_w,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.bh END AS blocks_h,
+       sums.dc_sum, sums.dc_weighted,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_jpeg_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 13 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("_bw"),
+        (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("_bh"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import jpeg_encode_gray_blocks
+
+        for pdf in batches:
+            payloads = [
+                jpeg_encode_gray_blocks(int(doc), int(bw), int(bh))[
+                    : 20 if corrupt else None
+                ]
+                for doc, bw, bh, corrupt in zip(
+                    pdf["doc_id"], pdf["_bw"], pdf["_bh"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_jpeg_dc_stats(payload)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sketches (functions/sketch.py): KMV distinct estimation and
 # bottom-k hash sampling — unlike HLL++/DataFrame.sample, both replay
 # bit-identically on any engine via the shared md5 hash contract, so the

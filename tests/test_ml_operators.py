@@ -2067,3 +2067,101 @@ def test_duplicate_clusters_as_graph_components(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_jpeg_dc_roundtrip_and_quarantine():
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _jpeg_decode_dc,
+        jpeg_encode_gray_blocks,
+    )
+
+    for doc, bw, bh in [(0, 2, 1), (5, 4, 3), (123, 3, 2), (9967, 5, 1)]:
+        blob = jpeg_encode_gray_blocks(doc, bw, bh)
+        dec = _jpeg_decode_dc(blob)
+        assert dec is not None
+        w, h, gbw, gbh, dcs = dec
+        assert (w, h, gbw, gbh) == (bw * 8, bh * 8, bw, bh)
+        assert dcs == [
+            8 * (((doc * 17 + i * 7) % 256) - 128) for i in range(bw * bh)
+        ]
+
+    good = jpeg_encode_gray_blocks(7, 3, 2)
+    assert _jpeg_decode_dc(b"not a jpeg") is None
+    assert _jpeg_decode_dc(good[:20]) is None           # truncated
+    assert _jpeg_decode_dc(good[:-4]) is None           # stream cut mid-scan
+    progressive = bytearray(good)
+    sof_at = good.index(b"\xff\xc0")
+    progressive[sof_at + 1] = 0xC2                      # SOF2: progressive
+    assert _jpeg_decode_dc(bytes(progressive)) is None
+    sub = bytearray(good)
+    # component sampling byte inside SOF0 (prec1+dims4+nc1+cid1 = offset 9)
+    sub[sof_at + 4 + 7] = 0x22                          # 2x2 subsampled
+    assert _jpeg_decode_dc(bytes(sub)) is None
+
+
+def test_jpeg_dc_ac_skip_alignment():
+    """A nonzero AC coefficient between two DC codes must be skipped
+    bit-exactly: if the (run,size) skip is off by one bit, block 2's DC
+    decodes wrong."""
+    import struct
+
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _JPEG_STD_DC_BITS,
+        _JPEG_STD_DC_VALS,
+        _huff_canonical,
+        _jpeg_decode_dc,
+    )
+
+    dc_enc = _huff_canonical(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    # AC table with two 2-bit symbols: EOB (0x00) and run0/size3 (0x03)
+    ac_bits = [0, 2] + [0] * 14
+    ac_enc = _huff_canonical(ac_bits, [0x00, 0x03])
+
+    bits = []
+
+    def emit(code, ln):
+        bits.extend(((code >> (ln - 1 - i)) & 1) for i in range(ln))
+
+    def emit_dc(diff):
+        cat = abs(diff).bit_length()
+        emit(*dc_enc[cat])
+        if cat:
+            emit(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+    emit_dc(40)            # block 1: DC = 40
+    emit(*ac_enc[0x03])    # one AC coef, size 3
+    emit(0b101, 3)         # its 3 raw bits
+    emit(*ac_enc[0x00])    # EOB
+    emit_dc(-15)           # block 2: DC = 25
+    emit(*ac_enc[0x00])    # EOB
+
+    payload = bytearray()
+    acc = bits + [1] * ((8 - len(bits) % 8) % 8)
+    for i in range(0, len(acc), 8):
+        byte = int("".join(map(str, acc[i : i + 8])), 2)
+        payload.append(byte)
+        if byte == 0xFF:
+            payload.append(0x00)
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([2] * 64))    # quant scale 2
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(
+            0xC4,
+            bytes([0x00]) + bytes(_JPEG_STD_DC_BITS)
+            + bytes(_JPEG_STD_DC_VALS)
+            + bytes([0x10]) + bytes(ac_bits) + bytes([0x00, 0x03]),
+        )
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(payload)
+        + b"\xff\xd9"
+    )
+    dec = _jpeg_decode_dc(blob)
+    assert dec is not None
+    w, h, bw, bh, dcs = dec
+    assert (w, h, bw, bh) == (16, 8, 2, 1)
+    assert dcs == [80, 50]  # dequantized by q0 = 2; predictor 40 -> 25
