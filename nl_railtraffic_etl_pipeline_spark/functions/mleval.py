@@ -599,3 +599,106 @@ def label_vote(
         )
         .withColumn("label", label)
     )
+
+
+def conformal_bounds(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ts_col: str,
+    cutoff: str,
+    alpha_pct: int = 10,
+) -> DataFrame:
+    """Split-conformal prediction interval per group, with its empirical
+    coverage audit — the distribution-free uncertainty wrapper (Vovk;
+    Angelopoulos & Bates tutorial, public method) a forecast/scoring
+    pipeline ships alongside point predictions.
+
+    Rows before ``cutoff`` are the calibration split; the point
+    predictor is the calibration LOWER MEDIAN (exact order statistic),
+    the conformity score is ``|v - med|`` (exact decimal), and the
+    radius ``qhat`` is the ``ceil((1 - alpha) * (n_cal + 1))``-th
+    smallest score — computed with INTEGER arithmetic
+    (``(pct * (n+1) + 9) div 100`` for pct = 100 - alpha_pct), capped at
+    ``n_cal`` (the standard finite-sample cap).  Coverage is then
+    audited on the held-out rows: ``share(|v - med| <= qhat)``, which by
+    the conformal guarantee should be >= 1 - alpha up to discreteness.
+
+    Everything except the one closing coverage division is exact
+    (decimal values, bigint ranks), so the gate hash-matches at any
+    partitioning.  Plan: ONE group-keyed shuffle shared by two windows
+    (rank for the order statistics) + the final conditional aggregate —
+    no joins except the qhat broadcast-back, which is group-sized.
+    """
+    if not 0 < alpha_pct < 100:
+        raise ValueError(f"alpha_pct must be in (0, 100), got {alpha_pct}")
+    pct = 100 - alpha_pct
+    cut = F.lit(cutoff).cast("timestamp")
+    v = F.col(value_col).cast("string").cast("decimal(18,6)")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        *group_cols, v.alias("_v"), (F.col(ts_col) < cut).alias("_cal")
+    )
+    gw = Window.partitionBy(*group_cols)
+    calw = Window.partitionBy(*group_cols).orderBy("_v")
+    cal = (
+        base.filter("_cal")
+        .withColumn("_rn", F.row_number().over(calw))
+        .withColumn("_n", F.count("*").over(gw))
+    )
+    # integer lower-median position: (n+1) div 2
+    med = cal.filter(F.col("_rn") == F.expr("(_n + 1) div 2")).select(
+        *group_cols,
+        F.col("_v").alias("_med"),
+        F.col("_n").alias("n_cal"),
+    )
+    scored = (
+        base.filter("_cal")
+        .join(F.broadcast(med), list(group_cols))
+        .select(
+            *group_cols,
+            "n_cal",
+            F.abs(F.col("_v") - F.col("_med")).alias("_r"),
+        )
+    )
+    rw = Window.partitionBy(*group_cols).orderBy("_r")
+    qhat = (
+        scored.withColumn("_rrn", F.row_number().over(rw))
+        .filter(
+            F.col("_rrn")
+            == F.least(
+                F.col("n_cal"),
+                F.expr(f"({pct} * (n_cal + 1) + 99) div 100"),
+            )
+        )
+        .select(*group_cols, "n_cal", F.col("_r").alias("_q"))
+    )
+    test = base.filter(~F.col("_cal")).join(
+        F.broadcast(med.select(*group_cols, "_med")), list(group_cols)
+    ).join(F.broadcast(qhat), list(group_cols))
+    return (
+        test.groupBy(*group_cols)
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.count("*").alias("n_test"),
+            F.first(F.col("_med").cast("double")).alias("point"),
+            F.first(F.col("_q").cast("double")).alias("qhat"),
+            F.count_if(
+                F.abs(F.col("_v") - F.col("_med")) <= F.col("_q")
+            ).alias("covered"),
+        )
+        .select(
+            *group_cols,
+            "n_cal",
+            "n_test",
+            "point",
+            "qhat",
+            "covered",
+            F.round(
+                F.col("covered").cast("double")
+                / F.col("n_test").cast("double"),
+                9,
+            ).alias("coverage"),
+        )
+    )

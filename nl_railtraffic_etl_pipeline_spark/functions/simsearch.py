@@ -762,3 +762,80 @@ def pq_fidelity(
             6,
         ).alias("fidelity"),
     )
+
+
+def negative_sampling(
+    embeddings: DataFrame,
+    k: int = 4,
+    oversample: int = 3,
+    salt: str = "neg",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic UNIFORM negative sampling for contrastive training:
+    per anchor, ``k`` pseudo-random different-label vectors — the cheap
+    companion to :func:`hard_negatives` (most contrastive recipes mix
+    uniform negatives with a few mined hard ones).
+
+    Randomness is the repo md5 contract: draw ``j``'s candidate id is
+    ``hash32(salt:anchor:j) % n`` — a COMPUTED KEY, so candidates are
+    fetched with ONE id-keyed equi-join against the corpus instead of
+    any per-anchor scan; same-label and self collisions are dropped and
+    the survivors keep their draw order (first ``k`` win).  An anchor
+    can legitimately come back with fewer than ``k`` rows if too many
+    draws collide — oversample bounds that risk and the behavior is
+    bit-identical in the oracle.
+
+    Scale shape: map-side explode of ``k * oversample`` draws per
+    anchor, one 1-row count broadcast, ONE vec_id equi-join, one
+    anchor-keyed window over ≤ ``k * oversample`` rows.  Never a cross
+    join — at corpus scale this is the only uniform-sampler shape that
+    works (per-anchor ORDER BY rand() is a full sort per anchor).
+    """
+    from .text import hash32
+
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    n1 = embeddings.agg(F.count("*").alias("_n"))
+    draws = embeddings.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_a_label"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(k * oversample)))
+        ).alias("draw_idx"),
+    )
+    cand_id = (
+        hash32(
+            F.concat(
+                F.lit(f"{salt}:"),
+                F.col("anchor_id").cast("string"),
+                F.lit(":"),
+                F.col("draw_idx").cast("string"),
+            )
+        )
+        % F.col("_n")
+    )
+    cand = draws.crossJoin(F.broadcast(n1)).select(
+        "anchor_id", "_a_label", "draw_idx", cand_id.alias("_cand")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("_cand"),
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+    )
+    ok = cand.join(corpus, "_cand").filter(
+        (F.col("neg_label") != F.col("_a_label"))
+        & (F.col("neg_id") != F.col("anchor_id"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy("draw_idx")
+    return (
+        ok.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "anchor_id",
+            F.col("draw_idx").cast("int").alias("draw_idx"),
+            "neg_id",
+            "neg_label",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+    )

@@ -1927,3 +1927,130 @@ def runs_test(
         ),
     )
     return agg.select(*g, "n1", "n2", "runs", z.alias("z"))
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    trim_pct: int = 10,
+) -> DataFrame:
+    """Per-group symmetric trimmed mean: drop the lowest and highest
+    ``floor(trim_pct% * n)`` values, average the middle — the robust
+    location estimate between the mean (trim 0) and the median (trim
+    50), standard for latency/value metrics with junk tails.
+
+    Exact by the module contract: decimal value image, BIGINT ranks
+    (``t = trim_pct * n div 100`` in integer arithmetic), exact decimal
+    sum of the kept order statistics, ONE closing IEEE division.  Empty
+    keep-ranges (tiny groups with aggressive trim) return NULL.
+
+    Plan: ONE group-keyed exchange shared by the rank window and the
+    final aggregate — the family's one-shuffle sequential-statistic
+    shape.  Output: group cols, n, n_trimmed (per side), trimmed_mean.
+    """
+    from pyspark.sql import Window
+
+    if not 0 <= trim_pct < 50:
+        raise ValueError(f"trim_pct must be in [0, 50), got {trim_pct}")
+    v = _dec(F.col(value_col))
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, v.alias("_v")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_v")
+    gw = Window.partitionBy(*group_cols)
+    ranked = base.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(gw)
+    ).withColumn("_t", F.expr(f"{int(trim_pct)} * _n div 100"))
+    kept = (F.col("_rn") > F.col("_t")) & (
+        F.col("_rn") <= F.col("_n") - F.col("_t")
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.first("_n").alias("n"),
+            F.first("_t").alias("n_trimmed"),
+            F.sum(F.when(kept, F.col("_v"))).alias("_s"),
+            F.count_if(kept).alias("_k"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            "n_trimmed",
+            F.when(
+                F.col("_k") > 0,
+                F.round(
+                    F.col("_s").cast("double") / F.col("_k").cast("double"),
+                    9,
+                ),
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
+def simpson_flip(
+    df: DataFrame,
+    stratum_cols: Sequence[str],
+    flag_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Simpson's-paradox audit: does the per-stratum direction of a
+    binary split's effect on a metric contradict the aggregate
+    direction?  The lurking-variable check every segment-level readout
+    should run before shipping an "X is better" conclusion.
+
+    ``flag_col`` must be 0/1.  For each stratum (and the aggregate) the
+    effect direction is the SIGN of ``s1*n0 - s0*n1`` — the
+    cross-multiplied image of ``mean1 - mean0`` — carried as an exact
+    DECIMAL x BIGINT product (never a float comparison; overflow bound
+    is the registry INT128/decimal(38) note).  Output per stratum: both
+    group sizes, the two means and their gap (fixed IEEE closing
+    chains), the exact direction, the aggregate direction, and
+    ``flips_aggregate`` (strict sign opposition; zero directions never
+    flag).  Strata missing either arm are excluded — there is no
+    within-stratum direction to compare.
+
+    Plan: ONE stratum-keyed partial agg + a 1-row aggregate broadcast.
+    """
+    f = F.col(flag_col).cast("bigint")
+    v = _dec(F.col(value_col))
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *stratum_cols, f.alias("_f"), v.alias("_v")
+    )
+    per = base.groupBy(*stratum_cols).agg(
+        F.count_if(F.col("_f") == 0).alias("n0"),
+        F.count_if(F.col("_f") == 1).alias("n1"),
+        F.sum(F.when(F.col("_f") == 0, F.col("_v"))).alias("_s0"),
+        F.sum(F.when(F.col("_f") == 1, F.col("_v"))).alias("_s1"),
+    ).filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    tot = per.agg(
+        F.sum("n0").alias("_tn0"),
+        F.sum("n1").alias("_tn1"),
+        F.sum("_s0").alias("_ts0"),
+        F.sum("_s1").alias("_ts1"),
+    )
+
+    def direction(d: F.Column) -> F.Column:
+        return (
+            F.when(d > 0, 1).when(d < 0, -1).otherwise(0).cast("int")
+        )
+
+    d_str = F.col("_s1") * F.col("n0") - F.col("_s0") * F.col("n1")
+    d_agg = (
+        F.col("_ts1") * F.col("_tn0") - F.col("_ts0") * F.col("_tn1")
+    )
+    mean0 = F.col("_s0").cast("double") / F.col("n0").cast("double")
+    mean1 = F.col("_s1").cast("double") / F.col("n1").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        *stratum_cols,
+        "n0",
+        "n1",
+        F.round(mean0, 9).alias("mean0"),
+        F.round(mean1, 9).alias("mean1"),
+        F.round(mean1 - mean0, 9).alias("gap"),
+        direction(d_str).alias("stratum_dir"),
+        direction(d_agg).alias("aggregate_dir"),
+        (direction(d_str) * direction(d_agg) == -1).alias(
+            "flips_aggregate"
+        ),
+    )

@@ -379,3 +379,49 @@ def filter_blocklist(
         )
         .drop("_dom")
     )
+
+
+#: Capture group 1 = href target, double- OR single-quoted.  Shared
+#: verbatim with the oracle; plain character classes, no lookaround, so
+#: Java regex and DuckDB's RE2 agree byte-for-byte.
+HREF_RE = "href=[\"']([^\"']+)[\"']"
+
+
+def extract_links(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Link-graph edge extraction from raw HTML — the crawl-pipeline op
+    that turns fetched pages into the (source domain -> target domain)
+    edge list PageRank / host-reputation / frontier scheduling consume.
+
+    ``href`` values are pulled with one shared regexp (double- or
+    single-quoted), kept only when ABSOLUTE http(s) (relative links need
+    base-URL resolution — a separate, stateful concern — and mailto/js
+    schemes are noise for a link graph), and both endpoints are mapped
+    to their registered domain.  Output: one row per (src_domain,
+    dst_domain) with ``n_links`` (total href occurrences) and
+    ``n_src_docs`` (distinct linking documents).
+
+    Scale shape: map-side ``regexp_extract_all`` + explode (no shuffle,
+    fan-out bounded by links-per-page), then ONE (src,dst)-keyed
+    partial-aggregated shuffle; the edge list is domains², metadata
+    scale next to the page corpus.
+    """
+    src_dom = registered_domain(url_host(F.col(url_col)))
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), F.lit(1))
+    exploded = df.select(
+        src_dom.alias("src_domain"),
+        F.col(url_col).alias("_src_url"),
+        F.explode(hrefs).alias("_target"),
+    ).filter(F.col("_target").rlike("^https?://"))
+    dst_dom = registered_domain(url_host(F.col("_target")))
+    return (
+        exploded.select("src_domain", "_src_url", dst_dom.alias("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.count_distinct("_src_url").alias("n_src_docs"),
+        )
+    )

@@ -4202,3 +4202,113 @@ def _transition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("period"),
     )
     return categorical_drift(flagged, "bucket", "period")
+
+
+# ---------------------------------------------------------------------------
+# Symmetric trimmed mean per event type (functions/stats.py::
+# trimmed_mean): drop the bottom/top floor(10% * n) order statistics,
+# exact-decimal sum of the middle, one closing division — the robust
+# location estimate between events_winsorize (which clamps) and the
+# median (trim 50).
+# ---------------------------------------------------------------------------
+@query(
+    "stats_trimmed_mean",
+    """
+WITH base AS (
+    SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+    FROM events WHERE value IS NOT NULL
+),
+rn AS (
+    SELECT event_type, v,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY v) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM base
+),
+t AS (SELECT *, (10 * n) // 100 AS tr FROM rn)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(tr) AS BIGINT) AS n_trimmed,
+       CASE WHEN COUNT(*) FILTER (rn > tr AND rn <= n - tr) > 0 THEN
+           ROUND(CAST(SUM(CASE WHEN rn > tr AND rn <= n - tr THEN v END)
+                      AS DOUBLE)
+                 / CAST(COUNT(*) FILTER (rn > tr AND rn <= n - tr)
+                        AS DOUBLE), 9)
+       END AS trimmed_mean
+FROM t GROUP BY 1
+""",
+)
+def _stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import trimmed_mean
+
+    return trimmed_mean(
+        load_table(spark, sf_dir, "events", spread=True).filter(
+            F.col("event_type").isNotNull()
+        ),
+        ["event_type"],
+        "value",
+        trim_pct=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit (functions/stats.py::simpson_flip): does any
+# event type's weekend-vs-weekday value direction contradict the
+# aggregate direction?  Directions are signs of exact cross-multiplied
+# DECIMAL x BIGINT products (never float comparisons); means/gap are
+# fixed IEEE closing chains.  Weekend = isodow 6/7 == Spark weekday()+1.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_simpson_flip",
+    """
+WITH base AS (
+    SELECT event_type,
+           CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS f,
+           CAST(value AS DECIMAL(18,6)) AS v
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+per AS (
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (f = 0) AS BIGINT) AS n0,
+           CAST(COUNT(*) FILTER (f = 1) AS BIGINT) AS n1,
+           SUM(CASE WHEN f = 0 THEN v END) AS s0,
+           SUM(CASE WHEN f = 1 THEN v END) AS s1
+    FROM base GROUP BY 1
+    HAVING COUNT(*) FILTER (f = 0) > 0 AND COUNT(*) FILTER (f = 1) > 0
+),
+tot AS (
+    SELECT CAST(SUM(n0) AS BIGINT) AS tn0, CAST(SUM(n1) AS BIGINT) AS tn1,
+           SUM(s0) AS ts0, SUM(s1) AS ts1
+    FROM per
+),
+dirs AS (
+    SELECT per.*,
+           CASE WHEN s1 * n0 - s0 * n1 > 0 THEN 1
+                WHEN s1 * n0 - s0 * n1 < 0 THEN -1 ELSE 0 END AS sd,
+           CASE WHEN ts1 * tn0 - ts0 * tn1 > 0 THEN 1
+                WHEN ts1 * tn0 - ts0 * tn1 < 0 THEN -1 ELSE 0 END AS ad
+    FROM per, tot
+)
+SELECT event_type, n0, n1,
+       ROUND(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE), 9) AS mean0,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 9) AS mean1,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE), 9) AS gap,
+       CAST(sd AS INTEGER) AS stratum_dir,
+       CAST(ad AS INTEGER) AS aggregate_dir,
+       sd * ad = -1 AS flips_aggregate
+FROM dirs
+""",
+)
+def _stats_simpson_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import simpson_flip
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    flagged = ev.withColumn(
+        "_is_weekend",
+        ((F.weekday(F.to_date("ts")) + 1) >= 6).cast("int"),
+    )
+    return simpson_flip(flagged, ["event_type"], "_is_weekend", "value")

@@ -553,3 +553,74 @@ def _fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_tg", 9).alias("tpr_gap"),
         F.round("_fg", 9).alias("fpr_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals with a held-out coverage audit
+# (functions/mleval.py::conformal_bounds): calibration median as the
+# point, |v - med| conformity scores, qhat = the ceil(0.9*(n+1))-th
+# smallest score by INTEGER rank arithmetic, coverage on post-cutoff
+# rows.  Exact decimals/bigints until the one closing division.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_conformal_bounds",
+    """
+WITH base AS (
+    SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+           ts < TIMESTAMP '2024-01-22 00:00:00' AS cal
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+c AS (SELECT event_type, v FROM base WHERE cal),
+rn AS (
+    SELECT event_type, v,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY v) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM c
+),
+med AS (
+    SELECT event_type, v AS med, n AS n_cal FROM rn WHERE rn = (n + 1) // 2
+),
+scores AS (
+    SELECT c.event_type, ABS(c.v - m.med) AS r, m.n_cal
+    FROM c JOIN med m ON c.event_type = m.event_type
+),
+srn AS (
+    SELECT event_type, r, n_cal,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY r) AS BIGINT) AS rn
+    FROM scores
+),
+q AS (
+    SELECT event_type, n_cal, r AS qhat FROM srn
+    WHERE rn = LEAST(n_cal, (90 * (n_cal + 1) + 99) // 100)
+),
+t AS (
+    SELECT b.event_type, q.n_cal, b.v, m.med, q.qhat
+    FROM base b
+    JOIN med m ON b.event_type = m.event_type
+    JOIN q ON b.event_type = q.event_type
+    WHERE NOT b.cal
+)
+SELECT event_type, n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(med AS DOUBLE) AS point,
+       CAST(qhat AS DOUBLE) AS qhat,
+       CAST(COUNT(*) FILTER (ABS(v - med) <= qhat) AS BIGINT) AS covered,
+       ROUND(CAST(COUNT(*) FILTER (ABS(v - med) <= qhat) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS coverage
+FROM t GROUP BY event_type, n_cal, med, qhat
+""",
+)
+def _ml_conformal_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import conformal_bounds
+
+    return conformal_bounds(
+        load_table(spark, sf_dir, "events", spread=True),
+        ["event_type"],
+        "value",
+        "ts",
+        cutoff="2024-01-22 00:00:00",
+        alpha_pct=10,
+    ).filter(F.col("event_type").isNotNull())

@@ -2647,6 +2647,132 @@ def _web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Link-graph extraction from raw HTML (functions/web.py::extract_links):
+# both engines synthesize the SAME page markup from doc_id (mixed double-
+# and single-quoted hrefs, relative links, a mailto, plain text), the
+# engine pulls hrefs with the shared HREF_RE, keeps absolute http(s)
+# targets, maps both endpoints to registered domains, and aggregates the
+# (src, dst) edge list.  The oracle replays extraction on the same
+# markup — any regex/quoting/filter mismatch hash-fails.
+# ---------------------------------------------------------------------------
+
+
+def _weburl_of(n: F.Column) -> F.Column:
+    """URL for an arbitrary integer column, same host CASE as _weburl_col."""
+    m = n % 7
+    host = (
+        F.when(m == 0, "news.example.co.uk")
+        .when(m == 1, "example.co.uk:8080")
+        .when(m == 2, "Blog.Sample.COM")
+        .when(m == 3, "sample.com")
+        .when(m == 4, "www.heavy.org")
+        .when(m == 5, "cdn.heavy.org")
+        .otherwise("heavy.org")
+    )
+    return F.concat(F.lit("https://"), host, F.lit("/p/"), n.cast("string"))
+
+
+def _weburl_sql_of(e: str) -> str:
+    return (
+        f"'https://' || (CASE ({e}) % 7 "
+        "WHEN 0 THEN 'news.example.co.uk' "
+        "WHEN 1 THEN 'example.co.uk:8080' "
+        "WHEN 2 THEN 'Blog.Sample.COM' "
+        "WHEN 3 THEN 'sample.com' "
+        "WHEN 4 THEN 'www.heavy.org' "
+        "WHEN 5 THEN 'cdn.heavy.org' "
+        f"ELSE 'heavy.org' END) || '/p/' || CAST(({e}) AS VARCHAR)"
+    )
+
+
+def _webhtml_col() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit('<html><a href="'),
+        _weburl_of(d + 1),
+        F.lit('">x</a><p>body</p>'),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<a class='m' href='"),
+                _weburl_of(d * 2 + 3),
+                F.lit("'>y</a>"),
+            ),
+        ).otherwise(""),
+        F.when(
+            d % 4 == 0,
+            F.lit('<a href="/local/page">z</a>'
+                  '<a href="mailto:x@y.z">m</a>'),
+        ).otherwise(""),
+        F.lit("</html>"),
+    )
+
+
+_WEBHTML_SQL = (
+    "'<html><a href=\"' || " + _weburl_sql_of("doc_id + 1")
+    + " || '\">x</a><p>body</p>'"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " '<a class=''m'' href=''' || " + _weburl_sql_of("doc_id * 2 + 3")
+    + " || '''>y</a>' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN"
+    " '<a href=\"/local/page\">z</a><a href=\"mailto:x@y.z\">m</a>'"
+    " ELSE '' END || '</html>'"
+)
+
+_HREF_RE_SQL = web.HREF_RE.replace("'", "''")
+
+def _regdom_cols_sql(u: str, tag: str, out: str) -> str:
+    """Lateral-alias column chain mapping url expr ``u`` to its
+    registered domain ``out`` (DuckDB supports referencing prior SELECT
+    aliases; unique ``tag`` keeps the intermediate names distinct)."""
+    h, l = f"_h{tag}", f"_l{tag}"
+    return f"""
+           NULLIF(regexp_replace(
+               regexp_extract(lower({u}), '{web.HOST_CAPTURE_RE}', 1),
+               '{web.PORT_RE}', ''), '') AS {h},
+           string_split({h}, '.') AS {l},
+           CASE WHEN len({l}) >= 3
+                     AND ({l}[len({l})-1] || '.' || {l}[len({l})])
+                         IN ({_SUFFIX_IN})
+                THEN {l}[len({l})-2] || '.' || {l}[len({l})-1]
+                     || '.' || {l}[len({l})]
+                WHEN len({l}) >= 2 THEN {l}[len({l})-1] || '.' || {l}[len({l})]
+                ELSE {h} END AS {out}"""
+
+
+@query(
+    "web_extract_links",
+    f"""
+WITH raw AS (
+    SELECT doc_id, {_WEBURL_SQL} AS url, {_WEBHTML_SQL} AS html
+    FROM documents
+),
+hits AS (
+    SELECT url,
+           unnest(regexp_extract_all(html, '{_HREF_RE_SQL}', 1)) AS target
+    FROM raw
+),
+ends AS (
+    SELECT url,
+           {_regdom_cols_sql("url", "s", "src_domain")},
+           {_regdom_cols_sql("target", "t", "dst_domain")}
+    FROM hits WHERE regexp_matches(target, '^https?://')
+)
+SELECT src_domain, dst_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_src_docs
+FROM ends GROUP BY 1, 2
+""",
+)
+def _web_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    page = d.select(
+        _weburl_col().alias("url"), _webhtml_col().alias("html")
+    )
+    return web.extract_links(page)
+
+
+# ---------------------------------------------------------------------------
 # Model-scored filtering (text.quality_classifier): fixed-weight linear
 # classifier over quality features, all ratios over one common integer
 # denominator — the score is a single bigint/bigint division and keep is a
@@ -3549,6 +3675,53 @@ FROM (
 def _emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.hard_negatives(
         load_table(spark, sf_dir, "embeddings"), _KNN_QUERY_IDS, k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic uniform negative sampling (simsearch.negative_sampling):
+# per anchor, k pseudo-random different-label vectors where draw j's
+# candidate is hash32(salt:anchor:j) % n — a computed key fetched by ONE
+# id equi-join, never a cross join or per-anchor rand() sort.  The
+# uniform companion the contrastive trainer mixes with emb_hard_negatives.
+# ---------------------------------------------------------------------------
+_NEG_K, _NEG_OVER = 4, 3
+_NEG_H = _H32.format(
+    x="'neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+)
+
+
+@query(
+    "emb_negative_sampling",
+    f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+draws AS (
+    SELECT vec_id AS anchor_id, label AS a_label,
+           unnest(range(1, {_NEG_K * _NEG_OVER + 1})) AS j
+    FROM embeddings
+),
+cand AS (
+    SELECT anchor_id, a_label, j, {_NEG_H} % nn.n AS cand_id
+    FROM draws, nn
+),
+ok AS (
+    SELECT c.anchor_id, c.j, e.vec_id AS neg_id, e.label AS neg_label
+    FROM cand c JOIN embeddings e ON e.vec_id = c.cand_id
+    WHERE e.label <> c.a_label AND e.vec_id <> c.anchor_id
+)
+SELECT anchor_id, CAST(j AS INTEGER) AS draw_idx, neg_id, neg_label,
+       CAST(rn AS INTEGER) AS neg_rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY j) AS rn
+    FROM ok
+) WHERE rn <= {_NEG_K}
+""",
+)
+def _emb_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.negative_sampling(
+        load_table(spark, sf_dir, "embeddings"),
+        k=_NEG_K,
+        oversample=_NEG_OVER,
     )
 
 

@@ -2778,3 +2778,151 @@ def test_node_jaccard_hub_degree_fence(spark):
 
     with _pytest.raises(ValueError):
         node_jaccard(edges, 0.5, max_degree=0)
+
+
+def test_extract_links_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.web import extract_links
+
+    rows = [
+        Row(
+            url="https://a.com/p/1",
+            html='<a href="https://b.com/x">1</a>'
+                 "<a href='https://c.co.uk/y'>2</a>"
+                 '<a href="/rel">3</a><a href="mailto:m@x.y">4</a>',
+        ),
+        Row(url="https://www.a.com/p/2",
+            html='<a href="https://b.com/z">5</a>'),
+        Row(url="https://a.com/p/3", html="<p>no links</p>"),
+    ]
+    out = {
+        (r.src_domain, r.dst_domain): (r.n_links, r.n_src_docs)
+        for r in extract_links(spark.createDataFrame(rows)).collect()
+    }
+    # relative + mailto dropped; www stripped by registered-domain mapping
+    assert out == {
+        ("a.com", "b.com"): (2, 2),
+        ("a.com", "c.co.uk"): (1, 1),
+    }
+
+
+def test_negative_sampling_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.simsearch import (
+        negative_sampling,
+    )
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[0.0], label=i % 2) for i in range(10)]
+    )
+    out = negative_sampling(emb, k=3, oversample=4).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    lab = {i: i % 2 for i in range(10)}
+    for a, rows in by_anchor.items():
+        assert len(rows) <= 3
+        ranks = sorted(r.neg_rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert r.neg_id != a
+            assert r.neg_label != lab[a]          # only cross-label
+            assert lab[r.neg_id] == r.neg_label
+    # determinism: a second run is identical
+    again = negative_sampling(emb, k=3, oversample=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        negative_sampling(emb, k=0)
+
+
+def test_conformal_bounds_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import (
+        conformal_bounds,
+    )
+
+    # calibration: values 1..9 (median 5); scores |v-5| -> sorted
+    # 0,1,1,2,2,3,3,4,4; qhat rank = min(9, ceil(0.9*10)) = 9 -> qhat 4
+    # test rows: 5+-4 covered, 10 not
+    rows = [
+        Row(ts="2024-01-01 00:00:00", v=float(i)) for i in range(1, 10)
+    ] + [
+        Row(ts="2024-02-01 00:00:00", v=1.0),
+        Row(ts="2024-02-01 00:00:00", v=9.0),
+        Row(ts="2024-02-01 00:00:00", v=10.0),
+    ]
+    df = spark.createDataFrame(rows).select(
+        F.lit("t").alias("g"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("v"),
+    )
+    out = conformal_bounds(
+        df, ["g"], "v", "ts", cutoff="2024-01-15 00:00:00", alpha_pct=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_cal, r.n_test) == (9, 3)
+    assert r.point == 5.0 and r.qhat == 4.0
+    assert r.covered == 2 and abs(r.coverage - 2 / 3) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        conformal_bounds(df, ["g"], "v", "ts", "2024-01-15", alpha_pct=0)
+
+
+def test_trimmed_mean_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        trimmed_mean,
+    )
+
+    # 10 values with junk tails: trim 10% -> drop 1 low + 1 high
+    vals = [-1000.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    df = spark.createDataFrame(
+        [Row(g="a", v=v) for v in vals]
+    )
+    r = trimmed_mean(df, ["g"], "v", trim_pct=10).collect()[0]
+    assert (r.n, r.n_trimmed) == (10, 1)
+    assert abs(r.trimmed_mean - 5.5) < 1e-9
+    # trim 0 == plain mean
+    r0 = trimmed_mean(df, ["g"], "v", trim_pct=0).collect()[0]
+    assert abs(r0.trimmed_mean - sum(vals) / 10) < 1e-6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        trimmed_mean(df, ["g"], "v", trim_pct=50)
+
+
+def test_simpson_flip_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        simpson_flip,
+    )
+
+    # classic construction: both strata favor f=0, aggregate favors f=1
+    # stratum A: f0 mean 6 (n=8), f1 mean 5 (n=2)  -> dir -1
+    # stratum B: f0 mean 2 (n=2), f1 mean 1.5 (n=8) -> dir -1
+    # aggregate: f0 = (48+4)/10 = 5.2 ; f1 = (10+12)/10 = 2.2 -> dir -1?
+    # flip needs aggregate f1 > f0: weight A's f1 high values
+    rows = (
+        [Row(s="A", f=0, v=6.0)] * 8 + [Row(s="A", f=1, v=5.0)] * 2
+        + [Row(s="B", f=0, v=2.0)] * 2 + [Row(s="B", f=1, v=1.5)] * 8
+    )
+    out = {r.s: r for r in simpson_flip(
+        spark.createDataFrame(rows), ["s"], "f", "v"
+    ).collect()}
+    # aggregate: mean1 = (10 + 12)/10 = 2.2 < mean0 = (48 + 4)/10 = 5.2
+    assert out["A"].stratum_dir == -1 and out["B"].stratum_dir == -1
+    assert out["A"].aggregate_dir == -1
+    assert not out["A"].flips_aggregate
+    # now a real flip: within strata f1 loses, aggregate f1 wins
+    rows2 = (
+        [Row(s="A", f=0, v=10.0)] * 1 + [Row(s="A", f=1, v=9.0)] * 9
+        + [Row(s="B", f=0, v=2.0)] * 9 + [Row(s="B", f=1, v=1.0)] * 1
+    )
+    out2 = {r.s: r for r in simpson_flip(
+        spark.createDataFrame(rows2), ["s"], "f", "v"
+    ).collect()}
+    # aggregate mean1 = (81+1)/10 = 8.2 > mean0 = (10+18)/10 = 2.8 -> +1
+    assert out2["A"].stratum_dir == -1 and out2["A"].aggregate_dir == 1
+    assert out2["A"].flips_aggregate and out2["B"].flips_aggregate
