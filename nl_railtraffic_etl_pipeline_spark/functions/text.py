@@ -1215,3 +1215,113 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_k)
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    max_phrase_words: int = 4,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public method),
+    integer-degree variant: candidate phrases are maximal runs of
+    non-stopword words between punctuation/stopword delimiters; each
+    word's DEGREE is the total word count of every phrase occurrence it
+    appears in; a phrase scores the SUM of its member words' degrees;
+    each doc keeps its ``top_k`` phrases (score desc, phrase asc).
+
+    The canonical RAKE score divides degree by frequency — a float
+    ratio-sum whose accumulation order is engine-dependent; the
+    degree-only variant (a known RAKE ablation) keeps every score an
+    exact BIGINT so the gate hash-matches at any partitioning.
+
+    Phrase assembly avoids regex lookaround entirely (both engines run
+    the identical no-lookaround dialect): fragments split at
+    punctuation runs, words split at whitespace, and phrases are
+    GAPS-AND-ISLANDS over word positions — island id = word_idx minus
+    the per-fragment rank of non-stopword words, the engine-portable
+    maximal-run construction.  Phrases longer than ``max_phrase_words``
+    are dropped (RAKE's run-on guard).
+
+    Plan: map-side splits + two explodes (fan-out bounded by text
+    length), islands over ONE (doc, fragment)-keyed window, word-degree
+    as a vocabulary-sized aggregate joined back by word equi-key, one
+    (doc, phrase) sum and one doc-keyed top-k window.  No cross joins.
+    """
+    from pyspark.sql import Window
+
+    if top_k < 1 or max_phrase_words < 1:
+        raise ValueError("top_k and max_phrase_words must be >= 1")
+    frags = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9 ]+")
+        ).alias("frag_idx", "frag"),
+    )
+    words = frags.select(
+        "doc_id",
+        "frag_idx",
+        F.posexplode(F.split(F.col("frag"), " +")).alias(
+            "word_idx", "word"
+        ),
+    ).filter(F.col("word") != "")
+    stop = F.array_contains(
+        F.array(*map(F.lit, STOPWORDS)), F.col("word")
+    )
+    kept = words.filter(~stop)
+    iw = Window.partitionBy("doc_id", "frag_idx").orderBy("word_idx")
+    islands = kept.withColumn(
+        "island", F.col("word_idx") - F.row_number().over(iw)
+    )
+    phrases = (
+        islands.groupBy("doc_id", "frag_idx", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("word_idx", "word"))
+                    ),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("phrase_len"),
+        )
+        .filter(F.col("phrase_len") <= max_phrase_words)
+    )
+    phrase_words = phrases.select(
+        "doc_id",
+        "frag_idx",
+        "island",
+        "phrase",
+        "phrase_len",
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    degree = phrase_words.groupBy("word").agg(
+        F.sum("phrase_len").alias("word_degree")
+    )
+    scored = (
+        phrase_words.join(degree, "word")
+        .groupBy("doc_id", "frag_idx", "island", "phrase")
+        .agg(F.sum("word_degree").alias("score"))
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.max("score").alias("score"),
+            F.count("*").alias("n_occurrences"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("phrase")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "phrase",
+            "score",
+            "n_occurrences",
+        )
+    )

@@ -21,9 +21,9 @@ from .testdata import load_table
 _FUNNEL_STAGES = ("view", "click", "purchase")
 
 
-@query(
-    "events_funnel",
-    """
+#: Shared by events_funnel and its streaming twin (streaming_funnel) —
+#: the twin must hash-match the SAME oracle.
+FUNNEL_ORACLE_SQL = """
 WITH s1 AS (
     SELECT user_id, MIN(ts) AS entry FROM events
     WHERE event_type = 'view' GROUP BY user_id
@@ -48,8 +48,10 @@ SELECT stage, stage_name, users,
              / NULLIF((SELECT users FROM counts WHERE stage = 1), 0), 2)
            AS conversion_pct
 FROM counts
-""",
-)
+"""
+
+
+@query("events_funnel", FUNNEL_ORACLE_SQL)
 def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered view -> click -> purchase funnel.
 

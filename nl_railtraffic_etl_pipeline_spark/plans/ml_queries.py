@@ -5694,3 +5694,90 @@ def _ml_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mleval.label_vote(
         lfs, ["lf_length", "lf_keyword", "lf_lang"], id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (functions/text.py::rake_keywords), the
+# integer-degree variant: phrases are maximal non-stopword word runs
+# built as gaps-and-islands over word positions (no regex lookaround in
+# either engine); word degree and phrase scores are exact BIGINTs.  The
+# oracle replays fragments/islands with generate_subscripts + ordered
+# string_agg — any divergence in splitting, stopword bounding, island
+# assembly, or tie-ranking hash-fails.
+# ---------------------------------------------------------------------------
+_SW_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "text_rake_keywords",
+    f"""
+WITH fl AS (
+    SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9 ]+') AS fr
+    FROM documents WHERE text IS NOT NULL
+),
+frags AS (
+    SELECT doc_id, unnest(fr) AS frag,
+           generate_subscripts(fr, 1) AS frag_idx
+    FROM fl
+),
+wl AS (
+    SELECT doc_id, frag_idx, string_split_regex(frag, ' +') AS ws
+    FROM frags
+),
+words AS (
+    SELECT doc_id, frag_idx, unnest(ws) AS word,
+           generate_subscripts(ws, 1) AS word_idx
+    FROM wl
+),
+kept AS (
+    SELECT doc_id, frag_idx, word, word_idx,
+           word_idx - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, frag_idx ORDER BY word_idx
+           ) AS island
+    FROM words WHERE word <> '' AND word NOT IN ({_SW_IN})
+),
+phrases AS (
+    SELECT doc_id, frag_idx, island,
+           string_agg(word, ' ' ORDER BY word_idx) AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS phrase_len
+    FROM kept GROUP BY 1, 2, 3
+    HAVING COUNT(*) <= 4
+),
+pw AS (
+    SELECT doc_id, frag_idx, island, phrase, phrase_len,
+           unnest(string_split(phrase, ' ')) AS word
+    FROM phrases
+),
+degree AS (
+    SELECT word, CAST(SUM(phrase_len) AS BIGINT) AS word_degree
+    FROM pw GROUP BY 1
+),
+scored AS (
+    SELECT doc_id, phrase,
+           CAST(MAX(s) AS BIGINT) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM (
+        SELECT p.doc_id, p.frag_idx, p.island, p.phrase,
+               SUM(d.word_degree) AS s
+        FROM pw p JOIN degree d ON p.word = d.word
+        GROUP BY 1, 2, 3, 4
+    ) GROUP BY 1, 2
+)
+SELECT doc_id, CAST(rn AS INTEGER) AS rank, phrase, score, n_occurrences
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, phrase
+    ) AS rn FROM scored
+) WHERE rn <= 3
+""",
+)
+def _text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import rake_keywords
+
+    return rake_keywords(
+        load_table(spark, sf_dir, "documents", spread=True).filter(
+            F.col("text").isNotNull()
+        ),
+        top_k=3,
+        max_phrase_words=4,
+    )

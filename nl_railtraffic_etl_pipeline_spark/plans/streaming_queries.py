@@ -872,3 +872,40 @@ def _streaming_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cm_query(drained, items, "value", width=_CM_W, depth=_CM_D)
+
+
+from .behavior_queries import FUNNEL_ORACLE_SQL  # noqa: E402
+
+
+@query("streaming_funnel", FUNNEL_ORACLE_SQL)
+def _streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel THROUGH the streaming
+    engine, hash-matching the batch gate's oracle.
+
+    The exact ordered funnel is NOT a function of per-(user, stage)
+    minima alone (stage 2's qualifying click threshold is only known
+    once stage 1's final entry settles, and it moves DOWN as earlier
+    views arrive), so the engine-side state is the smallest thing the
+    finishing pass provably needs: the DISTINCT (user, stage, ts) event
+    set — a streaming dedup aggregation, merge-idempotent under ANY
+    micro-batching, replay, or at-least-once duplication (exactly the
+    Kafka-feed failure mode).  The strictly-ordered stage chain then
+    runs on the drained set with the same batch operator
+    (functions/behavior.py::funnel); dedup never changes a funnel, so
+    the oracle is shared verbatim with events_funnel.
+    """
+    from ..functions.behavior import funnel
+
+    ev = _events_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin("view", "click", "purchase")
+    )
+    stage_set = ev.groupBy("user_id", "event_type", "ts").agg(
+        F.count("*").alias("_n")
+    )
+    _drain_to_memory(stage_set, "streaming_funnel_events", "complete")
+    drained = spark.table("streaming_funnel_events").select(
+        "user_id", "event_type", "ts"
+    )
+    return funnel(drained, ["view", "click", "purchase"])

@@ -2926,3 +2926,35 @@ def test_simpson_flip_intent(spark):
     # aggregate mean1 = (81+1)/10 = 8.2 > mean0 = (10+18)/10 = 2.8 -> +1
     assert out2["A"].stratum_dir == -1 and out2["A"].aggregate_dir == 1
     assert out2["A"].flips_aggregate and out2["B"].flips_aggregate
+
+
+def test_rake_keywords_intent(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        rake_keywords,
+    )
+
+    rows = [
+        Row(doc_id=1, text="Machine learning and the deep learning of "
+                           "neural networks. Machine learning wins!"),
+        Row(doc_id=2, text="the of and to"),          # all stopwords
+        Row(doc_id=3, text="one two three four five six"),  # run-on > 4
+    ]
+    out = {}
+    for r in rake_keywords(
+        spark.createDataFrame(rows), top_k=5
+    ).collect():
+        out.setdefault(r.doc_id, []).append((r.rank, r.phrase, r.score))
+    # degrees: machine 5, learning 7, deep 2, neural 2, networks 2, wins 3
+    assert out[1] == [
+        (1, "machine learning wins", 15),
+        (2, "machine learning", 12),
+        (3, "deep learning", 9),
+        (4, "neural networks", 4),
+    ]
+    assert 2 not in out                 # stopword-only doc: no phrases
+    assert 3 not in out                 # 6-word run dropped by the guard
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rake_keywords(spark.createDataFrame(rows), top_k=0)
