@@ -653,12 +653,23 @@ _IVF_NORM = (
 #: the clustering (Lloyd's double arithmetic is not portably replayable in
 #: SQL, the materialized table is).  The gate runs Spark-then-oracle per
 #: query, so the file always holds the centroids of the run being checked.
-_IVF_CENTROIDS_PATH = "/tmp/nl_spark_ivf_centroids.parquet"
+# Pid-scoped: concurrent same-machine runs (e.g. full-registry checks at
+# two SFs in parallel) must not race on the published-centroid artifact —
+# the oracle READS this path while another process may be rewriting it.
+# One process runs one sf_dir (checker/driver/bench contract), so pid
+# alone disambiguates.
+import os as _os  # noqa: E402
+
+_IVF_CENTROIDS_PATH = (
+    f"/tmp/nl_spark_ivf_centroids_{_os.getpid()}.parquet"
+)
 #: Centroids trained on the deterministic 1/2 id-hash sample (train_mod=2)
 #: — the 100 TB index-build contract: Lloyd's iterates the sample, then ALL
 #: vectors are assigned once.  Separate artifact so both gates stay
 #: hash-exact against their own published bits.
-_IVF_SAMPLED_CENTROIDS_PATH = "/tmp/nl_spark_ivf_centroids_sampled.parquet"
+_IVF_SAMPLED_CENTROIDS_PATH = (
+    f"/tmp/nl_spark_ivf_centroids_sampled_{_os.getpid()}.parquet"
+)
 
 
 def _ivf_oracle_sql(centroids_path: str) -> str:
@@ -4597,7 +4608,7 @@ def _graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # artifact the oracle replays assignment against (ivf contract — read
 # the exact written bits; run artifact-reading gates single-writer).
 # ---------------------------------------------------------------------------
-_PQ_CODEBOOK_PATH = "/tmp/nl_spark_pq_codebook.parquet"
+_PQ_CODEBOOK_PATH = f"/tmp/nl_spark_pq_codebook_{_os.getpid()}.parquet"
 _PQ_M = 4
 _PQ_SUB = _EMB_DIM // _PQ_M
 
