@@ -442,31 +442,43 @@ def duplicate_clusters(
         .withColumn("label", F.col("doc"))
     )
     changed = 1
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("doc", "src"), "src")
             .groupBy(F.col("dst").alias("doc"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        # pointer doubling: label(label(u)) from the node-sized labels
-        # frame itself — labels always point at existing nodes, so the
-        # left join only misses when label == doc already (coalesced)
-        jump = labels.select(
-            F.col("doc").alias("_jdoc"), F.col("label").alias("jump_min")
-        )
+        with_nbr = labels.join(nbr_min, "doc", "left")
+        srcs = [F.col("label"), F.coalesce("nbr_min", F.col("label"))]
+        # Pointer doubling: label(label(u)) — halves pointer-chain depth
+        # so a deep path converges in O(log d) rounds instead of O(d).
+        # Gated to round >= 3: through round 2 the pointer chain is at
+        # most 2 deep, so the jump provably equals the neighbor step and
+        # the extra join would be pure overhead — shallow near-dup
+        # clusters (the common case) converge before ever paying it.
+        # MEASURED NEGATIVE RESULT (r8): restricting the jump's build
+        # side to last-round-changed labels looks frontier-cheap but
+        # breaks the O(log d) bound — a pointer target that has already
+        # CONVERGED (label = component min, never changes again) is
+        # exactly the shortcut a distant node still needs, and the
+        # filter removes it (deep-chain pytest regressed 9 -> >9
+        # rounds); the build side must stay the full node-sized frame.
+        if rnd >= 2:
+            jump = labels.select(
+                F.col("doc").alias("_jdoc"),
+                F.col("label").alias("jump_min"),
+            )
+            with_nbr = with_nbr.join(
+                jump, F.col("label") == F.col("_jdoc"), "left"
+            )
+            srcs.append(F.coalesce("jump_min", F.col("label")))
         # The changed-count rides the checkpoint action as an observe
         # metric (verified: Observation fires on eager localCheckpoint),
         # so each round is one job — not checkpoint + probe.
         obs = Observation()
-        best = F.least(
-            F.col("label"),
-            F.coalesce("nbr_min", F.col("label")),
-            F.coalesce("jump_min", F.col("label")),
-        )
+        best = F.least(*srcs)
         new_labels = _materialize(
-            labels.join(nbr_min, "doc", "left")
-            .join(jump, F.col("label") == F.col("_jdoc"), "left")
-            .select(
+            with_nbr.select(
                 "doc",
                 best.alias("label"),
                 (best < F.col("label")).cast("long").alias("_chg"),
