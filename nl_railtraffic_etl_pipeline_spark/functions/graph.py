@@ -439,3 +439,245 @@ def node_jaccard(
         union_size.alias("union_size"),
         F.round(jac, 9).alias("jaccard"),
     )
+
+
+def hits_units(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 4,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    persist_edges: bool = True,
+) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg 1999, public literature) in
+    exact UNNORMALIZED integer units, the second member of the
+    fixed-point-iteration family next to :func:`pagerank_units`.
+
+    ``h_0(v) = 1``; each round ``a_{k+1}(v) = sum over in-edges (u, v)
+    of h_k(u)`` then ``h_{k+1}(v) = sum over out-edges (v, w) of
+    a_{k+1}(w)``.  The textbook formulation L2-normalizes per round —
+    that only rescales the vectors, and a float norm would cost
+    cross-engine bit-identity, so the distributed contract here is the
+    raw power iteration with a FIXED iteration count: rankings and
+    ratios are identical to the normalized variant's.
+
+    Magnitude bound (the caller's responsibility, like pagerank's):
+    scores grow by at most ``max_indeg * max_outdeg`` per round, so
+    ``(max_indeg * max_outdeg) ** iterations`` must stay below 2^63.
+
+    Scale shape per round: two src/dst-keyed equi-joins of the edge
+    list, each followed by one partial-aggregated sum — no collects, no
+    cartesian anything; the edge projection is persisted across rounds.
+    Returns one row per node: (node, auth_units, hub_units), BIGINT,
+    zero-coalesced for nodes unreachable by the respective sum.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    if persist_edges:
+        e = e.persist()
+    h = nodes.select(
+        F.col(id_col).alias("node"), F.lit(1).cast("bigint").alias("h")
+    )
+    a = None
+    for i in range(iterations):
+        a = (
+            e.join(h, e["_src"] == h["node"])
+            .groupBy("_dst")
+            .agg(F.sum("h").cast("bigint").alias("a"))
+            .select(F.col("_dst").alias("node"), "a")
+        )
+        if i == iterations - 1:
+            # the final authority frame feeds BOTH the last hub update
+            # and the output join: compute-once barrier
+            a = a.localCheckpoint(eager=True)
+        h = (
+            e.join(a, e["_dst"] == a["node"])
+            .groupBy("_src")
+            .agg(F.sum("a").cast("bigint").alias("h"))
+            .select(F.col("_src").alias("node"), "h")
+        )
+    out = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(a, "node", "left")
+        .join(h, "node", "left")
+    )
+    zero = F.lit(0).cast("bigint")
+    return out.select(
+        "node",
+        F.coalesce(F.col("a"), zero).alias("auth_units"),
+        F.coalesce(F.col("h"), zero).alias("hub_units"),
+    )
+
+
+def _canonical_undirected(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Distinct (a < b) canonical edges of the undirected simple graph
+    (direction, duplicates, self-loops dropped), materialized once —
+    the shared front door of the whole-graph statistics below, each of
+    which consumes it from several join branches."""
+    from .dedup import _materialize
+
+    return _materialize(
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _undirected_degrees(canon: DataFrame) -> DataFrame:
+    """(node, d) undirected degrees from the canonical edge list."""
+    return (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient of the undirected simple graph
+    (Newman 2002, public literature): the Pearson correlation of the
+    degrees at the two ends of each edge, computed over BOTH
+    orientations of every edge (the standard symmetric definition, so
+    the x/y marginals coincide).
+
+    All cross-moments are exact BIGINT sums over the canonical edge
+    list (safe while ``sum(d^2)`` over edges < 2^63 — degrees would
+    have to exceed ~10^6 on a 10^9-edge graph to threaten it); the
+    closing Pearson chain runs in IEEE double in a fixed order.  NULL
+    when the degree variance is zero (e.g. a perfect cycle).
+
+    Returns ONE row: (n_edges, n_endpoints, assortativity).  Scale
+    shape: one distinct, one degree count, two node-keyed equi-joins,
+    one global aggregate — no collects.
+    """
+    canon = _canonical_undirected(edges, src_col, dst_col)
+    deg = _undirected_degrees(canon)
+    j = (
+        canon.join(
+            deg.select(F.col("node").alias("a"), F.col("d").alias("_du")),
+            "a",
+        ).join(
+            deg.select(F.col("node").alias("b"), F.col("d").alias("_dv")),
+            "b",
+        )
+    )
+    du, dv = F.col("_du"), F.col("_dv")
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum(du + dv).cast("bigint").alias("_sx"),
+        F.sum(du * du + dv * dv).cast("bigint").alias("_sxx"),
+        F.sum(F.lit(2) * du * dv).cast("bigint").alias("_sxy"),
+    )
+    n = (F.col("n_edges") * 2).cast("bigint")
+    nd = n.cast("double")
+    sx, sxx, sxy = (
+        F.col("_sx").cast("double"),
+        F.col("_sxx").cast("double"),
+        F.col("_sxy").cast("double"),
+    )
+    num = nd * sxy - sx * sx
+    den = nd * sxx - sx * sx
+    r = F.when(den > 0, num / den)
+    return agg.select(
+        "n_edges",
+        n.alias("n_endpoints"),
+        F.round(r, 9).alias("assortativity"),
+    )
+
+
+def local_clustering(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node local clustering coefficient of the undirected simple
+    graph: ``lcc(v) = 2 * T(v) / (d(v) * (d(v) - 1))`` with ``T(v)`` the
+    number of triangles through ``v`` — the node-resolved companion of
+    :func:`triangle_count` (same Suri & Vassilvitskii degree
+    orientation, public literature).
+
+    Triangles enumerate exactly once as (pivot, v, w) key triples under
+    the (degree, id) total order — wedge fan-out per pivot is capped at
+    O(sqrt(|E|)) by the orientation, the property that makes the plan
+    survive power-law hubs at 100 TB — then each triple credits all
+    three corners: explode to 3 rows, decode the node id from the
+    packed key (``key = d * 2^31 + id``, ids < 2^31 by table-key
+    construction), one node-keyed count.
+
+    Returns (node, degree, triangles, lcc) for every node with >= 1
+    non-self edge; ``lcc`` NULL when degree < 2, else rounded to 9
+    digits.  The oracle can enumerate with the naive id orientation
+    (a < b < c) and MUST agree — orientation changes the plan, never
+    the triangle set.
+    """
+    canon = _canonical_undirected(edges, src_col, dst_col)
+    deg = _undirected_degrees(canon)
+    key = (F.col("d") * F.lit(2**31) + F.col("node")).alias("k")
+    keys = deg.select("node", key)
+    with_keys = canon.join(
+        keys.select(F.col("node").alias("a"), F.col("k").alias("ka")), "a"
+    ).join(
+        keys.select(F.col("node").alias("b"), F.col("k").alias("kb")), "b"
+    )
+    from .dedup import _materialize
+
+    oriented = _materialize(
+        with_keys.select(
+            F.when(F.col("ka") < F.col("kb"), F.col("ka"))
+            .otherwise(F.col("kb"))
+            .alias("u"),
+            F.when(F.col("ka") < F.col("kb"), F.col("kb"))
+            .otherwise(F.col("ka"))
+            .alias("v"),
+        )
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.u") == F.col("o2.u"))
+        .filter(F.col("o1.v") < F.col("o2.v"))
+        .select(
+            F.col("o1.u").alias("p"),
+            F.col("o1.v").alias("u"),
+            F.col("o2.v").alias("v"),
+        )
+    )
+    tri = wedges.join(oriented, ["u", "v"], "left_semi")
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("p"), F.col("u"), F.col("v"))).alias(
+                "k"
+            )
+        )
+        .select((F.col("k") % F.lit(2**31)).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("d").alias("degree"),
+        F.coalesce(F.col("triangles"), F.lit(0).cast("bigint")).alias(
+            "triangles"
+        ),
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            (F.col("triangles") * 2).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            9,
+        ),
+    )
+    return out.select("node", "degree", "triangles", lcc.alias("lcc"))

@@ -5792,3 +5792,174 @@ def _text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=3,
         max_phrase_words=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hub/authority scores (functions/graph.py::hits_units): the second
+# fixed-point-iteration gate next to graph_pagerank, on the same
+# deterministic doc-link graph, in exact unnormalized integer units (the
+# oracle unrolls the same four a/h rounds as chained CTEs).  Growth bound
+# holds by construction: each of the three modular edge generators is
+# injective in doc_id, so in/out-degree <= 3 and four rounds stay far
+# below 2^63.
+# ---------------------------------------------------------------------------
+_HITS_ITERS = 4
+
+
+def _hits_steps_sql(iters: int) -> str:
+    steps = [
+        "h0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS h"
+        " FROM documents)"
+    ]
+    for k in range(1, iters + 1):
+        steps.append(f"""
+a{k} AS (
+    SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a
+    FROM edges e JOIN h{k - 1} h ON e.src = h.node
+    GROUP BY 1
+),
+h{k} AS (
+    SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h
+    FROM edges e JOIN a{k} a ON e.dst = a.node
+    GROUP BY 1
+)""")
+    return ",".join(steps)
+
+
+@query(
+    "graph_hits",
+    "WITH "
+    + _PR_EDGES_CTE
+    + ","
+    + _hits_steps_sql(_HITS_ITERS)
+    + f"""
+SELECT d.doc_id,
+       COALESCE(a.a, 0) AS auth_units,
+       COALESCE(h.h, 0) AS hub_units
+FROM documents d
+LEFT JOIN a{_HITS_ITERS} a ON d.doc_id = a.node
+LEFT JOIN h{_HITS_ITERS} h ON d.doc_id = h.node
+""",
+)
+def _graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import hits_units
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    edges = _pr_edges_df(docs)
+    return hits_units(
+        docs, edges, iterations=_HITS_ITERS, id_col="doc_id"
+    ).select(F.col("node").alias("doc_id"), "auth_units", "hub_units")
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (functions/graph.py::degree_assortativity) of the
+# doc-link graph: one number saying whether high-degree pages link to
+# high-degree pages — the spam-farm / hub-structure audit statistic.
+# Exact BIGINT cross-moments over the canonical undirected edge list,
+# IEEE closing Pearson chain, NULL on zero degree variance.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_assortativity",
+    "WITH "
+    + _PR_EDGES_CTE
+    + """,
+canon AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT a AS node FROM canon
+          UNION ALL SELECT b FROM canon)
+    GROUP BY 1
+),
+j AS (
+    SELECT da.d AS du, db.d AS dv
+    FROM canon c
+    JOIN deg da ON c.a = da.node
+    JOIN deg db ON c.b = db.node
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(du + dv) AS BIGINT) AS sx,
+           CAST(SUM(du * du + dv * dv) AS BIGINT) AS sxx,
+           CAST(SUM(2 * du * dv) AS BIGINT) AS sxy
+    FROM j
+)
+SELECT n_edges,
+       CAST(n_edges * 2 AS BIGINT) AS n_endpoints,
+       CASE WHEN CAST(n_edges * 2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+           {r}
+       END AS assortativity
+FROM s
+""".format(
+        r=_round_sql(
+            "(CAST(n_edges * 2 AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " / (CAST(n_edges * 2 AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))",
+            9,
+        )
+    ),
+)
+def _graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import degree_assortativity
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return degree_assortativity(_pr_edges_df(docs))
+
+
+# ---------------------------------------------------------------------------
+# Per-node local clustering coefficient (functions/graph.py::
+# local_clustering): triangles through each node over C(degree, 2),
+# the node-resolved companion of graph_triangles on the same doc-link
+# graph.  The engine enumerates with the degree orientation (wedge
+# fan-out capped at O(sqrt(|E|)) per pivot); the oracle enumerates with
+# the naive id orientation — two independent algorithms, one answer.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_clustering_coeff",
+    "WITH "
+    + _PR_EDGES_CTE
+    + """,
+canon AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT a AS node FROM canon
+          UNION ALL SELECT b FROM canon)
+    GROUP BY 1
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM canon e1
+    JOIN canon e2 ON e1.a = e2.a AND e1.b < e2.b
+    JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+pern AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY 1
+)
+SELECT d.node, d.d AS degree,
+       COALESCE(p.t, 0) AS triangles,
+       CASE WHEN d.d >= 2 THEN {lcc} END AS lcc
+FROM deg d LEFT JOIN pern p ON d.node = p.node
+""".format(
+        lcc=_round_sql(
+            "CAST(2 * COALESCE(p.t, 0) AS DOUBLE)"
+            " / CAST(d.d * (d.d - 1) AS DOUBLE)",
+            9,
+        )
+    ),
+)
+def _graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import local_clustering
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return local_clustering(_pr_edges_df(docs))

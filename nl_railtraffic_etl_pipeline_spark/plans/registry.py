@@ -344,6 +344,8 @@ HEAVY_TIER = frozenset(
         "graph_pagerank",
         "graph_bfs_hops",
         "graph_reciprocity",
+        "graph_hits",
+        "graph_clustering_coeff",
         "dedup_threshold_sweep",
         "dedup_remove_spans",
         "join_bloom_prejoin",

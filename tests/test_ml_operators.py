@@ -2165,3 +2165,89 @@ def test_jpeg_dc_ac_skip_alignment():
     w, h, bw, bh, dcs = dec
     assert (w, h, bw, bh) == (16, 8, 2, 1)
     assert dcs == [80, 50]  # dequantized by q0 = 2; predictor 40 -> 25
+
+
+def test_hits_units_hand_computed_and_partition_invariant(spark):
+    """Two unrolled rounds on a 5-node hub/authority fixture match the
+    hand-computed power iteration exactly; invariant under
+    repartitioning (integer arithmetic has no accumulation order)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.graph import hits_units
+
+    nodes = spark.createDataFrame([Row(id=i) for i in range(5)])
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s in (0, 1, 2) for d in (3, 4)]
+        + [Row(src=3, dst=4)]
+    )
+    out = {
+        r["node"]: (r["auth_units"], r["hub_units"])
+        for r in hits_units(nodes, edges, iterations=2).collect()
+    }
+    # h0=1; a1 = {3: 3, 4: 4}; h1 = {0,1,2: 7, 3: 4}
+    # a2 = {3: 21, 4: 25}; h2 = {0,1,2: 46, 3: 25}
+    assert out == {
+        0: (0, 46),
+        1: (0, 46),
+        2: (0, 46),
+        3: (21, 25),
+        4: (25, 0),
+    }
+    out2 = {
+        r["node"]: (r["auth_units"], r["hub_units"])
+        for r in hits_units(
+            nodes.repartition(7), edges.repartition(3), iterations=2
+        ).collect()
+    }
+    assert out2 == out
+
+
+def test_degree_assortativity_star_and_cycle(spark):
+    """A star is perfectly disassortative (-1); a cycle has zero degree
+    variance (NULL); duplicate/reversed/self edges are canonicalized."""
+    from nl_railtraffic_etl_pipeline_spark.functions.graph import (
+        degree_assortativity,
+    )
+
+    star = spark.createDataFrame(
+        [Row(src=0, dst=i) for i in range(1, 5)]
+        + [Row(src=3, dst=0), Row(src=2, dst=2)]  # reversed dup + self
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_edges"] == 4 and r["n_endpoints"] == 8
+    assert r["assortativity"] == -1.0
+
+    cycle = spark.createDataFrame(
+        [Row(src=i, dst=(i + 1) % 4) for i in range(4)]
+    )
+    rc = degree_assortativity(cycle).collect()[0]
+    assert rc["assortativity"] is None
+
+
+def test_local_clustering_hand_computed(spark):
+    """Two shared triangles + a pendant pair: per-node triangle counts
+    and coefficients match the closed form; degree-1 nodes get NULL."""
+    from nl_railtraffic_etl_pipeline_spark.functions.graph import (
+        local_clustering,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            Row(src=0, dst=1),
+            Row(src=1, dst=0),  # duplicate reversed
+            Row(src=1, dst=2),
+            Row(src=0, dst=2),
+            Row(src=0, dst=3),
+            Row(src=1, dst=3),
+            Row(src=2, dst=2),  # self loop, dropped
+            Row(src=4, dst=5),
+        ]
+    )
+    out = {
+        r["node"]: (r["degree"], r["triangles"], r["lcc"])
+        for r in local_clustering(edges).collect()
+    }
+    assert out[0] == (3, 2, round(2 * 2 / 6, 9))
+    assert out[1] == (3, 2, round(2 * 2 / 6, 9))
+    assert out[2] == (2, 1, 1.0)
+    assert out[3] == (2, 1, 1.0)
+    assert out[4] == (1, 0, None)
+    assert out[5] == (1, 0, None)
