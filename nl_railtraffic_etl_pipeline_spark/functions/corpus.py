@@ -41,6 +41,7 @@ __all__ = [
     "kfold_assign",
     "feature_hash",
     "temporal_split",
+    "js_divergence",
 ]
 
 
@@ -540,4 +541,70 @@ def training_order(
         F.expr(f"CAST((_off + _rn - 1) div {batch_size} AS BIGINT)").alias(
             "microbatch"
         ),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    key_col: str,
+    part_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the two ``part_col`` (0/1)
+    halves' distributions over ``key_col`` — the bounded, symmetric
+    corpus-drift distance (Lin 1991, public literature): 0 when the
+    unigram distributions coincide, 1 bit when they are disjoint.  The
+    corpus-level complement of :func:`corpus_dsir_shift`'s per-document
+    importance weights: one number saying how far snapshot B's term
+    usage has moved from snapshot A's.
+
+    With ``p``/``q`` the per-key shares and ``m = (p + q) / 2``:
+    ``jsd_bits = 1/2 sum p log2(p/m) + 1/2 sum q log2(q/m)``, absent
+    sides contributing only their present term.  Transcendental log2
+    rides the quantized-term contract (mleval.ndcg_at_k): each per-key
+    contribution is rounded to 12 digits and summed as DECIMAL(28,12),
+    so the sum is exact and partitioning-proof; the closing cast rounds
+    to 9.
+
+    Plan: ONE key-keyed partial-agg shuffle (both periods' counts ride
+    the same grouping), a 1-row broadcast of the totals, one map-side
+    term chain, one global DECIMAL sum.  The key frame is vocabulary-
+    sized, never fact-sized; nothing collects.  Output ONE row:
+    (n_keys, n_rows_a, n_rows_b, jsd_bits).
+    """
+    base = df.select(
+        F.col(key_col).alias("_k"), F.col(part_col).cast("int").alias("_p")
+    ).filter(F.col("_k").isNotNull() & F.col("_p").isin(0, 1))
+    per = base.groupBy("_k").agg(
+        F.count_if(F.col("_p") == 0).cast("bigint").alias("_ca"),
+        F.count_if(F.col("_p") == 1).cast("bigint").alias("_cb"),
+    )
+    tot = per.agg(
+        F.sum("_ca").cast("bigint").alias("_na"),
+        F.sum("_cb").cast("bigint").alias("_nb"),
+    )
+    w = per.crossJoin(F.broadcast(tot))
+    p = F.col("_ca").cast("double") / F.col("_na").cast("double")
+    q = F.col("_cb").cast("double") / F.col("_nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    half = F.lit(0.5)
+    contrib = (
+        F.when(F.col("_ca") > 0, half * p * F.log2(p / m)).otherwise(0.0)
+        + F.when(F.col("_cb") > 0, half * q * F.log2(q / m)).otherwise(0.0)
+    )
+    terms = w.select(
+        F.round(contrib, 12).cast("decimal(28,12)").alias("_t"),
+        "_na",
+        "_nb",
+    )
+    agg = terms.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("_na").alias("n_rows_a"),
+        F.max("_nb").alias("n_rows_b"),
+        F.sum("_t").cast("double").alias("_jsd"),
+    )
+    return agg.select(
+        "n_keys",
+        "n_rows_a",
+        "n_rows_b",
+        F.round(F.col("_jsd"), 9).alias("jsd_bits"),
     )

@@ -702,3 +702,93 @@ def conformal_bounds(
             ).alias("coverage"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    period_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index over quantile buckets — the numeric
+    companion of :func:`categorical_drift` (which deliberately carries
+    TVD/chi-square instead; PSI's ``ln(p/q)`` is transcendental, but
+    the quantized-term contract that later shipped with
+    :func:`ndcg_at_k` — round each term to 12 digits, sum as
+    DECIMAL(28,12) — makes the industry-standard monitor engine-stable
+    too, so both live side by side).
+
+    ``period_col`` must be 0/1-valued (reference vs current).  Bucket
+    edges are the reference period's EXACT ``1/n .. (n-1)/n`` quantiles
+    (sort-based ``percentile`` rounded to 6, the X20 quantile contract;
+    values equal to an edge go UP, matching stats.quantile_bucketize);
+    both periods are then binned against those shared edges.  Shares
+    are Laplace-smoothed — ``(c + 1) / (n + n_buckets)`` — so empty
+    buckets stay finite without an epsilon hyperparameter, and
+
+        psi_contrib = (p_cur - p_ref) * ln(p_cur / p_ref)
+        psi_total   = sum over buckets
+
+    Conventional read: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted.
+
+    Plan: one 1-row broadcast of the reference edges, one map-side
+    bucket assignment, ONE (bucket, period) partial-agg shuffle, and a
+    bounded (<= n_buckets rows) final frame — the totals ride a 1-row
+    broadcast back.  Output per bucket: (bucket, cnt_ref, cnt_cur,
+    share_ref, share_cur, psi_contrib, psi_total).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    base = df.select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(period_col).cast("int").alias("_p"),
+    ).filter(F.col("_v").isNotNull() & F.col("_p").isin(0, 1))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = base.filter(F.col("_p") == 0).agg(
+        *[
+            F.round(F.percentile(F.col("_v"), q), 6).alias(f"_e{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    edge_cols = [F.col(f"_e{i}") for i in range(len(qs))]
+    v = F.col("_v")
+    bucket = F.size(F.filter(F.array(*edge_cols), lambda e: v >= e))
+    binned = base.crossJoin(F.broadcast(edges)).select(
+        bucket.cast("int").alias("bucket"), "_p"
+    )
+    per = binned.groupBy("bucket").agg(
+        F.count_if(F.col("_p") == 0).cast("bigint").alias("cnt_ref"),
+        F.count_if(F.col("_p") == 1).cast("bigint").alias("cnt_cur"),
+    )
+    tot = per.agg(
+        F.sum("cnt_ref").cast("bigint").alias("_nr"),
+        F.sum("cnt_cur").cast("bigint").alias("_nc"),
+    )
+    w = per.crossJoin(F.broadcast(tot))
+    p_ref = (F.col("cnt_ref") + 1).cast("double") / (
+        F.col("_nr") + n_buckets
+    ).cast("double")
+    p_cur = (F.col("cnt_cur") + 1).cast("double") / (
+        F.col("_nc") + n_buckets
+    ).cast("double")
+    contrib = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 12)
+    rows = w.select(
+        "bucket",
+        "cnt_ref",
+        "cnt_cur",
+        F.round(p_ref, 9).alias("share_ref"),
+        F.round(p_cur, 9).alias("share_cur"),
+        contrib.cast("decimal(28,12)").alias("_contrib"),
+    )
+    total = rows.agg(
+        F.sum("_contrib").cast("double").alias("_psi")
+    )
+    return rows.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "cnt_ref",
+        "cnt_cur",
+        "share_ref",
+        "share_cur",
+        F.round(F.col("_contrib").cast("double"), 9).alias("psi_contrib"),
+        F.round(F.col("_psi"), 9).alias("psi_total"),
+    )

@@ -24,7 +24,14 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_profile", "check_rules", "freshness_report", "run_quality_checks"]
+__all__ = [
+    "table_profile",
+    "check_rules",
+    "freshness_report",
+    "run_quality_checks",
+    "k_anonymity",
+    "column_entropy",
+]
 
 
 def table_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
@@ -250,3 +257,114 @@ def run_quality_checks(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002 / Machanavajjhala
+    2007, public literature): group rows by the quasi-identifier tuple
+    and report, per equivalence class, its size and the number of
+    distinct sensitive values — the release-gate statistic for any
+    table that leaves the trust boundary (training-corpus metadata
+    included).
+
+    A class is k-anonymous when ``class_size >= k`` (an attacker who
+    knows someone's QI tuple finds at least k candidate rows) and
+    l-diverse when it carries ``>= l`` distinct sensitive values
+    (defeats the homogeneity attack k-anonymity alone permits).
+
+    All outputs are exact integers/booleans.  Plan: ONE QI-keyed
+    partial-aggregated shuffle (count + count-distinct ride the same
+    grouping); no windows, no collects — the class frame is bounded by
+    the number of distinct QI tuples, never the fact cardinality.
+    """
+    if k < 1 or l < 1:
+        raise ValueError("k and l must be >= 1")
+    keys = list(qi_cols)
+    g = df.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("class_size"),
+        F.countDistinct(sensitive_col).cast("bigint").alias(
+            "distinct_sensitive"
+        ),
+    )
+    return g.select(
+        *keys,
+        "class_size",
+        "distinct_sensitive",
+        (F.col("class_size") >= k).alias("k_anonymous"),
+        (F.col("distinct_sensitive") >= l).alias("l_diverse"),
+    )
+
+
+def column_entropy(
+    df: DataFrame, columns: Sequence[str]
+) -> DataFrame:
+    """Per-column Shannon entropy profile — the PII/identifier detector
+    next to :func:`table_profile`: near-zero entropy flags constants,
+    entropy close to ``log2(n_distinct)`` with high cardinality flags
+    identifier-like (and potentially sensitive) columns.
+
+    Per column (values stringified, NULLs profiled separately):
+    ``entropy_bits = -sum_v (c_v/n) log2(c_v/n)`` and
+    ``normalized_entropy = entropy_bits / log2(n_distinct)`` (NULL when
+    the column has < 2 distinct values).  Transcendental log2 differs
+    across libm in the last ulp, so each term rides the repo's
+    quantized-term contract (mleval.ndcg_at_k): rounded to 12 digits,
+    summed as DECIMAL(28,12) — exact, partitioning-proof — with the
+    closing division in IEEE double rounded to 9.
+
+    Plan: ONE ``stack`` unpivot scan of the fact (k columns -> k rows
+    map-side, no per-column re-scan), one (column, value) partial-agg
+    shuffle, a 4-row broadcast join of the per-column totals back, and
+    one k-key final aggregate.  Nothing collects.
+    """
+    cols = list(columns)
+    stack_args = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+    )
+    long = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col, val)")
+    )
+    counts = long.groupBy("col", "val").agg(
+        F.count("*").cast("bigint").alias("_c")
+    )
+    totals = counts.groupBy("col").agg(
+        F.sum(F.when(F.col("val").isNotNull(), F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("_n"),
+        F.sum(F.when(F.col("val").isNull(), F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+    )
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    term = F.when(
+        F.col("val").isNotNull(),
+        F.round(-p * F.log2(p), 12),
+    ).cast("decimal(28,12)")
+    j = counts.join(F.broadcast(totals), "col")
+    agg = j.groupBy("col").agg(
+        F.max("_n").alias("n_values"),
+        F.max("n_null").alias("n_null"),
+        F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_distinct"),
+        F.sum(term).alias("_h"),
+    )
+    h = F.coalesce(F.col("_h").cast("double"), F.lit(0.0))
+    norm = F.when(
+        F.col("n_distinct") > 1,
+        F.round(h / F.log2(F.col("n_distinct").cast("double")), 9),
+    )
+    return agg.select(
+        F.col("col").alias("column_name"),
+        "n_values",
+        "n_null",
+        "n_distinct",
+        F.round(h, 9).alias("entropy_bits"),
+        norm.alias("normalized_entropy"),
+    )

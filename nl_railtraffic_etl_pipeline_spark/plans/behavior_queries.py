@@ -4314,3 +4314,200 @@ def _stats_simpson_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.weekday(F.to_date("ts")) + 1) >= 6).cast("int"),
     )
     return simpson_flip(flagged, ["event_type"], "_is_weekend", "value")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (functions/profile.py::k_anonymity)
+# over the (event_type, hour, isodow) quasi-identifier grid with
+# user_id as the sensitive attribute — the release-gate privacy check.
+# All-integer outputs; isodow == Spark weekday()+1 (the simpson_flip
+# calendar contract).
+# ---------------------------------------------------------------------------
+@query(
+    "dq_k_anonymity",
+    """
+SELECT event_type,
+       CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       CAST(isodow(CAST(ts AS DATE)) AS INTEGER) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_sensitive,
+       COUNT(*) >= 5 AS k_anonymous,
+       COUNT(DISTINCT user_id) >= 3 AS l_diverse
+FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+)
+def _dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import k_anonymity
+
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.hour("ts").alias("hour_of_day"),
+            (F.weekday(F.to_date("ts")) + 1).cast("int").alias("dow"),
+            "user_id",
+        )
+    )
+    return k_anonymity(
+        ev, ["event_type", "hour_of_day", "dow"], "user_id", k=5, l=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-column Shannon-entropy profile (functions/profile.py::
+# column_entropy) — the identifier/constant detector.  The oracle never
+# compares stringified values (the output carries only counts and
+# entropies), so it groups each raw column directly; the transcendental
+# terms ride the ndcg quantized-term contract (round 12 -> DECIMAL sum).
+# ---------------------------------------------------------------------------
+_ENTROPY_COLS = ("event_type", "user_id", "value", "props")
+
+
+def _entropy_col_sql(col: str) -> str:
+    term = _round_sql(
+        "-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))",
+        12,
+    )
+    norm = _round_sql(
+        "CAST(COALESCE(hsum, 0) AS DOUBLE)"
+        " / log2(CAST(n_distinct AS DOUBLE))",
+        9,
+    )
+    return f"""
+SELECT '{col}' AS column_name, n_values, n_null, n_distinct,
+       ROUND(CAST(COALESCE(hsum, 0) AS DOUBLE), 9) AS entropy_bits,
+       CASE WHEN n_distinct > 1 THEN {norm} END AS normalized_entropy
+FROM (
+    SELECT CAST(SUM(CASE WHEN v IS NOT NULL THEN c ELSE 0 END) AS BIGINT)
+               AS n_values,
+           CAST(SUM(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(COUNT(*) FILTER (v IS NOT NULL) AS BIGINT) AS n_distinct,
+           SUM(CASE WHEN v IS NOT NULL THEN
+               CAST({term} AS DECIMAL(28,12)) END) AS hsum
+    FROM (
+        SELECT v, c,
+               SUM(CASE WHEN v IS NOT NULL THEN c ELSE 0 END) OVER () AS n
+        FROM (
+            SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        )
+    )
+)"""
+
+
+@query(
+    "dq_column_entropy",
+    "\nUNION ALL\n".join(_entropy_col_sql(c) for c in _ENTROPY_COLS),
+)
+def _dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import column_entropy
+
+    return column_entropy(
+        load_table(spark, sf_dir, "events", spread=True),
+        list(_ENTROPY_COLS),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (functions/mleval.py::psi_drift) of the
+# value distribution between the first and second half of the observed
+# date range — the industry drift monitor next to the exact TVD/chi2
+# gate (events_transition_drift shares the same period split).  Deciles
+# from the REFERENCE period only (X20 quantile contract), Laplace
+# smoothing, quantized-term PSI sum.
+# ---------------------------------------------------------------------------
+_PSI_BUCKETS = 10
+
+
+def _psi_oracle_sql() -> str:
+    edge_list = ", ".join(
+        f"ROUND(quantile_cont(v, {i}.0 / {_PSI_BUCKETS}), 6)"
+        for i in range(1, _PSI_BUCKETS)
+    )
+    pr = (
+        f"(CAST(cnt_ref + 1 AS DOUBLE)"
+        f" / CAST(nr + {_PSI_BUCKETS} AS DOUBLE))"
+    )
+    pc = (
+        f"(CAST(cnt_cur + 1 AS DOUBLE)"
+        f" / CAST(nc + {_PSI_BUCKETS} AS DOUBLE))"
+    )
+    contrib = _round_sql(f"({pc} - {pr}) * ln({pc} / {pr})", 12)
+    return f"""
+WITH base AS (
+    SELECT value AS v, CAST(ts AS DATE) AS d
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM base),
+flagged AS (
+    SELECT v,
+           CASE WHEN d >= d0 + CAST((d1 - d0) // 2 AS INTEGER)
+                THEN 1 ELSE 0 END AS p
+    FROM base, bounds
+),
+edges AS (
+    SELECT [{edge_list}] AS e FROM flagged WHERE p = 0
+),
+binned AS (
+    SELECT CAST(len(list_filter(e, x -> v >= x)) AS INTEGER) AS bucket, p
+    FROM flagged, edges
+),
+per AS (
+    SELECT bucket,
+           CAST(COUNT(*) FILTER (p = 0) AS BIGINT) AS cnt_ref,
+           CAST(COUNT(*) FILTER (p = 1) AS BIGINT) AS cnt_cur
+    FROM binned GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(cnt_ref) AS BIGINT) AS nr,
+           CAST(SUM(cnt_cur) AS BIGINT) AS nc
+    FROM per
+),
+rows_ AS (
+    SELECT bucket, cnt_ref, cnt_cur,
+           {_round_sql(pr, 9)} AS share_ref,
+           {_round_sql(pc, 9)} AS share_cur,
+           CAST({contrib} AS DECIMAL(28,12)) AS contrib
+    FROM per, tot
+),
+total AS (SELECT SUM(contrib) AS psi FROM rows_)
+SELECT bucket, cnt_ref, cnt_cur, share_ref, share_cur,
+       ROUND(CAST(contrib AS DOUBLE), 9) AS psi_contrib,
+       ROUND(CAST(psi AS DOUBLE), 9) AS psi_total
+FROM rows_, total
+"""
+
+
+@query("ml_psi_drift", _psi_oracle_sql())
+def _ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import psi_drift
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("_d0"),
+        F.max(F.to_date("ts")).alias("_d1"),
+    )
+    flagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        (
+            F.col("ts").cast("date")
+            >= F.date_add(
+                F.col("_d0"),
+                F.floor(F.datediff("_d1", "_d0") / 2).cast("int"),
+            )
+        )
+        .cast("int")
+        .alias("period"),
+    )
+    return psi_drift(flagged, "value", "period", n_buckets=_PSI_BUCKETS)

@@ -5963,3 +5963,65 @@ def _graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return local_clustering(_pr_edges_df(docs))
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence (functions/corpus.py::js_divergence) between
+# the unigram distributions of the even- and odd-doc_id corpus halves —
+# the one-number corpus drift distance next to corpus_dsir_shift.
+# Quantized-term contract for the transcendental log2 chain.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_js_divergence",
+    f"""
+WITH toks AS (
+    SELECT doc_id % 2 AS part, unnest({_TOKENS}) AS term
+    FROM documents WHERE text IS NOT NULL
+),
+per AS (
+    SELECT term,
+           CAST(COUNT(*) FILTER (part = 0) AS BIGINT) AS ca,
+           CAST(COUNT(*) FILTER (part = 1) AS BIGINT) AS cb
+    FROM toks GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+    FROM per
+),
+terms AS (
+    SELECT CAST({_round_sql(
+        "(CASE WHEN ca > 0 THEN"
+        " 0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+        " * log2((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+        "   / (((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+        "       + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0))"
+        " ELSE CAST(0 AS DOUBLE) END)"
+        " + (CASE WHEN cb > 0 THEN"
+        " 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+        " * log2((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+        "   / (((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+        "       + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0))"
+        " ELSE CAST(0 AS DOUBLE) END)",
+        12,
+    )} AS DECIMAL(28,12)) AS t, na, nb
+    FROM per, tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(na) AS BIGINT) AS n_rows_a,
+       CAST(MAX(nb) AS BIGINT) AS n_rows_b,
+       ROUND(CAST(SUM(t) AS DOUBLE), 9) AS jsd_bits
+FROM terms
+""",
+)
+def _corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.corpus import js_divergence
+    from ..functions.text import tokens as _tok
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull()
+    )
+    terms = docs.select(
+        (F.col("doc_id") % 2).alias("part"),
+        F.explode(_tok(F.col("text"))).alias("term"),
+    )
+    return js_divergence(terms, "term", "part")

@@ -2251,3 +2251,92 @@ def test_local_clustering_hand_computed(spark):
     assert out[3] == (2, 1, 1.0)
     assert out[4] == (1, 0, None)
     assert out[5] == (1, 0, None)
+
+
+def test_k_anonymity_classes_and_flags(spark):
+    """Class sizes, distinct-sensitive counts, and both flags match the
+    hand-built fixture; NULL-sensitive rows still count toward size."""
+    from nl_railtraffic_etl_pipeline_spark.functions.profile import (
+        k_anonymity,
+    )
+
+    rows = [Row(g="a", s=i % 2) for i in range(5)] + [
+        Row(g="b", s=0),
+        Row(g="b", s=0),
+    ]
+    out = {
+        r["g"]: (
+            r["class_size"],
+            r["distinct_sensitive"],
+            r["k_anonymous"],
+            r["l_diverse"],
+        )
+        for r in k_anonymity(
+            spark.createDataFrame(rows), ["g"], "s", k=3, l=2
+        ).collect()
+    }
+    assert out["a"] == (5, 2, True, True)
+    assert out["b"] == (2, 1, False, False)
+
+
+def test_column_entropy_uniform_constant_null(spark):
+    """A 2-value uniform column scores exactly 1 bit, a constant scores
+    0 with NULL normalization, and NULLs are profiled separately."""
+    from nl_railtraffic_etl_pipeline_spark.functions.profile import (
+        column_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(u="x", c="k", z=None),
+            Row(u="x", c="k", z=None),
+            Row(u="y", c="k", z="only"),
+            Row(u="y", c="k", z=None),
+        ]
+    )
+    out = {
+        r["column_name"]: r
+        for r in column_entropy(df, ["u", "c", "z"]).collect()
+    }
+    assert out["u"]["entropy_bits"] == 1.0
+    assert out["u"]["normalized_entropy"] == 1.0
+    assert out["u"]["n_distinct"] == 2 and out["u"]["n_null"] == 0
+    assert out["c"]["entropy_bits"] == 0.0
+    assert out["c"]["normalized_entropy"] is None
+    assert out["z"] ["n_null"] == 3 and out["z"]["n_values"] == 1
+    assert out["z"]["entropy_bits"] == 0.0
+
+
+def test_psi_drift_identical_periods_zero(spark):
+    """Identical reference/current distributions give PSI == 0 in every
+    bucket (Laplace smoothing cancels when counts and totals match)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import psi_drift
+
+    rows = [Row(v=float(i), p=per) for i in range(100) for per in (0, 1)]
+    out = psi_drift(
+        spark.createDataFrame(rows), "v", "p", n_buckets=5
+    ).collect()
+    assert len(out) == 5
+    assert all(r["psi_contrib"] == 0.0 for r in out)
+    assert all(r["psi_total"] == 0.0 for r in out)
+    assert all(r["cnt_ref"] == 20 and r["cnt_cur"] == 20 for r in out)
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    """JSD is 0 bits for identical distributions and exactly 1 bit for
+    disjoint supports (the log2 upper bound)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import (
+        js_divergence,
+    )
+
+    same = spark.createDataFrame(
+        [Row(k=w, p=per) for w in ("a", "b", "c") for per in (0, 1)]
+    )
+    r = js_divergence(same, "k", "p").collect()[0]
+    assert r["jsd_bits"] == 0.0 and r["n_keys"] == 3
+
+    disjoint = spark.createDataFrame(
+        [Row(k="a", p=0), Row(k="b", p=0), Row(k="x", p=1), Row(k="y", p=1)]
+    )
+    r2 = js_divergence(disjoint, "k", "p").collect()[0]
+    assert r2["jsd_bits"] == 1.0 and r2["n_keys"] == 4
