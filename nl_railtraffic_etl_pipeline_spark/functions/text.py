@@ -1325,3 +1325,185 @@ def rake_keywords(
             "n_occurrences",
         )
     )
+
+
+def zipf_fit(
+    docs,
+    text_col: str = "text",
+    top_n: int = 1000,
+):
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS of
+    ``ln(count)`` on ``ln(rank)`` over the ``top_n`` most frequent
+    terms — healthy natural text slopes near -1; machine-generated or
+    template-heavy corpora flatten or step (the corpus-level twin of
+    the per-document repetition signals).
+
+    Ranks are total-ordered (count desc, term asc — engine-portable
+    ties).  Both ``ln`` coordinates are transcendental, so every term
+    rides the quantized-term contract (mleval.ndcg_at_k): quantize
+    ``x = ln(rank)`` and ``y = ln(count)`` to 12 digits, then quantize
+    the PRODUCTS of the quantized coordinates to 12 digits, and sum all
+    five moments as DECIMAL(28,12) — exact, partitioning-proof; the OLS
+    closing chain runs in IEEE double, rounded to 9.
+
+    Plan: one term-count shuffle, one vocabulary-sized top-n window
+    (unpartitioned BY DESIGN, on the post-agg frame — the repo-wide
+    post-aggregation window contract), one 5-moment global aggregate.
+    Output ONE row: (n_terms, slope, intercept, r2).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    xq = F.round(F.log(F.col("rank").cast("double")), 12)
+    yq = F.round(F.log(F.col("cnt").cast("double")), 12)
+    t = ranked.select(
+        xq.alias("_x"), yq.alias("_y")
+    ).select(
+        F.col("_x").cast("decimal(28,12)").alias("_xd"),
+        F.col("_y").cast("decimal(28,12)").alias("_yd"),
+        F.round(F.col("_x") * F.col("_y"), 12)
+        .cast("decimal(28,12)")
+        .alias("_xyd"),
+        F.round(F.col("_x") * F.col("_x"), 12)
+        .cast("decimal(28,12)")
+        .alias("_xxd"),
+        F.round(F.col("_y") * F.col("_y"), 12)
+        .cast("decimal(28,12)")
+        .alias("_yyd"),
+    )
+    agg = t.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("_xd").cast("double").alias("sx"),
+        F.sum("_yd").cast("double").alias("sy"),
+        F.sum("_xyd").cast("double").alias("sxy"),
+        F.sum("_xxd").cast("double").alias("sxx"),
+        F.sum("_yyd").cast("double").alias("syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(dx > 0, cov / dx)
+    intercept = F.when(
+        dx > 0, (F.col("sy") - (cov / dx) * F.col("sx")) / n
+    )
+    r2 = F.when((dx > 0) & (dy > 0), (cov * cov) / (dx * dy))
+    return agg.select(
+        "n_terms",
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+    )
+
+
+def type_token_stats(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document lexical-diversity profile: token count, type (distinct
+    token) count, type-token ratio, and hapax legomena (tokens occurring
+    exactly once in the document) — the classic vocabulary-richness
+    signals next to token_repetition_stats (which looks at ADJACENT
+    repeats; these are bag-of-words global).
+
+    All counts exact BIGINT; the two ratios are single closing double
+    divisions rounded to 9.  Plan: one explode, one (doc, term) partial-
+    agg shuffle, one doc-keyed rollup — the same two-exchange shape as
+    every per-doc term statistic; nothing fact-sized crosses a driver.
+    Output: (doc_id, n_tokens, n_types, ttr, hapax_count, hapax_ratio);
+    empty/whitespace-only docs yield a single empty-string token by the
+    shared tokenizer contract, so every input doc appears.
+    """
+    per_term = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("_c"))
+    )
+    g = per_term.groupBy(id_col).agg(
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.count_if(F.col("_c") == 1).cast("bigint").alias("hapax_count"),
+    )
+    ttr = F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
+    hr = (
+        F.col("hapax_count").cast("double")
+        / F.col("n_tokens").cast("double")
+    )
+    return g.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.round(ttr, 9).alias("ttr"),
+        "hapax_count",
+        F.round(hr, 9).alias("hapax_ratio"),
+    )
+
+
+def term_burstiness(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+):
+    """Per-term burstiness (Fano factor) over the corpus: the
+    variance-to-mean ratio of the term's per-document count INCLUDING
+    the zero counts of documents that never use it — ~1 for
+    Poisson-scattered function words, >> 1 for bursty content words
+    (Church & Gale 1995, public literature).  The signal that separates
+    topical vocabulary from boilerplate where document frequency alone
+    cannot.
+
+    Zeros never materialize: with N the total document count (a 1-row
+    broadcast), ``mean = S/N`` and ``var = (S2 - S^2/N) / N`` need only
+    the exact BIGINT sums ``S = sum(c)`` and ``S2 = sum(c^2)`` over the
+    documents that DO contain the term, so
+
+        fano = (S2 - S*S/N) / S        (population variance / mean)
+
+    with one fixed IEEE closing chain rounded to 9.  Plan: one explode,
+    one (doc, term) shuffle, one term-keyed rollup, one 1-row broadcast
+    — vocabulary-sized output, ``min_df`` prunes the hapax tail.
+    Output: (term, df, total_count, mean_per_doc, fano).
+    """
+    base = docs.filter(F.col(text_col).isNotNull())
+    n_docs = base.agg(F.count("*").cast("bigint").alias("_n"))
+    per = (
+        base.select(
+            F.col(id_col),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("_c"))
+    )
+    g = per.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("_c").cast("bigint").alias("total_count"),
+        F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_s2"),
+    )
+    g = g.filter(F.col("df") >= min_df).crossJoin(F.broadcast(n_docs))
+    nd = F.col("_n").cast("double")
+    s = F.col("total_count").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean = s / nd
+    fano = (s2 - s * s / nd) / s
+    return g.select(
+        "term",
+        "df",
+        "total_count",
+        F.round(mean, 9).alias("mean_per_doc"),
+        F.round(fano, 9).alias("fano"),
+    )

@@ -6025,3 +6025,163 @@ def _corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_tok(F.col("text"))).alias("term"),
     )
     return js_divergence(terms, "term", "part")
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (functions/text.py::zipf_fit): log-log OLS of
+# the corpus term-frequency curve — natural text slopes near -1.
+# Quantized-term contract on both ln coordinates AND their products.
+# ---------------------------------------------------------------------------
+_ZIPF_CLOSE_N = "CAST(n_terms AS DOUBLE)"
+_ZIPF_DX = f"({_ZIPF_CLOSE_N} * sxx - sx * sx)"
+_ZIPF_DY = f"({_ZIPF_CLOSE_N} * syy - sy * sy)"
+_ZIPF_COV = f"({_ZIPF_CLOSE_N} * sxy - sx * sy)"
+
+
+@query(
+    "text_zipf_fit",
+    f"""
+WITH toks AS (
+    SELECT unnest({_TOKENS}) AS term FROM documents WHERE text IS NOT NULL
+),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+ranked AS (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank
+    FROM counts QUALIFY rank <= 1000
+),
+q AS (
+    SELECT {_round_sql("ln(CAST(rank AS DOUBLE))", 12)} AS x,
+           {_round_sql("ln(CAST(cnt AS DOUBLE))", 12)} AS y
+    FROM ranked
+),
+t AS (
+    SELECT CAST(x AS DECIMAL(28,12)) AS xd,
+           CAST(y AS DECIMAL(28,12)) AS yd,
+           CAST({_round_sql("x * y", 12)} AS DECIMAL(28,12)) AS xyd,
+           CAST({_round_sql("x * x", 12)} AS DECIMAL(28,12)) AS xxd,
+           CAST({_round_sql("y * y", 12)} AS DECIMAL(28,12)) AS yyd
+    FROM q
+),
+a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(xd) AS DOUBLE) AS sx,
+           CAST(SUM(yd) AS DOUBLE) AS sy,
+           CAST(SUM(xyd) AS DOUBLE) AS sxy,
+           CAST(SUM(xxd) AS DOUBLE) AS sxx,
+           CAST(SUM(yyd) AS DOUBLE) AS syy
+    FROM t
+)
+SELECT n_terms,
+       CASE WHEN {_ZIPF_DX} > 0 THEN
+           {_round_sql(f"{_ZIPF_COV} / {_ZIPF_DX}", 9)}
+       END AS slope,
+       CASE WHEN {_ZIPF_DX} > 0 THEN
+           {_round_sql(
+               f"(sy - ({_ZIPF_COV} / {_ZIPF_DX}) * sx) / {_ZIPF_CLOSE_N}",
+               9,
+           )}
+       END AS intercept,
+       CASE WHEN {_ZIPF_DX} > 0 AND {_ZIPF_DY} > 0 THEN
+           {_round_sql(
+               f"({_ZIPF_COV} * {_ZIPF_COV}) / ({_ZIPF_DX} * {_ZIPF_DY})", 9
+           )}
+       END AS r2
+FROM a
+""",
+)
+def _text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import zipf_fit
+
+    return zipf_fit(
+        load_table(spark, sf_dir, "documents", spread=True), top_n=1000
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document type-token / hapax profile (functions/text.py::
+# type_token_stats): the bag-of-words lexical-diversity companion of
+# text_repetition's adjacency signals.  All-integer counts, two closing
+# divisions.
+# ---------------------------------------------------------------------------
+@query(
+    "text_ttr_hapax",
+    f"""
+WITH per AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+        SELECT doc_id, unnest({_TOKENS}) AS term
+        FROM documents WHERE text IS NOT NULL
+    ) GROUP BY 1, 2
+),
+g AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS hapax_count
+    FROM per GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_types,
+       {_round_sql(
+           "CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 9
+       )} AS ttr,
+       hapax_count,
+       {_round_sql(
+           "CAST(hapax_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 9
+       )} AS hapax_ratio
+FROM g
+""",
+)
+def _text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import type_token_stats
+
+    return type_token_stats(
+        load_table(spark, sf_dir, "documents", spread=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-term burstiness / Fano factor (functions/text.py::
+# term_burstiness): variance-to-mean of per-doc counts INCLUDING zeros,
+# from exact sufficient statistics — zeros never materialize.
+# ---------------------------------------------------------------------------
+@query(
+    "text_burstiness",
+    f"""
+WITH nd AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    WHERE text IS NOT NULL
+),
+per AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+        SELECT doc_id, unnest({_TOKENS}) AS term
+        FROM documents WHERE text IS NOT NULL
+    ) GROUP BY 1, 2
+),
+g AS (
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(c) AS BIGINT) AS total_count,
+           CAST(SUM(c * c) AS BIGINT) AS s2
+    FROM per GROUP BY 1
+    HAVING COUNT(*) >= 2
+)
+SELECT term, df, total_count,
+       {_round_sql(
+           "CAST(total_count AS DOUBLE) / CAST(n AS DOUBLE)", 9
+       )} AS mean_per_doc,
+       {_round_sql(
+           "(CAST(s2 AS DOUBLE) - CAST(total_count AS DOUBLE)"
+           " * CAST(total_count AS DOUBLE) / CAST(n AS DOUBLE))"
+           " / CAST(total_count AS DOUBLE)",
+           9,
+       )} AS fano
+FROM g, nd
+""",
+)
+def _text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import term_burstiness
+
+    return term_burstiness(
+        load_table(spark, sf_dir, "documents", spread=True), min_df=2
+    )

@@ -2340,3 +2340,60 @@ def test_js_divergence_identical_and_disjoint(spark):
     )
     r2 = js_divergence(disjoint, "k", "p").collect()[0]
     assert r2["jsd_bits"] == 1.0 and r2["n_keys"] == 4
+
+
+def test_zipf_fit_perfect_inverse_law(spark):
+    """Counts exactly proportional to 1/rank fit slope -1 with r2 == 1
+    (up to the 12-digit term quantization)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import zipf_fit
+
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    docs = spark.createDataFrame([Row(doc_id=0, text=text)])
+    r = zipf_fit(docs, top_n=10).collect()[0]
+    assert r["n_terms"] == 4
+    assert abs(r["slope"] + 1.0) < 1e-8
+    assert abs(r["r2"] - 1.0) < 1e-8
+    assert abs(r["intercept"] - __import__("math").log(12)) < 1e-8
+
+
+def test_type_token_stats_hand_computed(spark):
+    """'a a b c' -> 4 tokens, 3 types, ttr .75, 2 hapax, ratio .5."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        type_token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b c"), Row(doc_id=2, text="z")]
+    )
+    out = {r["doc_id"]: r for r in type_token_stats(docs).collect()}
+    assert (
+        out[1]["n_tokens"],
+        out[1]["n_types"],
+        out[1]["ttr"],
+        out[1]["hapax_count"],
+        out[1]["hapax_ratio"],
+    ) == (4, 3, 0.75, 2, 0.5)
+    assert out[2]["ttr"] == 1.0
+
+
+def test_term_burstiness_bursty_vs_even(spark):
+    """A term concentrated in one doc scores fano 3.0; a term spread one
+    per doc scores 0 (sub-Poisson regular); min_df prunes."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        term_burstiness,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="x x x x y")]
+        + [Row(doc_id=i, text="y") for i in (1, 2, 3)]
+    )
+    out = {
+        r["term"]: r for r in term_burstiness(docs, min_df=1).collect()
+    }
+    assert out["x"]["df"] == 1 and out["x"]["fano"] == 3.0
+    assert out["y"]["df"] == 4 and out["y"]["fano"] == 0.0
+    assert out["y"]["mean_per_doc"] == 1.0
+    out2 = {
+        r["term"]: r for r in term_burstiness(docs, min_df=2).collect()
+    }
+    assert "x" not in out2 and "y" in out2
