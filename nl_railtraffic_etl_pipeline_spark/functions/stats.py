@@ -2054,3 +2054,85 @@ def simpson_flip(
             "flips_aggregate"
         ),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + linear trend;
+    Holt 1957, public literature) — the trend-aware upgrade over
+    :func:`ewma`:
+
+        l_1 = v_1,  b_1 = 0
+        l_t = v_t * alpha + (l_{t-1} + b_{t-1}) * (1 - alpha)
+        b_t = (l_t - l_{t-1}) * beta + b_{t-1} * (1 - beta)
+
+    plus the one-step-ahead ``forecast = l_t + b_t`` (what a capacity
+    monitor actually consumes).  Initialization ``b_1 = 0`` is the
+    lookahead-free convention — the alternative ``b_1 = v_2 - v_1``
+    needs the future and breaks the streaming-replay contract.
+
+    Determinism rides the general-alpha :func:`ewma` contract: the fold
+    is a FIXED sequence of correctly-rounded IEEE double ops with all
+    four constants bound as ``CAST('<repr>' AS DOUBLE)``; ``l_t``
+    inside the trend update is RECOMPUTED with the identical token
+    sequence (never algebraically rearranged), so any engine replaying
+    the same ops — the DuckDB oracle's ``list_reduce`` over struct
+    state does — reproduces every (level, trend) pair bit-identically.
+
+    NULL handling, (ts, id) total fold order, and the one-key-shuffle
+    packed-fold plan (state folded INSIDE the aggregation buffer,
+    bounded by the key's own history) are identical to the EWMA family.
+    Output: (keys..., id, ts, value, level, trend, forecast).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"holt_linear: alpha must be in (0, 1], got {alpha!r}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"holt_linear: beta must be in [0, 1], got {beta!r}")
+    a = f"CAST('{float(alpha)!r}' AS DOUBLE)"
+    oma = f"CAST('{1.0 - float(alpha)!r}' AS DOUBLE)"
+    b = f"CAST('{float(beta)!r}' AS DOUBLE)"
+    omb = f"CAST('{1.0 - float(beta)!r}' AS DOUBLE)"
+    lt = f"x * {a} + (acc.l + acc.b) * {oma}"
+    keys = list(key_cols)
+    packed = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(id_col).alias("id"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("_l")
+        )
+    )
+    run = F.expr(
+        "transform(_l, (e, i) -> struct("
+        "e.id AS id, e.ts AS ts, e.v AS v, "
+        "aggregate(transform(slice(_l, 2, i), x -> x.v), "
+        "struct(element_at(_l, 1).v AS l, CAST(0.0 AS DOUBLE) AS b), "
+        f"(acc, x) -> struct(({lt}) AS l, "
+        f"(({lt}) - acc.l) * {b} + acc.b * {omb} AS b)) AS s))"
+    )
+    return (
+        packed.select(*keys, F.explode(run).alias("_r"))
+        .select(
+            *keys,
+            F.col("_r.id").alias(id_col),
+            F.col("_r.ts").alias(ts_col),
+            F.col("_r.v").alias(value_col),
+            F.col("_r.s.l").alias("level"),
+            F.col("_r.s.b").alias("trend"),
+            (F.col("_r.s.l") + F.col("_r.s.b")).alias("forecast"),
+        )
+    )

@@ -223,3 +223,73 @@ def peak_concurrency(
             F.count("*").alias("n_at_peak"),
         )
     )
+
+
+def fifo_allocate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    amount_col: str,
+    budget_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Sequential FIFO budget allocation: within each key, consume the
+    key's budget against its items in ``order_col`` order — item i
+    receives ``clamp(budget - cum_amount_before_i, 0, amount_i)`` — the
+    classic payment-application / inventory-costing / quota-fill
+    allocator, a pure windowed computation (no loop, no join).
+
+    All money math runs in exact DECIMAL (inputs quantized at ``scale``
+    fractional digits via the repo's string-bridge cast, the TPC-H
+    internal-decimal contract), so the cumulative chain is
+    engine-exact; outputs close with ``ROUND(CAST(... AS DOUBLE),
+    scale)`` at the boundary (the driver-safe output contract).
+
+    Scale shape: ONE key shuffle shared by the single window pass
+    (running sum over the preceding frame) and the final projection —
+    the same one-exchange contract as the sequential-statistics family.
+    Whale keys serialize on their own history, the documented property
+    of every ordered per-key operator here.
+
+    Output: (keys..., order_col, amount, cum_before, allocated,
+    remaining_budget, fully_covered) — ``remaining_budget`` is what is
+    left AFTER this item, floored at zero; ``fully_covered`` flags
+    items whose full amount was funded.
+
+    ``order_col`` need not be unique within a key: the window tiebreaks
+    on the exact amount, and rows tied on (order, amount) produce the
+    SAME output multiset under any permutation (equal amounts commute
+    through the running sum), so the result is total-order-free without
+    demanding a rowid.
+    """
+    keys = list(key_cols)
+    dec = f"decimal(28,{scale})"
+    amt = F.col(amount_col).cast("string").cast(dec)
+    bud = F.col(budget_col).cast("string").cast(dec)
+    zero = F.lit(0).cast("string").cast(dec)
+    t = df.select(
+        *keys,
+        F.col(order_col),
+        amt.alias("_amt"),
+        bud.alias("_bud"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col), F.col("_amt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("_cum", F.coalesce(F.sum("_amt").over(w), zero))
+    alloc = F.least(
+        F.col("_amt"), F.greatest(F.col("_bud") - F.col("_cum"), zero)
+    )
+    rem = F.greatest(F.col("_bud") - F.col("_cum") - F.col("_amt"), zero)
+    out_d = lambda c: F.round(c.cast("double"), scale)  # noqa: E731
+    return t.select(
+        *keys,
+        F.col(order_col),
+        out_d(F.col("_amt")).alias("amount"),
+        out_d(F.col("_cum")).alias("cum_before"),
+        out_d(alloc).alias("allocated"),
+        out_d(rem).alias("remaining_budget"),
+        (alloc == F.col("_amt")).alias("fully_covered"),
+    )

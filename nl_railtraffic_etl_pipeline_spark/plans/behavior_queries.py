@@ -4511,3 +4511,66 @@ def _ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("period"),
     )
     return psi_drift(flagged, "value", "period", n_buckets=_PSI_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (functions/stats.py::holt_linear):
+# per-user level+trend state replayed as a fixed IEEE chain — the
+# trend-aware member of the EWMA family; the oracle folds the identical
+# struct state with list_reduce.  Constants bound as CAST('<repr>' AS
+# DOUBLE) on both engines (the events_ewma_alpha contract).
+# ---------------------------------------------------------------------------
+_HOLT_ALPHA, _HOLT_BETA = 0.3, 0.2
+_HOLT_A = f"CAST('{_HOLT_ALPHA!r}' AS DOUBLE)"
+_HOLT_OMA = f"CAST('{1.0 - _HOLT_ALPHA!r}' AS DOUBLE)"
+_HOLT_B = f"CAST('{_HOLT_BETA!r}' AS DOUBLE)"
+_HOLT_OMB = f"CAST('{1.0 - _HOLT_BETA!r}' AS DOUBLE)"
+#: The [level, trend] state folds as a LIST, not a struct: DuckDB's
+#: list_reduce evaluates struct_pack result fields SEQUENTIALLY against a
+#: mutating accumulator (measured: the trend field saw the NEW level as
+#: acc.l), while list-literal results bind acc once — the only encoding
+#: whose op sequence matches Spark's aggregate() struct semantics.
+_HOLT_LT = f"x[1] * {_HOLT_A} + (acc[1] + acc[2]) * {_HOLT_OMA}"
+
+
+@query(
+    "events_holt_linear",
+    f"""
+WITH ordered AS (
+    SELECT user_id,
+           list(struct_pack(ts := ts, id := event_id,
+                            v := CAST(value AS DOUBLE))
+                ORDER BY ts, event_id) AS l
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+pos AS (
+    SELECT user_id, l,
+           unnest([{{'p': i, 'id': l[i].id, 'ts': l[i].ts, 'v': l[i].v}}
+                   for i in range(1, len(l) + 1)]) AS u
+    FROM ordered
+),
+sm AS (
+    SELECT user_id, u.id AS event_id, u.ts AS ts, u.v AS value,
+           list_reduce(
+               list_prepend(
+                   [l[1].v, CAST(0.0 AS DOUBLE)],
+                   list_transform(l[2:u.p],
+                                  x -> [x.v, CAST(0.0 AS DOUBLE)])),
+               (acc, x) -> [{_HOLT_LT},
+                            (({_HOLT_LT}) - acc[1]) * {_HOLT_B}
+                            + acc[2] * {_HOLT_OMB}]) AS s
+    FROM pos
+)
+SELECT user_id, event_id, ts, value,
+       s[1] AS level, s[2] AS trend, s[1] + s[2] AS forecast
+FROM sm
+""",
+)
+def _events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import holt_linear
+
+    return holt_linear(
+        load_table(spark, sf_dir, "events", spread=True),
+        alpha=_HOLT_ALPHA,
+        beta=_HOLT_BETA,
+    )

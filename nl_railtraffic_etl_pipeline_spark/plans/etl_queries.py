@@ -3403,3 +3403,61 @@ def _supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_revenue").cast("double"), 2).alias("revenue"),
         F.dense_rank().over(w).cast("int").alias("nation_revenue_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FIFO budget allocation (functions/temporal.py::fifo_allocate): each
+# order's o_totalprice consumed against its lineitems in linenumber
+# order — exact internal DECIMAL money math, driver-safe double
+# boundary (the TPC-H closing pattern).
+# ---------------------------------------------------------------------------
+@query(
+    "orders_fifo_allocation",
+    """
+WITH t AS (
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(CAST(l.l_extendedprice AS VARCHAR) AS DECIMAL(28,2)) AS amt,
+           CAST(CAST(o.o_totalprice AS VARCHAR) AS DECIMAL(28,2)) AS bud
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+c AS (
+    SELECT *,
+           COALESCE(SUM(amt) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber, amt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), CAST('0' AS DECIMAL(28,2))) AS cum
+    FROM t
+),
+a AS (
+    SELECT *,
+           LEAST(amt, GREATEST(bud - cum, CAST('0' AS DECIMAL(28,2))))
+               AS alloc,
+           GREATEST(bud - cum - amt, CAST('0' AS DECIMAL(28,2))) AS rem
+    FROM c
+)
+SELECT l_orderkey, l_linenumber,
+       ROUND(CAST(amt AS DOUBLE), 2) AS amount,
+       ROUND(CAST(cum AS DOUBLE), 2) AS cum_before,
+       ROUND(CAST(alloc AS DOUBLE), 2) AS allocated,
+       ROUND(CAST(rem AS DOUBLE), 2) AS remaining_budget,
+       alloc = amt AS fully_covered
+FROM a
+""",
+)
+def _orders_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.temporal import fifo_allocate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        orders.select("o_orderkey", "o_totalprice"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    return fifo_allocate(
+        joined,
+        ["l_orderkey"],
+        "l_linenumber",
+        "l_extendedprice",
+        "o_totalprice",
+        scale=2,
+    )

@@ -2397,3 +2397,72 @@ def test_term_burstiness_bursty_vs_even(spark):
         r["term"]: r for r in term_burstiness(docs, min_df=2).collect()
     }
     assert "x" not in out2 and "y" in out2
+
+
+def test_holt_linear_matches_python_replay(spark):
+    """The packed fold replays the textbook recurrence exactly (same
+    IEEE op sequence as a scalar Python loop), invariant under
+    repartitioning."""
+    import datetime
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import holt_linear
+
+    vals = [10.0, 12.0, 14.0, 13.0, 20.0]
+    rows = [
+        Row(
+            user_id=1,
+            event_id=i,
+            ts=datetime.datetime(2024, 1, 1, 0, i),
+            value=v,
+        )
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows).repartition(4)
+    out = {
+        r["event_id"]: (r["level"], r["trend"], r["forecast"])
+        for r in holt_linear(df, alpha=0.3, beta=0.2).collect()
+    }
+    l, t = vals[0], 0.0
+    assert out[0] == (l, t, l + t)
+    for i, v in enumerate(vals[1:], start=1):
+        ln = v * 0.3 + (l + t) * 0.7
+        t = (ln - l) * 0.2 + t * 0.8
+        l = ln
+        assert out[i] == (l, t, l + t)
+
+
+def test_fifo_allocate_clamps_and_tiebreaks(spark):
+    """Budget 100 against [60, 30, 30]: full, full, partial 10; ties on
+    (order, amount) produce an order-invariant output multiset."""
+    from nl_railtraffic_etl_pipeline_spark.functions.temporal import (
+        fifo_allocate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, pos=1, amt=60.0, bud=100.0),
+            Row(k=1, pos=2, amt=30.0, bud=100.0),
+            Row(k=1, pos=3, amt=30.0, bud=100.0),
+        ]
+    )
+    out = {
+        r["pos"]: (
+            r["allocated"],
+            r["fully_covered"],
+            r["remaining_budget"],
+            r["cum_before"],
+        )
+        for r in fifo_allocate(df, ["k"], "pos", "amt", "bud").collect()
+    }
+    assert out[1] == (60.0, True, 40.0, 0.0)
+    assert out[2] == (30.0, True, 10.0, 60.0)
+    assert out[3] == (10.0, False, 0.0, 90.0)
+
+    tied = spark.createDataFrame(
+        [Row(k=1, pos=1, amt=40.0, bud=60.0) for _ in range(2)]
+    )
+    got = sorted(
+        (r["cum_before"], r["allocated"])
+        for r in fifo_allocate(tied, ["k"], "pos", "amt", "bud").collect()
+    )
+    assert got == [(0.0, 40.0), (40.0, 20.0)]
