@@ -4533,9 +4533,9 @@ _HOLT_OMB = f"CAST('{1.0 - _HOLT_BETA!r}' AS DOUBLE)"
 _HOLT_LT = f"x[1] * {_HOLT_A} + (acc[1] + acc[2]) * {_HOLT_OMA}"
 
 
-@query(
-    "events_holt_linear",
-    f"""
+#: Shared by events_holt_linear and its streaming twin (streaming_holt) —
+#: the twin must hash-match the SAME oracle.
+HOLT_ORACLE_SQL = f"""
 WITH ordered AS (
     SELECT user_id,
            list(struct_pack(ts := ts, id := event_id,
@@ -4564,8 +4564,10 @@ sm AS (
 SELECT user_id, event_id, ts, value,
        s[1] AS level, s[2] AS trend, s[1] + s[2] AS forecast
 FROM sm
-""",
-)
+"""
+
+
+@query("events_holt_linear", HOLT_ORACLE_SQL)
 def _events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.stats import holt_linear
 

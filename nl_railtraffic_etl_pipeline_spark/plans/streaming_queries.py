@@ -909,3 +909,21 @@ def _streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts"
     )
     return funnel(drained, ["view", "click", "purchase"])
+
+
+from .behavior_queries import _HOLT_ALPHA, _HOLT_BETA, HOLT_ORACLE_SQL  # noqa: E402
+
+
+@query("streaming_holt", HOLT_ORACLE_SQL)
+def _streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_holt_linear (streaming/incremental.py::
+    holt_stream): the two-component level+trend state maintained online,
+    hash-matched against the SAME oracle — constants shared with the
+    batch gate token for token."""
+    from ..streaming.incremental import holt_stream
+
+    out = holt_stream(
+        _events_stream(spark, sf_dir), alpha=_HOLT_ALPHA, beta=_HOLT_BETA
+    )
+    _drain_to_memory(out, "streaming_holt_result", "append")
+    return spark.table("streaming_holt_result")

@@ -337,6 +337,111 @@ def ewma_stream(
     )
 
 
+def holt_stream(
+    events: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``stats.holt_linear``: per-key Holt
+    level+trend state updated on every event, every event emitted
+    enriched — the same continuous-metric pattern as
+    :func:`ewma_stream`, with a TWO-component O(1) state.
+
+    The recurrence is the batch twin's exact fixed-IEEE chain — Python
+    float arithmetic IS IEEE double and the op sequence matches token
+    for token (``l' = v*alpha + (l+b)*(1-alpha)``, then
+    ``b' = (l'-l)*beta + b*(1-beta)``, constants bound once), so stream
+    and batch stay bit-identical per position and the gate hash-matches
+    the SAME DuckDB oracle as events_holt_linear.  NULL values neither
+    emit nor decay; cross-batch late arrivals (at-or-before the stored
+    (last_ts, last_id)) are dropped, never rewound — the EWMA family's
+    ordering contract.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"holt_stream: alpha must be in (0, 1], got {alpha!r}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"holt_stream: beta must be in [0, 1], got {beta!r}")
+    oma = 1.0 - alpha
+    omb = 1.0 - beta
+
+    in_schema = events.schema
+    key_t = in_schema[key_col].dataType
+    id_t = in_schema[id_col].dataType
+    ts_t = in_schema[ts_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_t),
+            StructField(id_col, id_t),
+            StructField(ts_col, ts_t),
+            StructField(value_col, DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts", ts_t),
+            StructField("last_id", id_t),
+            StructField("l", DoubleType()),
+            StructField("b", DoubleType()),
+        ]
+    )
+    cols = [key_col, id_col, ts_col, value_col, "level", "trend", "forecast"]
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.exists:
+            last_ts, last_id, lvl, trd = state.get
+        else:
+            last_ts, last_id, lvl, trd = None, None, None, None
+        rows = []
+        batch = []
+        for pdf in pdfs:
+            for ts, eid, v in zip(
+                pdf[ts_col].tolist(), pdf[id_col].tolist(),
+                pdf[value_col].tolist(),
+            ):
+                if v is None or (isinstance(v, float) and v != v):
+                    continue
+                batch.append((ts, eid, float(v)))
+        for ts, eid, v in sorted(batch):
+            ts_py = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if last_ts is not None and (ts_py, eid) <= (last_ts, last_id):
+                continue  # cross-batch late arrival: drop, never rewind
+            if lvl is None:
+                lvl, trd = v, 0.0
+            else:
+                ln = v * alpha + (lvl + trd) * oma
+                trd = (ln - lvl) * beta + trd * omb
+                lvl = ln
+            last_ts, last_id = ts_py, eid
+            rows.append((uid, eid, ts_py, v, lvl, trd, lvl + trd))
+        state.update((last_ts, last_id, lvl, trd))
+        yield pd.DataFrame(rows, columns=cols)
+
+    src = events.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _EPOCH = _dt.datetime(1970, 1, 1)
 
 

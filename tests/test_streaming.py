@@ -464,3 +464,74 @@ def test_rate_limit_stream_matches_batch_and_state(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_holt_stream_matches_batch_twin(spark, tmp_path):
+    """The stateful streaming Holt smoother equals the batch holt_linear
+    fold row-for-row across micro-batches (level AND trend carry over
+    the file boundary); NULLs neither emit nor decay; a cross-batch
+    late event is dropped."""
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import holt_linear
+    from nl_railtraffic_etl_pipeline_spark.streaming.incremental import (
+        holt_stream,
+    )
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    batch1 = [
+        (1, 1, t0, 10.0),
+        (1, 2, t0 + dt.timedelta(minutes=1), 12.0),
+        (1, 3, t0 + dt.timedelta(minutes=2), None),
+    ]
+    batch2 = [
+        (1, 4, t0 + dt.timedelta(minutes=3), 14.0),
+        (1, 5, t0 - dt.timedelta(minutes=9), 99.0),  # late: dropped
+    ]
+    schema = "user_id bigint, event_id bigint, ts timestamp, value double"
+    src = str(tmp_path / "holt_events")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(src + "/b2")
+    import os
+    import pathlib
+
+    now = 1_900_000_000
+    for i, d in enumerate(("b1", "b2")):
+        for f in pathlib.Path(src, d).glob("*.parquet"):
+            os.utime(f, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        holt_stream(stream, alpha=0.3, beta=0.2)
+        .writeStream.format("memory")
+        .queryName("holt_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.event_id: (r.value, r.level, r.trend, r.forecast)
+        for r in spark.table("holt_out").collect()
+    }
+    assert 3 not in got and 5 not in got
+    # hand chain: l1=10,b1=0; l2=12*.3+10*.7=10.6, b2=.6*.2=.12;
+    # l4=14*.3+10.72*.7, b4=(l4-10.6)*.2+.12*.8
+    assert got[1] == (10.0, 10.0, 0.0, 10.0)
+    l2 = 12.0 * 0.3 + (10.0 + 0.0) * 0.7
+    b2 = (l2 - 10.0) * 0.2 + 0.0 * 0.8
+    assert got[2] == (12.0, l2, b2, l2 + b2)
+
+    ordered = spark.createDataFrame(
+        [r for r in batch1 + batch2 if r[1] != 5], schema
+    )
+    want = {
+        r.event_id: (r.value, r.level, r.trend, r.forecast)
+        for r in holt_linear(ordered, alpha=0.3, beta=0.2).collect()
+    }
+    assert got == want
