@@ -406,6 +406,88 @@ def decode_png_pixel_stats(df_with_payload: DataFrame) -> DataFrame:
     )
 
 
+#: Per-thumbnail-pixel output of the nearest-neighbor resize kernel:
+#: exact sampled channel bytes so the oracle can recompute each pixel
+#: arithmetically (a float bilinear resample could not be gated this way).
+THUMB_PIXELS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tx", T.IntegerType()),
+        T.StructField("ty", T.IntegerType()),
+        T.StructField("ch0", T.IntegerType()),
+        T.StructField("ch1", T.IntegerType()),
+        T.StructField("ch2", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def png_thumbnail_pixels(
+    df_with_payload: DataFrame, thumb_w: int = 4, thumb_h: int = 3
+) -> DataFrame:
+    """Decode-and-downsample: inflate + unfilter the PNG payload
+    (:func:`_png_decode_pixels`), then NEAREST-NEIGHBOR resample to a
+    fixed ``thumb_w x thumb_h`` grid — the thumbnail/feature-extraction
+    step of a multimodal training pipeline, emitted one row per
+    thumbnail pixel with its exact sampled channel bytes.
+
+    Source index is the floor map ``sx = tx * w // thumb_w`` (top-left
+    convention, pure integer — deterministic on any engine; a
+    center-sampling or bilinear kernel would introduce float rounding
+    the oracle could not replay exactly).  Corrupt/unsupported payloads
+    quarantine as ONE row (null coordinates, ``decoded = false``) —
+    never a task failure.  Grayscale inputs carry ch0 only.
+
+    Scale shape: Arrow ``mapInPandas``, map-only, output bounded at
+    ``thumb_w * thumb_h`` rows per image regardless of source size.
+    """
+    if thumb_w < 1 or thumb_h < 1:
+        raise ValueError("thumb_w and thumb_h must be >= 1")
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _png_decode_pixels(bytes(payload))
+                if dec is None:
+                    rows.append(
+                        (doc_id, None, None, None, None, None, False)
+                    )
+                    continue
+                w, h, ch, px = dec
+                for ty in range(thumb_h):
+                    sy = ty * h // thumb_h
+                    for tx in range(thumb_w):
+                        sx = tx * w // thumb_w
+                        v = px[sy, sx]
+                        rows.append(
+                            (
+                                doc_id,
+                                tx,
+                                ty,
+                                int(v[0]),
+                                int(v[1]) if ch >= 3 else None,
+                                int(v[2]) if ch >= 3 else None,
+                                True,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "tx", "ty", "ch0", "ch1", "ch2", "decoded",
+                ],
+            ).astype(
+                {
+                    "tx": "Int32", "ty": "Int32",
+                    "ch0": "Int32", "ch1": "Int32", "ch2": "Int32",
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, THUMB_PIXELS
+    )
+
+
 def png_encode_rgb(doc_id: int, width: int, height: int) -> bytes:
     """Deterministic RGB PNG fixture: pixel (p = y*width+x) channel c has
     value ``(doc_id*31 + p*3 + c) % 256`` — an arithmetic formula a SQL

@@ -868,6 +868,41 @@ def _mm_parse_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the container stdlib zlib can decode; JPEG/video stay stubbed (codec
 # libraries absent in this environment).
 # ---------------------------------------------------------------------------
+def _png_fixture_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture builder for the PNG kernels: every 97th doc gets a
+    genuine formula-valued RGB PNG (multimodal.png_encode_rgb), every
+    third of those truncated to pin the quarantine row."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 97 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("_w"),
+        (F.lit(6) + F.col("doc_id") % 7).cast("int").alias("_h"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import png_encode_rgb
+
+        for pdf in batches:
+            payloads = [
+                png_encode_rgb(int(doc), int(w), int(h))[
+                    : 10 if corrupt else None
+                ]
+                for doc, w, h, corrupt in zip(
+                    pdf["doc_id"], pdf["_w"], pdf["_h"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return sel.mapInPandas(gen, "doc_id long, payload binary")
+
+
 @query(
     "mm_decode_png_pixels",
     """
@@ -900,36 +935,9 @@ FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
 """,
 )
 def _mm_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    d = load_table(spark, sf_dir, "documents", spread=True).filter(
-        F.col("doc_id") % 97 == 0
+    return multimodal.decode_png_pixel_stats(
+        _png_fixture_payload(spark, sf_dir)
     )
-    sel = d.select(
-        "doc_id",
-        (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("_w"),
-        (F.lit(6) + F.col("doc_id") % 7).cast("int").alias("_h"),
-        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
-    )
-
-    def gen(batches):
-        from ..functions.multimodal import png_encode_rgb
-
-        for pdf in batches:
-            payloads = [
-                png_encode_rgb(int(doc), int(w), int(h))[
-                    : 10 if corrupt else None
-                ]
-                for doc, w, h, corrupt in zip(
-                    pdf["doc_id"], pdf["_w"], pdf["_h"], pdf["_corrupt"]
-                )
-            ]
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
-    return multimodal.decode_png_pixel_stats(payload)
 
 
 # ---------------------------------------------------------------------------
@@ -6184,4 +6192,52 @@ def _text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return term_burstiness(
         load_table(spark, sf_dir, "documents", spread=True), min_df=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode + nearest-neighbor thumbnail (multimodal.png_thumbnail_pixels):
+# the engine inflates the ACTUAL PNG bytes and resamples to 4x3 with the
+# integer floor map sx = tx*w//4, sy = ty*h//3; the oracle recomputes
+# every sampled pixel from the encode formula alone — any stride,
+# filter, or sampling-index mistake mismatches on a specific pixel, not
+# just an aggregate.  Same fixture (and quarantine thirds) as
+# mm_decode_png_pixels.
+# ---------------------------------------------------------------------------
+_THUMB_W, _THUMB_H = 4, 3
+
+
+@query(
+    "mm_png_thumbnail",
+    f"""
+WITH sel AS (
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS INTEGER) AS w,
+           CAST(6 + doc_id % 7 AS INTEGER) AS h,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 97 = 0
+),
+tpx AS (
+    SELECT doc_id,
+           CAST(tx.i AS INTEGER) AS tx, CAST(ty.i AS INTEGER) AS ty,
+           ((ty.i * h) // {_THUMB_H}) * w + ((tx.i * w) // {_THUMB_W}) AS p
+    FROM sel, range(0, {_THUMB_W}) tx(i), range(0, {_THUMB_H}) ty(i)
+    WHERE NOT corrupt
+)
+SELECT doc_id, tx, ty,
+       CAST((doc_id * 31 + p * 3    ) % 256 AS INTEGER) AS ch0,
+       CAST((doc_id * 31 + p * 3 + 1) % 256 AS INTEGER) AS ch1,
+       CAST((doc_id * 31 + p * 3 + 2) % 256 AS INTEGER) AS ch2,
+       TRUE AS decoded
+FROM tpx
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, FALSE
+FROM sel WHERE corrupt
+""",
+)
+def _mm_png_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.png_thumbnail_pixels(
+        _png_fixture_payload(spark, sf_dir),
+        thumb_w=_THUMB_W,
+        thumb_h=_THUMB_H,
     )

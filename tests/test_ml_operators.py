@@ -2466,3 +2466,30 @@ def test_fifo_allocate_clamps_and_tiebreaks(spark):
         for r in fifo_allocate(tied, ["k"], "pos", "amt", "bud").collect()
     )
     assert got == [(0.0, 40.0), (40.0, 20.0)]
+
+
+def test_png_thumbnail_pixels_samples_floor_grid(spark):
+    """The 4x3 thumbnail of a formula-valued PNG equals the encode
+    formula at the floor-mapped source indices; a truncated payload
+    quarantines as one decoded=false row."""
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        png_encode_rgb,
+        png_thumbnail_pixels,
+    )
+
+    w, h, doc = 10, 6, 7
+    blob = png_encode_rgb(doc, w, h)
+    df = spark.createDataFrame(
+        [Row(doc_id=7, payload=bytearray(blob)),
+         Row(doc_id=8, payload=bytearray(blob[:10]))]
+    )
+    out = png_thumbnail_pixels(df, thumb_w=4, thumb_h=3).collect()
+    good = {(r["tx"], r["ty"]): (r["ch0"], r["ch1"], r["ch2"])
+            for r in out if r["doc_id"] == 7}
+    assert len(good) == 12
+    for (tx, ty), chans in good.items():
+        p = (ty * h // 3) * w + (tx * w // 4)
+        assert chans == tuple((doc * 31 + p * 3 + c) % 256 for c in range(3))
+    bad = [r for r in out if r["doc_id"] == 8]
+    assert len(bad) == 1 and bad[0]["decoded"] is False
+    assert bad[0]["tx"] is None and bad[0]["ch0"] is None
