@@ -1349,3 +1349,75 @@ def rate_limit_violations(
         )
         .filter(F.col("trailing_count") >= threshold)
     )
+
+
+def entropy_rate(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """First-order Markov entropy rate of the event stream — the
+    sequence-predictability number over the empirical transition matrix
+    (:func:`event_transitions`): per source state the conditional
+    entropy ``H(dst | src) = -sum_dst p(dst|src) log2 p(dst|src)``, and
+    the corpus rate ``H = sum_src p(src) H(dst | src)`` with ``p(src)``
+    the observed source share of all transitions.  ~0 bits means the
+    next event type is determined by the current one; log2(k) bits
+    means it is uniform noise.
+
+    Transcendental log2 terms ride the quantized-term contract
+    (mleval.ndcg_at_k): per-(src, dst) entropy terms AND per-src rate
+    contributions are rounded to 12 digits and summed as
+    DECIMAL(28,12); closings round to 9.
+
+    Plan: the ONE user-keyed window shuffle of event_transitions, then
+    everything runs on the |types|^2 matrix frame — per-src totals
+    broadcast-join back onto it, the grand total rides a 1-row
+    broadcast.  Output per source state: (src, n_src, n_dst_distinct,
+    h_bits, src_share, rate_contrib, entropy_rate_bits) with the corpus
+    rate replicated per row (the PSI output shape).
+    """
+    tm = event_transitions(
+        events, user_col=user_col, type_col=type_col, ts_col=ts_col,
+        order_cols=order_cols,
+    ).select("src", "dst", F.col("n_transitions").alias("_n"))
+    src_tot = tm.groupBy("src").agg(
+        F.sum("_n").cast("bigint").alias("_ns"),
+        F.count("*").cast("bigint").alias("n_dst_distinct"),
+    )
+    j = tm.join(F.broadcast(src_tot), "src")
+    p = F.col("_n").cast("double") / F.col("_ns").cast("double")
+    term = F.round(-p * F.log2(p), 12).cast("decimal(28,12)")
+    per_src = (
+        j.select("src", "_ns", "n_dst_distinct", term.alias("_t"))
+        .groupBy("src")
+        .agg(
+            F.max("_ns").alias("n_src"),
+            F.max("n_dst_distinct").alias("n_dst_distinct"),
+            F.sum("_t").cast("double").alias("_h"),
+        )
+    )
+    grand = per_src.agg(F.sum("n_src").cast("bigint").alias("_tot"))
+    w = per_src.crossJoin(F.broadcast(grand))
+    share = F.col("n_src").cast("double") / F.col("_tot").cast("double")
+    contrib = F.round(share * F.col("_h"), 12).cast("decimal(28,12)")
+    rows = w.select(
+        "src",
+        "n_src",
+        "n_dst_distinct",
+        F.col("_h").alias("_hd"),
+        F.round(share, 9).alias("src_share"),
+        contrib.alias("_c"),
+    )
+    total = rows.agg(F.sum("_c").cast("double").alias("_rate"))
+    return rows.crossJoin(F.broadcast(total)).select(
+        "src",
+        "n_src",
+        "n_dst_distinct",
+        F.round(F.col("_hd"), 9).alias("h_bits"),
+        "src_share",
+        F.round(F.col("_c").cast("double"), 9).alias("rate_contrib"),
+        F.round(F.col("_rate"), 9).alias("entropy_rate_bits"),
+    )

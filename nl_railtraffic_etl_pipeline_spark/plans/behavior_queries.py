@@ -4576,3 +4576,68 @@ def _events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=_HOLT_ALPHA,
         beta=_HOLT_BETA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate (functions/behavior.py::entropy_rate): how
+# predictable is the next event type given the current one — the
+# information-theoretic closing number over the events_transitions
+# matrix.  Quantized-term contract for both entropy levels.
+# ---------------------------------------------------------------------------
+@query(
+    "events_entropy_rate",
+    f"""
+WITH seq AS (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS dst
+    FROM events
+),
+pairs AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+st AS (
+    SELECT src, CAST(SUM(n) AS BIGINT) AS ns,
+           CAST(COUNT(*) AS BIGINT) AS n_dst_distinct
+    FROM pairs GROUP BY 1
+),
+terms AS (
+    SELECT p.src, st.ns, st.n_dst_distinct,
+           CAST({_round_sql(
+               "-(CAST(p.n AS DOUBLE) / CAST(st.ns AS DOUBLE))"
+               " * log2(CAST(p.n AS DOUBLE) / CAST(st.ns AS DOUBLE))",
+               12,
+           )} AS DECIMAL(28,12)) AS t
+    FROM pairs p JOIN st ON p.src = st.src
+),
+per_src AS (
+    SELECT src, MAX(ns) AS n_src, MAX(n_dst_distinct) AS n_dst_distinct,
+           CAST(SUM(t) AS DOUBLE) AS h
+    FROM terms GROUP BY 1
+),
+grand AS (SELECT CAST(SUM(n_src) AS BIGINT) AS tot FROM per_src),
+rows_ AS (
+    SELECT src, n_src, n_dst_distinct, h,
+           {_round_sql(
+               "CAST(n_src AS DOUBLE) / CAST(tot AS DOUBLE)", 9
+           )} AS src_share,
+           CAST({_round_sql(
+               "(CAST(n_src AS DOUBLE) / CAST(tot AS DOUBLE)) * h", 12
+           )} AS DECIMAL(28,12)) AS c
+    FROM per_src, grand
+),
+total AS (SELECT CAST(SUM(c) AS DOUBLE) AS rate FROM rows_)
+SELECT src, n_src, n_dst_distinct,
+       ROUND(h, 9) AS h_bits,
+       src_share,
+       ROUND(CAST(c AS DOUBLE), 9) AS rate_contrib,
+       ROUND(rate, 9) AS entropy_rate_bits
+FROM rows_, total
+""",
+)
+def _events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.behavior import entropy_rate
+
+    return entropy_rate(load_table(spark, sf_dir, "events", spread=True))

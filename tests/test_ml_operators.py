@@ -2493,3 +2493,43 @@ def test_png_thumbnail_pixels_samples_floor_grid(spark):
     bad = [r for r in out if r["doc_id"] == 8]
     assert len(bad) == 1 and bad[0]["decoded"] is False
     assert bad[0]["tx"] is None and bad[0]["ch0"] is None
+
+
+def test_entropy_rate_deterministic_vs_uniform(spark):
+    """A strictly alternating chain has rate 0; a source that splits
+    50/50 contributes exactly 1 bit weighted by its share."""
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.functions.behavior import (
+        entropy_rate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    det = [
+        Row(user_id=1, event_id=i, ts=t0 + dt.timedelta(minutes=i),
+            event_type="ab"[i % 2])
+        for i in range(6)
+    ]
+    out = entropy_rate(spark.createDataFrame(det)).collect()
+    assert all(r["h_bits"] == 0.0 for r in out)
+    assert all(r["entropy_rate_bits"] == 0.0 for r in out)
+
+    # a->b, a->c equally: H(a)=1 bit; b,c are terminal-ish (single dst
+    # back to a with H=0), sequences: a b a c  (transitions a->b, b->a,
+    # a->c) per user pair
+    mix = []
+    eid = 0
+    for u, seq in ((1, "abac"), (2, "acab")):
+        for i, t in enumerate(seq):
+            mix.append(
+                Row(user_id=u, event_id=eid,
+                    ts=t0 + dt.timedelta(minutes=i), event_type=t)
+            )
+            eid += 1
+    rows = {r["src"]: r for r in entropy_rate(
+        spark.createDataFrame(mix)).collect()}
+    # src a: dsts b,c equally -> 1 bit; srcs b,c: always -> a, 0 bits
+    assert rows["a"]["h_bits"] == 1.0 and rows["a"]["n_dst_distinct"] == 2
+    assert rows["b"]["h_bits"] == 0.0 and rows["c"]["h_bits"] == 0.0
+    # rate = share(a) * 1 = 4/6
+    assert abs(rows["a"]["entropy_rate_bits"] - round(4 / 6, 9)) < 2e-9
