@@ -2136,3 +2136,55 @@ def holt_linear(
             (F.col("_r.s.l") + F.col("_r.s.b")).alias("forecast"),
         )
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    key_cols: Sequence[str],
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR correction (1995, public
+    literature) over a frame of per-hypothesis p-values — the
+    multiple-testing closer for any metric sweep (every per-segment
+    test family in this engine emits one p/score per cell; BH is what
+    makes 500 simultaneous cells honest).
+
+    ``adj_p(i) = min_{j >= i} (p_(j) * n / j)`` clamped at 1, with
+    hypotheses ranked ascending by ``(p, key...)`` — the key tiebreak
+    makes the rank (and therefore every adjusted value) total-ordered
+    and engine-portable.  ``significant = adj_p <= alpha``.  The raw
+    step values are a fixed double chain (``p * n / rank``); the
+    running suffix minimum is order-only (no accumulation), so the
+    whole operator is engine-exact without quantization.
+
+    Plan: the input is a HYPOTHESIS frame (one row per tested cell —
+    metadata scale by construction), so the two unpartitioned windows
+    (rank, suffix-min) run on a bounded frame, the repo's
+    post-aggregation window contract.  Output: (keys..., p_value, rank,
+    n_tests, adj_p, significant).
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    w_rank = Window.orderBy(F.col("_p"), *keys)
+    t = df.select(
+        *keys, F.col(p_col).cast("double").alias("_p")
+    ).withColumn("rank", F.row_number().over(w_rank))
+    n = t.agg(F.count("*").cast("bigint").alias("_n"))
+    t = t.crossJoin(F.broadcast(n))
+    raw = F.col("_p") * F.col("_n").cast("double") / F.col("rank").cast(
+        "double"
+    )
+    w_suffix = Window.orderBy(F.desc("rank")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = t.withColumn("_adj", F.least(F.min(raw).over(w_suffix), F.lit(1.0)))
+    return t.select(
+        *keys,
+        F.round(F.col("_p"), 9).alias("p_value"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("_n").alias("n_tests"),
+        F.round(F.col("_adj"), 9).alias("adj_p"),
+        (F.col("_adj") <= alpha).alias("significant"),
+    )

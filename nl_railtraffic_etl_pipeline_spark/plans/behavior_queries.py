@@ -4641,3 +4641,89 @@ def _events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.behavior import entropy_rate
 
     return entropy_rate(load_table(spark, sf_dir, "events", spread=True))
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR (functions/stats.py::bh_fdr) over the
+# (event_type, isodow) cell grid.  The per-cell p-values are
+# hash-uniform by construction (the md5-h32 contract shared with the
+# sketch family) — the gate pins the step-up adjustment MECHANICS
+# (ranking, n/rank scaling, suffix minimum, clamp), which is the
+# operator; any real test family plugs its own p column in.
+# ---------------------------------------------------------------------------
+from .oracle_util import H32_SQL as _H32_SQL  # noqa: E402
+
+_BH_H = _H32_SQL.format(
+    x="'bh:' || event_type || ':' || CAST(dow AS VARCHAR)"
+)
+
+
+@query(
+    "stats_bh_fdr",
+    f"""
+WITH cells AS (
+    SELECT event_type,
+           CAST(isodow(CAST(ts AS DATE)) AS INTEGER) AS dow
+    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+),
+p AS (
+    SELECT event_type, dow,
+           CAST(({_BH_H} % 1000000 + 1) AS DOUBLE)
+               / CAST(1000000 AS DOUBLE) AS pv
+    FROM cells
+),
+r AS (
+    SELECT *,
+           CAST(ROW_NUMBER() OVER (ORDER BY pv, event_type, dow)
+                AS INTEGER) AS rank,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM p
+),
+a AS (
+    SELECT *,
+           LEAST(MIN(pv * CAST(n AS DOUBLE) / CAST(rank AS DOUBLE)) OVER (
+               ORDER BY rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), CAST(1 AS DOUBLE)) AS adj
+    FROM r
+)
+SELECT event_type, dow,
+       ROUND(pv, 9) AS p_value,
+       rank,
+       n AS n_tests,
+       {_round_sql("adj", 9)} AS adj_p,
+       adj <= CAST('0.1' AS DOUBLE) AS significant
+FROM a
+""",
+)
+def _stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import bh_fdr
+    from ..functions.text import hash32
+
+    cells = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            (F.weekday(F.to_date("ts")) + 1).cast("int").alias("dow"),
+        )
+        .distinct()
+    )
+    p = cells.withColumn(
+        "pv",
+        (
+            hash32(
+                F.concat(
+                    F.lit("bh:"),
+                    F.col("event_type"),
+                    F.lit(":"),
+                    F.col("dow").cast("string"),
+                )
+            )
+            % 1000000
+            + 1
+        ).cast("double")
+        / F.lit(1000000).cast("double"),
+    )
+    return bh_fdr(p, "pv", ["event_type", "dow"], alpha=0.1)

@@ -2533,3 +2533,26 @@ def test_entropy_rate_deterministic_vs_uniform(spark):
     assert rows["b"]["h_bits"] == 0.0 and rows["c"]["h_bits"] == 0.0
     # rate = share(a) * 1 = 4/6
     assert abs(rows["a"]["entropy_rate_bits"] - round(4 / 6, 9)) < 2e-9
+
+
+def test_bh_fdr_textbook_example(spark):
+    """The classic BH worked example: p = [.01, .04, .03, .005] at
+    alpha=.05 -> all four significant (the suffix-min rescue of .04);
+    adj_p is the running minimum of p*n/rank from the bottom."""
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import bh_fdr
+
+    df = spark.createDataFrame(
+        [Row(k="a", p=0.01), Row(k="b", p=0.04),
+         Row(k="c", p=0.03), Row(k="d", p=0.005)]
+    )
+    out = {r["k"]: r for r in bh_fdr(df, "p", ["k"], alpha=0.05).collect()}
+    # ranks: d(1), a(2), c(3), b(4); raw = [.02, .02, .04, .04]
+    assert [out[k]["rank"] for k in "dacb"] == [1, 2, 3, 4]
+    assert out["d"]["adj_p"] == 0.02 and out["a"]["adj_p"] == 0.02
+    assert out["c"]["adj_p"] == 0.04 and out["b"]["adj_p"] == 0.04
+    assert all(r["significant"] for r in out.values())
+    # a large p is clamped at 1 and not significant
+    df2 = spark.createDataFrame([Row(k="x", p=0.99), Row(k="y", p=0.5)])
+    out2 = {r["k"]: r for r in bh_fdr(df2, "p", ["k"], alpha=0.1).collect()}
+    assert out2["x"]["adj_p"] == 0.99 and not out2["x"]["significant"]
+    assert out2["y"]["adj_p"] == 0.99  # min(1.0, .5*2/1)=1 -> suffix min .99
