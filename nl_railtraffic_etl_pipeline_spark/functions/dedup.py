@@ -933,3 +933,52 @@ def prefix_filter_pairs(
             F.round(inter / union.cast("double"), 4).alias("jaccard"),
         )
     )
+
+
+def survivorship_pick(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_rep",
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Canonical-copy selection over converged duplicate clusters — the
+    step AFTER clustering that every dedup pipeline actually ships: of
+    each cluster's members, keep the best copy by an explicit quality
+    criterion (default: longest ``n_chars``), tie-broken on the lowest
+    id so the pick is total-ordered and engine-portable.  The min-id
+    cluster label is a graph artifact, NOT a quality judgment — this
+    operator is where the survivor decision becomes explicit and
+    auditable.
+
+    Plan: one id-keyed equi-join of the cluster frame (pair-graph-node
+    sized, never the corpus) against the doc attributes, ONE
+    cluster-keyed window for the rank — no collects.  Output per
+    clustered doc: (doc_id, cluster_rep, n_members, quality, pick_rank,
+    is_canonical).
+    """
+    from pyspark.sql import Window
+
+    j = clusters.select(
+        F.col(doc_col).alias("_doc"), F.col(cluster_col).alias("_rep")
+    ).join(
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.col(quality_col).alias("_q"),
+        ),
+        "_doc",
+    )
+    w = Window.partitionBy("_rep").orderBy(F.desc("_q"), F.asc("_doc"))
+    wc = Window.partitionBy("_rep")
+    t = j.withColumn("pick_rank", F.row_number().over(w)).withColumn(
+        "n_members", F.count("*").over(wc).cast("bigint")
+    )
+    return t.select(
+        F.col("_doc").alias(id_col),
+        F.col("_rep").alias(cluster_col),
+        "n_members",
+        F.col("_q").alias("quality"),
+        F.col("pick_rank").cast("int").alias("pick_rank"),
+        (F.col("pick_rank") == 1).alias("is_canonical"),
+    )

@@ -6241,3 +6241,51 @@ def _mm_png_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         thumb_w=_THUMB_W,
         thumb_h=_THUMB_H,
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivorship pick (functions/dedup.py::survivorship_pick): the
+# explicit canonical-copy decision over the converged near-dup clusters
+# — keep the longest member (n_chars desc, doc_id asc tiebreak).  The
+# oracle re-walks the recursive-CTE components and applies the same
+# total-ordered window.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_survivorship",
+    f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lab) AS (
+    SELECT doc, doc FROM nodes
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc
+),
+cl AS (SELECT doc, MIN(lab) AS cluster_rep FROM reach GROUP BY doc),
+j AS (
+    SELECT cl.doc AS doc_id, cl.cluster_rep, d.n_chars AS quality
+    FROM cl JOIN documents d ON cl.doc = d.doc_id
+),
+r AS (
+    SELECT *,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY cluster_rep ORDER BY quality DESC, doc_id
+           ) AS INTEGER) AS pick_rank,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+               AS n_members
+    FROM j
+)
+SELECT doc_id, cluster_rep, n_members, quality, pick_rank,
+       pick_rank = 1 AS is_canonical
+FROM r
+""",
+)
+def _dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return dedup.survivorship_pick(
+        _clusters_df(spark, sf_dir), docs, quality_col="n_chars"
+    )

@@ -2556,3 +2556,26 @@ def test_bh_fdr_textbook_example(spark):
     out2 = {r["k"]: r for r in bh_fdr(df2, "p", ["k"], alpha=0.1).collect()}
     assert out2["x"]["adj_p"] == 0.99 and not out2["x"]["significant"]
     assert out2["y"]["adj_p"] == 0.99  # min(1.0, .5*2/1)=1 -> suffix min .99
+
+
+def test_survivorship_pick_quality_then_id(spark):
+    """Longest member wins; equal quality tie-breaks on the LOWEST id;
+    member counts and ranks are per cluster."""
+    from nl_railtraffic_etl_pipeline_spark.functions.dedup import (
+        survivorship_pick,
+    )
+
+    clusters = spark.createDataFrame(
+        [Row(doc=1, cluster_rep=1), Row(doc=2, cluster_rep=1),
+         Row(doc=3, cluster_rep=1), Row(doc=9, cluster_rep=9)]
+    )
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, n_chars=10), Row(doc_id=2, n_chars=40),
+         Row(doc_id=3, n_chars=40), Row(doc_id=9, n_chars=5)]
+    )
+    out = {r["doc_id"]: r for r in survivorship_pick(clusters, docs).collect()}
+    assert out[2]["is_canonical"] and out[2]["pick_rank"] == 1
+    assert out[3]["pick_rank"] == 2 and not out[3]["is_canonical"]
+    assert out[1]["pick_rank"] == 3
+    assert all(out[i]["n_members"] == 3 for i in (1, 2, 3))
+    assert out[9]["is_canonical"] and out[9]["n_members"] == 1
