@@ -6289,3 +6289,88 @@ def _dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.survivorship_pick(
         _clusters_df(spark, sf_dir), docs, quality_col="n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-reputation PageRank over the REAL extracted link graph
+# (web.extract_links -> graph.pagerank_units): the crawl-pipeline
+# composition — parse hrefs out of the HTML, collapse to registered
+# domains, rank.  Same exact-integer iteration contract as
+# graph_pagerank; the oracle re-extracts the links in SQL and unrolls
+# the same five steps over the domain node set.
+# ---------------------------------------------------------------------------
+def _domain_pr_step_sql(k: int) -> str:
+    return f"""
+pr{k + 1} AS (
+    SELECT n.node,
+           CAST({_PR_TELEPORT} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
+               AS r
+    FROM nodes n
+    LEFT JOIN (
+        SELECT e.dst AS nd, SUM(p.r // o.d) AS s
+        FROM edges e
+        JOIN pr{k} p ON e.src = p.node
+        JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+    ) s ON n.node = s.nd
+)"""
+
+
+@query(
+    "web_domain_pagerank",
+    f"""
+WITH raw AS (
+    SELECT doc_id, {_WEBURL_SQL} AS url, {_WEBHTML_SQL} AS html
+    FROM documents
+),
+hits AS (
+    SELECT url,
+           unnest(regexp_extract_all(html, '{_HREF_RE_SQL}', 1)) AS target
+    FROM raw
+),
+ends AS (
+    SELECT url,
+           {_regdom_cols_sql("url", "s", "src_domain")},
+           {_regdom_cols_sql("target", "t", "dst_domain")}
+    FROM hits WHERE regexp_matches(target, '^https?://')
+),
+edges AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM ends),
+nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+    UNION
+    SELECT DISTINCT dst FROM edges
+),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes)
+"""
+    + ","
+    + ",".join(_domain_pr_step_sql(k) for k in range(_PR_ITERS))
+    + f"\nSELECT node AS domain, r AS pr_units FROM pr{_PR_ITERS}",
+)
+def _web_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.web import extract_links
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    page = d.select(
+        _weburl_col().alias("url"), _webhtml_col().alias("html")
+    )
+    links = extract_links(page)
+    # compute-once barrier at the call site (the triangle_count-documented
+    # multi-consumer hazard): without it the regex extraction subtree
+    # re-embeds in every unrolled iteration's join and plan compilation
+    # alone cost ~70 s at sf0.01 (measured); the barriered frame is
+    # domains^2-sized.
+    edges = dedup._materialize(
+        links.select(
+            F.col("src_domain").alias("src"),
+            F.col("dst_domain").alias("dst"),
+        ).distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("domain"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    return pagerank_units(
+        nodes, edges, iterations=_PR_ITERS, id_col="domain"
+    ).select(F.col("node").alias("domain"), "pr_units")

@@ -346,6 +346,7 @@ HEAVY_TIER = frozenset(
         "graph_reciprocity",
         "graph_hits",
         "graph_clustering_coeff",
+        "web_domain_pagerank",
         "dedup_threshold_sweep",
         "dedup_remove_spans",
         "join_bloom_prejoin",
