@@ -792,3 +792,130 @@ def psi_drift(
         F.round(F.col("_contrib").cast("double"), 9).alias("psi_contrib"),
         F.round(F.col("_psi"), 9).alias("psi_total"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    bucket_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight of Evidence / Information Value per feature bucket against
+    a binary label — the credit-scoring feature-screening pair (public
+    literature; IV > 0.3 = strong predictor, < 0.02 = useless).
+
+    With per-bucket event/non-event counts Laplace-smoothed as
+    ``(c + 1) / (n + k)`` (k buckets — keeps empty cells finite, the
+    psi_drift convention):
+
+        woe  = ln(p_event / p_nonevent)
+        iv   = sum_buckets (p_event - p_nonevent) * woe
+
+    The transcendental ln rides the quantized-term contract
+    (:func:`ndcg_at_k`): IV contributions round to 12 digits and sum as
+    DECIMAL(28,12); closings round to 9.  Plan: ONE bucket-keyed
+    partial-agg shuffle, a 1-row totals broadcast, bucket-count frame
+    all the way down.  Output per bucket: (bucket, n_event, n_nonevent,
+    share_event, share_nonevent, woe, iv_contrib, iv_total).
+    """
+    base = df.select(
+        F.col(bucket_col).alias("_b"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_b").isNotNull() & F.col("_y").isin(0, 1))
+    per = base.groupBy("_b").agg(
+        F.count_if(F.col("_y") == 1).cast("bigint").alias("n_event"),
+        F.count_if(F.col("_y") == 0).cast("bigint").alias("n_nonevent"),
+    )
+    tot = per.agg(
+        F.sum("n_event").cast("bigint").alias("_ne"),
+        F.sum("n_nonevent").cast("bigint").alias("_nn"),
+        F.count("*").cast("bigint").alias("_k"),
+    )
+    w = per.crossJoin(F.broadcast(tot))
+    pe = (F.col("n_event") + 1).cast("double") / (
+        F.col("_ne") + F.col("_k")
+    ).cast("double")
+    pn = (F.col("n_nonevent") + 1).cast("double") / (
+        F.col("_nn") + F.col("_k")
+    ).cast("double")
+    woe = F.log(pe / pn)
+    contrib = F.round((pe - pn) * woe, 12).cast("decimal(28,12)")
+    rows = w.select(
+        F.col("_b").alias(bucket_col),
+        "n_event",
+        "n_nonevent",
+        F.round(pe, 9).alias("share_event"),
+        F.round(pn, 9).alias("share_nonevent"),
+        F.round(woe, 9).alias("woe"),
+        contrib.alias("_c"),
+    )
+    total = rows.agg(F.sum("_c").cast("double").alias("_iv"))
+    return rows.crossJoin(F.broadcast(total)).select(
+        bucket_col,
+        "n_event",
+        "n_nonevent",
+        "share_event",
+        "share_nonevent",
+        "woe",
+        F.round(F.col("_c").cast("double"), 9).alias("iv_contrib"),
+        F.round(F.col("_iv"), 9).alias("iv_total"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    value_col: str,
+    treat_col: str,
+    period_col: str,
+) -> DataFrame:
+    """Two-by-two difference-in-differences estimator (Card & Krueger
+    1994 canon, public literature): the treatment effect under the
+    parallel-trends assumption,
+
+        did = (mean_t1 - mean_t0) - (mean_c1 - mean_c0)
+
+    over the (treated 0/1, period 0/1) cell grid — the causal companion
+    of :func:`stratified_ate` for before/after designs.
+
+    All four cell sums are exact DECIMAL (the repo's string-bridge
+    cast); the four means and the closing double chain are fixed IEEE,
+    rounded to 9.  Plan: ONE global aggregate with conditional sums (a
+    single partial-agg pass, no joins at all).  Output ONE row: the
+    four cell (n, mean) pairs, both trend deltas, and ``did``.
+    """
+    v = F.col(value_col).cast("string").cast("decimal(28,6)")
+    t = F.col(treat_col).cast("int")
+    p = F.col(period_col).cast("int")
+    base = df.filter(
+        F.col(value_col).isNotNull() & t.isin(0, 1) & p.isin(0, 1)
+    )
+    cells = {}
+    agg_exprs = []
+    for ti in (0, 1):
+        for pi in (0, 1):
+            tag = f"{'t' if ti else 'c'}{pi}"
+            cond = (t == ti) & (p == pi)
+            agg_exprs.append(
+                F.count_if(cond).cast("bigint").alias(f"n_{tag}")
+            )
+            agg_exprs.append(
+                F.sum(F.when(cond, v)).alias(f"_s_{tag}")
+            )
+            cells[tag] = None
+    a = base.agg(*agg_exprs)
+    mean = {
+        tag: F.col(f"_s_{tag}").cast("double")
+        / F.col(f"n_{tag}").cast("double")
+        for tag in cells
+    }
+    d_treat = mean["t1"] - mean["t0"]
+    d_ctrl = mean["c1"] - mean["c0"]
+    return a.select(
+        *[F.col(f"n_{tag}") for tag in ("c0", "c1", "t0", "t1")],
+        *[
+            F.round(mean[tag], 9).alias(f"mean_{tag}")
+            for tag in ("c0", "c1", "t0", "t1")
+        ],
+        F.round(d_treat, 9).alias("delta_treated"),
+        F.round(d_ctrl, 9).alias("delta_control"),
+        F.round(d_treat - d_ctrl, 9).alias("did"),
+    )

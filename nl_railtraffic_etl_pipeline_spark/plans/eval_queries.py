@@ -624,3 +624,145 @@ def _ml_conformal_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         cutoff="2024-01-22 00:00:00",
         alpha_pct=10,
     ).filter(F.col("event_type").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Weight of Evidence / Information Value (functions/mleval.py::woe_iv):
+# feature screening of event_type against the afternoon-conversion label
+# hour(ts) >= 12.  Laplace-smoothed shares (the psi_drift convention),
+# quantized-term IV sum.
+# ---------------------------------------------------------------------------
+_WOE_PE = "(CAST(n_event + 1 AS DOUBLE) / CAST(ne + k AS DOUBLE))"
+_WOE_PN = "(CAST(n_nonevent + 1 AS DOUBLE) / CAST(nn + k AS DOUBLE))"
+
+
+@query(
+    "ml_woe_iv",
+    f"""
+WITH base AS (
+    SELECT event_type AS b,
+           CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS y
+    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+per AS (
+    SELECT b,
+           CAST(COUNT(*) FILTER (y = 1) AS BIGINT) AS n_event,
+           CAST(COUNT(*) FILTER (y = 0) AS BIGINT) AS n_nonevent
+    FROM base GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_event) AS BIGINT) AS ne,
+           CAST(SUM(n_nonevent) AS BIGINT) AS nn,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM per
+),
+rows_ AS (
+    SELECT b, n_event, n_nonevent,
+           {_r(_WOE_PE, 9)} AS share_event,
+           {_r(_WOE_PN, 9)} AS share_nonevent,
+           {_r(f"ln({_WOE_PE} / {_WOE_PN})", 9)} AS woe,
+           CAST({_r(
+               f"({_WOE_PE} - {_WOE_PN}) * ln({_WOE_PE} / {_WOE_PN})", 12
+           )} AS DECIMAL(28,12)) AS c
+    FROM per, tot
+),
+total AS (SELECT CAST(SUM(c) AS DOUBLE) AS iv FROM rows_)
+SELECT b AS event_type, n_event, n_nonevent, share_event, share_nonevent,
+       woe,
+       ROUND(CAST(c AS DOUBLE), 9) AS iv_contrib,
+       ROUND(iv, 9) AS iv_total
+FROM rows_, total
+""",
+)
+def _ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import woe_iv
+
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            (F.hour("ts") >= 12).cast("int").alias("_y"),
+        )
+    )
+    return woe_iv(ev, "event_type", "_y")
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (functions/mleval.py::diff_in_diff): the
+# before/after x treated/control 2x2 estimator over the value stream —
+# treated = odd user_id, period = second half of the date range (the
+# transition_drift split).  Exact DECIMAL cell sums, fixed closing chain.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_diff_in_diff",
+    """
+WITH base AS (
+    SELECT CAST(CAST(value AS VARCHAR) AS DECIMAL(28,6)) AS v,
+           CAST(user_id % 2 AS INTEGER) AS t,
+           CAST(ts AS DATE) AS d
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM base),
+f AS (
+    SELECT v, t,
+           CASE WHEN d >= d0 + CAST((d1 - d0) // 2 AS INTEGER)
+                THEN 1 ELSE 0 END AS p
+    FROM base, bounds
+),
+a AS (
+    SELECT CAST(COUNT(*) FILTER (t = 0 AND p = 0) AS BIGINT) AS n_c0,
+           CAST(COUNT(*) FILTER (t = 0 AND p = 1) AS BIGINT) AS n_c1,
+           CAST(COUNT(*) FILTER (t = 1 AND p = 0) AS BIGINT) AS n_t0,
+           CAST(COUNT(*) FILTER (t = 1 AND p = 1) AS BIGINT) AS n_t1,
+           SUM(CASE WHEN t = 0 AND p = 0 THEN v END) AS s_c0,
+           SUM(CASE WHEN t = 0 AND p = 1 THEN v END) AS s_c1,
+           SUM(CASE WHEN t = 1 AND p = 0 THEN v END) AS s_t0,
+           SUM(CASE WHEN t = 1 AND p = 1 THEN v END) AS s_t1
+    FROM f
+)
+SELECT n_c0, n_c1, n_t0, n_t1,
+       ROUND(CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE), 9) AS mean_c0,
+       ROUND(CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE), 9) AS mean_c1,
+       ROUND(CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE), 9) AS mean_t0,
+       ROUND(CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE), 9) AS mean_t1,
+       ROUND(CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+             - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE), 9)
+           AS delta_treated,
+       ROUND(CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+             - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE), 9)
+           AS delta_control,
+       ROUND((CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+              - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+             - (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+                - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)), 9) AS did
+FROM a
+""",
+)
+def _ml_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import diff_in_diff
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("_d0"),
+        F.max(F.to_date("ts")).alias("_d1"),
+    )
+    flagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        (
+            F.to_date("ts")
+            >= F.date_add(
+                F.col("_d0"),
+                F.floor(F.datediff("_d1", "_d0") / 2).cast("int"),
+            )
+        )
+        .cast("int")
+        .alias("period"),
+    )
+    return diff_in_diff(flagged, "value", "treat", "period")

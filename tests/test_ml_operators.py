@@ -2579,3 +2579,41 @@ def test_survivorship_pick_quality_then_id(spark):
     assert out[1]["pick_rank"] == 3
     assert all(out[i]["n_members"] == 3 for i in (1, 2, 3))
     assert out[9]["is_canonical"] and out[9]["n_members"] == 1
+
+
+def test_woe_iv_symmetric_and_flat(spark):
+    """A bucket with balanced labels under balanced totals has woe 0;
+    mirrored buckets get mirrored woe; IV is the shared total."""
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import woe_iv
+
+    rows = (
+        [Row(b="hi", y=1)] * 8 + [Row(b="hi", y=0)] * 2
+        + [Row(b="lo", y=1)] * 2 + [Row(b="lo", y=0)] * 8
+    )
+    out = {r["b"]: r for r in woe_iv(
+        spark.createDataFrame(rows), "b", "y").collect()}
+    import math
+    # smoothed shares: hi events (8+1)/(10+2)=.75 vs nonevents .25
+    assert out["hi"]["share_event"] == 0.75
+    assert abs(out["hi"]["woe"] - math.log(3.0)) < 1e-9
+    assert abs(out["lo"]["woe"] + math.log(3.0)) < 1e-9
+    assert out["hi"]["iv_total"] == out["lo"]["iv_total"] > 0
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    """Control drifts +5, treated drifts +5 plus a +3 effect: did == 3
+    exactly (decimal cell sums, fixed closing chain)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import (
+        diff_in_diff,
+    )
+
+    rows = []
+    for t in (0, 1):
+        for p in (0, 1):
+            base = 10.0 + 5.0 * p + (3.0 * p if t else 0.0)
+            rows += [Row(v=base + i, t=t, p=p) for i in (-1.0, 0.0, 1.0)]
+    r = diff_in_diff(spark.createDataFrame(rows), "v", "t", "p").collect()[0]
+    assert r["delta_control"] == 5.0
+    assert r["delta_treated"] == 8.0
+    assert r["did"] == 3.0
+    assert r["n_c0"] == r["n_t1"] == 3
