@@ -919,3 +919,117 @@ def diff_in_diff(
         F.round(d_ctrl, 9).alias("delta_control"),
         F.round(d_treat - d_ctrl, 9).alias("did"),
     )
+
+
+def propensity_match(
+    units: DataFrame,
+    id_col: str,
+    score_col: str,
+    treat_col: str,
+    outcome_col: str,
+    caliper: int,
+) -> DataFrame:
+    """1-nearest-neighbor propensity matching WITH replacement under an
+    integer caliper (Rosenbaum & Rubin 1983 canon, public literature):
+    every treated unit matches the control whose score is closest
+    (|score diff| <= ``caliper``), ties broken on the lowest control id
+    — with replacement, so each treated unit's match is independent and
+    the whole operator parallelizes (greedy without-replacement is
+    inherently sequential; that variant belongs in a driver loop, not a
+    cluster operator).
+
+    CONTRACT: ``score_col`` must be INTEGER-valued (the repo's
+    hash-propensity / quantized-score convention) so every distance is
+    an exact BIGINT — no float comparisons anywhere in the match.
+
+    The candidate generator is a BLOCKED equi-join, never a cross join:
+    controls replicate into their score block and both neighbor blocks
+    (block width = ``caliper``), treated units probe ONE block key, and
+    any in-caliper pair is provably within one block of the treated
+    unit's.  Per-treated argmin is one window over the blocked
+    candidates.  ATT = mean over matched pairs of (treated outcome -
+    matched control outcome), each pair term quantized to 12 digits and
+    summed as exact DECIMAL (the ndcg contract).
+
+    Output one row per treated unit: (id, score, matched_control,
+    control_score, score_dist, outcome_treated, outcome_control,
+    matched, att_mean [replicated; NULL-safe over zero matches]).
+    """
+    from pyspark.sql import Window
+
+    if caliper < 1:
+        raise ValueError("caliper must be >= 1")
+    t = units.select(
+        F.col(id_col).alias("_id"),
+        F.col(score_col).cast("bigint").alias("_s"),
+        F.col(treat_col).cast("int").alias("_t"),
+        F.col(outcome_col).cast("double").alias("_y"),
+    ).filter(F.col("_t").isin(0, 1))
+    treated = t.filter(F.col("_t") == 1).select(
+        "_id", "_s", "_y", (F.col("_s") - F.col("_s") % caliper).alias("_blk")
+    )
+    controls = t.filter(F.col("_t") == 0).select(
+        F.col("_id").alias("_cid"),
+        F.col("_s").alias("_cs"),
+        F.col("_y").alias("_cy"),
+    )
+    blocks = controls.select(
+        "*",
+        F.explode(
+            F.array(
+                F.col("_cs") - F.col("_cs") % caliper - caliper,
+                F.col("_cs") - F.col("_cs") % caliper,
+                F.col("_cs") - F.col("_cs") % caliper + caliper,
+            )
+        ).alias("_blk"),
+    )
+    cand = treated.join(blocks, "_blk").filter(
+        F.abs(F.col("_s") - F.col("_cs")) <= caliper
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.abs(F.col("_s") - F.col("_cs")), F.asc("_cid")
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "_id",
+            F.col("_cid"),
+            F.col("_cs"),
+            F.col("_cy"),
+            F.abs(F.col("_s") - F.col("_cs")).alias("_dist"),
+        )
+    )
+    out = treated.join(best, "_id", "left")
+    pair_term = F.when(
+        F.col("_cid").isNotNull(),
+        F.round(F.col("_y") - F.col("_cy"), 12).cast("decimal(28,12)"),
+    )
+    rows = out.select(
+        F.col("_id").alias(id_col),
+        F.col("_s").alias("score"),
+        F.col("_cid").alias("matched_control"),
+        F.col("_cs").alias("control_score"),
+        F.col("_dist").alias("score_dist"),
+        F.round(F.col("_y"), 9).alias("outcome_treated"),
+        F.round(F.col("_cy"), 9).alias("outcome_control"),
+        F.col("_cid").isNotNull().alias("matched"),
+        pair_term.alias("_pt"),
+    )
+    att = rows.agg(
+        F.when(
+            F.count("_pt") > 0,
+            F.sum("_pt").cast("double") / F.count("_pt").cast("double"),
+        ).alias("_att")
+    )
+    return rows.crossJoin(F.broadcast(att)).select(
+        id_col,
+        "score",
+        "matched_control",
+        "control_score",
+        "score_dist",
+        "outcome_treated",
+        "outcome_control",
+        "matched",
+        F.round(F.col("_att"), 9).alias("att_mean"),
+    )

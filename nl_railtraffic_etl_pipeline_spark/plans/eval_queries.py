@@ -766,3 +766,92 @@ def _ml_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("period"),
     )
     return diff_in_diff(flagged, "value", "treat", "period")
+
+
+# ---------------------------------------------------------------------------
+# Propensity matching (functions/mleval.py::propensity_match): 1-NN
+# with-replacement caliper match of odd-user treated units to even-user
+# controls on an integer hash propensity; outcome = per-user exact-avg
+# value.  The ENGINE uses the blocked equi-join (never a cross join);
+# the oracle verifies with the naive theta join — two candidate
+# generators, one answer.
+# ---------------------------------------------------------------------------
+_PS_H = "CAST(('0x' || substr(md5('ps:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+_PS_CALIPER = 10000
+
+
+@query(
+    "ml_propensity_match",
+    f"""
+WITH u AS (
+    SELECT user_id,
+           CAST({_PS_H} % 1000000 AS BIGINT) AS s,
+           CAST(user_id % 2 AS INTEGER) AS t,
+           CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(28,6)))
+                AS DOUBLE) / COUNT(*) AS y
+    FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    GROUP BY user_id
+),
+tr AS (SELECT user_id, s, y FROM u WHERE t = 1),
+co AS (SELECT user_id AS cid, s AS cs, y AS cy FROM u WHERE t = 0),
+cand AS (
+    SELECT tr.user_id, tr.s, tr.y, co.cid, co.cs, co.cy,
+           ABS(tr.s - co.cs) AS dist
+    FROM tr JOIN co ON ABS(tr.s - co.cs) <= {_PS_CALIPER}
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY dist, cid
+        ) AS rn FROM cand
+    ) WHERE rn = 1
+),
+rows_ AS (
+    SELECT tr.user_id, tr.s AS score,
+           b.cid AS matched_control, b.cs AS control_score,
+           b.dist AS score_dist,
+           {_r("tr.y", 9)} AS outcome_treated,
+           {_r("b.cy", 9)} AS outcome_control,
+           b.cid IS NOT NULL AS matched,
+           CASE WHEN b.cid IS NOT NULL THEN
+               CAST({_r("tr.y - b.cy", 12)} AS DECIMAL(28,12))
+           END AS pt
+    FROM tr LEFT JOIN best b ON tr.user_id = b.user_id
+),
+att AS (
+    SELECT CASE WHEN COUNT(pt) > 0 THEN
+               CAST(SUM(pt) AS DOUBLE) / CAST(COUNT(pt) AS DOUBLE)
+           END AS a
+    FROM rows_
+)
+SELECT user_id, score, matched_control, control_score, score_dist,
+       outcome_treated, outcome_control, matched,
+       ROUND(a, 9) AS att_mean
+FROM rows_, att
+""",
+)
+def _ml_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import propensity_match
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    units = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast("string").cast("decimal(28,6)"))
+            .cast("double")
+            / F.count("*").cast("double")
+        ).alias("outcome"),
+    ).select(
+        "user_id",
+        "outcome",
+        (
+            hash32(F.concat(F.lit("ps:"), F.col("user_id").cast("string")))
+            % 1000000
+        ).alias("score"),
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+    )
+    return propensity_match(
+        units, "user_id", "score", "treat", "outcome",
+        caliper=_PS_CALIPER,
+    )

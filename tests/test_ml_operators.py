@@ -2617,3 +2617,33 @@ def test_diff_in_diff_recovers_planted_effect(spark):
     assert r["delta_treated"] == 8.0
     assert r["did"] == 3.0
     assert r["n_c0"] == r["n_t1"] == 3
+
+
+def test_propensity_match_caliper_and_att(spark):
+    """Nearest in-caliper control wins with id tiebreak; out-of-caliper
+    treated units stay unmatched; ATT averages matched pair diffs."""
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import (
+        propensity_match,
+    )
+
+    units = spark.createDataFrame(
+        [
+            Row(uid=1, s=100, t=1, y=10.0),   # controls at 90 & 110: tie -> cid 2
+            Row(uid=2, s=90, t=0, y=4.0),
+            Row(uid=3, s=110, t=0, y=6.0),
+            Row(uid=4, s=5000, t=1, y=20.0),  # nearest control 40 away
+            Row(uid=5, s=5040, t=0, y=12.0),
+            Row(uid=6, s=99000, t=1, y=9.0),  # nothing within caliper 100
+        ]
+    )
+    out = {
+        r["uid"]: r
+        for r in propensity_match(
+            units, "uid", "s", "t", "y", caliper=100
+        ).collect()
+    }
+    assert out[1]["matched_control"] == 2 and out[1]["score_dist"] == 10
+    assert out[4]["matched_control"] == 5
+    assert out[6]["matched"] is False and out[6]["matched_control"] is None
+    # ATT = mean of (10-4, 20-12) = 7.0
+    assert all(r["att_mean"] == 7.0 for r in out.values())
