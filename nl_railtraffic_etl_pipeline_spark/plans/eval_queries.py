@@ -855,3 +855,129 @@ def _ml_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         units, "user_id", "score", "treat", "outcome",
         caliper=_PS_CALIPER,
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (functions/mleval.py::cuped): pre-period
+# covariate x = first-half per-user exact-avg value, metric y = second
+# half, treated = odd user_id.  One aggregation pass of quantized
+# cross-moments; arm-level adjustment identity (no per-unit adjusted
+# values ever materialize).
+# ---------------------------------------------------------------------------
+_CU_N = "CAST(n AS DOUBLE)"
+_CU_MX = f"(sx / {_CU_N})"
+_CU_COV = f"(sxy - sx * sy / {_CU_N})"
+_CU_VARX = f"(sxx - sx * sx / {_CU_N})"
+_CU_VARY = f"(syy - sy * sy / {_CU_N})"
+_CU_MY0 = "(sy0 / CAST(n0 AS DOUBLE))"
+_CU_MY1 = "(sy1 / CAST(n1 AS DOUBLE))"
+_CU_MX0 = "(sx0 / CAST(n0 AS DOUBLE))"
+_CU_MX1 = "(sx1 / CAST(n1 AS DOUBLE))"
+_CU_ADJ0 = f"({_CU_MY0} - ({_CU_COV} / {_CU_VARX}) * ({_CU_MX0} - {_CU_MX}))"
+_CU_ADJ1 = f"({_CU_MY1} - ({_CU_COV} / {_CU_VARX}) * ({_CU_MX1} - {_CU_MX}))"
+
+
+@query(
+    "ml_cuped",
+    f"""
+WITH base AS (
+    SELECT user_id, CAST(CAST(value AS VARCHAR) AS DECIMAL(28,6)) AS v,
+           CAST(ts AS DATE) AS d
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM base),
+f AS (
+    SELECT user_id, v,
+           CASE WHEN d >= d0 + CAST((d1 - d0) // 2 AS INTEGER)
+                THEN 1 ELSE 0 END AS p
+    FROM base, bounds
+),
+u AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN p = 0 THEN v END) AS DOUBLE)
+               / NULLIF(COUNT(*) FILTER (p = 0), 0) AS x,
+           CAST(SUM(CASE WHEN p = 1 THEN v END) AS DOUBLE)
+               / NULLIF(COUNT(*) FILTER (p = 1), 0) AS y,
+           CAST(user_id % 2 AS INTEGER) AS t
+    FROM f GROUP BY user_id
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (t = 0) AS BIGINT) AS n0,
+           CAST(COUNT(*) FILTER (t = 1) AS BIGINT) AS n1,
+           CAST(SUM(CAST({_r("x", 12)} AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST({_r("y", 12)} AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST({_r("x * x", 12)} AS DECIMAL(28,12))) AS DOUBLE)
+               AS sxx,
+           CAST(SUM(CAST({_r("x * y", 12)} AS DECIMAL(28,12))) AS DOUBLE)
+               AS sxy,
+           CAST(SUM(CAST({_r("y * y", 12)} AS DECIMAL(28,12))) AS DOUBLE)
+               AS syy,
+           CAST(SUM(CASE WHEN t = 0 THEN
+               CAST({_r("x", 12)} AS DECIMAL(28,12)) END) AS DOUBLE) AS sx0,
+           CAST(SUM(CASE WHEN t = 1 THEN
+               CAST({_r("x", 12)} AS DECIMAL(28,12)) END) AS DOUBLE) AS sx1,
+           CAST(SUM(CASE WHEN t = 0 THEN
+               CAST({_r("y", 12)} AS DECIMAL(28,12)) END) AS DOUBLE) AS sy0,
+           CAST(SUM(CASE WHEN t = 1 THEN
+               CAST({_r("y", 12)} AS DECIMAL(28,12)) END) AS DOUBLE) AS sy1
+    FROM u WHERE x IS NOT NULL AND y IS NOT NULL
+)
+SELECT n0, n1,
+       {_r(_CU_MY0, 9)} AS mean_y_control,
+       {_r(_CU_MY1, 9)} AS mean_y_treated,
+       {_r(_CU_MX, 9)} AS mean_x,
+       CASE WHEN {_CU_VARX} > 0 THEN
+           {_r(f"{_CU_COV} / {_CU_VARX}", 9)} END AS theta,
+       CASE WHEN {_CU_VARX} > 0 THEN {_r(_CU_ADJ0, 9)} END AS adj_control,
+       CASE WHEN {_CU_VARX} > 0 THEN {_r(_CU_ADJ1, 9)} END AS adj_treated,
+       {_r(f"{_CU_MY1} - {_CU_MY0}", 9)} AS effect_raw,
+       CASE WHEN {_CU_VARX} > 0 THEN
+           {_r(f"{_CU_ADJ1} - {_CU_ADJ0}", 9)} END AS effect_cuped,
+       CASE WHEN {_CU_VARX} > 0 AND {_CU_VARY} > 0 THEN
+           {_r(f"{_CU_COV} * {_CU_COV} / ({_CU_VARX} * {_CU_VARY})", 9)}
+       END AS rho2
+FROM m
+""",
+)
+def _ml_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import cuped
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("_d0"),
+        F.max(F.to_date("ts")).alias("_d1"),
+    )
+    flagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.col("value").cast("string").cast("decimal(28,6)").alias("_v"),
+        (
+            F.to_date("ts")
+            >= F.date_add(
+                F.col("_d0"),
+                F.floor(F.datediff("_d1", "_d0") / 2).cast("int"),
+            )
+        )
+        .cast("int")
+        .alias("_p"),
+    )
+    units = flagged.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("_p") == 0, F.col("_v"))).cast("double")
+            / F.nullif(
+                F.count_if(F.col("_p") == 0), F.lit(0)
+            ).cast("double")
+        ).alias("x"),
+        (
+            F.sum(F.when(F.col("_p") == 1, F.col("_v"))).cast("double")
+            / F.nullif(
+                F.count_if(F.col("_p") == 1), F.lit(0)
+            ).cast("double")
+        ).alias("y"),
+    ).withColumn("t", (F.col("user_id") % 2).cast("int"))
+    return cuped(units, "x", "y", "t")

@@ -2647,3 +2647,25 @@ def test_propensity_match_caliper_and_att(spark):
     assert out[6]["matched"] is False and out[6]["matched_control"] is None
     # ATT = mean of (10-4, 20-12) = 7.0
     assert all(r["att_mean"] == 7.0 for r in out.values())
+
+
+def test_cuped_theta_and_imbalance_correction(spark):
+    """Balanced arms with y = x + 3t: theta == 1 and both effects read
+    exactly 3.  Pure x imbalance with y = x (no effect): the raw effect
+    reads 2, CUPED removes all of it (rho2 == 1)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import cuped
+
+    balanced = [Row(x=float(x), y=float(x), t=0) for x in (1, 2, 3)] + [
+        Row(x=float(x), y=float(x + 3), t=1) for x in (1, 2, 3)
+    ]
+    r = cuped(spark.createDataFrame(balanced), "x", "y", "t").collect()[0]
+    assert r["theta"] == 1.0
+    assert r["effect_raw"] == 3.0 and r["effect_cuped"] == 3.0
+    assert abs(r["rho2"] - round(16 / 70, 9)) < 1e-9
+
+    imbalanced = [Row(x=1.0, y=1.0, t=0), Row(x=2.0, y=2.0, t=0),
+                  Row(x=3.0, y=3.0, t=1), Row(x=4.0, y=4.0, t=1)]
+    r2 = cuped(spark.createDataFrame(imbalanced), "x", "y", "t").collect()[0]
+    assert r2["theta"] == 1.0 and r2["rho2"] == 1.0
+    assert r2["effect_raw"] == 2.0
+    assert r2["effect_cuped"] == 0.0
