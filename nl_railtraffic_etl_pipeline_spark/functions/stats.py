@@ -2188,3 +2188,140 @@ def bh_fdr(
         F.round(F.col("_adj"), 9).alias("adj_p"),
         (F.col("_adj") <= alpha).alias("significant"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test per group (Mann 1945 / Kendall canon,
+    public literature) — the non-parametric companion of
+    :func:`theil_sen_slope`: ``S = sum over ordered pairs of
+    sign(v_j - v_i)``, with the tie-corrected variance
+
+        var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18
+
+    and the continuity-corrected ``z = (S -/+ 1) / sqrt(var)`` (0 when
+    S = 0).  S and both variance terms are exact BIGINTs; z is two IEEE
+    ops (one sqrt, one division) over their exact double images —
+    engine-stable without quantization.  No CDF is emitted (no erf in
+    either engine); |z| > 1.96 is the caller's 5% line.
+
+    The pair enumeration is a self-join on the PER-GROUP AGGREGATED
+    series (one row per order key — daily series, not raw events), the
+    deliberate O(series^2) on a bounded frame, same class as the
+    oracle-side theta joins.  Output: (group..., n, s_stat, var_s, z).
+    """
+    keys = list(group_cols)
+    t = df.select(
+        *keys,
+        F.col(order_col).alias("_o"),
+        _dec(F.col(value_col)).alias("_v"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+    pairs = a.join(b, cond).filter(F.col("a._o") < F.col("b._o"))
+    s = pairs.groupBy(*[F.col(f"a.{k}").alias(k) for k in keys]).agg(
+        F.sum(
+            F.signum(
+                (F.col("b._v") - F.col("a._v")).cast("double")
+            ).cast("bigint")
+        ).alias("s_stat"),
+    )
+    n_g = t.groupBy(*keys).agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        t.groupBy(*keys, "_v")
+        .agg(F.count("*").cast("bigint").alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - 1)
+                * (F.lit(2) * F.col("_t") + 5)
+            )
+            .cast("bigint")
+            .alias("_tie_term")
+        )
+    )
+    j = n_g.join(ties, keys).join(s, keys, "left")
+    n = F.col("n")
+    var_num = (
+        n * (n - 1) * (F.lit(2) * n + 5) - F.col("_tie_term")
+    ).cast("bigint")
+    ss = F.coalesce(F.col("s_stat"), F.lit(0).cast("bigint"))
+    var_d = var_num.cast("double") / F.lit(18.0)
+    z = F.when(var_num <= 0, F.lit(None).cast("double")).otherwise(
+        F.when(ss > 0, (ss - 1).cast("double") / F.sqrt(var_d))
+        .when(ss < 0, (ss + 1).cast("double") / F.sqrt(var_d))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        *keys,
+        "n",
+        ss.alias("s_stat"),
+        F.round(var_d, 9).alias("var_s"),
+        F.round(z, 9).alias("z"),
+    )
+
+
+def power_mde(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z_alpha: float = 1.959963985,
+    z_beta: float = 0.841621234,
+) -> DataFrame:
+    """A/B sizing from observed variance (standard two-sample normal
+    approximation, public canon): per group, the minimum detectable
+    effect at the group's own n and the required per-arm n for a
+    target effect of 5% of the mean:
+
+        mde        = (z_a + z_b) * sqrt(2 * var / n)
+        n_required = ceil(2 * var * (z_a + z_b)^2 / delta^2)
+
+    z constants default to two-sided 5% / 80% power and are bound once
+    as doubles (repr-exact in both engines).  Variance comes from the
+    exact decimal moment sums (the group_moments contract); the closing
+    chains are fixed IEEE, rounded to 9.  ONE group-keyed aggregate,
+    nothing else.  Output: (group..., n, mean, variance, mde,
+    mde_pct_of_mean, delta_target, n_required).  NULL sizing when the
+    variance is zero or the mean is zero (no 5% target definable).
+    """
+    keys = list(group_cols)
+    v = _dec(F.col(value_col))
+    agg = df.filter(F.col(value_col).isNotNull()).groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v).cast("double").alias("_s"),
+        F.sum(v * v).cast("double").alias("_ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s") / n
+    var = F.greatest(
+        (F.col("_ss") - F.col("_s") * F.col("_s") / n) / (n - 1),
+        F.lit(0.0),
+    )
+    zsum = F.lit(float(z_alpha) + float(z_beta))
+    mde = F.when(
+        (F.col("n") > 1) & (var > 0), zsum * F.sqrt(F.lit(2.0) * var / n)
+    )
+    delta = F.lit(0.05) * mean
+    n_req = F.when(
+        (F.col("n") > 1) & (var > 0) & (mean != 0),
+        F.ceil(F.lit(2.0) * var * zsum * zsum / (delta * delta)).cast(
+            "bigint"
+        ),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.round(mean, 9).alias("mean"),
+        F.round(var, 9).alias("variance"),
+        F.round(mde, 9).alias("mde"),
+        F.round(
+            F.when(mean != 0, mde / mean * 100.0), 9
+        ).alias("mde_pct_of_mean"),
+        F.round(delta, 9).alias("delta_target"),
+        n_req.alias("n_required"),
+    )

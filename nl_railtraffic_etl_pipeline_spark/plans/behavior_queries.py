@@ -4727,3 +4727,152 @@ def _stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(1000000).cast("double"),
     )
     return bh_fdr(p, "pv", ["event_type", "dow"], alpha=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (functions/stats.py::mann_kendall) per event
+# type over the DAILY value series — exact BIGINT S and tie-corrected
+# variance, two IEEE closing ops for z.  The deliberate O(series^2)
+# pair join runs on the aggregated daily frame, never raw events.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_mann_kendall",
+    f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) AS v
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+t AS (
+    SELECT event_type, d,
+           CAST(CAST(v AS VARCHAR) AS DECIMAL(18,6)) AS v
+    FROM daily
+),
+s AS (
+    SELECT a.event_type,
+           CAST(SUM(CAST(sign(CAST(b.v - a.v AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS s_stat
+    FROM t a JOIN t b ON a.event_type = b.event_type AND a.d < b.d
+    GROUP BY 1
+),
+ng AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY 1
+),
+ties AS (
+    SELECT event_type,
+           CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+    FROM (
+        SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM t GROUP BY 1, 2
+    ) GROUP BY 1
+),
+j AS (
+    SELECT ng.event_type, ng.n,
+           COALESCE(s.s_stat, 0) AS s_stat,
+           CAST(ng.n * (ng.n - 1) * (2 * ng.n + 5) - ties.tie_term
+                AS BIGINT) AS var_num
+    FROM ng
+    JOIN ties ON ng.event_type = ties.event_type
+    LEFT JOIN s ON ng.event_type = s.event_type
+)
+SELECT event_type, n, s_stat,
+       {_round_sql("CAST(var_num AS DOUBLE) / CAST('18' AS DOUBLE)", 9)}
+           AS var_s,
+       CASE WHEN var_num <= 0 THEN NULL
+            WHEN s_stat > 0 THEN {_round_sql(
+                "CAST(s_stat - 1 AS DOUBLE)"
+                " / sqrt(CAST(var_num AS DOUBLE) / CAST('18' AS DOUBLE))",
+                9,
+            )}
+            WHEN s_stat < 0 THEN {_round_sql(
+                "CAST(s_stat + 1 AS DOUBLE)"
+                " / sqrt(CAST(var_num AS DOUBLE) / CAST('18' AS DOUBLE))",
+                9,
+            )}
+            ELSE CAST(0 AS DOUBLE) END AS z
+FROM j
+""",
+)
+def _stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import mann_kendall
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(
+            F.col("value").cast("string").cast("decimal(18,6)")
+        ).alias("v")
+    )
+    return mann_kendall(daily, ["event_type"], "d", "v")
+
+
+# ---------------------------------------------------------------------------
+# A/B sizing (functions/stats.py::power_mde): per event type, the
+# minimum detectable effect at the observed n and the per-arm n
+# required for a 5%-of-mean effect, from exact decimal moments.
+# z constants bound once as repr-exact doubles.
+# ---------------------------------------------------------------------------
+_PW_ZSUM = 1.959963985 + 0.841621234
+
+
+@query(
+    "ml_power_mde",
+    f"""
+WITH a AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)))
+                AS DOUBLE) AS s,
+           CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))
+                    * CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)))
+                AS DOUBLE) AS ss
+    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1
+),
+m AS (
+    SELECT event_type, n,
+           s / CAST(n AS DOUBLE) AS mean,
+           GREATEST((ss - s * s / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1), CAST(0 AS DOUBLE)) AS v
+    FROM a
+)
+SELECT event_type, n,
+       {_round_sql("mean", 9)} AS mean,
+       {_round_sql("v", 9)} AS variance,
+       CASE WHEN n > 1 AND v > 0 THEN {_round_sql(
+           f"CAST('{_PW_ZSUM!r}' AS DOUBLE)"
+           " * sqrt(CAST('2' AS DOUBLE) * v / CAST(n AS DOUBLE))",
+           9,
+       )} END AS mde,
+       CASE WHEN n > 1 AND v > 0 AND mean <> 0 THEN {_round_sql(
+           f"CAST('{_PW_ZSUM!r}' AS DOUBLE)"
+           " * sqrt(CAST('2' AS DOUBLE) * v / CAST(n AS DOUBLE))"
+           " / mean * CAST('100' AS DOUBLE)",
+           9,
+       )} END AS mde_pct_of_mean,
+       {_round_sql("CAST('0.05' AS DOUBLE) * mean", 9)} AS delta_target,
+       CASE WHEN n > 1 AND v > 0 AND mean <> 0 THEN
+           CAST(ceil(CAST('2' AS DOUBLE) * v
+                     * CAST('{_PW_ZSUM!r}' AS DOUBLE)
+                     * CAST('{_PW_ZSUM!r}' AS DOUBLE)
+                     / ((CAST('0.05' AS DOUBLE) * mean)
+                        * (CAST('0.05' AS DOUBLE) * mean))) AS BIGINT)
+       END AS n_required
+FROM m
+""",
+)
+def _ml_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import power_mde
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    return power_mde(ev, ["event_type"], "value")

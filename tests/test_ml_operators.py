@@ -2669,3 +2669,42 @@ def test_cuped_theta_and_imbalance_correction(spark):
     assert r2["theta"] == 1.0 and r2["rho2"] == 1.0
     assert r2["effect_raw"] == 2.0
     assert r2["effect_cuped"] == 0.0
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    """A strictly increasing series maxes S = n(n-1)/2 with positive z;
+    a constant series has S = 0 and NULL z (variance fully tied out)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        mann_kendall,
+    )
+
+    rows = [Row(g="up", o=i, v=float(i)) for i in range(6)] + [
+        Row(g="flat", o=i, v=7.0) for i in range(6)
+    ]
+    out = {r["g"]: r for r in mann_kendall(
+        spark.createDataFrame(rows), ["g"], "o", "v").collect()}
+    assert out["up"]["s_stat"] == 15
+    # var(S) = 6*5*17/18; z = 14/sqrt(var)
+    import math
+    assert abs(out["up"]["z"] - 14 / math.sqrt(6 * 5 * 17 / 18)) < 1e-8
+    # all-tied group: tie term equals the untied term -> var 0 -> NULL z
+    assert out["flat"]["s_stat"] == 0 and out["flat"]["z"] is None
+
+
+def test_power_mde_closed_form(spark):
+    """MDE and required n match the two-sample normal formula computed
+    by hand on a tiny group."""
+    import math
+
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import power_mde
+
+    vals = [10.0, 12.0, 14.0, 16.0]
+    df = spark.createDataFrame([Row(g="a", v=x) for x in vals])
+    r = power_mde(df, ["g"], "v").collect()[0]
+    n, mean = 4, 13.0
+    var = sum((x - mean) ** 2 for x in vals) / (n - 1)
+    zsum = 1.959963985 + 0.841621234
+    assert r["mean"] == mean and abs(r["variance"] - var) < 1e-9
+    assert abs(r["mde"] - zsum * math.sqrt(2 * var / n)) < 1e-8
+    want_n = math.ceil(2 * var * zsum**2 / (0.05 * mean) ** 2)
+    assert r["n_required"] == want_n
