@@ -608,3 +608,89 @@ def js_divergence(
         "n_rows_b",
         F.round(F.col("_jsd"), 9).alias("jsd_bits"),
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Per-source Jensen-Shannon divergence against the REST of the
+    corpus — the outlier-source detector built on the
+    :func:`js_divergence` math: a source whose unigram distribution
+    sits far from its complement is machine-generated, mis-scraped, or
+    a different register, exactly what corpus QA quarantines first.
+
+    For each source s with term counts ``c`` and complement counts
+    ``C_total - c``: JSD(p_s || p_rest) in bits, absent-side terms
+    contributing only their present half.  Terms a source never uses
+    still contribute (q side), so the per-source term frame is the
+    (sources x vocabulary) cross of two SMALL frames — sources are
+    enumerable by construction, the vocabulary frame is corpus-level
+    metadata; the fact stream is touched ONCE (the (source, term)
+    count shuffle).  Quantized-term DECIMAL sums throughout.
+
+    Output per source: (source, n_tokens, n_rest_tokens, vocab_used,
+    jsd_bits).
+    """
+    base = df.select(
+        F.col(source_col).alias("_src"), F.col(key_col).alias("_k")
+    ).filter(F.col("_src").isNotNull() & F.col("_k").isNotNull())
+    st = base.groupBy("_src", "_k").agg(
+        F.count("*").cast("bigint").alias("_c")
+    )
+    term_tot = st.groupBy("_k").agg(
+        F.sum("_c").cast("bigint").alias("_ct")
+    )
+    src_tot = st.groupBy("_src").agg(
+        F.sum("_c").cast("bigint").alias("_ns"),
+        F.count("*").cast("bigint").alias("vocab_used"),
+    )
+    grand = term_tot.agg(F.sum("_ct").cast("bigint").alias("_n"))
+    # (sources x vocabulary) grid: the source-totals side is enumerable
+    # by construction (broadcast), so the cross resolves to a BNLJ of a
+    # sources-bounded build side against the vocabulary frame — never a
+    # CartesianProduct of fact-sized inputs.
+    grid = term_tot.crossJoin(
+        F.broadcast(src_tot.crossJoin(F.broadcast(grand)))
+    )
+    j = grid.join(st, ["_src", "_k"], "left").select(
+        "_src",
+        "_ns",
+        "vocab_used",
+        "_n",
+        "_ct",
+        F.coalesce(F.col("_c"), F.lit(0).cast("bigint")).alias("_c"),
+    )
+    p = F.col("_c").cast("double") / F.col("_ns").cast("double")
+    q = (F.col("_ct") - F.col("_c")).cast("double") / (
+        F.col("_n") - F.col("_ns")
+    ).cast("double")
+    m = (p + q) / F.lit(2.0)
+    half = F.lit(0.5)
+    contrib = (
+        F.when(F.col("_c") > 0, half * p * F.log2(p / m)).otherwise(0.0)
+        + F.when(
+            F.col("_ct") - F.col("_c") > 0, half * q * F.log2(q / m)
+        ).otherwise(0.0)
+    )
+    terms = j.select(
+        "_src",
+        "_ns",
+        "vocab_used",
+        "_n",
+        F.round(contrib, 12).cast("decimal(28,12)").alias("_t"),
+    )
+    agg = terms.groupBy("_src").agg(
+        F.max("_ns").alias("n_tokens"),
+        F.max("vocab_used").alias("vocab_used"),
+        (F.max("_n") - F.max("_ns")).cast("bigint").alias("n_rest_tokens"),
+        F.sum("_t").cast("double").alias("_jsd"),
+    )
+    return agg.select(
+        F.col("_src").alias(source_col),
+        "n_tokens",
+        "n_rest_tokens",
+        "vocab_used",
+        F.round(F.col("_jsd"), 9).alias("jsd_bits"),
+    )

@@ -6374,3 +6374,72 @@ def _web_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_units(
         nodes, edges, iterations=_PR_ITERS, id_col="domain"
     ).select(F.col("node").alias("domain"), "pr_units")
+
+
+# ---------------------------------------------------------------------------
+# Per-source JSD vs the rest of the corpus (functions/corpus.py::
+# source_divergence): the outlier-source detector over the documents
+# `source` column.  The oracle builds the same (sources x vocabulary)
+# grid by cross join.
+# ---------------------------------------------------------------------------
+_SRCDIV_P = "(CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))"
+_SRCDIV_Q = "(CAST(ct - c AS DOUBLE) / CAST(n - ns AS DOUBLE))"
+_SRCDIV_M = f"(({_SRCDIV_P} + {_SRCDIV_Q}) / 2.0)"
+
+
+@query(
+    "corpus_source_divergence",
+    f"""
+WITH toks AS (
+    SELECT source AS src, unnest({_TOKENS}) AS term
+    FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+st AS (
+    SELECT src, term, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks GROUP BY 1, 2
+),
+tt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY 1),
+srt AS (
+    SELECT src, CAST(SUM(c) AS BIGINT) AS ns,
+           CAST(COUNT(*) AS BIGINT) AS vocab_used
+    FROM st GROUP BY 1
+),
+g AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM tt),
+grid AS (
+    SELECT srt.src, srt.ns, srt.vocab_used, g.n, tt.term, tt.ct,
+           COALESCE(st.c, 0) AS c
+    FROM srt CROSS JOIN g CROSS JOIN tt
+    LEFT JOIN st ON st.src = srt.src AND st.term = tt.term
+),
+terms AS (
+    SELECT src, ns, vocab_used, n,
+           CAST({_round_sql(
+               f"(CASE WHEN c > 0 THEN"
+               f" 0.5 * {_SRCDIV_P} * log2({_SRCDIV_P} / {_SRCDIV_M})"
+               f" ELSE CAST(0 AS DOUBLE) END)"
+               f" + (CASE WHEN ct - c > 0 THEN"
+               f" 0.5 * {_SRCDIV_Q} * log2({_SRCDIV_Q} / {_SRCDIV_M})"
+               f" ELSE CAST(0 AS DOUBLE) END)",
+               12,
+           )} AS DECIMAL(28,12)) AS t
+    FROM grid
+)
+SELECT src AS source,
+       CAST(MAX(ns) AS BIGINT) AS n_tokens,
+       CAST(MAX(n) - MAX(ns) AS BIGINT) AS n_rest_tokens,
+       CAST(MAX(vocab_used) AS BIGINT) AS vocab_used,
+       ROUND(CAST(SUM(t) AS DOUBLE), 9) AS jsd_bits
+FROM terms GROUP BY 1
+""",
+)
+def _corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.corpus import source_divergence
+    from ..functions.text import tokens as _tok
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    terms = docs.select(
+        "source", F.explode(_tok(F.col("text"))).alias("term")
+    )
+    return source_divergence(terms, "term", "source")

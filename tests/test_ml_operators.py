@@ -2708,3 +2708,30 @@ def test_power_mde_closed_form(spark):
     assert abs(r["mde"] - zsum * math.sqrt(2 * var / n)) < 1e-8
     want_n = math.ceil(2 * var * zsum**2 / (0.05 * mean) ** 2)
     assert r["n_required"] == want_n
+
+
+def test_source_divergence_outlier_source(spark):
+    """A source disjoint from the rest scores 1 bit; a source that
+    mirrors the complement distribution scores ~0."""
+    from nl_railtraffic_etl_pipeline_spark.functions.corpus import (
+        source_divergence,
+    )
+
+    rows = (
+        [Row(s="normal1", k=w) for w in ("a", "b", "a", "b")]
+        + [Row(s="normal2", k=w) for w in ("a", "b", "a", "b")]
+        + [Row(s="weird", k=w) for w in ("x", "y", "x", "y")]
+    )
+    out = {
+        r["s"]: r
+        for r in source_divergence(
+            spark.createDataFrame(rows), "k", "s"
+        ).collect()
+    }
+    assert out["weird"]["jsd_bits"] == 1.0
+    assert out["weird"]["vocab_used"] == 2
+    # normal1's complement is half normal2 (same dist) half weird:
+    # divergence positive but well below the disjoint bound
+    assert 0 < out["normal1"]["jsd_bits"] < 0.5
+    assert out["normal1"]["n_tokens"] == 4
+    assert out["normal1"]["n_rest_tokens"] == 8
