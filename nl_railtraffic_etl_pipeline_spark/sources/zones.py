@@ -40,20 +40,34 @@ Commit protocol (per attempt):
            on indefinitely, never tombstoned (the r7 behavior clocked
            the writer's ENTIRE stage against the timeout, which let
            concurrent long commits tombstone each other into mutual
-           abort/retry starvation).  After this, the merge base — the
-           highest published snapshot below t — is FINAL: no live writer
-           can publish below t anymore (a zombie publisher re-checks its
-           own tombstone before renaming; the residual check-to-rename
-           window is the documented caveat every rename-based OCC carries
-           on stores without compare-and-swap — now reachable only if a
-           writer's heartbeat thread dies while its commit survives, and
-           the timeout need only exceed heartbeat jitter + clock skew,
-           not stage duration).
+           abort/retry starvation).  Declaring a claim dead is
+           ARBITRATED: the resolver renames the claim file to
+           ``.claim.dead`` — the same single source path the owner must
+           rename to ``.claim.committed`` immediately before its
+           snapshot rename — so exactly one side wins (rename of one
+           source is atomic); the loser aborts/retries instead of
+           publishing under a merge base that excluded it.  After this,
+           the merge base — the highest published snapshot below t — is
+           FINAL.  Residual caveat (documented, measured to matter
+           before the arbiter landed: a writer stalled past its lease by
+           CPU starvation published into the old check-to-rename window
+           and lost an update): with the arbiter, a publisher stalled
+           > claim_timeout between its TWO metadata renames can still
+           place its snapshot, but the resolver's ``.dead`` marker makes
+           _scan treat the version as tombstoned (published-and-skipped
+           = skipped), and the publisher undoes the snapshot and retries
+           when it wakes — readers never see it, and the re-merge at a
+           fresh version re-applies the update.
 3. WRITE   merge_fn(base) -> parquet under ``v{t}__wip_<token>``.
 4. AUDIT   re-read the STAGED files (what was actually written, not the
            plan) and run ``audit_fn``; any exception aborts the commit,
            tombstones t, and removes the WIP — readers never saw it.
-5. PUBLISH rename WIP -> ``v{t}`` (destination cannot exist: t was ours).
+5. PUBLISH rename ``v{t}.claim`` -> ``v{t}.claim.committed`` (the
+           arbiter — fails iff a resolver declared us dead, then we
+           retry at a fresh version), rename WIP -> ``v{t}``
+           (destination cannot exist: t was ours), re-check for a
+           ``.dead``/skip marker (stalled-publisher undo), drop the
+           committed marker.
 
 Readers (``read``) take the highest published snapshot — complete by
 construction since rename is atomic.  Lost updates are impossible: the
@@ -82,6 +96,13 @@ from pyspark.sql import functions as F
 _VDIR = re.compile(r"^v(\d{8})$")
 _VCLAIM = re.compile(r"^v(\d{8})\.claim$")
 _VSKIP = re.compile(r"^v(\d{8})\.skip$")
+#: Arbiter states of a claim file (see _tombstone/_commit_at): the claim
+#: renames to exactly ONE of these — .committed by its owner immediately
+#: before the snapshot rename, .dead by a resolver that won the
+#: staleness arbitration.  Rename of a single source path is the atomic
+#: primitive: exactly one side can win.
+_VCOMMIT = re.compile(r"^v(\d{8})\.claim\.committed$")
+_VDEAD = re.compile(r"^v(\d{8})\.claim\.dead$")
 
 
 class ZoneAuditError(RuntimeError):
@@ -139,10 +160,17 @@ class VersionedZone:
         for n in self._names():
             if m := _VDIR.match(n):
                 pub.add(int(m.group(1)))
-            elif m := _VCLAIM.match(n):
+            elif m := _VCLAIM.match(n) or _VCOMMIT.match(n):
+                # a committed marker is still a live claim: its owner is
+                # between the two publish renames and MUST stay pending
                 clm.add(int(m.group(1)))
-            elif m := _VSKIP.match(n):
+            elif m := _VSKIP.match(n) or _VDEAD.match(n):
                 skp.add(int(m.group(1)))
+        # contested: published AND tombstoned can coexist only in the
+        # stalled-publisher residual window; the tombstone wins (the
+        # publisher undoes its snapshot when it wakes), so readers and
+        # base selection must never see the snapshot
+        pub -= skp
         return pub, clm, skp
 
     # -- read side -------------------------------------------------------------
@@ -196,8 +224,34 @@ class VersionedZone:
     def _claim(self, t: int) -> bool:
         return bool(self._fs.createNewFile(self._p(f"v{t:08d}.claim")))
 
-    def _tombstone(self, t: int) -> None:
-        self._fs.createNewFile(self._p(f"v{t:08d}.skip"))
+    def _tombstone(self, t: int) -> bool:
+        """Arbitrated tombstone: win the claim file by renaming it to
+        .dead (rename of one source path — exactly one winner against
+        the owner's rename to .committed), then drop the durable skip
+        marker.  Returns False when the arbitration was lost (the owner
+        committed, or another resolver already acted) — callers rescan.
+        """
+        claim = self._p(f"v{t:08d}.claim")
+        committed = self._p(f"v{t:08d}.claim.committed")
+        dead = self._p(f"v{t:08d}.claim.dead")
+        won = False
+        try:
+            if self._fs.exists(claim) and self._fs.rename(claim, dead):
+                won = True
+            elif self._fs.exists(committed) and self._fs.rename(
+                committed, dead
+            ):
+                # the owner won the claim arbiter but its snapshot never
+                # appeared within the lease — it is dead mid-publish (or
+                # stalled: it re-checks the .dead marker after its
+                # snapshot rename and undoes)
+                won = True
+        except Exception:  # pragma: no cover - fs hiccup, caller rescans
+            won = False
+        if won:
+            self._fs.createNewFile(self._p(f"v{t:08d}.skip"))
+            self._fs.delete(dead, False)
+        return won
 
     def _touch_claim(self, t: int) -> None:
         """Heartbeat: refresh the claim file's mtime to 'now'."""
@@ -209,12 +263,14 @@ class VersionedZone:
         """True when claim s's heartbeat (file mtime) is older than
         ``claim_timeout`` — the owner stopped beating, so it is dead.
         A vanished claim file (pruned) also counts as dead."""
-        try:
-            st = self._fs.getFileStatus(self._p(f"v{s:08d}.claim"))
-        except Exception:
-            return True
-        age_s = time.time() - st.getModificationTime() / 1000.0
-        return age_s > self.claim_timeout
+        for name in (f"v{s:08d}.claim", f"v{s:08d}.claim.committed"):
+            try:
+                st = self._fs.getFileStatus(self._p(name))
+            except Exception:
+                continue
+            age_s = time.time() - st.getModificationTime() / 1000.0
+            return age_s > self.claim_timeout
+        return True
 
     def _resolve_below(self, t: int) -> None:
         """Wait until every claimed version in (published_max, t) is
@@ -308,17 +364,44 @@ class VersionedZone:
                     f"zone {self.path} v{t}: audit failed: {ex}"
                 ) from ex
         self._write_manifest(wip, t, base_v, rows)
-        # zombie guard: if we were declared dead while writing (heartbeat
-        # thread died + lease expired), our version number is burned —
-        # abort rather than publish over it
+        # zombie fast path: declared dead while staging — the version
+        # number is burned, abort rather than publish over it
         if self._fs.exists(self._p(f"v{t:08d}.skip")):
+            self._fs.delete(self._Path(wip), True)
+            return None
+        # ARBITER: only the living claim owner may publish.  Renaming the
+        # claim to .committed contends with a resolver's rename to .dead
+        # on the SAME source path — atomic, exactly one winner (this is
+        # what closes the tombstone-check-to-rename lost-update window:
+        # a resolver that declared us dead owns the version now, and our
+        # rename fails here instead of publishing under its merge base).
+        claim = self._p(f"v{t:08d}.claim")
+        committed = self._p(f"v{t:08d}.claim.committed")
+        if not (
+            self._fs.exists(claim)
+            and self._fs.rename(claim, committed)
+        ):
             self._fs.delete(self._Path(wip), True)
             return None
         if not self._fs.rename(self._Path(wip), self._Path(self._snap(t))):
             self._fs.delete(self._Path(wip), True)
+            self._fs.delete(committed, False)
             raise IOError(
                 f"zone {self.path}: publish rename failed for v{t}"
             )
+        # residual stall guard: a resolver may declare even the committed
+        # marker stale (we slept > claim_timeout between the two renames).
+        # If it did, it owns the version and has already excluded us from
+        # its merge base — undo the snapshot and retry at a fresh version
+        # (_scan treats published-and-skipped as skipped, so no reader
+        # ever saw it).
+        if self._fs.exists(self._p(f"v{t:08d}.claim.dead")) or self._fs.exists(
+            self._p(f"v{t:08d}.skip")
+        ):
+            self._fs.delete(self._Path(self._snap(t)), True)
+            self._fs.delete(committed, False)
+            return None
+        self._fs.delete(committed, False)
         return t, rows
 
     def _write_manifest(

@@ -282,9 +282,14 @@ def test_versioned_zone_concurrent_upserts_no_lost_update(spark, tmp_path):
     t1.start(); t2.start(); t1.join(); t2.join()
     assert not errs, errs
     got = {r.k: r.val for r in z.read().collect()}
-    assert got == {1: "w1", 2: "w2"}          # neither update lost
-    assert z.current_version() == 3           # strictly serialized commits
-    assert z.manifest(3)["base_version"] == 2  # loser re-based on winner
+    assert got == {1: "w1", 2: "w2"}          # neither update lost — the invariant
+    v = z.current_version()
+    # 3 = the clean serialization (loser re-based on winner); 4 = the
+    # contested path (one lease expired under load, its commit aborted at
+    # the arbiter and re-applied at a fresh version).  Both are correct;
+    # only losing an update would be a bug.
+    assert v in (3, 4)
+    assert z.manifest(v)["base_version"] == v - 1
 
 
 def test_versioned_zone_audit_blocks_publish(spark, tmp_path):
@@ -437,3 +442,37 @@ def test_versioned_zone_time_travel(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         z.read(version=1)
     assert z.read(version=3).collect()[0].val == "v3"
+
+
+def test_versioned_zone_dead_claim_owner_cannot_publish(spark, tmp_path):
+    """The arbiter rename: once a resolver wins a stale claim, the
+    (stalled-but-alive) owner's publish attempt aborts instead of
+    landing a snapshot the resolver's merge base excluded."""
+    import time as _time
+
+    z_owner = _zone(spark, tmp_path)
+    z_owner.upsert(
+        spark.createDataFrame([(1, 1, "a")], "k bigint, ver bigint, val string"),
+        ["k"],
+        "ver",
+    )
+    # the "stalled writer": claims v2 but never heartbeats
+    assert z_owner._claim(2)
+    z_owner._fs.setTimes(
+        z_owner._p("v00000002.claim"), int((_time.time() - 3600) * 1000), -1
+    )
+    z_resolver = _zone(spark, tmp_path, claim_timeout=1.0)
+    assert z_resolver._claim_stale(2)
+    assert z_resolver._tombstone(2)          # wins the arbitration
+    assert not z_resolver._tombstone(2)      # second resolver loses it
+    # the owner wakes and tries to publish v2: arbiter must refuse
+    batch = spark.createDataFrame(
+        [(2, 2, "late")], "k bigint, ver bigint, val string"
+    )
+    out = z_owner._commit_at(2, lambda base: batch, batch.schema, None)
+    assert out is None
+    assert not z_owner._fs.exists(z_owner._p("v00000002"))
+    # the zone still serves v1, and a clean commit proceeds at v3
+    assert z_owner.current_version() == 1
+    v, _rows = z_owner.upsert(batch, ["k"], "ver")
+    assert v == 3 and z_owner.manifest(3)["base_version"] == 1
