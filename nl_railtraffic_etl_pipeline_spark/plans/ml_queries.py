@@ -6443,3 +6443,91 @@ def _corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(_tok(F.col("text"))).alias("term")
     )
     return source_divergence(terms, "term", "source")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-hygiene funnel report: the stage-by-stage counts every dedup
+# pipeline dashboard shows (raw -> exact-kept -> near-dup survivors ->
+# quality-kept).  The oracle is ASSEMBLED from corpus_clean's oracle
+# text (its final SELECT becomes a `kept` CTE), so the two gates can
+# never drift; the Spark side composes the same components and counts
+# each stage as a 1-row broadcast.
+# ---------------------------------------------------------------------------
+from .registry import ORACLES as _ORACLES_MLQ  # noqa: E402
+
+_CC_ORACLE = _ORACLES_MLQ["corpus_clean"]
+_CC_CUT = _CC_ORACLE.rindex("\nSELECT t.doc_id,")
+_HYGIENE_ORACLE = (
+    _CC_ORACLE[:_CC_CUT]
+    + ",\nkept AS (\n"
+    + _CC_ORACLE[_CC_CUT + 1 :]
+    + "\n)\nSELECT"
+    + """
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_reps) AS n_exact_kept,
+  CAST((SELECT COUNT(*) FROM documents)
+       - (SELECT COUNT(*) FROM exact_reps) AS BIGINT) AS n_exact_dupes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM losers) AS n_neardup_losers,
+  CAST((SELECT COUNT(*) FROM exact_reps)
+       - (SELECT COUNT(*) FROM losers)
+       - (SELECT COUNT(*) FROM kept) AS BIGINT) AS n_low_quality,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_final
+"""
+)
+
+
+@query("corpus_hygiene_report", _HYGIENE_ORACLE)
+def _corpus_hygiene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.corpus import clean_corpus
+    from ..functions.dedup import exact_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = _artifact(
+        spark,
+        sf_dir,
+        "dup_clusters_exact_first",
+        lambda: dedup._materialize(
+            dedup.duplicate_clusters(
+                dedup.minhash_lsh_pairs(
+                    docs.join(
+                        exact_dup_groups(docs, "text", "doc_id").select(
+                            F.col("representative_id").alias("doc_id")
+                        ),
+                        "doc_id",
+                        "left_semi",
+                    ),
+                    threshold=0.2,
+                )
+            )
+        ),
+    )
+    one = lambda df, name: F.broadcast(  # noqa: E731
+        df.agg(F.count("*").cast("bigint").alias(name))
+    )
+    reps = exact_dup_groups(docs, "text", "doc_id").select(
+        "representative_id"
+    )
+    losers = clusters.filter(F.col("doc") != F.col("cluster_rep"))
+    final = clean_corpus(docs, clusters=clusters)
+    out = (
+        one(docs, "n_docs")
+        .crossJoin(one(reps, "n_exact_kept"))
+        .crossJoin(one(losers, "n_neardup_losers"))
+        .crossJoin(one(final, "n_final"))
+    )
+    return out.select(
+        "n_docs",
+        "n_exact_kept",
+        (F.col("n_docs") - F.col("n_exact_kept"))
+        .cast("bigint")
+        .alias("n_exact_dupes"),
+        "n_neardup_losers",
+        (
+            F.col("n_exact_kept")
+            - F.col("n_neardup_losers")
+            - F.col("n_final")
+        )
+        .cast("bigint")
+        .alias("n_low_quality"),
+        "n_final",
+    )

@@ -927,3 +927,42 @@ def _streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_to_memory(out, "streaming_holt_result", "append")
     return spark.table("streaming_holt_result")
+
+
+#: Shared with events_transitions — the twin must hash-match the SAME
+#: oracle (behavior_queries registers it inline; duplicated here would
+#: drift, so import the registered text).
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query("streaming_transitions", _ORACLES["events_transitions"])
+def _streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_transitions (streaming/incremental.py::
+    transitions_stream): per-user O(1) last-event state emits each
+    consecutive (src, dst) pair online; the drained pair set aggregates
+    to the batch transition matrix with the identical share expression,
+    hash-matched against the SAME oracle."""
+    from pyspark.sql import Window as _W
+
+    from ..streaming.incremental import transitions_stream
+
+    out = transitions_stream(_events_stream(spark, sf_dir))
+    _drain_to_memory(out, "streaming_transitions_pairs", "append")
+    pairs = (
+        spark.table("streaming_transitions_pairs")
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    share = _W.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.lit(100.0)
+            * F.col("n_transitions")
+            / F.sum("n_transitions").over(share),
+            2,
+        ).alias("share_pct"),
+    )

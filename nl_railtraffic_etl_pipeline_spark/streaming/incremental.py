@@ -442,6 +442,89 @@ def holt_stream(
     )
 
 
+def transitions_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of the ``behavior.event_transitions`` pair
+    generator: per-key O(1) state = the LAST event's (ts, id, type);
+    every arriving event whose predecessor exists emits ONE
+    (src, dst) pair — exactly the LEAD() pairs of the batch matrix, so
+    aggregating the drained pairs reproduces the batch transition
+    matrix row-for-row against the SAME oracle.
+
+    Pair semantics mirror the batch window precisely: a NULL-typed
+    event still advances the state (it is a real predecessor, so the
+    next pair's src is NULL), but pairs whose DST type is NULL are
+    never emitted (the batch ``WHERE dst IS NOT NULL``).  Cross-batch
+    late arrivals (at-or-before the stored (last_ts, last_id)) are
+    dropped, never re-ordered — the EWMA family's ordering contract.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    in_schema = events.schema
+    key_t = in_schema[key_col].dataType
+    id_t = in_schema[id_col].dataType
+    ts_t = in_schema[ts_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_t),
+            StructField("src", StringType()),
+            StructField("dst", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts", ts_t),
+            StructField("last_id", id_t),
+            StructField("last_type", StringType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.exists:
+            last_ts, last_id, last_type = state.get
+        else:
+            last_ts, last_id, last_type = None, None, None
+        has_last = last_ts is not None
+        rows = []
+        batch = []
+        for pdf in pdfs:
+            for ts, eid, ty in zip(
+                pdf[ts_col].tolist(), pdf[id_col].tolist(),
+                pdf[type_col].tolist(),
+            ):
+                batch.append((ts, eid, ty))
+        for ts, eid, ty in sorted(
+            batch, key=lambda r: (r[0], r[1])
+        ):
+            ts_py = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if has_last and (ts_py, eid) <= (last_ts, last_id):
+                continue  # cross-batch late arrival: drop, never reorder
+            if has_last and ty is not None:
+                rows.append((uid, last_type, ty))
+            last_ts, last_id, last_type = ts_py, eid, ty
+            has_last = True
+        state.update((last_ts, last_id, last_type))
+        yield pd.DataFrame(rows, columns=[key_col, "src", "dst"])
+
+    src = events.select(
+        F.col(key_col), F.col(id_col), F.col(ts_col), F.col(type_col)
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _EPOCH = _dt.datetime(1970, 1, 1)
 
 

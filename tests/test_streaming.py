@@ -535,3 +535,60 @@ def test_holt_stream_matches_batch_twin(spark, tmp_path):
         for r in holt_linear(ordered, alpha=0.3, beta=0.2).collect()
     }
     assert got == want
+
+
+def test_transitions_stream_matches_batch_pairs(spark, tmp_path):
+    """The stateful pair generator emits exactly the batch LEAD() pairs
+    across a micro-batch boundary: NULL-typed events advance the state
+    but never appear as dst; late arrivals drop."""
+    import datetime as dt
+
+    from nl_railtraffic_etl_pipeline_spark.streaming.incremental import (
+        transitions_stream,
+    )
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    batch1 = [
+        (1, 1, t0, "view"),
+        (1, 2, t0 + dt.timedelta(minutes=1), "click"),
+        (1, 3, t0 + dt.timedelta(minutes=2), None),
+    ]
+    batch2 = [
+        (1, 4, t0 + dt.timedelta(minutes=3), "purchase"),
+        (1, 5, t0 - dt.timedelta(minutes=9), "late"),  # dropped
+        (2, 6, t0, "view"),                            # no predecessor
+    ]
+    schema = "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    src = str(tmp_path / "tr_events")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(src + "/b2")
+    import os
+    import pathlib
+
+    now = 1_900_000_000
+    for i, d in enumerate(("b1", "b2")):
+        for f in pathlib.Path(src, d).glob("*.parquet"):
+            os.utime(f, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        transitions_stream(stream)
+        .writeStream.format("memory")
+        .queryName("tr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        ((r.user_id, r.src or "", r.dst) for r in
+         spark.table("tr_out").collect())
+    )
+    # pairs: view->click, click->NULL (suppressed: dst null),
+    # NULL->purchase (state carried the null-typed predecessor across
+    # the batch boundary); user 2's single event emits nothing
+    assert got == [(1, "", "purchase"), (1, "view", "click")]
