@@ -425,3 +425,83 @@ def extract_links(
             F.count_distinct("_src_url").alias("n_src_docs"),
         )
     )
+
+
+#: One robots directive per line: "Allow: <path>" / "Disallow: <path>"
+#: (the group header is consumed by the caller's per-agent slicing; the
+#: gates model the single `User-agent: *` group the RFC 9309 examples
+#: use).  Shared with the DuckDB oracle dialect.
+ROBOTS_RULE_RE = r"^(Allow|Disallow): (\S+)"
+
+
+def robots_decisions(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Crawl-permission decisions from RAW robots.txt text (RFC 9309 /
+    Google longest-match semantics, public spec): parse each domain's
+    directive lines OUT OF THE TEXT with one shared regexp, match every
+    URL's path against its domain's rule prefixes, and let the LONGEST
+    matching rule decide — Allow wins a length tie, and a URL matching
+    no rule is allowed.
+
+    This is the politeness gate of a crawl pipeline (the frontier
+    filter that runs before any fetch), and the parsing is the point:
+    a group-slicing or prefix-length mistake flips specific URLs, which
+    is exactly what the per-URL oracle catches.
+
+    Scale shape: robots bodies explode map-side into a (domain, rule)
+    frame bounded by directive count — metadata next to the frontier —
+    and broadcast-join the URL stream on the domain key; the
+    longest-match argmax is one URL-keyed window over the matched
+    subset only.  Output: (url, domain, path, matched_rule, rule_type,
+    allowed).
+    """
+    from pyspark.sql import Window
+
+    path = F.regexp_extract(F.col(url_col), "^https?://[^/?#]+(/.*)?$", 1)
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        registered_domain(url_host(F.col(url_col))).alias("domain"),
+        F.when(path == "", F.lit("/")).otherwise(path).alias("path"),
+    )
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.col(txt_col), "\n")).alias("_line"),
+    )
+    rules = lines.select(
+        "domain",
+        F.lower(
+            F.regexp_extract(F.col("_line"), ROBOTS_RULE_RE, 1)
+        ).alias("rule_type"),
+        F.regexp_extract(F.col("_line"), ROBOTS_RULE_RE, 2).alias(
+            "matched_rule"
+        ),
+    ).filter(F.col("rule_type") != "")
+    cand = u.join(F.broadcast(rules), "domain").filter(
+        F.col("path").startswith(F.col("matched_rule"))
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.length("matched_rule").desc(),
+        F.asc("rule_type"),
+        F.asc("matched_rule"),
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", "matched_rule", "rule_type")
+    )
+    out = u.join(best, "url", "left")
+    return out.select(
+        "url",
+        "domain",
+        "path",
+        "matched_rule",
+        "rule_type",
+        F.coalesce(F.col("rule_type") != "disallow", F.lit(True)).alias(
+            "allowed"
+        ),
+    )

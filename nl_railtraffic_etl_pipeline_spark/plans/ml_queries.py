@@ -6531,3 +6531,93 @@ def _corpus_hygiene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_low_quality"),
         "n_final",
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt crawl-permission gate (functions/web.py::robots_decisions):
+# per registered domain a deterministic robots body (Disallow /p/<k>,
+# re-Allow /p/<k><k>, k = len(domain) % 10) is PARSED from raw text and
+# longest-match-decided per URL; the oracle re-parses and re-decides in
+# SQL with the shared regexp and the same (length desc, allow-first,
+# rule) total order.
+# ---------------------------------------------------------------------------
+from ..functions.web import ROBOTS_RULE_RE as _ROBOTS_RE  # noqa: E402
+
+# DuckDB single-quoted strings keep backslashes literally — the raw
+# pattern embeds as-is (doubling it would make RE2 match a literal \).
+_ROBOTS_RE_SQL = _ROBOTS_RE
+
+
+@query(
+    "web_robots_decisions",
+    f"""
+WITH raw AS (SELECT doc_id, {_WEBURL_SQL} AS url FROM documents),
+u AS (
+    SELECT url,
+           {_regdom_cols_sql("url", "s", "domain")},
+           COALESCE(NULLIF(regexp_extract(url,
+               '^https?://[^/?#]+(/.*)?$', 1), ''), '/') AS path
+    FROM raw
+),
+doms AS (SELECT DISTINCT domain FROM u),
+robots AS (
+    SELECT domain,
+           'User-agent: *' || chr(10)
+           || 'Disallow: /p/' || CAST(length(domain) % 10 AS VARCHAR)
+           || chr(10)
+           || 'Allow: /p/' || CAST(length(domain) % 10 AS VARCHAR)
+           || CAST(length(domain) % 10 AS VARCHAR) || chr(10)
+           || 'Disallow: /private' AS robots_txt
+    FROM doms
+),
+rules AS (
+    SELECT domain,
+           lower(regexp_extract(line, '{_ROBOTS_RE_SQL}', 1)) AS rule_type,
+           regexp_extract(line, '{_ROBOTS_RE_SQL}', 2) AS matched_rule
+    FROM (
+        SELECT domain, unnest(string_split(robots_txt, chr(10))) AS line
+        FROM robots
+    )
+    WHERE regexp_extract(line, '{_ROBOTS_RE_SQL}', 1) <> ''
+),
+cand AS (
+    SELECT u.url, r.matched_rule, r.rule_type
+    FROM u JOIN rules r ON u.domain = r.domain
+    WHERE starts_with(u.path, r.matched_rule)
+),
+best AS (
+    SELECT url, matched_rule, rule_type FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY url
+            ORDER BY length(matched_rule) DESC, rule_type, matched_rule
+        ) AS rn FROM cand
+    ) WHERE rn = 1
+)
+SELECT u.url, u.domain, u.path, b.matched_rule, b.rule_type,
+       COALESCE(b.rule_type <> 'disallow', TRUE) AS allowed
+FROM u LEFT JOIN best b ON u.url = b.url
+""",
+)
+def _web_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.web import (
+        registered_domain,
+        robots_decisions,
+        url_host,
+    )
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    urls = d.select(_weburl_col().alias("url"))
+    doms = urls.select(
+        registered_domain(url_host(F.col("url"))).alias("domain")
+    ).distinct()
+    k = (F.length("domain") % 10).cast("string")
+    robots = doms.select(
+        "domain",
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.lit("Disallow: /p/"), k, F.lit("\n"),
+            F.lit("Allow: /p/"), k, k, F.lit("\n"),
+            F.lit("Disallow: /private"),
+        ).alias("robots_txt"),
+    )
+    return robots_decisions(urls, robots)

@@ -2735,3 +2735,37 @@ def test_source_divergence_outlier_source(spark):
     assert 0 < out["normal1"]["jsd_bits"] < 0.5
     assert out["normal1"]["n_tokens"] == 4
     assert out["normal1"]["n_rest_tokens"] == 8
+
+
+def test_robots_decisions_longest_match_and_allow_tie(spark):
+    """Longest rule wins (re-Allow under a Disallow tree), Allow wins a
+    length tie, unmatched URLs default to allowed, and the rules come
+    from PARSED raw text."""
+    from nl_railtraffic_etl_pipeline_spark.functions.web import (
+        robots_decisions,
+    )
+
+    urls = spark.createDataFrame(
+        [Row(url=u) for u in (
+            "https://ex.com/private/x",      # Disallow /private
+            "https://ex.com/private/ok/1",   # re-Allow /private/ok
+            "https://ex.com/open",           # no rule
+            "https://ex.com/tie",            # /tie Allow + Disallow: allow wins
+            "https://ex.com",                # empty path -> '/'
+        )]
+    )
+    robots = spark.createDataFrame(
+        [Row(domain="ex.com", robots_txt=(
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+            "Allow: /tie\nDisallow: /tie\nnot a rule line"
+        ))]
+    )
+    out = {r["url"]: r for r in robots_decisions(urls, robots).collect()}
+    assert out["https://ex.com/private/x"]["allowed"] is False
+    assert out["https://ex.com/private/ok/1"]["allowed"] is True
+    assert out["https://ex.com/private/ok/1"]["matched_rule"] == "/private/ok"
+    assert out["https://ex.com/open"]["allowed"] is True
+    assert out["https://ex.com/open"]["matched_rule"] is None
+    assert out["https://ex.com/tie"]["allowed"] is True
+    assert out["https://ex.com/tie"]["rule_type"] == "allow"
+    assert out["https://ex.com"]["path"] == "/"
