@@ -756,9 +756,23 @@ def psi_drift(
     binned = base.crossJoin(F.broadcast(edges)).select(
         bucket.cast("int").alias("bucket"), "_p"
     )
-    per = binned.groupBy("bucket").agg(
+    observed = binned.groupBy("bucket").agg(
         F.count_if(F.col("_p") == 0).cast("bigint").alias("cnt_ref"),
         F.count_if(F.col("_p") == 1).cast("bigint").alias("cnt_cur"),
+    )
+    # Full bucket spine: a bucket empty in BOTH periods never appears in
+    # the grouped frame, yet its Laplace-smoothed contribution
+    # (p_cur - p_ref) * ln(p_cur / p_ref) is nonzero whenever
+    # n_ref != n_cur — dropping it would make psi_total deviate from the
+    # documented formula (and the smoothed shares no longer sum to 1)
+    # exactly when duplicate-heavy data collapses quantile edges.
+    spine = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    per = spine.join(observed, "bucket", "left").select(
+        "bucket",
+        F.coalesce("cnt_ref", F.lit(0)).cast("bigint").alias("cnt_ref"),
+        F.coalesce("cnt_cur", F.lit(0)).cast("bigint").alias("cnt_cur"),
     )
     tot = per.agg(
         F.sum("cnt_ref").cast("bigint").alias("_nr"),

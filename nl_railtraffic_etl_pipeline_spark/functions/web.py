@@ -427,11 +427,56 @@ def extract_links(
     )
 
 
-#: One robots directive per line: "Allow: <path>" / "Disallow: <path>"
-#: (the group header is consumed by the caller's per-agent slicing; the
-#: gates model the single `User-agent: *` group the RFC 9309 examples
-#: use).  Shared with the DuckDB oracle dialect.
-ROBOTS_RULE_RE = r"^(Allow|Disallow): (\S+)"
+#: One robots directive per line — case-insensitive directive name with
+#: optional whitespace around the colon, per RFC 9309 §2.2 ("disallow :
+#: /x" and "Disallow:/x" are both valid).  Shared verbatim with the
+#: DuckDB oracle dialect (inline ``(?i)`` works in both Java regex and
+#: RE2).  An empty path ("Disallow:" alone) matches nothing per the RFC,
+#: which ``(\S+)`` encodes by simply not matching the line.
+ROBOTS_RULE_RE = r"(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*(\S+)"
+
+#: Group header line: "User-agent: <token>" (same lexical latitude).
+ROBOTS_UA_RE = r"(?i)^[ \t]*user-agent[ \t]*:[ \t]*(\S+)"
+
+#: RFC 9309 path patterns are literals plus two specials: ``*`` (any
+#: char run) and a FINAL ``$`` (end anchor).  Translation to a regex =
+#: escape every regex metachar except those two, then ``*`` -> ``.*``;
+#: a trailing ``$`` is un-escaped back into an end anchor afterwards.
+#: The table is shared by the Spark column builder and the SQL-text
+#: builder below so both engines translate identically.
+ROBOTS_ESCAPES = [
+    ("\\", "\\\\"), (".", "\\."), ("+", "\\+"), ("?", "\\?"),
+    ("(", "\\("), (")", "\\)"), ("[", "\\["), ("]", "\\]"),
+    ("{", "\\{"), ("}", "\\}"), ("|", "\\|"), ("^", "\\^"),
+    ("$", "\\$"), ("*", ".*"),
+]
+
+
+def robots_rule_regex(rule) -> F.Column:
+    """RFC 9309 path pattern -> anchored regex, as a Spark column."""
+    rule = rule if isinstance(rule, F.Column) else F.col(rule)
+    esc = rule
+    for s, r in ROBOTS_ESCAPES:
+        esc = F.replace(esc, F.lit(s), F.lit(r))
+    body = F.when(
+        rule.endswith("$"),
+        F.concat(esc.substr(F.lit(1), F.length(esc) - F.lit(2)), F.lit("$")),
+    ).otherwise(esc)
+    return F.concat(F.lit("^"), body)
+
+
+def robots_rule_regex_sql(col: str) -> str:
+    """The same translation as ANSI SQL text over column ``col`` —
+    built from the same ROBOTS_ESCAPES table so the DuckDB oracle
+    cannot drift from the Spark implementation."""
+    e = col
+    for s, r in ROBOTS_ESCAPES:
+        sq, rq = s.replace("'", "''"), r.replace("'", "''")
+        e = f"replace({e}, '{sq}', '{rq}')"
+    return (
+        f"('^' || CASE WHEN {col} LIKE '%$' "
+        f"THEN substr({e}, 1, length({e}) - 2) || '$' ELSE {e} END)"
+    )
 
 
 def robots_decisions(
@@ -442,23 +487,27 @@ def robots_decisions(
     txt_col: str = "robots_txt",
 ) -> DataFrame:
     """Crawl-permission decisions from RAW robots.txt text (RFC 9309 /
-    Google longest-match semantics, public spec): parse each domain's
-    directive lines OUT OF THE TEXT with one shared regexp, match every
-    URL's path against its domain's rule prefixes, and let the LONGEST
-    matching rule decide — Allow wins a length tie, and a URL matching
-    no rule is allowed.
+    Google longest-match semantics, public spec): slice each domain's
+    text into User-agent GROUPS, keep the rules of every group whose
+    agent set contains ``*`` (the generic-crawler groups; rules above
+    any group header are ignored per the RFC), translate each path
+    pattern — literal bytes plus ``*`` wildcards and a final ``$``
+    anchor, directive names case-insensitive with free whitespace —
+    into an anchored regex, and let the LONGEST matching rule (pattern
+    octet length, Google's specificity order) decide per URL.  Allow
+    wins a length tie; a URL matching no rule is allowed.
 
     This is the politeness gate of a crawl pipeline (the frontier
     filter that runs before any fetch), and the parsing is the point:
-    a group-slicing or prefix-length mistake flips specific URLs, which
-    is exactly what the per-URL oracle catches.
+    a group-slicing, wildcard, or precedence mistake flips specific
+    URLs, which is exactly what the per-URL oracle catches.
 
     Scale shape: robots bodies explode map-side into a (domain, rule)
     frame bounded by directive count — metadata next to the frontier —
-    and broadcast-join the URL stream on the domain key; the
-    longest-match argmax is one URL-keyed window over the matched
-    subset only.  Output: (url, domain, path, matched_rule, rule_type,
-    allowed).
+    group slicing is one window over that metadata frame, and the URL
+    stream broadcast-joins it on the domain key; the longest-match
+    argmax is one URL-keyed window over the matched subset only.
+    Output: (url, domain, path, matched_rule, rule_type, allowed).
     """
     from pyspark.sql import Window
 
@@ -470,19 +519,54 @@ def robots_decisions(
     )
     lines = robots.select(
         F.col(domain_col).alias("domain"),
-        F.explode(F.split(F.col(txt_col), "\n")).alias("_line"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("_pos", "_line"),
     )
-    rules = lines.select(
+    tagged = lines.select(
         "domain",
+        "_pos",
+        F.regexp_extract(F.col("_line"), ROBOTS_UA_RE, 1).alias("_agent"),
         F.lower(
             F.regexp_extract(F.col("_line"), ROBOTS_RULE_RE, 1)
         ).alias("rule_type"),
         F.regexp_extract(F.col("_line"), ROBOTS_RULE_RE, 2).alias(
             "matched_rule"
         ),
-    ).filter(F.col("rule_type") != "")
+    )
+    # Group slicing: a run of consecutive User-agent lines starts a new
+    # group; every rule line belongs to the most recent group (blank /
+    # comment lines do not terminate a group in RFC 9309).  Rules from
+    # ALL groups containing agent `*` combine (RFC 9309 §2.2.1).
+    wseq = Window.partitionBy("domain").orderBy("_pos")
+    blocked = (
+        tagged.withColumn("_is_ua", F.col("_agent") != "")
+        .withColumn(
+            "_prev_ua", F.coalesce(F.lag("_is_ua").over(wseq), F.lit(False))
+        )
+        .withColumn(
+            "_block",
+            F.sum(
+                F.when(F.col("_is_ua") & ~F.col("_prev_ua"), 1).otherwise(0)
+            ).over(wseq),
+        )
+    )
+    star = blocked.groupBy("domain", "_block").agg(
+        F.max(
+            F.when(F.col("_is_ua") & (F.col("_agent") == "*"), 1).otherwise(0)
+        ).alias("_star")
+    )
+    rules = (
+        blocked.join(star, ["domain", "_block"])
+        .filter(
+            (F.col("_star") == 1)
+            & (F.col("rule_type") != "")
+            & (F.col("_block") >= 1)
+        )
+        .select("domain", "rule_type", "matched_rule")
+        .distinct()
+        .withColumn("_rx", robots_rule_regex(F.col("matched_rule")))
+    )
     cand = u.join(F.broadcast(rules), "domain").filter(
-        F.col("path").startswith(F.col("matched_rule"))
+        F.expr("path RLIKE _rx")
     )
     w = Window.partitionBy("url").orderBy(
         F.length("matched_rule").desc(),

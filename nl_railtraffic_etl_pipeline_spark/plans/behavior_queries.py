@@ -4461,11 +4461,20 @@ binned AS (
     SELECT CAST(len(list_filter(e, x -> v >= x)) AS INTEGER) AS bucket, p
     FROM flagged, edges
 ),
-per AS (
+observed AS (
     SELECT bucket,
            CAST(COUNT(*) FILTER (p = 0) AS BIGINT) AS cnt_ref,
            CAST(COUNT(*) FILTER (p = 1) AS BIGINT) AS cnt_cur
     FROM binned GROUP BY 1
+),
+-- full 0..n-1 spine: buckets empty in BOTH periods still contribute
+-- their Laplace-smoothed PSI term (mleval.psi_drift mirrors this)
+per AS (
+    SELECT CAST(s.bucket AS INTEGER) AS bucket,
+           CAST(COALESCE(o.cnt_ref, 0) AS BIGINT) AS cnt_ref,
+           CAST(COALESCE(o.cnt_cur, 0) AS BIGINT) AS cnt_cur
+    FROM (SELECT unnest(generate_series(0, {_PSI_BUCKETS - 1})) AS bucket)
+         s LEFT JOIN observed o ON s.bucket = o.bucket
 ),
 tot AS (
     SELECT CAST(SUM(cnt_ref) AS BIGINT) AS nr,

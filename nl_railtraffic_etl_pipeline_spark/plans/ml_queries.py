@@ -6535,17 +6535,26 @@ def _corpus_hygiene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # robots.txt crawl-permission gate (functions/web.py::robots_decisions):
-# per registered domain a deterministic robots body (Disallow /p/<k>,
-# re-Allow /p/<k><k>, k = len(domain) % 10) is PARSED from raw text and
-# longest-match-decided per URL; the oracle re-parses and re-decides in
-# SQL with the shared regexp and the same (length desc, allow-first,
-# rule) total order.
+# per registered domain a deterministic RFC 9309 robots body — a BadBot
+# group (Disallow / — must be IGNORED by group slicing), a combined
+# `*`+testbot group with a lowercase space-before-colon disallow of
+# /p/<k>, a re-Allow of /p/<kk>, an uppercase wildcard+anchor
+# DISALLOW /p/*<k>$, and a no-space Disallow:/private, k =
+# len(domain) % 10 — is PARSED from raw text, wildcard-translated, and
+# longest-match-decided per URL; the oracle re-parses, re-slices, and
+# re-decides in SQL with the shared regexps / escape table and the same
+# (length desc, allow-first, rule) total order.
 # ---------------------------------------------------------------------------
-from ..functions.web import ROBOTS_RULE_RE as _ROBOTS_RE  # noqa: E402
+from ..functions.web import (  # noqa: E402
+    ROBOTS_RULE_RE as _ROBOTS_RE,
+    ROBOTS_UA_RE as _ROBOTS_UA,
+    robots_rule_regex_sql as _robots_rx_sql,
+)
 
 # DuckDB single-quoted strings keep backslashes literally — the raw
-# pattern embeds as-is (doubling it would make RE2 match a literal \).
+# patterns embed as-is (doubling them would make RE2 match a literal \).
 _ROBOTS_RE_SQL = _ROBOTS_RE
+_ROBOTS_UA_SQL = _ROBOTS_UA
 
 
 @query(
@@ -6562,28 +6571,59 @@ u AS (
 doms AS (SELECT DISTINCT domain FROM u),
 robots AS (
     SELECT domain,
-           'User-agent: *' || chr(10)
-           || 'Disallow: /p/' || CAST(length(domain) % 10 AS VARCHAR)
+           '# robots for ' || domain || chr(10)
+           || 'User-Agent: BadBot' || chr(10)
+           || 'Disallow: /' || chr(10)
            || chr(10)
-           || 'Allow: /p/' || CAST(length(domain) % 10 AS VARCHAR)
-           || CAST(length(domain) % 10 AS VARCHAR) || chr(10)
-           || 'Disallow: /private' AS robots_txt
-    FROM doms
+           || 'User-agent: *' || chr(10)
+           || 'User-agent: testbot' || chr(10)
+           || 'disallow : /p/' || k || chr(10)
+           || 'Allow: /p/' || k || k || chr(10)
+           || 'DISALLOW: /p/*' || k || '$' || chr(10)
+           || 'Disallow:/private' AS robots_txt
+    FROM (SELECT domain, CAST(length(domain) % 10 AS VARCHAR) AS k
+          FROM doms)
 ),
-rules AS (
+lines AS (
     SELECT domain,
+           unnest(generate_series(1, len(ls))) AS pos,
+           unnest(ls) AS line
+    FROM (SELECT domain, string_split(robots_txt, chr(10)) AS ls
+          FROM robots)
+),
+tagged AS (
+    SELECT domain, pos,
+           regexp_extract(line, '{_ROBOTS_UA_SQL}', 1) AS agent,
            lower(regexp_extract(line, '{_ROBOTS_RE_SQL}', 1)) AS rule_type,
            regexp_extract(line, '{_ROBOTS_RE_SQL}', 2) AS matched_rule
-    FROM (
-        SELECT domain, unnest(string_split(robots_txt, chr(10))) AS line
-        FROM robots
-    )
-    WHERE regexp_extract(line, '{_ROBOTS_RE_SQL}', 1) <> ''
+    FROM lines
+),
+b1 AS (
+    SELECT *, (agent <> '') AS is_ua,
+           COALESCE(LAG(agent <> '') OVER (
+               PARTITION BY domain ORDER BY pos), FALSE) AS prev_ua
+    FROM tagged
+),
+b2 AS (
+    SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+           OVER (PARTITION BY domain ORDER BY pos) AS blk
+    FROM b1
+),
+star AS (
+    SELECT domain, blk,
+           MAX(CASE WHEN is_ua AND agent = '*' THEN 1 ELSE 0 END) AS star
+    FROM b2 GROUP BY domain, blk
+),
+rules AS (
+    SELECT DISTINCT b2.domain, b2.rule_type, b2.matched_rule,
+           {_robots_rx_sql("b2.matched_rule")} AS rx
+    FROM b2 JOIN star ON b2.domain = star.domain AND b2.blk = star.blk
+    WHERE star.star = 1 AND b2.rule_type <> '' AND b2.blk >= 1
 ),
 cand AS (
     SELECT u.url, r.matched_rule, r.rule_type
     FROM u JOIN rules r ON u.domain = r.domain
-    WHERE starts_with(u.path, r.matched_rule)
+    WHERE regexp_matches(u.path, r.rx)
 ),
 best AS (
     SELECT url, matched_rule, rule_type FROM (
@@ -6614,10 +6654,13 @@ def _web_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots = doms.select(
         "domain",
         F.concat(
-            F.lit("User-agent: *\n"),
-            F.lit("Disallow: /p/"), k, F.lit("\n"),
+            F.lit("# robots for "), F.col("domain"), F.lit("\n"),
+            F.lit("User-Agent: BadBot\nDisallow: /\n\n"),
+            F.lit("User-agent: *\nUser-agent: testbot\n"),
+            F.lit("disallow : /p/"), k, F.lit("\n"),
             F.lit("Allow: /p/"), k, k, F.lit("\n"),
-            F.lit("Disallow: /private"),
+            F.lit("DISALLOW: /p/*"), k, F.lit("$\n"),
+            F.lit("Disallow:/private"),
         ).alias("robots_txt"),
     )
     return robots_decisions(urls, robots)

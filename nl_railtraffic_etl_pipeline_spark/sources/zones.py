@@ -67,7 +67,11 @@ Commit protocol (per attempt):
            retry at a fresh version), rename WIP -> ``v{t}``
            (destination cannot exist: t was ours), re-check for a
            ``.dead``/skip marker (stalled-publisher undo), drop the
-           committed marker.
+           committed marker.  The DROP is itself arbitrated: a resolver
+           tombstones a committed claim by renaming that same marker
+           path to ``.dead``, so a failed delete means a resolver won
+           between the re-check and the drop — the owner re-checks once
+           more and undoes the snapshot instead of reporting success.
 
 Readers (``read``) take the highest published snapshot — complete by
 construction since rename is atomic.  Lost updates are impossible: the
@@ -401,7 +405,20 @@ class VersionedZone:
             self._fs.delete(self._Path(self._snap(t)), True)
             self._fs.delete(committed, False)
             return None
-        self._fs.delete(committed, False)
+        # The delete of the committed marker is the owner's LAST contended
+        # act: a resolver tombstoning a stalled committed claim renames
+        # this SAME path to .dead, so exactly one of {our delete, its
+        # rename} can succeed.  A failed delete therefore means a resolver
+        # won the marker between the stall guard above and here — the
+        # check-then-act window of the guard itself.  Re-check and undo:
+        # once our delete succeeds no resolver can ever act (its rename
+        # source is gone), so success here is final.
+        if not self._fs.delete(committed, False) and (
+            self._fs.exists(self._p(f"v{t:08d}.claim.dead"))
+            or self._fs.exists(self._p(f"v{t:08d}.skip"))
+        ):
+            self._fs.delete(self._Path(self._snap(t)), True)
+            return None
         return t, rows
 
     def _write_manifest(

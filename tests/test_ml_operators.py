@@ -2769,3 +2769,81 @@ def test_robots_decisions_longest_match_and_allow_tie(spark):
     assert out["https://ex.com/tie"]["allowed"] is True
     assert out["https://ex.com/tie"]["rule_type"] == "allow"
     assert out["https://ex.com"]["path"] == "/"
+
+
+def test_robots_decisions_rfc9309_wildcards_and_groups(spark):
+    """RFC 9309 semantics beyond literal prefixes: '*' wildcards, a
+    final '$' anchor, case-insensitive directives with free whitespace,
+    and group slicing — rules in a non-matching User-agent group are
+    ignored, consecutive UA lines share one group, rules above any
+    group header are dropped, and regex metachars in rules stay
+    literal."""
+    from nl_railtraffic_etl_pipeline_spark.functions.web import (
+        robots_decisions,
+    )
+
+    urls = spark.createDataFrame(
+        [Row(url=u) for u in (
+            "https://ex.com/a.php",          # /*.php$ -> disallow
+            "https://ex.com/a.php?q=1",      # $ anchor: not an end match
+            "https://ex.com/img/x.png",      # badbot's Disallow / ignored
+            "https://ex.com/tmp/x",          # lowercase 'disallow : /tmp'
+            "https://ex.com/dl/file",        # no-space 'Allow:/dl'
+            "https://ex.com/a(1).php",       # metachars literal in rule
+        )]
+    )
+    robots = spark.createDataFrame(
+        [Row(domain="ex.com", robots_txt=(
+            "Disallow: /img\n"               # above any group: ignored
+            "# politeness rules\n"
+            "User-Agent: BadBot\n"
+            "Disallow: /\n"
+            "\n"
+            "User-agent: *\n"
+            "User-agent: testbot\n"          # same group as *
+            "Disallow: /*.php$\n"
+            "disallow : /tmp\n"
+            "Allow:/dl\n"
+            "Disallow: /a(1).php$\n"
+        ))]
+    )
+    out = {r["url"]: r for r in robots_decisions(urls, robots).collect()}
+    assert out["https://ex.com/a.php"]["allowed"] is False
+    assert out["https://ex.com/a.php"]["matched_rule"] == "/*.php$"
+    assert out["https://ex.com/a.php?q=1"]["allowed"] is True
+    assert out["https://ex.com/a.php?q=1"]["matched_rule"] is None
+    assert out["https://ex.com/img/x.png"]["allowed"] is True
+    assert out["https://ex.com/tmp/x"]["allowed"] is False
+    assert out["https://ex.com/dl/file"]["allowed"] is True
+    assert out["https://ex.com/dl/file"]["rule_type"] == "allow"
+    # '(' ')' '.' stay literal: the 10-char exact rule beats /*.php$ (7)
+    assert out["https://ex.com/a(1).php"]["allowed"] is False
+    assert out["https://ex.com/a(1).php"]["matched_rule"] == "/a(1).php$"
+
+
+def test_psi_drift_both_empty_buckets_still_contribute(spark):
+    """Duplicate-heavy data collapses the quantile edges so all mass
+    lands in one bucket; the other buckets are empty in BOTH periods
+    yet their Laplace-smoothed contribution is nonzero whenever
+    n_ref != n_cur — the full bucket spine must keep them in the
+    output (and in psi_total) instead of silently dropping them."""
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import psi_drift
+
+    rows = [Row(v=1.0, p=0) for _ in range(10)] + [
+        Row(v=1.0, p=1) for _ in range(5)
+    ]
+    out = {r["bucket"]: r for r in psi_drift(
+        spark.createDataFrame(rows), "v", "p", n_buckets=4
+    ).collect()}
+    assert sorted(out) == [0, 1, 2, 3]          # full spine present
+    empty = out[0]
+    assert empty["cnt_ref"] == 0 and empty["cnt_cur"] == 0
+    # p_ref = 1/14, p_cur = 1/9: smoothed shares differ -> nonzero term
+    assert empty["psi_contrib"] != 0.0
+    assert out[3]["cnt_ref"] == 10 and out[3]["cnt_cur"] == 5
+    import math
+    want = round(sum(
+        round((c / 9 - r / 14) * math.log((c / 9) / (r / 14)), 12)
+        for r, c in [(1, 1), (1, 1), (1, 1), (11, 6)]
+    ), 9)
+    assert all(abs(r["psi_total"] - want) < 1e-9 for r in out.values())

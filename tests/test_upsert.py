@@ -476,3 +476,62 @@ def test_versioned_zone_dead_claim_owner_cannot_publish(spark, tmp_path):
     assert z_owner.current_version() == 1
     v, _rows = z_owner.upsert(batch, ["k"], "ver")
     assert v == 3 and z_owner.manifest(3)["base_version"] == 1
+
+
+def test_versioned_zone_resolver_wins_final_marker_drop(spark, tmp_path):
+    """The residual stall guard's own check-then-act window: the owner
+    passes the post-publish .dead/.skip re-check, then a resolver whose
+    scan predates the snapshot rename tombstones the committed marker
+    BEFORE the owner drops it.  The owner's delete of the marker fails
+    (rename of that same path is the arbiter), so it must undo the
+    snapshot and report no commit — the pre-fix code returned (t, rows)
+    while _scan hid v{t} from every reader: a silent lost update."""
+    z_owner = _zone(spark, tmp_path)
+    z_owner.upsert(
+        spark.createDataFrame([(1, 1, "a")], "k bigint, ver bigint, val string"),
+        ["k"],
+        "ver",
+    )
+    batch = spark.createDataFrame(
+        [(2, 2, "late")], "k bigint, ver bigint, val string"
+    )
+    z_resolver = _zone(spark, tmp_path, claim_timeout=1.0)
+    assert z_owner._claim(2)
+
+    real_fs = z_owner._fs
+
+    class RaceFS:
+        """Delegates to the real Hadoop FS; on the owner's FIRST delete
+        of the committed marker, lets the resolver tombstone it first."""
+
+        def __init__(self):
+            self.fired = False
+
+        def delete(self, path, recursive=False):
+            if (
+                not self.fired
+                and not recursive
+                and path.getName().endswith(".claim.committed")
+            ):
+                self.fired = True
+                assert z_resolver._tombstone(2)  # resolver wins the marker
+            return real_fs.delete(path, recursive)
+
+        def __getattr__(self, name):
+            return getattr(real_fs, name)
+
+    z_owner._fs = RaceFS()
+    try:
+        out = z_owner._commit_at(2, lambda base: batch, batch.schema, None)
+    finally:
+        z_owner._fs = real_fs
+    assert out is None                      # NOT reported as a success
+    assert not real_fs.exists(z_owner._p("v00000002"))   # snapshot undone
+    assert z_owner.current_version() == 1   # readers still serve v1
+    # the owner retries at a fresh version and the update actually lands
+    v, _rows = z_owner.upsert(batch, ["k"], "ver")
+    assert v == 3 and z_owner.manifest(3)["base_version"] == 1
+    assert {r.k: r.val for r in z_owner.read().collect()} == {
+        1: "a",
+        2: "late",
+    }
