@@ -3,13 +3,13 @@
 ``entry(spark)`` runs the flagship rolling-trend query at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the full registry from
 ``nl_railtraffic_etl_pipeline_spark.plans.registry`` — one entry per
-implemented operator from SURVEY.md §2/§2.12.  Every entry except ONE
-carries a full DuckDB oracle (including the streaming sessionizer and
-duplicate-clustering gates, via gaps-and-islands and recursive-CTE
-reachability); ``text_compression_ratio`` is the deliberate rows-only
-exception (DEFLATE is not SQL-expressible — pytest pins its semantics).
-The committed ``CORRECTNESS_local_r7.json`` records the full-registry
-oracle run at sf0.001/0.01/0.1.
+implemented operator from SURVEY.md §2/§2.12.  EVERY entry carries a
+full DuckDB oracle (the streaming sessionizer and duplicate-clustering
+gates via gaps-and-islands and recursive-CTE reachability; the former
+rows-only exception ``text_compression_ratio`` now joins a published
+driver-local pyarrow+zlib reference artifact, the IVF-centroid
+pattern).  The committed ``CORRECTNESS_local_r9.json`` records the
+full-registry oracle run at sf0.001/0.01/0.1.
 
 Sampling rotation: the driver's correctness gate checks the FIRST 50
 entries of ``queries()`` each round, so a registry this size (292+)

@@ -49,6 +49,13 @@ def _warm_up(spark, entry_mod, sf_dir: str) -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy(
         "n_regionkey"
     ).count().write.format("noop").mode("overwrite").save()
+    # Python-worker spin-up (daemon fork + Arrow serializer init) costs
+    # 0.5-1 s and was being attributed to whichever Arrow-kernel query
+    # ran first after a session (re)build — the r8 bench showed
+    # text_compression_ratio at 2.7x its idle minimum from exactly this.
+    spark.range(32).repartition(4).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:

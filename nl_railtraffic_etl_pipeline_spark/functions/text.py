@@ -992,17 +992,21 @@ def compression_ratio(
     signal (highly repetitive / boilerplate text compresses far below
     natural prose; filters on ratio are standard in crawl pipelines).
 
-    This is the repo's one TEXT operator that cannot carry a SQL oracle:
-    DEFLATE is not expressible in SQL, so the driver records a rows-only
-    check and pytest carries the semantic fixtures (known-repetitive vs
-    natural text, determinism across reruns).  Within one zlib build the
-    output length at a fixed level is deterministic, so the column is
-    stable run-to-run on this engine.
+    DEFLATE is not expressible in SQL, so the gate's oracle rides the
+    published-artifact pattern (plans/ml_queries.py): a driver-local
+    pyarrow+zlib reference sweep publishes per-doc compressed sizes to a
+    lookup parquet the DuckDB oracle joins — this distributed kernel is
+    hash-checked against that independent single-process path.  Within
+    one zlib build the output length at a fixed level is deterministic,
+    so the column is stable run-to-run on this engine.
 
     Arrow ``mapInPandas`` shape (the multimodal contract): utf-8 encode +
     compress per batch, Python memory bounded by
-    ``arrow.maxRecordsPerBatch``; emits (id, n_bytes, n_compressed,
-    ratio) with NULL text quarantined as nulls, ratio rounded to 6.
+    ``arrow.maxRecordsPerBatch``; the kernel emits INTEGERS only
+    (id, n_bytes, n_compressed) — the ratio closes JVM-side with
+    ``F.round`` (HALF_UP, the engine-stable rounding every other gate
+    uses; Python's round() is half-even and diverges on exact ties like
+    89/128).  NULL text quarantines as nulls, ratio rounded to 6.
     """
     import zlib
 
@@ -1019,39 +1023,49 @@ def compression_ratio(
             StructField(id_col, id_type),
             StructField("n_bytes", LongType()),
             StructField("n_compressed", LongType()),
-            StructField("ratio", DoubleType()),
         ]
     )
+    _ = DoubleType  # ratio closes JVM-side below
 
     def _batches(batches):
         import pandas as pd
 
         for pdf in batches:
-            ids, nb, nc, ratio = [], [], [], []
+            ids, nb, nc = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 ids.append(i)
                 if t is None:
                     nb.append(None)
                     nc.append(None)
-                    ratio.append(None)
                     continue
                 raw = t.encode("utf-8")
                 comp = zlib.compress(raw, level)
                 nb.append(len(raw))
                 nc.append(len(comp))
-                ratio.append(
-                    round(len(comp) / len(raw), 6) if raw else None
-                )
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "n_bytes": pd.array(nb, dtype="Int64"),
                     "n_compressed": pd.array(nc, dtype="Int64"),
-                    "ratio": ratio,
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)
+    counted = docs.select(id_col, text_col).mapInPandas(
+        _batches, out_schema
+    )
+    return counted.select(
+        id_col,
+        "n_bytes",
+        "n_compressed",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(
+                F.col("n_compressed").cast("double")
+                / F.col("n_bytes").cast("double"),
+                6,
+            ),
+        ).alias("ratio"),
+    )
 
 
 def winnow_fingerprints(

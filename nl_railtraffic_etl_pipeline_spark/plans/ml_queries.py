@@ -5195,14 +5195,64 @@ def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Compressibility quality signal (functions/text.py::compression_ratio):
 # zlib ratio per doc via the Arrow mapInPandas contract.  DEFLATE is not
-# SQL-expressible, so this is a deliberate NO-ORACLE registration — the
-# driver records a rows-only check; semantics live in pytest fixtures
-# (repetitive text compresses below natural prose, determinism).
+# SQL-expressible, so the oracle rides the published-artifact pattern
+# (the IVF-centroid contract): a driver-LOCAL reference implementation —
+# plain pyarrow + zlib over the raw parquet, no Spark, no Arrow batching,
+# a fully independent code path — publishes (doc_id, n_compressed_ref)
+# to a lookup parquet; DuckDB recomputes n_bytes/ratio natively
+# (octet_length over utf-8) and joins the lookup for the DEFLATE term.
+# The distributed kernel is thereby hash-checked against a single-process
+# reference instead of the former rows-only registration.
 # ---------------------------------------------------------------------------
-@query("text_compression_ratio")
+_ZLIB_LOOKUP_PATH = f"/tmp/nl_spark_zlib_lookup_{_os.getpid()}.parquet"
+
+
+def _publish_zlib_lookup(sf_dir: str) -> bool:
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    nc = [
+        len(zlib.compress(t.encode("utf-8"), 6)) if t is not None else None
+        for t in tbl.column("text").to_pylist()
+    ]
+    out = pa.table(
+        {
+            "doc_id": tbl.column("doc_id"),
+            "n_compressed_ref": pa.array(nc, pa.int64()),
+        }
+    )
+    tmp = _ZLIB_LOOKUP_PATH + ".tmp"
+    pq.write_table(out, tmp)
+    _os.replace(tmp, _ZLIB_LOOKUP_PATH)
+    return True
+
+
+@query(
+    "text_compression_ratio",
+    f"""
+SELECT d.doc_id,
+       CASE WHEN d.text IS NOT NULL
+            THEN CAST(octet_length(encode(d.text)) AS BIGINT) END AS n_bytes,
+       CASE WHEN d.text IS NOT NULL
+            THEN l.n_compressed_ref END AS n_compressed,
+       CASE WHEN d.text IS NOT NULL AND octet_length(encode(d.text)) > 0
+            THEN ROUND(CAST(l.n_compressed_ref AS DOUBLE)
+                       / octet_length(encode(d.text)), 6) END AS ratio
+FROM documents d
+LEFT JOIN read_parquet('{_ZLIB_LOOKUP_PATH}') l ON d.doc_id = l.doc_id
+""",
+)
 def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import compression_ratio
 
+    _artifact(
+        spark, sf_dir, "zlib_lookup", lambda: _publish_zlib_lookup(sf_dir)
+    )
     return compression_ratio(
         load_table(spark, sf_dir, "documents", spread=True)
     )

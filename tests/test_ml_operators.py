@@ -407,13 +407,13 @@ def test_multimodal_decode_roundtrip(spark):
 
 
 def test_registry_oracle_coverage():
-    """Every registered query has a full DuckDB oracle, except the ONE
-    documented rows-only gate (DEFLATE is not SQL-expressible — see
-    plans/ml_queries.py text_compression_ratio)."""
+    """EVERY registered query carries a full DuckDB oracle — the former
+    rows-only exception (text_compression_ratio) now rides the
+    published-artifact pattern: a driver-local pyarrow+zlib reference
+    sweep the oracle joins (plans/ml_queries.py)."""
     from nl_railtraffic_etl_pipeline_spark.plans.registry import ORACLES, QUERIES
 
-    assert set(QUERIES) - set(ORACLES) == {"text_compression_ratio"}
-    assert set(ORACLES) <= set(QUERIES)
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_kmv_distinct_exact_below_k_and_close_above(spark):
