@@ -408,6 +408,7 @@ def duplicate_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    doubling_gate: int | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc, cluster_rep).
 
@@ -420,8 +421,12 @@ def duplicate_clusters(
     its neighbors' labels, its label's label).  The neighbor step flows
     labels along edges; the label-of-label step halves the pointer-chain
     depth each round, so a component of diameter d converges in
-    O(log d) rounds instead of O(d) — at 100 TB a single long-chain
-    component no longer dictates the round count.  Per round: one
+    O(gate + log d) rounds instead of O(d) — at 100 TB a single
+    long-chain component no longer dictates the round count.  The jump
+    engages from round ``doubling_gate`` (default ``max(2, max_iter //
+    4)``): shallow components — the common dedup case — converge plain
+    and never pay the extra join, while the caller's round budget sizes
+    the rescue point for deep ones (measured tradeoff in SCALE.md).  Per round: one
     edge-keyed shuffle join + aggregation, plus one node-sized
     label-to-label equi-join (labels frame is node-sized, exact
     equi-keys, no fan-out).  Convergence is an ``observe`` metric (sum
@@ -441,6 +446,7 @@ def duplicate_clusters(
         .distinct()
         .withColumn("label", F.col("doc"))
     )
+    gate = max(2, max_iter // 4) if doubling_gate is None else doubling_gate
     changed = 1
     for rnd in range(max_iter):
         nbr_min = (
@@ -451,11 +457,16 @@ def duplicate_clusters(
         with_nbr = labels.join(nbr_min, "doc", "left")
         srcs = [F.col("label"), F.coalesce("nbr_min", F.col("label"))]
         # Pointer doubling: label(label(u)) — halves pointer-chain depth
-        # so a deep path converges in O(log d) rounds instead of O(d).
-        # Gated to round >= 3: through round 2 the pointer chain is at
-        # most 2 deep, so the jump provably equals the neighbor step and
-        # the extra join would be pure overhead — shallow near-dup
-        # clusters (the common case) converge before ever paying it.
+        # so a deep path converges in O(gate + log d) rounds instead of
+        # O(d).  Gated ADAPTIVELY to round >= max(2, max_iter // 4): the
+        # caller's round budget encodes its depth expectation, and the
+        # r9 measurement at sf0.1 (branchy doc graph, depth ~24) showed
+        # the jump join costs ~2x per round while cutting only 24 -> 20
+        # rounds — engaging at round 2 cost 8.2 s vs 4.3 s plain, while
+        # gate = max_iter//4 = 16 lands at 5.6 s AND keeps the deep-
+        # chain rescue (a component deeper than the gate still converges
+        # in gate + O(log d); shallow clusters — the common dedup case —
+        # never pay the join at all).  See SCALE.md "pointer doubling".
         # MEASURED NEGATIVE RESULT (r8): restricting the jump's build
         # side to last-round-changed labels looks frontier-cheap but
         # breaks the O(log d) bound — a pointer target that has already
@@ -463,7 +474,7 @@ def duplicate_clusters(
         # exactly the shortcut a distant node still needs, and the
         # filter removes it (deep-chain pytest regressed 9 -> >9
         # rounds); the build side must stay the full node-sized frame.
-        if rnd >= 2:
+        if rnd >= gate:
             jump = labels.select(
                 F.col("doc").alias("_jdoc"),
                 F.col("label").alias("jump_min"),
