@@ -951,8 +951,8 @@ def _mm_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the formula alone.  Every third doc ships truncated bytes to pin
 # the quarantine row.  DC = 8 * (block_mean - 128) with an all-ones
 # quant table, all exact BIGINTs.  Closes the r7 "JPEG decode stubbed"
-# row for the entropy/DC layer; full AC pixel decode (IDCT) still wants
-# a codec library.
+# row for the entropy/DC layer; the FULL pixel decode is the
+# mm_decode_jpeg_pixels gate below.
 # ---------------------------------------------------------------------------
 @query(
     "mm_decode_jpeg_dc",
@@ -1023,6 +1023,134 @@ def _mm_jpeg_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = sel.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.decode_jpeg_dc_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# FULL baseline JPEG pixel decode (multimodal.decode_jpeg_pixel_stats):
+# each selected doc gets a genuine 3-component YCbCr baseline JPEG with
+# REAL AC structure (multimodal.jpeg_encode_ycbcr_blocks — levels at
+# zigzag 0/10/14/39, all-8 quant table, run-length gaps incl. ZRL); the
+# engine Huffman-decodes the ACTUAL BYTES through the zigzag,
+# dequantizes, runs the exact 2-D IDCT and the fixed-point YCbCr->RGB
+# matrix, and the oracle recomputes every channel sum from the closed-
+# form sample(x,y) = 128 + dc + s(y)ly + s(x)lx + s(x)s(y)lxy formula
+# (those four DCT bases are exactly integer-valued on the 8x8 grid) —
+# it never sees a byte.  Any mistake in run decode, zigzag placement,
+# dequant, IDCT normalization, level shift, component interleave, or
+# the RGB fixed-point arithmetic hash-mismatches.  Every third doc
+# ships truncated bytes to pin the quarantine row.  Closes the r8
+# "JPEG decode stops at DC" gap.
+# ---------------------------------------------------------------------------
+_JPEG_RGB_SQL = """
+    LEAST(255, GREATEST(0, yv + CAST(floor(
+        (91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+    LEAST(255, GREATEST(0, yv - CAST(floor(
+        (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) / 65536.0)
+        AS BIGINT))) AS g,
+    LEAST(255, GREATEST(0, yv + CAST(floor(
+        (116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+"""
+
+
+@query(
+    "mm_decode_jpeg_pixels",
+    f"""
+WITH sel AS (
+    SELECT doc_id,
+           CAST(1 + doc_id % 3 AS INTEGER) AS bw,
+           CAST(1 + doc_id % 2 AS INTEGER) AS bh,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 11 = 0
+),
+blk AS (
+    SELECT doc_id, bw, bh, unnest(range(0, bw * bh)) AS i
+    FROM sel WHERE NOT corrupt
+),
+px AS (
+    SELECT doc_id, bw, i, unnest(range(0, 64)) AS p
+    FROM blk
+),
+geo AS (
+    SELECT doc_id, bw, i, p % 8 AS x, p // 8 AS y,
+           CASE WHEN (p % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sx,
+           CASE WHEN (p // 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sy
+    FROM px
+),
+vals AS (
+    SELECT doc_id, bw, i, x, y,
+        128 + ((doc_id * 7 + i * 5) % 160) - 80
+            + sy * (((doc_id + i * 3) % 31) - 15)
+            + sx * (((doc_id * 3 + i) % 31) - 15)
+            + sx * sy * (((doc_id + i) % 25) - 12) AS yv,
+        128 + ((doc_id * 7 + i * 5 + 11) % 160) - 80
+            + sy * (((doc_id + i * 3 + 1) % 31) - 15)
+            + sx * (((doc_id * 3 + i + 5) % 31) - 15)
+            + sx * sy * (((doc_id + i + 1) % 25) - 12) AS cb,
+        128 + ((doc_id * 7 + i * 5 + 22) % 160) - 80
+            + sy * (((doc_id + i * 3 + 2) % 31) - 15)
+            + sx * (((doc_id * 3 + i + 10) % 31) - 15)
+            + sx * sy * (((doc_id + i + 2) % 25) - 12) AS cr
+    FROM geo
+),
+rgb AS (
+    SELECT doc_id, yv, cb, cr,
+        ((i // bw) * 8 + y) * (bw * 8) + (i % bw) * 8 + x + 1 AS pos,
+        {_JPEG_RGB_SQL}
+    FROM vals
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM(yv) AS BIGINT) AS y_sum,
+           CAST(SUM(cb) AS BIGINT) AS cb_sum,
+           CAST(SUM(cr) AS BIGINT) AS cr_sum,
+           CAST(SUM(pos * yv) AS BIGINT) AS y_weighted,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum
+    FROM rgb GROUP BY 1
+)
+SELECT sel.doc_id,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE sel.bw * 8 END
+            AS INTEGER) AS width,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE sel.bh * 8 END
+            AS INTEGER) AS height,
+       sums.y_sum, sums.cb_sum, sums.cr_sum, sums.y_weighted,
+       sums.r_sum, sums.g_sum, sums.b_sum,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 11 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("_bw"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("_bh"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import jpeg_encode_ycbcr_blocks
+
+        for pdf in batches:
+            payloads = [
+                jpeg_encode_ycbcr_blocks(int(doc), int(bw), int(bh))[
+                    : 25 if corrupt else None
+                ]
+                for doc, bw, bh, corrupt in zip(
+                    pdf["doc_id"], pdf["_bw"], pdf["_bh"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_jpeg_pixel_stats(payload)
 
 
 # ---------------------------------------------------------------------------

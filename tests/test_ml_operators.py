@@ -2847,3 +2847,75 @@ def test_psi_drift_both_empty_buckets_still_contribute(spark):
         for r, c in [(1, 1), (1, 1), (1, 1), (11, 6)]
     ), 9)
     assert all(abs(r["psi_total"] - want) < 1e-9 for r in out.values())
+
+
+def test_jpeg_pixels_roundtrip_exact():
+    """Full baseline decode (AC Huffman -> zigzag -> dequant -> IDCT ->
+    level shift -> fixed-point YCbCr->RGB) reproduces the fixture's
+    closed-form sample values EXACTLY — every channel sum and the
+    position-weighted luma sum."""
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _jpeg_decode_pixels,
+        jpeg_encode_ycbcr_blocks,
+    )
+
+    S = [1, -1, -1, 1, 1, -1, -1, 1]
+    for doc, bw, bh in ((0, 1, 1), (13, 2, 1), (77, 3, 2), (1001, 2, 2)):
+        W = bw * 8
+        ys = cbs = crs = ywt = rs = gs = bs = 0
+        for i in range(bw * bh):
+            bx, by = i % bw, i // bw
+            comp = []
+            for c in range(3):
+                dc = ((doc * 7 + i * 5 + c * 11) % 160) - 80
+                ly = ((doc + i * 3 + c) % 31) - 15
+                lx = ((doc * 3 + i + c * 5) % 31) - 15
+                lxy = ((doc + i + c) % 25) - 12
+                comp.append((dc, ly, lx, lxy))
+            for y in range(8):
+                for x in range(8):
+                    vals = [
+                        128 + dc + S[y] * ly + S[x] * lx
+                        + S[x] * S[y] * lxy
+                        for (dc, ly, lx, lxy) in comp
+                    ]
+                    Y, Cb, Cr = vals
+                    ys += Y
+                    cbs += Cb
+                    crs += Cr
+                    ywt += ((by * 8 + y) * W + bx * 8 + x + 1) * Y
+                    dcb, dcr = Cb - 128, Cr - 128
+                    clamp = lambda v: min(255, max(0, v))  # noqa: E731
+                    rs += clamp(Y + ((91881 * dcr + 32768) >> 16))
+                    gs += clamp(
+                        Y - ((22554 * dcb + 46802 * dcr + 32768) >> 16)
+                    )
+                    bs += clamp(Y + ((116130 * dcb + 32768) >> 16))
+        w, h, stats = _jpeg_decode_pixels(
+            jpeg_encode_ycbcr_blocks(doc, bw, bh)
+        )
+        assert (w, h) == (bw * 8, bh * 8)
+        assert stats == (ys, cbs, crs, ywt, rs, gs, bs), (doc, bw, bh)
+
+
+def test_jpeg_pixels_quarantine_and_gray_crosscheck():
+    """Truncated payloads quarantine (None), and the full pixel decoder
+    agrees with the r8 DC-only fixture: constant blocks decode to the
+    exact block-mean image (y_sum = 64 * sum of block values, chroma and
+    RGB sums None for 1-component input)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _jpeg_decode_pixels,
+        jpeg_encode_gray_blocks,
+        jpeg_encode_ycbcr_blocks,
+    )
+
+    assert _jpeg_decode_pixels(b"not a jpeg") is None
+    assert _jpeg_decode_pixels(
+        jpeg_encode_ycbcr_blocks(5, 2, 2)[:25]
+    ) is None
+    w, h, (ys, cbs, crs, ywt, rs, gs, bs) = _jpeg_decode_pixels(
+        jpeg_encode_gray_blocks(7, 3, 2)
+    )
+    assert (w, h) == (24, 16)
+    assert ys == sum(64 * ((7 * 17 + i * 7) % 256) for i in range(6))
+    assert (cbs, crs, rs, gs, bs) == (None,) * 5

@@ -139,6 +139,7 @@ def test_python_only_in_arrow_kernels(spark):
             "mm_decode_png_pixels",  # PNG encode fixture + pixel decode kernels
             "mm_png_thumbnail",  # PNG fixture + decode/resample kernel
             "mm_decode_jpeg_dc",  # JPEG fixture + DC entropy-decode kernels
+            "mm_decode_jpeg_pixels",  # JPEG fixture + full pixel-decode kernels
             "text_compression_ratio",
         ):
             assert has_python, name
