@@ -1305,3 +1305,288 @@ def decode_jpeg_pixel_stats(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         _jpeg_pixels_batch, JPEG_PIXEL_STATS
     )
+
+# ---------------------------------------------------------------------------
+# REAL WAV (RIFF) PCM16 decode, pure stdlib: chunk walking with the
+# word-alignment pad byte (odd-sized chunks are followed by one pad —
+# the classic RIFF parsing bug), fmt validation (PCM, 16-bit), and
+# little-endian signed sample extraction.  Exact integer statistics so
+# an arithmetic SQL oracle reproduces them from the fixture formula.
+# ---------------------------------------------------------------------------
+
+
+def _wav_decode_pcm16(b: bytes):
+    """RIFF/WAVE PCM16 -> (sample_rate, n_channels, n_samples, stats) or
+    None (quarantine).  ``stats`` = (sample_sum, sample_weighted,
+    peak_abs, energy) over the flat interleaved sample stream:
+    sample_weighted = sum (i+1) * s_i pins sample ORDER, energy =
+    sum s_i^2.  Non-PCM / non-16-bit / malformed chunks quarantine."""
+    import numpy as np
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    riff_len = int.from_bytes(b[4:8], "little")
+    if riff_len + 8 > len(b):
+        return None  # truncated vs declared size
+    pos = 12
+    fmt = None
+    data = None
+    try:
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = b[pos + 8 : pos + 8 + sz]
+            if len(body) != sz:
+                return None
+            if cid == b"fmt ":
+                if sz < 16:
+                    return None
+                audio_fmt = int.from_bytes(body[0:2], "little")
+                n_ch = int.from_bytes(body[2:4], "little")
+                rate = int.from_bytes(body[4:8], "little")
+                bits = int.from_bytes(body[14:16], "little")
+                if audio_fmt != 1 or bits != 16 or n_ch == 0:
+                    return None
+                fmt = (rate, n_ch)
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)  # word-align: odd chunks carry a pad
+        if fmt is None or data is None or len(data) % 2:
+            return None
+        rate, n_ch = fmt
+        s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        n = int(s.size)
+        if n % n_ch:
+            return None
+        return (
+            rate,
+            n_ch,
+            n,
+            (
+                int(s.sum()),
+                int(((np.arange(n, dtype=np.int64) + 1) * s).sum()),
+                int(np.abs(s).max()) if n else 0,
+                int((s * s).sum()),
+            ),
+        )
+    except (IndexError, ValueError):
+        return None
+
+
+def wav_encode_pcm16(doc_id: int, n_samples: int) -> bytes:
+    """Deterministic mono PCM16 WAV fixture: sample i is
+    ``((doc_id * 13 + i * 7) % 4001) - 2000``.  The chunk list includes
+    an ODD-sized junk chunk before ``fmt `` so the decoder's pad-byte
+    arithmetic is actually exercised (skipping it lands mid-chunk)."""
+    import struct
+
+    samples = bytearray()
+    for i in range(n_samples):
+        samples += struct.pack(
+            "<h", ((doc_id * 13 + i * 7) % 4001) - 2000
+        )
+    junk = b"note" + struct.pack("<I", 3) + b"odd" + b"\x00"  # pad byte
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16
+    )
+    data = b"data" + struct.pack("<I", len(samples)) + bytes(samples)
+    if len(samples) & 1:
+        data += b"\x00"
+    body = b"WAVE" + junk + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+WAV_PCM_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("sample_weighted", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def _wav_pcm_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            dec = _wav_decode_pcm16(bytes(payload))
+            if dec is None:
+                rows.append((doc_id,) + (None,) * 7 + (False,))
+                continue
+            rate, n_ch, n, (ssum, swt, peak, energy) = dec
+            rows.append(
+                (doc_id, rate, n_ch, n, ssum, swt, peak, energy, True)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "sample_rate", "n_channels", "n_samples",
+                "sample_sum", "sample_weighted", "peak_abs", "energy",
+                "decoded",
+            ],
+        ).astype(
+            {
+                "sample_rate": "Int32", "n_channels": "Int32",
+                "n_samples": "Int64", "sample_sum": "Int64",
+                "sample_weighted": "Int64", "peak_abs": "Int64",
+                "energy": "Int64",
+            }
+        )
+
+
+def decode_wav_pcm_stats(df_with_payload: DataFrame) -> DataFrame:
+    """REAL WAV/PCM16 decode over a binary column (see
+    :func:`_wav_decode_pcm16`): exact integer sample statistics with
+    malformed payloads quarantined.  Arrow ``mapInPandas``, map-only,
+    numpy sample math — the audio twin of the image decode kernels."""
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        _wav_pcm_batch, WAV_PCM_STATS
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP decode (BITMAPINFOHEADER, BI_RGB 24bpp), pure stdlib: 4-byte
+# row padding, BGR byte order, and the bottom-up row layout (positive
+# height) — the three classic BMP bugs — plus top-down (negative
+# height) support.  Exact channel sums + a position-weighted sum that
+# pins the row FLIP, for the arithmetic oracle.
+# ---------------------------------------------------------------------------
+
+
+def _bmp_decode_pixels(b: bytes):
+    """BMP -> (width, height, (r_sum, g_sum, b_sum, rgb_weighted)) or
+    None.  ``rgb_weighted`` = sum over TOP-DOWN raster positions p of
+    (p+1) * (r + g + b): a bottom-up image decoded without the flip
+    hash-mismatches immediately."""
+    import numpy as np
+
+    if len(b) < 54 or b[0:2] != b"BM":
+        return None
+    try:
+        data_off = int.from_bytes(b[10:14], "little")
+        hdr_sz = int.from_bytes(b[14:18], "little")
+        if hdr_sz < 40:
+            return None
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        planes = int.from_bytes(b[26:28], "little")
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        top_down = h < 0
+        h_abs = -h if top_down else h
+        stride = (w * 3 + 3) & ~3
+        need = data_off + stride * h_abs
+        if need > len(b):
+            return None
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * h_abs, offset=data_off
+        ).reshape(h_abs, stride)[:, : w * 3]
+        if not top_down:
+            rows = rows[::-1]  # stored bottom-up -> top-down raster
+        px = rows.reshape(h_abs, w, 3).astype(np.int64)
+        bch, gch, rch = px[..., 0], px[..., 1], px[..., 2]  # BGR order
+        pos = (
+            np.arange(h_abs * w, dtype=np.int64).reshape(h_abs, w) + 1
+        )
+        return (
+            w,
+            h_abs,
+            (
+                int(rch.sum()),
+                int(gch.sum()),
+                int(bch.sum()),
+                int((pos * (rch + gch + bch)).sum()),
+            ),
+        )
+    except (IndexError, ValueError):
+        return None
+
+
+def bmp_encode_rgb(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic 24bpp BI_RGB BMP fixture, stored BOTTOM-UP with
+    4-byte row padding: top-down raster pixel p = y*width+x has
+    r = (doc_id*31 + p*3) % 256, g = +1, b = +2 (the PNG fixture's
+    formula family, so oracles share shape)."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            p = y * width + x
+            r = (doc_id * 31 + p * 3) % 256
+            g = (doc_id * 31 + p * 3 + 1) % 256
+            bb = (doc_id * 31 + p * 3 + 2) % 256
+            row += bytes((bb, g, r))  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    data_off = 14 + 40
+    fsize = data_off + len(rows)
+    hdr = b"BM" + struct.pack("<IHHI", fsize, 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows),
+        2835, 2835, 0, 0,
+    )
+    return hdr + dib + bytes(rows)
+
+
+BMP_PIXEL_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("rgb_weighted", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def _bmp_pixels_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            dec = _bmp_decode_pixels(bytes(payload))
+            if dec is None:
+                rows.append((doc_id,) + (None,) * 6 + (False,))
+                continue
+            w, h, (rs, gs, bs, wt) = dec
+            rows.append((doc_id, w, h, rs, gs, bs, wt, True))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+                "rgb_weighted", "decoded",
+            ],
+        ).astype(
+            {
+                "width": "Int32", "height": "Int32", "r_sum": "Int64",
+                "g_sum": "Int64", "b_sum": "Int64",
+                "rgb_weighted": "Int64",
+            }
+        )
+
+
+def decode_bmp_pixel_stats(df_with_payload: DataFrame) -> DataFrame:
+    """REAL BMP pixel decode over a binary column (see
+    :func:`_bmp_decode_pixels`): exact channel sums + the flip-pinning
+    weighted sum, malformed payloads quarantined.  Arrow
+    ``mapInPandas``, map-only, numpy row math."""
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        _bmp_pixels_batch, BMP_PIXEL_STATS
+    )

@@ -368,3 +368,83 @@ def column_entropy(
         F.round(h, 9).alias("entropy_bits"),
         norm.alias("normalized_entropy"),
     )
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column —
+    the classic fraud / synthetic-data / unit-mixup detector for
+    financial and measurement columns (public method: Benford 1938,
+    Nigrini's audit practice).
+
+    The value is quantized to integer units first (``round(v * scale)``
+    — engine-stable because both engines round the SAME IEEE product,
+    and prices quantized at 1/scale never land near .5 unit boundaries),
+    the first digit read off the INTEGER's decimal string (int→string
+    is identical across engines; float→string is not), and the observed
+    digit distribution compared to Benford's ``log10(1 + 1/d)``:
+    per-digit share gap and a chi-square statistic.  The transcendental
+    expected shares ride the quantized-term contract (round to 12,
+    DECIMAL(28,12) sums, close at 9) so the oracle is hash-exact.
+
+    Plan: one map-side digit extraction, ONE digit-keyed partial-agg
+    shuffle (9 groups), a 1-row totals broadcast, and the full 1..9
+    digit spine (a digit absent from the data still contributes
+    ``n * expected`` to chi-square — the psi_drift spine lesson).
+    Output per digit: (digit, n_obs, share_obs, share_exp, gap,
+    chi2_total).
+    """
+    units = F.round(F.col(value_col).cast("double") * scale).cast(
+        "bigint"
+    )
+    obs = (
+        df.select(units.alias("_u"))
+        .filter(F.col("_u") >= 1)
+        .select(
+            F.substring(F.col("_u").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    per = spine.join(obs, "digit", "left").select(
+        "digit",
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+    )
+    tot = per.agg(F.sum("n_obs").cast("bigint").alias("_n"))
+    w = per.crossJoin(F.broadcast(tot))
+    share_exp = F.round(
+        F.log10((F.col("digit") + F.lit(1)) / F.col("digit")), 12
+    )
+    share_obs = F.col("n_obs").cast("double") / F.col("_n").cast("double")
+    expected_n = F.col("_n").cast("double") * share_exp
+    term = F.round(
+        (F.col("n_obs").cast("double") - expected_n)
+        * (F.col("n_obs").cast("double") - expected_n)
+        / expected_n,
+        12,
+    )
+    rows = w.select(
+        "digit",
+        "n_obs",
+        F.round(share_obs, 9).alias("share_obs"),
+        F.round(share_exp, 9).alias("share_exp"),
+        F.round(share_obs - share_exp, 9).alias("gap"),
+        term.cast("decimal(28,12)").alias("_t"),
+    )
+    chi2 = rows.agg(F.sum("_t").cast("double").alias("_chi2"))
+    return rows.crossJoin(F.broadcast(chi2)).select(
+        "digit",
+        "n_obs",
+        "share_obs",
+        "share_exp",
+        "gap",
+        F.round(F.col("_chi2"), 9).alias("chi2_total"),
+    )

@@ -4885,3 +4885,57 @@ def _ml_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isNotNull()
     )
     return power_mde(ev, ["event_type"], "value")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (functions/profile.py::benford_deviation)
+# of o_totalprice — the fraud / synthetic-data / unit-mixup detector.
+# Values quantize to integer cents (round of the SAME IEEE product on
+# both engines), the digit reads off the INTEGER's decimal string, the
+# transcendental log10 expected shares ride the quantized-term
+# contract, and the full 1..9 digit spine keeps absent digits in the
+# chi-square (the psi_drift spine lesson).
+# ---------------------------------------------------------------------------
+@query(
+    "dq_benford_totalprice",
+    f"""
+WITH obs AS (
+    SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM (SELECT CAST(o_totalprice * 100 AS BIGINT) AS u FROM orders)
+    WHERE u >= 1 GROUP BY 1
+),
+per AS (
+    SELECT s.digit, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+    FROM (SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) AS digit) s
+    LEFT JOIN obs o ON s.digit = o.digit
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM per),
+base AS (
+    SELECT per.digit, per.n_obs, tot.n,
+           {_round_sql("log10(CAST(per.digit + 1 AS DOUBLE) / per.digit)",
+                       12)} AS se
+    FROM per, tot
+),
+rows_ AS (
+    SELECT digit, n_obs,
+           {_round_sql("CAST(n_obs AS DOUBLE) / n", 9)} AS share_obs,
+           {_round_sql("se", 9)} AS share_exp,
+           {_round_sql("CAST(n_obs AS DOUBLE) / n - se", 9)} AS gap,
+           CAST({_round_sql(
+               "(n_obs - n * se) * (n_obs - n * se) / (n * se)", 12
+           )} AS DECIMAL(28,12)) AS t
+    FROM base
+),
+chi AS (SELECT SUM(t) AS chi2 FROM rows_)
+SELECT digit, n_obs, share_obs, share_exp, gap,
+       ROUND(CAST(chi2 AS DOUBLE), 9) AS chi2_total
+FROM rows_, chi
+""",
+)
+def _dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import benford_deviation
+
+    return benford_deviation(
+        load_table(spark, sf_dir, "orders", spread=True), "o_totalprice"
+    )

@@ -6842,3 +6842,148 @@ def _web_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("robots_txt"),
     )
     return robots_decisions(urls, robots)
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV/PCM16 decode (multimodal.decode_wav_pcm_stats): each selected
+# doc gets a genuine RIFF/WAVE byte stream — an ODD-sized junk chunk
+# (whose pad byte the walker must skip), a PCM fmt chunk, and little-
+# endian int16 samples following sample i = ((doc*13 + i*7) % 4001) -
+# 2000.  The engine parses the ACTUAL BYTES; the oracle recomputes the
+# exact sums (plain, position-weighted, peak, energy) from the formula.
+# Every third doc ships truncated bytes to pin the quarantine row.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_wav_pcm",
+    """
+WITH sel AS (
+    SELECT doc_id, CAST(200 + doc_id % 257 AS BIGINT) AS n,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 19 = 0
+),
+vals AS (
+    SELECT doc_id, i, ((doc_id * 13 + i * 7) % 4001) - 2000 AS s
+    FROM (SELECT doc_id, n, unnest(range(0, n)) AS i
+          FROM sel WHERE NOT corrupt)
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM(s) AS BIGINT) AS sample_sum,
+           CAST(SUM((i + 1) * s) AS BIGINT) AS sample_weighted,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           CAST(SUM(s * s) AS BIGINT) AS energy
+    FROM vals GROUP BY 1
+)
+SELECT sel.doc_id,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE 16000 END AS INTEGER)
+           AS sample_rate,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE 1 END AS INTEGER)
+           AS n_channels,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.n END AS n_samples,
+       sums.sample_sum, sums.sample_weighted, sums.peak_abs, sums.energy,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 19 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(200) + F.col("doc_id") % 257).cast("int").alias("_n"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import wav_encode_pcm16
+
+        for pdf in batches:
+            payloads = [
+                wav_encode_pcm16(int(doc), int(n))[: 30 if corrupt else None]
+                for doc, n, corrupt in zip(
+                    pdf["doc_id"], pdf["_n"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_wav_pcm_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP decode (multimodal.decode_bmp_pixel_stats): genuine 24bpp
+# BI_RGB files stored BOTTOM-UP with 4-byte row padding and BGR byte
+# order — the three classic BMP bugs — whose top-down raster pixels
+# follow the PNG fixture's formula family; the position-weighted sum
+# pins the row FLIP, so decoding bottom-up rows without reversing
+# hash-mismatches.  Every third doc ships truncated bytes.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_bmp_pixels",
+    """
+WITH sel AS (
+    SELECT doc_id,
+           CAST(5 + doc_id % 6 AS INTEGER) AS w,
+           CAST(3 + doc_id % 5 AS INTEGER) AS h,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 23 = 0
+),
+px AS (
+    SELECT doc_id, unnest(range(0, w * h)) AS p
+    FROM sel WHERE NOT corrupt
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM((doc_id * 31 + p * 3    ) % 256) AS BIGINT) AS r_sum,
+           CAST(SUM((doc_id * 31 + p * 3 + 1) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((doc_id * 31 + p * 3 + 2) % 256) AS BIGINT) AS b_sum,
+           CAST(SUM((p + 1) * (((doc_id * 31 + p * 3) % 256)
+                 + ((doc_id * 31 + p * 3 + 1) % 256)
+                 + ((doc_id * 31 + p * 3 + 2) % 256))) AS BIGINT)
+               AS rgb_weighted
+    FROM px GROUP BY 1
+)
+SELECT sel.doc_id,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.w END AS width,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.h END AS height,
+       sums.r_sum, sums.g_sum, sums.b_sum, sums.rgb_weighted,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 23 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 6).cast("int").alias("_w"),
+        (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("_h"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import bmp_encode_rgb
+
+        for pdf in batches:
+            payloads = [
+                bmp_encode_rgb(int(doc), int(w), int(h))[
+                    : 40 if corrupt else None
+                ]
+                for doc, w, h, corrupt in zip(
+                    pdf["doc_id"], pdf["_w"], pdf["_h"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_bmp_pixel_stats(payload)

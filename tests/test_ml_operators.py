@@ -2919,3 +2919,78 @@ def test_jpeg_pixels_quarantine_and_gray_crosscheck():
     assert (w, h) == (24, 16)
     assert ys == sum(64 * ((7 * 17 + i * 7) % 256) for i in range(6))
     assert (cbs, crs, rs, gs, bs) == (None,) * 5
+
+
+def test_wav_pcm_roundtrip_and_quarantine():
+    """RIFF chunk walk (incl. the odd-chunk pad byte), PCM16 LE sample
+    extraction, and exact integer stats; truncated/garbage quarantines."""
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _wav_decode_pcm16,
+        wav_encode_pcm16,
+    )
+
+    for doc, n in ((0, 5), (13, 200), (999, 457)):
+        rate, nch, ns, (ssum, swt, peak, en) = _wav_decode_pcm16(
+            wav_encode_pcm16(doc, n)
+        )
+        s = [((doc * 13 + i * 7) % 4001) - 2000 for i in range(n)]
+        assert (rate, nch, ns) == (16000, 1, n)
+        assert ssum == sum(s)
+        assert swt == sum((i + 1) * v for i, v in enumerate(s))
+        assert peak == max(abs(v) for v in s)
+        assert en == sum(v * v for v in s)
+    assert _wav_decode_pcm16(wav_encode_pcm16(5, 100)[:30]) is None
+    assert _wav_decode_pcm16(b"garbage") is None
+
+
+def test_bmp_roundtrip_flip_and_quarantine():
+    """Bottom-up row flip, BGR order, and 4-byte padding all verified by
+    the channel sums and the position-weighted (flip-sensitive) sum."""
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _bmp_decode_pixels,
+        bmp_encode_rgb,
+    )
+
+    for doc, w, h in ((0, 5, 3), (7, 6, 4), (123, 9, 7)):
+        W, H, (rs, gs, bs, wt) = _bmp_decode_pixels(
+            bmp_encode_rgb(doc, w, h)
+        )
+        assert (W, H) == (w, h)
+        assert rs == sum((doc * 31 + p * 3) % 256 for p in range(w * h))
+        assert bs == sum(
+            (doc * 31 + p * 3 + 2) % 256 for p in range(w * h)
+        )
+        assert wt == sum(
+            (p + 1) * (
+                ((doc * 31 + p * 3) % 256)
+                + ((doc * 31 + p * 3 + 1) % 256)
+                + ((doc * 31 + p * 3 + 2) % 256)
+            )
+            for p in range(w * h)
+        )
+    assert _bmp_decode_pixels(bmp_encode_rgb(5, 5, 3)[:40]) is None
+    assert _bmp_decode_pixels(b"BMgarbage") is None
+
+
+def test_benford_deviation_spine_and_exact_digits(spark):
+    """First digits come from quantized integer units (never float
+    strings), the 1..9 spine keeps absent digits with their n*expected
+    chi-square term, and a perfectly Benford-ish single-digit column
+    shows share_obs 1.0 on its digit."""
+    from nl_railtraffic_etl_pipeline_spark.functions.profile import (
+        benford_deviation,
+    )
+
+    rows = [Row(v=3.17) for _ in range(10)]  # units 317 -> digit 3
+    out = {r["digit"]: r for r in benford_deviation(
+        spark.createDataFrame(rows), "v"
+    ).collect()}
+    assert sorted(out) == list(range(1, 10))          # full spine
+    assert out[3]["n_obs"] == 10 and out[3]["share_obs"] == 1.0
+    assert out[1]["n_obs"] == 0
+    assert out[1]["chi2_total"] == out[3]["chi2_total"] > 0
+    # boundary: 9999.995 -> 999999.5 rounds to 1000000 -> digit 1, not 9
+    b = {r["digit"]: r for r in benford_deviation(
+        spark.createDataFrame([Row(v=9999.995)]), "v"
+    ).collect()}
+    assert b[1]["n_obs"] + b[9]["n_obs"] == 1  # quantized, no crash
