@@ -22,6 +22,12 @@ else, least-recently-sampled first — so previously verified gates
 periodically re-enter the 50-gate window and regressions can't stay
 driver-invisible forever.  Registry order breaks ties within each
 class, keeping iteration deterministic for a fixed artifact set.
+POST-DRAIN POLICY (the standing regime once class (2) empties, ~r10):
+class (3) IS the regression re-sampler — with ~330 gates and 50 slots
+per round, every gate's driver evidence has a bounded age of ceil(N/50)
+≈ 7 rounds; a fix for any future driver-red gate jumps the queue via
+class (1) and is re-verified the next round.  No code change is needed
+at the transition; the ordering key already expresses it.
 ``bench.py`` is NOT affected: it re-emits its timings keyed in canonical
 registry order, so bench visibility stays comparable round-over-round.
 """
