@@ -1590,3 +1590,258 @@ def decode_bmp_pixel_stats(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         _bmp_pixels_batch, BMP_PIXEL_STATS
     )
+
+# ---------------------------------------------------------------------------
+# REAL GIF decode (GIF89a, pure stdlib): logical-screen + image
+# descriptors, global color table, sub-block reassembly, and a genuine
+# LZW decompressor — LSB-first code packing, dictionary growth through
+# 12-bit codes, CLEAR resets, and the KwKwK (code == next slot) case.
+# The fixture runs a REAL LZW compressor over formula-valued indices
+# (encode and decode are not mirror-symmetric — the decoder's deferred
+# dictionary insert can't be cancelled by an encoder bug — and a
+# hand-crafted stream pins the decoder independently in pytest).
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
+    """GIF-flavor LZW: returns the index stream or None on corruption."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    acc = nbits = 0
+    out: list[int] = []
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits  # LSB-first packing
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = table[: clear + 2]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Standard GIF LZW compressor (dictionary growth, CLEAR on full
+    12-bit table, LSB-first packing) — the fixture side."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = clear + 2
+    code_size = min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for idx in indices:
+        k = w + bytes([idx])
+        if k in table:
+            w = k
+            continue
+        emit(table[w])
+        table[k] = next_code
+        next_code += 1
+        if next_code > (1 << code_size):
+            if code_size < 12:
+                code_size += 1
+            else:
+                emit(clear)
+                table = fresh()
+                next_code = clear + 2
+                code_size = min_code_size + 1
+        w = k[-1:]
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_decode_pixels(b: bytes):
+    """GIF89a/87a -> (width, height, (r_sum, g_sum, b_sum,
+    idx_weighted)) or None.  Single non-interlaced image over the
+    global color table; ``idx_weighted`` = sum (p+1) * palette_index
+    over raster order pins the LZW stream byte-for-byte."""
+    if len(b) < 13 or b[0:6] not in (b"GIF89a", b"GIF87a"):
+        return None
+    try:
+        flags = b[10]
+        if not flags & 0x80:
+            return None  # no global color table
+        gct_n = 2 << (flags & 7)
+        pos = 13
+        palette = b[pos : pos + 3 * gct_n]
+        if len(palette) != 3 * gct_n:
+            return None
+        pos += 3 * gct_n
+        while pos < len(b):
+            blk = b[pos]
+            if blk == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif blk == 0x2C:  # image descriptor
+                w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+                h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+                iflags = b[pos + 9]
+                if iflags & 0xC0:  # local table / interlace: out of scope
+                    return None
+                pos += 10
+                min_cs = b[pos]
+                pos += 1
+                data = bytearray()
+                while b[pos] != 0:
+                    n = b[pos]
+                    data += b[pos + 1 : pos + 1 + n]
+                    pos += 1 + n
+                pos += 1
+                if not 2 <= min_cs <= 8 or w == 0 or h == 0:
+                    return None
+                idx = _lzw_decode(bytes(data), min_cs)
+                if idx is None or len(idx) != w * h:
+                    return None
+                rs = gs = bs = wt = 0
+                for p, i in enumerate(idx):
+                    if i >= gct_n:
+                        return None
+                    rs += palette[3 * i]
+                    gs += palette[3 * i + 1]
+                    bs += palette[3 * i + 2]
+                    wt += (p + 1) * i
+                return (w, h, (rs, gs, bs, wt))
+            elif blk == 0x3B:
+                return None  # trailer before any image
+            else:
+                return None
+        return None
+    except IndexError:
+        return None
+
+
+def gif_encode_indexed(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic GIF89a fixture: 64-color global palette with
+    color i = ((doc_id*7 + i*11) % 256, (i*3) % 256, (i*5 + 1) % 256),
+    pixel p (raster) = index (doc_id*11 + p*13) % 64 — repeats in the
+    index stream drive REAL LZW dictionary growth.  A comment extension
+    precedes the image so block skipping is exercised."""
+    import struct
+
+    gct_bits = 6  # 64 colors
+    palette = bytearray()
+    for i in range(64):
+        palette += bytes(
+            (
+                (doc_id * 7 + i * 11) % 256,
+                (i * 3) % 256,
+                (i * 5 + 1) % 256,
+            )
+        )
+    indices = [
+        (doc_id * 11 + p * 13) % 64 for p in range(width * height)
+    ]
+    lzw = _lzw_encode(indices, 6)
+    sub = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    hdr = b"GIF89a" + struct.pack(
+        "<HHBBB", width, height, 0x80 | (gct_bits - 1), 0, 0
+    )
+    comment = b"\x21\xfe\x04spfx\x00"
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    return (
+        hdr + bytes(palette) + comment + img + bytes([6]) + bytes(sub)
+        + b"\x3b"
+    )
+
+
+GIF_PIXEL_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("idx_weighted", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def _gif_pixels_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            dec = _gif_decode_pixels(bytes(payload))
+            if dec is None:
+                rows.append((doc_id,) + (None,) * 6 + (False,))
+                continue
+            w, h, (rs, gs, bs, wt) = dec
+            rows.append((doc_id, w, h, rs, gs, bs, wt, True))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+                "idx_weighted", "decoded",
+            ],
+        ).astype(
+            {
+                "width": "Int32", "height": "Int32", "r_sum": "Int64",
+                "g_sum": "Int64", "b_sum": "Int64",
+                "idx_weighted": "Int64",
+            }
+        )
+
+
+def decode_gif_pixel_stats(df_with_payload: DataFrame) -> DataFrame:
+    """REAL GIF/LZW decode over a binary column (see
+    :func:`_gif_decode_pixels`): exact palette-channel sums + the
+    stream-pinning weighted index sum, malformed payloads quarantined.
+    Arrow ``mapInPandas``, map-only."""
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        _gif_pixels_batch, GIF_PIXEL_STATS
+    )

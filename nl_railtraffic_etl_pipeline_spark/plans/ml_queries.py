@@ -6987,3 +6987,77 @@ def _mm_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = sel.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.decode_bmp_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF/LZW decode (multimodal.decode_gif_pixel_stats): genuine
+# GIF89a files — global color table, a comment extension the walker
+# must skip, sub-block reassembly, and an LZW stream produced by a REAL
+# compressor (dictionary growth through code-size bumps; repeats in the
+# formula index stream guarantee non-literal codes).  The oracle
+# recomputes palette-channel sums + the stream-pinning weighted index
+# sum from the formulas; a hand-crafted stream (incl. the KwKwK case)
+# pins the decoder independently in pytest.  Every third doc truncated.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_gif_pixels",
+    """
+WITH sel AS (
+    SELECT doc_id,
+           CAST(6 + doc_id % 7 AS INTEGER) AS w,
+           CAST(4 + doc_id % 5 AS INTEGER) AS h,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 29 = 0
+),
+idx AS (
+    SELECT doc_id, p, (doc_id * 11 + p * 13) % 64 AS i
+    FROM (SELECT doc_id, unnest(range(0, w * h)) AS p
+          FROM sel WHERE NOT corrupt)
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM((doc_id * 7 + i * 11) % 256) AS BIGINT) AS r_sum,
+           CAST(SUM((i * 3) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((i * 5 + 1) % 256) AS BIGINT) AS b_sum,
+           CAST(SUM((p + 1) * i) AS BIGINT) AS idx_weighted
+    FROM idx GROUP BY 1
+)
+SELECT sel.doc_id,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.w END AS width,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.h END AS height,
+       sums.r_sum, sums.g_sum, sums.b_sum, sums.idx_weighted,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 29 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(6) + F.col("doc_id") % 7).cast("int").alias("_w"),
+        (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("_h"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import gif_encode_indexed
+
+        for pdf in batches:
+            payloads = [
+                gif_encode_indexed(int(doc), int(w), int(h))[
+                    : 20 if corrupt else None
+                ]
+                for doc, w, h, corrupt in zip(
+                    pdf["doc_id"], pdf["_w"], pdf["_h"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_gif_pixel_stats(payload)

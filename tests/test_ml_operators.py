@@ -2994,3 +2994,54 @@ def test_benford_deviation_spine_and_exact_digits(spark):
         spark.createDataFrame([Row(v=9999.995)]), "v"
     ).collect()}
     assert b[1]["n_obs"] + b[9]["n_obs"] == 1  # quantized, no crash
+
+
+def test_gif_lzw_decoder_pinned_and_roundtrip():
+    """The LZW decoder is pinned by HAND-CRAFTED streams (code-size bump
+    mid-stream, the KwKwK deferred-insert case) — independent of the
+    fixture compressor — and the full GIF roundtrip matches the formula,
+    including dictionary growth on long repetitive streams."""
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _gif_decode_pixels,
+        _lzw_decode,
+        _lzw_encode,
+        gif_encode_indexed,
+    )
+
+    def pack(codes):
+        acc = n = 0
+        out = bytearray()
+        for c, w in codes:
+            acc |= c << n
+            n += w
+            while n >= 8:
+                out.append(acc & 255)
+                acc >>= 8
+                n -= 8
+        if n:
+            out.append(acc & 255)
+        return bytes(out)
+
+    # min_cs=2: CLEAR,0,1,2 at 3 bits; table hits 8 -> 4-bit 3, EOI
+    assert _lzw_decode(
+        pack([(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)]), 2
+    ) == [0, 1, 2, 3]
+    # KwKwK: code == next slot decodes prev + prev[0]
+    assert _lzw_decode(
+        pack([(4, 3), (0, 3), (6, 3), (5, 3)]), 2
+    ) == [0, 0, 0]
+    # growth + 12-bit clear path
+    rep = [1, 2, 3, 4] * 2000
+    assert _lzw_decode(_lzw_encode(rep, 6), 6) == rep
+    for doc, w, h in ((0, 4, 3), (123, 17, 9), (9999, 40, 30)):
+        W, H, (rs, gs, bs, wt) = _gif_decode_pixels(
+            gif_encode_indexed(doc, w, h)
+        )
+        idx = [(doc * 11 + p * 13) % 64 for p in range(w * h)]
+        assert (W, H) == (w, h)
+        assert rs == sum((doc * 7 + i * 11) % 256 for i in idx)
+        assert gs == sum((i * 3) % 256 for i in idx)
+        assert bs == sum((i * 5 + 1) % 256 for i in idx)
+        assert wt == sum((p + 1) * i for p, i in enumerate(idx))
+    assert _gif_decode_pixels(gif_encode_indexed(5, 8, 8)[:20]) is None
+    assert _gif_decode_pixels(b"GIF89a") is None
