@@ -26,7 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -354,3 +354,158 @@ def span_corruption_masks(
             quarantined
         )
     return out
+
+
+def bpe_merge_table(
+    docs: DataFrame,
+    k: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """One training round of byte-pair encoding over the corpus: the
+    top-``k`` adjacent CHARACTER pairs inside ASCII-printable words,
+    ranked by (count desc, pair asc — a total order, so the table is
+    engine-exact).  This is the merge list :func:`bpe_encode_pieces`
+    applies; real multi-round BPE training recounts after each merge
+    (inherently iterative), but the round-1 table is already the
+    corpus-adapted subword inventory a pipeline publishes as an
+    artifact — and it is fully SQL-expressible, so the build itself is
+    oracle-gated.
+
+    Plan: map-side word explode + position explode (fan-out bounded by
+    word length), ONE pair-keyed partial-agg shuffle, top-k over the
+    pair-count frame (vocabulary-scale, tiny).  Output: (rank, pair,
+    left_sym, right_sym, n) — rank 0 merges first.
+    """
+    words = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("_w")
+    ).filter(F.col("_w").rlike("^[!-~]+$") & (F.length("_w") >= 2))
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("_w") - 1)).alias("_i"),
+        F.col("_w"),
+    ).select(F.substring(F.col("_w"), F.col("_i"), 2).alias("pair"))
+    counted = pairs.groupBy("pair").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w) - 1)
+        .filter(F.col("rank") < k)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "pair",
+            F.substring("pair", 1, 1).alias("left_sym"),
+            F.substring("pair", 2, 1).alias("right_sym"),
+            "n",
+        )
+    )
+
+
+def bpe_word_pieces(word: str, ranks: dict) -> list[str]:
+    """Greedy BPE apply for ONE word (GPT-2 convention, public
+    algorithm): start from characters; repeatedly merge ALL occurrences
+    of the present pair with the lowest rank until none remains.
+    ``ranks`` maps 'xy' 2-char pair -> merge priority (lower first).
+    Shared by the Arrow kernel and the driver-local oracle reference
+    sweep — pytest pins hand-computed outcomes so the shared function
+    cannot hide a semantics bug from the gate."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get(a + b)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, a + b
+        if best_pair is None:
+            break
+        merged, i = [], 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and syms[i] + syms[i + 1] == best_pair
+            ):
+                merged.append(best_pair)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return syms
+
+
+def bpe_encode_pieces(
+    docs: DataFrame,
+    merge_ranks: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE tokenizer APPLY over the corpus: every ASCII-printable word
+    runs :func:`bpe_word_pieces` against the published merge table; the
+    per-doc outputs are exact integers an independent reference sweep
+    can reproduce —
+
+    - ``n_words`` / ``n_chars``: ASCII-word and character mass (the
+      oracle recomputes BOTH natively in SQL — piece-length mass must
+      conserve characters, so a splitting bug that loses or duplicates
+      bytes is caught without the artifact);
+    - ``n_pieces``: total subword count;
+    - ``piece_weighted``: sum over the doc's piece stream (word order x
+      piece order) of (position+1) * len(piece) — pins piece BOUNDARIES
+      and ORDER, not just counts.
+
+    ``merge_ranks`` is a plain dict (pair -> rank) captured in the Arrow
+    kernel's closure — merge tables are inherently artifact-sized (30k
+    merges in real tokenizers), the broadcast-variable case.  Scale
+    shape: map-only ``mapInPandas``, zero shuffles; per-word work is
+    bounded by word length squared (words, not documents, bound the
+    inner loop).
+    """
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_pieces", T.LongType()),
+            T.StructField("piece_weighted", T.LongType()),
+        ]
+    )
+    word_re = _re.compile(r"^[!-~]+$")
+
+    def batch(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}  # corpora repeat words heavily
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    rows.append((doc_id, 0, 0, 0, 0))
+                    continue
+                nw = nc = np_ = wt = 0
+                pos = 0
+                for w in _re.split(r"\s+", text.strip().lower()):
+                    if not w or not word_re.match(w):
+                        continue
+                    nw += 1
+                    nc += len(w)
+                    pieces = memo.get(w)
+                    if pieces is None:
+                        pieces = bpe_word_pieces(w, merge_ranks)
+                        memo[w] = pieces
+                    for piece in pieces:
+                        pos += 1
+                        np_ += 1
+                        wt += pos * len(piece)
+                rows.append((doc_id, nw, nc, np_, wt))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_words", "n_chars", "n_pieces",
+                    "piece_weighted",
+                ],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batch, out_schema)

@@ -7061,3 +7061,158 @@ def _mm_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = sel.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.decode_gif_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# REAL byte-pair encoding (functions/chunking.py::bpe_merge_table /
+# bpe_encode_pieces).  Two gates: the round-1 merge-table BUILD is fully
+# SQL-expressible (exact pair counts, total-order rank) and oracle-gated
+# directly; the greedy APPLY (GPT-2 convention — lowest-rank adjacent
+# pair merges all its occurrences until none applies) is inherently
+# iterative, so its oracle layers (a) NATIVE SQL recomputation of the
+# word/character mass — a splitting bug that loses or duplicates bytes
+# fails without any artifact — and (b) the published-artifact pattern:
+# a driver-local plain-Python reference sweep (re-deriving the merge
+# table from scratch and re-applying it) whose per-doc piece counts +
+# boundary-pinning weighted sums the oracle joins.  Hand-computed piece
+# sequences are pytest-pinned so the shared apply function cannot hide
+# a semantics bug from the gate.
+# ---------------------------------------------------------------------------
+_BPE_K = 64
+_BPE_WORDS_SQL = """
+    SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ) WHERE regexp_matches(w, '^[!-~]+$')
+"""
+
+
+@query(
+    "text_bpe_merges",
+    f"""
+WITH words AS ({_BPE_WORDS_SQL}),
+pairs AS (
+    SELECT substr(w, i, 2) AS pair
+    FROM (SELECT w, unnest(range(1, length(w))) AS i
+          FROM words WHERE length(w) >= 2)
+),
+counted AS (
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1
+),
+ranked AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) - 1
+                AS INTEGER) AS rank, pair, n
+    FROM counted
+)
+SELECT rank, pair, substr(pair, 1, 1) AS left_sym,
+       substr(pair, 2, 1) AS right_sym, n
+FROM ranked WHERE rank < {_BPE_K}
+""",
+)
+def _text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.chunking import bpe_merge_table
+
+    return bpe_merge_table(
+        load_table(spark, sf_dir, "documents", spread=True), k=_BPE_K
+    )
+
+
+_BPE_REF_PATH = f"/tmp/nl_spark_bpe_ref_{_os.getpid()}.parquet"
+
+
+def _publish_bpe_reference(sf_dir: str) -> bool:
+    """Driver-local reference sweep: re-derives the merge table from the
+    raw parquet in plain Python (no Spark) and re-applies it per doc."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.chunking import bpe_word_pieces
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    word_re = re.compile(r"^[!-~]+$")
+    docs_words: list[list[str]] = []
+    pair_counts: Counter = Counter()
+    for t in texts:
+        ws = []
+        if t is not None:
+            for w in re.split(r"\s+", t.strip().lower()):
+                if w and word_re.match(w):
+                    ws.append(w)
+                    if len(w) >= 2:
+                        for i in range(len(w) - 1):
+                            pair_counts[w[i : i + 2]] += 1
+        docs_words.append(ws)
+    top = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    ranks = {p: r for r, (p, _) in enumerate(top[:_BPE_K])}
+    np_col, wt_col = [], []
+    memo: dict[str, list[str]] = {}
+    for ws in docs_words:
+        np_ = wt = pos = 0
+        for w in ws:
+            pieces = memo.get(w)
+            if pieces is None:
+                pieces = bpe_word_pieces(w, ranks)
+                memo[w] = pieces
+            for piece in pieces:
+                pos += 1
+                np_ += 1
+                wt += pos * len(piece)
+        np_col.append(np_)
+        wt_col.append(wt)
+    out = pa.table(
+        {
+            "doc_id": ids,
+            "n_pieces_ref": pa.array(np_col, pa.int64()),
+            "piece_weighted_ref": pa.array(wt_col, pa.int64()),
+        }
+    )
+    tmp = _BPE_REF_PATH + ".tmp"
+    pq.write_table(out, tmp)
+    _os.replace(tmp, _BPE_REF_PATH)
+    return True
+
+
+@query(
+    "text_bpe_encode",
+    f"""
+WITH w AS ({_BPE_WORDS_SQL}),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(w)) AS BIGINT) AS n_chars
+    FROM w GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(agg.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(r.n_pieces_ref AS BIGINT) AS n_pieces,
+       CAST(r.piece_weighted_ref AS BIGINT) AS piece_weighted
+FROM documents d
+LEFT JOIN agg ON d.doc_id = agg.doc_id
+LEFT JOIN read_parquet('{_BPE_REF_PATH}') r ON d.doc_id = r.doc_id
+""",
+)
+def _text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.chunking import bpe_encode_pieces, bpe_merge_table
+
+    _artifact(
+        spark, sf_dir, "bpe_reference",
+        lambda: _publish_bpe_reference(sf_dir),
+    )
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    merges = _artifact(
+        spark, sf_dir, "bpe_merges",
+        # bounded collect by construction: the merge table is k=64 rows
+        lambda: {
+            r["pair"]: r["rank"]
+            for r in bpe_merge_table(docs, k=_BPE_K).collect()
+        },
+    )
+    return bpe_encode_pieces(docs, merges)

@@ -3045,3 +3045,52 @@ def test_gif_lzw_decoder_pinned_and_roundtrip():
         assert wt == sum((p + 1) * i for p, i in enumerate(idx))
     assert _gif_decode_pixels(gif_encode_indexed(5, 8, 8)[:20]) is None
     assert _gif_decode_pixels(b"GIF89a") is None
+
+
+def test_bpe_word_pieces_hand_computed():
+    """The greedy apply is pinned by hand: lowest rank merges first and
+    merges ALL its occurrences; merged symbols only re-merge when the
+    concatenated pair is itself in the table; no-merge words stay
+    character-split."""
+    from nl_railtraffic_etl_pipeline_spark.functions.chunking import (
+        bpe_word_pieces,
+    )
+
+    assert bpe_word_pieces("abab", {"ab": 0}) == ["ab", "ab"]
+    assert bpe_word_pieces("aaab", {"aa": 0, "ab": 1}) == ["aa", "ab"]
+    # rank order matters: 'ba' first leaves a lone leading 'a'
+    assert bpe_word_pieces("aba", {"ba": 0, "ab": 1}) == ["a", "ba"]
+    assert bpe_word_pieces("xyz", {"ab": 0}) == ["x", "y", "z"]
+    assert bpe_word_pieces("q", {"ab": 0}) == ["q"]
+    # multi-char symbols never match 2-char table keys by accident
+    assert bpe_word_pieces("aaaa", {"aa": 0}) == ["aa", "aa"]
+
+
+def test_bpe_merge_table_and_encode_consistency(spark):
+    """The Spark-built merge table ranks by (count desc, pair asc), and
+    encode's character mass conserves the ASCII word bytes while pieces
+    shrink monotonically with merges applied."""
+    from nl_railtraffic_etl_pipeline_spark.functions.chunking import (
+        bpe_encode_pieces,
+        bpe_merge_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="banana bandana"),
+            Row(doc_id=2, text="an an an  éclair"),  # non-ascii skipped
+            Row(doc_id=3, text=None),
+        ]
+    )
+    merges = {
+        r["pair"]: r["rank"] for r in bpe_merge_table(docs, k=3).collect()
+    }
+    assert merges["an"] == 0  # 7 occurrences, clear winner
+    assert len(merges) == 3
+    out = {r["doc_id"]: r for r in bpe_encode_pieces(docs, merges).collect()}
+    assert out[1]["n_words"] == 2
+    assert out[1]["n_chars"] == len("banana") + len("bandana")
+    assert 0 < out[1]["n_pieces"] < out[1]["n_chars"]  # merges applied
+    assert out[2]["n_words"] == 3  # the 3 'an'; éclair filtered
+    assert out[2]["n_pieces"] == 3  # each 'an' is one piece
+    assert out[3]["n_words"] == 0 and out[3]["n_pieces"] == 0
