@@ -1133,3 +1133,102 @@ def cuped(
         ).alias("effect_cuped"),
         F.round(rho2, 9).alias("rho2"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    denom: int = 2**20,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over forecast
+    bins — Brier = reliability - resolution + uncertainty — the
+    calibration-vs-sharpness readout next to :func:`calibration_report`
+    (public method; the identity is exact when the bin forecast is the
+    bin mean).
+
+    Same contract as calibration_report: ``score_col`` INTEGER-valued in
+    ``[0, denom)``.  With the default ``denom = 2**20`` the Brier
+    numerator ``sum (s_i - y_i * denom)^2`` stays exact BIGINT
+    end-to-end (per-row square <= 2^40); the per-bin reliability /
+    resolution terms involve divisions, so they ride the quantized-term
+    contract (round each to 12, sum as DECIMAL(28,12), close at 9) —
+    engine-exact, which is what the oracle hash needs.
+
+    Output per non-empty bin: (bin, n, pos, bin_confidence,
+    bin_accuracy) plus the group constants (base_rate, brier,
+    reliability, resolution, uncertainty, total_n).  Plan: ONE bin-keyed
+    partial-agg shuffle + a 1-row totals broadcast.
+    """
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    s = F.col(score_col).cast("bigint")
+    y = F.col(label_col).cast("bigint")
+    binned = df.select(
+        F.floor(s * n_bins / F.lit(denom)).cast("int").alias("bin"),
+        s.alias("_s"),
+        y.alias("_y"),
+        ((s - y * denom) * (s - y * denom)).alias("_sq"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("pos"),
+        F.sum("_s").cast("bigint").alias("_sum_s"),
+        F.sum("_sq").cast("bigint").alias("_brier_num"),
+    )
+    totals = per_bin.agg(
+        F.sum("n").cast("bigint").alias("total_n"),
+        F.sum("pos").cast("bigint").alias("_p"),
+        F.sum("_brier_num").cast("bigint").alias("_bn"),
+    )
+    w = per_bin.crossJoin(F.broadcast(totals))
+    f_k = F.col("_sum_s").cast("double") / (
+        F.col("n") * F.lit(denom)
+    ).cast("double")
+    o_k = F.col("pos").cast("double") / F.col("n").cast("double")
+    obar = F.col("_p").cast("double") / F.col("total_n").cast("double")
+    rel_t = F.round(F.col("n").cast("double") * (f_k - o_k) * (f_k - o_k), 12)
+    res_t = F.round(F.col("n").cast("double") * (o_k - obar) * (o_k - obar), 12)
+    rows = w.select(
+        "bin",
+        "n",
+        "pos",
+        F.round(f_k, 9).alias("bin_confidence"),
+        F.round(o_k, 9).alias("bin_accuracy"),
+        "total_n",
+        "_p",
+        "_bn",
+        rel_t.cast("decimal(28,12)").alias("_rel"),
+        res_t.cast("decimal(28,12)").alias("_res"),
+    )
+    comp = rows.agg(
+        F.sum("_rel").alias("_rel_s"), F.sum("_res").alias("_res_s")
+    )
+    obar2 = F.col("_p").cast("double") / F.col("total_n").cast("double")
+    return rows.crossJoin(F.broadcast(comp)).select(
+        "bin",
+        "n",
+        "pos",
+        "bin_confidence",
+        "bin_accuracy",
+        F.round(obar2, 9).alias("base_rate"),
+        F.round(
+            F.col("_bn").cast("double")
+            / (
+                F.col("total_n").cast("double")
+                * F.lit(float(denom) * float(denom))
+            ),
+            9,
+        ).alias("brier"),
+        F.round(
+            F.col("_rel_s").cast("double") / F.col("total_n").cast("double"),
+            9,
+        ).alias("reliability"),
+        F.round(
+            F.col("_res_s").cast("double") / F.col("total_n").cast("double"),
+            9,
+        ).alias("resolution"),
+        F.round(obar2 * (F.lit(1.0) - obar2), 9).alias("uncertainty"),
+        "total_n",
+    )

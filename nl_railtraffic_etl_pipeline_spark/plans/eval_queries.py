@@ -981,3 +981,96 @@ def _ml_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     ).withColumn("t", (F.col("user_id") % 2).cast("int"))
     return cuped(units, "x", "y", "t")
+
+
+# ---------------------------------------------------------------------------
+# Murphy Brier decomposition (functions/mleval.py::brier_decomposition):
+# Brier = reliability - resolution + uncertainty over forecast bins.
+# Score = the md5 contract quantized to 2^20 so the Brier numerator
+# sum((s - y*D)^2) stays exact BIGINT end-to-end; the per-bin rel/res
+# terms (divisions) ride the quantized-term DECIMAL(28,12) contract.
+# ---------------------------------------------------------------------------
+_BRIER_D = 2**20
+
+
+@query(
+    "ml_brier_decomposition",
+    f"""
+WITH base AS (
+    SELECT {_H32_SQL} % {_BRIER_D} AS s,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events WHERE event_type IS NOT NULL
+),
+b AS (
+    SELECT CAST(floor(s * 10 / {_BRIER_D}) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos,
+           CAST(SUM(s) AS BIGINT) AS sum_s,
+           CAST(SUM((s - y * {_BRIER_D}) * (s - y * {_BRIER_D}))
+                AS BIGINT) AS brier_num
+    FROM base GROUP BY 1
+),
+t AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+           CAST(SUM(pos) AS BIGINT) AS p,
+           CAST(SUM(brier_num) AS BIGINT) AS bn
+    FROM b
+),
+terms AS (
+    SELECT b.bin, b.n, b.pos, t.total_n, t.p, t.bn,
+           {_r(f"CAST(b.sum_s AS DOUBLE) / CAST(b.n * {_BRIER_D} AS DOUBLE)",
+               9)} AS bin_confidence,
+           {_r("CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)", 9)}
+               AS bin_accuracy,
+           CAST({_r(
+               f"CAST(b.n AS DOUBLE)"
+               f" * (CAST(b.sum_s AS DOUBLE) / CAST(b.n * {_BRIER_D} AS DOUBLE)"
+               f"    - CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE))"
+               f" * (CAST(b.sum_s AS DOUBLE) / CAST(b.n * {_BRIER_D} AS DOUBLE)"
+               f"    - CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE))", 12
+           )} AS DECIMAL(28,12)) AS rel_t,
+           CAST({_r(
+               "CAST(b.n AS DOUBLE)"
+               " * (CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)"
+               "    - CAST(t.p AS DOUBLE) / CAST(t.total_n AS DOUBLE))"
+               " * (CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)"
+               "    - CAST(t.p AS DOUBLE) / CAST(t.total_n AS DOUBLE))", 12
+           )} AS DECIMAL(28,12)) AS res_t
+    FROM b, t
+),
+comp AS (SELECT SUM(rel_t) AS rel_s, SUM(res_t) AS res_s FROM terms)
+SELECT bin, n, pos, bin_confidence, bin_accuracy,
+       {_r("CAST(p AS DOUBLE) / CAST(total_n AS DOUBLE)", 9)} AS base_rate,
+       {_r(f"CAST(bn AS DOUBLE) / (CAST(total_n AS DOUBLE)"
+           f" * CAST({float(_BRIER_D) * float(_BRIER_D)!r} AS DOUBLE))",
+           9)} AS brier,
+       {_r("CAST(rel_s AS DOUBLE) / CAST(total_n AS DOUBLE)", 9)}
+           AS reliability,
+       {_r("CAST(res_s AS DOUBLE) / CAST(total_n AS DOUBLE)", 9)}
+           AS resolution,
+       {_r("(CAST(p AS DOUBLE) / CAST(total_n AS DOUBLE))"
+           " * (CAST(1 AS DOUBLE)"
+           "    - CAST(p AS DOUBLE) / CAST(total_n AS DOUBLE))", 9)}
+           AS uncertainty,
+       total_n
+FROM terms, comp
+""",
+)
+def _brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier decomposition over the md5-contract pseudo-score quantized
+    to 2^20 — proves the exact arithmetic; a real model plugs in any
+    integer-quantized probability column."""
+    from ..functions.mleval import brier_decomposition
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        (hash32(F.col("event_id").cast("string")) % _BRIER_D).alias(
+            "score"
+        ),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return brier_decomposition(
+        base, "score", "label", n_bins=10, denom=_BRIER_D
+    )

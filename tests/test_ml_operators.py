@@ -3094,3 +3094,37 @@ def test_bpe_merge_table_and_encode_consistency(spark):
     assert out[2]["n_words"] == 3  # the 3 'an'; éclair filtered
     assert out[2]["n_pieces"] == 3  # each 'an' is one piece
     assert out[3]["n_words"] == 0 and out[3]["n_pieces"] == 0
+
+
+def test_brier_decomposition_identity_and_perfect_calibration(spark):
+    """Murphy identity Brier = REL - RES + UNC holds (the bin forecast
+    is the bin mean, so the identity is exact up to output rounding);
+    a perfectly sharp calibrated forecaster has REL = 0 and RES = UNC."""
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import (
+        brier_decomposition,
+    )
+
+    D = 2**20
+    # sharp + calibrated: score 0 for negatives, D-1 ~ 1.0 for positives
+    rows = [Row(s=0, y=0)] * 30 + [Row(s=D - 1, y=1)] * 10
+    out = brier_decomposition(
+        spark.createDataFrame(rows), "s", "y", n_bins=10, denom=D
+    ).collect()
+    r = out[0]
+    assert r["total_n"] == 40 and r["base_rate"] == 0.25
+    assert r["uncertainty"] == round(0.25 * 0.75, 9)
+    assert abs(r["resolution"] - r["uncertainty"]) < 1e-6  # sharp
+    assert r["reliability"] < 1e-6                          # calibrated
+    assert abs(r["brier"]) < 1e-6
+    # identity on a miscalibrated mix
+    rows2 = (
+        [Row(s=D // 4, y=1)] * 5 + [Row(s=D // 4, y=0)] * 5
+        + [Row(s=(3 * D) // 4, y=0)] * 8 + [Row(s=(3 * D) // 4, y=1)] * 2
+    )
+    r2 = brier_decomposition(
+        spark.createDataFrame(rows2), "s", "y", n_bins=10, denom=D
+    ).collect()[0]
+    assert abs(
+        r2["brier"] - (r2["reliability"] - r2["resolution"]
+                       + r2["uncertainty"])
+    ) < 1e-6
