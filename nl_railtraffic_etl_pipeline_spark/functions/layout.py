@@ -53,3 +53,113 @@ def zorder_key_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
         terms.append(f"((({xs} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({ys} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering key — the locality upgrade over Z-order
+# (public algorithm, Hilbert 1891 / the standard xy2d bit transform):
+# consecutive key values are always ADJACENT cells, so a sorted layout's
+# file ranges cover tighter bounding boxes than Z-order's quadrant jumps
+# (this is why Delta Lake added HILBERT alongside ZORDER).  The
+# transform is 16 rounds of reflect/rotate state updates; each round is
+# a materialized projection (nested CASE expressions would double in
+# size per round), identical arithmetic in Spark and the SQL twin.
+# ---------------------------------------------------------------------------
+
+
+def hilbert_xy2d(bits: int, x: int, y: int) -> int:
+    """Pure-Python reference (the canonical xy2d loop) — pytest pins the
+    column implementations against it."""
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def with_hilbert_key(
+    df,
+    x: Column,
+    y: Column,
+    out: str = "hkey",
+    bits: int = ZORDER_BITS,
+):
+    """Append Hilbert key ``out`` = xy2d(x % 2^bits, y % 2^bits) to
+    ``df``.  One narrow projection per round — 16 chained selects, all
+    inside one codegen stage, no shuffle."""
+    n = 1 << bits
+    mask = n - 1
+    cols = list(df.columns)
+    cur = df.select(
+        *cols,
+        x.cast("bigint").bitwiseAND(F.lit(mask)).alias("_hx"),
+        y.cast("bigint").bitwiseAND(F.lit(mask)).alias("_hy"),
+        F.lit(0).cast("bigint").alias("_hd"),
+    )
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        rx = F.shiftright(F.col("_hx"), b).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), b).bitwiseAND(F.lit(1))
+        d2 = F.col("_hd") + F.lit(s * s) * (
+            (F.lit(3) * rx).bitwiseXOR(ry)
+        )
+        nx = (
+            F.when(ry == 1, F.col("_hx"))
+            .when(rx == 1, F.lit(n - 1) - F.col("_hy"))
+            .otherwise(F.col("_hy"))
+        )
+        ny = (
+            F.when(ry == 1, F.col("_hy"))
+            .when(rx == 1, F.lit(n - 1) - F.col("_hx"))
+            .otherwise(F.col("_hx"))
+        )
+        cur = cur.select(
+            *cols,
+            nx.cast("bigint").alias("_hx"),
+            ny.cast("bigint").alias("_hy"),
+            d2.cast("bigint").alias("_hd"),
+        )
+    return cur.select(*cols, F.col("_hd").alias(out))
+
+
+def hilbert_key_sql(
+    select_cols: str,
+    x: str,
+    y: str,
+    src: str,
+    out: str = "hkey",
+    bits: int = ZORDER_BITS,
+) -> str:
+    """The DuckDB twin: a generated chain of nested selects mirroring
+    :func:`with_hilbert_key` round for round.  ``select_cols`` are the
+    carried passthrough columns; ``src`` is a table or subquery."""
+    n = 1 << bits
+    mask = n - 1
+    q = (
+        f"SELECT {select_cols}, CAST({x} AS BIGINT) & {mask} AS hx, "
+        f"CAST({y} AS BIGINT) & {mask} AS hy, "
+        f"CAST(0 AS BIGINT) AS hd FROM {src}"
+    )
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        rx = f"((hx >> {b}) & 1)"
+        ry = f"((hy >> {b}) & 1)"
+        q = (
+            f"SELECT {select_cols}, "
+            f"CASE WHEN {ry} = 1 THEN hx "
+            f"WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END AS hx, "
+            f"CASE WHEN {ry} = 1 THEN hy "
+            f"WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END AS hy, "
+            f"hd + {s * s} * (xor(3 * {rx}, {ry})) AS hd "
+            f"FROM ({q})"
+        )
+    return f"SELECT {select_cols}, hd AS {out} FROM ({q})"

@@ -3461,3 +3461,37 @@ def _orders_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         scale=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering key (functions/layout.py::with_hilbert_key):
+# the locality upgrade over events_zorder_key — consecutive keys are
+# always ADJACENT (user, day) cells, so sorted file ranges cover tighter
+# bounding boxes (Delta's HILBERT next to ZORDER).  The oracle is the
+# generated round-for-round SQL twin; pytest pins both against the
+# canonical xy2d reference and the adjacency property.
+# ---------------------------------------------------------------------------
+from ..functions.layout import (  # noqa: E402
+    hilbert_key_sql,
+    with_hilbert_key,
+)
+
+
+@query(
+    "events_hilbert_key",
+    hilbert_key_sql(
+        "event_id",
+        "user_id % 65536",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)",
+        "events",
+    ),
+)
+def _events_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True).select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("_x"),
+        F.unix_date(F.to_date("ts")).alias("_y"),
+    )
+    return with_hilbert_key(
+        ev, F.col("_x"), F.col("_y"), out="hkey"
+    ).select("event_id", "hkey")

@@ -3128,3 +3128,28 @@ def test_brier_decomposition_identity_and_perfect_calibration(spark):
         r2["brier"] - (r2["reliability"] - r2["resolution"]
                        + r2["uncertainty"])
     ) < 1e-6
+
+
+def test_hilbert_key_reference_and_adjacency(spark):
+    """Spark with_hilbert_key matches the canonical xy2d reference on a
+    grid, and the curve's defining property holds: consecutive keys are
+    ADJACENT cells (Manhattan distance exactly 1) — the locality
+    guarantee Z-order lacks at quadrant boundaries."""
+    from nl_railtraffic_etl_pipeline_spark.functions.layout import (
+        hilbert_xy2d,
+        with_hilbert_key,
+    )
+
+    grid = spark.createDataFrame(
+        [Row(x=x, y=y) for x in range(16) for y in range(16)]
+    )
+    out = with_hilbert_key(grid, F.col("x"), F.col("y"), bits=4).collect()
+    inv = {}
+    for r in out:
+        assert r["hkey"] == hilbert_xy2d(4, r["x"], r["y"]), (r["x"], r["y"])
+        inv[r["hkey"]] = (r["x"], r["y"])
+    assert sorted(inv) == list(range(256))  # a bijection onto 0..n^2-1
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(255)
+    )
