@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -401,17 +401,29 @@ def benford_deviation(
         "bigint"
     )
     obs = (
-        df.select(units.alias("_u"))
-        .filter(F.col("_u") >= 1)
-        .select(
-            F.substring(F.col("_u").cast("string"), 1, 1)
-            .cast("int")
-            .alias("digit")
-        )
+        df.select(benford_digit(units).alias("digit"))
+        .filter(F.col("digit").isNotNull())
         .groupBy("digit")
         .agg(F.count("*").cast("bigint").alias("n_obs"))
     )
-    spine = df.sparkSession.range(1, 10).select(
+    return benford_close(obs)
+
+
+def benford_digit(units: Column) -> Column:
+    """First decimal digit of a positive integer-unit column (NULL for
+    units < 1) — map-side, shared by the batch audit and its streaming
+    twin so the two can never disagree on digit extraction."""
+    return F.when(
+        units >= 1,
+        F.substring(units.cast("string"), 1, 1).cast("int"),
+    )
+
+
+def benford_close(obs: DataFrame) -> DataFrame:
+    """Close a (digit, n_obs) count frame into the full Benford report —
+    the exactly-mergeable-counts contract: the same closing arithmetic
+    serves the batch audit and the drained streaming state."""
+    spine = obs.sparkSession.range(1, 10).select(
         F.col("id").cast("int").alias("digit")
     )
     per = spine.join(obs, "digit", "left").select(

@@ -4896,9 +4896,10 @@ def _ml_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract, and the full 1..9 digit spine keeps absent digits in the
 # chi-square (the psi_drift spine lesson).
 # ---------------------------------------------------------------------------
-@query(
-    "dq_benford_totalprice",
-    f"""
+# shared with the streaming twin (streaming_benford): digit counts are
+# exactly mergeable across micro-batches, so the batch oracle IS the
+# streaming oracle under the availableNow drain
+BENFORD_ORACLE_SQL = f"""
 WITH obs AS (
     SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1) AS INTEGER) AS digit,
            CAST(COUNT(*) AS BIGINT) AS n_obs
@@ -4931,8 +4932,10 @@ chi AS (SELECT SUM(t) AS chi2 FROM rows_)
 SELECT digit, n_obs, share_obs, share_exp, gap,
        ROUND(CAST(chi2 AS DOUBLE), 9) AS chi2_total
 FROM rows_, chi
-""",
-)
+"""
+
+
+@query("dq_benford_totalprice", BENFORD_ORACLE_SQL)
 def _dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.profile import benford_deviation
 

@@ -44,26 +44,30 @@ from .testdata import (
 _DRAIN_TIMEOUT_S = 300
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the synthetic events table (pinned schema).
+def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream over one synthetic table (pinned schema).
 
     The file source requires a *directory* to monitor; the testdata tables
     are single read-only files, so stage a symlink directory (the archive-
     directory layout `streaming/incremental.py` streams in production).
     """
     ensure_session_confs(spark)
-    path = f"{sf_dir}/events.parquet"
+    path = f"{sf_dir}/{table}.parquet"
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     stream_dir = os.path.join(
-        tempfile.gettempdir(), "nl_spark_stream", sf_tag, "events"
+        tempfile.gettempdir(), "nl_spark_stream", sf_tag, table
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
+    link = os.path.join(stream_dir, f"{table}.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     ev = spark.readStream.schema(schema).parquet(stream_dir)
     return normalize_timestamps(ev)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _table_stream(spark, sf_dir, "events")
 
 
 def _drain_to_memory(result: DataFrame, name: str, output_mode: str) -> None:
@@ -966,3 +970,38 @@ def _streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("share_pct"),
     )
+
+
+from .behavior_queries import BENFORD_ORACLE_SQL  # noqa: E402
+
+
+@query(
+    "streaming_benford",
+    # Streaming twin of dq_benford_totalprice: the state is 9 digit
+    # counts — exactly mergeable across micro-batches — so the drained
+    # counts feed the identical spine + chi-square closing arithmetic
+    # and the batch oracle IS the streaming oracle.
+    BENFORD_ORACLE_SQL,
+)
+def _streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit monitoring THROUGH the streaming engine: the
+    orders stream quantizes to integer cents map-side, per-digit counts
+    aggregate incrementally in complete mode (state = 9 BIGINTs,
+    watermark-free), and the drained counts close with the shared
+    spine + chi-square arithmetic (functions/profile.py::benford_close)
+    — bit-identical to the batch dq_benford_totalprice gate no matter
+    how the stream micro-batches."""
+    from ..functions.profile import benford_close, benford_digit
+
+    orders = _table_stream(spark, sf_dir, "orders")
+    units = F.round(F.col("o_totalprice").cast("double") * 100).cast(
+        "bigint"
+    )
+    per_digit = (
+        orders.select(benford_digit(units).alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    _drain_to_memory(per_digit, "streaming_benford_digits", "complete")
+    return benford_close(spark.table("streaming_benford_digits"))
