@@ -1521,3 +1521,80 @@ def term_burstiness(
         F.round(mean, 9).alias("mean_per_doc"),
         F.round(fano, 9).alias("fano"),
     )
+
+
+def unicode_nfc_stats(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Unicode NFC normalization audit per document — the canonical-form
+    gate a multilingual corpus runs before dedup/tokenization (combining
+    sequences vs precomposed characters hash differently but render
+    identically; NFC collapses them, public UAX #15).
+
+    Emits exact integers: codepoint and byte counts before/after NFC
+    plus a ``changed`` flag.  The DuckDB oracle recomputes with its OWN
+    NFC (utf8proc's ``nfc_normalize``) — two independent
+    implementations of UAX #15 (CPython's unicodedata vs utf8proc), so
+    a normalization bug in either side hash-mismatches; this is the one
+    gate in the repo whose oracle is a genuinely foreign implementation
+    of the same public spec rather than mirrored arithmetic.
+
+    Arrow ``mapInPandas``, map-only, zero shuffles.
+    """
+    import unicodedata
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_type = docs.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("n_cp_raw", LongType()),
+            StructField("n_cp_nfc", LongType()),
+            StructField("n_bytes_raw", LongType()),
+            StructField("n_bytes_nfc", LongType()),
+            StructField("changed", BooleanType()),
+        ]
+    )
+
+    def batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    rows.append((doc_id, None, None, None, None, None))
+                    continue
+                nfc = unicodedata.normalize("NFC", t)
+                rows.append(
+                    (
+                        doc_id,
+                        len(t),
+                        len(nfc),
+                        len(t.encode("utf-8")),
+                        len(nfc.encode("utf-8")),
+                        nfc != t,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_cp_raw", "n_cp_nfc", "n_bytes_raw",
+                    "n_bytes_nfc", "changed",
+                ],
+            ).astype(
+                {
+                    "n_cp_raw": "Int64", "n_cp_nfc": "Int64",
+                    "n_bytes_raw": "Int64", "n_bytes_nfc": "Int64",
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batch, out_schema)

@@ -7216,3 +7216,53 @@ def _text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return bpe_encode_pieces(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC audit (functions/text.py::unicode_nfc_stats): deterministic
+# combining sequences (e+U+0301, a+U+0300, repeated 1 + doc_id % 5
+# times) are appended to each doc, the engine normalizes with CPython's
+# unicodedata, and the oracle re-normalizes with DuckDB's utf8proc
+# nfc_normalize — TWO INDEPENDENT implementations of UAX #15, not
+# mirrored arithmetic; a normalization bug in either hash-mismatches.
+# ---------------------------------------------------------------------------
+_NFC_UNIT_SQL = "('e' || chr(769) || 'a' || chr(768))"
+
+
+@query(
+    "text_unicode_nfc",
+    f"""
+WITH fixed AS (
+    SELECT doc_id,
+           text || repeat({_NFC_UNIT_SQL},
+                          CAST(1 + doc_id % 5 AS INTEGER)) AS t
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN t IS NOT NULL
+            THEN CAST(length(t) AS BIGINT) END AS n_cp_raw,
+       CASE WHEN t IS NOT NULL
+            THEN CAST(length(nfc_normalize(t)) AS BIGINT) END AS n_cp_nfc,
+       CASE WHEN t IS NOT NULL
+            THEN CAST(strlen(t) AS BIGINT) END AS n_bytes_raw,
+       CASE WHEN t IS NOT NULL
+            THEN CAST(strlen(nfc_normalize(t)) AS BIGINT) END
+           AS n_bytes_nfc,
+       CASE WHEN t IS NOT NULL
+            THEN nfc_normalize(t) <> t END AS changed
+FROM fixed
+""",
+)
+def _text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import unicode_nfc_stats
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    unit = "e\u0301a\u0300"  # DECOMPOSED combining sequences
+    fixed = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit(unit), (F.lit(1) + F.col("doc_id") % 5).cast("int")),
+        ).alias("text"),
+    )
+    return unicode_nfc_stats(fixed)

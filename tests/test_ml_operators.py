@@ -3153,3 +3153,28 @@ def test_hilbert_key_reference_and_adjacency(spark):
         abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
         for d in range(255)
     )
+
+
+def test_unicode_nfc_stats_composes_and_counts(spark):
+    """NFC collapses combining sequences (counts drop), leaves composed
+    text unchanged, and quarantines NULL text as NULL stats."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        unicode_nfc_stats,
+    )
+
+    rows = [
+        Row(doc_id=1, text="é"),      # -> U+00E9: 2 cp -> 1
+        Row(doc_id=2, text="plain ascii"),  # unchanged
+        Row(doc_id=3, text="é"),       # already NFC
+        Row(doc_id=4, text=None),
+    ]
+    out = {r["doc_id"]: r for r in unicode_nfc_stats(
+        spark.createDataFrame(rows)
+    ).collect()}
+    assert out[1]["n_cp_raw"] == 2 and out[1]["n_cp_nfc"] == 1
+    assert out[1]["n_bytes_raw"] == 3 and out[1]["n_bytes_nfc"] == 2
+    assert out[1]["changed"] is True
+    assert out[2]["changed"] is False
+    assert out[2]["n_cp_raw"] == out[2]["n_cp_nfc"] == 11
+    assert out[3]["changed"] is False and out[3]["n_cp_raw"] == 1
+    assert out[4]["n_cp_raw"] is None and out[4]["changed"] is None

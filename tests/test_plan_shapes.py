@@ -144,6 +144,7 @@ def test_python_only_in_arrow_kernels(spark):
             "mm_decode_bmp_pixels",  # BMP fixture + pixel decode kernels
             "mm_decode_gif_pixels",  # GIF fixture + LZW decode kernels
             "text_bpe_encode",  # greedy BPE apply kernel (merge loop)
+            "text_unicode_nfc",  # CPython unicodedata NFC kernel
             "text_compression_ratio",
         ):
             assert has_python, name
