@@ -564,9 +564,21 @@ def robots_decisions(
         .select("domain", "rule_type", "matched_rule")
         .distinct()
         .withColumn("_rx", robots_rule_regex(F.col("matched_rule")))
+        .withColumn(
+            "_is_rx",
+            F.col("matched_rule").contains("*")
+            | F.col("matched_rule").endswith("$"),
+        )
     )
-    cand = u.join(F.broadcast(rules), "domain").filter(
-        F.expr("path RLIKE _rx")
+    # Most real rules are literal prefixes: keep them on the codegen
+    # startswith fast path; only wildcard/anchored rules pay the
+    # per-row regex (RLIKE with a column pattern compiles per row —
+    # at frontier x rules scale that is the dominant cost).
+    joined = u.join(F.broadcast(rules), "domain")
+    cand = joined.filter(
+        F.when(
+            F.col("_is_rx"), F.expr("path RLIKE _rx")
+        ).otherwise(F.col("path").startswith(F.col("matched_rule")))
     )
     w = Window.partitionBy("url").orderBy(
         F.length("matched_rule").desc(),
