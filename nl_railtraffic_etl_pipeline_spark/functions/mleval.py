@@ -1232,3 +1232,79 @@ def brier_decomposition(
         F.round(obar2 * (F.lit(1.0) - obar2), 9).alias("uncertainty"),
         "total_n",
     )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_buckets: int = 10,
+    denom: int = 2**32,
+) -> DataFrame:
+    """Cumulative gains / lift chart over score bins — "what share of
+    positives does the top-k% of scores capture" (the campaign-targeting
+    readout; public method).  Same integer-score contract as
+    calibration_report, and the same tie story: bucketing by score
+    VALUE ranges (not ntile row counts) keeps ties engine-stable —
+    ntile splits tied rows arbitrarily and never hash-matches.
+
+    Everything is exact BIGINT until the closing divisions:
+    ``gain = cum_pos / P``; ``lift = (cum_pos * N) / (cum_n * P)`` —
+    one cross-multiplied ratio, no intermediate float.
+
+    Plan: ONE bin-keyed partial-agg shuffle, a cumulative window over
+    the <= n_buckets bin frame (metadata-sized single partition by
+    construction), a 1-row totals broadcast.  Output per non-empty bin,
+    highest scores first: (bin, n, pos, cum_n, cum_pos, gain, lift).
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    s = F.col(score_col).cast("bigint")
+    per_bin = (
+        df.select(
+            F.floor(s * n_buckets / F.lit(denom)).cast("int").alias("bin"),
+            F.col(label_col).cast("bigint").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("pos"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_bin.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("pos").over(w).cast("bigint").alias("cum_pos"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").cast("bigint").alias("_tn"),
+        F.sum("pos").cast("bigint").alias("_tp"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "pos",
+        "cum_n",
+        "cum_pos",
+        F.when(
+            F.col("_tp") > 0,
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("_tp").cast("double"),
+                9,
+            ),
+        ).alias("gain"),
+        F.when(
+            F.col("_tp") > 0,
+            F.round(
+                (F.col("cum_pos") * F.col("_tn")).cast("double")
+                / (F.col("cum_n") * F.col("_tp")).cast("double"),
+                9,
+            ),
+        ).alias("lift"),
+    )

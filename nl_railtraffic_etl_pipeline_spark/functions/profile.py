@@ -460,3 +460,61 @@ def benford_close(obs: DataFrame) -> DataFrame:
         "gap",
         F.round(F.col("_chi2"), 9).alias("chi2_total"),
     )
+
+
+def fk_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity audit: orphan rate of ``child.fk_col``
+    against ``parent.pk_col`` — the first data-quality gate any
+    warehouse load runs (a nonzero orphan rate means the join every
+    downstream query performs silently drops rows).
+
+    NULL foreign keys are counted separately (``n_null_fk``) — a NULL
+    FK is a modeling choice, an orphan is corruption; conflating them
+    hides the defect.  All outputs exact BIGINTs + one closing ratio.
+
+    Plan: ONE left anti-ish aggregation — the child partial-aggregates
+    by fk first (distinct-key frame, not fact-sized), the parent side
+    is its key column only; orphan detection is an equi-join on the
+    key frames, so the shuffle carries distinct keys, never facts.
+    """
+    keys = (
+        child.filter(F.col(fk_col).isNotNull())
+        .groupBy(F.col(fk_col).alias("_k"))
+        .agg(F.count("*").cast("bigint").alias("_n"))
+    )
+    orphan = keys.join(
+        parent.select(F.col(pk_col).alias("_k")).distinct(),
+        "_k",
+        "left_anti",
+    )
+    tot = child.agg(
+        F.count("*").cast("bigint").alias("n_child"),
+        F.count_if(F.col(fk_col).isNull()).cast("bigint").alias(
+            "n_null_fk"
+        ),
+    )
+    orph = orphan.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_orphan"),
+        F.count("*").cast("bigint").alias("n_orphan_keys"),
+    )
+    return (
+        tot.crossJoin(orph)
+        .select(
+            F.lit(relation).alias("relation"),
+            "n_child",
+            "n_null_fk",
+            "n_orphan",
+            "n_orphan_keys",
+            F.round(
+                F.col("n_orphan").cast("double")
+                / F.col("n_child").cast("double"),
+                9,
+            ).alias("orphan_rate"),
+        )
+    )

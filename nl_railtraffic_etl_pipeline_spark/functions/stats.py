@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted", "share_of_parent", "poisson_bootstrap_ci", "flag_runs"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted", "share_of_parent", "poisson_bootstrap_ci", "flag_runs", "page_hinkley"]
 
 
 def _dec(col: Column) -> Column:
@@ -2324,4 +2324,94 @@ def power_mde(
         ).alias("mde_pct_of_mean"),
         F.round(delta, 9).alias("delta_target"),
         n_req.alias("n_required"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    delta: float = 0.05,
+    lam: float = 10.0,
+) -> DataFrame:
+    """Page-Hinkley sequential drift test per group (Page 1954 / the
+    standard stream-drift detector, public method): with running mean
+    x̄_i over the ordered series,
+
+        m_t  = sum_{i<=t} (x_i - x̄_i - delta)
+        PH_t = m_t - min_{i<=t} m_i ;  alarm when PH_t > lambda
+
+    — the one-sided "level has increased" form; delta absorbs noise,
+    lambda sets the detection threshold.
+
+    Engine-exactness: the running mean involves a per-step division, so
+    each step's term rides the quantized-term contract — x̄_i from the
+    EXACT decimal running sum cast once to double, the term rounded to
+    9 and accumulated as DECIMAL(28,12); the running min and the alarm
+    comparison are then exact decimal ops.  Total order (ts, id) makes
+    every step reproducible.
+
+    Plan: ONE group-keyed exchange shared by three stacked windows
+    (running sum -> term cumsum -> running min; same partition + order
+    key, one sort) and the final aggregate.  Output per group:
+    (group..., n, n_alarms, first_alarm_idx, first_alarm_<id>, max_ph).
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    run = (
+        Window.partitionBy(*g)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rank = Window.partitionBy(*g).orderBy(ts_col, id_col)
+    lam_dec = F.lit(lam).cast("decimal(28,12)")
+    base = df.select(
+        *g,
+        id_col,
+        F.col(value_col).cast("double").alias("_x"),
+        F.sum(_dec(F.col(value_col))).over(run).alias("_s"),
+        F.row_number().over(rank).alias("_i"),
+    )
+    # downstream windows order by _i (the materialized total order; the
+    # ts column is projected away after the first pass)
+    irun = (
+        Window.partitionBy(*g)
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    termed = base.select(
+        *g,
+        id_col,
+        "_i",
+        F.round(
+            F.col("_x")
+            - F.col("_s").cast("double") / F.col("_i").cast("double")
+            - F.lit(delta),
+            9,
+        )
+        .cast("decimal(28,12)")
+        .alias("_term"),
+    )
+    m = termed.select(
+        *g, id_col, "_i", F.sum("_term").over(irun).alias("_m")
+    )
+    ph = m.select(
+        *g,
+        id_col,
+        "_i",
+        (F.col("_m") - F.min("_m").over(irun)).alias("_ph"),
+    ).withColumn("_alarm", F.col("_ph") > lam_dec)
+    return ph.groupBy(*g).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_if(F.col("_alarm")).cast("bigint").alias("n_alarms"),
+        F.min(F.when(F.col("_alarm"), F.col("_i")))
+        .cast("int")
+        .alias("first_alarm_idx"),
+        F.expr(f"min_by({id_col}, _i) FILTER (WHERE _alarm)").alias(
+            f"first_alarm_{id_col}"
+        ),
+        F.round(F.max("_ph").cast("double"), 9).alias("max_ph"),
     )

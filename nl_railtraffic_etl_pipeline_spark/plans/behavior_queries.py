@@ -4942,3 +4942,143 @@ def _dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_deviation(
         load_table(spark, sf_dir, "orders", spread=True), "o_totalprice"
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (functions/profile.py::fk_integrity):
+# orphan rates of the warehouse's two load-bearing foreign keys.  NULL
+# FKs counted separately (modeling choice vs corruption).  The orphan
+# join runs on DISTINCT-key frames, never facts.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_fk_integrity",
+    """
+WITH lk AS (
+    SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+),
+lo AS (
+    SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_orphan,
+           CAST(COUNT(*) AS BIGINT) AS n_orphan_keys
+    FROM lk LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON lk.k = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+),
+lt AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS n_null_fk
+    FROM lineitem
+),
+ok_ AS (
+    SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+oo AS (
+    SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_orphan,
+           CAST(COUNT(*) AS BIGINT) AS n_orphan_keys
+    FROM ok_ LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON ok_.k = c.c_custkey
+    WHERE c.c_custkey IS NULL
+),
+ot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_null_fk
+    FROM orders
+)
+SELECT 'lineitem->orders' AS relation, lt.n_child, lt.n_null_fk,
+       lo.n_orphan, lo.n_orphan_keys,
+       ROUND(CAST(lo.n_orphan AS DOUBLE) / lt.n_child, 9) AS orphan_rate
+FROM lt, lo
+UNION ALL
+SELECT 'orders->customer' AS relation, ot.n_child, ot.n_null_fk,
+       oo.n_orphan, oo.n_orphan_keys,
+       ROUND(CAST(oo.n_orphan AS DOUBLE) / ot.n_child, 9) AS orphan_rate
+FROM ot, oo
+""",
+)
+def _dq_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import fk_integrity
+
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    cust = load_table(spark, sf_dir, "customer", spread=True)
+    return fk_integrity(
+        li, orders, "l_orderkey", "o_orderkey", "lineitem->orders"
+    ).unionByName(
+        fk_integrity(
+            orders, cust, "o_custkey", "c_custkey", "orders->customer"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley sequential drift test (functions/stats.py::page_hinkley)
+# per event type over the (ts, event_id)-ordered value series — the
+# standard stream-drift detector beside CUSUM's retrospective
+# change-point.  Quantized-term running-mean deviations accumulate as
+# exact decimals; running min + alarm compare are exact.
+# ---------------------------------------------------------------------------
+_PH_DELTA, _PH_LAMBDA = 0.05, 10.0
+
+
+@query(
+    "events_page_hinkley",
+    f"""
+WITH base AS (
+    SELECT event_type, event_id,
+           CAST(value AS DOUBLE) AS x,
+           SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS i
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+termed AS (
+    SELECT event_type, event_id, i,
+           CAST({_round_sql(
+               f"x - CAST(s AS DOUBLE) / i - CAST('{_PH_DELTA!r}' AS DOUBLE)",
+               9,
+           )} AS DECIMAL(28,12)) AS term
+    FROM base
+),
+m AS (
+    SELECT event_type, event_id, i,
+           SUM(term) OVER (
+               PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+    FROM termed
+),
+p AS (
+    SELECT event_type, event_id, i,
+           m - MIN(m) OVER (
+               PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+    FROM m
+),
+a AS (
+    SELECT *, ph > CAST('{_PH_LAMBDA!r}' AS DECIMAL(28,12)) AS alarm
+    FROM p
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (alarm) AS BIGINT) AS n_alarms,
+       CAST(MIN(CASE WHEN alarm THEN i END) AS INTEGER) AS first_alarm_idx,
+       arg_min(event_id, i) FILTER (WHERE alarm) AS first_alarm_event_id,
+       {_round_sql("CAST(MAX(ph) AS DOUBLE)", 9)} AS max_ph
+FROM a GROUP BY 1
+""",
+)
+def _events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import page_hinkley
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    return page_hinkley(
+        ev, ["event_type"], "value", "ts", "event_id",
+        delta=_PH_DELTA, lam=_PH_LAMBDA,
+    )

@@ -1074,3 +1074,56 @@ def _brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brier_decomposition(
         base, "score", "label", n_bins=10, denom=_BRIER_D
     )
+
+
+@query(
+    "ml_cumulative_gains",
+    f"""
+WITH base AS (
+    SELECT {_H32_SQL} AS s,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events WHERE event_type IS NOT NULL
+),
+b AS (
+    SELECT CAST(floor(s * 10 / {_DENOM}) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM base GROUP BY 1
+),
+c AS (
+    SELECT bin, n, pos,
+           CAST(SUM(n) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+           CAST(SUM(pos) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_pos
+    FROM b
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(pos) AS BIGINT) AS tp
+      FROM b)
+SELECT bin, n, pos, cum_n, cum_pos,
+       CASE WHEN tp > 0 THEN
+           {_r("CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE)", 9)}
+       END AS gain,
+       CASE WHEN tp > 0 THEN
+           {_r("CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE)",
+               9)}
+       END AS lift
+FROM c, t
+""",
+)
+def _cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift over the md5-contract pseudo-score — proves the exact
+    cross-multiplied arithmetic and the value-range (tie-stable)
+    bucketing; a real model plugs in any integer-quantized score."""
+    from ..functions.mleval import cumulative_gains
+
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        hash32(F.col("event_id").cast("string")).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return cumulative_gains(base, "score", "label", n_buckets=10, denom=_DENOM)

@@ -7266,3 +7266,47 @@ def _text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return unicode_nfc_stats(fixed)
+
+
+# ---------------------------------------------------------------------------
+# Flesch Reading Ease (functions/text.py::flesch_readability): the
+# classic readability score from exact regex-proxy counts (whitespace
+# words, [.!?]+ sentence runs floored at 1, [aeiouy]+ vowel-group
+# syllables) — pure map-side codegen; the oracle recomputes the counts
+# with the same regexes and bridges the closing double rounding.
+# ---------------------------------------------------------------------------
+@query(
+    "text_flesch_readability",
+    f"""
+WITH c AS (
+    SELECT doc_id, text,
+           CASE WHEN text IS NOT NULL THEN CAST(len(
+               regexp_split_to_array(trim(lower(text)), '\\s+')
+           ) AS BIGINT) END AS n_words,
+           CASE WHEN text IS NOT NULL THEN GREATEST(CAST(1 AS BIGINT),
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+           END AS n_sentences,
+           CASE WHEN text IS NOT NULL THEN
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT)
+           END AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN text IS NOT NULL AND n_words > 0 THEN
+           {_round_sql(
+               "CAST('206.835' AS DOUBLE)"
+               " - CAST('1.015' AS DOUBLE)"
+               "   * (CAST(n_words AS DOUBLE) / n_sentences)"
+               " - CAST('84.6' AS DOUBLE)"
+               "   * (CAST(n_syllables AS DOUBLE) / n_words)", 9)}
+       END AS flesch
+FROM c
+""",
+)
+def _text_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import flesch_readability
+
+    return flesch_readability(
+        load_table(spark, sf_dir, "documents", spread=True)
+    )

@@ -3178,3 +3178,89 @@ def test_unicode_nfc_stats_composes_and_counts(spark):
     assert out[2]["n_cp_raw"] == out[2]["n_cp_nfc"] == 11
     assert out[3]["changed"] is False and out[3]["n_cp_raw"] == 1
     assert out[4]["n_cp_raw"] is None and out[4]["changed"] is None
+
+
+def test_fk_integrity_orphans_and_nulls_separate(spark):
+    from nl_railtraffic_etl_pipeline_spark.functions.profile import (
+        fk_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [Row(fk=1), Row(fk=1), Row(fk=2), Row(fk=99), Row(fk=None)]
+    )
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2), Row(pk=3)])
+    r = fk_integrity(child, parent, "fk", "pk", "child->parent").collect()[0]
+    assert r["relation"] == "child->parent"
+    assert r["n_child"] == 5
+    assert r["n_null_fk"] == 1          # NULL is not an orphan
+    assert r["n_orphan"] == 1 and r["n_orphan_keys"] == 1
+    assert r["orphan_rate"] == 0.2
+
+
+def test_cumulative_gains_perfect_ranker(spark):
+    """A perfect ranker's top bin captures all positives: gain hits 1.0
+    immediately and lift equals N/P in the first bin, decaying to 1."""
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import (
+        cumulative_gains,
+    )
+
+    D = 100
+    rows = [Row(s=95, y=1)] * 10 + [Row(s=5, y=0)] * 30
+    out = sorted(
+        cumulative_gains(
+            spark.createDataFrame(rows), "s", "y", n_buckets=10, denom=D
+        ).collect(),
+        key=lambda r: -r["bin"],
+    )
+    top, bottom = out[0], out[-1]
+    assert top["bin"] == 9 and top["cum_pos"] == 10 and top["gain"] == 1.0
+    assert top["lift"] == 4.0            # (10*40)/(10*10)
+    assert bottom["cum_n"] == 40 and bottom["lift"] == 1.0
+
+
+def test_page_hinkley_detects_level_shift(spark):
+    """A flat series never alarms; a series whose level jumps after the
+    midpoint alarms shortly after the shift (the PH guarantee)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        page_hinkley,
+    )
+
+    flat = [Row(g="a", event_id=i, ts=i, value=10.0) for i in range(100)]
+    shift = [
+        Row(g="b", event_id=i, ts=i, value=10.0 if i < 50 else 20.0)
+        for i in range(100)
+    ]
+    out = {r["g"]: r for r in page_hinkley(
+        spark.createDataFrame(flat + shift), ["g"],
+        "value", "ts", "event_id", delta=0.05, lam=10.0,
+    ).collect()}
+    assert out["a"]["n_alarms"] == 0
+    assert out["a"]["first_alarm_idx"] is None
+    assert out["b"]["n_alarms"] > 0
+    assert 50 < out["b"]["first_alarm_idx"] <= 60   # fires soon after
+    assert out["b"]["max_ph"] > 10.0
+
+
+def test_flesch_readability_ordering(spark):
+    """Short simple sentences score higher than a long vowel-dense
+    run-on; counts are exact and NULL text quarantines."""
+    from nl_railtraffic_etl_pipeline_spark.functions.text import (
+        flesch_readability,
+    )
+
+    rows = [
+        Row(doc_id=1, text="The cat sat. The dog ran. It was fun."),
+        Row(doc_id=2, text=(
+            "Notwithstanding interdisciplinary methodological "
+            "considerations, epistemological heterogeneity "
+            "characterizes contemporary organizational paradigms"
+        )),
+        Row(doc_id=3, text=None),
+    ]
+    out = {r["doc_id"]: r for r in flesch_readability(
+        spark.createDataFrame(rows)
+    ).collect()}
+    assert out[1]["n_sentences"] == 3 and out[1]["n_words"] == 9
+    assert out[1]["flesch"] > out[2]["flesch"]
+    assert out[2]["n_sentences"] == 1   # floored at 1 (no terminator)
+    assert out[3]["flesch"] is None and out[3]["n_words"] is None
