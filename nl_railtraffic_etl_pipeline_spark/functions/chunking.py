@@ -486,7 +486,14 @@ def bpe_encode_pieces(
                     continue
                 nw = nc = np_ = wt = 0
                 pos = 0
-                for w in _re.split(r"\s+", text.strip().lower()):
+                # ASCII whitespace class ONLY: Python's \s is
+                # Unicode-aware, but bpe_merge_table's tokenizer (Java
+                # regex \s, ASCII) and the DuckDB oracle (RE2 \s, ASCII)
+                # both split on ASCII whitespace — a document containing
+                # e.g. U+00A0 must tokenize identically in all three.
+                for w in _re.split(
+                    r"[ \t\n\r\f\v]+", text.strip(" \t\n\r\f\v").lower()
+                ):
                     if not w or not word_re.match(w):
                         continue
                     nw += 1

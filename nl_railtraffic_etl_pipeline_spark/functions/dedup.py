@@ -426,7 +426,22 @@ def duplicate_clusters(
     engages from round ``doubling_gate`` (default ``max(2, max_iter //
     4)``): shallow components — the common dedup case — converge plain
     and never pay the extra join, while the caller's round budget sizes
-    the rescue point for deep ones (measured tradeoff in SCALE.md).  Per round: one
+    the rescue point for deep ones (measured tradeoff in SCALE.md).
+
+    **Round-budget sizing (deep graphs)**: convergence needs roughly
+    ``gate + log2(diameter)`` rounds, so the adaptive default converges
+    any component with ``log2(diameter) <= 3/4 * max_iter`` — at the
+    default ``max_iter=20`` that is diameter ~2^15; deeper chains raise
+    the loud non-convergence ``RuntimeError`` (never silently-wrong
+    output).  Deep-graph callers should raise ``max_iter`` (the gate
+    scales with it, so doubling headroom grows 3x faster than the gate
+    moves) or pass an explicit small ``doubling_gate`` (e.g. 2) to trade
+    early-round jump-join cost for maximum depth rescue.  Versus the
+    pre-r9 fixed gate of 2, the adaptive default narrows the
+    default-budget rescue range from ~2^18 to ~2^15 — a deliberate trade
+    against the measured 2x per-round join cost on shallow graphs.
+
+    Per round: one
     edge-keyed shuffle join + aggregation, plus one node-sized
     label-to-label equi-join (labels frame is node-sized, exact
     equi-keys, no fan-out).  Convergence is an ``observe`` metric (sum

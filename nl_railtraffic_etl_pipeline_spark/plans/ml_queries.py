@@ -1343,18 +1343,27 @@ agg AS (
     FROM enc GROUP BY doc_id
 )
 SELECT t.doc_id,
-       COALESCE(a.token_ids, CAST([] AS INTEGER[])) AS token_ids,
+       array_to_string(COALESCE(a.token_ids, CAST([] AS INTEGER[])), ' ')
+           AS token_ids,
        COALESCE(a.n_tokens, 0) AS n_tokens,
        COALESCE(a.n_oov, 0) AS n_oov
 FROM toks t LEFT JOIN agg a USING (doc_id)
 """,
 )
 def _text_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gate boundary serializes the id array to a space-joined string: the
+    # r9 driver run proved array<int> output columns crash the driver's
+    # pandas canonicalizer (sort_values -> "unhashable type: 'list'").
+    # The library function keeps the real array API; only the gate
+    # flattens (same pattern as text_chunks' chunk_text).
+    from pyspark.sql import functions as F
+
     from ..functions.chunking import encode_tokens
 
     d = load_table(spark, sf_dir, "documents", spread=True)
     vocab = spark.createDataFrame(_ENC_VOCAB, ["term", "token_id"])
-    return encode_tokens(d, vocab)
+    out = encode_tokens(d, vocab)
+    return out.withColumn("token_ids", F.array_join("token_ids", " "))
 
 
 # ---------------------------------------------------------------------------
@@ -3026,7 +3035,7 @@ q AS (
 )
 SELECT vec_id,
        {_round_sql('scale', 6)} AS scale,
-       qvec,
+       array_to_string(qvec, ' ') AS qvec,
        {_round_sql(
            'list_max([abs(CAST(e[i] AS DOUBLE) - qvec[i] * scale) '
            'for i in range(1, len(e) + 1)])', 6
@@ -3035,8 +3044,16 @@ FROM q
 """,
 )
 def _quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same array-serialization boundary as text_encode_tokens: the driver
+    # canonicalizer cannot sort list-valued columns, so the int8 code
+    # vector crosses the gate as a space-joined string (library API
+    # unchanged — simsearch.quantize_int8 still returns the real array).
+    from pyspark.sql import functions as F
+
     e = load_table(spark, sf_dir, "embeddings", spread=True)
-    return simsearch.quantize_int8(e)
+    return simsearch.quantize_int8(e).withColumn(
+        "qvec", F.array_join("qvec", " ")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5344,16 +5361,40 @@ def _publish_zlib_lookup(sf_dir: str) -> bool:
     tbl = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    texts = tbl.column("text").to_pylist()
     nc = [
         len(zlib.compress(t.encode("utf-8"), 6)) if t is not None else None
-        for t in tbl.column("text").to_pylist()
+        for t in texts
     ]
+    # Multi-SF spine: the lookup path is process-global, so rows carry a
+    # content fingerprint of the corpus they were published from (total
+    # UTF-8 byte mass — doc COUNT alone is NOT unique, sf0.001 and
+    # sf0.01 both hold 500 docs) and the oracle joins on (doc_id,
+    # corpus_bytes == SUM(octet_length(encode(text))) of its own
+    # documents view).  Running a second scale factor APPENDS (replacing
+    # same-fingerprint rows) instead of clobbering the first SF's
+    # reference data — any SF's oracle stays re-evaluable in any order
+    # within one process.
+    corpus_bytes = sum(
+        len(t.encode("utf-8")) for t in texts if t is not None
+    )
     out = pa.table(
         {
             "doc_id": tbl.column("doc_id"),
             "n_compressed_ref": pa.array(nc, pa.int64()),
+            "corpus_bytes": pa.array(
+                [corpus_bytes] * tbl.num_rows, pa.int64()
+            ),
         }
     )
+    if _os.path.exists(_ZLIB_LOOKUP_PATH):
+        import pyarrow.compute as pc
+
+        prev = pq.read_table(_ZLIB_LOOKUP_PATH)
+        prev = prev.filter(
+            pc.not_equal(prev.column("corpus_bytes"), corpus_bytes)
+        )
+        out = pa.concat_tables([prev, out])
     tmp = _ZLIB_LOOKUP_PATH + ".tmp"
     pq.write_table(out, tmp)
     _os.replace(tmp, _ZLIB_LOOKUP_PATH)
@@ -5363,6 +5404,11 @@ def _publish_zlib_lookup(sf_dir: str) -> bool:
 @query(
     "text_compression_ratio",
     f"""
+WITH nd AS (
+    SELECT CAST(COALESCE(SUM(octet_length(encode(text))), 0) AS BIGINT)
+        AS cb
+    FROM documents
+)
 SELECT d.doc_id,
        CASE WHEN d.text IS NOT NULL
             THEN CAST(octet_length(encode(d.text)) AS BIGINT) END AS n_bytes,
@@ -5372,7 +5418,9 @@ SELECT d.doc_id,
             THEN ROUND(CAST(l.n_compressed_ref AS DOUBLE)
                        / octet_length(encode(d.text)), 6) END AS ratio
 FROM documents d
-LEFT JOIN read_parquet('{_ZLIB_LOOKUP_PATH}') l ON d.doc_id = l.doc_id
+CROSS JOIN nd
+LEFT JOIN read_parquet('{_ZLIB_LOOKUP_PATH}') l
+       ON d.doc_id = l.doc_id AND l.corpus_bytes = nd.cb
 """,
 )
 def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7143,7 +7191,11 @@ def _publish_bpe_reference(sf_dir: str) -> bool:
     for t in texts:
         ws = []
         if t is not None:
-            for w in re.split(r"\s+", t.strip().lower()):
+            # ASCII whitespace only — must agree with the Arrow kernel
+            # (bpe_encode_pieces), Spark's tokens() (Java \s, ASCII),
+            # and the oracle's RE2 \s; Python's \s/strip() are
+            # Unicode-aware and would diverge on e.g. U+00A0.
+            for w in re.split(r"[ \t\n\r\f\v]+", t.strip(" \t\n\r\f\v").lower()):
                 if w and word_re.match(w):
                     ws.append(w)
                     if len(w) >= 2:
@@ -7167,13 +7219,29 @@ def _publish_bpe_reference(sf_dir: str) -> bool:
                 wt += pos * len(piece)
         np_col.append(np_)
         wt_col.append(wt)
+    # Multi-SF spine, same contract as the zlib lookup: rows carry the
+    # publishing corpus's content fingerprint (total UTF-8 byte mass —
+    # doc COUNT is not unique across SFs) and the oracle selects its own
+    # SF's rows by matching it against its documents view.
+    corpus_bytes = sum(
+        len(t.encode("utf-8")) for t in texts if t is not None
+    )
     out = pa.table(
         {
             "doc_id": ids,
             "n_pieces_ref": pa.array(np_col, pa.int64()),
             "piece_weighted_ref": pa.array(wt_col, pa.int64()),
+            "corpus_bytes": pa.array([corpus_bytes] * len(ids), pa.int64()),
         }
     )
+    if _os.path.exists(_BPE_REF_PATH):
+        import pyarrow.compute as pc
+
+        prev = pq.read_table(_BPE_REF_PATH)
+        prev = prev.filter(
+            pc.not_equal(prev.column("corpus_bytes"), corpus_bytes)
+        )
+        out = pa.concat_tables([prev, out])
     tmp = _BPE_REF_PATH + ".tmp"
     pq.write_table(out, tmp)
     _os.replace(tmp, _BPE_REF_PATH)
@@ -7184,6 +7252,11 @@ def _publish_bpe_reference(sf_dir: str) -> bool:
     "text_bpe_encode",
     f"""
 WITH w AS ({_BPE_WORDS_SQL}),
+nd AS (
+    SELECT CAST(COALESCE(SUM(octet_length(encode(text))), 0) AS BIGINT)
+        AS cb
+    FROM documents
+),
 agg AS (
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(length(w)) AS BIGINT) AS n_chars
@@ -7195,8 +7268,10 @@ SELECT d.doc_id,
        CAST(r.n_pieces_ref AS BIGINT) AS n_pieces,
        CAST(r.piece_weighted_ref AS BIGINT) AS piece_weighted
 FROM documents d
+CROSS JOIN nd
 LEFT JOIN agg ON d.doc_id = agg.doc_id
-LEFT JOIN read_parquet('{_BPE_REF_PATH}') r ON d.doc_id = r.doc_id
+LEFT JOIN read_parquet('{_BPE_REF_PATH}') r
+       ON d.doc_id = r.doc_id AND r.corpus_bytes = nd.cb
 """,
 )
 def _text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -226,7 +226,17 @@ class VersionedZone:
 
     # -- write side --------------------------------------------------------------
     def _claim(self, t: int) -> bool:
-        return bool(self._fs.createNewFile(self._p(f"v{t:08d}.claim")))
+        # createNewFile's contract is atomic create-or-False, but local
+        # Hadoop FS can surface a concurrent create as a thrown
+        # FileAlreadyExistsException/IOException under load instead of
+        # returning false.  Either flavor means the same thing — someone
+        # else owns t — so an exception is absorbed as a lost claim (the
+        # caller recomputes against the new tip and retries), never
+        # allowed to abort the commit.
+        try:
+            return bool(self._fs.createNewFile(self._p(f"v{t:08d}.claim")))
+        except Exception:
+            return False
 
     def _tombstone(self, t: int) -> bool:
         """Arbitrated tombstone: win the claim file by renaming it to
@@ -253,8 +263,19 @@ class VersionedZone:
         except Exception:  # pragma: no cover - fs hiccup, caller rescans
             won = False
         if won:
-            self._fs.createNewFile(self._p(f"v{t:08d}.skip"))
-            self._fs.delete(dead, False)
+            # the .skip create may race a concurrent resolver (or throw the
+            # FileAlreadyExists flavor instead of returning false) — either
+            # way the marker is durable if it exists; only swap .dead out
+            # once the durable marker is confirmed on disk.  If it never
+            # materialized, keep .dead: _scan counts .dead as skipped, so
+            # the tombstone stays effective and a later resolver retries
+            # the swap.
+            try:
+                self._fs.createNewFile(self._p(f"v{t:08d}.skip"))
+            except Exception:
+                pass
+            if self._fs.exists(self._p(f"v{t:08d}.skip")):
+                self._fs.delete(dead, False)
         return won
 
     def _touch_claim(self, t: int) -> None:

@@ -30,18 +30,19 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# Driver-verified output types.  array<int> appears in exactly two gates
-# (text_encode_tokens token ids, emb_quantize_int8 int8 codes) — exact
-# integers, canonicalization-stable.  DECIMAL/FLOAT/BINARY/STRUCT/MAP are
-# deliberately absent: DECIMAL is the proven hash-fail class, the others
-# have never been driver-exercised.
+# Driver-verified output types — scalars ONLY.  The r9 driver run
+# falsified the prior "array<int> is canonicalization-stable" assumption:
+# text_encode_tokens errored at the driver with pandas sort_values
+# "unhashable type: 'list'".  Array-valued results must be serialized at
+# the gate boundary (array_join / array_to_string — the text_chunks
+# pattern).  DECIMAL remains the proven hash-fail class;
+# FLOAT/BINARY/STRUCT/MAP have never been driver-exercised.
 SPARK_ALLOW = {
     "bigint", "int", "double", "string", "date", "timestamp", "boolean",
-    "array<int>", "array<bigint>",
 }
 DUCK_ALLOW = {
     "BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP",
-    "BOOLEAN", "INTEGER[]", "BIGINT[]",
+    "BOOLEAN",
 }
 
 

@@ -237,6 +237,55 @@ def test_versioned_zone_sequential_upserts(spark, tmp_path):
     assert m["version"] == 2 and m["base_version"] == 1 and m["rows"] == 3
 
 
+def test_versioned_zone_claim_exception_is_a_lost_claim(spark, tmp_path):
+    """Hadoop's local FS can surface a concurrent claim create as a THROWN
+    FileAlreadyExistsException/IOException instead of returning false
+    (reproduced in the r9 full-suite run: Py4JJavaError out of
+    ``createNewFile`` aborted a whole commit).  The protocol contract is
+    "on loss, recompute and retry" — so an exception-flavored race must be
+    absorbed as a lost claim, not escape as a commit failure.  This test
+    injects a throwing FS proxy for the first two claim creates and
+    asserts the commit still lands."""
+    z = _zone(spark, tmp_path)
+    z.upsert(
+        spark.createDataFrame([(1, 1, "a")], "k bigint, ver bigint, val string"),
+        ["k"],
+        "ver",
+    )
+    real_fs = z._fs
+
+    class ThrowingFS:
+        """Delegating proxy: first two .claim creates throw (the exception
+        flavor of losing the createNewFile race), everything else passes
+        through to the real Hadoop FileSystem."""
+
+        def __init__(self):
+            self.claim_throws_left = 2
+
+        def createNewFile(self, p):
+            if p.getName().endswith(".claim") and self.claim_throws_left > 0:
+                self.claim_throws_left -= 1
+                raise RuntimeError(
+                    "injected: FileAlreadyExistsException flavor of a "
+                    "concurrent claim create"
+                )
+            return real_fs.createNewFile(p)
+
+        def __getattr__(self, name):
+            return getattr(real_fs, name)
+
+    z._fs = ThrowingFS()
+    v, rows = z.upsert(
+        spark.createDataFrame([(2, 2, "b")], "k bigint, ver bigint, val string"),
+        ["k"],
+        "ver",
+    )
+    assert z._fs.claim_throws_left == 0  # the injection actually fired
+    assert rows == 2
+    got = {r.k: r.val for r in z.read().collect()}
+    assert got == {1: "a", 2: "b"}  # commit landed despite the thrown races
+
+
 def test_versioned_zone_concurrent_upserts_no_lost_update(spark, tmp_path):
     """Two writers commit interleaved upserts from the same starting
     snapshot; the claim protocol serializes them, so BOTH updates land —

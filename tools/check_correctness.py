@@ -54,7 +54,16 @@ def canon(v) -> str:
             return str(int(v))
         return f"{v:.9g}"
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+        # The driver's canonicalizer (pandas sort_values over all columns)
+        # crashes on list-valued cells — proven by text_encode_tokens going
+        # driver-RED in r9.  Array outputs must be serialized at the gate
+        # boundary (array_join / array_to_string); fail loudly so the local
+        # harness predicts the driver instead of masking the defect.
+        raise ValueError(
+            "array-valued output reached the gate boundary — the driver "
+            "canonicalizer cannot sort list columns; serialize with "
+            "array_join/array_to_string: " + repr(v)[:80]
+        )
     return str(v)
 
 
