@@ -964,9 +964,15 @@ def _jpeg_decode_pixels(b: bytes):
     over the CROPPED w x h image: exact integer sums of the reconstructed
     samples (level-shifted, floor(x+.5)-rounded, clamped 0..255);
     ``y_weighted`` = sum (raster_pos + 1) * Y pins spatial layout.  For
-    1-component (grayscale) input the chroma/RGB sums are None.  Same
-    baseline envelope as :func:`_jpeg_decode_dc`: 8-bit SOF0, 1x1
-    sampling, DRI restarts supported; anything else quarantines.
+    1-component (grayscale) input the chroma/RGB sums are None.
+    Envelope: 8-bit SOF0 with DRI restarts; LUMA sampling factors h,v in
+    {1,2} with 1x1 chroma — i.e. 4:4:4, 4:2:2 (2x1), 4:4:0 (1x2) and the
+    dominant real-world 4:2:0 (2x2) all decode, with chroma upsampled by
+    NEAREST-NEIGHBOR sample replication (each chroma sample covers its
+    (hmax/h) x (vmax/v) luma pixels exactly — the deterministic choice an
+    arithmetic oracle can replay; no interpolation).  Anything else
+    (progressive, 12-bit, chroma-subsampled-below-luma, h/v > 2)
+    quarantines.
     """
     import numpy as np
 
@@ -1018,9 +1024,20 @@ def _jpeg_decode_pixels(b: bytes):
                 comps = []
                 for c in range(nc):
                     cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                    if samp != 0x11:
+                    hs, vs = samp >> 4, samp & 15
+                    if hs not in (1, 2) or vs not in (1, 2):
                         return None
-                    comps.append((cid, tq))
+                    comps.append((cid, tq, hs, vs))
+                # single-component scans ignore sampling (non-interleaved
+                # MCU = 1 block); only the luma of a 3-component image may
+                # subsample the chroma — chroma sampled BELOW 1x1 of luma
+                # grid or above it is out of envelope
+                if nc == 1 and comps[0][2:] != (1, 1):
+                    return None
+                if nc == 3 and (
+                    comps[1][2:] != (1, 1) or comps[2][2:] != (1, 1)
+                ):
+                    return None
                 sof = (w, h, comps)
             elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                        0xCB, 0xCD, 0xCE, 0xCF):
@@ -1038,76 +1055,100 @@ def _jpeg_decode_pixels(b: bytes):
                 for c in range(ns):
                     cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                     td, ta = tdta >> 4, tdta & 15
-                    tq = next(
-                        (q for cid, q in comps if cid == cs), None
+                    comp = next(
+                        (cc for cc in comps if cc[0] == cs), None
                     )
-                    if tq is None:
+                    if comp is None:
                         return None
-                    scan.append((cs, td, ta, tq))
-                bw, bh = (w + 7) // 8, (h + 7) // 8
+                    _, tq, hs, vs = comp
+                    scan.append((cs, td, ta, tq, hs, vs))
+                hmax = max(s[4] for s in scan)
+                vmax = max(s[5] for s in scan)
+                mw, mh = 8 * hmax, 8 * vmax
+                mcux = (w + mw - 1) // mw
+                mcuy = (h + mh - 1) // mh
                 rd = _BitReader(b, pos + 2 + ln)
                 pred = {cs: 0 for cs, *_ in scan}
                 basis = _idct_basis()
-                # raster positions of one 8x8 block, cropped per MCU
-                xs = np.tile(np.arange(8), 8)
-                ys = np.repeat(np.arange(8), 8)
                 y_sum = cb_sum = cr_sum = y_wt = 0
                 r_sum = g_sum = b_sum2 = 0
-                for blk in range(bw * bh):
-                    if restart and blk and blk % restart == 0:
+                for mcu in range(mcux * mcuy):
+                    if restart and mcu and mcu % restart == 0:
                         rd.align_and_skip_rst()
                         pred = {cs: 0 for cs, *_ in scan}
                     planes = []
-                    for cs, td, ta, tq in scan:
+                    for cs, td, ta, tq, hs, vs in scan:
                         dct = htabs.get((0, td))
                         act = htabs.get((1, ta))
                         qt = qtabs.get(tq)
                         if dct is None or act is None or qt is None:
                             return None
-                        cat = _huff_decode(rd, dct)
-                        if cat > 15:
-                            return None
-                        diff = _extend(rd.read_bits(cat), cat)
-                        pred[cs] += diff
-                        coeffs = np.zeros(64, dtype=np.float64)
-                        coeffs[_JPEG_ZZ[0]] = pred[cs] * qt[0]
-                        k = 1
-                        while k <= 63:
-                            sym = _huff_decode(rd, act)
-                            if sym == 0x00:
-                                break
-                            if sym == 0xF0:
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 15
-                            if size == 0:
-                                return None
-                            k += run
-                            if k > 63:
-                                return None
-                            coeffs[_JPEG_ZZ[k]] = (
-                                _extend(rd.read_bits(size), size) * qt[k]
+                        plane = np.empty((8 * vs, 8 * hs), dtype=np.int64)
+                        # a component contributes hs*vs data units per
+                        # MCU, in raster order inside the MCU
+                        for by in range(vs):
+                            for bx in range(hs):
+                                cat = _huff_decode(rd, dct)
+                                if cat > 15:
+                                    return None
+                                diff = _extend(rd.read_bits(cat), cat)
+                                pred[cs] += diff
+                                coeffs = np.zeros(64, dtype=np.float64)
+                                coeffs[_JPEG_ZZ[0]] = pred[cs] * qt[0]
+                                k = 1
+                                while k <= 63:
+                                    sym = _huff_decode(rd, act)
+                                    if sym == 0x00:
+                                        break
+                                    if sym == 0xF0:
+                                        k += 16
+                                        continue
+                                    run, size = sym >> 4, sym & 15
+                                    if size == 0:
+                                        return None
+                                    k += run
+                                    if k > 63:
+                                        return None
+                                    coeffs[_JPEG_ZZ[k]] = (
+                                        _extend(rd.read_bits(size), size)
+                                        * qt[k]
+                                    )
+                                    k += 1
+                                px = coeffs @ basis
+                                px = np.clip(
+                                    np.floor(px + 128.5), 0, 255
+                                ).astype(np.int64)
+                                plane[
+                                    by * 8 : by * 8 + 8,
+                                    bx * 8 : bx * 8 + 8,
+                                ] = px.reshape(8, 8)
+                        if hs != hmax or vs != vmax:
+                            # nearest-neighbor replication to the luma
+                            # grid: each chroma sample covers its
+                            # (hmax/hs) x (vmax/vs) pixel footprint
+                            plane = np.repeat(
+                                np.repeat(plane, vmax // vs, axis=0),
+                                hmax // hs,
+                                axis=1,
                             )
-                            k += 1
-                        px = coeffs @ basis
-                        px = np.clip(
-                            np.floor(px + 128.5), 0, 255
-                        ).astype(np.int64)
-                        planes.append(px)
-                    bx, by = blk % bw, blk // bw
-                    gx = bx * 8 + xs
-                    gy = by * 8 + ys
-                    keep = (gx < w) & (gy < h)
-                    if not keep.any():
+                        planes.append(plane)
+                    gx0 = (mcu % mcux) * mw
+                    gy0 = (mcu // mcux) * mh
+                    ww = min(mw, w - gx0)
+                    hh = min(mh, h - gy0)
+                    if ww <= 0 or hh <= 0:
                         continue
-                    yv = planes[0][keep]
+                    yv = planes[0][:hh, :ww]
                     y_sum += int(yv.sum())
-                    y_wt += int(
-                        ((gy[keep] * w + gx[keep] + 1) * yv).sum()
+                    posg = (
+                        (gy0 + np.arange(hh))[:, None] * w
+                        + (gx0 + np.arange(ww))[None, :]
+                        + 1
                     )
+                    y_wt += int((posg * yv).sum())
                     if len(planes) == 3:
-                        cbv = planes[1][keep]
-                        crv = planes[2][keep]
+                        cbv = planes[1][:hh, :ww]
+                        crv = planes[2][:hh, :ww]
                         cb_sum += int(cbv.sum())
                         cr_sum += int(crv.sum())
                         dcb, dcr = cbv - 128, crv - 128
@@ -1225,6 +1266,127 @@ def jpeg_encode_ycbcr_blocks(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
         + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(payload) + b"\xff\xd9"
+    )
+
+
+def jpeg_encode_ycbcr_subsampled(
+    doc_id: int,
+    mcus_w: int,
+    mcus_h: int,
+    hy: int = 2,
+    vy: int = 2,
+    width: int | None = None,
+    height: int | None = None,
+) -> bytes:
+    """Deterministic SUBSAMPLED baseline-JPEG fixture: luma sampled
+    ``hy x vy`` (2x2 = the dominant real-world 4:2:0; 2x1 = 4:2:2;
+    1x2 = 4:4:0), chroma 1x1, interleaved MCU scan with the same
+    4-coefficient closed-form block structure as
+    :func:`jpeg_encode_ycbcr_blocks`: per block-sequence index ``t``
+    (for Y: t = mcu*(hy*vy) + in-MCU raster block j; for chroma:
+    t = mcu) and component ``c`` the quantized levels sit at zigzag
+    0/10/14/39 —
+
+        dc  = ((doc_id*7 + t*5 + c*11) % 160) - 80
+        ly  = ((doc_id   + t*3 + c  ) %  31) - 15
+        lx  = ((doc_id*3 + t   + c*5) %  31) - 15
+        lxy = ((doc_id   + t   + c  ) %  25) - 12
+
+    with the all-8 quant table, so each decoded 8x8 data unit is
+    EXACTLY sample(x,y) = 128 + dc + s(y)ly + s(x)lx + s(x)s(y)lxy,
+    s = [+1,-1,-1,+1,+1,-1,-1,+1] (range 128+-122, no clamping) — an
+    arithmetic SQL oracle reproduces every upsampled pixel.  ``width``/
+    ``height`` declare cropped SOF dims (default full MCU grid
+    ``16*mcus_w x 16*mcus_h`` at 2x2) to exercise the partial-MCU crop,
+    including chroma-replication edges."""
+    import struct
+
+    if hy not in (1, 2) or vy not in (1, 2) or hy * vy == 1:
+        raise ValueError("luma sampling must subsample: hy*vy > 1")
+    w = 8 * hy * mcus_w if width is None else width
+    h = 8 * vy * mcus_h if height is None else height
+
+    dc_enc = _huff_canonical(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    ac_syms = sorted(
+        [0x00, 0xF0]
+        + [(run << 4) | size for run in range(16) for size in range(1, 5)]
+    )
+    ac_bits = [0] * 16
+    ac_bits[6] = len(ac_syms)
+    ac_enc = _huff_canonical(ac_bits, ac_syms)
+
+    out_bits: list[tuple[int, int]] = []
+    pred = [0, 0, 0]
+
+    def put_block(c: int, t: int) -> None:
+        zz = [0] * 64
+        zz[0] = ((doc_id * 7 + t * 5 + c * 11) % 160) - 80
+        zz[10] = ((doc_id + t * 3 + c) % 31) - 15
+        zz[14] = ((doc_id * 3 + t + c * 5) % 31) - 15
+        zz[39] = ((doc_id + t + c) % 25) - 12
+        diff = zz[0] - pred[c]
+        pred[c] = zz[0]
+        cat = abs(diff).bit_length()
+        out_bits.append(dc_enc[cat])
+        if cat:
+            raw = diff if diff >= 0 else diff + (1 << cat) - 1
+            out_bits.append((raw, cat))
+        run = 0
+        for k in range(1, 64):
+            lvl = zz[k]
+            if lvl == 0:
+                run += 1
+                continue
+            while run > 15:
+                out_bits.append(ac_enc[0xF0])
+                run -= 16
+            size = abs(lvl).bit_length()
+            out_bits.append(ac_enc[(run << 4) | size])
+            raw = lvl if lvl >= 0 else lvl + (1 << size) - 1
+            out_bits.append((raw, size))
+            run = 0
+        if run:
+            out_bits.append(ac_enc[0x00])
+
+    for i in range(mcus_w * mcus_h):
+        for j in range(hy * vy):          # Y data units, in-MCU raster
+            put_block(0, i * (hy * vy) + j)
+        put_block(1, i)                   # Cb
+        put_block(2, i)                   # Cr
+
+    acc, nacc, payload = 0, 0, bytearray()
+    for v, ln in out_bits:
+        acc = (acc << ln) | (v & ((1 << ln) - 1))
+        nacc += ln
+        while nacc >= 8:
+            byte = (acc >> (nacc - 8)) & 0xFF
+            payload.append(byte)
+            if byte == 0xFF:
+                payload.append(0x00)
+            nacc -= 8
+    if nacc:
+        byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        payload.append(byte)
+        if byte == 0xFF:
+            payload.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hy << 4) | vy, 0, 2, 0x11, 0, 3, 0x11, 0]),
     )
     dht = seg(
         0xC4,

@@ -1154,6 +1154,145 @@ def _mm_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 4:2:0 CHROMA-SUBSAMPLED baseline JPEG pixel decode — the dominant
+# real-world sampling, which quarantined before r10.  Each selected doc
+# gets a genuine interleaved-MCU 4:2:0 JPEG (multimodal.
+# jpeg_encode_ycbcr_subsampled: 4 Y data units + Cb + Cr per 16x16 MCU,
+# closed-form coefficients) with CROPPED SOF dims (w = 16*mcw - doc%5,
+# h = 16*mch - doc%3) so partial-MCU crop and chroma-replication edges
+# are under test.  The engine walks the interleaved MCU scan, decodes
+# all six data units, nearest-neighbor-upsamples chroma to the luma
+# grid, crops, and emits exact channel sums; the oracle recomputes every
+# upsampled pixel from the closed form (Y from its 8x8 data unit at
+# block-sequence index t = mcu*4 + in-MCU raster j; Cb/Cr from the MCU's
+# single chroma unit sampled at (x%16)//2, (y%16)//2) — it never sees a
+# byte.  A wrong MCU interleave order, in-MCU block raster, replication
+# footprint, or crop arithmetic hash-mismatches.  Every third doc ships
+# truncated bytes to pin the quarantine row.
+# ---------------------------------------------------------------------------
+_JPEG420_SIGN = (
+    "CASE WHEN ({v}) % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END"
+)
+
+
+@query(
+    "mm_decode_jpeg420_pixels",
+    f"""
+WITH sel AS (
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INTEGER) AS mcw,
+           CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS mch,
+           CAST(16 * (1 + doc_id % 2) - doc_id % 5 AS INTEGER) AS w,
+           CAST(16 * (1 + (doc_id // 2) % 2) - doc_id % 3 AS INTEGER)
+               AS h,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 23 = 0
+),
+px AS (
+    SELECT doc_id, mcw, w, unnest(range(0, w * h)) AS p,
+           h
+    FROM sel WHERE NOT corrupt
+),
+geo AS (
+    SELECT doc_id, mcw, w, p % w AS x, p // w AS y
+    FROM px
+),
+idx AS (
+    SELECT doc_id, w, x, y,
+           (y // 16) * mcw + (x // 16) AS m,
+           ((y % 16) // 8) * 2 + (x % 16) // 8 AS lj,
+           (x % 16) // 2 AS cx,
+           (y % 16) // 2 AS cy
+    FROM geo
+),
+vals AS (
+    SELECT doc_id, w, x, y,
+        128 + ((doc_id * 7 + (m * 4 + lj) * 5) % 160) - 80
+            + {_JPEG420_SIGN.format(v='y')}
+                * (((doc_id + (m * 4 + lj) * 3) % 31) - 15)
+            + {_JPEG420_SIGN.format(v='x')}
+                * (((doc_id * 3 + (m * 4 + lj)) % 31) - 15)
+            + {_JPEG420_SIGN.format(v='y')} * {_JPEG420_SIGN.format(v='x')}
+                * (((doc_id + (m * 4 + lj)) % 25) - 12) AS yv,
+        128 + ((doc_id * 7 + m * 5 + 11) % 160) - 80
+            + {_JPEG420_SIGN.format(v='cy')}
+                * (((doc_id + m * 3 + 1) % 31) - 15)
+            + {_JPEG420_SIGN.format(v='cx')}
+                * (((doc_id * 3 + m + 5) % 31) - 15)
+            + {_JPEG420_SIGN.format(v='cy')} * {_JPEG420_SIGN.format(v='cx')}
+                * (((doc_id + m + 1) % 25) - 12) AS cb,
+        128 + ((doc_id * 7 + m * 5 + 22) % 160) - 80
+            + {_JPEG420_SIGN.format(v='cy')}
+                * (((doc_id + m * 3 + 2) % 31) - 15)
+            + {_JPEG420_SIGN.format(v='cx')}
+                * (((doc_id * 3 + m + 10) % 31) - 15)
+            + {_JPEG420_SIGN.format(v='cy')} * {_JPEG420_SIGN.format(v='cx')}
+                * (((doc_id + m + 2) % 25) - 12) AS cr
+    FROM idx
+),
+rgb AS (
+    SELECT doc_id, yv, cb, cr,
+        y * w + x + 1 AS pos,
+        {_JPEG_RGB_SQL}
+    FROM vals
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM(yv) AS BIGINT) AS y_sum,
+           CAST(SUM(cb) AS BIGINT) AS cb_sum,
+           CAST(SUM(cr) AS BIGINT) AS cr_sum,
+           CAST(SUM(pos * yv) AS BIGINT) AS y_weighted,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum
+    FROM rgb GROUP BY 1
+)
+SELECT sel.doc_id,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.w END AS width,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.h END AS height,
+       sums.y_sum, sums.cb_sum, sums.cr_sum, sums.y_weighted,
+       sums.r_sum, sums.g_sum, sums.b_sum,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_jpeg420_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 23 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("_mcw"),
+        (F.lit(1) + F.expr("doc_id div 2") % 2).cast("int").alias("_mch"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import jpeg_encode_ycbcr_subsampled
+
+        for pdf in batches:
+            payloads = []
+            for doc, mcw, mch, corrupt in zip(
+                pdf["doc_id"], pdf["_mcw"], pdf["_mch"], pdf["_corrupt"]
+            ):
+                doc, mcw, mch = int(doc), int(mcw), int(mch)
+                buf = jpeg_encode_ycbcr_subsampled(
+                    doc, mcw, mch, 2, 2,
+                    width=16 * mcw - doc % 5,
+                    height=16 * mch - doc % 3,
+                )
+                payloads.append(buf[:25] if corrupt else buf)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_jpeg_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sketches (functions/sketch.py): KMV distinct estimation and
 # bottom-k hash sampling — unlike HLL++/DataFrame.sample, both replay
 # bit-identically on any engine via the shared md5 hash contract, so the

@@ -2921,6 +2921,102 @@ def test_jpeg_pixels_quarantine_and_gray_crosscheck():
     assert (cbs, crs, rs, gs, bs) == (None,) * 5
 
 
+def test_jpeg_subsampled_pixels_roundtrip_exact():
+    """Chroma-subsampled baseline decode (4:2:0 / 4:2:2 / 4:4:0):
+    interleaved MCU scan, in-MCU luma block raster, nearest-neighbor
+    chroma replication, and partial-MCU crop ALL reproduce the fixture's
+    closed form exactly — including cropped widths/heights that cut
+    through a replicated chroma footprint."""
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _jpeg_decode_pixels,
+        jpeg_encode_ycbcr_subsampled,
+    )
+
+    S = [1, -1, -1, 1, 1, -1, -1, 1]
+    clamp = lambda v: min(255, max(0, v))  # noqa: E731
+
+    def ref(doc, mcw, hy, vy, w, h):
+        ys = cbs = crs = ywt = rs = gs = bs = 0
+        bw, bh = 8 * hy, 8 * vy  # MCU pixel dims
+        for y in range(h):
+            for x in range(w):
+                mx, my = x // bw, y // bh
+                m = my * mcw + mx
+                lj = ((y - my * bh) // 8) * hy + (x - mx * bw) // 8
+                t = m * (hy * vy) + lj
+                sx, sy = S[x % 8], S[y % 8]
+                Y = (
+                    128 + ((doc * 7 + t * 5) % 160) - 80
+                    + sy * (((doc + t * 3) % 31) - 15)
+                    + sx * (((doc * 3 + t) % 31) - 15)
+                    + sx * sy * (((doc + t) % 25) - 12)
+                )
+                cx = (x - mx * bw) // hy
+                cy = (y - my * bh) // vy
+                scx, scy = S[cx % 8], S[cy % 8]
+
+                def chroma(c):
+                    return (
+                        128 + ((doc * 7 + m * 5 + c * 11) % 160) - 80
+                        + scy * (((doc + m * 3 + c) % 31) - 15)
+                        + scx * (((doc * 3 + m + c * 5) % 31) - 15)
+                        + scx * scy * (((doc + m + c) % 25) - 12)
+                    )
+
+                Cb, Cr = chroma(1), chroma(2)
+                ys += Y
+                cbs += Cb
+                crs += Cr
+                ywt += (y * w + x + 1) * Y
+                dcb, dcr = Cb - 128, Cr - 128
+                rs += clamp(Y + ((91881 * dcr + 32768) >> 16))
+                gs += clamp(
+                    Y - ((22554 * dcb + 46802 * dcr + 32768) >> 16)
+                )
+                bs += clamp(Y + ((116130 * dcb + 32768) >> 16))
+        return (w, h, (ys, cbs, crs, ywt, rs, gs, bs))
+
+    cases = [
+        (0, 1, 1, 2, 2, 16, 16),    # one full 4:2:0 MCU
+        (7, 2, 1, 2, 2, 29, 13),    # 4:2:0, crop cuts chroma footprint
+        (13, 1, 2, 2, 2, 15, 31),   # 4:2:0, odd crop both axes
+        (22, 2, 2, 2, 2, 32, 32),   # 4-MCU full grid
+        (5, 2, 1, 2, 1, 30, 8),     # 4:2:2
+        (9, 1, 2, 1, 2, 8, 27),     # 4:4:0
+    ]
+    for doc, mcw, mch, hy, vy, w, h in cases:
+        got = _jpeg_decode_pixels(
+            jpeg_encode_ycbcr_subsampled(doc, mcw, mch, hy, vy, w, h)
+        )
+        assert got == ref(doc, mcw, hy, vy, w, h), (doc, hy, vy, w, h)
+
+
+def test_jpeg_subsampled_quarantine_envelope():
+    """Out-of-envelope sampling still quarantines: truncated 4:2:0
+    payloads, sampling factors > 2, and chroma sampled ABOVE 1x1 all
+    return None instead of raising or mis-decoding."""
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _jpeg_decode_pixels,
+        jpeg_encode_ycbcr_subsampled,
+    )
+
+    good = jpeg_encode_ycbcr_subsampled(5, 2, 2)
+    assert _jpeg_decode_pixels(good) is not None
+    assert _jpeg_decode_pixels(good[:25]) is None
+    # 3x1 luma sampling (h=3 out of envelope): patch the SOF samp byte.
+    # SOF layout: ...C0 len(2) prec(1) h(2) w(2) nc(1) [cid samp tq]*3 —
+    # component 1's samp byte sits 7 bytes past the SOF marker payload.
+    i = good.find(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x31
+    assert _jpeg_decode_pixels(bytes(bad)) is None
+    # chroma sampled 2x2 == luma (legal JPEG but outside the replication
+    # envelope we implement): patch Cb's samp byte up
+    bad2 = bytearray(good)
+    bad2[i + 2 + 2 + 1 + 4 + 1 + 1 + 3] = 0x22
+    assert _jpeg_decode_pixels(bytes(bad2)) is None
+
+
 def test_wav_pcm_roundtrip_and_quarantine():
     """RIFF chunk walk (incl. the odd-chunk pad byte), PCM16 LE sample
     extraction, and exact integer stats; truncated/garbage quarantines."""
