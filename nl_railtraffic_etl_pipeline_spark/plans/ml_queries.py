@@ -7251,6 +7251,95 @@ def _mm_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MULTI-FRAME GIF frame sampling (multimodal.sample_gif_frames): genuine
+# ANIMATED GIF89a files — NETSCAPE looping extension (multi-sub-block
+# skip), per-frame Graphic Control Extensions carrying formula delays,
+# and 2..5 full-canvas frames each with its own real LZW stream.  The
+# engine samples every SECOND frame (stride 2): sampled frames are
+# LZW-decoded to exact channel sums + the weighted index sum + the GCE
+# delay; skipped frames are walked structurally WITHOUT decoding (the
+# scale point of frame sampling).  The oracle recomputes every sampled
+# frame's sums and delay from the formulas — wrong frame ordering, a
+# delay attached to the wrong frame, or decoding drift between frames
+# hash-mismatches.  Every third doc truncated to pin the quarantine
+# row.  Replaces the byte-marker sample_frames stand-in for the one
+# animated container stdlib can open (true video stays stubbed).
+# ---------------------------------------------------------------------------
+@query(
+    "mm_sample_gif_frames",
+    """
+WITH sel AS (
+    SELECT doc_id,
+           CAST(4 + doc_id % 5 AS INTEGER) AS w,
+           CAST(3 + doc_id % 4 AS INTEGER) AS h,
+           CAST(2 + doc_id % 4 AS INTEGER) AS nf,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 37 = 0
+),
+fr AS (
+    SELECT doc_id, w, h, unnest(range(0, nf)) AS f
+    FROM sel WHERE NOT corrupt
+),
+sf AS (SELECT * FROM fr WHERE f % 2 = 0),
+idx AS (
+    SELECT doc_id, f, p, (doc_id * 11 + f * 17 + p * 13) % 64 AS i
+    FROM (SELECT doc_id, f, unnest(range(0, w * h)) AS p FROM sf)
+),
+sums AS (
+    SELECT doc_id, f,
+           CAST(SUM((doc_id * 7 + i * 11) % 256) AS BIGINT) AS r_sum,
+           CAST(SUM((i * 3) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((i * 5 + 1) % 256) AS BIGINT) AS b_sum,
+           CAST(SUM((p + 1) * i) AS BIGINT) AS idx_weighted
+    FROM idx GROUP BY 1, 2
+)
+SELECT sel.doc_id,
+       CAST(s.f AS INTEGER) AS frame_no,
+       CAST(CASE WHEN sel.corrupt THEN NULL
+            ELSE 4 + (sel.doc_id + s.f) % 7 END AS INTEGER) AS delay_cs,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.w END AS width,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.h END AS height,
+       s.r_sum, s.g_sum, s.b_sum, s.idx_weighted,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums s ON sel.doc_id = s.doc_id
+""",
+)
+def _mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 37 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("_w"),
+        (F.lit(3) + F.col("doc_id") % 4).cast("int").alias("_h"),
+        (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("_nf"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import gif_encode_animated
+
+        for pdf in batches:
+            payloads = [
+                gif_encode_animated(int(doc), int(w), int(h), int(nf))[
+                    : 30 if corrupt else None
+                ]
+                for doc, w, h, nf, corrupt in zip(
+                    pdf["doc_id"], pdf["_w"], pdf["_h"], pdf["_nf"],
+                    pdf["_corrupt"],
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.sample_gif_frames(payload, stride=2)
+
+
+# ---------------------------------------------------------------------------
 # REAL byte-pair encoding (functions/chunking.py::bpe_merge_table /
 # bpe_encode_pieces).  Two gates: the round-1 merge-table BUILD is fully
 # SQL-expressible (exact pair counts, total-order rank) and oracle-gated

@@ -3143,6 +3143,49 @@ def test_gif_lzw_decoder_pinned_and_roundtrip():
     assert _gif_decode_pixels(b"GIF89a") is None
 
 
+def test_gif_frame_sampling_exact_and_skip():
+    """Animated-GIF frame sampling: sampled frames decode to the exact
+    per-frame formula sums WITH the right GCE delay attached; stride
+    skips frames structurally; NETSCAPE looping ext is walked; malformed
+    payloads quarantine."""
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _gif_decode_frames,
+        gif_encode_animated,
+    )
+
+    def ref(doc, w, h, nf, stride):
+        out = []
+        for f in range(nf):
+            if f % stride:
+                continue
+            rs = gs = bs = wt = 0
+            for p in range(w * h):
+                i = (doc * 11 + f * 17 + p * 13) % 64
+                rs += (doc * 7 + i * 11) % 256
+                gs += (i * 3) % 256
+                bs += (i * 5 + 1) % 256
+                wt += (p + 1) * i
+            out.append((f, 4 + (doc + f) % 7, rs, gs, bs, wt))
+        return (w, h, out)
+
+    for doc, w, h, nf, st in (
+        (0, 4, 3, 2, 2), (7, 8, 5, 5, 2), (31, 6, 6, 4, 1),
+        (62, 5, 7, 3, 3),
+    ):
+        got = _gif_decode_frames(
+            gif_encode_animated(doc, w, h, nf), stride=st
+        )
+        assert got == ref(doc, w, h, nf, st), (doc, w, h, nf, st)
+    # stride larger than the frame count still yields frame 0
+    assert _gif_decode_frames(
+        gif_encode_animated(9, 4, 4, 3), stride=10
+    )[2][0][0] == 0
+    assert _gif_decode_frames(b"nope") is None
+    assert _gif_decode_frames(
+        gif_encode_animated(5, 4, 4, 3)[:30]
+    ) is None
+
+
 def test_bpe_word_pieces_hand_computed():
     """The greedy apply is pinned by hand: lowest rank merges first and
     merges ALL its occurrences; merged symbols only re-merge when the
