@@ -1308,3 +1308,159 @@ def cumulative_gains(
             ),
         ).alias("lift"),
     )
+
+
+def pinball_loss(
+    df: DataFrame,
+    pred_col: str,
+    y_col: str = "value",
+    taus: tuple = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """Pinball (quantile) loss of a quantile forecast at each ``tau`` —
+    THE evaluation metric for quantile-regression / probabilistic
+    forecasting:  loss_i = max(tau * (y - q), (tau - 1) * (y - q)),
+    reported as the mean per tau.
+
+    Exactness: y and the prediction are decimal-quantized, the tau
+    factors are decimal literals, so every per-row term — including the
+    max of the two branches — is EXACT decimal arithmetic; the only
+    IEEE step is the closing mean division.  Taus must have one
+    decimal digit (the exactness contract).
+
+    Plan: one explode (|taus| = 3 rows per event, map-side) + ONE
+    tau-keyed aggregate.  Output: (tau, n, pinball) per tau.
+    """
+    from .stats import _dec
+
+    for t in taus:
+        if abs(t * 10 - round(t * 10)) > 1e-12:
+            raise ValueError(f"tau {t} must have one decimal digit")
+    y = _dec(F.col(y_col))
+    q = _dec(F.col(pred_col))
+    tau_rows = F.array(
+        *[F.lit(int(round(t * 10))) for t in taus]
+    )
+    base = df.filter(
+        F.col(y_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        y.alias("_y"), q.alias("_q"),
+        F.explode(tau_rows).alias("_t10"),
+    )
+    # tau as exact decimal(2,1): t10 / 10 via string round-trip
+    tau_dec = F.concat(
+        (F.col("_t10") / 10).cast("int").cast("string"),
+        F.lit("."),
+        (F.col("_t10") % 10).cast("string"),
+    ).cast("decimal(2,1)")
+    diff = F.col("_y") - F.col("_q")
+    term = F.greatest(
+        tau_dec * diff, (tau_dec - F.lit(1).cast("decimal(2,1)")) * diff
+    )
+    agg = base.select(F.col("_t10"), term.alias("_loss")).groupBy(
+        "_t10"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_loss").alias("_sum"),
+    )
+    return agg.select(
+        (F.col("_t10").cast("double") / 10).alias("tau"),
+        "n",
+        F.round(
+            F.col("_sum").cast("double") / F.col("n").cast("double"), 9
+        ).alias("pinball"),
+    ).orderBy("tau")
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 64,
+    denom: int = 2**32,
+) -> DataFrame:
+    """Isotonic (PAV) probability calibration over score bins — the
+    order-restricted regression used to calibrate ranker / reward-model
+    scores: pool-adjacent-violators makes the per-bin positive rate
+    monotone non-decreasing in the score while minimizing squared error
+    (Ayer et al. 1955; Zadrozny & Elkan 2002).
+
+    EXACT-FRACTION contract: pooled rates are rationals
+    (sum pos / sum n); PAV compares and merges them by integer
+    cross-multiplication only, and the output carries the gcd-reduced
+    ``cal_num / cal_den`` BIGINTs next to the display double — so an
+    independent plain-Python reference reproduces every block boundary
+    bit-for-bit (no float comparisons anywhere inside the algorithm).
+
+    Scale shape: facts reduce to <= ``bins`` rows via ONE bin-keyed
+    shuffle; PAV itself is inherently sequential, so it runs as one
+    Arrow kernel task over the metadata-sized bin frame (never over
+    facts).  Output: (bin, n, pos, cal_num, cal_den, calibrated).
+    """
+    from pyspark.sql import types as T
+
+    s = F.col(score_col)
+    b = F.floor(s * bins / F.lit(denom)).cast("int").alias("bin")
+    binned = (
+        df.select(b, F.col(label_col).cast("bigint").alias("_y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("pos"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("bin", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("cal_num", T.LongType()),
+            T.StructField("cal_den", T.LongType()),
+        ]
+    )
+
+    def pav(pdf):
+        import math
+
+        import pandas as pd
+
+        rows = sorted(
+            zip(pdf["bin"], pdf["n"], pdf["pos"]), key=lambda r: r[0]
+        )
+        # stack of pooled blocks [start_idx, n_sum, pos_sum]
+        stack: list[list[int]] = []
+        for i, (_, n_i, p_i) in enumerate(rows):
+            stack.append([i, int(n_i), int(p_i)])
+            # merge while the last block's rate < the previous block's:
+            # pos1/n1 > pos2/n2  <=>  pos1*n2 > pos2*n1 (integers only)
+            while (
+                len(stack) >= 2
+                and stack[-2][2] * stack[-1][1]
+                > stack[-1][2] * stack[-2][1]
+            ):
+                s2 = stack.pop()
+                stack[-1][1] += s2[1]
+                stack[-1][2] += s2[2]
+        out = []
+        blk = 0
+        for i, (bin_i, n_i, p_i) in enumerate(rows):
+            if blk + 1 < len(stack) and i >= stack[blk + 1][0]:
+                blk += 1
+            num, den = stack[blk][2], stack[blk][1]
+            g = math.gcd(num, den) or 1
+            out.append(
+                (int(bin_i), int(n_i), int(p_i), num // g, den // g)
+            )
+        return pd.DataFrame(
+            out, columns=["bin", "n", "pos", "cal_num", "cal_den"]
+        )
+
+    pooled = binned.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        lambda key, pdf: pav(pdf), out_schema
+    )
+    return pooled.select(
+        "bin", "n", "pos", "cal_num", "cal_den",
+        F.round(
+            F.col("cal_num").cast("double") / F.col("cal_den").cast("double"),
+            9,
+        ).alias("calibrated"),
+    )

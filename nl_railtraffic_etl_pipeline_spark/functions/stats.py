@@ -2415,3 +2415,138 @@ def page_hinkley(
         ),
         F.round(F.max("_ph").cast("double"), 9).alias("max_ph"),
     )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """One-way ANOVA F statistic across the levels of ``group_col`` —
+    does the group explain variance in ``value``?  The classical
+    decomposition SS_total = SS_between + SS_within with
+    F = (SSB / (k-1)) / (SSW / (n-k)).
+
+    Exactness: per-group n / sum / sum-of-squares are exact decimal
+    aggregates (module contract).  The ONE order-sensitive reduction —
+    sum over groups of s_g^2 / n_g — is a strict LEFT FOLD over the
+    group stats sorted by group key (``F.aggregate`` over a sorted
+    struct array; the oracle mirrors it with ``list_reduce`` over
+    ``list(... ORDER BY ...)``), so the k-term double accumulation is
+    bit-reproducible cross-engine; everything after is one fixed IEEE
+    op tree.  Grand sums stay decimal (order-free).
+
+    Plan: ONE group-keyed partial-agg shuffle, then a k-row (group
+    cardinality — metadata-scale) final reduction.  Output one row:
+    (k, n, ssb, ssw, f_stat), doubles rounded to 9.
+    """
+    v = _dec(F.col(value_col))
+    per = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("_ng"),
+            F.sum(v).alias("_sg"),
+            F.sum(v * v).alias("_ssg"),
+        )
+    )
+    row = per.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("_ng").cast("bigint").alias("n"),
+        F.sum("_sg").cast("double").alias("_s"),
+        F.sum("_ssg").cast("double").alias("_ss"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(group_col).alias("g"),
+                        F.col("_sg").cast("double").alias("sg"),
+                        F.col("_ng").alias("ng"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["sg"] * x["sg"] / x["ng"],
+        ).alias("_fold"),
+    )
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("_fold") - F.col("_s") * F.col("_s") / n
+    ssw = (F.col("_ss") - F.col("_s") * F.col("_s") / n) - ssb
+    f = F.when(
+        (k > 1) & (n > k) & (ssw > 0),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), 9),
+    )
+    return row.select(
+        "k", "n",
+        F.round(ssb, 6).alias("ssb"),
+        F.round(ssw, 6).alias("ssw"),
+        f.alias("f_stat"),
+    )
+
+
+#: SAX breakpoints for a 4-symbol alphabet (standard Gaussian
+#: quartiles): z < -0.6745 -> 'a', < 0 -> 'b', < 0.6745 -> 'c', else 'd'.
+_SAX_BREAK = 0.6745
+
+
+def sax_symbols(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003) of each group's daily-count
+    series: z-normalize the per-day counts within the group, then map
+    each day to a 4-letter alphabet by the standard Gaussian quartile
+    breakpoints — the symbolic time-series representation motif
+    discovery and anomaly shingling build on.
+
+    Exactness: the series values are integer COUNTs, so group mean /
+    variance inputs are exact BIGINT sums in any order; z and the
+    symbol comparison are ONE fixed IEEE op tree from those exact
+    aggregates, identical in the oracle.  Constant series (sd = 0) get
+    symbol NULL rather than a fabricated letter.
+
+    Plan: one (group, day)-keyed count aggregate, then a group-keyed
+    window for the series stats — the window reuses the aggregate's
+    partitioning, so the whole readout is TWO exchanges end to end.
+    Output: (group, day, n, z, sym).
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    from pyspark.sql import Window
+
+    daily = (
+        df.filter(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(group_col), day)
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy(group_col)
+    kk = F.count("*").over(w)
+    s = F.sum("n").over(w)
+    ss = F.sum(F.col("n") * F.col("n")).over(w)
+    stats = daily.select(
+        group_col, "day", "n",
+        kk.alias("_k"), s.alias("_s"), ss.alias("_ss"),
+    )
+    kd = F.col("_k").cast("double")
+    sd2 = (
+        F.col("_ss").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double") / kd
+    ) / (kd - 1)
+    z = (F.col("n").cast("double") - F.col("_s").cast("double") / kd) / F.sqrt(sd2)
+    sym = (
+        F.when(z < -_SAX_BREAK, "a")
+        .when(z < 0, "b")
+        .when(z < _SAX_BREAK, "c")
+        .otherwise("d")
+    )
+    valid = (F.col("_k") > 1) & (sd2 > 0)
+    return stats.select(
+        group_col,
+        "day",
+        "n",
+        F.when(valid, F.round(z, 6)).alias("z"),
+        F.when(valid, sym).alias("sym"),
+    )

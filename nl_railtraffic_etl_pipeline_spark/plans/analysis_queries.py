@@ -1,0 +1,241 @@
+"""r10 analysis gates: foreign-oracle string similarity, classical
+hypothesis testing, quantile-forecast evaluation, and symbolic
+time-series representation.
+
+Four first-class operators (X181-X184), each oracle-gated:
+
+- ``text_jaro_winkler``: blocked candidate pairs scored by a pure-Python
+  Jaro-Winkler Arrow kernel (Spark has no built-in), hash-checked
+  against DuckDB's NATIVE C++ ``jaro_winkler_similarity`` — two
+  independent implementations of the published algorithm (validated
+  bit-exact on 5000 random pairs), the utf8proc/NFC foreign-oracle
+  pattern.
+- ``stats_anova_f``: one-way ANOVA with a deterministic left-fold over
+  sorted group stats for the one order-sensitive double reduction.
+- ``ml_pinball_loss``: quantile-loss evaluation at tau in {.1,.5,.9},
+  exact decimal per-row terms.
+- ``events_sax_symbols``: SAX symbolization of per-type daily counts
+  (integer-exact normalization inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .oracle_util import round_sql as _round_sql
+from .registry import query
+from .testdata import load_table
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler similarity over blocked candidate pairs
+# (functions/fuzzy.py::blocked_text_pairs + jaro_winkler_pairs).  The
+# blocking — (first token, token-count // 8) with blocks > 100 docs
+# excluded deterministically on BOTH engines — bounds candidates by
+# max_block * corpus; texts travel truncated to 64 chars so the O(n*m)
+# match-window scan is constant per pair.  The oracle regenerates the
+# same pairs in SQL and scores them with DuckDB's native
+# jaro_winkler_similarity.
+# ---------------------------------------------------------------------------
+_JW_BUCKET, _JW_MAX_BLOCK, _JW_PREFIX = 8, 100, 64
+_JW_TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+@query(
+    "text_jaro_winkler",
+    f"""
+WITH b AS (
+    SELECT doc_id,
+           substr(trim(lower(text)), 1, {_JW_PREFIX}) AS tx,
+           {_JW_TOKENS}[1] AS w1,
+           len({_JW_TOKENS}) // {_JW_BUCKET} AS lb
+    FROM documents WHERE trim(lower(text)) <> ''
+),
+ok AS (
+    SELECT w1, lb FROM b GROUP BY 1, 2
+    HAVING COUNT(*) <= {_JW_MAX_BLOCK}
+),
+kept AS (SELECT b.* FROM b JOIN ok USING (w1, lb)),
+pairs AS (
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           a.tx AS ta, c.tx AS tb
+    FROM kept a JOIN kept c
+      ON a.w1 = c.w1 AND a.lb = c.lb AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b,
+       {_round_sql('jaro_winkler_similarity(ta, tb)', 6)} AS jw
+FROM pairs
+""",
+)
+def _text_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.fuzzy import blocked_text_pairs, jaro_winkler_pairs
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = blocked_text_pairs(
+        d,
+        length_bucket=_JW_BUCKET,
+        max_block=_JW_MAX_BLOCK,
+        prefix_chars=_JW_PREFIX,
+    )
+    return jaro_winkler_pairs(pairs).select(
+        "doc_a", "doc_b", F.round(F.col("jw"), 6).alias("jw")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F across event types (functions/stats.py::anova_f).  The
+# oracle mirrors the strict left fold over sorted group stats with
+# list_reduce over list(... ORDER BY event_type) so the k-term double
+# accumulation is bit-identical; grand sums ride exact decimals.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_anova_f",
+    """
+WITH b AS (
+    SELECT event_type, CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS dv
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+g AS (
+    SELECT event_type, COUNT(*) AS ng, SUM(dv) AS sg, SUM(dv * dv) AS ssg
+    FROM b GROUP BY 1
+),
+r AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(ng) AS BIGINT) AS n,
+           CAST(SUM(sg) AS DOUBLE) AS s,
+           CAST(SUM(ssg) AS DOUBLE) AS ss,
+           list_reduce(
+               list_prepend(
+                   CAST(0 AS DOUBLE),
+                   list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+                        ORDER BY event_type)
+               ),
+               (x, y) -> x + y
+           ) AS fold
+    FROM g
+)
+SELECT k, n,
+       ROUND(fold - s * s / n, 6) AS ssb,
+       ROUND((ss - s * s / n) - (fold - s * s / n), 6) AS ssw,
+       CASE WHEN k > 1 AND n > k
+                 AND (ss - s * s / n) - (fold - s * s / n) > 0
+            THEN ROUND(
+                ((fold - s * s / n) / (k - 1))
+                / (((ss - s * s / n) - (fold - s * s / n)) / (n - k)), 9)
+       END AS f_stat
+FROM r
+""",
+)
+def _stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import anova_f
+
+    e = load_table(spark, sf_dir, "events", spread=True)
+    return anova_f(e, "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss at tau in {0.1, 0.5, 0.9}
+# (functions/mleval.py::pinball_loss).  The quantile forecast is the
+# hash-derived deterministic prediction q = (h32('pin:'||event_id) %
+# 8000) / 10 — the repo's shared md5 contract, so both engines score the
+# SAME forecast; every per-row term is exact decimal, one closing mean
+# division.
+# ---------------------------------------------------------------------------
+_PIN_H = (
+    "CAST(('0x' || substr(md5('pin:' || CAST(event_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "ml_pinball_loss",
+    f"""
+WITH b AS (
+    SELECT CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS y,
+           CAST({_PIN_H} % 8000 AS DECIMAL(18,6))
+               * CAST(0.1 AS DECIMAL(2,1)) AS q
+    FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+),
+t AS (
+    SELECT y, q, unnest([1, 5, 9]) AS t10 FROM b
+),
+loss AS (
+    SELECT t10,
+           greatest(
+               CAST(t10 AS DECIMAL(3,1)) / 10 * (y - q),
+               (CAST(t10 AS DECIMAL(3,1)) / 10 - 1) * (y - q)
+           ) AS term
+    FROM t
+)
+SELECT CAST(t10 AS DOUBLE) / 10 AS tau,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 9) AS pinball
+FROM loss GROUP BY t10
+ORDER BY tau
+""",
+)
+def _ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import pinball_loss
+    from ..functions.text import hash32
+
+    e = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_id").isNotNull()
+    )
+    pred = (
+        hash32(F.concat(F.lit("pin:"), F.col("event_id").cast("string")))
+        % 8000
+    ).cast("double") / 10
+    return pinball_loss(
+        e.withColumn("_pred", pred), "_pred", y_col="value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization of per-type daily counts
+# (functions/stats.py::sax_symbols): z-normalize the integer daily
+# counts within each event type and map to the 4-letter Gaussian-
+# quartile alphabet.  All normalization inputs are exact BIGINT sums;
+# z and the breakpoint comparisons are one fixed IEEE op tree.
+# ---------------------------------------------------------------------------
+@query(
+    "events_sax_symbols",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+),
+st AS (
+    SELECT event_type, day, n,
+           COUNT(*) OVER (PARTITION BY event_type) AS k,
+           SUM(n) OVER (PARTITION BY event_type) AS s,
+           SUM(n * n) OVER (PARTITION BY event_type) AS ss
+    FROM daily
+),
+z AS (
+    SELECT event_type, day, n, k,
+           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1) AS sd2,
+           (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+               AS num
+    FROM st
+)
+SELECT event_type, day, n,
+       CASE WHEN k > 1 AND sd2 > 0
+            THEN ROUND(num / sqrt(sd2), 6) END AS z,
+       CASE WHEN k > 1 AND sd2 > 0 THEN
+           CASE WHEN num / sqrt(sd2) < -0.6745 THEN 'a'
+                WHEN num / sqrt(sd2) < 0 THEN 'b'
+                WHEN num / sqrt(sd2) < 0.6745 THEN 'c'
+                ELSE 'd' END
+       END AS sym
+FROM z
+""",
+)
+def _events_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import sax_symbols
+
+    e = load_table(spark, sf_dir, "events", spread=True)
+    return sax_symbols(e, "event_type")

@@ -1127,3 +1127,132 @@ def _cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("label"),
     )
     return cumulative_gains(base, "score", "label", n_buckets=10, denom=_DENOM)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAV) probability calibration (functions/mleval.py::
+# isotonic_calibration) — X187.  PAV is inherently sequential (pooling
+# can cascade arbitrarily far left), so like BPE/zlib the oracle rides
+# the driver-local reference-sweep artifact: plain-Python PAV over bins
+# recomputed from the raw parquet (pyarrow + hashlib, no Spark, no
+# Arrow batching) publishes the gcd-reduced exact block fractions; the
+# SQL recomputes bin counts/positives NATIVELY (a binning bug never
+# reaches the artifact join) and derives the display double from the
+# artifact's integers.  The engine's PAV runs as one Arrow-kernel task
+# over the <= 64-row bin frame with INTEGER cross-multiplication only —
+# both implementations must agree on every pooled block boundary or the
+# BIGINT fractions hash-mismatch.
+# ---------------------------------------------------------------------------
+import os as _os  # noqa: E402
+
+_ISO_BINS = 64
+_ISO_REF_PATH = f"/tmp/nl_spark_iso_ref_{_os.getpid()}.parquet"
+_ISO_ARTIFACTS: dict = {}
+
+
+def _publish_isotonic_reference(sf_dir: str) -> bool:
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    counts: dict[int, list[int]] = {}
+    n_events = 0
+    for eid, etype in zip(
+        tbl.column("event_id").to_pylist(),
+        tbl.column("event_type").to_pylist(),
+    ):
+        if etype is None or eid is None:
+            continue
+        n_events += 1
+        h = int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16)
+        b = h * _ISO_BINS // 2**32
+        c = counts.setdefault(b, [0, 0])
+        c[0] += 1
+        c[1] += 1 if etype == "purchase" else 0
+    rows = sorted(counts.items())
+    stack: list[list[int]] = []
+    for i, (_, (n_i, p_i)) in enumerate(rows):
+        stack.append([i, n_i, p_i])
+        while (
+            len(stack) >= 2
+            and stack[-2][2] * stack[-1][1] > stack[-1][2] * stack[-2][1]
+        ):
+            s2 = stack.pop()
+            stack[-1][1] += s2[1]
+            stack[-1][2] += s2[2]
+    bins_col, num_col, den_col = [], [], []
+    blk = 0
+    for i, (bin_i, _) in enumerate(rows):
+        if blk + 1 < len(stack) and i >= stack[blk + 1][0]:
+            blk += 1
+        num, den = stack[blk][2], stack[blk][1]
+        g = math.gcd(num, den) or 1
+        bins_col.append(bin_i)
+        num_col.append(num // g)
+        den_col.append(den // g)
+    out = pa.table(
+        {
+            "bin": pa.array(bins_col, pa.int32()),
+            "cal_num_ref": pa.array(num_col, pa.int64()),
+            "cal_den_ref": pa.array(den_col, pa.int64()),
+            "n_events": pa.array([n_events] * len(bins_col), pa.int64()),
+        }
+    )
+    if _os.path.exists(_ISO_REF_PATH):
+        prev = pq.read_table(_ISO_REF_PATH)
+        prev = prev.filter(pc.not_equal(prev.column("n_events"), n_events))
+        out = pa.concat_tables([prev, out])
+    tmp = _ISO_REF_PATH + ".tmp"
+    pq.write_table(out, tmp)
+    _os.replace(tmp, _ISO_REF_PATH)
+    return True
+
+
+@query(
+    "ml_isotonic_calibration",
+    f"""
+WITH base AS (
+    SELECT {_H32_SQL} AS s,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne FROM base),
+b AS (
+    SELECT CAST(s * {_ISO_BINS} // {_DENOM} AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM base GROUP BY 1
+)
+SELECT b.bin, b.n, b.pos,
+       r.cal_num_ref AS cal_num,
+       r.cal_den_ref AS cal_den,
+       {_r("CAST(r.cal_num_ref AS DOUBLE) / CAST(r.cal_den_ref AS DOUBLE)",
+           9)} AS calibrated
+FROM b
+CROSS JOIN nd
+JOIN read_parquet('{_ISO_REF_PATH}') r
+  ON b.bin = r.bin AND r.n_events = nd.ne
+""",
+)
+def _ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import isotonic_calibration
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ISO_ARTIFACTS:
+        _ISO_ARTIFACTS[key] = _publish_isotonic_reference(sf_dir)
+    ev = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+    )
+    base = ev.select(
+        hash32(F.col("event_id").cast("string")).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return isotonic_calibration(
+        base, "score", "label", bins=_ISO_BINS, denom=_DENOM
+    )

@@ -313,6 +313,7 @@ def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Register the ETL-operator and training-data query families (each module
 # calls @query at import time).  Imported last: they need `query` above.
+from . import analysis_queries  # noqa: E402,F401  (registration side-effect)
 from . import behavior_queries  # noqa: E402,F401  (registration side-effect)
 from . import etl_queries  # noqa: E402,F401  (registration side-effect)
 from . import eval_queries  # noqa: E402,F401  (registration side-effect)

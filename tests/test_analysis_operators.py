@@ -1,0 +1,185 @@
+"""Unit tests for the r10 analysis operators (functions/fuzzy.py
+jaro-winkler + blocking, functions/stats.py anova_f / sax_symbols,
+functions/mleval.py pinball_loss)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_jaro_winkler_known_values():
+    """Textbook pairs (Winkler 1990 convention: prefix <= 4, scale 0.1,
+    boost only above jaro 0.7) plus the empty-string = 0 edge that
+    DuckDB's native implementation uses."""
+    from nl_railtraffic_etl_pipeline_spark.functions.fuzzy import (
+        _jaro_winkler,
+    )
+
+    assert abs(_jaro_winkler("martha", "marhta") - 0.9611111111111111) < 1e-15
+    assert abs(_jaro_winkler("dwayne", "duane") - 0.8400000000000001) < 1e-15
+    assert abs(_jaro_winkler("dixon", "dicksonx") - 0.8133333333333332) < 1e-15
+    assert _jaro_winkler("same", "same") == 1.0
+    assert _jaro_winkler("a", "b") == 0.0
+    assert _jaro_winkler("", "") == 0.0        # DuckDB convention
+    assert _jaro_winkler("abc", "") == 0.0
+    # below the 0.7 boost threshold the prefix bonus must NOT apply
+    assert _jaro_winkler("abcdefgh", "abzzzzzz") == 0.5
+
+
+def test_jaro_winkler_matches_duckdb_native():
+    """The kernel is bit-exact with DuckDB's C++ implementation — the
+    foreign-oracle contract the text_jaro_winkler gate rides."""
+    import random
+
+    import duckdb
+
+    from nl_railtraffic_etl_pipeline_spark.functions.fuzzy import (
+        _jaro_winkler,
+    )
+
+    con = duckdb.connect()
+    rng = random.Random(42)
+    for _ in range(500):
+        a = "".join(rng.choices("abcdefgh ", k=rng.randint(0, 16)))
+        b = "".join(rng.choices("abcdefgh ", k=rng.randint(0, 16)))
+        d = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert d == _jaro_winkler(a, b), (repr(a), repr(b))
+
+
+def test_blocked_text_pairs_blocking_and_fence(spark):
+    """Pairs come only from within (first token, length bucket) blocks;
+    blocks over max_block are dropped entirely (deterministic exclusion,
+    not truncation)."""
+    from nl_railtraffic_etl_pipeline_spark.functions.fuzzy import (
+        blocked_text_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta delta"),      # same block as 1 (w1=alpha, lb=0)
+        (3, "omega beta gamma"),      # different first token
+        (4, "alpha " + "x " * 20),    # same w1, different length bucket
+        (5, None),
+        (6, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in blocked_text_pairs(df, max_block=10).collect()
+    }
+    assert got == {(1, 2)}
+    # fence: a 3-doc block with max_block=2 is EXCLUDED, yielding nothing
+    rows2 = [(i, "same first words here") for i in range(3)]
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, text string")
+    assert blocked_text_pairs(df2, max_block=2).count() == 0
+    assert blocked_text_pairs(df2, max_block=3).count() == 3  # C(3,2)
+
+
+def test_anova_f_hand_computed(spark):
+    """3 groups with textbook values: F = (SSB/(k-1)) / (SSW/(n-k))."""
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import anova_f
+
+    data = (
+        [("a", v) for v in (1.0, 2.0, 3.0)]
+        + [("b", v) for v in (2.0, 3.0, 4.0)]
+        + [("c", v) for v in (6.0, 7.0, 8.0)]
+    )
+    df = spark.createDataFrame(data, "g string, value double")
+    row = anova_f(df, "g").collect()[0]
+    # means 2,3,7; grand 4; SSB = 3*(4+1+9)=42; SSW = 3 groups * 2 = 6
+    assert (row.k, row.n) == (3, 9)
+    assert abs(row.ssb - 42.0) < 1e-9
+    assert abs(row.ssw - 6.0) < 1e-9
+    assert abs(row.f_stat - (42 / 2) / (6 / 6)) < 1e-9
+    # single group / constant values -> NULL f
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, value double"
+    )
+    assert anova_f(df2, "g").collect()[0].f_stat is None
+
+
+def test_pinball_loss_hand_computed(spark):
+    """One observation, known prediction: loss at tau is
+    max(tau*(y-q), (tau-1)*(y-q))."""
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import (
+        pinball_loss,
+    )
+
+    df = spark.createDataFrame(
+        [(10.0, 4.0), (2.0, 4.0)], "value double, pred double"
+    )
+    got = {
+        r.tau: r.pinball for r in pinball_loss(df, "pred").collect()
+    }
+    # y=10,q=4: diff=6 -> tau*6 ; y=2,q=4: diff=-2 -> (tau-1)*(-2)
+    for tau in (0.1, 0.5, 0.9):
+        want = (tau * 6 + (1 - tau) * 2) / 2
+        assert abs(got[tau] - want) < 1e-9, tau
+
+
+def test_isotonic_pav_hand_computed(spark):
+    """PAV pooling on a textbook violator sequence: rates
+    [0/2, 2/2, 1/2, 1/2] pool bins 1..3 into one 4/6 = 2/3 block;
+    monotonicity and mass conservation hold; fractions are gcd-reduced."""
+    from nl_railtraffic_etl_pipeline_spark.functions.mleval import (
+        isotonic_calibration,
+    )
+
+    # craft scores landing in bins 0..3 of 4 bins over denom 100:
+    # bin = floor(score * 4 / 100) -> scores 10, 30, 60, 80
+    rows = []
+    for score, labels in ((10, (0, 0)), (30, (1, 1)), (60, (1, 0)),
+                          (80, (0, 1))):
+        for y in labels:
+            rows.append((score, y))
+    df = spark.createDataFrame(rows, "score bigint, label int")
+    out = {
+        r.bin: r
+        for r in isotonic_calibration(
+            df, "score", "label", bins=4, denom=100
+        ).collect()
+    }
+    assert (out[0].cal_num, out[0].cal_den) == (0, 1)
+    for b in (1, 2, 3):
+        assert (out[b].cal_num, out[b].cal_den) == (2, 3), b
+    # monotone + conserves mass
+    cals = [out[b].cal_num / out[b].cal_den for b in sorted(out)]
+    assert cals == sorted(cals)
+    assert sum(out[b].pos for b in out) == 4
+    assert abs(out[1].calibrated - round(2 / 3, 9)) < 1e-12
+
+
+def test_sax_symbols_hand_computed(spark):
+    """Four equally-spaced daily counts map to a,b,c,d; constant series
+    yields NULL symbols."""
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        sax_symbols,
+    )
+
+    rows = []
+    # type 'x': counts 1,2,3,4 on 4 days (one event per count unit)
+    for d, n in ((1, 1), (2, 2), (3, 3), (4, 4)):
+        for i in range(n):
+            rows.append((len(rows), f"2024-01-0{d} 00:0{i}:00", "x"))
+    # type 'y': constant 2/day over 3 days
+    for d in (1, 2, 3):
+        for i in range(2):
+            rows.append((len(rows), f"2024-02-0{d} 00:0{i}:00", "y"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, event_type string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type"
+    )
+    out = sax_symbols(df, "event_type").collect()
+    x = sorted(
+        [(r.day.day, r.n, r.sym) for r in out if r.event_type == "x"]
+    )
+    # z of 1,2,3,4 (mean 2.5, sd ~1.29): -1.16, -0.39, 0.39, 1.16
+    assert [s for _, _, s in x] == ["a", "b", "c", "d"]
+    assert all(
+        r.sym is None and r.z is None for r in out if r.event_type == "y"
+    )
