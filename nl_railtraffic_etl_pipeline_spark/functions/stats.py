@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted", "share_of_parent", "poisson_bootstrap_ci", "flag_runs", "page_hinkley"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted", "share_of_parent", "poisson_bootstrap_ci", "flag_runs", "page_hinkley", "anova_f", "anova_group_stats", "anova_close", "sax_symbols"]
 
 
 def _dec(col: Column) -> Column:
@@ -2440,8 +2440,23 @@ def anova_f(
     cardinality — metadata-scale) final reduction.  Output one row:
     (k, n, ssb, ssw, f_stat), doubles rounded to 9.
     """
+    per = anova_group_stats(df, group_col, value_col)
+    return anova_close(per, group_col)
+
+
+def anova_group_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group (count, exact decimal sum, exact decimal sum of
+    squares) — the mergeable state :func:`anova_close` consumes.  All
+    three aggregates merge associatively across partial aggregations
+    AND streaming micro-batches, so a complete-mode stream aggregation
+    of this exact shape drains into the identical closing arithmetic
+    (the batch/stream twin contract)."""
     v = _dec(F.col(value_col))
-    per = (
+    return (
         df.filter(
             F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
         )
@@ -2452,6 +2467,12 @@ def anova_f(
             F.sum(v * v).alias("_ssg"),
         )
     )
+
+
+def anova_close(per: DataFrame, group_col: str) -> DataFrame:
+    """Closing arithmetic of :func:`anova_f` over the per-group stats
+    frame (see there for the exactness contract: decimal grand sums,
+    strict left fold for the one order-sensitive double reduction)."""
     row = per.agg(
         F.count("*").cast("bigint").alias("k"),
         F.sum("_ng").cast("bigint").alias("n"),

@@ -88,9 +88,12 @@ def _text_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
 # list_reduce over list(... ORDER BY event_type) so the k-term double
 # accumulation is bit-identical; grand sums ride exact decimals.
 # ---------------------------------------------------------------------------
-@query(
-    "stats_anova_f",
-    """
+#: Shared by the batch gate below and its streaming twin
+#: (streaming_queries::streaming_anova): the per-type state (count /
+#: decimal sum / decimal sum-of-squares) is mergeable across
+#: micro-batches, so the drained stream closes with the identical
+#: arithmetic and the batch oracle IS the streaming oracle.
+ANOVA_ORACLE_SQL = """
 WITH b AS (
     SELECT event_type, CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS dv
     FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
@@ -124,8 +127,10 @@ SELECT k, n,
                 / (((ss - s * s / n) - (fold - s * s / n)) / (n - k)), 9)
        END AS f_stat
 FROM r
-""",
-)
+"""
+
+
+@query("stats_anova_f", ANOVA_ORACLE_SQL)
 def _stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.stats import anova_f
 

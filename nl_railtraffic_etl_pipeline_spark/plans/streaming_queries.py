@@ -1005,3 +1005,33 @@ def _streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_to_memory(per_digit, "streaming_benford_digits", "complete")
     return benford_close(spark.table("streaming_benford_digits"))
+
+
+from .analysis_queries import ANOVA_ORACLE_SQL  # noqa: E402
+
+
+@query(
+    "streaming_anova",
+    # Streaming twin of stats_anova_f: the per-type state is (count,
+    # exact decimal sum, exact decimal sum of squares) — all three merge
+    # associatively across micro-batches — so the drained frame feeds
+    # the identical closing arithmetic (grand decimal sums + the strict
+    # left fold over sorted group stats) and the batch oracle IS the
+    # streaming oracle, however the stream micro-batches.
+    ANOVA_ORACLE_SQL,
+)
+def _streaming_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA THROUGH the streaming engine: the events stream
+    aggregates per-type count/sum/sum-of-squares incrementally in
+    complete mode (state = |event types| rows of mergeable exact
+    decimals, watermark-free), and the drained stats close with
+    functions/stats.py::anova_close — hash-identical to the batch
+    stats_anova_f gate."""
+    from ..functions.stats import anova_close, anova_group_stats
+
+    ev = _events_stream(spark, sf_dir)
+    per = anova_group_stats(ev, "event_type", "value")
+    _drain_to_memory(per, "streaming_anova_groups", "complete")
+    return anova_close(
+        spark.table("streaming_anova_groups"), "event_type"
+    )

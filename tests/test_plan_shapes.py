@@ -130,7 +130,11 @@ def test_grouped_sketch_paths_shuffle_on_group_key(spark):
 def test_python_only_in_arrow_kernels(spark):
     for name in entry_mod.queries():
         txt = plan_of(spark, name)
-        has_python = re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", txt)
+        has_python = re.search(
+            r"MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython"
+            r"|BatchEvalPython",
+            txt,
+        )
         if name in (
             "dedup_embedding_cosine",
             "dedup_threshold_sweep",  # reuses the blocked Arrow pair kernel
