@@ -1396,11 +1396,24 @@ def isotonic_calibration(
     Arrow kernel task over the metadata-sized bin frame (never over
     facts).  Output: (bin, n, pos, cal_num, cal_den, calibrated).
     """
-    from pyspark.sql import types as T
+    binned = isotonic_bin_stats(df, score_col, label_col, bins, denom)
+    return isotonic_close(binned)
 
+
+def isotonic_bin_stats(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 64,
+    denom: int = 2**32,
+) -> DataFrame:
+    """Per-bin (count, positives) — the mergeable state
+    :func:`isotonic_close` consumes.  Both aggregates merge
+    associatively across partial aggregations AND streaming
+    micro-batches (the batch/stream twin contract)."""
     s = F.col(score_col)
     b = F.floor(s * bins / F.lit(denom)).cast("int").alias("bin")
-    binned = (
+    return (
         df.select(b, F.col(label_col).cast("bigint").alias("_y"))
         .groupBy("bin")
         .agg(
@@ -1408,6 +1421,13 @@ def isotonic_calibration(
             F.sum("_y").cast("bigint").alias("pos"),
         )
     )
+
+
+def isotonic_close(binned: DataFrame) -> DataFrame:
+    """PAV over the (bin, n, pos) frame — see
+    :func:`isotonic_calibration` for the exact-fraction contract."""
+    from pyspark.sql import types as T
+
     out_schema = T.StructType(
         [
             T.StructField("bin", T.IntegerType()),

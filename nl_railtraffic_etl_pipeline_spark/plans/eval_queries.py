@@ -1214,9 +1214,11 @@ def _publish_isotonic_reference(sf_dir: str) -> bool:
     return True
 
 
-@query(
-    "ml_isotonic_calibration",
-    f"""
+#: Shared by the batch gate below and its streaming twin
+#: (streaming_queries::streaming_isotonic): the per-bin (count,
+#: positives) state is mergeable across micro-batches, so the drained
+#: stream closes with the shared PAV arithmetic under this same oracle.
+ISO_ORACLE_SQL = f"""
 WITH base AS (
     SELECT {_H32_SQL} AS s,
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
@@ -1238,8 +1240,10 @@ FROM b
 CROSS JOIN nd
 JOIN read_parquet('{_ISO_REF_PATH}') r
   ON b.bin = r.bin AND r.n_events = nd.ne
-""",
-)
+"""
+
+
+@query("ml_isotonic_calibration", ISO_ORACLE_SQL)
 def _ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.mleval import isotonic_calibration
 

@@ -1035,3 +1035,56 @@ def _streaming_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anova_close(
         spark.table("streaming_anova_groups"), "event_type"
     )
+
+
+from .eval_queries import ISO_ORACLE_SQL  # noqa: E402
+
+
+@query(
+    "streaming_isotonic",
+    # Streaming twin of ml_isotonic_calibration: the per-bin state is
+    # (count, positives) — both merge associatively across micro-batches
+    # — so the drained bin frame feeds the SHARED exact-fraction PAV
+    # close and the batch oracle (native SQL bins + the plain-Python
+    # reference-sweep artifact) IS the streaming oracle.
+    ISO_ORACLE_SQL,
+)
+def _streaming_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration THROUGH the streaming engine: the
+    events stream bins the md5-contract scores map-side, per-bin
+    (count, positives) aggregate incrementally in complete mode (state
+    = 64 rows of mergeable BIGINTs, watermark-free), and the drained
+    frame closes with functions/mleval.py::isotonic_close — hash-
+    identical to the batch ml_isotonic_calibration gate."""
+    from ..functions.mleval import isotonic_close
+    from ..functions.text import hash32
+    from .eval_queries import (
+        _DENOM,
+        _ISO_ARTIFACTS,
+        _ISO_BINS,
+        _publish_isotonic_reference,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ISO_ARTIFACTS:
+        _ISO_ARTIFACTS[key] = _publish_isotonic_reference(sf_dir)
+    ev = _events_stream(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+    )
+    s = hash32(F.col("event_id").cast("string"))
+    b = F.floor(s * _ISO_BINS / F.lit(_DENOM)).cast("int").alias("bin")
+    per_bin = (
+        ev.select(
+            b,
+            (F.col("event_type") == "purchase")
+            .cast("bigint")
+            .alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("pos"),
+        )
+    )
+    _drain_to_memory(per_bin, "streaming_isotonic_bins", "complete")
+    return isotonic_close(spark.table("streaming_isotonic_bins"))

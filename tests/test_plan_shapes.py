@@ -151,6 +151,7 @@ def test_python_only_in_arrow_kernels(spark):
             "mm_sample_gif_frames",  # animated-GIF fixture + frame kernels
             "text_jaro_winkler",  # pure-Python JW kernel (no Spark builtin)
             "ml_isotonic_calibration",  # PAV kernel on the <=64-row bin frame
+            "streaming_isotonic",  # same PAV kernel over the drained bins
             "text_bpe_encode",  # greedy BPE apply kernel (merge loop)
             "text_unicode_nfc",  # CPython unicodedata NFC kernel
             "text_compression_ratio",
