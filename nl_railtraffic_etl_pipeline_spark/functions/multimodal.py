@@ -2221,3 +2221,279 @@ def decode_gif_pixel_stats(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         _gif_pixels_batch, GIF_PIXEL_STATS
     )
+
+
+# ---------------------------------------------------------------------------
+# PROGRESSIVE JPEG, DC path (T.81 Annex G): SOF2 images whose DC
+# coefficients arrive as a first scan (DPCM of DC >> Al) followed by
+# successive-approximation refinement scans (one raw magnitude bit per
+# block per scan).  Real-world progressive files front-load exactly this
+# information — decoding the DC path yields the block-mean image (the
+# 1/64-scale preview) without the multi-scan AC machinery.  AC scans
+# (Ss > 0), multi-component progressive, and subsampling stay out of
+# envelope (quarantine).  Closes half of the former "progressive JPEG
+# quarantines entirely" gap.
+# ---------------------------------------------------------------------------
+
+
+def _next_marker(b: bytes, pos: int) -> int:
+    """First offset >= pos of a real marker (0xFF followed by neither a
+    stuffing 0x00 nor an RSTn) — the end of an entropy-coded segment."""
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (
+            0xD0 <= b[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(b)
+
+
+def _jpeg_decode_progressive_dc(b: bytes):
+    """Progressive (SOF2) grayscale DC decode -> (width, height,
+    blocks_w, blocks_h, n_scans, [dequantized DC per block, raster])
+    or None (quarantine).  Scan chain per T.81 G.1.2: the first DC scan
+    (Ah=0) DPCM-codes ``DC >> Al``; each refinement scan (Ah=Al+1)
+    appends one raw bit per block at position Al; the image is complete
+    when Al reaches 0 — anything else (AC scans, missing refinements,
+    multi-component, subsampled, 12-bit) returns None."""
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    coefs: list[int] | None = None
+    cur_al = None  # Al after the scans seen so far; 0 = complete
+    n_scans = 0
+    try:
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            m = b[pos + 1]
+            if m == 0xD9:  # EOI
+                break
+            ln = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            seg = b[pos + 4 : pos + 2 + ln]
+            if len(seg) != ln - 2:
+                return None
+            if m == 0xDB:
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    if pq != 0:
+                        return None
+                    qtabs[tq] = list(seg[i + 1 : i + 65])
+                    i += 65
+            elif m == 0xC4:
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    bits = list(seg[i + 1 : i + 17])
+                    n = sum(bits)
+                    vals = list(seg[i + 17 : i + 17 + n])
+                    enc = _huff_canonical(bits, vals)
+                    htabs[(tc, th)] = {
+                        (c, l): s for s, (c, l) in enc.items()
+                    }
+                    i += 17 + n
+            elif m == 0xC2:  # SOF2 progressive
+                prec = seg[0]
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if prec != 8 or w == 0 or h == 0 or nc != 1:
+                    return None  # multi-component progressive: out of scope
+                cid, samp, tq = seg[6:9]
+                if samp != 0x11:
+                    return None
+                sof = (w, h, cid, tq)
+            elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                       0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # sequential/other SOF in a progressive path
+            elif m == 0xDA:
+                if sof is None:
+                    return None
+                w, h, cid, tq = sof
+                ns = seg[0]
+                if ns != 1 or seg[1] != cid:
+                    return None
+                td = seg[2] >> 4
+                ss, se = seg[3], seg[4]
+                ah, al = seg[5] >> 4, seg[5] & 15
+                if ss != 0 or se != 0:
+                    return None  # AC scan: out of envelope
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                nblk = bw * bh
+                rd = _BitReader(b, pos + 2 + ln)
+                if ah == 0:
+                    # first DC scan: DPCM of DC >> al
+                    if coefs is not None:
+                        return None  # duplicate first scan
+                    dct = htabs.get((0, td))
+                    if dct is None:
+                        return None
+                    pred = 0
+                    coefs = []
+                    for _ in range(nblk):
+                        cat = _huff_decode(rd, dct)
+                        if cat > 15:
+                            return None
+                        pred += _extend(rd.read_bits(cat), cat)
+                        coefs.append(pred << al)
+                    cur_al = al
+                else:
+                    # refinement: Ah must continue the chain (Ah == Al+1
+                    # of the remaining precision), one raw bit per block
+                    if coefs is None or cur_al is None:
+                        return None
+                    if ah != cur_al or al != cur_al - 1:
+                        return None
+                    for i in range(nblk):
+                        if rd.read_bit():
+                            coefs[i] |= 1 << al
+                    cur_al = al
+                n_scans += 1
+                pos = _next_marker(b, pos + 2 + ln)
+                continue
+            pos += 2 + ln
+        if sof is None or coefs is None or cur_al != 0:
+            return None  # incomplete successive approximation
+        w, h, cid, tq = sof
+        qt = qtabs.get(tq)
+        if qt is None:
+            return None
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        return (w, h, bw, bh, n_scans, [c * qt[0] for c in coefs])
+    except (EOFError, IndexError):
+        return None
+
+
+def jpeg_encode_progressive_dc(
+    doc_id: int, blocks_w: int, blocks_h: int, al: int = 1
+) -> bytes:
+    """Deterministic grayscale PROGRESSIVE-JPEG fixture (SOF2): block
+    ``i`` has quantized DC ``((doc_id * 19 + i * 23) % 256) - 128``
+    (all-ones quant table), delivered as a first DC scan at precision
+    ``al`` (DPCM of DC >> al, std DC table) followed by ``al``
+    refinement scans each appending one magnitude bit per block — the
+    T.81 successive-approximation chain, with real byte stuffing per
+    scan."""
+    import struct
+
+    dc_enc = _huff_canonical(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    dcs = [
+        ((doc_id * 19 + i * 23) % 256) - 128
+        for i in range(blocks_w * blocks_h)
+    ]
+
+    def pack(bits_list):
+        acc, nacc, payload = 0, 0, bytearray()
+        for v, ln in bits_list:
+            acc = (acc << ln) | (v & ((1 << ln) - 1))
+            nacc += ln
+            while nacc >= 8:
+                byte = (acc >> (nacc - 8)) & 0xFF
+                payload.append(byte)
+                if byte == 0xFF:
+                    payload.append(0x00)
+                nacc -= 8
+        if nacc:
+            byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+            payload.append(byte)
+            if byte == 0xFF:
+                payload.append(0x00)
+        return bytes(payload)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    w, h = blocks_w * 8, blocks_h * 8
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_STD_DC_BITS)
+        + bytes(_JPEG_STD_DC_VALS),
+    )
+    # scan 1: DPCM of DC >> al
+    bits: list[tuple[int, int]] = []
+    pred = 0
+    for d in dcs:
+        v = d >> al
+        diff = v - pred
+        pred = v
+        cat = abs(diff).bit_length()
+        bits.append(dc_enc[cat])
+        if cat:
+            raw = diff if diff >= 0 else diff + (1 << cat) - 1
+            bits.append((raw, cat))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, (0 << 4) | al]))
+    out += pack(bits)
+    # refinement scans: one raw bit per block, al-1 .. 0
+    for lvl in range(al - 1, -1, -1):
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, ((lvl + 1) << 4) | lvl]))
+        out += pack([((d >> lvl) & 1, 1) for d in dcs])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+#: Output schema of the progressive-DC decoder: the DC-stats contract
+#: plus the scan count that pins the successive-approximation chain.
+JPEG_PROG_DC_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("blocks_w", T.IntegerType()),
+        T.StructField("blocks_h", T.IntegerType()),
+        T.StructField("n_scans", T.IntegerType()),
+        T.StructField("dc_sum", T.LongType()),
+        T.StructField("dc_weighted", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_jpeg_progressive_dc_stats(df_with_payload: DataFrame) -> DataFrame:
+    """Progressive-JPEG DC-path decode over a binary column (see
+    :func:`_jpeg_decode_progressive_dc`): exact dequantized-DC sums +
+    the position-weighted sum + the scan count, malformed / incomplete /
+    out-of-envelope payloads quarantined.  Arrow ``mapInPandas``,
+    map-only, O(blocks) live state per image."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _jpeg_decode_progressive_dc(bytes(payload))
+                if dec is None:
+                    rows.append((doc_id,) + (None,) * 7 + (False,))
+                    continue
+                w, h, bw, bh, nsc, dcs = dec
+                rows.append(
+                    (
+                        doc_id, w, h, bw, bh, nsc,
+                        sum(dcs),
+                        sum((i + 1) * d for i, d in enumerate(dcs)),
+                        True,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "blocks_w", "blocks_h",
+                    "n_scans", "dc_sum", "dc_weighted", "decoded",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32",
+                    "blocks_w": "Int32", "blocks_h": "Int32",
+                    "n_scans": "Int32", "dc_sum": "Int64",
+                    "dc_weighted": "Int64",
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, JPEG_PROG_DC_STATS
+    )

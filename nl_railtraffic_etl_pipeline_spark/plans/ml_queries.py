@@ -7251,6 +7251,93 @@ def _mm_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PROGRESSIVE JPEG, DC path (multimodal.decode_jpeg_progressive_dc_stats):
+# genuine SOF2 files whose DC coefficients arrive as a first scan (DPCM
+# of DC >> Al) plus Al successive-approximation refinement scans (one
+# raw magnitude bit per block per scan, separate entropy segments with
+# real byte stuffing).  The engine walks the multi-scan chain, verifies
+# the Ah/Al succession, reassembles the exact DC values, and emits the
+# dequantized block-mean stats + the scan count; the oracle recomputes
+# everything from the closed form — a wrong shift, a refinement bit
+# applied at the wrong level, or a scan-boundary mis-walk
+# hash-mismatches.  Every third doc truncated (incomplete approximation
+# also quarantines — pinned in pytest).  Shrinks the former
+# "progressive JPEG quarantines entirely" gap to the AC path.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_jpeg_prog_dc",
+    """
+WITH sel AS (
+    SELECT doc_id,
+           CAST(2 + doc_id % 3 AS INTEGER) AS bw,
+           CAST(1 + doc_id % 2 AS INTEGER) AS bh,
+           CAST(1 + doc_id % 2 AS INTEGER) AS al,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 41 = 0
+),
+blk AS (
+    SELECT doc_id, unnest(range(0, bw * bh)) AS i
+    FROM sel WHERE NOT corrupt
+),
+dc AS (
+    SELECT doc_id, i, ((doc_id * 19 + i * 23) % 256) - 128 AS d
+    FROM blk
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM(d) AS BIGINT) AS dc_sum,
+           CAST(SUM((i + 1) * d) AS BIGINT) AS dc_weighted
+    FROM dc GROUP BY 1
+)
+SELECT sel.doc_id,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE sel.bw * 8 END
+            AS INTEGER) AS width,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE sel.bh * 8 END
+            AS INTEGER) AS height,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.bw END AS blocks_w,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.bh END AS blocks_h,
+       CASE WHEN sel.corrupt THEN NULL ELSE 1 + sel.al END AS n_scans,
+       sums.dc_sum, sums.dc_weighted,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_jpeg_prog_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 41 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(2) + F.col("doc_id") % 3).cast("int").alias("_bw"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("_bh"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("_al"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import jpeg_encode_progressive_dc
+
+        for pdf in batches:
+            payloads = [
+                jpeg_encode_progressive_dc(
+                    int(doc), int(bw), int(bh), int(al)
+                )[: 40 if corrupt else None]
+                for doc, bw, bh, al, corrupt in zip(
+                    pdf["doc_id"], pdf["_bw"], pdf["_bh"], pdf["_al"],
+                    pdf["_corrupt"],
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_jpeg_progressive_dc_stats(payload)
+
+
+# ---------------------------------------------------------------------------
 # MULTI-FRAME GIF frame sampling (multimodal.sample_gif_frames): genuine
 # ANIMATED GIF89a files — NETSCAPE looping extension (multi-sub-block
 # skip), per-frame Graphic Control Extensions carrying formula delays,

@@ -3143,6 +3143,45 @@ def test_gif_lzw_decoder_pinned_and_roundtrip():
     assert _gif_decode_pixels(b"GIF89a") is None
 
 
+def test_jpeg_progressive_dc_roundtrip_and_envelope():
+    """T.81 successive approximation: the first DC scan (DPCM of
+    DC >> Al) plus Al one-bit refinement scans reassemble every DC
+    exactly (incl. negative values — arithmetic shift + OR identity);
+    incomplete chains, AC scans, truncation, and sequential SOF0 input
+    all quarantine."""
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _jpeg_decode_progressive_dc,
+        jpeg_encode_gray_blocks,
+        jpeg_encode_progressive_dc,
+    )
+
+    for doc, bw, bh, al in ((0, 1, 1, 1), (7, 3, 2, 1), (13, 2, 3, 2),
+                            (99, 4, 4, 3), (5, 2, 2, 0)):
+        got = _jpeg_decode_progressive_dc(
+            jpeg_encode_progressive_dc(doc, bw, bh, al)
+        )
+        dcs = [((doc * 19 + i * 23) % 256) - 128
+               for i in range(bw * bh)]
+        assert got == (bw * 8, bh * 8, bw, bh, 1 + al, dcs), (doc, al)
+    # incomplete approximation (refinement scans cut off) quarantines:
+    # truncate before the final refinement's entropy data
+    full = jpeg_encode_progressive_dc(3, 2, 2, 2)
+    assert _jpeg_decode_progressive_dc(full[:60]) is None
+    assert _jpeg_decode_progressive_dc(b"junk") is None
+    # a SEQUENTIAL baseline file is out of this decoder's envelope
+    assert _jpeg_decode_progressive_dc(
+        jpeg_encode_gray_blocks(3, 2, 2)
+    ) is None
+    # and the progressive file is out of the sequential decoders'
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _jpeg_decode_dc,
+        _jpeg_decode_pixels,
+    )
+
+    assert _jpeg_decode_dc(full) is None
+    assert _jpeg_decode_pixels(full) is None
+
+
 def test_gif_frame_sampling_exact_and_skip():
     """Animated-GIF frame sampling: sampled frames decode to the exact
     per-frame formula sums WITH the right GCE delay attached; stride
