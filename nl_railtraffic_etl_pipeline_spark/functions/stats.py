@@ -2571,3 +2571,96 @@ def sax_symbols(
         F.when(valid, F.round(z, 6)).alias("z"),
         F.when(valid, sym).alias("sym"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Kruskal-Wallis H across the levels of ``group_col`` — the
+    rank-based (nonparametric) companion to :func:`anova_f`, with the
+    textbook MIDRANK tie handling and tie correction:
+
+        H  = 3/(n(n+1)) * sum_g (2R_g)^2/(4 n_g) * 4 - 3(n+1)
+           = 3/(n(n+1)) * sum_g S2_g^2/n_g / ... (S2_g = sum of 2*rank)
+        C  = 1 - sum_v (t_v^3 - t_v) / (n^3 - n),   H' = H / C
+
+    Exactness: midranks ride as DOUBLED ranks (2*avgrank = 2*cum_before
+    + t + 1 — always an integer), so per-group rank sums ``S2_g`` and
+    the tie mass are exact BIGINTs; the one order-sensitive double
+    reduction (sum over groups of S2_g^2 / n_g) is the same strict
+    LEFT FOLD over group stats sorted by key as :func:`anova_f`;
+    everything after is one fixed IEEE op tree (n cast to double before
+    cubing so the statistic survives row counts whose cube overflows
+    BIGINT).
+
+    Plan: one value-keyed count shuffle; the cumulative rank window
+    rides the DISTINCT-VALUE frame (cardinality of the metric, not
+    facts); one value-keyed equi-join back to facts; one group-keyed
+    aggregate.  Output one row: (k, n, h_stat, tie_correction,
+    h_corrected).
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+    vc = base.groupBy("_v").agg(F.count("*").cast("bigint").alias("_t"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = vc.select(
+        "_v",
+        "_t",
+        (
+            F.lit(2) * F.coalesce(F.sum("_t").over(w), F.lit(0))
+            + F.col("_t")
+            + 1
+        ).cast("bigint").alias("_r2"),
+    )
+    per = (
+        base.join(ranks.select("_v", "_r2"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.count("*").cast("bigint").alias("_ng"),
+            F.sum("_r2").cast("bigint").alias("_s2"),
+        )
+    )
+    fold_row = per.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("_ng").cast("bigint").alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_g").alias("g"),
+                        F.col("_s2").cast("double").alias("s2"),
+                        F.col("_ng").alias("ng"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s2"] * x["s2"] / x["ng"],
+        ).alias("_fold"),
+    )
+    tie_row = vc.agg(
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).cast("bigint").alias("_tie")
+    )
+    row = fold_row.crossJoin(tie_row)
+    nd = F.col("n").cast("double")
+    # ranks were doubled: S2_g = 2*R_g, so sum R_g^2/n_g = fold/4 and
+    # H = 12/(n(n+1)) * fold/4 - 3(n+1) = 3*fold/(n(n+1)) - 3(n+1)
+    h = (
+        F.lit(3.0) * F.col("_fold") / (nd * (nd + 1))
+        - F.lit(3.0) * (nd + 1)
+    )
+    c = F.lit(1.0) - F.col("_tie").cast("double") / (nd * nd * nd - nd)
+    valid = (F.col("k") > 1) & (F.col("n") > F.col("k"))
+    return row.select(
+        "k",
+        "n",
+        F.when(valid, F.round(h, 9)).alias("h_stat"),
+        F.when(valid & (nd > 1), F.round(c, 9)).alias("tie_correction"),
+        F.when(valid & (c > 0), F.round(h / c, 9)).alias("h_corrected"),
+    )

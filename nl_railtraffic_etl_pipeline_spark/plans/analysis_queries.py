@@ -244,3 +244,79 @@ def _events_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events", spread=True)
     return sax_symbols(e, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H across event types (functions/stats.py::
+# kruskal_wallis) — the rank-based companion to stats_anova_f, with
+# textbook midrank ties (doubled ranks keep every rank sum an exact
+# BIGINT) and the tie correction.  The oracle mirrors the doubled-rank
+# cumulative over the distinct-value frame, the value-keyed join back
+# to facts, and the same strict left fold over sorted group stats.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_kruskal_wallis",
+    """
+WITH b AS (
+    SELECT event_type AS g, value AS v
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+vc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM b GROUP BY v),
+rk AS (
+    SELECT v, t,
+           CAST(2 * COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS BIGINT) AS r2
+    FROM vc
+),
+per AS (
+    SELECT b.g, CAST(COUNT(*) AS BIGINT) AS ng,
+           CAST(SUM(rk.r2) AS BIGINT) AS s2
+    FROM b JOIN rk ON b.v = rk.v
+    GROUP BY b.g
+),
+fr AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(ng) AS BIGINT) AS n,
+           list_reduce(
+               list_prepend(
+                   CAST(0 AS DOUBLE),
+                   list(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / ng
+                        ORDER BY g)
+               ),
+               (x, y) -> x + y
+           ) AS fold
+    FROM per
+),
+tr AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie FROM vc)
+SELECT k, n,
+       CASE WHEN k > 1 AND n > k THEN
+           ROUND(CAST(3 AS DOUBLE) * fold
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                 - CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE) + 1), 9)
+       END AS h_stat,
+       CASE WHEN k > 1 AND n > k AND CAST(n AS DOUBLE) > 1 THEN
+           ROUND(CAST(1 AS DOUBLE) - CAST(tie AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)), 9)
+       END AS tie_correction,
+       CASE WHEN k > 1 AND n > k
+                 AND CAST(1 AS DOUBLE) - CAST(tie AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0
+            THEN
+           ROUND((CAST(3 AS DOUBLE) * fold
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                  - CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                 / (CAST(1 AS DOUBLE) - CAST(tie AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 9)
+       END AS h_corrected
+FROM fr CROSS JOIN tr
+""",
+)
+def _stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import kruskal_wallis
+
+    e = load_table(spark, sf_dir, "events", spread=True)
+    return kruskal_wallis(e, "event_type", "value")

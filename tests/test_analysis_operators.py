@@ -102,6 +102,35 @@ def test_anova_f_hand_computed(spark):
     assert anova_f(df2, "g").collect()[0].f_stat is None
 
 
+def test_kruskal_wallis_hand_computed(spark):
+    """Textbook values with and without ties (midrank variant):
+    {1,2} vs {3,4} -> H = 2.4, C = 1; {1,1} vs {2,2} -> same rank sums
+    through midranks (1.5,1.5,3.5,3.5) so H = 2.4, tie mass 12,
+    C = 1 - 12/60 = 0.8, H' = 3.0."""
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        kruskal_wallis,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)],
+        "g string, value double",
+    )
+    r = kruskal_wallis(df, "g").collect()[0]
+    assert (r.k, r.n) == (2, 4)
+    assert abs(r.h_stat - 2.4) < 1e-9
+    assert r.tie_correction == 1.0
+    assert abs(r.h_corrected - 2.4) < 1e-9
+
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, value double",
+    )
+    r2 = kruskal_wallis(df2, "g").collect()[0]
+    assert abs(r2.h_stat - 2.4) < 1e-9
+    assert abs(r2.tie_correction - 0.8) < 1e-9
+    assert abs(r2.h_corrected - 3.0) < 1e-9
+
+
 def test_pinball_loss_hand_computed(spark):
     """One observation, known prediction: loss at tau is
     max(tau*(y-q), (tau-1)*(y-q))."""
