@@ -93,7 +93,13 @@ def _rotated(names: list[str]) -> list[str]:
         if n in failed:
             return (0, 0, pos[n])
         if n not in last_round:
-            return (1, 0, pos[n])
+            # Within the never-sampled class, streaming twins sort LAST:
+            # each one closes with the same shared arithmetic as its
+            # already-driver-verified batch twin (hash equality is
+            # pytest-pinned), so their marginal driver-evidence value is
+            # the lowest in the pool — front the gates whose only
+            # evidence is local (r10 verdict ask #1).
+            return (1, 1 if n.startswith("streaming_") else 0, pos[n])
         return (2, last_round[n], pos[n])
 
     return sorted(names, key=key)

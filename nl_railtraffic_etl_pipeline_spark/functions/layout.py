@@ -35,8 +35,11 @@ def _morton_spread(v: Column, bits: int) -> Column:
     while step < bits:
         step <<= 1
     # masks like 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555,
-    # sized to 2*bits positions
-    gap = step
+    # sized to 2*bits positions.  The classic spread starts at HALF the
+    # width (gap=8 for 16 bits): at gap=step the mask keeps only the low
+    # `step` bits of an operand already masked to `bits` <= step — a
+    # guaranteed identity pass (ADVICE r10).
+    gap = step >> 1
     while gap >= 1:
         block = gap
         m = 0

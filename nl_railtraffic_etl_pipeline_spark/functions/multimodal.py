@@ -2497,3 +2497,739 @@ def decode_jpeg_progressive_dc_stats(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         batch, JPEG_PROG_DC_STATS
     )
+
+
+# ---------------------------------------------------------------------------
+# PROGRESSIVE JPEG, FULL pixel path (T.81 Annex G, G.1.2.2-G.1.2.3):
+# completes the DC-only path above with the two AC scan kinds real
+# progressive files carry — spectral-selection AC first scans (band
+# Ss..Se, EOBRUN run-length across blocks) and successive-approximation
+# AC refinement scans (newly-significant coefficients plus one
+# correction bit per already-nonzero coefficient, with correction bits
+# riding EOB runs).  The scan state machine mirrors the public T.81
+# flowcharts (figures G.2/G.7) as implemented by every production
+# decoder; entropy, zigzag, dequant, IDCT and the fixed-point
+# YCbCr->RGB close are the SAME machinery as the baseline path, so the
+# two paths must agree coefficient-for-coefficient.
+#
+# Envelope: 8-bit SOF2, 1 or 3 components, luma sampling h,v in {1,2}
+# with 1x1 chroma (so progressive 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 all
+# decode), DRI restarts.  Anything else quarantines.  Memory: unlike
+# the one-MCU baseline path, progressive decode inherently buffers the
+# full coefficient plane across scans (the format interleaves scans
+# over the whole image), so images above _PROG_PIXEL_CAP pixels
+# quarantine rather than risk a decompression bomb — a policy knob, not
+# an algorithmic limit.
+# ---------------------------------------------------------------------------
+
+#: Max w*h a progressive decode will buffer coefficients for (policy).
+_PROG_PIXEL_CAP = 1 << 22
+
+
+def _ac_first_block(rd, act, row, ss, se, al, eobrun):
+    """Decode one block of an AC FIRST scan (T.81 G.1.2.2) into
+    ``row`` (natural-order int64 coefficients); returns the updated
+    EOB run (blocks remaining to skip)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode(rd, act)
+        r, s = sym >> 4, sym & 15
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            row[_JPEG_ZZ[k]] = _extend(rd.read_bits(s), s) << al
+            k += 1
+        elif r == 15:
+            k += 16  # ZRL: sixteen zero coefficients
+        else:
+            # EOBn: run of 2^r + ext bits blocks ends here (this block
+            # is the first of the run)
+            return (1 << r) + (rd.read_bits(r) if r else 0) - 1
+    return 0
+
+
+def _ac_refine_block(rd, act, row, ss, se, al, eobrun):
+    """Decode one block of an AC REFINEMENT scan (T.81 G.1.2.3): each
+    Huffman symbol is (zero-history-run << 4) | 1 for a newly
+    significant +-2^Al, ZRL (16 zero-history positions) or EOBn; while
+    advancing, every already-nonzero coefficient consumes one
+    correction bit that may add 2^Al toward its sign.  Correction bits
+    for blocks inside an EOB run are consumed by the run handler.
+    Returns the updated EOB run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(rd, act)
+            r, s = sym >> 4, sym & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                val = p1 if rd.read_bit() else -p1
+            elif r != 15:
+                eobrun = (1 << r) + (rd.read_bits(r) if r else 0)
+                break
+            # advance past r zero-history coefficients, applying
+            # correction bits to nonzero-history ones along the way
+            while k <= se:
+                z = _JPEG_ZZ[k]
+                c = int(row[z])
+                if c != 0:
+                    if rd.read_bit() and not (c & p1):
+                        row[z] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("refinement run past band end")
+                row[_JPEG_ZZ[k]] = val
+            k += 1
+    if eobrun > 0:
+        # rest of this block: correction bits only
+        while k <= se:
+            z = _JPEG_ZZ[k]
+            c = int(row[z])
+            if c != 0:
+                if rd.read_bit() and not (c & p1):
+                    row[z] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_progressive_pixels(b: bytes):
+    """Full progressive (SOF2) decode -> (width, height, n_scans,
+    stats) or None (quarantine).  ``stats`` is the SAME 7-tuple
+    contract as :func:`_jpeg_decode_pixels` (y/cb/cr sums, positional
+    y_weighted, fixed-point RGB sums; chroma/RGB None for grayscale),
+    so a progressive and a baseline encoding of the same coefficients
+    must produce identical rows."""
+    import numpy as np
+
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    geom = None  # per comp: (bpl_padded, rows_padded, cw, ch)
+    coef = None  # per comp: np (nblk, 64) int64, natural order
+    dc_done: set = set()
+    restart = 0
+    n_scans = 0
+    try:
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            m = b[pos + 1]
+            if m == 0xD9:
+                break
+            ln = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            seg = b[pos + 4 : pos + 2 + ln]
+            if len(seg) != ln - 2:
+                return None
+            if m == 0xDB:
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    if pq != 0:
+                        return None
+                    qtabs[tq] = list(seg[i + 1 : i + 65])
+                    i += 65
+            elif m == 0xC4:
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    bits = list(seg[i + 1 : i + 17])
+                    n = sum(bits)
+                    vals = list(seg[i + 17 : i + 17 + n])
+                    enc = _huff_canonical(bits, vals)
+                    htabs[(tc, th)] = {
+                        (c, l): s for s, (c, l) in enc.items()
+                    }
+                    i += 17 + n
+            elif m == 0xDD:
+                restart = int.from_bytes(seg[0:2], "big")
+            elif m == 0xC2:
+                prec = seg[0]
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if prec != 8 or w == 0 or h == 0 or nc not in (1, 3):
+                    return None
+                if w * h > _PROG_PIXEL_CAP:
+                    return None  # decompression-bomb fence (policy)
+                comps = []
+                for c in range(nc):
+                    cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    hs, vs = samp >> 4, samp & 15
+                    if hs not in (1, 2) or vs not in (1, 2):
+                        return None
+                    comps.append((cid, tq, hs, vs))
+                if nc == 1 and comps[0][2:] != (1, 1):
+                    return None
+                if nc == 3 and (
+                    comps[1][2:] != (1, 1) or comps[2][2:] != (1, 1)
+                ):
+                    return None
+                sof = (w, h, comps)
+            elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                       0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-SOF2 frame in a progressive path
+            elif m == 0xDA:
+                if sof is None:
+                    return None
+                w, h, comps = sof
+                hmax = max(c[2] for c in comps)
+                vmax = max(c[3] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                if geom is None:
+                    geom, coef = [], []
+                    for cid, tq, hs, vs in comps:
+                        bpl, nrow = mcux * hs, mcuy * vs
+                        cw = (-(-(w * hs) // hmax) + 7) // 8
+                        ch = (-(-(h * vs) // vmax) + 7) // 8
+                        geom.append((bpl, nrow, cw, ch))
+                        coef.append(
+                            np.zeros((nrow * bpl, 64), dtype=np.int64)
+                        )
+                ns = seg[0]
+                if len(seg) != 4 + 2 * ns:
+                    return None
+                scomp = []
+                for cx in range(ns):
+                    cs, tdta = seg[1 + 2 * cx], seg[2 + 2 * cx]
+                    ci = next(
+                        (
+                            j
+                            for j, cc in enumerate(comps)
+                            if cc[0] == cs
+                        ),
+                        None,
+                    )
+                    if ci is None:
+                        return None
+                    scomp.append((ci, tdta >> 4, tdta & 15))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 15
+                rd = _BitReader(b, pos + 2 + ln)
+                if ah != 0 and ah != al + 1:
+                    return None  # broken successive-approximation chain
+                if ss == 0:
+                    # ---- DC scan (first or refinement) ----
+                    if se != 0:
+                        return None
+                    if ah == 0:
+                        dtabs = []
+                        for ci, td, _ in scomp:
+                            t = htabs.get((0, td))
+                            if t is None:
+                                return None
+                            dtabs.append(t)
+                    elif any(ci not in dc_done for ci, _, _ in scomp):
+                        return None  # refinement before first DC scan
+                    if ns > 1:
+                        # interleaved: MCU walk over the padded grid
+                        preds = [0] * len(scomp)
+                        for mcu in range(mcux * mcuy):
+                            if restart and mcu and mcu % restart == 0:
+                                rd.align_and_skip_rst()
+                                preds = [0] * len(scomp)
+                            mx, my = mcu % mcux, mcu // mcux
+                            for si, (ci, td, _) in enumerate(scomp):
+                                _, _, hs, vs = comps[ci]
+                                bpl = geom[ci][0]
+                                for by in range(vs):
+                                    for bx in range(hs):
+                                        blk = (my * vs + by) * bpl + (
+                                            mx * hs + bx
+                                        )
+                                        if ah == 0:
+                                            cat = _huff_decode(
+                                                rd, dtabs[si]
+                                            )
+                                            if cat > 15:
+                                                return None
+                                            preds[si] += _extend(
+                                                rd.read_bits(cat), cat
+                                            )
+                                            coef[ci][blk, 0] = (
+                                                preds[si] << al
+                                            )
+                                        elif rd.read_bit():
+                                            coef[ci][blk, 0] |= 1 << al
+                    else:
+                        # non-interleaved: the component's own grid
+                        ci, td, _ = scomp[0]
+                        bpl, nrow, cw, ch = geom[ci]
+                        pred = cnt = 0
+                        for by in range(ch):
+                            for bx in range(cw):
+                                if restart and cnt and cnt % restart == 0:
+                                    rd.align_and_skip_rst()
+                                    pred = 0
+                                cnt += 1
+                                blk = by * bpl + bx
+                                if ah == 0:
+                                    cat = _huff_decode(rd, dtabs[0])
+                                    if cat > 15:
+                                        return None
+                                    pred += _extend(
+                                        rd.read_bits(cat), cat
+                                    )
+                                    coef[ci][blk, 0] = pred << al
+                                elif rd.read_bit():
+                                    coef[ci][blk, 0] |= 1 << al
+                    if ah == 0:
+                        for ci, _, _ in scomp:
+                            dc_done.add(ci)
+                else:
+                    # ---- AC scan: always single-component ----
+                    if ns != 1 or se < ss or se > 63:
+                        return None
+                    ci, _, ta = scomp[0]
+                    if ci not in dc_done:
+                        return None  # AC before the DC first scan
+                    act = htabs.get((1, ta))
+                    if act is None:
+                        return None
+                    bpl, nrow, cw, ch = geom[ci]
+                    arr = coef[ci]
+                    eobrun = cnt = 0
+                    for by in range(ch):
+                        for bx in range(cw):
+                            if restart and cnt and cnt % restart == 0:
+                                rd.align_and_skip_rst()
+                                eobrun = 0
+                            cnt += 1
+                            row = arr[by * bpl + bx]
+                            if ah == 0:
+                                eobrun = _ac_first_block(
+                                    rd, act, row, ss, se, al, eobrun
+                                )
+                            else:
+                                eobrun = _ac_refine_block(
+                                    rd, act, row, ss, se, al, eobrun
+                                )
+                n_scans += 1
+                pos = _next_marker(b, pos + 2 + ln)
+                continue
+            pos += 2 + ln
+        if sof is None or coef is None or n_scans == 0:
+            return None
+        # ---- reconstruct: dequant + IDCT + (optional) upsample ----
+        w, h, comps = sof
+        hmax = max(c[2] for c in comps)
+        vmax = max(c[3] for c in comps)
+        basis = _idct_basis()
+        planes = []
+        for idx, (cid, tq, hs, vs) in enumerate(comps):
+            qt = qtabs.get(tq)
+            if qt is None:
+                return None
+            qnat = np.zeros(64, dtype=np.int64)
+            for k in range(64):
+                qnat[_JPEG_ZZ[k]] = qt[k]
+            bpl, nrow, cw, ch = geom[idx]
+            px = (coef[idx] * qnat).astype(np.float64) @ basis
+            px = np.clip(np.floor(px + 128.5), 0, 255).astype(np.int64)
+            plane = (
+                px.reshape(nrow, bpl, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(nrow * 8, bpl * 8)
+            )
+            if hs != hmax or vs != vmax:
+                plane = np.repeat(
+                    np.repeat(plane, vmax // vs, axis=0),
+                    hmax // hs,
+                    axis=1,
+                )
+            planes.append(plane[:h, :w])
+        yv = planes[0]
+        y_sum = int(yv.sum())
+        posg = (
+            np.arange(h, dtype=np.int64)[:, None] * w
+            + np.arange(w, dtype=np.int64)[None, :]
+            + 1
+        )
+        y_wt = int((posg * yv).sum())
+        if len(planes) == 3:
+            cbv, crv = planes[1], planes[2]
+            dcb, dcr = cbv - 128, crv - 128
+            r = yv + ((_FIX_RCR * dcr + 32768) >> 16)
+            g = yv - ((_FIX_GCB * dcb + _FIX_GCR * dcr + 32768) >> 16)
+            bl = yv + ((_FIX_BCB * dcb + 32768) >> 16)
+            return (
+                w, h, n_scans,
+                (
+                    y_sum, int(cbv.sum()), int(crv.sum()), y_wt,
+                    int(np.clip(r, 0, 255).sum()),
+                    int(np.clip(g, 0, 255).sum()),
+                    int(np.clip(bl, 0, 255).sum()),
+                ),
+            )
+        return (w, h, n_scans, (y_sum, None, None, y_wt, None, None, None))
+    except (EOFError, IndexError, ValueError):
+        return None
+
+
+def jpeg_encode_progressive(
+    w: int,
+    h: int,
+    comps: list,
+    coef_fn,
+    dal: int = 1,
+    aal: int = 1,
+    bands: tuple = ((1, 20), (21, 63)),
+) -> bytes:
+    """Generic progressive-JPEG (SOF2) writer for fixtures and tests.
+
+    ``comps`` = [(cid, hs, vs), ...] (1 or 3 entries; chroma must be
+    1x1); ``coef_fn(ci, blk_row, blk_col) -> dict {zigzag_k: level}``
+    gives each block's quantized coefficients over the component's
+    MCU-PADDED grid (AC scans only read the unpadded region, matching
+    the format).  Scan script: interleaved DC first at Al=``dal`` +
+    DC refinements down to 0, then per component per ``bands`` an AC
+    first scan at Al=``aal`` + AC refinements down to 0 — the classic
+    progression (libjpeg's default script shape).  Emission follows
+    T.81 G.1.2.2/G.1.2.3: EOBRUN accumulation across blocks, ZRL only
+    when not foldable into the EOB run, refinement correction bits
+    buffered and flushed with the symbol whose advance consumes them.
+    All-8 quant table; real byte stuffing per scan."""
+    import struct
+
+    dc_enc = _huff_canonical(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    # one custom all-8-bit AC table: EOBn (r<15), ZRL, run x size 1..10
+    ac_syms = sorted(
+        [r << 4 for r in range(15)]
+        + [0xF0]
+        + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+    )
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)
+    ac_enc = _huff_canonical(ac_bits, ac_syms)
+
+    hmax = max(hs for _, hs, _ in comps)
+    vmax = max(vs for _, _, vs in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    geom = []
+    for cid, hs, vs in comps:
+        bpl, nrow = mcux * hs, mcuy * vs
+        cw = (-(-(w * hs) // hmax) + 7) // 8
+        ch = (-(-(h * vs) // vmax) + 7) // 8
+        geom.append((bpl, nrow, cw, ch))
+
+    def pack(bits_list) -> bytes:
+        acc, nacc, payload = 0, 0, bytearray()
+        for v, ln in bits_list:
+            acc = (acc << ln) | (v & ((1 << ln) - 1))
+            nacc += ln
+            while nacc >= 8:
+                byte = (acc >> (nacc - 8)) & 0xFF
+                payload.append(byte)
+                if byte == 0xFF:
+                    payload.append(0x00)
+                nacc -= 8
+        if nacc:
+            byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+            payload.append(byte)
+            if byte == 0xFF:
+                payload.append(0x00)
+        return bytes(payload)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos(scan_comps, ss, se, ah, al) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cid, td, ta in scan_comps:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    # ---- DC scans (interleaved over all components) ----
+    scans: list[bytes] = []
+    all_sc = [(cid, 0, 0) for cid, _, _ in comps]
+    bits: list[tuple[int, int]] = []
+    preds = [0] * len(comps)
+    for mcu in range(mcux * mcuy):
+        mx, my = mcu % mcux, mcu // mcux
+        for ci, (cid, hs, vs) in enumerate(comps):
+            for by in range(vs):
+                for bx in range(hs):
+                    dc = coef_fn(ci, my * vs + by, mx * hs + bx).get(0, 0)
+                    v = dc >> dal  # arithmetic shift: the DC point transform
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    cat = abs(diff).bit_length()
+                    bits.append(dc_enc[cat])
+                    if cat:
+                        raw = diff if diff >= 0 else diff + (1 << cat) - 1
+                        bits.append((raw, cat))
+    scans.append(sos(all_sc, 0, 0, 0, dal) + pack(bits))
+    for lvl in range(dal - 1, -1, -1):
+        bits = []
+        for mcu in range(mcux * mcuy):
+            mx, my = mcu % mcux, mcu // mcux
+            for ci, (cid, hs, vs) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = coef_fn(
+                            ci, my * vs + by, mx * hs + bx
+                        ).get(0, 0)
+                        bits.append(((dc >> lvl) & 1, 1))
+        scans.append(sos(all_sc, 0, 0, lvl + 1, lvl) + pack(bits))
+
+    # ---- AC scans (single-component) ----
+    def ac_first(ci, ss, se, al) -> list:
+        out: list[tuple[int, int]] = []
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            nb = eobrun.bit_length() - 1
+            out.append(ac_enc[nb << 4])
+            if nb:
+                out.append((eobrun & ((1 << nb) - 1), nb))
+            eobrun = 0
+
+        bpl, nrow, cw, ch = geom[ci]
+        for by in range(ch):
+            for bx in range(cw):
+                zz = coef_fn(ci, by, bx)
+                r = 0
+                for k in range(ss, se + 1):
+                    t = zz.get(k, 0)
+                    mag = abs(t) >> al
+                    if mag == 0:
+                        r += 1
+                        continue
+                    flush()
+                    while r > 15:
+                        out.append(ac_enc[0xF0])
+                        r -= 16
+                    size = mag.bit_length()
+                    out.append(ac_enc[(r << 4) | size])
+                    v = mag if t >= 0 else -mag
+                    raw = v if v >= 0 else v + (1 << size) - 1
+                    out.append((raw & ((1 << size) - 1), size))
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+        flush()
+        return out
+
+    def ac_refine(ci, ss, se, al) -> list:
+        out: list[tuple[int, int]] = []
+        eobrun = 0
+        pending: list[int] = []  # correction bits riding the EOB run
+
+        def flush():
+            nonlocal eobrun, pending
+            if eobrun > 0:
+                nb = eobrun.bit_length() - 1
+                out.append(ac_enc[nb << 4])
+                if nb:
+                    out.append((eobrun & ((1 << nb) - 1), nb))
+                eobrun = 0
+            for bit in pending:
+                out.append((bit, 1))
+            pending = []
+
+        bpl, nrow, cw, ch = geom[ci]
+        for by in range(ch):
+            for bx in range(cw):
+                zz = coef_fn(ci, by, bx)
+                absv = {
+                    k: abs(zz.get(k, 0)) >> al for k in range(ss, se + 1)
+                }
+                eob = ss - 1  # last newly-significant position
+                for k in range(ss, se + 1):
+                    if absv[k] == 1:
+                        eob = k
+                r = 0
+                br: list[int] = []
+                for k in range(ss, se + 1):
+                    a = absv[k]
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        flush()
+                        out.append(ac_enc[0xF0])
+                        r -= 16
+                        for bit in br:
+                            out.append((bit, 1))
+                        br = []
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    flush()
+                    out.append(ac_enc[(r << 4) | 1])
+                    out.append((1 if zz.get(k, 0) >= 0 else 0, 1))
+                    for bit in br:
+                        out.append((bit, 1))
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pending.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush()
+        flush()
+        return out
+
+    for ci, (cid, hs, vs) in enumerate(comps):
+        for ss, se in bands:
+            scans.append(
+                sos([(cid, 0, 0)], ss, se, 0, aal)
+                + pack(ac_first(ci, ss, se, aal))
+            )
+    for ci, (cid, hs, vs) in enumerate(comps):
+        for ss, se in bands:
+            for lvl in range(aal - 1, -1, -1):
+                scans.append(
+                    sos([(cid, 0, 0)], ss, se, lvl + 1, lvl)
+                    + pack(ac_refine(ci, ss, se, lvl))
+                )
+
+    nc = len(comps)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+    sofc = b"".join(
+        bytes([cid, (hs << 4) | vs, 0]) for cid, hs, vs in comps
+    )
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, nc) + sofc)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms),
+    )
+    for s in scans:
+        out += s
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _prog_fixture_coeffs(doc_id: int, blocks_w: int):
+    """Block coefficient formula for the mm_decode_jpeg_prog_pixels
+    fixtures: the baseline YCbCr formula (zigzag 0/10/14/39) with the
+    AC levels ZEROED on blocks where (doc_id + i) % 5 < 2 — runs of
+    empty-band blocks force real EOBRUN accumulation across blocks in
+    both AC scan kinds.  Shared by the encoder and the oracle SQL."""
+
+    def fn(ci: int, by: int, bx: int) -> dict:
+        i = by * blocks_w + bx
+        zz = {0: ((doc_id * 7 + i * 5 + ci * 11) % 160) - 80}
+        if (doc_id + i) % 5 >= 2:
+            zz[10] = ((doc_id + i * 3 + ci) % 31) - 15
+            zz[14] = ((doc_id * 3 + i + ci * 5) % 31) - 15
+            zz[39] = ((doc_id + i + ci) % 25) - 12
+        return zz
+
+    return fn
+
+
+def jpeg_encode_progressive_pixels(
+    doc_id: int, blocks_w: int, blocks_h: int
+) -> bytes:
+    """Deterministic 3-component (YCbCr 4:4:4) PROGRESSIVE fixture: the
+    closed-form coefficient formula of :func:`jpeg_encode_ycbcr_blocks`
+    (with EOB-gap blocks, see :func:`_prog_fixture_coeffs`) delivered
+    as the classic 14-scan script — interleaved DC first (Al=1) + DC
+    refinement, then per component AC first scans over bands 1-20 and
+    21-63 at Al=1 followed by their refinement scans.  Exercises DPCM
+    at reduced precision, DC refinement bits, spectral-selection band
+    split across the zz 10/14 vs zz 39 levels, EOBRUN runs, ZRL, newly
+    significant coefficients and correction bits."""
+    return jpeg_encode_progressive(
+        blocks_w * 8,
+        blocks_h * 8,
+        [(1, 1, 1), (2, 1, 1), (3, 1, 1)],
+        _prog_fixture_coeffs(doc_id, blocks_w),
+        dal=1,
+        aal=1,
+    )
+
+
+#: Output schema: the baseline pixel-stats contract + the scan count
+#: that pins the successive-approximation/spectral-selection chain.
+JPEG_PROG_PIXEL_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_scans", T.IntegerType()),
+        T.StructField("y_sum", T.LongType()),
+        T.StructField("cb_sum", T.LongType()),
+        T.StructField("cr_sum", T.LongType()),
+        T.StructField("y_weighted", T.LongType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_jpeg_progressive_pixel_stats(
+    df_with_payload: DataFrame,
+) -> DataFrame:
+    """FULL progressive JPEG pixel decode over a binary column (see
+    :func:`_jpeg_decode_progressive_pixels`): DC + spectral-selection
+    AC + successive-approximation refinement, then the same dequant /
+    IDCT / fixed-point YCbCr->RGB close as the baseline path.  Exact
+    integer channel sums; malformed / out-of-envelope payloads
+    quarantined (``decoded = false``), never task failures.
+
+    Scale shape: Arrow ``mapInPandas``, map-only (zero shuffles).
+    Memory is O(image coefficients) per image — inherent to the
+    multi-scan format — fenced by ``_PROG_PIXEL_CAP``."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _jpeg_decode_progressive_pixels(bytes(payload))
+                if dec is None:
+                    rows.append((doc_id,) + (None,) * 10 + (False,))
+                    continue
+                w, h, nsc, (ys, cbs, crs, ywt, rs, gs, bs) = dec
+                rows.append(
+                    (doc_id, w, h, nsc, ys, cbs, crs, ywt, rs, gs, bs,
+                     True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_scans", "y_sum",
+                    "cb_sum", "cr_sum", "y_weighted", "r_sum", "g_sum",
+                    "b_sum", "decoded",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32",
+                    "n_scans": "Int32", "y_sum": "Int64",
+                    "cb_sum": "Int64", "cr_sum": "Int64",
+                    "y_weighted": "Int64", "r_sum": "Int64",
+                    "g_sum": "Int64", "b_sum": "Int64",
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, JPEG_PROG_PIXEL_STATS
+    )

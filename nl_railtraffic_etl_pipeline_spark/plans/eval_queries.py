@@ -1162,15 +1162,20 @@ def _publish_isotonic_reference(sf_dir: str) -> bool:
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
     )
     counts: dict[int, list[int]] = {}
-    n_events = 0
+    corpus_fp = 0
     for eid, etype in zip(
         tbl.column("event_id").to_pylist(),
         tbl.column("event_type").to_pylist(),
     ):
         if etype is None or eid is None:
             continue
-        n_events += 1
         h = int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16)
+        # Content fingerprint of the filtered events view (sum of the
+        # h32 scores, same formula the SQL recomputes) — a ROW COUNT is
+        # not unique across scale factors (the zlib/BPE spines moved to
+        # content fingerprints for exactly this reason), so keying on
+        # n_events could let a second SF clobber this SF's PAV rows.
+        corpus_fp += h
         b = h * _ISO_BINS // 2**32
         c = counts.setdefault(b, [0, 0])
         c[0] += 1
@@ -1201,12 +1206,12 @@ def _publish_isotonic_reference(sf_dir: str) -> bool:
             "bin": pa.array(bins_col, pa.int32()),
             "cal_num_ref": pa.array(num_col, pa.int64()),
             "cal_den_ref": pa.array(den_col, pa.int64()),
-            "n_events": pa.array([n_events] * len(bins_col), pa.int64()),
+            "corpus_fp": pa.array([corpus_fp] * len(bins_col), pa.int64()),
         }
     )
     if _os.path.exists(_ISO_REF_PATH):
         prev = pq.read_table(_ISO_REF_PATH)
-        prev = prev.filter(pc.not_equal(prev.column("n_events"), n_events))
+        prev = prev.filter(pc.not_equal(prev.column("corpus_fp"), corpus_fp))
         out = pa.concat_tables([prev, out])
     tmp = _ISO_REF_PATH + ".tmp"
     pq.write_table(out, tmp)
@@ -1224,7 +1229,7 @@ WITH base AS (
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
     FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
 ),
-nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne FROM base),
+nd AS (SELECT CAST(SUM(s) AS BIGINT) AS fp FROM base),
 b AS (
     SELECT CAST(s * {_ISO_BINS} // {_DENOM} AS INTEGER) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -1239,7 +1244,7 @@ SELECT b.bin, b.n, b.pos,
 FROM b
 CROSS JOIN nd
 JOIN read_parquet('{_ISO_REF_PATH}') r
-  ON b.bin = r.bin AND r.n_events = nd.ne
+  ON b.bin = r.bin AND r.corpus_fp = nd.fp
 """
 
 

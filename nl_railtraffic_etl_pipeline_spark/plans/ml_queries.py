@@ -7338,6 +7338,131 @@ def _mm_jpeg_prog_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PROGRESSIVE JPEG, FULL pixel path (multimodal.
+# decode_jpeg_progressive_pixel_stats): genuine 14-scan SOF2 YCbCr
+# files — interleaved DC first scan at Al=1 + DC refinement, then per
+# component spectral-selection AC first scans (bands 1-20 and 21-63,
+# EOBRUN run-length across blocks: every block where (doc_id+i)%5 < 2
+# carries NO AC, forcing real multi-block EOB runs) and
+# successive-approximation AC refinement scans (newly-significant
+# coefficients, correction bits, correction bits riding EOB runs) —
+# T.81 G.1.2.2/G.1.2.3 end to end.  The engine reassembles the full
+# coefficient planes across all 14 scans and closes with the SAME
+# dequant/IDCT/fixed-point-RGB arithmetic as the baseline gate; the
+# oracle recomputes every channel sum from the closed-form sample
+# formula (the baseline vals CTE with the AC terms gated by the
+# EOB-gap predicate) — a wrong EOBRUN count, a correction bit applied
+# at the wrong position, or a band boundary off by one hash-mismatches.
+# Every third doc truncated to pin the quarantine row.  Closes the
+# remaining half of the "progressive JPEG quarantines entirely" gap
+# (r10 verdict ask #3); the DC-only gate above stays as the
+# partial-decode contract.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_jpeg_prog_pixels",
+    f"""
+WITH sel AS (
+    SELECT doc_id,
+           CAST(1 + doc_id % 3 AS INTEGER) AS bw,
+           CAST(1 + doc_id % 2 AS INTEGER) AS bh,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 23 = 0
+),
+blk AS (
+    SELECT doc_id, bw, bh, unnest(range(0, bw * bh)) AS i
+    FROM sel WHERE NOT corrupt
+),
+px AS (
+    SELECT doc_id, bw, i, unnest(range(0, 64)) AS p,
+           CASE WHEN (doc_id + i) % 5 >= 2 THEN 1 ELSE 0 END AS act
+    FROM blk
+),
+geo AS (
+    SELECT doc_id, bw, i, act, p % 8 AS x, p // 8 AS y,
+           CASE WHEN (p % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sx,
+           CASE WHEN (p // 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sy
+    FROM px
+),
+vals AS (
+    SELECT doc_id, bw, i, x, y,
+        128 + ((doc_id * 7 + i * 5) % 160) - 80
+            + act * (sy * (((doc_id + i * 3) % 31) - 15)
+                     + sx * (((doc_id * 3 + i) % 31) - 15)
+                     + sx * sy * (((doc_id + i) % 25) - 12)) AS yv,
+        128 + ((doc_id * 7 + i * 5 + 11) % 160) - 80
+            + act * (sy * (((doc_id + i * 3 + 1) % 31) - 15)
+                     + sx * (((doc_id * 3 + i + 5) % 31) - 15)
+                     + sx * sy * (((doc_id + i + 1) % 25) - 12)) AS cb,
+        128 + ((doc_id * 7 + i * 5 + 22) % 160) - 80
+            + act * (sy * (((doc_id + i * 3 + 2) % 31) - 15)
+                     + sx * (((doc_id * 3 + i + 10) % 31) - 15)
+                     + sx * sy * (((doc_id + i + 2) % 25) - 12)) AS cr
+    FROM geo
+),
+rgb AS (
+    SELECT doc_id, yv, cb, cr,
+        ((i // bw) * 8 + y) * (bw * 8) + (i % bw) * 8 + x + 1 AS pos,
+        {_JPEG_RGB_SQL}
+    FROM vals
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM(yv) AS BIGINT) AS y_sum,
+           CAST(SUM(cb) AS BIGINT) AS cb_sum,
+           CAST(SUM(cr) AS BIGINT) AS cr_sum,
+           CAST(SUM(pos * yv) AS BIGINT) AS y_weighted,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum
+    FROM rgb GROUP BY 1
+)
+SELECT sel.doc_id,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE sel.bw * 8 END
+            AS INTEGER) AS width,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE sel.bh * 8 END
+            AS INTEGER) AS height,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE 14 END
+            AS INTEGER) AS n_scans,
+       sums.y_sum, sums.cb_sum, sums.cr_sum, sums.y_weighted,
+       sums.r_sum, sums.g_sum, sums.b_sum,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_jpeg_prog_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 23 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("_bw"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("_bh"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import jpeg_encode_progressive_pixels
+
+        for pdf in batches:
+            payloads = [
+                jpeg_encode_progressive_pixels(int(doc), int(bw), int(bh))[
+                    : 60 if corrupt else None
+                ]
+                for doc, bw, bh, corrupt in zip(
+                    pdf["doc_id"], pdf["_bw"], pdf["_bh"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_jpeg_progressive_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
 # MULTI-FRAME GIF frame sampling (multimodal.sample_gif_frames): genuine
 # ANIMATED GIF89a files — NETSCAPE looping extension (multi-sub-block
 # skip), per-frame Graphic Control Extensions carrying formula delays,
@@ -7445,10 +7570,16 @@ _BPE_K = 64
 _BPE_WORDS_SQL = """
     SELECT doc_id, w FROM (
         SELECT doc_id,
-               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+               unnest(regexp_split_to_array(trim(lower(text)),
+                                            '[ \\t\\n\\r\\f\\v]+')) AS w
         FROM documents
     ) WHERE regexp_matches(w, '^[!-~]+$')
 """
+# ^ explicit ASCII class, NOT RE2 \s: RE2's \s is [\t\n\f\r ] and
+# EXCLUDES vertical tab (U+000B), while Java's \s (the engine-side
+# tokens() split feeding bpe_merge_table) and the apply kernel's class
+# both include it — a document containing \x0B must split identically
+# on all three sides (ADVICE r10).
 
 
 @query(

@@ -232,10 +232,17 @@ class VersionedZone:
         # returning false.  Either flavor means the same thing — someone
         # else owns t — so an exception is absorbed as a lost claim (the
         # caller recomputes against the new tip and retries), never
-        # allowed to abort the commit.
+        # allowed to abort the commit.  The absorbed exception is still
+        # RECORDED: a persistent non-race failure (permissions, disk
+        # full) would otherwise exhaust the retry budget and surface
+        # only as a generic 'gave up' error with the root cause
+        # discarded (ADVICE r10) — commit() chains the last one.
         try:
-            return bool(self._fs.createNewFile(self._p(f"v{t:08d}.claim")))
-        except Exception:
+            ok = bool(self._fs.createNewFile(self._p(f"v{t:08d}.claim")))
+            self._last_claim_exc = None
+            return ok
+        except Exception as exc:
+            self._last_claim_exc = exc
             return False
 
     def _tombstone(self, t: int) -> bool:
@@ -348,9 +355,11 @@ class VersionedZone:
                 beater.join(timeout=5.0)
             if published is not None:
                 return published
+        last = getattr(self, "_last_claim_exc", None)
         raise RuntimeError(
             f"zone {self.path}: gave up after {max_attempts} commit attempts"
-        )
+            + (f" (last claim error: {last!r})" if last is not None else "")
+        ) from last
 
     def _beat_claim(self, t: int, stop: threading.Event) -> None:
         """Daemon heartbeat: keep claim t's lease fresh while staging.

@@ -44,7 +44,14 @@ def test_artifact_lookup_survives_second_scale_factor(spark):
     import __spark_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
-    for name in ("text_compression_ratio", "text_bpe_encode"):
+    for name in (
+        "text_compression_ratio",
+        "text_bpe_encode",
+        # ADVICE r10: the isotonic PAV spine was keyed by n_events (a
+        # row count that can collide across SFs); now a content
+        # fingerprint (sum of h32 scores) like the zlib/BPE spines.
+        "ml_isotonic_calibration",
+    ):
         a1 = _spark_rows(qs[name](spark, SF_A))   # publishes SF_A rows
         b1 = _oracle(oracles[name], SF_A)
         assert a1 == b1, f"{name}: sf0.001 mismatch"

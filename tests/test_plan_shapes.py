@@ -149,6 +149,7 @@ def test_python_only_in_arrow_kernels(spark):
             "mm_decode_gif_pixels",  # GIF fixture + LZW decode kernels
             "mm_decode_jpeg420_pixels",  # 4:2:0 fixture + MCU decode kernels
             "mm_decode_jpeg_prog_dc",  # progressive fixture + DC-path kernels
+            "mm_decode_jpeg_prog_pixels",  # progressive fixture + full scan kernels
             "mm_sample_gif_frames",  # animated-GIF fixture + frame kernels
             "text_jaro_winkler",  # pure-Python JW kernel (no Spark builtin)
             "ml_isotonic_calibration",  # PAV kernel on the <=64-row bin frame
