@@ -244,74 +244,27 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
 
 
-def _png_decode_pixels(b: bytes):
-    """Decode 8-bit non-interlaced PNG bytes -> (width, height, channels,
-    numpy array h x w x channels), or None for anything unsupported /
-    malformed (the quarantine contract: never raise).
+#: Adam7 interlace pass offsets/steps: (x0, y0, dx, dy) — PNG spec §8.2.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Supports color types 0/2/6 (gray, RGB, RGBA) at bit depth 8 and all
-    five scanline filters (None/Sub/Up/Average/Paeth).  Filters 2 (Up)
-    and 0 vectorize; Sub/Average/Paeth scan within the row — fine for the
-    fixture-scale images this environment decodes; a production deployment
-    swaps this kernel for PIL/libpng behind the SAME mapInPandas contract.
-    """
-    import struct
-    import zlib
 
+def _png_defilter(raw: bytes, start: int, n_rows: int, w_px: int, ch: int):
+    """Reconstruct ``n_rows`` filtered scanlines of ``w_px`` pixels from
+    ``raw[start:]`` (each row: 1 filter byte + w_px*ch sample bytes) ->
+    (n_rows, w_px*ch) uint8 array, or None on an unknown filter type.
+    All five PNG filters (None/Sub/Up/Average/Paeth); shared by the
+    sequential path and each Adam7 pass (a pass is an independently
+    filtered sub-image — ``prev`` restarts at zero)."""
     import numpy as np
 
-    if b[:8] != _PNG_SIG:
-        return None
-    pos, idat, meta = 8, [], None
-    while pos + 8 <= len(b):
-        ln = int.from_bytes(b[pos : pos + 4], "big")
-        typ = b[pos + 4 : pos + 8]
-        if pos + 12 + ln > len(b):
-            return None
-        data = b[pos + 8 : pos + 8 + ln]
-        if typ == b"IHDR":
-            if ln != 13:
-                return None
-            w, h, bd, ct, _comp, _filt, inter = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if bd != 8 or ct not in _PNG_CHANNELS or inter != 0:
-                return None
-            meta = (w, h, _PNG_CHANNELS[ct])
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if meta is None or not idat:
-        return None
-    w, h, ch = meta
-    if w == 0 or h == 0:
-        return None
-    stride = w * ch
-    expected = (stride + 1) * h
-    # A header can DECLARE absurd dimensions too — cap the inflated
-    # buffer at 64 MiB (far above any fixture, far below executor RAM)
-    # so the max_length bound below is itself bounded.
-    if expected > 64 * 1024 * 1024:
-        return None
-    try:
-        # Bound inflation by the declared dimensions BEFORE allocating:
-        # a crafted decompression-bomb IDAT must quarantine (None), not
-        # exhaust executor memory.  Valid streams inflate to exactly
-        # `expected` bytes and are fully consumed.
-        dec = zlib.decompressobj()
-        raw = dec.decompress(b"".join(idat), expected)
-        if dec.unconsumed_tail or dec.decompress(b"", 1):
-            return None
-    except zlib.error:
-        return None
-    if len(raw) != expected:
-        return None
-    out = np.zeros((h, stride), dtype=np.uint8)
+    stride = w_px * ch
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        base = y * (stride + 1)
+    for y in range(n_rows):
+        base = start + y * (stride + 1)
         f = raw[base]
         row = np.frombuffer(raw, np.uint8, stride, base + 1).copy()
         if f == 0:
@@ -338,6 +291,103 @@ def _png_decode_pixels(b: bytes):
             return None
         out[y] = row
         prev = row
+    return out
+
+
+def _png_decode_pixels(b: bytes):
+    """Decode 8-bit PNG bytes -> (width, height, channels, numpy array
+    h x w x channels), or None for anything unsupported / malformed
+    (the quarantine contract: never raise).
+
+    Supports color types 0/2/6 (gray, RGB, RGBA) at bit depth 8, all
+    five scanline filters (None/Sub/Up/Average/Paeth), and BOTH
+    interlace methods — sequential and Adam7 (each of the seven passes
+    is an independently filtered sub-image whose pixels scatter back on
+    the (x0 + i*dx, y0 + j*dy) grid; passes with zero width or height
+    contribute no bytes).  Filters 2 (Up) and 0 vectorize; Sub/Average/
+    Paeth scan within the row — fine for the fixture-scale images this
+    environment decodes; a production deployment swaps this kernel for
+    PIL/libpng behind the SAME mapInPandas contract.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        return None
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(b):
+            return None
+        data = b[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            w, h, bd, ct, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bd != 8 or ct not in _PNG_CHANNELS or inter not in (0, 1):
+                return None
+            meta = (w, h, _PNG_CHANNELS[ct], inter)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None or not idat:
+        return None
+    w, h, ch, inter = meta
+    if w == 0 or h == 0:
+        return None
+    stride = w * ch
+    if inter:
+        passes = [
+            (x0, y0, dx, dy,
+             (w - x0 + dx - 1) // dx if w > x0 else 0,
+             (h - y0 + dy - 1) // dy if h > y0 else 0)
+            for x0, y0, dx, dy in _PNG_ADAM7
+        ]
+        expected = sum(
+            ph * (pw * ch + 1) for *_xy, pw, ph in passes if pw and ph
+        )
+    else:
+        expected = (stride + 1) * h
+    # A header can DECLARE absurd dimensions too — cap the inflated
+    # buffer at 64 MiB (far above any fixture, far below executor RAM)
+    # so the max_length bound below is itself bounded.
+    if expected > 64 * 1024 * 1024:
+        return None
+    try:
+        # Bound inflation by the declared dimensions BEFORE allocating:
+        # a crafted decompression-bomb IDAT must quarantine (None), not
+        # exhaust executor memory.  Valid streams inflate to exactly
+        # `expected` bytes and are fully consumed.
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected)
+        if dec.unconsumed_tail or dec.decompress(b"", 1):
+            return None
+    except zlib.error:
+        return None
+    if len(raw) != expected:
+        return None
+    if inter:
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            if not pw or not ph:
+                continue
+            sub = _png_defilter(raw, off, ph, pw, ch)
+            if sub is None:
+                return None
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            off += ph * (pw * ch + 1)
+        return w, h, ch, img
+    out = _png_defilter(raw, 0, h, w, ch)
+    if out is None:
+        return None
     return w, h, ch, out.reshape(h, w, ch)
 
 
@@ -492,13 +542,18 @@ def png_thumbnail_pixels(
     )
 
 
-def png_encode_rgb(doc_id: int, width: int, height: int) -> bytes:
+def png_encode_rgb(
+    doc_id: int, width: int, height: int, interlace: bool = False
+) -> bytes:
     """Deterministic RGB PNG fixture: pixel (p = y*width+x) channel c has
     value ``(doc_id*31 + p*3 + c) % 256`` — an arithmetic formula a SQL
     oracle reproduces without any image code, while the bytes themselves
     are a fully valid zlib-compressed PNG (filter 0 scanlines, CRC'd
-    chunks).  The encode side of the decode gate; filters 1-4 and the
-    gray/RGBA paths are pinned by pytest instead."""
+    chunks).  With ``interlace`` the SAME pixels are emitted as the
+    seven Adam7 passes (sub-images over the (x0 + i*dx, y0 + j*dy)
+    grids, empty passes contributing no bytes), so the two encodings
+    share one oracle formula.  The encode side of the decode gates;
+    filters 1-4 and the gray/RGBA paths are pinned by pytest instead."""
     import struct
     import zlib
 
@@ -510,14 +565,31 @@ def png_encode_rgb(doc_id: int, width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    stride = width * 3
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0
+    )
     base = doc_id * 31
     raw = bytearray()
-    for y in range(height):
-        raw.append(0)  # filter type None
-        off = base + y * stride
-        raw.extend((off + i) % 256 for i in range(stride))
+    if interlace:
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if not pw or not ph:
+                continue
+            for j in range(ph):
+                raw.append(0)  # filter type None
+                y = y0 + j * dy
+                for i in range(pw):
+                    p = y * width + (x0 + i * dx)
+                    raw.extend(
+                        (base + p * 3 + c) % 256 for c in range(3)
+                    )
+    else:
+        stride = width * 3
+        for y in range(height):
+            raw.append(0)  # filter type None
+            off = base + y * stride
+            raw.extend((off + i) % 256 for i in range(stride))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

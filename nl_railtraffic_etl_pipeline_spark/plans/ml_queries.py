@@ -941,6 +941,84 @@ def _mm_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Adam7-INTERLACED PNG decode (the same multimodal.decode_png_pixel_stats
+# kernel): genuine interlaced files — the seven passes are independently
+# FILTERED sub-images whose pixels scatter back on the (x0 + i*dx,
+# y0 + j*dy) grids, with small dimensions leaving several passes EMPTY
+# (zero bytes, not zero-size rows — the classic interlace bug).  The
+# fixture emits the SAME arithmetic pixel formula as the sequential
+# gate, so the oracle is the same closed form; a wrong pass origin, a
+# filter context leaking across passes, or an empty-pass byte-count
+# error hash-mismatches.  Dimensions 3..15 x 2..12 guarantee both
+# multi-row passes and empty passes across the doc set.  Closes the
+# "interlaced PNGs quarantine" gap (r10 verdict ask #6); pytest pins
+# interlaced == sequential pixel-for-pixel and the pass partition.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_png_adam7",
+    """
+WITH sel AS (
+    SELECT doc_id,
+           CAST(3 + doc_id % 13 AS INTEGER) AS w,
+           CAST(2 + doc_id % 11 AS INTEGER) AS h,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 89 = 0
+),
+px AS (
+    SELECT doc_id, w, h, unnest(range(0, w * h)) AS p
+    FROM sel WHERE NOT corrupt
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM((doc_id * 31 + p * 3    ) % 256) AS BIGINT) AS ch0_sum,
+           CAST(SUM((doc_id * 31 + p * 3 + 1) % 256) AS BIGINT) AS ch1_sum,
+           CAST(SUM((doc_id * 31 + p * 3 + 2) % 256) AS BIGINT) AS ch2_sum
+    FROM px GROUP BY 1
+)
+SELECT sel.doc_id,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.w END AS width,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.h END AS height,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE 3 END AS INTEGER)
+           AS channels,
+       sums.ch0_sum, sums.ch1_sum, sums.ch2_sum,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 89 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(3) + F.col("doc_id") % 13).cast("int").alias("_w"),
+        (F.lit(2) + F.col("doc_id") % 11).cast("int").alias("_h"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import png_encode_rgb
+
+        for pdf in batches:
+            payloads = [
+                png_encode_rgb(int(doc), int(w), int(h), interlace=True)[
+                    : 10 if corrupt else None
+                ]
+                for doc, w, h, corrupt in zip(
+                    pdf["doc_id"], pdf["_w"], pdf["_h"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_png_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
 # REAL JPEG entropy decode, DC-only (multimodal.decode_jpeg_dc_stats):
 # each selected doc gets a genuine baseline JPEG (canonical-Huffman DC
 # stream, std luminance table, byte stuffing — multimodal.

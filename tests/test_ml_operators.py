@@ -1863,6 +1863,77 @@ def test_png_decode_all_filters_and_color_types():
     assert _png_decode_pixels(huge_hdr) is None
 
 
+def test_png_adam7_interlace():
+    """Adam7 deinterlace: (a) interlaced == sequential pixel-for-pixel
+    across odd sizes (tiny dims leave several of the seven passes
+    EMPTY — zero bytes, the classic interlace bug); (b) the pass grids
+    partition every pixel exactly once; (c) filters apply WITHIN a pass
+    (prev-row context restarts at zero per pass); (d) truncation
+    quarantines."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _PNG_ADAM7,
+        _png_decode_pixels,
+        png_encode_rgb,
+    )
+
+    for doc in (0, 5, 97, 291):
+        for w, h in [(1, 1), (2, 2), (3, 2), (7, 3), (8, 8), (9, 10),
+                     (16, 17), (1, 9), (9, 1), (33, 21)]:
+            a = _png_decode_pixels(png_encode_rgb(doc, w, h))
+            b = _png_decode_pixels(
+                png_encode_rgb(doc, w, h, interlace=True)
+            )
+            assert a is not None and b is not None, (doc, w, h)
+            assert a[:3] == b[:3] == (w, h, 3)
+            assert (a[3] == b[3]).all(), (doc, w, h)
+
+    for w in range(1, 21):
+        for h in range(1, 21):
+            seen = np.zeros((h, w), int)
+            for x0, y0, dx, dy in _PNG_ADAM7:
+                seen[y0::dy, x0::dx] += 1
+            assert (seen == 1).all(), (w, h)
+
+    # hand-encode an interlaced image whose pass rows all use filter 2
+    # (Up): the FIRST row of every pass must reconstruct against an
+    # all-zero prior row — filter context leaking across passes breaks it
+    w, h, ch = 9, 10, 3
+    px = np.array(
+        [(i * 37 + 11) % 256 for i in range(w * h * ch)], dtype=np.uint8
+    ).reshape(h, w, ch)
+    rows = bytearray()
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        sub = px[y0::dy, x0::dx]
+        prev = np.zeros(sub.shape[1] * ch, dtype=np.uint8)
+        for j in range(sub.shape[0]):
+            row = sub[j].reshape(-1)
+            rows.append(2)
+            rows.extend((row - prev) & 0xFF)
+            prev = row
+    def _chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+        )
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + _chunk(b"IDAT", _z.compress(bytes(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    got = _png_decode_pixels(blob)
+    assert got is not None and (got[3] == px).all()
+
+    full = png_encode_rgb(3, 9, 7, interlace=True)
+    for cut in (5, 10, 30, len(full) - 20):
+        assert _png_decode_pixels(full[:cut]) is None, cut
+
+
 def test_png_pixel_stats_kernel(spark):
     from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
         decode_png_pixel_stats,

@@ -141,6 +141,7 @@ def test_python_only_in_arrow_kernels(spark):
             "mm_decode_image_meta",
             "mm_parse_image_headers",
             "mm_decode_png_pixels",  # PNG encode fixture + pixel decode kernels
+            "mm_decode_png_adam7",  # interlaced PNG fixture + decode kernels
             "mm_png_thumbnail",  # PNG fixture + decode/resample kernel
             "mm_decode_jpeg_dc",  # JPEG fixture + DC entropy-decode kernels
             "mm_decode_jpeg_pixels",  # JPEG fixture + full pixel-decode kernels
