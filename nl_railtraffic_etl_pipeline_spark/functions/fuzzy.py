@@ -207,3 +207,100 @@ def jaro_winkler_pairs(
             yield pdf
 
     return pairs.mapInPandas(batch, out_schema)
+
+
+def blocked_text_pairs_sharp(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length_bucket: int = 8,
+    max_block: int = 100,
+    prefix_chars: int = 64,
+) -> DataFrame:
+    """:func:`blocked_text_pairs` with the documented escape hatch made
+    code (SCALE.md r10 wave 5): instead of EXCLUDING hot blocks, three
+    deterministic tiers keep bounded candidates at ANY occupancy —
+
+    1. base blocks ``(first token, token-count // length_bucket)`` of
+       size <= ``max_block`` pair fully (the original path);
+    2. overflowing base blocks re-block under the SHARPENED key
+       ``(first token, bucket, second token, EXACT token count)``;
+       sharp blocks of size <= ``max_block`` pair fully;
+    3. sharp blocks still over the cap split ROUND-ROBIN by doc-id
+       rank into ``ceil(n / max_block)`` salt classes (each of size
+       <= max_block by construction — a hard bound no replication
+       factor can break); pairs form within a salt class only.
+
+    The recall trade is explicit: tier 3 drops cross-salt pairs instead
+    of dropping the whole block — a hot block now always yields
+    candidates (the r10 verdict's "a real dedup SLA wants candidates,
+    not silence").  Every tier is pure deterministic arithmetic over
+    (content keys, doc-id order), so an oracle mirrors pair-for-pair.
+
+    Scale shape: one base projection reused by all tiers behind the
+    block-count broadcasts; candidate count <= max_block * corpus
+    TOTAL across tiers (each doc pairs within exactly one class of
+    size <= max_block); the tier-3 rank is a window over the sharp
+    block key — partition-bounded, never global.  Returns
+    (doc_a, doc_b, txt_a, txt_b, tier).
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    base = docs.filter(t != "").select(
+        F.col(id_col).alias("_id"),
+        F.substring(t, 1, prefix_chars).alias("_tx"),
+        toks[0].alias("_w1"),
+        F.coalesce(toks[1], F.lit("")).alias("_w2"),
+        F.size(toks).alias("_tc"),
+        (F.size(toks).cast("bigint") / F.lit(length_bucket))
+        .cast("bigint")
+        .alias("_lb"),
+    )
+    c1 = base.groupBy("_w1", "_lb").agg(F.count("*").alias("_n1"))
+    t1 = base.join(
+        F.broadcast(c1.filter(F.col("_n1") <= max_block)), ["_w1", "_lb"]
+    ).drop("_n1")
+    o1 = base.join(
+        F.broadcast(c1.filter(F.col("_n1") > max_block)), ["_w1", "_lb"]
+    ).drop("_n1")
+    k2 = ["_w1", "_lb", "_w2", "_tc"]
+    c2 = o1.groupBy(*k2).agg(F.count("*").alias("_n2"))
+    t2 = o1.join(
+        F.broadcast(c2.filter(F.col("_n2") <= max_block)), k2
+    ).drop("_n2")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*k2).orderBy("_id")
+    t3 = (
+        o1.join(F.broadcast(c2.filter(F.col("_n2") > max_block)), k2)
+        .withColumn(
+            "_salt",
+            (F.row_number().over(w) - 1)
+            % ((F.col("_n2") + max_block - 1) / max_block).cast("bigint"),
+        )
+        .drop("_n2")
+    )
+
+    def pair(frame: DataFrame, keys: list, tier: int) -> DataFrame:
+        a = frame.select(
+            F.col("_id").alias("doc_a"), F.col("_tx").alias("txt_a"),
+            *keys,
+        )
+        b = frame.select(
+            F.col("_id").alias("doc_b"), F.col("_tx").alias("txt_b"),
+            *keys,
+        )
+        return (
+            a.join(b, keys)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a", "doc_b", "txt_a", "txt_b",
+                F.lit(tier).cast("int").alias("tier"),
+            )
+        )
+
+    return (
+        pair(t1, ["_w1", "_lb"], 1)
+        .unionByName(pair(t2, k2, 2))
+        .unionByName(pair(t3, k2 + ["_salt"], 3))
+    )

@@ -83,6 +83,90 @@ def _text_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sharpened-block Jaro-Winkler (functions/fuzzy.py::
+# blocked_text_pairs_sharp) — the r10 verdict's escape hatch made code:
+# instead of EXCLUDING hot blocks (the base gate's fence, which
+# degrades to a deterministic EMPTY answer at high occupancy), three
+# deterministic tiers keep bounded candidates at any replication —
+# (1) base blocks <= cap pair fully, (2) overflow re-blocks under
+# (first token, bucket, SECOND token, exact token count), (3) sharp
+# blocks still over the cap split round-robin by doc-id rank into
+# ceil(n/cap) salt classes (each <= cap by construction).  The cap is
+# 2 here so ALL tiers are live on the testdata (tier 3 at sf0.1); the
+# oracle mirrors every tier pair-for-pair including the rank-salt
+# window, and scores with DuckDB's native C++ jaro_winkler_similarity.
+# The 100x probe (tools/probe_jw_100x.py --sharp) shows the m=100
+# adversarial replication now yields non-empty, hard-bounded
+# candidates where the base fence went silent.
+# ---------------------------------------------------------------------------
+_JWS_MAX_BLOCK = 2
+
+
+@query(
+    "text_jaro_winkler_sharp",
+    f"""
+WITH b AS (
+    SELECT doc_id,
+           substr(trim(lower(text)), 1, {_JW_PREFIX}) AS tx,
+           {_JW_TOKENS}[1] AS w1,
+           COALESCE({_JW_TOKENS}[2], '') AS w2,
+           len({_JW_TOKENS}) AS tc,
+           len({_JW_TOKENS}) // {_JW_BUCKET} AS lb
+    FROM documents WHERE trim(lower(text)) <> ''
+),
+c1 AS (SELECT w1, lb, COUNT(*) AS n1 FROM b GROUP BY 1, 2),
+t1 AS (SELECT b.* FROM b JOIN c1 USING (w1, lb)
+       WHERE n1 <= {_JWS_MAX_BLOCK}),
+o1 AS (SELECT b.* FROM b JOIN c1 USING (w1, lb)
+       WHERE n1 > {_JWS_MAX_BLOCK}),
+c2 AS (SELECT w1, lb, w2, tc, COUNT(*) AS n2 FROM o1 GROUP BY 1, 2, 3, 4),
+t2 AS (SELECT o1.* FROM o1 JOIN c2 USING (w1, lb, w2, tc)
+       WHERE n2 <= {_JWS_MAX_BLOCK}),
+t3 AS (
+    SELECT o1.*,
+           (ROW_NUMBER() OVER (PARTITION BY o1.w1, o1.lb, o1.w2, o1.tc
+                               ORDER BY o1.doc_id) - 1)
+           % ((n2 + {_JWS_MAX_BLOCK} - 1) // {_JWS_MAX_BLOCK}) AS salt
+    FROM o1 JOIN c2 USING (w1, lb, w2, tc) WHERE n2 > {_JWS_MAX_BLOCK}
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.tx AS ta, c.tx AS tb,
+           1 AS tier
+    FROM t1 a JOIN t1 c
+      ON a.w1 = c.w1 AND a.lb = c.lb AND a.doc_id < c.doc_id
+    UNION ALL
+    SELECT a.doc_id, c.doc_id, a.tx, c.tx, 2
+    FROM t2 a JOIN t2 c
+      ON a.w1 = c.w1 AND a.lb = c.lb AND a.w2 = c.w2 AND a.tc = c.tc
+     AND a.doc_id < c.doc_id
+    UNION ALL
+    SELECT a.doc_id, c.doc_id, a.tx, c.tx, 3
+    FROM t3 a JOIN t3 c
+      ON a.w1 = c.w1 AND a.lb = c.lb AND a.w2 = c.w2 AND a.tc = c.tc
+     AND a.salt = c.salt AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b,
+       {_round_sql('jaro_winkler_similarity(ta, tb)', 6)} AS jw,
+       CAST(tier AS INTEGER) AS tier
+FROM pairs
+""",
+)
+def _text_jaro_winkler_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.fuzzy import blocked_text_pairs_sharp, jaro_winkler_pairs
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = blocked_text_pairs_sharp(
+        d,
+        length_bucket=_JW_BUCKET,
+        max_block=_JWS_MAX_BLOCK,
+        prefix_chars=_JW_PREFIX,
+    )
+    return jaro_winkler_pairs(pairs).select(
+        "doc_a", "doc_b", F.round(F.col("jw"), 6).alias("jw"), "tier"
+    )
+
+
+# ---------------------------------------------------------------------------
 # One-way ANOVA F across event types (functions/stats.py::anova_f).  The
 # oracle mirrors the strict left fold over sorted group stats with
 # list_reduce over list(... ORDER BY event_type) so the k-term double

@@ -79,6 +79,79 @@ def test_blocked_text_pairs_blocking_and_fence(spark):
     assert blocked_text_pairs(df2, max_block=3).count() == 3  # C(3,2)
 
 
+def test_blocked_text_pairs_sharp_three_tiers(spark):
+    """The sharpened escape hatch: tier 1 = small base blocks pair
+    fully; tier 2 = overflow blocks re-pair under (w1, lb, w2, exact
+    token count); tier 3 = still-hot sharp blocks split round-robin by
+    doc-id rank into ceil(n/cap) salt classes of size <= cap — a HARD
+    bound (never the silent empty answer of the base fence).  The
+    tier-3 salt partition is checked CROSS-ENGINE against an inline
+    DuckDB mirror of the gate's rank-salt SQL."""
+    import duckdb
+
+    from nl_railtraffic_etl_pipeline_spark.functions.fuzzy import (
+        blocked_text_pairs_sharp,
+    )
+
+    rows = (
+        # base block of 2 (w1=tiny, tc=3): tier 1
+        [(1, "tiny pair one"), (2, "tiny pair two")]
+        # hot base block (w1=hot, tc=4 -> lb=0), 7 identical keys:
+        # sharp key is ALSO identical (w2=block, tc=4) -> n2=7 > 2 ->
+        # tier 3 with nsalt=ceil(7/2)=4 -> salt sizes 2,2,2,1 -> 3 pairs
+        + [(10 + i, "hot block same size") for i in range(7)]
+        # hot base block (w1=warm, lb=1) whose members split by exact
+        # token count into sharp blocks of 2 -> tier 2
+        + [(30, "warm a " + "x " * 7), (31, "warm a " + "y " * 7),
+           (32, "warm a " + "x " * 8), (33, "warm a " + "y " * 8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = blocked_text_pairs_sharp(df, max_block=2).collect()
+    by_tier: dict = {}
+    for r in got:
+        by_tier.setdefault(r.tier, set()).add((r.doc_a, r.doc_b))
+    assert by_tier[1] == {(1, 2)}
+    assert by_tier[2] == {(30, 31), (32, 33)}
+    # tier 3: round-robin by doc_id rank, nsalt=4 -> classes
+    # {10,14}, {11,15}, {12,16}, {13} -> exactly these 3 pairs
+    assert by_tier[3] == {(10, 14), (11, 15), (12, 16)}
+    # total candidate work bounded: every doc pairs within ONE class
+    # of size <= cap
+    assert len(got) <= 2 * len(rows)
+
+    # cross-engine: DuckDB mirror of the rank-salt arithmetic produces
+    # the same tier-3 pairs
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    toks = "regexp_split_to_array(trim(lower(text)), '[ \\t\\n]+')"
+    oracle = con.execute(f"""
+        WITH b AS (
+            SELECT doc_id, {toks}[1] AS w1,
+                   COALESCE({toks}[2], '') AS w2,
+                   len({toks}) AS tc, len({toks}) // 8 AS lb
+            FROM docs WHERE trim(lower(text)) <> ''
+        ),
+        c1 AS (SELECT w1, lb, COUNT(*) AS n1 FROM b GROUP BY 1, 2),
+        o1 AS (SELECT b.* FROM b JOIN c1 USING (w1, lb) WHERE n1 > 2),
+        c2 AS (SELECT w1, lb, w2, tc, COUNT(*) AS n2
+               FROM o1 GROUP BY 1, 2, 3, 4),
+        t3 AS (
+            SELECT o1.*,
+                   (ROW_NUMBER() OVER (
+                        PARTITION BY o1.w1, o1.lb, o1.w2, o1.tc
+                        ORDER BY o1.doc_id) - 1) % ((n2 + 1) // 2) AS salt
+            FROM o1 JOIN c2 USING (w1, lb, w2, tc) WHERE n2 > 2
+        )
+        SELECT a.doc_id, c.doc_id FROM t3 a JOIN t3 c
+          ON a.w1 = c.w1 AND a.lb = c.lb AND a.w2 = c.w2
+         AND a.tc = c.tc AND a.salt = c.salt AND a.doc_id < c.doc_id
+    """).fetchall()
+    assert {tuple(r) for r in oracle} == by_tier[3]
+
+
 def test_anova_f_hand_computed(spark):
     """3 groups with textbook values: F = (SSB/(k-1)) / (SSW/(n-k))."""
     from nl_railtraffic_etl_pipeline_spark.functions.stats import anova_f

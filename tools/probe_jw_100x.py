@@ -30,6 +30,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from nl_railtraffic_etl_pipeline_spark.functions.fuzzy import (  # noqa: E402
     blocked_text_pairs,
+    blocked_text_pairs_sharp,
     jaro_winkler_pairs,
 )
 from nl_railtraffic_etl_pipeline_spark.plans.testdata import (  # noqa: E402
@@ -40,8 +41,14 @@ from nl_railtraffic_etl_pipeline_spark.session import get_spark  # noqa: E402
 OFFSET = 10_000_000
 
 
+SHARP = False
+
+
 def main() -> None:
-    ms = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    global SHARP
+    args = [a for a in sys.argv[1:] if a != "--sharp"]
+    SHARP = "--sharp" in sys.argv[1:]
+    ms = [int(a) for a in args] or [1, 10, 100]
     spark = get_spark("probe-jw-100x")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(32).repartition(4).mapInPandas(
@@ -58,6 +65,22 @@ def main() -> None:
             "text",
         )
         t0 = time.time()
+        if SHARP:
+            pairs = blocked_text_pairs_sharp(docs, max_block=100)
+            out = jaro_winkler_pairs(pairs)
+            tiers = {
+                r["tier"]: r["n"]
+                for r in out.groupBy("tier")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            n_pairs = sum(tiers.values())
+            wall = time.time() - t0
+            print(
+                f"m={m}: SHARP pairs={n_pairs} per-tier={tiers} "
+                f"wall={wall:.2f}s"
+            )
+            continue
         pairs = blocked_text_pairs(docs)
         out = jaro_winkler_pairs(pairs)
         n_pairs = out.count()
