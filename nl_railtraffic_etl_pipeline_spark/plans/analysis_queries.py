@@ -167,6 +167,58 @@ def _text_jaro_winkler_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unrestricted Damerau-Levenshtein over the same blocked candidate
+# pairs (functions/fuzzy.py::damerau_levenshtein_pairs).  Spark's
+# built-in levenshtein has no transposition edit; the kernel implements
+# the Lowrance-Wagner alphabet-indexed DP (a transposition may span
+# intervening edits — dl('ca','abc') = 2, unlike OSA's 3) and the
+# oracle is DuckDB's NATIVE C++ damerau_levenshtein — two independent
+# implementations, integer-exact, so the hash pins every DP cell
+# convention.  Blocking and scale shape identical to text_jaro_winkler.
+# ---------------------------------------------------------------------------
+@query(
+    "text_damerau_levenshtein",
+    f"""
+WITH b AS (
+    SELECT doc_id,
+           substr(trim(lower(text)), 1, {_JW_PREFIX}) AS tx,
+           {_JW_TOKENS}[1] AS w1,
+           len({_JW_TOKENS}) // {_JW_BUCKET} AS lb
+    FROM documents WHERE trim(lower(text)) <> ''
+),
+ok AS (
+    SELECT w1, lb FROM b GROUP BY 1, 2
+    HAVING COUNT(*) <= {_JW_MAX_BLOCK}
+),
+kept AS (SELECT b.* FROM b JOIN ok USING (w1, lb)),
+pairs AS (
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           a.tx AS ta, c.tx AS tb
+    FROM kept a JOIN kept c
+      ON a.w1 = c.w1 AND a.lb = c.lb AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(damerau_levenshtein(ta, tb) AS BIGINT) AS dl
+FROM pairs
+""",
+)
+def _text_damerau_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.fuzzy import (
+        blocked_text_pairs,
+        damerau_levenshtein_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = blocked_text_pairs(
+        d,
+        length_bucket=_JW_BUCKET,
+        max_block=_JW_MAX_BLOCK,
+        prefix_chars=_JW_PREFIX,
+    )
+    return damerau_levenshtein_pairs(pairs).select("doc_a", "doc_b", "dl")
+
+
+# ---------------------------------------------------------------------------
 # One-way ANOVA F across event types (functions/stats.py::anova_f).  The
 # oracle mirrors the strict left fold over sorted group stats with
 # list_reduce over list(... ORDER BY event_type) so the k-term double
@@ -404,3 +456,72 @@ def _stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events", spread=True)
     return kruskal_wallis(e, "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe Levene test (functions/stats.py::levene_bf) — equality
+# of group variances via ANOVA over |value - group median|, the robust
+# variant scipy computes with center='median'.  The center is the LOWER
+# median (the element at 1-indexed position (n+1)//2 in sort order) so
+# both engines select the same concrete value with no interpolation
+# convention in play; z rides exact decimals and the closing arithmetic
+# is the anova_close fold contract verbatim (list_reduce over sorted
+# group stats).
+# ---------------------------------------------------------------------------
+@query(
+    "stats_levene_bf",
+    """
+WITH b AS (
+    SELECT event_type AS g,
+           CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS dv
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+m AS (
+    SELECT g, dv AS med FROM (
+        SELECT g, dv,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY dv) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS ng
+        FROM b
+    ) WHERE rn = (ng + 1) // 2
+),
+z AS (
+    SELECT b.g,
+           CAST(CAST(ABS(b.dv - m.med) AS VARCHAR) AS DECIMAL(18,6)) AS dz
+    FROM b JOIN m USING (g)
+),
+gg AS (
+    SELECT g, COUNT(*) AS ng, SUM(dz) AS sg, SUM(dz * dz) AS ssg
+    FROM z GROUP BY 1
+),
+r AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(ng) AS BIGINT) AS n,
+           CAST(SUM(sg) AS DOUBLE) AS s,
+           CAST(SUM(ssg) AS DOUBLE) AS ss,
+           list_reduce(
+               list_prepend(
+                   CAST(0 AS DOUBLE),
+                   list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+                        ORDER BY g)
+               ),
+               (x, y) -> x + y
+           ) AS fold
+    FROM gg
+)
+SELECT k, n,
+       ROUND(fold - s * s / n, 6) AS ssb,
+       ROUND((ss - s * s / n) - (fold - s * s / n), 6) AS ssw,
+       CASE WHEN k > 1 AND n > k
+                 AND (ss - s * s / n) - (fold - s * s / n) > 0
+            THEN ROUND(
+                ((fold - s * s / n) / (k - 1))
+                / (((ss - s * s / n) - (fold - s * s / n)) / (n - k)), 9)
+       END AS w_stat
+FROM r
+""",
+)
+def _stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import levene_bf
+
+    e = load_table(spark, sf_dir, "events", spread=True)
+    return levene_bf(e, "event_type", "value")

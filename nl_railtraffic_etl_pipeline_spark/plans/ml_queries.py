@@ -7181,6 +7181,186 @@ def _mm_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ICO container decode (multimodal.decode_ico_stats): genuine favicon
+# containers — an ICONDIR directory (reserved/type/count + 16-byte
+# entries with size/offset) over embedded FULL PNG streams, every
+# second entry of even docs Adam7-INTERLACED — decoded entry-by-entry
+# with the shared PNG kernel; one output row per entry.  The oracle
+# recomputes each entry's channel sums from the PNG fixture formula
+# (entry j carries doc key doc_id + j) — a directory walk off by one,
+# an offset/size mismatch, or entry attribution to the wrong icon_idx
+# hash-mismatches.  Every third doc truncated inside the directory to
+# pin the container-quarantine row (icon_idx NULL).
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_ico",
+    """
+WITH sel AS (
+    SELECT doc_id, CAST(1 + doc_id % 4 AS INTEGER) AS ne,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 43 = 0
+),
+ent AS (
+    SELECT doc_id, CAST(j AS INTEGER) AS icon_idx, doc_id + j AS k,
+           CAST(4 + (doc_id + j) % 5 AS INTEGER) AS w,
+           CAST(3 + (doc_id + j) % 4 AS INTEGER) AS h
+    FROM (SELECT doc_id, ne, unnest(range(0, ne)) AS j
+          FROM sel WHERE NOT corrupt)
+),
+px AS (
+    SELECT doc_id, icon_idx, k, w, h, unnest(range(0, w * h)) AS p
+    FROM ent
+),
+sums AS (
+    SELECT doc_id, icon_idx,
+           CAST(SUM((k * 31 + p * 3    ) % 256) AS BIGINT) AS ch0_sum,
+           CAST(SUM((k * 31 + p * 3 + 1) % 256) AS BIGINT) AS ch1_sum,
+           CAST(SUM((k * 31 + p * 3 + 2) % 256) AS BIGINT) AS ch2_sum
+    FROM px GROUP BY 1, 2
+)
+SELECT ent.doc_id, ent.icon_idx, ent.w AS width, ent.h AS height,
+       CAST(3 AS INTEGER) AS channels,
+       sums.ch0_sum, sums.ch1_sum, sums.ch2_sum,
+       TRUE AS decoded
+FROM ent JOIN sums USING (doc_id, icon_idx)
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, FALSE
+FROM sel WHERE corrupt
+""",
+)
+def _mm_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 43 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 4).cast("int").alias("_ne"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import ico_encode_png_entries
+
+        for pdf in batches:
+            payloads = [
+                ico_encode_png_entries(int(doc), int(ne))[
+                    : 20 if corrupt else None
+                ]
+                for doc, ne, corrupt in zip(
+                    pdf["doc_id"], pdf["_ne"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_ico_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded WAV decode (multimodal.decode_wav_g711_stats): genuine
+# RIFF streams whose data bytes are mu-law (fmt 7, even docs) or A-law
+# (fmt 6, odd docs) companded — the telephony codecs of voice corpora —
+# plus the spec-required `fact` chunk and the odd-sized junk chunk.
+# The engine expands the ACTUAL BYTES through the ITU-T G.711 integer
+# formulas (256-entry tables, one numpy gather); the oracle recomputes
+# the exact PCM16 sums from the byte formula and the SAME closed-form
+# expansion in SQL — a wrong bias, a missed sign toggle (A-law's 0x80
+# means POSITIVE, inverting mu-law), or a segment shift off by one
+# hash-mismatches.  Every third doc truncated to pin the quarantine row.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_wav_g711",
+    """
+WITH sel AS (
+    SELECT doc_id, CAST(150 + doc_id % 201 AS BIGINT) AS n,
+           doc_id % 2 = 0 AS is_ulaw,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 31 = 0
+),
+bytes_ AS (
+    SELECT doc_id, is_ulaw, i, (doc_id * 13 + i * 7) % 256 AS v
+    FROM (SELECT doc_id, is_ulaw, n, unnest(range(0, n)) AS i
+          FROM sel WHERE NOT corrupt)
+),
+expanded AS (
+    SELECT doc_id, i,
+        CASE WHEN is_ulaw THEN
+            CASE WHEN (255 - v) >= 128
+                 THEN 132 - (((255 - v) % 16) * 8 + 132)
+                          * (1 << (((255 - v) // 16) % 8))
+                 ELSE (((255 - v) % 16) * 8 + 132)
+                          * (1 << (((255 - v) // 16) % 8)) - 132
+            END
+        ELSE
+            CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END *
+            CASE WHEN (xor(v, 85) % 128) // 16 = 0
+                 THEN (xor(v, 85) % 16) * 16 + 8
+                 ELSE ((xor(v, 85) % 16) * 16 + 264)
+                      * (1 << ((xor(v, 85) % 128) // 16 - 1))
+            END
+        END AS s
+    FROM bytes_
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM(s) AS BIGINT) AS sample_sum,
+           CAST(SUM((i + 1) * s) AS BIGINT) AS sample_weighted,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           CAST(SUM(s * s) AS BIGINT) AS energy
+    FROM expanded GROUP BY 1
+)
+SELECT sel.doc_id,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE 8000 END AS INTEGER)
+           AS sample_rate,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE 1 END AS INTEGER)
+           AS n_channels,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.n END AS n_samples,
+       CASE WHEN sel.corrupt THEN NULL
+            WHEN sel.is_ulaw THEN 'ulaw' ELSE 'alaw' END AS codec,
+       sums.sample_sum, sums.sample_weighted, sums.peak_abs, sums.energy,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 31 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(150) + F.col("doc_id") % 201).cast("int").alias("_n"),
+        (F.col("doc_id") % 2 == 0).alias("_ulaw"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import wav_encode_g711
+
+        for pdf in batches:
+            payloads = [
+                wav_encode_g711(
+                    int(doc), int(n), "ulaw" if ulaw else "alaw"
+                )[: 25 if corrupt else None]
+                for doc, n, ulaw, corrupt in zip(
+                    pdf["doc_id"], pdf["_n"], pdf["_ulaw"],
+                    pdf["_corrupt"],
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_wav_g711_stats(payload)
+
+
+# ---------------------------------------------------------------------------
 # REAL BMP decode (multimodal.decode_bmp_pixel_stats): genuine 24bpp
 # BI_RGB files stored BOTTOM-UP with 4-byte row padding and BGR byte
 # order — the three classic BMP bugs — whose top-down raster pixels

@@ -152,6 +152,123 @@ def test_blocked_text_pairs_sharp_three_tiers(spark):
     assert {tuple(r) for r in oracle} == by_tier[3]
 
 
+def test_damerau_levenshtein_known_values_and_duckdb():
+    """Unrestricted DL (Lowrance-Wagner): the transposition may span
+    intervening edits — dl('ca','abc') = 2 where OSA gives 3 — plus the
+    5000-random-pair foreign-oracle sweep against DuckDB's native C++
+    implementation over a transposition-dense small alphabet."""
+    import random
+
+    import duckdb
+
+    from nl_railtraffic_etl_pipeline_spark.functions.fuzzy import (
+        _damerau_levenshtein,
+    )
+
+    assert _damerau_levenshtein("ca", "abc") == 2  # NOT OSA's 3
+    assert _damerau_levenshtein("abcdef", "abdcef") == 1
+    assert _damerau_levenshtein("", "xyz") == 3
+    assert _damerau_levenshtein("xyz", "") == 3
+    assert _damerau_levenshtein("same", "same") == 0
+    con = duckdb.connect()
+    rng = random.Random(7)
+    for t in range(5000):
+        ab = "abcd" if t % 2 else "ab"
+        a = "".join(rng.choice(ab) for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice(ab) for _ in range(rng.randint(0, 12)))
+        d = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert d == _damerau_levenshtein(a, b), (repr(a), repr(b))
+
+
+def test_levene_bf_hand_computed(spark):
+    """Brown-Forsythe on two groups with hand-computable lower medians:
+    g1 = [1,2,3,4] (lower median 2 -> z = [1,0,1,2]),
+    g2 = [10,10,40] (median 10 -> z = [0,0,30]).  W = ANOVA F over z."""
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import levene_bf
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+            ("b", 10.0), ("b", 10.0), ("b", 40.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = levene_bf(df, "g", "value").collect()[0]
+    assert (r.k, r.n) == (2, 7)
+    # z-means: g1 = 1.0, g2 = 10.0; grand = 34/7
+    # ssb = 4*(1-34/7)^2 + 3*(10-34/7)^2 = 138.857142...
+    # ssw = (0+1+0+1) + (100+100+400) = 602
+    assert abs(r.ssb - 138.857143) < 1e-6
+    assert abs(r.ssw - 602.0) < 1e-9
+    assert abs(r.w_stat - (138.857142857143 / 1) / (602 / 5)) < 1e-6
+
+
+def test_g711_expansion_reference_points():
+    """ITU-T G.711 table anchors: mu-law spans +-32124 with 0xFF/0x7F
+    as +0/-0; A-law spans +-32256 with the INVERTED sign convention
+    (0x80 set = positive) and 0xD5/0x55 as +8/-8."""
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _g711_tables,
+        _wav_decode_g711,
+        wav_encode_g711,
+        wav_encode_pcm16,
+    )
+
+    u, a = _g711_tables()
+    assert u[0xFF] == 0 and u[0x7F] == 0
+    assert u[0x00] == -32124 and u[0x80] == 32124
+    assert int(u.max()) == 32124 and int(u.min()) == -32124
+    assert a[0xD5] == 8 and a[0x55] == -8
+    assert int(a.max()) == 32256 and int(a.min()) == -32256
+    # the G.711 walker skips fact/junk chunks and quarantines non-G.711
+    for law in ("ulaw", "alaw"):
+        d = _wav_decode_g711(wav_encode_g711(3, 50, law))
+        assert d is not None and d[:4] == (8000, 1, 50, law)
+        assert _wav_decode_g711(wav_encode_g711(3, 50, law)[:25]) is None
+    assert _wav_decode_g711(wav_encode_pcm16(3, 50)) is None  # PCM16
+
+
+def test_ico_container_walk():
+    """ICO directory walk: entries decode independently (incl. Adam7
+    entries), per-entry sums match the PNG formula, a directory
+    pointing past the payload quarantines the container, and a non-PNG
+    entry quarantines per-entry without hiding siblings."""
+    import struct
+
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _ico_decode_entries,
+        ico_encode_png_entries,
+    )
+
+    for doc in (0, 1, 2, 7, 30):
+        n = 1 + doc % 4
+        es = _ico_decode_entries(ico_encode_png_entries(doc, n))
+        assert es is not None and len(es) == n
+        for j, w, h, ch, sums in es:
+            k = doc + j
+            assert (w, h, ch) == (4 + k % 5, 3 + k % 4, 3)
+            assert list(sums) == [
+                sum((k * 31 + p * 3 + c) % 256 for p in range(w * h))
+                for c in range(3)
+            ]
+    assert _ico_decode_entries(b"junk") is None
+    assert _ico_decode_entries(ico_encode_png_entries(3, 2)[:20]) is None
+    # one DIB (non-PNG) entry among PNGs: that entry quarantines, the
+    # sibling still decodes
+    good = ico_encode_png_entries(4, 1)
+    png_blob = good[6 + 16 :]
+    dib = b"\x28\x00\x00\x00" + b"\x00" * 36  # BITMAPINFOHEADER stub
+    hdr = struct.pack("<HHH", 0, 1, 2)
+    off0 = 6 + 32
+    d0 = struct.pack("<BBBBHHII", 4, 3, 0, 0, 1, 32, len(dib), off0)
+    d1 = struct.pack(
+        "<BBBBHHII", 4, 3, 0, 0, 1, 32, len(png_blob), off0 + len(dib)
+    )
+    mixed = hdr + d0 + d1 + dib + png_blob
+    es = _ico_decode_entries(mixed)
+    assert es is not None and len(es) == 2
+    assert es[0][4] is None          # DIB entry quarantined
+    assert es[1][4] is not None      # PNG sibling decoded
+
+
 def test_anova_f_hand_computed(spark):
     """3 groups with textbook values: F = (SSB/(k-1)) / (SSW/(n-k))."""
     from nl_railtraffic_etl_pipeline_spark.functions.stats import anova_f

@@ -153,6 +153,10 @@ def test_python_only_in_arrow_kernels(spark):
             "mm_decode_jpeg_prog_pixels",  # progressive fixture + full scan kernels
             "mm_sample_gif_frames",  # animated-GIF fixture + frame kernels
             "text_jaro_winkler",  # pure-Python JW kernel (no Spark builtin)
+            "text_jaro_winkler_sharp",  # same JW kernel, sharpened blocking
+            "text_damerau_levenshtein",  # Lowrance-Wagner DP kernel
+            "mm_decode_wav_g711",  # G.711 fixture + expansion kernels
+            "mm_decode_ico",  # ICO fixture + container/PNG kernels
             "ml_isotonic_calibration",  # PAV kernel on the <=64-row bin frame
             "streaming_isotonic",  # same PAV kernel over the drained bins
             "text_bpe_encode",  # greedy BPE apply kernel (merge loop)
