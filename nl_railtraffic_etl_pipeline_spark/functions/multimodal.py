@@ -3620,3 +3620,193 @@ def decode_ico_stats(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         batch, ICO_STATS
     )
+
+
+# ---------------------------------------------------------------------------
+# ZIP archive walk (PKWARE APPNOTE, public): locate the End-of-Central-
+# Directory record, walk the central directory, and decode each entry —
+# STORED passes through, DEFLATE inflates RAW (zlib wbits=-15) bounded
+# by the declared uncompressed size (the decompression-bomb fence the
+# PNG path uses), then the CRC-32 and size claims are VERIFIED, not
+# trusted.  The corpus-ingestion shape: web archives and dataset dumps
+# arrive zipped; a pipeline wants per-entry stats + integrity flags
+# without trusting the directory.
+# ---------------------------------------------------------------------------
+
+#: Max declared uncompressed size the ZIP walk will inflate (policy).
+_ZIP_ENTRY_CAP = 64 * 1024 * 1024
+
+
+def _zip_entries(b: bytes):
+    """ZIP bytes -> list of (entry_idx, name, method, n_bytes,
+    byte_sum, crc_ok) per central-directory entry, or None (quarantine:
+    no/invalid EOCD, truncated directory, bad signatures, overlong
+    declared size, or inflate failure)."""
+    import struct
+    import zlib
+
+    eocd = b.rfind(b"PK\x05\x06", max(0, len(b) - 65557))
+    if eocd < 0 or eocd + 22 > len(b):
+        return None
+    (n_total, cd_size, cd_off) = struct.unpack(
+        "<HI I", b[eocd + 10 : eocd + 20]
+    )
+    n_here = int.from_bytes(b[eocd + 8 : eocd + 10], "little")
+    if n_here != n_total or cd_off + cd_size > eocd:
+        return None
+    out = []
+    pos = cd_off
+    for idx in range(n_total):
+        if b[pos : pos + 4] != b"PK\x01\x02" or pos + 46 > len(b):
+            return None
+        method = int.from_bytes(b[pos + 10 : pos + 12], "little")
+        crc = int.from_bytes(b[pos + 16 : pos + 20], "little")
+        csize = int.from_bytes(b[pos + 20 : pos + 24], "little")
+        usize = int.from_bytes(b[pos + 24 : pos + 28], "little")
+        nlen = int.from_bytes(b[pos + 28 : pos + 30], "little")
+        elen = int.from_bytes(b[pos + 30 : pos + 32], "little")
+        clen = int.from_bytes(b[pos + 32 : pos + 34], "little")
+        lho = int.from_bytes(b[pos + 42 : pos + 46], "little")
+        name = b[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        pos += 46 + nlen + elen + clen
+        if usize > _ZIP_ENTRY_CAP:
+            return None  # decompression-bomb fence (policy)
+        # local header: re-read name length / extra length (they may
+        # differ from the central copy) to find the data start
+        if b[lho : lho + 4] != b"PK\x03\x04" or lho + 30 > len(b):
+            return None
+        lnlen = int.from_bytes(b[lho + 26 : lho + 28], "little")
+        lelen = int.from_bytes(b[lho + 28 : lho + 30], "little")
+        dstart = lho + 30 + lnlen + lelen
+        data = b[dstart : dstart + csize]
+        if len(data) != csize:
+            return None
+        if method == 0:
+            raw = data
+        elif method == 8:
+            try:
+                dec = zlib.decompressobj(-15)
+                raw = dec.decompress(data, usize + 1)
+            except zlib.error:
+                return None
+        else:
+            out.append((idx, name, method, None, None, None))
+            continue
+        ok = len(raw) == usize and (zlib.crc32(raw) & 0xFFFFFFFF) == crc
+        out.append((idx, name, method, len(raw), sum(raw), ok))
+    return out if out else None
+
+
+def zip_encode(doc_id: int, n_entries: int) -> bytes:
+    """Deterministic ZIP fixture: entry ``j`` is ``f{j}.txt`` with
+    ``20 + (doc_id + j) % 31`` bytes, byte i = ``(doc_id*11 + j*5 +
+    i*3) % 256`` — entry 0 STORED, the rest DEFLATEd raw; when
+    ``n_entries > 2`` entry 2's recorded CRC is deliberately CORRUPTED
+    (both copies) so the integrity verdict is pinned FALSE."""
+    import struct
+    import zlib
+
+    locals_ = bytearray()
+    cd = bytearray()
+    offsets = []
+    for j in range(n_entries):
+        k = doc_id + j
+        raw = bytes(
+            (doc_id * 11 + j * 5 + i * 3) % 256
+            for i in range(20 + k % 31)
+        )
+        name = f"f{j}.txt".encode()
+        crc = zlib.crc32(raw) & 0xFFFFFFFF
+        if j == 2:
+            crc ^= 0xDEADBEEF  # deliberate integrity break
+        if j == 0:
+            method, data = 0, raw
+        else:
+            method = 8
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = co.compress(raw) + co.flush()
+        offsets.append(len(locals_))
+        locals_ += (
+            b"PK\x03\x04"
+            + struct.pack(
+                "<HHHHHIIIHH", 20, 0, method, 0, 0, crc,
+                len(data), len(raw), len(name), 0,
+            )
+            + name + data
+        )
+    for j in range(n_entries):
+        k = doc_id + j
+        raw_len = 20 + k % 31
+        name = f"f{j}.txt".encode()
+        lho = offsets[j]
+        # re-derive the sizes/crc from the local header we just wrote
+        (_v, _f, method, _mt, _md, crc, csize, usize, _nl, _el) = (
+            struct.unpack(
+                "<HHHHHIIIHH", bytes(locals_[lho + 4 : lho + 30])
+            )
+        )
+        cd += (
+            b"PK\x01\x02"
+            + struct.pack(
+                "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc,
+                csize, usize, len(name), 0, 0, 0, 0, 0, lho,
+            )
+            + name
+        )
+        assert usize == raw_len
+    eocd = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, n_entries, n_entries, len(cd), len(locals_), 0
+    )
+    return bytes(locals_) + bytes(cd) + eocd
+
+
+ZIP_ENTRY_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("entry_idx", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("method", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("crc_ok", T.BooleanType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_zip_entries(df_with_payload: DataFrame) -> DataFrame:
+    """ZIP archive walk over a binary column (see :func:`_zip_entries`):
+    one row per central-directory entry with verified (not trusted)
+    size/CRC and exact byte sums; malformed containers quarantine as a
+    single entry_idx-NULL row.  Arrow ``mapInPandas``, map-only; the
+    bounded raw inflate caps memory at the declared size fence."""
+    import pandas as pd
+
+    def batch(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                entries = _zip_entries(bytes(payload))
+                if entries is None:
+                    rows.append((doc_id,) + (None,) * 6 + (False,))
+                    continue
+                for idx, name, method, nb, bs, ok in entries:
+                    rows.append(
+                        (doc_id, idx, name, method, nb, bs, ok, True)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "entry_idx", "name", "method", "n_bytes",
+                    "byte_sum", "crc_ok", "decoded",
+                ],
+            ).astype(
+                {
+                    "entry_idx": "Int32", "method": "Int32",
+                    "n_bytes": "Int64", "byte_sum": "Int64",
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, ZIP_ENTRY_STATS
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .sketch import _rank_hash
 
@@ -600,4 +601,151 @@ def robots_decisions(
         F.coalesce(F.col("rule_type") != "disallow", F.lit(True)).alias(
             "allowed"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WARC record walk (ISO 28500, public — the Common Crawl container):
+# a WARC file is a concatenation of records, each a version line
+# ("WARC/1.x"), CRLF-separated named headers through a blank line, a
+# payload of exactly Content-Length bytes, and a CRLF CRLF record
+# terminator.  A training-data pipeline's first step over a crawl is
+# exactly this walk: split records, read WARC-Type / WARC-Target-URI,
+# and hand payloads downstream WITHOUT loading the whole archive.
+# ---------------------------------------------------------------------------
+
+
+def _warc_records(b: bytes):
+    """WARC bytes -> list of (rec_idx, warc_type, target_uri,
+    content_length, payload_sum, payload_weighted) or None (quarantine:
+    bad version line, unterminated headers, missing/invalid
+    Content-Length, short payload, or a missing record terminator —
+    trailing garbage after the last terminator also quarantines).
+    payload_weighted = sum (i+1) * byte_i pins payload ATTRIBUTION: a
+    walk that hands record k's bytes to record k+1 hash-mismatches."""
+    out = []
+    pos = 0
+    idx = 0
+    n = len(b)
+    while pos < n:
+        eol = b.find(b"\r\n", pos)
+        if eol < 0 or not b[pos:eol].startswith(b"WARC/"):
+            return None
+        hpos = eol + 2
+        headers: dict[bytes, bytes] = {}
+        while True:
+            he = b.find(b"\r\n", hpos)
+            if he < 0:
+                return None
+            line = b[hpos:he]
+            hpos = he + 2
+            if not line:
+                break
+            ci = line.find(b":")
+            if ci <= 0:
+                return None
+            headers[line[:ci].strip().lower()] = line[ci + 1 :].strip()
+        try:
+            clen = int(headers[b"content-length"])
+        except (KeyError, ValueError):
+            return None
+        if clen < 0 or hpos + clen + 4 > n:
+            return None
+        payload = b[hpos : hpos + clen]
+        if b[hpos + clen : hpos + clen + 4] != b"\r\n\r\n":
+            return None
+        out.append(
+            (
+                idx,
+                headers.get(b"warc-type", b"").decode(
+                    "ascii", "replace"
+                ),
+                headers.get(b"warc-target-uri", b"").decode(
+                    "ascii", "replace"
+                )
+                or None,
+                clen,
+                sum(payload),
+                sum((i + 1) * v for i, v in enumerate(payload)),
+            )
+        )
+        idx += 1
+        pos = hpos + clen + 4
+    return out if out else None
+
+
+def warc_encode(doc_id: int, n_records: int) -> bytes:
+    """Deterministic WARC fixture: record j cycles WARC-Type through
+    response/request/metadata, carries WARC-Target-URI
+    ``http://h{doc_id + j}.test/p`` (responses/requests only), and a
+    payload of ``16 + (doc_id + j) % 23`` bytes with byte i =
+    ``(doc_id * 7 + j * 3 + i * 5) % 256`` — every field an arithmetic
+    formula a SQL oracle replays."""
+    types = ("response", "request", "metadata")
+    out = bytearray()
+    for j in range(n_records):
+        k = doc_id + j
+        wt = types[j % 3]
+        clen = 16 + k % 23
+        payload = bytes((doc_id * 7 + j * 3 + i * 5) % 256 for i in range(clen))
+        out += b"WARC/1.0\r\n"
+        out += f"WARC-Type: {wt}\r\n".encode()
+        out += f"WARC-Record-ID: <urn:test:{doc_id}-{j}>\r\n".encode()
+        if wt != "metadata":
+            out += f"WARC-Target-URI: http://h{k}.test/p\r\n".encode()
+        out += f"Content-Length: {clen}\r\n".encode()
+        out += b"\r\n" + payload + b"\r\n\r\n"
+    return bytes(out)
+
+
+WARC_RECORDS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rec_idx", T.IntegerType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("payload_sum", T.LongType()),
+        T.StructField("payload_weighted", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def warc_record_stats(df_with_payload: DataFrame) -> DataFrame:
+    """WARC record walk over a binary column (see :func:`_warc_records`):
+    one row per record with exact payload byte sums, a single
+    quarantine row (rec_idx NULL) for malformed archives.  Arrow
+    ``mapInPandas``, map-only; live state is one record's headers —
+    payloads stream through the two running sums."""
+    import pandas as pd
+
+    def batch(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                recs = _warc_records(bytes(payload))
+                if recs is None:
+                    rows.append((doc_id,) + (None,) * 6 + (False,))
+                    continue
+                for idx, wt, uri, clen, s, swt in recs:
+                    rows.append(
+                        (doc_id, idx, wt, uri, clen, s, swt, True)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rec_idx", "warc_type", "target_uri",
+                    "content_length", "payload_sum", "payload_weighted",
+                    "decoded",
+                ],
+            ).astype(
+                {
+                    "rec_idx": "Int32", "content_length": "Int64",
+                    "payload_sum": "Int64", "payload_weighted": "Int64",
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, WARC_RECORDS
     )

@@ -7181,6 +7181,166 @@ def _mm_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ZIP archive walk (multimodal.decode_zip_entries): genuine PKZIP
+# containers — EOCD location, central-directory walk, local-header
+# re-read, entry 0 STORED and the rest raw-DEFLATE inflated under the
+# declared-size bomb fence — with the size and CRC-32 claims VERIFIED
+# against the inflated bytes, not trusted: entry 2's recorded CRC is
+# deliberately corrupted in the fixture, so crc_ok = FALSE is a pinned
+# row, not a happy-path constant (stdlib zipfile cross-reads the
+# fixture in pytest).  The oracle replays names, methods, sizes and
+# byte sums from the formulas.  Every third doc truncated to pin the
+# container-quarantine row.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_zip",
+    """
+WITH sel AS (
+    SELECT doc_id, CAST(1 + doc_id % 5 AS INTEGER) AS ne,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 53 = 0
+),
+ent AS (
+    SELECT doc_id, CAST(j AS INTEGER) AS entry_idx, j,
+           CAST(20 + (doc_id + j) % 31 AS BIGINT) AS nb
+    FROM (SELECT doc_id, ne, unnest(range(0, ne)) AS j
+          FROM sel WHERE NOT corrupt)
+),
+by_ AS (
+    SELECT doc_id, entry_idx, (doc_id * 11 + j * 5 + i * 3) % 256 AS v
+    FROM (SELECT doc_id, entry_idx, j, nb, unnest(range(0, nb)) AS i
+          FROM ent)
+),
+sums AS (
+    SELECT doc_id, entry_idx, CAST(SUM(v) AS BIGINT) AS byte_sum
+    FROM by_ GROUP BY 1, 2
+)
+SELECT ent.doc_id, ent.entry_idx,
+       'f' || ent.j || '.txt' AS name,
+       CAST(CASE WHEN ent.j = 0 THEN 0 ELSE 8 END AS INTEGER) AS method,
+       ent.nb AS n_bytes, sums.byte_sum,
+       ent.j <> 2 AS crc_ok,
+       TRUE AS decoded
+FROM ent JOIN sums USING (doc_id, entry_idx)
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, FALSE
+FROM sel WHERE corrupt
+""",
+)
+def _mm_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 53 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 5).cast("int").alias("_ne"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import zip_encode
+
+        for pdf in batches:
+            payloads = [
+                zip_encode(int(doc), int(ne))[: 40 if corrupt else None]
+                for doc, ne, corrupt in zip(
+                    pdf["doc_id"], pdf["_ne"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_zip_entries(payload)
+
+
+# ---------------------------------------------------------------------------
+# WARC record walk (functions/web.py::warc_record_stats): genuine ISO
+# 28500 archives — version line, CRLF headers through a blank line,
+# Content-Length payload, CRLF CRLF terminator — the Common Crawl
+# container an LLM pipeline ingests first.  One row per record; the
+# position-weighted payload sum pins record ATTRIBUTION (a walk that
+# hands record k's bytes to record k+1 hash-mismatches); metadata
+# records carry no WARC-Target-URI.  The oracle replays every header
+# and byte from the fixture formulas.  Every third doc truncated
+# mid-headers to pin the archive-quarantine row.
+# ---------------------------------------------------------------------------
+@query(
+    "web_warc_records",
+    """
+WITH sel AS (
+    SELECT doc_id, CAST(2 + doc_id % 5 AS INTEGER) AS ne,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 47 = 0
+),
+rec AS (
+    SELECT doc_id, CAST(j AS INTEGER) AS rec_idx, doc_id + j AS k, j,
+           CAST(16 + (doc_id + j) % 23 AS BIGINT) AS clen
+    FROM (SELECT doc_id, ne, unnest(range(0, ne)) AS j
+          FROM sel WHERE NOT corrupt)
+),
+by_ AS (
+    SELECT doc_id, rec_idx, i,
+           (doc_id * 7 + j * 3 + i * 5) % 256 AS v
+    FROM (SELECT doc_id, rec_idx, j, clen, unnest(range(0, clen)) AS i
+          FROM rec)
+),
+sums AS (
+    SELECT doc_id, rec_idx,
+           CAST(SUM(v) AS BIGINT) AS payload_sum,
+           CAST(SUM((i + 1) * v) AS BIGINT) AS payload_weighted
+    FROM by_ GROUP BY 1, 2
+)
+SELECT rec.doc_id, rec.rec_idx,
+       CASE rec.j % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+            ELSE 'metadata' END AS warc_type,
+       CASE WHEN rec.j % 3 = 2 THEN NULL
+            ELSE 'http://h' || rec.k || '.test/p' END AS target_uri,
+       rec.clen AS content_length,
+       sums.payload_sum, sums.payload_weighted,
+       TRUE AS decoded
+FROM rec JOIN sums USING (doc_id, rec_idx)
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, FALSE
+FROM sel WHERE corrupt
+""",
+)
+def _web_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.web import warc_record_stats
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 47 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(2) + F.col("doc_id") % 5).cast("int").alias("_ne"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.web import warc_encode
+
+        for pdf in batches:
+            payloads = [
+                warc_encode(int(doc), int(ne))[: 35 if corrupt else None]
+                for doc, ne, corrupt in zip(
+                    pdf["doc_id"], pdf["_ne"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return warc_record_stats(payload)
+
+
+# ---------------------------------------------------------------------------
 # ICO container decode (multimodal.decode_ico_stats): genuine favicon
 # containers — an ICONDIR directory (reserved/type/count + 16-byte
 # entries with size/offset) over embedded FULL PNG streams, every

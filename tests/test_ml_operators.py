@@ -1934,6 +1934,74 @@ def test_png_adam7_interlace():
         assert _png_decode_pixels(full[:cut]) is None, cut
 
 
+def test_warc_record_walk():
+    """ISO 28500 walk: record attribution (types, URIs, per-record
+    payload sums), metadata records carry no target URI, and malformed
+    archives (bad version line, clipped terminator, trailing garbage)
+    quarantine rather than mis-split."""
+    from nl_railtraffic_etl_pipeline_spark.functions.web import (
+        _warc_records,
+        warc_encode,
+    )
+
+    for doc in (0, 3, 10):
+        n = 2 + doc % 3
+        recs = _warc_records(warc_encode(doc, n))
+        assert recs is not None and len(recs) == n
+        for j, (idx, wt, uri, clen, s, swt) in enumerate(recs):
+            k = doc + j
+            assert idx == j
+            assert wt == ("response", "request", "metadata")[j % 3]
+            assert (uri is None) == (wt == "metadata")
+            assert clen == 16 + k % 23
+            exp = [(doc * 7 + j * 3 + i * 5) % 256 for i in range(clen)]
+            assert s == sum(exp)
+            assert swt == sum((i + 1) * v for i, v in enumerate(exp))
+    b = warc_encode(5, 3)
+    assert _warc_records(b[:-2]) is None
+    assert _warc_records(b + b"junk") is None
+    assert _warc_records(b"HTTP/1.1 200 OK\r\n\r\n") is None
+    assert _warc_records(b"") is None
+
+
+def test_zip_entry_walk():
+    """PKZIP walk: EOCD location, central-directory traversal, STORED +
+    raw-DEFLATE entries, and VERIFIED (not trusted) size/CRC — the
+    fixture's deliberately corrupted entry-2 CRC must read crc_ok=False;
+    stdlib zipfile cross-reads the fixture bytes (two independent
+    implementations of the container)."""
+    import io
+    import zipfile
+
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _zip_entries,
+        zip_encode,
+    )
+
+    for doc in (0, 1, 5, 30):
+        n = 1 + doc % 5
+        es = _zip_entries(zip_encode(doc, n))
+        assert es is not None and len(es) == n
+        for j, (idx, name, method, nb, bs, ok) in enumerate(es):
+            k = doc + j
+            raw = bytes(
+                (doc * 11 + j * 5 + i * 3) % 256
+                for i in range(20 + k % 31)
+            )
+            assert (idx, name) == (j, f"f{j}.txt")
+            assert method == (0 if j == 0 else 8)
+            assert nb == len(raw) and bs == sum(raw)
+            assert ok == (j != 2)
+    zf = zipfile.ZipFile(io.BytesIO(zip_encode(7, 2)))
+    assert [i.filename for i in zf.infolist()] == ["f0.txt", "f1.txt"]
+    assert zf.read("f1.txt") == bytes(
+        (7 * 11 + 5 + i * 3) % 256 for i in range(20 + 8 % 31)
+    )
+    assert _zip_entries(b"PK\x03\x04junk") is None
+    assert _zip_entries(zip_encode(3, 3)[:40]) is None
+    assert _zip_entries(b"") is None
+
+
 def test_png_pixel_stats_kernel(spark):
     from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
         decode_png_pixel_stats,

@@ -157,6 +157,8 @@ def test_python_only_in_arrow_kernels(spark):
             "text_damerau_levenshtein",  # Lowrance-Wagner DP kernel
             "mm_decode_wav_g711",  # G.711 fixture + expansion kernels
             "mm_decode_ico",  # ICO fixture + container/PNG kernels
+            "mm_decode_zip",  # ZIP fixture + directory/inflate kernels
+            "web_warc_records",  # WARC fixture + record-walk kernels
             "ml_isotonic_calibration",  # PAV kernel on the <=64-row bin frame
             "streaming_isotonic",  # same PAV kernel over the drained bins
             "text_bpe_encode",  # greedy BPE apply kernel (merge loop)
