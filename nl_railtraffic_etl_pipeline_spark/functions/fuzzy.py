@@ -237,32 +237,44 @@ def blocked_text_pairs_sharp(
     not silence").  Every tier is pure deterministic arithmetic over
     (content keys, doc-id order), so an oracle mirrors pair-for-pair.
 
-    Scale shape: one base projection reused by all tiers behind the
-    block-count broadcasts; candidate count <= max_block * corpus
-    TOTAL across tiers (each doc pairs within exactly one class of
-    size <= max_block); the tier-3 rank is a window over the sharp
-    block key — partition-bounded, never global.  Returns
-    (doc_a, doc_b, txt_a, txt_b, tier).
+    Scale shape: the base projection (id, 64-char prefix, block keys)
+    is computed ONCE behind a compute-once barrier — it feeds three
+    tier frames from up to two join sides each, and Catalyst's
+    exchange reuse does not reliably cover AQE-replanned self-join
+    branches, so without the barrier the corpus scan repeats per
+    consumer (~40 scans measured); same for the overflow frame.  At
+    persistent-cluster scale a persisted table serves the same role.
+    Candidate count <= max_block * corpus TOTAL across tiers (each doc
+    pairs within exactly one class of size <= max_block); the tier-3
+    rank is a window over the sharp block key — partition-bounded,
+    never global.  Returns (doc_a, doc_b, txt_a, txt_b, tier).
     """
+    from .dedup import _materialize
+
     t = F.trim(F.lower(F.col(text_col)))
     toks = F.split(t, r"\s+")
-    base = docs.filter(t != "").select(
-        F.col(id_col).alias("_id"),
-        F.substring(t, 1, prefix_chars).alias("_tx"),
-        toks[0].alias("_w1"),
-        F.coalesce(toks[1], F.lit("")).alias("_w2"),
-        F.size(toks).alias("_tc"),
-        (F.size(toks).cast("bigint") / F.lit(length_bucket))
-        .cast("bigint")
-        .alias("_lb"),
+    base = _materialize(
+        docs.filter(t != "").select(
+            F.col(id_col).alias("_id"),
+            F.substring(t, 1, prefix_chars).alias("_tx"),
+            toks[0].alias("_w1"),
+            F.coalesce(toks[1], F.lit("")).alias("_w2"),
+            F.size(toks).alias("_tc"),
+            (F.size(toks).cast("bigint") / F.lit(length_bucket))
+            .cast("bigint")
+            .alias("_lb"),
+        )
     )
     c1 = base.groupBy("_w1", "_lb").agg(F.count("*").alias("_n1"))
     t1 = base.join(
         F.broadcast(c1.filter(F.col("_n1") <= max_block)), ["_w1", "_lb"]
     ).drop("_n1")
-    o1 = base.join(
-        F.broadcast(c1.filter(F.col("_n1") > max_block)), ["_w1", "_lb"]
-    ).drop("_n1")
+    o1 = _materialize(
+        base.join(
+            F.broadcast(c1.filter(F.col("_n1") > max_block)),
+            ["_w1", "_lb"],
+        ).drop("_n1")
+    )
     k2 = ["_w1", "_lb", "_w2", "_tc"]
     c2 = o1.groupBy(*k2).agg(F.count("*").alias("_n2"))
     t2 = o1.join(
