@@ -1484,3 +1484,143 @@ def isotonic_close(binned: DataFrame) -> DataFrame:
             9,
         ).alias("calibrated"),
     )
+
+
+def mcc_thresholds(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    denom: int,
+    n_thresholds: int = 9,
+) -> DataFrame:
+    """Matthews correlation coefficient of the binary classifier
+    ``score >= k * denom / (n_thresholds + 1)`` for k = 1..n_thresholds
+    — the threshold-sweep companion of :func:`auc_roc`/``pr_curve``,
+    using the balanced single-number summary that survives class skew
+    (Matthews 1975, public literature).
+
+    ``score_col`` is an integer pseudo-score in [0, denom) (the repo's
+    md5/hash32 contract), and the threshold grid divides [0, denom)
+    evenly, so bucket membership b = floor(score * (n+1) / denom) is an
+    exact integer and "score >= threshold_k" == "b >= k".  ONE
+    bucket-keyed partial-agg pass over the facts yields (count, pos)
+    per bucket — n_thresholds+1 rows — and every confusion cell derives
+    from cumulative sums over that metadata-sized frame (NO per-
+    threshold fact pass: the naive sweep re-scans the corpus once per
+    threshold).  MCC's numerator TP*TN - FP*FN stays integer; the
+    denominator converts each margin to double BEFORE multiplying (the
+    product of four ~n margins overflows BIGINT at corpus scale) —
+    sqrt over one fixed IEEE op tree.
+
+    Output n_thresholds rows: (threshold_units, tp, fp, tn, fn, mcc).
+    """
+    nb = n_thresholds + 1
+    base = df.select(
+        (F.col(score_col).cast("bigint") * nb / denom)
+        .cast("bigint")
+        .alias("_b"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    per_bucket = base.groupBy("_b").agg(
+        F.count("*").cast("bigint").alias("_cnt"),
+        F.sum("_y").cast("bigint").alias("_pos"),
+    )
+    tot = per_bucket.agg(
+        F.sum("_cnt").cast("bigint").alias("_n"),
+        F.sum("_pos").cast("bigint").alias("_p"),
+    )
+    ks = F.broadcast(
+        df.sparkSession.range(1, nb).select(F.col("id").alias("_k"))
+    )
+    # >= is a theta-join, but BOTH sides are metadata-sized (n_thresholds
+    # + 1 buckets x n_thresholds grid rows) — the fact table never meets
+    # a non-equi condition
+    present = (
+        per_bucket.join(ks, per_bucket["_b"] >= ks["_k"])
+        .groupBy("_k")
+        .agg(
+            F.sum("_cnt").cast("bigint").alias("_cge"),
+            F.sum("_pos").cast("bigint").alias("_pge"),
+        )
+    )
+    allk = (
+        ks.join(present, "_k", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_k", "_n", "_p",
+            F.coalesce("_cge", F.lit(0)).cast("bigint").alias("_cge"),
+            F.coalesce("_pge", F.lit(0)).cast("bigint").alias("_pge"),
+        )
+    )
+    tp = F.col("_pge")
+    fp = F.col("_cge") - F.col("_pge")
+    fn = F.col("_p") - F.col("_pge")
+    tn = (F.col("_n") - F.col("_p")) - fp
+    den = F.sqrt(
+        (tp + fp).cast("double")
+        * (tp + fn).cast("double")
+        * (tn + fp).cast("double")
+        * (tn + fn).cast("double")
+    )
+    valid = (tp + fp > 0) & (tp + fn > 0) & (tn + fp > 0) & (tn + fn > 0)
+    return allk.select(
+        (F.col("_k") * denom / nb).cast("bigint").alias("threshold_units"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        tn.alias("tn"),
+        fn.alias("fn"),
+        F.when(
+            valid, F.round((tp * tn - fp * fn).cast("double") / den, 9)
+        ).alias("mcc"),
+    ).orderBy("threshold_units")
+
+
+def log_loss(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    denom: int,
+) -> DataFrame:
+    """Mean binary cross-entropy of the pseudo-probability
+    ``p = (score + 1) / (denom + 2)`` against the 0/1 label — the
+    proper-scoring companion of ``brier_decomposition`` (log loss
+    penalizes confident misses unboundedly; Brier quadratically).
+
+    The +1/+2 Laplace shift keeps p strictly inside (0, 1) with NO
+    clamping branch (a clamp would put an engine-specific epsilon into
+    the hash).  The transcendental ln rides the repo's quantized-term
+    contract (woe_iv, js_divergence): each per-row term
+    -(y ln p + (1-y) ln(1-p)) is rounded to 12 digits and summed as
+    DECIMAL(28,12) — exact, order-insensitive, partitioning-proof; the
+    closing mean is one IEEE division rounded to 9.
+
+    Plan: map-side term chain, ONE global partial agg; nothing keyed,
+    nothing collected.  Output one row: (n, n_pos, loss_sum_q12 as
+    double, log_loss).
+    """
+    p = (F.col(score_col).cast("double") + F.lit(1.0)) / F.lit(
+        float(denom + 2)
+    )
+    y = F.col(label_col).cast("int")
+    term = -(
+        F.when(y == 1, F.log(p)).otherwise(F.log(F.lit(1.0) - p))
+    )
+    base = df.select(
+        y.alias("_y"), F.round(term, 12).cast("decimal(28,12)").alias("_t")
+    )
+    row = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        F.sum("_t").alias("_ts"),
+    )
+    return row.select(
+        "n",
+        "n_pos",
+        F.round(F.col("_ts").cast("double"), 9).alias("loss_sum"),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                F.col("_ts").cast("double") / F.col("n").cast("double"), 9
+            ),
+        ).alias("log_loss"),
+    )

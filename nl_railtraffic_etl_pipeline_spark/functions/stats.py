@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted", "share_of_parent", "poisson_bootstrap_ci", "flag_runs", "page_hinkley", "anova_f", "anova_group_stats", "anova_close", "sax_symbols", "kruskal_wallis", "levene_bf"]
+__all__ = ["group_moments", "zscore", "pearson_corr", "ols_fit", "quantile_bucketize", "ewma_halving", "ewma", "weighted_median", "gini_concentration", "cusum_changepoint", "spearman_rank_corr", "mann_whitney_u", "welch_t", "ks_statistic", "winsorize", "rolling_ols_slope", "quantile_normalize", "seasonal_dow_index", "wilson_interval", "decile_lift", "seasonal_naive_backtest", "corr_matrix", "period_decomposition", "dow_adjusted", "share_of_parent", "poisson_bootstrap_ci", "flag_runs", "page_hinkley", "anova_f", "anova_group_stats", "anova_close", "sax_symbols", "kruskal_wallis", "levene_bf", "friedman_q", "cramers_v", "kendall_tau_b"]
 
 
 def _dec(col: Column) -> Column:
@@ -2706,4 +2706,248 @@ def levene_bf(
     out = anova_close(anova_group_stats(z, "_g", "_z"), "_g")
     return out.select(
         "k", "n", "ssb", "ssw", F.col("f_stat").alias("w_stat")
+    )
+
+
+def friedman_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+) -> DataFrame:
+    """Friedman rank test for k related treatments over b complete
+    blocks — the nonparametric repeated-measures companion to
+    :func:`kruskal_wallis` (which assumes independent groups).  The
+    response is the (block, treatment) cell's row count; blocks missing
+    any treatment are EXCLUDED deterministically (the textbook
+    complete-block requirement), so both engines rank identical frames.
+
+    Midrank ties ride as DOUBLED ranks within each block (r2 = 2 *
+    cum_before + t + 1, always an integer), which makes the
+    tie-corrected statistic (Conover 1999, public literature) fully
+    integer until ONE closing division:
+
+        Q = (k-1) * (sum_j R2_j^2 - b^2 k (k+1)^2)
+                  / (sum_ij r2_ij^2 - b k (k+1)^2)
+
+    (both parenthesized terms are the textbook sums scaled by 4, and
+    the 4s cancel).  Output one row: (k, b, q_stat).
+
+    Plan: one (block, treatment)-keyed partial-agg shuffle builds the
+    response cells; the complete-block filter is a block-keyed count;
+    the within-block rank window rides the CELL frame (b*k rows, never
+    fact-sized); one global aggregate closes.  At 100 TB the cell frame
+    is |dates| x |types| — metadata-sized — so every post-shuffle stage
+    is trivially bounded.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.filter(
+            F.col(block_col).isNotNull() & F.col(treatment_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("_b"), F.col(treatment_col).alias("_t")
+        )
+        .agg(F.count("*").cast("bigint").alias("_v"))
+    )
+    k_row = cells.agg(F.countDistinct("_t").cast("bigint").alias("_k"))
+    complete = (
+        cells.groupBy("_b")
+        .agg(F.count("*").cast("bigint").alias("_nt"))
+        .join(F.broadcast(k_row), F.col("_nt") == F.col("_k"))
+        .select("_b")
+    )
+    kept = cells.join(complete, "_b")
+    # within-block midranks as doubled ranks: r2 = 2*cum_before + t + 1
+    per_val = kept.groupBy("_b", "_v").agg(
+        F.count("*").cast("bigint").alias("_tc")
+    )
+    wb = (
+        Window.partitionBy("_b")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked_vals = per_val.select(
+        "_b",
+        "_v",
+        (
+            F.lit(2) * F.coalesce(F.sum("_tc").over(wb), F.lit(0))
+            + F.col("_tc")
+            + 1
+        ).cast("bigint").alias("_r2"),
+    )
+    ranked = kept.join(ranked_vals, ["_b", "_v"])
+    per_t = ranked.groupBy("_t").agg(
+        F.sum("_r2").cast("bigint").alias("_rt2"),
+        F.sum(F.col("_r2") * F.col("_r2")).cast("bigint").alias("_rsq"),
+        F.countDistinct("_b").cast("bigint").alias("_nb"),
+    )
+    row = per_t.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.max("_nb").cast("bigint").alias("b"),
+        F.sum(F.col("_rt2") * F.col("_rt2")).cast("bigint").alias("_num_s"),
+        F.sum("_rsq").cast("bigint").alias("_den_s"),
+    )
+    kk, bb = F.col("k"), F.col("b")
+    num = F.col("_num_s") - bb * bb * kk * (kk + 1) * (kk + 1)
+    den = F.col("_den_s") - bb * kk * (kk + 1) * (kk + 1)
+    valid = (kk > 1) & (bb > 0) & (den > 0)
+    return row.select(
+        "k",
+        "b",
+        F.when(
+            valid,
+            F.round(
+                (kk - 1).cast("double")
+                * num.cast("double")
+                / den.cast("double"),
+                9,
+            ),
+        ).alias("q_stat"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Cramér's V effect size for the association between two
+    categorical columns — the bounded [0, 1] companion to the chi-square
+    independence test (chi2 alone grows with n; V is comparable across
+    table sizes).
+
+    Exactness: chi2/n = sum over observed cells of o^2/(r_i * c_j) - 1;
+    each cell term is one double division of exact BIGINTs, and the
+    cell-sum is the strict LEFT FOLD over cells sorted by (row, col) —
+    the anova_f fold contract — so the k-term double accumulation is
+    bit-identical cross-engine.  V = sqrt(chi2 / (n * min(r-1, c-1))).
+    Output one row: (n, n_rows, n_cols, chi2, v).
+
+    Plan: ONE cell-keyed partial-agg shuffle; margins derive from the
+    CELL frame (categorical cardinality squared, metadata-sized at any
+    corpus scale); the fold runs over that same frame.
+    """
+    base = df.filter(
+        F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+    ).select(F.col(row_col).alias("_r"), F.col(col_col).alias("_c"))
+    cells = base.groupBy("_r", "_c").agg(
+        F.count("*").cast("bigint").alias("_o")
+    )
+    rm = cells.groupBy("_r").agg(F.sum("_o").cast("bigint").alias("_rt"))
+    cm = cells.groupBy("_c").agg(F.sum("_o").cast("bigint").alias("_ct"))
+    joined = cells.join(F.broadcast(rm), "_r").join(F.broadcast(cm), "_c")
+    row = joined.agg(
+        F.sum("_o").cast("bigint").alias("n"),
+        F.countDistinct("_r").cast("bigint").alias("n_rows"),
+        F.countDistinct("_c").cast("bigint").alias("n_cols"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_r").alias("r"),
+                        F.col("_c").alias("c"),
+                        F.col("_o").cast("double").alias("o"),
+                        F.col("_rt").cast("double").alias("rt"),
+                        F.col("_ct").cast("double").alias("ct"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["o"] * x["o"] / (x["rt"] * x["ct"]),
+        ).alias("_fold"),
+    )
+    nd = F.col("n").cast("double")
+    chi2 = nd * (F.col("_fold") - F.lit(1.0))
+    dmin = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1).cast("double")
+    valid = (F.col("n") > 0) & (dmin > 0)
+    return row.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        F.when(valid, F.round(chi2, 9)).alias("chi2"),
+        F.when(valid, F.round(F.sqrt(chi2 / (nd * dmin)), 9)).alias("v"),
+    )
+
+
+def kendall_tau_b(
+    pairs: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact Kendall tau-b rank correlation over a BOUNDED sample frame
+    (the caller fences cardinality; see the gate's deterministic
+    id-window selection).  Tau-b with the standard tie corrections:
+
+        tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2))
+
+    with n0 = n(n-1)/2, n1/n2 the x/y tie-pair masses — C, D and all
+    tie masses are exact BIGINTs from one pair enumeration; the closing
+    sqrt/division is one fixed IEEE op tree.
+
+    Plan shape: the pair enumeration is a constant-key broadcast
+    self-join (never a CartesianProduct node) over the fenced sample —
+    pair count is bounded by the fence^2 BY CONSTRUCTION, independent of
+    corpus scale.  For corpus-scale tau over unbounded frames, the
+    O(n log n) merge-inversion algorithm is the documented path; this
+    operator is the exact-arithmetic contract over the sampled frame.
+    Output one row: (n, concordant, discordant, ties_x, ties_y, tau_b).
+    """
+    s = pairs.select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+        F.monotonically_increasing_id().alias("_i"),
+    )
+    # stable pair id: rank by (x, y, input order) so both sides of the
+    # self-join enumerate identical (i < j) pairs regardless of plan
+    from pyspark.sql import Window
+
+    s = s.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("_x", "_y", "_i"))
+    ).drop("_i").withColumn("_one", F.lit(1))
+    a = s.select(
+        F.col("_one").alias("_ka"),
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya"),
+        F.col("_rn").alias("_ra"),
+    )
+    b = s.select(
+        F.col("_one").alias("_kb"),
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb"),
+        F.col("_rn").alias("_rb"),
+    )
+    pp = a.join(
+        F.broadcast(b), F.col("_ka") == F.col("_kb")
+    ).filter(F.col("_ra") < F.col("_rb"))
+    sx = F.signum(F.col("_xa") - F.col("_xb"))
+    sy = F.signum(F.col("_ya") - F.col("_yb"))
+    agg = pp.agg(
+        F.count("*").cast("bigint").alias("_npairs"),
+        F.count_if(sx * sy > 0).cast("bigint").alias("concordant"),
+        F.count_if(sx * sy < 0).cast("bigint").alias("discordant"),
+        F.count_if((sx == 0) & (sy != 0)).cast("bigint").alias("ties_x"),
+        F.count_if((sy == 0) & (sx != 0)).cast("bigint").alias("ties_y"),
+        F.count_if((sx == 0) & (sy == 0)).cast("bigint").alias("_txy"),
+    )
+    n_row = s.agg(F.count("*").cast("bigint").alias("n"))
+    row = agg.crossJoin(F.broadcast(n_row))
+    n0 = F.col("_npairs")
+    n1 = F.col("ties_x") + F.col("_txy")
+    n2 = F.col("ties_y") + F.col("_txy")
+    den = F.sqrt(
+        (n0 - n1).cast("double") * (n0 - n2).cast("double")
+    )
+    valid = (n0 > n1) & (n0 > n2)
+    return row.select(
+        "n",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.when(
+            valid,
+            F.round(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / den,
+                9,
+            ),
+        ).alias("tau_b"),
     )

@@ -1,0 +1,400 @@
+"""r11 second-wave inference gates: classical rank/effect-size tests,
+threshold-sweep classifier evaluation, proper scoring, and phonetic
+encoding.
+
+Six first-class operators, each oracle-gated:
+
+- ``stats_friedman``: Friedman rank test over complete (date, type)
+  blocks — integer-exact via doubled midranks; the tie-corrected
+  statistic (Conover form) needs just ONE closing division.
+- ``stats_cramers_v``: chi-square association effect size over the
+  (event_type x ISO dow) contingency table, cell terms folded with the
+  anova_f strict-left-fold contract.
+- ``stats_kendall_tau``: exact tau-b with full tie corrections over a
+  deterministically fenced sample frame (pair counts bounded by the
+  fence^2 by construction — never corpus-quadratic).
+- ``ml_mcc``: Matthews correlation across a 9-threshold sweep of the
+  md5 pseudo-score, derived from ONE bucket-keyed pass (no
+  per-threshold corpus re-scan).
+- ``ml_log_loss``: mean binary cross-entropy under the quantized-term
+  contract for the transcendental ln chain.
+- ``text_soundex``: Spark's NATIVE JVM soundex (UTF8String.soundex, the
+  US-census algorithm) vs an independent SQL reimplementation in the
+  oracle — the jaro_winkler foreign-oracle pattern with the engines
+  swapped: here SPARK is the native side.  Validated bit-exact on 3000
+  random tokens plus the textbook edge cases (H/W separators preserve
+  the run, vowels break it, first-letter H/W seeds lastCode='7').
+
+The reference (``/root/reference/src``) ships none of this surface;
+these extend SURVEY.md §2.12's analysis family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .oracle_util import round_sql as _r
+from .registry import query
+from .testdata import load_table
+
+_H32_SQL = (
+    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+_DENOM = 2**32
+
+
+# ---------------------------------------------------------------------------
+# Friedman rank test (functions/stats.py::friedman_q): blocks = dates,
+# treatments = event types, response = the cell's event count.  Blocks
+# missing any treatment are excluded deterministically on both engines
+# (the textbook complete-block requirement).  Doubled midranks keep the
+# Conover tie-corrected statistic integer until one closing division.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_friedman",
+    """
+WITH cells AS (
+    SELECT CAST(ts AS DATE) AS b, event_type AS t,
+           CAST(COUNT(*) AS BIGINT) AS v
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+kk AS (SELECT COUNT(DISTINCT t) AS k FROM cells),
+complete AS (
+    SELECT b FROM cells GROUP BY b
+    HAVING COUNT(*) = (SELECT k FROM kk)
+),
+kept AS (SELECT cells.* FROM cells JOIN complete USING (b)),
+pv AS (SELECT b, v, CAST(COUNT(*) AS BIGINT) AS tc FROM kept GROUP BY 1, 2),
+rv AS (
+    SELECT b, v,
+           2 * COALESCE(SUM(tc) OVER (
+               PARTITION BY b ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + tc + 1 AS r2
+    FROM pv
+),
+rk AS (SELECT kept.t, rv.r2 FROM kept JOIN rv ON kept.b = rv.b AND kept.v = rv.v),
+pt AS (
+    SELECT t, CAST(SUM(r2) AS BIGINT) AS rt2,
+           CAST(SUM(r2 * r2) AS BIGINT) AS rsq,
+           CAST(COUNT(*) AS BIGINT) AS nb
+    FROM rk GROUP BY 1
+),
+r AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(MAX(nb) AS BIGINT) AS b,
+           CAST(SUM(rt2 * rt2) AS BIGINT) AS num_s,
+           CAST(SUM(rsq) AS BIGINT) AS den_s
+    FROM pt
+)
+SELECT k, b,
+       CASE WHEN k > 1 AND b > 0
+                 AND den_s - b * k * (k + 1) * (k + 1) > 0
+            THEN ROUND(
+                CAST(k - 1 AS DOUBLE)
+                * CAST(num_s - b * b * k * (k + 1) * (k + 1) AS DOUBLE)
+                / CAST(den_s - b * k * (k + 1) * (k + 1) AS DOUBLE), 9)
+       END AS q_stat
+FROM r
+""",
+)
+def _stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import friedman_q
+
+    e = load_table(spark, sf_dir, "events", spread=True)
+    base = e.filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(F.to_date("ts").alias("day"), "event_type")
+    return friedman_q(base, "day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (functions/stats.py::cramers_v) over the event_type x ISO
+# day-of-week contingency table — a metadata-sized cell frame at any
+# corpus scale; the cell-term sum is the anova_f strict left fold.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_cramers_v",
+    """
+WITH base AS (
+    SELECT event_type AS r, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS c
+    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+cells AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+rm AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+cm AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+j AS (
+    SELECT cells.r, cells.c, o, rt, ct
+    FROM cells JOIN rm USING (r) JOIN cm USING (c)
+),
+agg AS (
+    SELECT CAST(SUM(o) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cols,
+           list_reduce(
+               list_prepend(
+                   CAST(0 AS DOUBLE),
+                   list(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+                        / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                        ORDER BY r, c)
+               ),
+               (x, y) -> x + y
+           ) AS fold
+    FROM j
+)
+SELECT n, n_rows, n_cols,
+       CASE WHEN n > 0 AND least(n_rows - 1, n_cols - 1) > 0
+            THEN ROUND(CAST(n AS DOUBLE) * (fold - CAST(1 AS DOUBLE)), 9)
+       END AS chi2,
+       CASE WHEN n > 0 AND least(n_rows - 1, n_cols - 1) > 0
+            THEN ROUND(sqrt(
+                CAST(n AS DOUBLE) * (fold - CAST(1 AS DOUBLE))
+                / (CAST(n AS DOUBLE)
+                   * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))), 9)
+       END AS v
+FROM agg
+""",
+)
+def _stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import cramers_v
+
+    e = load_table(spark, sf_dir, "events", spread=True)
+    base = e.filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        (F.weekday(F.to_date("ts")) + 1).cast("bigint").alias("iso_dow"),
+    )
+    return cramers_v(base, "event_type", "iso_dow")
+
+
+# ---------------------------------------------------------------------------
+# Exact Kendall tau-b (functions/stats.py::kendall_tau_b) between value
+# and hour-of-day over a deterministically fenced sample (event_id
+# window + modulus — a FIXED row budget independent of corpus scale, so
+# the pair enumeration is bounded by construction).  All counts are
+# exact BIGINTs; ties in both coordinates exercise every correction
+# branch.
+# ---------------------------------------------------------------------------
+_KT_MOD, _KT_CAP = 17, 6000
+
+
+@query(
+    "stats_kendall_tau",
+    f"""
+WITH s AS (
+    SELECT value AS x, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y,
+           ROW_NUMBER() OVER (
+               ORDER BY value, EXTRACT(hour FROM ts), event_id) AS rn
+    FROM events
+    WHERE event_id % {_KT_MOD} = 0 AND event_id < {_KT_CAP}
+          AND value IS NOT NULL AND ts IS NOT NULL
+),
+p AS (
+    SELECT sign(a.x - b.x) AS sx, CAST(sign(a.y - b.y) AS DOUBLE) AS sy
+    FROM s a JOIN s b ON a.rn < b.rn
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS npairs,
+           CAST(COUNT(*) FILTER (sx * sy > 0) AS BIGINT) AS concordant,
+           CAST(COUNT(*) FILTER (sx * sy < 0) AS BIGINT) AS discordant,
+           CAST(COUNT(*) FILTER (sx = 0 AND sy <> 0) AS BIGINT) AS ties_x,
+           CAST(COUNT(*) FILTER (sy = 0 AND sx <> 0) AS BIGINT) AS ties_y,
+           CAST(COUNT(*) FILTER (sx = 0 AND sy = 0) AS BIGINT) AS txy
+    FROM p
+),
+n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s)
+SELECT n, concordant, discordant, ties_x, ties_y,
+       CASE WHEN npairs > ties_x + txy AND npairs > ties_y + txy
+            THEN ROUND(
+                CAST(concordant - discordant AS DOUBLE)
+                / sqrt(CAST(npairs - ties_x - txy AS DOUBLE)
+                       * CAST(npairs - ties_y - txy AS DOUBLE)), 9)
+       END AS tau_b
+FROM agg, n_
+""",
+)
+def _stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import kendall_tau_b
+
+    e = load_table(spark, sf_dir, "events", spread=True)
+    sample = e.filter(
+        (F.col("event_id") % _KT_MOD == 0)
+        & (F.col("event_id") < _KT_CAP)
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
+        F.col("value").alias("x"),
+        F.hour("ts").cast("bigint").alias("y"),
+    )
+    return kendall_tau_b(sample, "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# MCC threshold sweep (functions/mleval.py::mcc_thresholds) over the md5
+# pseudo-score predicting purchase — ONE bucket-keyed corpus pass; the
+# 9 confusion matrices derive from the 10-row bucket frame.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_mcc",
+    f"""
+WITH base AS (
+    SELECT ({_H32_SQL} * 10) // {_DENOM} AS b,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events WHERE event_type IS NOT NULL
+),
+pb AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+    FROM base GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+    FROM pb
+),
+ks AS (SELECT unnest(range(1, 10)) AS k),
+pres AS (
+    SELECT k, CAST(SUM(cnt) AS BIGINT) AS cge, CAST(SUM(pos) AS BIGINT) AS pge
+    FROM pb JOIN ks ON pb.b >= ks.k GROUP BY 1
+),
+allk AS (
+    SELECT k, n, p,
+           CAST(COALESCE(cge, 0) AS BIGINT) AS cge,
+           CAST(COALESCE(pge, 0) AS BIGINT) AS pge
+    FROM ks LEFT JOIN pres USING (k), tot
+)
+SELECT CAST(k * {_DENOM} // 10 AS BIGINT) AS threshold_units,
+       pge AS tp,
+       cge - pge AS fp,
+       (n - p) - (cge - pge) AS tn,
+       p - pge AS fn,
+       CASE WHEN cge > 0 AND p > 0 AND n - p > 0 AND n - cge > 0
+            THEN ROUND(
+                CAST(pge * ((n - p) - (cge - pge))
+                     - (cge - pge) * (p - pge) AS DOUBLE)
+                / sqrt(CAST(cge AS DOUBLE) * CAST(p AS DOUBLE)
+                       * CAST(n - p AS DOUBLE) * CAST(n - cge AS DOUBLE)),
+                9)
+       END AS mcc
+FROM allk
+""",
+)
+def _ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import mcc_thresholds
+    from ..functions.text import hash32
+
+    e = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    base = e.select(
+        hash32(F.col("event_id").cast("string")).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return mcc_thresholds(base, "score", "label", _DENOM)
+
+
+# ---------------------------------------------------------------------------
+# Mean binary cross-entropy (functions/mleval.py::log_loss) of the
+# Laplace-shifted md5 pseudo-probability against the purchase label —
+# transcendental ln under the quantized-term contract.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_log_loss",
+    f"""
+WITH base AS (
+    SELECT (CAST({_H32_SQL} AS DOUBLE) + CAST(1 AS DOUBLE))
+               / CAST({_DENOM + 2} AS DOUBLE) AS pr,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events WHERE event_type IS NOT NULL
+),
+terms AS (
+    SELECT y,
+           CAST({_r(
+               "-(CASE WHEN y = 1 THEN ln(pr)"
+               " ELSE ln(CAST(1 AS DOUBLE) - pr) END)",
+               12,
+           )} AS DECIMAL(28,12)) AS t
+    FROM base
+),
+r AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           SUM(t) AS ts_
+    FROM terms
+)
+SELECT n, n_pos,
+       ROUND(CAST(ts_ AS DOUBLE), 9) AS loss_sum,
+       CASE WHEN n > 0
+            THEN ROUND(CAST(ts_ AS DOUBLE) / CAST(n AS DOUBLE), 9)
+       END AS log_loss
+FROM r
+""",
+)
+def _ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import log_loss
+    from ..functions.text import hash32
+
+    e = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    base = e.select(
+        hash32(F.col("event_id").cast("string")).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return log_loss(base, "score", "label", _DENOM)
+
+
+# ---------------------------------------------------------------------------
+# Soundex phonetic buckets: Spark's NATIVE soundex (JVM
+# UTF8String.soundex — the US-census algorithm with H/W run
+# preservation) over the distinct pure-alpha token vocabulary, checked
+# against an independent SQL reimplementation: translate() maps letters
+# to the census code string, H/W (code '7') drop out of the lag chain
+# (preserving runs across them), vowels (code '0') stay IN the chain
+# (breaking runs) but never emit, and the first letter seeds the chain.
+# Two independent implementations of the published algorithm, validated
+# bit-exact on 3000 random tokens before gating.
+# ---------------------------------------------------------------------------
+@query(
+    "text_soundex",
+    """
+WITH toks AS (
+    SELECT DISTINCT w AS token FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE regexp_full_match(w, '[a-z]+')
+),
+chars AS (
+    SELECT token, i,
+           translate(substr(upper(token), CAST(i AS INTEGER), 1),
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     '01230127022455012623017202') AS code
+    FROM toks, LATERAL (SELECT unnest(range(1, len(token) + 1)) AS i)
+),
+f AS (
+    SELECT token, i, code,
+           LAG(code) OVER (PARTITION BY token ORDER BY i) AS prev
+    FROM chars WHERE code <> '7'
+),
+emit AS (
+    SELECT token, i, code FROM f
+    WHERE i > 1 AND code <> '0' AND (prev IS NULL OR code <> prev)
+),
+agg AS (
+    SELECT token, string_agg(code, '' ORDER BY i) AS cs
+    FROM emit GROUP BY token
+)
+SELECT token,
+       upper(substr(token, 1, 1))
+           || substr(COALESCE(cs, '') || '000', 1, 3) AS sdx
+FROM toks LEFT JOIN agg USING (token)
+""",
+)
+def _text_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    return toks.select("token", F.soundex("token").alias("sdx"))

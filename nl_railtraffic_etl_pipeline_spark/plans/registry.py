@@ -318,6 +318,7 @@ from . import behavior_queries  # noqa: E402,F401  (registration side-effect)
 from . import etl_queries  # noqa: E402,F401  (registration side-effect)
 from . import eval_queries  # noqa: E402,F401  (registration side-effect)
 from . import geo_queries  # noqa: E402,F401  (registration side-effect)
+from . import inference_queries  # noqa: E402,F401  (registration side-effect)
 from . import lake_queries  # noqa: E402,F401  (registration side-effect)
 from . import ml_queries  # noqa: E402,F401  (registration side-effect)
 from . import streaming_queries  # noqa: E402,F401  (registration side-effect)
