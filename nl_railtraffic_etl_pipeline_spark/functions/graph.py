@@ -681,3 +681,86 @@ def local_clustering(
         ),
     )
     return out.select("node", "degree", "triangles", lcc.alias("lcc"))
+
+
+def harmonic_bounded(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_hops: int = 3,
+    id_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-radius harmonic centrality: for every node in ``nodes``,
+    the per-hop reachable-set sizes within ``max_hops`` directed hops
+    and the exact-rational harmonic sum H(v) = sum_{u: d(v,u) <= r}
+    1/d(v,u) carried as an INTEGER numerator over lcm(1..max_hops)
+    (``harmonic_num`` / ``harmonic_den``) — unbounded closeness needs
+    all-pairs distances; the bounded variant is the standard corpus-
+    scale proxy (Boldi & Vigna 2014, public literature) and stays
+    integer-exact cross-engine.
+
+    Level-synchronous expansion like :func:`bfs_hops` but keyed per
+    SOURCE: round k joins the (src, frontier-node) frame to the edge
+    list (one equi-shuffle on the frontier node), dedups, and
+    anti-joins the per-src settled set.  Cost per round is O(sum of
+    frontier adjacencies) — with bounded out-degree the level-k frame
+    is <= n * degree^k rows, linear in n for fixed radius; the settled
+    set is exactly the union of the level frames.  Self-distances are
+    excluded (the centrality's u != v convention).
+
+    Returns one row per input node: (node, n1..n{max_hops} as
+    hop_counts array replaced by explicit columns via the caller, here
+    fixed at 3: n1, n2, n3, harmonic_num, harmonic_den).
+    """
+    if max_hops != 3:
+        raise ValueError("harmonic_bounded is fixed at radius 3")
+    e = edges.select(
+        F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed")
+    ).localCheckpoint(eager=True)
+    base = nodes.select(F.col(id_col).alias("_v"))
+    # level 1: direct successors, self excluded
+    l1 = (
+        e.join(base, e._es == base._v)
+        .select("_v", F.col("_ed").alias("_u"))
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    settled = l1
+    levels = {1: l1}
+    for k in (2, 3):
+        grown = (
+            levels[k - 1]
+            .join(e, levels[k - 1]._u == e._es)
+            .select("_v", F.col("_ed").alias("_u"))
+            .filter(F.col("_u") != F.col("_v"))
+            .distinct()
+        )
+        lk = grown.join(
+            settled, ["_v", "_u"], "left_anti"
+        ).localCheckpoint(eager=True)
+        levels[k] = lk
+        settled = settled.union(lk)
+    counts = [
+        levels[k]
+        .groupBy("_v")
+        .agg(F.count("*").cast("bigint").alias(f"n{k}"))
+        for k in (1, 2, 3)
+    ]
+    out = base
+    for c in counts:
+        out = out.join(c, "_v", "left")
+    n1 = F.coalesce(F.col("n1"), F.lit(0)).cast("bigint")
+    n2 = F.coalesce(F.col("n2"), F.lit(0)).cast("bigint")
+    n3 = F.coalesce(F.col("n3"), F.lit(0)).cast("bigint")
+    return out.select(
+        F.col("_v").alias("node"),
+        n1.alias("n1"),
+        n2.alias("n2"),
+        n3.alias("n3"),
+        (F.lit(6) * n1 + F.lit(3) * n2 + F.lit(2) * n3)
+        .cast("bigint")
+        .alias("harmonic_num"),
+        F.lit(6).cast("bigint").alias("harmonic_den"),
+    )

@@ -3810,3 +3810,320 @@ def decode_zip_entries(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         batch, ZIP_ENTRY_STATS
     )
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI4) WAV — the classic 4-bit telephony/game codec (WAV
+# format tag 0x11): each block opens with a (predictor int16, step
+# index uint8, reserved) header whose predictor IS output sample 0,
+# followed by 4-bit nibbles advancing the published step-size state
+# machine (IMA ADPCM reference algorithm, low nibble first).
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_block_samples(pred: int, idx: int, nibbles) -> list[int]:
+    """Decode one IMA block: seed sample + one sample per nibble via the
+    reference step-size recursion (diff = step/8 + step/4*b0 + step/2*b1
+    + step*b2, sign from b3; both state variables clamped)."""
+    out = [pred]
+    for v in nibbles:
+        step = _IMA_STEPS[idx]
+        diff = step >> 3
+        if v & 1:
+            diff += step >> 2
+        if v & 2:
+            diff += step >> 1
+        if v & 4:
+            diff += step
+        pred = pred - diff if v & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX[v & 7]))
+        out.append(pred)
+    return out
+
+
+def wav_encode_adpcm(doc_id: int, spb: int, n_blocks: int) -> bytes:
+    """Deterministic mono IMA-ADPCM WAV fixture: block ``b`` seeds
+    predictor ``((doc_id*97 + b*501) % 4096) - 2048`` and step index
+    ``(doc_id + b*17) % 89``; the nibble for in-block sample ``i``
+    (1-based) is ``(doc_id*7 + b*11 + i*5) % 16``, packed low nibble
+    first.  Carries the fact chunk and the odd-sized junk chunk like
+    the sibling G.711 fixture."""
+    import struct
+
+    nib_bytes = (spb - 1 + 1) // 2
+    block_align = 4 + nib_bytes
+    blocks = bytearray()
+    for b in range(n_blocks):
+        pred0 = ((doc_id * 97 + b * 501) % 4096) - 2048
+        idx0 = (doc_id + b * 17) % 89
+        blocks += struct.pack("<hBB", pred0, idx0, 0)
+        nibs = [
+            (doc_id * 7 + b * 11 + i * 5) % 16 for i in range(1, spb)
+        ]
+        if len(nibs) & 1:
+            nibs.append(0)  # pad nibble, unreachable past samples/block
+        for j in range(0, len(nibs), 2):
+            blocks.append(nibs[j] | (nibs[j + 1] << 4))
+    junk = b"note" + struct.pack("<I", 3) + b"odd" + b"\x00"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHHHH",
+        20, 0x11, 1, 8000,
+        (8000 * block_align + spb - 1) // spb,
+        block_align, 4, 2, spb,
+    )
+    fact = b"fact" + struct.pack("<II", 4, spb * n_blocks)
+    data = b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    if len(blocks) & 1:
+        data += b"\x00"
+    body = b"WAVE" + junk + fmt + fact + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_decode_adpcm(b: bytes):
+    """RIFF/WAVE IMA ADPCM (fmt tag 0x11, 4-bit) -> (sample_rate,
+    n_channels, n_samples, stats) or None (quarantine).  The fmt
+    extension's samples-per-block bounds decode (pad nibbles are never
+    emitted); data must be whole blocks of nBlockAlign.  ``stats`` is
+    the exact-integer 4-tuple contract of :func:`_wav_decode_pcm16`."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    if int.from_bytes(b[4:8], "little") + 8 > len(b):
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    try:
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = b[pos + 8 : pos + 8 + sz]
+            if len(body) != sz:
+                return None
+            if cid == b"fmt ":
+                if sz < 20:
+                    return None
+                audio_fmt = int.from_bytes(body[0:2], "little")
+                n_ch = int.from_bytes(body[2:4], "little")
+                rate = int.from_bytes(body[4:8], "little")
+                block_align = int.from_bytes(body[12:14], "little")
+                bits = int.from_bytes(body[14:16], "little")
+                spb = int.from_bytes(body[18:20], "little")
+                if audio_fmt != 0x11 or bits != 4 or n_ch != 1:
+                    return None
+                if spb < 1 or block_align != 4 + (spb - 1 + 1) // 2:
+                    return None
+                fmt = (rate, n_ch, block_align, spb)
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)
+        if fmt is None or data is None:
+            return None
+        rate, n_ch, block_align, spb = fmt
+        if len(data) == 0 or len(data) % block_align:
+            return None
+        samples: list[int] = []
+        for off in range(0, len(data), block_align):
+            blk = data[off : off + block_align]
+            pred = int.from_bytes(blk[0:2], "little", signed=True)
+            idx = blk[2]
+            if idx > 88:
+                return None
+            nibs = []
+            for byte in blk[4:]:
+                nibs.append(byte & 0xF)
+                nibs.append(byte >> 4)
+            samples.extend(_ima_block_samples(pred, idx, nibs[: spb - 1]))
+        n = len(samples)
+        ssum = sum(samples)
+        swt = sum((i + 1) * s for i, s in enumerate(samples))
+        peak = max(abs(s) for s in samples) if n else 0
+        energy = sum(s * s for s in samples)
+        return (rate, n_ch, n, (ssum, swt, peak, energy))
+    except (IndexError, ValueError):
+        return None
+
+
+WAV_ADPCM_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("sample_weighted", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_wav_adpcm_stats(df_with_payload: DataFrame) -> DataFrame:
+    """IMA-ADPCM WAV decode over a binary column (see
+    :func:`_wav_decode_adpcm`): the sequential step-size recursion runs
+    per block inside an Arrow ``mapInPandas`` kernel (blocks are the
+    codec's own parallel unit — a 100 TB corpus decodes block-
+    independent, memory O(one block)); malformed / non-ADPCM payloads
+    quarantine."""
+    import pandas as pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _wav_decode_adpcm(bytes(payload))
+                if dec is None:
+                    rows.append((doc_id,) + (None,) * 7 + (False,))
+                    continue
+                rate, n_ch, n, (ssum, swt, peak, energy) = dec
+                rows.append(
+                    (doc_id, rate, n_ch, n, ssum, swt, peak, energy, True)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_ADPCM_STATS.fields]
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, WAV_ADPCM_STATS
+    )
+
+
+# ---------------------------------------------------------------------------
+# POSIX ustar TAR — the corpus-ingestion archive walk next to ZIP/WARC:
+# fixed 512-byte headers, octal size fields, checksum over the header
+# with the chksum field blanked, content padded to block size, two zero
+# blocks at the end.
+# ---------------------------------------------------------------------------
+
+
+def _tar_octal(v: int, width: int) -> bytes:
+    return (f"%0{width - 1}o" % v).encode() + b"\x00"
+
+
+def tar_encode(doc_id: int, n_members: int) -> bytes:
+    """Deterministic ustar fixture: member ``j`` is
+    ``d{doc_id:04d}/f{j}.bin`` with ``40 + (doc_id*7 + j*13) % 200``
+    bytes, byte i = ``(doc_id*11 + j*3 + i*5) % 256``."""
+    out = bytearray()
+    for j in range(n_members):
+        name = f"d{doc_id:04d}/f{j}.bin".encode()
+        size = 40 + (doc_id * 7 + j * 13) % 200
+        content = bytes(
+            (doc_id * 11 + j * 3 + i * 5) % 256 for i in range(size)
+        )
+        hdr = bytearray(512)
+        hdr[0 : len(name)] = name
+        hdr[100:108] = _tar_octal(0o644, 8)
+        hdr[108:116] = _tar_octal(0, 8)
+        hdr[116:124] = _tar_octal(0, 8)
+        hdr[124:136] = _tar_octal(size, 12)
+        hdr[136:148] = _tar_octal(0, 12)
+        hdr[148:156] = b" " * 8
+        hdr[156] = ord("0")
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:155] = (b"%06o" % chk) + b"\x00"
+        hdr[155] = 0x20
+        out += hdr + content
+        pad = (-size) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def _tar_members(b: bytes):
+    """ustar walk -> list of (name, size, byte_sum, weighted_sum,
+    checksum_ok) or None (quarantine: truncated mid-member, bad magic,
+    unparsable size).  Stops at the first all-zero block; a missing
+    terminator after a clean member list is tolerated (GNU tar does)."""
+    members = []
+    pos = 0
+    while pos + 512 <= len(b):
+        hdr = b[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            return members
+        if hdr[257:262] != b"ustar":
+            return None
+        try:
+            size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+            declared = int(
+                hdr[148:156].replace(b"\x00", b" ").strip() or b"0", 8
+            )
+        except ValueError:
+            return None
+        blanked = bytearray(hdr)
+        blanked[148:156] = b" " * 8
+        chk_ok = sum(blanked) == declared
+        name = hdr[0:100].split(b"\x00")[0].decode("utf-8", "replace")
+        content = b[pos + 512 : pos + 512 + size]
+        if len(content) != size:
+            return None
+        members.append(
+            (
+                name,
+                size,
+                sum(content),
+                sum((i + 1) * v for i, v in enumerate(content)),
+                chk_ok,
+            )
+        )
+        pos += 512 + size + ((-size) % 512)
+    return members if pos == len(b) else None
+
+
+TAR_MEMBER_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("member_idx", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("weighted_sum", T.LongType()),
+        T.StructField("checksum_ok", T.BooleanType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_tar_members(df_with_payload: DataFrame) -> DataFrame:
+    """TAR archive walk over a binary column (see :func:`_tar_members`):
+    one row per member with verified header checksum and exact content
+    sums; malformed archives quarantine as a single member_idx-NULL row.
+    Arrow ``mapInPandas``, map-only — the walk is O(archive) with no
+    decompression state (ustar stores content raw)."""
+    import pandas as pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                members = _tar_members(bytes(payload))
+                if members is None:
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, False)
+                    )
+                    continue
+                for j, (name, size, bsum, wsum, chk) in enumerate(members):
+                    rows.append(
+                        (doc_id, j, name, size, bsum, wsum, chk, True)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TAR_MEMBER_STATS.fields]
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, TAR_MEMBER_STATS
+    )

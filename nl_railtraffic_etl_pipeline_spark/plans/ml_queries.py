@@ -8249,3 +8249,260 @@ def _text_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flesch_readability(
         load_table(spark, sf_dir, "documents", spread=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM WAV decode (multimodal.decode_wav_adpcm_stats): genuine
+# RIFF streams whose data is the 4-bit IMA/DVI codec (fmt tag 0x11) —
+# the classic voice/game compression — with multi-block payloads, the
+# fmt extension's samples-per-block bounding the pad nibble, and the
+# fact/junk chunks.  The engine walks the bytes through the published
+# step-size state machine; the oracle replays the SAME recursion in a
+# recursive CTE carrying (predictor, step index) per block with the
+# 89-entry step table as a list literal — a wrong clamp, a swapped
+# nibble order, or an off-by-one index update hash-mismatches.  Every
+# third doc ships truncated bytes to pin the quarantine row.
+# ---------------------------------------------------------------------------
+_IMA_STEPS_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,"
+    "66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,"
+    "371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,"
+    "1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,"
+    "5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
+    "16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+
+
+@query(
+    "mm_decode_wav_adpcm",
+    f"""
+WITH RECURSIVE sel AS (
+    SELECT doc_id,
+           CAST(129 + doc_id % 64 AS BIGINT) AS spb,
+           CAST(1 + doc_id % 2 AS BIGINT) AS nblk,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 29 = 0
+),
+blocks AS (
+    SELECT doc_id, spb, b AS blk,
+           CAST(((doc_id * 97 + b * 501) % 4096) - 2048 AS BIGINT) AS pred0,
+           CAST((doc_id + b * 17) % 89 AS BIGINT) AS idx0
+    FROM (SELECT doc_id, spb, unnest(range(0, nblk)) AS b
+          FROM sel WHERE NOT corrupt)
+),
+dec AS (
+    SELECT doc_id, blk, spb, CAST(0 AS BIGINT) AS i, pred0 AS pred,
+           idx0 AS idx
+    FROM blocks
+    UNION ALL
+    SELECT doc_id, blk, spb, i + 1,
+           greatest(-32768, least(32767,
+               pred + (CASE WHEN nib >= 8 THEN -1 ELSE 1 END)
+                      * (step // 8
+                         + CASE WHEN nib % 8 >= 4 THEN step ELSE 0 END
+                         + CASE WHEN nib % 4 >= 2 THEN step // 2 ELSE 0 END
+                         + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END))),
+           greatest(0, least(88,
+               idx + list_extract([-1,-1,-1,-1,2,4,6,8],
+                                  CAST(nib % 8 + 1 AS INTEGER))))
+    FROM (
+        SELECT doc_id, blk, spb, i, pred, idx,
+               (doc_id * 7 + blk * 11 + (i + 1) * 5) % 16 AS nib,
+               list_extract({_IMA_STEPS_SQL},
+                            CAST(idx + 1 AS INTEGER)) AS step
+        FROM dec WHERE i < spb - 1
+    )
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM(pred) AS BIGINT) AS sample_sum,
+           CAST(SUM((blk * spb + i + 1) * pred) AS BIGINT)
+               AS sample_weighted,
+           CAST(MAX(ABS(pred)) AS BIGINT) AS peak_abs,
+           CAST(SUM(pred * pred) AS BIGINT) AS energy
+    FROM dec GROUP BY 1
+)
+SELECT sel.doc_id,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE 8000 END AS INTEGER)
+           AS sample_rate,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE 1 END AS INTEGER)
+           AS n_channels,
+       CASE WHEN sel.corrupt THEN NULL
+            ELSE CAST(sel.spb * sel.nblk AS BIGINT) END AS n_samples,
+       sums.sample_sum, sums.sample_weighted, sums.peak_abs, sums.energy,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 29 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(129) + F.col("doc_id") % 64).cast("int").alias("_spb"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("_nblk"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import wav_encode_adpcm
+
+        for pdf in batches:
+            payloads = [
+                wav_encode_adpcm(int(doc), int(spb), int(nblk))[
+                    : 30 if corrupt else None
+                ]
+                for doc, spb, nblk, corrupt in zip(
+                    pdf["doc_id"], pdf["_spb"], pdf["_nblk"],
+                    pdf["_corrupt"],
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_wav_adpcm_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# POSIX ustar TAR walk (multimodal.decode_tar_members): the third
+# corpus-ingestion container next to ZIP and WARC — fixed 512-byte
+# headers, octal sizes, the blanked-field checksum, block padding, and
+# the two-zero-block terminator.  The oracle regenerates member names
+# (printf %04d — lpad would TRUNCATE wide ids), sizes, and exact
+# content sums from the fixture formulas.  Every third doc ships
+# truncated mid-member to pin the quarantine row.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_tar",
+    """
+WITH sel AS (
+    SELECT doc_id, CAST(2 + doc_id % 4 AS BIGINT) AS m,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 37 = 0
+),
+mem AS (
+    SELECT doc_id, j, CAST(40 + (doc_id * 7 + j * 13) % 200 AS BIGINT)
+               AS size
+    FROM (SELECT doc_id, unnest(range(0, m)) AS j
+          FROM sel WHERE NOT corrupt)
+),
+bytes_ AS (
+    SELECT doc_id, j, size, i, (doc_id * 11 + j * 3 + i * 5) % 256 AS v
+    FROM (SELECT doc_id, j, size, unnest(range(0, size)) AS i FROM mem)
+),
+sums AS (
+    SELECT doc_id, j,
+           CAST(SUM(v) AS BIGINT) AS byte_sum,
+           CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
+    FROM bytes_ GROUP BY 1, 2
+)
+SELECT mem.doc_id, CAST(mem.j AS INTEGER) AS member_idx,
+       printf('d%04d/f%d.bin', mem.doc_id, mem.j) AS name,
+       mem.size AS n_bytes,
+       sums.byte_sum, sums.weighted_sum,
+       TRUE AS checksum_ok, TRUE AS decoded
+FROM mem JOIN sums USING (doc_id, j)
+UNION ALL
+SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BOOLEAN), FALSE
+FROM sel WHERE corrupt
+""",
+)
+def _mm_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 37 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("_m"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import tar_encode
+
+        for pdf in batches:
+            payloads = [
+                tar_encode(int(doc), int(m))[: 600 if corrupt else None]
+                for doc, m, corrupt in zip(
+                    pdf["doc_id"], pdf["_m"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_tar_members(payload)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-radius harmonic centrality (functions/graph.py::
+# harmonic_bounded) over the SAME deterministic doc-link graph as
+# PageRank/BFS: per-hop reachable-set sizes within 3 directed hops and
+# the exact-rational harmonic sum as an integer numerator over 6 —
+# unbounded closeness needs all-pairs distances; the bounded variant
+# (Boldi & Vigna 2014) is the corpus-scale proxy and stays
+# integer-exact.  The oracle unrolls the three level-synchronous
+# rounds as chained anti-joined CTEs.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_harmonic",
+    "WITH "
+    + _PR_EDGES_CTE
+    + """,
+l1 AS (SELECT DISTINCT src AS v, dst AS u FROM edges WHERE dst <> src),
+g2 AS (
+    SELECT DISTINCT l1.v, e.dst AS u
+    FROM l1 JOIN edges e ON l1.u = e.src WHERE e.dst <> l1.v
+),
+l2 AS (
+    SELECT g2.v, g2.u FROM g2
+    LEFT JOIN l1 ON g2.v = l1.v AND g2.u = l1.u
+    WHERE l1.v IS NULL
+),
+g3 AS (
+    SELECT DISTINCT l2.v, e.dst AS u
+    FROM l2 JOIN edges e ON l2.u = e.src WHERE e.dst <> l2.v
+),
+l3 AS (
+    SELECT g3.v, g3.u FROM g3
+    LEFT JOIN l1 ON g3.v = l1.v AND g3.u = l1.u
+    LEFT JOIN l2 ON g3.v = l2.v AND g3.u = l2.u
+    WHERE l1.v IS NULL AND l2.v IS NULL
+),
+c1 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n1 FROM l1 GROUP BY 1),
+c2 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n2 FROM l2 GROUP BY 1),
+c3 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n3 FROM l3 GROUP BY 1)
+SELECT d.doc_id AS node,
+       CAST(COALESCE(c1.n1, 0) AS BIGINT) AS n1,
+       CAST(COALESCE(c2.n2, 0) AS BIGINT) AS n2,
+       CAST(COALESCE(c3.n3, 0) AS BIGINT) AS n3,
+       CAST(6 * COALESCE(c1.n1, 0) + 3 * COALESCE(c2.n2, 0)
+            + 2 * COALESCE(c3.n3, 0) AS BIGINT) AS harmonic_num,
+       CAST(6 AS BIGINT) AS harmonic_den
+FROM documents d
+LEFT JOIN c1 ON d.doc_id = c1.v
+LEFT JOIN c2 ON d.doc_id = c2.v
+LEFT JOIN c3 ON d.doc_id = c3.v
+""",
+)
+def _graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import harmonic_bounded
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    edges = _pr_edges_df(docs)
+    return harmonic_bounded(
+        docs.select(F.col("doc_id").alias("node")), edges, max_hops=3
+    ).select(
+        F.col("node").alias("node"), "n1", "n2", "n3",
+        "harmonic_num", "harmonic_den",
+    )
