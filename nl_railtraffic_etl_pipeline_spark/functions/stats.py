@@ -2885,8 +2885,9 @@ def kendall_tau_b(
     tie masses are exact BIGINTs from one pair enumeration; the closing
     sqrt/division is one fixed IEEE op tree.
 
-    Plan shape: the pair enumeration is a constant-key broadcast
-    self-join (never a CartesianProduct node) over the fenced sample —
+    Plan shape: the pair enumeration realizes as a bounded
+    BroadcastNestedLoopJoin over the fenced sample (Catalyst folds the
+    constant-key equality; never a fact-sized CartesianProduct) —
     pair count is bounded by the fence^2 BY CONSTRUCTION, independent of
     corpus scale.  For corpus-scale tau over unbounded frames, the
     O(n log n) merge-inversion algorithm is the documented path; this
