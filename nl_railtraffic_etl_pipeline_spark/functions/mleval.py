@@ -1624,3 +1624,83 @@ def log_loss(
             ),
         ).alias("log_loss"),
     )
+
+
+def krippendorff_alpha_nominal(
+    ratings: DataFrame,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha for nominal data — the inter-annotator
+    agreement coefficient that handles MISSING ratings and any number
+    of raters (Krippendorff 2004, public literature), the general
+    companion to the two-rater ``cohens_kappa``.
+
+    Exactness: with per-unit value counts n_uc and unit rater totals
+    m_u (units with m_u < 2 are unpairable and excluded), the observed
+    disagreement collapses to the closed form
+    sum_u (m_u^2 - sum_c n_uc^2) / (m_u - 1); carried DOUBLED it stays
+    an exact integer whenever m_u <= 3 (and generally rides one exact
+    rational per unit).  The expected disagreement is
+    (n^2 - sum_c n_c^2) over marginals.  alpha = 1 -
+    (n-1) * Do2 / (2 * De_num) — every operand an exact BIGINT, one
+    closing IEEE division rounded to 9.  This implementation fixes the
+    rater budget small enough (callers: <= 3) that Do2 is exactly
+    integral; a wider panel needs the lcm-scaled variant.
+
+    Plan: ONE (unit, value)-keyed partial-agg shuffle; the unit frame
+    and the value-marginal frame both derive from it (unit cardinality
+    and label cardinality, never fact-sized twice); one global close.
+    Output one row: (n_units, n_values, n, do2, de_num, alpha).
+    """
+    cells = (
+        ratings.filter(
+            F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(unit_col).alias("_u"), F.col(value_col).alias("_c")
+        )
+        .agg(F.count("*").cast("bigint").alias("_nuc"))
+    )
+    per_u = cells.groupBy("_u").agg(
+        F.sum("_nuc").cast("bigint").alias("_mu"),
+        F.sum(F.col("_nuc") * F.col("_nuc")).cast("bigint").alias("_sq"),
+    ).filter(F.col("_mu") >= 2)
+    do_row = per_u.agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum("_mu").cast("bigint").alias("n"),
+        F.sum(
+            F.lit(2)
+            * (F.col("_mu") * F.col("_mu") - F.col("_sq"))
+            / (F.col("_mu") - 1)
+        ).cast("bigint").alias("do2"),
+    )
+    marg = (
+        cells.join(per_u.select("_u"), "_u")
+        .groupBy("_c")
+        .agg(F.sum("_nuc").cast("bigint").alias("_nc"))
+    )
+    de_row = marg.agg(
+        F.count("*").cast("bigint").alias("n_values"),
+        F.sum(F.col("_nc") * F.col("_nc")).cast("bigint").alias("_sqc"),
+    )
+    row = do_row.crossJoin(F.broadcast(de_row))
+    de_num = F.col("n") * F.col("n") - F.col("_sqc")
+    valid = (F.col("n") > 1) & (de_num > 0)
+    return row.select(
+        "n_units",
+        "n_values",
+        "n",
+        "do2",
+        de_num.cast("bigint").alias("de_num"),
+        F.when(
+            valid,
+            F.round(
+                F.lit(1.0)
+                - (F.col("n") - 1).cast("double")
+                * F.col("do2").cast("double")
+                / (F.lit(2.0) * de_num.cast("double")),
+                9,
+            ),
+        ).alias("alpha"),
+    )

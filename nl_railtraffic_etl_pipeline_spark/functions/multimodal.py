@@ -4127,3 +4127,373 @@ def decode_tar_members(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         batch, TAR_MEMBER_STATS
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline TIFF (both byte orders, uncompressed, strip-based) and the
+# JPEG/EXIF APP1 metadata walk that reuses the same IFD parser — the
+# scanned-document / camera-capture formats of multimodal corpora.
+# ---------------------------------------------------------------------------
+
+
+def _ifd_pack(entries, endian: str, ifd_off: int) -> bytes:
+    """Serialize one TIFF IFD at ``ifd_off``: entries are (tag, type,
+    values) with type 2=ASCII, 3=SHORT, 4=LONG, 5=RATIONAL (value pairs
+    flattened); payloads over 4 bytes go to an overflow area after the
+    entry table.  Returns the IFD bytes (entry table + next-IFD 0 +
+    overflow)."""
+    import struct
+
+    sizes = {2: 1, 3: 2, 4: 4, 5: 4}
+    fmts = {3: "H", 4: "I", 5: "I"}
+    n = len(entries)
+    overflow_base = ifd_off + 2 + 12 * n + 4
+    table = struct.pack(endian + "H", n)
+    overflow = b""
+    for tag, typ, values in sorted(entries):
+        if typ == 2:
+            payload = values + b"\x00"
+            count = len(payload)
+        else:
+            # RATIONAL values arrive flattened as (num, den) pairs; the
+            # IFD count field is in RATIONALs, not LONGs
+            count = len(values) // 2 if typ == 5 else len(values)
+            payload = b"".join(
+                struct.pack(endian + fmts[typ], v) for v in values
+            )
+        if len(payload) <= 4:
+            val = payload + b"\x00" * (4 - len(payload))
+        else:
+            val = struct.pack(endian + "I", overflow_base + len(overflow))
+            overflow += payload
+        table += struct.pack(endian + "HHI", tag, typ, count) + val
+    return table + struct.pack(endian + "I", 0) + overflow
+
+
+def _ifd_parse(b: bytes, base: int, endian: str):
+    """Parse one IFD at ``base + offset-stored-at-base+4`` convention's
+    caller-supplied absolute position: returns {tag: list-of-values}
+    (RATIONAL as (num, den) tuples, ASCII as bytes) or None."""
+    import struct
+
+    try:
+        off = struct.unpack_from(endian + "I", b, base + 4)[0]
+        pos = base + off
+        n = struct.unpack_from(endian + "H", b, pos)[0]
+        pos += 2
+        out = {}
+        for _ in range(n):
+            tag, typ, count = struct.unpack_from(endian + "HHI", b, pos)
+            val_field = pos + 8
+            size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}.get(typ)
+            if size is None:
+                return None
+            total = size * count
+            if total <= 4:
+                data_pos = val_field
+            else:
+                data_pos = base + struct.unpack_from(
+                    endian + "I", b, val_field
+                )[0]
+            if typ == 2:
+                raw = b[data_pos : data_pos + count]
+                out[tag] = raw.split(b"\x00")[0]
+            elif typ == 5:
+                out[tag] = [
+                    struct.unpack_from(endian + "II", b, data_pos + 8 * i)
+                    for i in range(count)
+                ]
+            else:
+                fmt = {1: "B", 3: "H", 4: "I"}[typ]
+                out[tag] = [
+                    struct.unpack_from(
+                        endian + fmt, b, data_pos + size * i
+                    )[0]
+                    for i in range(count)
+                ]
+            pos += 12
+        return out
+    except (struct.error, IndexError):
+        return None
+
+
+def tiff_encode(doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic baseline TIFF fixture: even docs grayscale
+    (photometric 1, pixel = ``(doc_id*29 + p*7) % 256``), odd docs RGB
+    (photometric 2, channel = ``(doc_id*31 + p*3 + ch) % 256``);
+    ``doc_id % 4 < 2`` writes little-endian (II), else big-endian (MM);
+    RowsPerStrip=2 yields a multi-strip layout with LONG offset/count
+    arrays."""
+    import struct
+
+    little = doc_id % 4 < 2
+    endian = "<" if little else ">"
+    gray = doc_id % 2 == 0
+    spp = 1 if gray else 3
+    rows_per_strip = 2
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    strips = []
+    for s in range(n_strips):
+        rows = range(
+            s * rows_per_strip, min((s + 1) * rows_per_strip, h)
+        )
+        data = bytearray()
+        for y in rows:
+            for x in range(w):
+                p = y * w + x
+                if gray:
+                    data.append((doc_id * 29 + p * 7) % 256)
+                else:
+                    for ch in range(3):
+                        data.append((doc_id * 31 + p * 3 + ch) % 256)
+        strips.append(bytes(data))
+
+    entries = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [1]),
+        (262, 3, [1 if gray else 2]),
+        (277, 3, [spp]),
+        (278, 3, [rows_per_strip]),
+    ]
+    # two passes: sizes of the offset arrays depend only on n_strips
+    probe = entries + [(273, 4, [0] * n_strips), (279, 4, [0] * n_strips)]
+    ifd_size = len(_ifd_pack(probe, endian, 8))
+    data_base = 8 + ifd_size
+    offsets = []
+    pos = data_base
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    final = entries + [
+        (273, 4, offsets),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    hdr = (b"II" if little else b"MM") + struct.pack(endian + "HI", 42, 8)
+    return hdr + _ifd_pack(final, endian, 8) + b"".join(strips)
+
+
+def _tiff_decode(b: bytes):
+    """Baseline TIFF -> (width, height, channels, n_strips, c0_sum,
+    c1_sum, c2_sum, weighted) or None (quarantine).  Both byte orders;
+    only compression 1 (none), 8-bit samples; strips concatenate to
+    top-down rasters; ``weighted`` is sum over pixels of
+    (p+1) * (sum of that pixel's channels) — the row-order pin."""
+    if len(b) < 8:
+        return None
+    if b[0:2] == b"II":
+        endian = "<"
+    elif b[0:2] == b"MM":
+        endian = ">"
+    else:
+        return None
+    import struct
+
+    if struct.unpack_from(endian + "H", b, 2)[0] != 42:
+        return None
+    tags = _ifd_parse(b, 0, endian)
+    if tags is None:
+        return None
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        spp = tags.get(277, [1])[0]
+        if tags.get(259, [1])[0] != 1:
+            return None
+        if any(v != 8 for v in tags.get(258, [8])):
+            return None
+        offs = tags[273]
+        counts = tags[279]
+        if len(offs) != len(counts):
+            return None
+        raster = bytearray()
+        for o, c in zip(offs, counts):
+            chunk = b[o : o + c]
+            if len(chunk) != c:
+                return None
+            raster += chunk
+        if len(raster) != w * h * spp:
+            return None
+        sums = [0, 0, 0]
+        weighted = 0
+        for p in range(w * h):
+            tot = 0
+            for ch in range(spp):
+                v = raster[p * spp + ch]
+                sums[ch] += v
+                tot += v
+            weighted += (p + 1) * tot
+        return (
+            w, h, spp, len(offs),
+            sums[0],
+            sums[1] if spp > 1 else None,
+            sums[2] if spp > 2 else None,
+            weighted,
+        )
+    except (KeyError, IndexError):
+        return None
+
+
+TIFF_PIXEL_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_strips", T.IntegerType()),
+        T.StructField("c0_sum", T.LongType()),
+        T.StructField("c1_sum", T.LongType()),
+        T.StructField("c2_sum", T.LongType()),
+        T.StructField("weighted", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_tiff_pixel_stats(df_with_payload: DataFrame) -> DataFrame:
+    """Baseline TIFF decode over a binary column (see
+    :func:`_tiff_decode`): both byte orders, strip reassembly, exact
+    integer channel sums; malformed payloads quarantine.  Arrow
+    ``mapInPandas``, map-only, memory O(one raster)."""
+    import pandas as pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _tiff_decode(bytes(payload))
+                if dec is None:
+                    rows.append((doc_id,) + (None,) * 8 + (False,))
+                    continue
+                rows.append((doc_id,) + dec + (True,))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TIFF_PIXEL_STATS.fields]
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, TIFF_PIXEL_STATS
+    )
+
+
+def jpeg_exif_encode(doc_id: int) -> bytes:
+    """Minimal JPEG wrapper with a REAL EXIF APP1 segment: SOI, APP1
+    ('Exif\\0\\0' + TIFF IFD with Make/Orientation/XResolution), a
+    baseline SOF0 carrying the frame dimensions, EOI.  Byte order
+    alternates (doc_id % 4 < 2 -> II).  Orientation = 1 + doc_id % 8,
+    Make = 'cam{doc_id % 10}', XResolution = (72 + doc_id % 30) /
+    (1 + doc_id % 3)."""
+    import struct
+
+    little = doc_id % 4 < 2
+    endian = "<" if little else ">"
+    w = 8 + doc_id % 40
+    h = 6 + doc_id % 30
+    entries = [
+        (271, 2, f"cam{doc_id % 10}".encode()),
+        (274, 3, [1 + doc_id % 8]),
+        (282, 5, [72 + doc_id % 30, 1 + doc_id % 3]),
+    ]
+    tiff = (
+        (b"II" if little else b"MM")
+        + struct.pack(endian + "HI", 42, 8)
+        + _ifd_pack(entries, endian, 8)
+    )
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+    sof0 = b"\xff\xc0" + struct.pack(
+        ">HBHHB", 11, 8, h, w, 1
+    ) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app1 + sof0 + b"\xff\xd9"
+
+
+def _exif_meta(b: bytes):
+    """JPEG segment walk -> (sof_width, sof_height, byte_order, make,
+    orientation, xres_num, xres_den) from the APP1 EXIF IFD, or None.
+    Reads metadata WITHOUT touching entropy-coded data — the cheap
+    pass an image pipeline runs before deciding to decode pixels."""
+    import struct
+
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    sof = None
+    exif = None
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xD9:
+                break
+            seg_len = struct.unpack_from(">H", b, pos + 2)[0]
+            body = b[pos + 4 : pos + 2 + seg_len]
+            if len(body) != seg_len - 2:
+                return None
+            if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+                tiff = body[6:]
+                if tiff[0:2] == b"II":
+                    endian, order = "<", "II"
+                elif tiff[0:2] == b"MM":
+                    endian, order = ">", "MM"
+                else:
+                    return None
+                tags = _ifd_parse(tiff, 0, endian)
+                if tags is None:
+                    return None
+                xres = tags.get(282, [(None, None)])[0]
+                exif = (
+                    order,
+                    tags.get(271, b"").decode("ascii", "replace"),
+                    tags.get(274, [None])[0],
+                    xres[0],
+                    xres[1],
+                )
+            elif marker in (0xC0, 0xC1, 0xC2):
+                _prec, hh, ww = struct.unpack_from(">BHH", b, pos + 4)
+                sof = (ww, hh)
+            pos += 2 + seg_len
+        if sof is None or exif is None:
+            return None
+        return sof + exif
+    except (struct.error, IndexError):
+        return None
+
+
+EXIF_META = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sof_width", T.IntegerType()),
+        T.StructField("sof_height", T.IntegerType()),
+        T.StructField("byte_order", T.StringType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("xres_num", T.LongType()),
+        T.StructField("xres_den", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_exif_meta(df_with_payload: DataFrame) -> DataFrame:
+    """EXIF/SOF metadata walk over a JPEG binary column (see
+    :func:`_exif_meta`); malformed payloads quarantine.  Arrow
+    ``mapInPandas``, map-only, O(header) per file — pixels untouched."""
+    import pandas as pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = _exif_meta(bytes(payload))
+                if meta is None:
+                    rows.append((doc_id,) + (None,) * 7 + (False,))
+                    continue
+                rows.append((doc_id,) + meta + (True,))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXIF_META.fields]
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, EXIF_META
+    )

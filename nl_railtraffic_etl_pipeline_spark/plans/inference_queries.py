@@ -398,3 +398,194 @@ def _text_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return toks.select("token", F.soundex("token").alias("sdx"))
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (functions/mleval.py::krippendorff_alpha_nominal)
+# over a deterministic 3-rater panel with MISSING ratings: rater r's
+# label for doc d is h32('ka:r:d') % 4, skipped when h32 % 5 = 0 — so
+# units carry 0..3 ratings and the unpairable (< 2) exclusion, the
+# per-unit disagreement closed form, and the marginal expectation are
+# all exercised.  Doubled disagreement stays integer (raters <= 3).
+# ---------------------------------------------------------------------------
+_KA_H32 = (
+    "CAST(('0x' || substr(md5('ka:' || CAST(r AS VARCHAR) || ':'"
+    " || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+@query(
+    "ml_krippendorff_alpha",
+    f"""
+WITH ratings AS (
+    SELECT doc_id, r, {_KA_H32} % 4 AS label
+    FROM documents, (SELECT unnest(range(0, 3)) AS r)
+    WHERE {_KA_H32} % 5 <> 0
+),
+cells AS (
+    SELECT doc_id AS u, label AS c, CAST(COUNT(*) AS BIGINT) AS nuc
+    FROM ratings GROUP BY 1, 2
+),
+per_u AS (
+    SELECT u, CAST(SUM(nuc) AS BIGINT) AS mu,
+           CAST(SUM(nuc * nuc) AS BIGINT) AS sq
+    FROM cells GROUP BY 1 HAVING SUM(nuc) >= 2
+),
+do_ AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(mu) AS BIGINT) AS n,
+           CAST(SUM((2 * (mu * mu - sq)) // (mu - 1)) AS BIGINT) AS do2
+    FROM per_u
+),
+marg AS (
+    SELECT c, CAST(SUM(nuc) AS BIGINT) AS nc
+    FROM cells JOIN per_u ON cells.u = per_u.u GROUP BY 1
+),
+de_ AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(nc * nc) AS BIGINT) AS sqc
+    FROM marg
+)
+SELECT n_units, n_values, n, do2,
+       CAST(n * n - sqc AS BIGINT) AS de_num,
+       CASE WHEN n > 1 AND n * n - sqc > 0 THEN
+           ROUND(CAST(1 AS DOUBLE)
+                 - CAST(n - 1 AS DOUBLE) * CAST(do2 AS DOUBLE)
+                   / (CAST(2 AS DOUBLE) * CAST(n * n - sqc AS DOUBLE)), 9)
+       END AS alpha
+FROM do_, de_
+""",
+)
+def _ml_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.mleval import krippendorff_alpha_nominal
+    from ..functions.text import hash32
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    raters = spark.range(0, 3).select(F.col("id").alias("r"))
+    h = hash32(
+        F.concat(
+            F.lit("ka:"), F.col("r").cast("string"), F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    ratings = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(raters))
+        .withColumn("_h", h)
+        .filter(F.col("_h") % 5 != 0)
+        .select("doc_id", (F.col("_h") % 4).alias("label"))
+    )
+    return krippendorff_alpha_nominal(ratings, "doc_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# Sitemap parse (pure whole-stage-codegen, ZERO Python): one sitemap
+# XML per source assembled from the documents (url entries with
+# lastmod, changefreq/priority decoys, and 'skip' paths for
+# doc_id % 7 = 0), then parsed BACK with regexp_extract_all and
+# filtered — the extraction-side regex chain is the operator under
+# test; both engines run the identical pattern.  Aggregation closes
+# per source so assembly order is invisible.
+# ---------------------------------------------------------------------------
+@query(
+    "web_sitemap_parse",
+    """
+WITH entries AS (
+    SELECT source,
+           '<url><loc>https://ex.com/' || source || '/'
+               || CASE WHEN doc_id % 7 = 0 THEN 'skip-' ELSE 'd' END
+               || CAST(doc_id AS VARCHAR)
+               || '</loc><lastmod>2024-'
+               || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-'
+               || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+               || '</lastmod><changefreq>daily</changefreq>'
+               || '<priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+               || '</priority></url>' AS e
+    FROM documents WHERE source IS NOT NULL
+),
+maps AS (
+    SELECT source,
+           '<?xml version="1.0"?><urlset>' || string_agg(e, '')
+               || '</urlset>' AS xml
+    FROM entries GROUP BY 1
+),
+locs AS (
+    SELECT source, unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1))
+               AS loc
+    FROM maps
+),
+mods AS (
+    SELECT source,
+           unnest(regexp_extract_all(xml,
+               '<lastmod>([^<]*)</lastmod>', 1)) AS lastmod
+    FROM maps
+),
+lk AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(*) FILTER (loc NOT LIKE '%/skip-%') AS BIGINT)
+               AS n_kept,
+           CAST(COUNT(DISTINCT loc) AS BIGINT) AS n_distinct
+    FROM locs GROUP BY 1
+),
+lm AS (
+    SELECT source, MIN(lastmod) AS first_mod, MAX(lastmod) AS last_mod
+    FROM mods GROUP BY 1
+)
+SELECT lk.source, n_urls, n_kept, n_distinct, first_mod, last_mod
+FROM lk JOIN lm USING (source)
+""",
+)
+def _web_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("source").isNotNull()
+    )
+    entry = F.concat(
+        F.lit("<url><loc>https://ex.com/"), F.col("source"), F.lit("/"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("skip-")).otherwise(
+            F.lit("d")
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2024-"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><changefreq>daily</changefreq><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    maps = d.select("source", entry.alias("e")).groupBy("source").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("", F.collect_list("e")),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    locs = maps.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("xml"), F.lit("<loc>([^<]*)</loc>"), F.lit(1)
+            )
+        ).alias("loc"),
+    )
+    mods = maps.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("xml"), F.lit("<lastmod>([^<]*)</lastmod>"), F.lit(1)
+            )
+        ).alias("lastmod"),
+    )
+    lk = locs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.count_if(~F.col("loc").like("%/skip-%"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.countDistinct("loc").cast("bigint").alias("n_distinct"),
+    )
+    lm = mods.groupBy("source").agg(
+        F.min("lastmod").alias("first_mod"),
+        F.max("lastmod").alias("last_mod"),
+    )
+    return lk.join(lm, "source")

@@ -8506,3 +8506,153 @@ def _graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("node"), "n1", "n2", "n3",
         "harmonic_num", "harmonic_den",
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline TIFF decode (multimodal.decode_tiff_pixel_stats): genuine
+# strip-based TIFFs in BOTH byte orders (II for doc_id % 4 < 2, MM
+# otherwise — the MM path is the one most hand-rolled readers get
+# wrong), grayscale (even docs) and RGB (odd docs), RowsPerStrip=2 so
+# offset/count arrays overflow the 4-byte IFD value field.  Pixels
+# follow the BMP/PNG fixture formula family; the oracle recomputes the
+# channel sums and the row-order-pinning weighted sum from the same
+# closed forms.  Every third doc ships truncated bytes.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_tiff",
+    """
+WITH sel AS (
+    SELECT doc_id,
+           CAST(5 + doc_id % 6 AS INTEGER) AS w,
+           CAST(3 + doc_id % 5 AS INTEGER) AS h,
+           doc_id % 2 = 0 AS gray,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 41 = 0
+),
+px AS (
+    SELECT doc_id, gray, unnest(range(0, w * h)) AS p
+    FROM sel WHERE NOT corrupt
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN gray THEN (doc_id * 29 + p * 7) % 256
+                         ELSE (doc_id * 31 + p * 3) % 256 END)
+                AS BIGINT) AS c0_sum,
+           CAST(SUM(CASE WHEN gray THEN NULL
+                         ELSE (doc_id * 31 + p * 3 + 1) % 256 END)
+                AS BIGINT) AS c1_sum,
+           CAST(SUM(CASE WHEN gray THEN NULL
+                         ELSE (doc_id * 31 + p * 3 + 2) % 256 END)
+                AS BIGINT) AS c2_sum,
+           CAST(SUM((p + 1) * (CASE WHEN gray
+                    THEN (doc_id * 29 + p * 7) % 256
+                    ELSE ((doc_id * 31 + p * 3) % 256)
+                         + ((doc_id * 31 + p * 3 + 1) % 256)
+                         + ((doc_id * 31 + p * 3 + 2) % 256) END))
+                AS BIGINT) AS weighted
+    FROM px GROUP BY doc_id, gray
+)
+SELECT sel.doc_id,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.w END AS width,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.h END AS height,
+       CAST(CASE WHEN sel.corrupt THEN NULL
+                 WHEN sel.gray THEN 1 ELSE 3 END AS INTEGER) AS channels,
+       CAST(CASE WHEN sel.corrupt THEN NULL
+                 ELSE (sel.h + 1) // 2 END AS INTEGER) AS n_strips,
+       sums.c0_sum, sums.c1_sum, sums.c2_sum, sums.weighted,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 41 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 6).cast("int").alias("_w"),
+        (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("_h"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import tiff_encode
+
+        for pdf in batches:
+            payloads = [
+                tiff_encode(int(doc), int(w), int(h))[
+                    : 40 if corrupt else None
+                ]
+                for doc, w, h, corrupt in zip(
+                    pdf["doc_id"], pdf["_w"], pdf["_h"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_tiff_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# JPEG EXIF metadata walk (multimodal.decode_exif_meta): APP1 'Exif'
+# TIFF IFDs in both byte orders (Make ASCII, Orientation SHORT,
+# XResolution RATIONAL — the three IFD value classes) plus the SOF0
+# frame dimensions, read WITHOUT touching entropy-coded data — the
+# cheap metadata pass an image pipeline runs before deciding which
+# files to pixel-decode.  The oracle recomputes every field from the
+# fixture formulas.  Every third doc ships truncated bytes.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_exif_meta",
+    """
+WITH sel AS (
+    SELECT doc_id, doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 43 = 0
+)
+SELECT doc_id,
+       CAST(CASE WHEN corrupt THEN NULL ELSE 8 + doc_id % 40 END
+            AS INTEGER) AS sof_width,
+       CAST(CASE WHEN corrupt THEN NULL ELSE 6 + doc_id % 30 END
+            AS INTEGER) AS sof_height,
+       CASE WHEN corrupt THEN NULL
+            WHEN doc_id % 4 < 2 THEN 'II' ELSE 'MM' END AS byte_order,
+       CASE WHEN corrupt THEN NULL
+            ELSE 'cam' || CAST(doc_id % 10 AS VARCHAR) END AS make,
+       CAST(CASE WHEN corrupt THEN NULL ELSE 1 + doc_id % 8 END
+            AS INTEGER) AS orientation,
+       CASE WHEN corrupt THEN NULL
+            ELSE CAST(72 + doc_id % 30 AS BIGINT) END AS xres_num,
+       CASE WHEN corrupt THEN NULL
+            ELSE CAST(1 + doc_id % 3 AS BIGINT) END AS xres_den,
+       NOT corrupt AS decoded
+FROM sel
+""",
+)
+def _mm_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 43 == 0
+    )
+    sel = d.select(
+        "doc_id", (F.col("doc_id") % 3 == 2).alias("_corrupt")
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import jpeg_exif_encode
+
+        for pdf in batches:
+            payloads = [
+                jpeg_exif_encode(int(doc))[: 10 if corrupt else None]
+                for doc, corrupt in zip(pdf["doc_id"], pdf["_corrupt"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_exif_meta(payload)
