@@ -1514,6 +1514,24 @@ def mcc_thresholds(
 
     Output n_thresholds rows: (threshold_units, tp, fp, tn, fn, mcc).
     """
+    return mcc_close(
+        mcc_bucket_stats(df, score_col, label_col, denom, n_thresholds),
+        denom,
+        n_thresholds,
+    )
+
+
+def mcc_bucket_stats(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    denom: int,
+    n_thresholds: int = 9,
+) -> DataFrame:
+    """The mergeable state of :func:`mcc_thresholds`: per-bucket
+    (count, positives) — both sum associatively across partitions AND
+    micro-batches, so this frame is the streaming twin's complete-mode
+    aggregation state."""
     nb = n_thresholds + 1
     base = df.select(
         (F.col(score_col).cast("bigint") * nb / denom)
@@ -1521,16 +1539,27 @@ def mcc_thresholds(
         .alias("_b"),
         F.col(label_col).cast("int").alias("_y"),
     )
-    per_bucket = base.groupBy("_b").agg(
+    return base.groupBy("_b").agg(
         F.count("*").cast("bigint").alias("_cnt"),
         F.sum("_y").cast("bigint").alias("_pos"),
     )
+
+
+def mcc_close(
+    per_bucket: DataFrame,
+    denom: int,
+    n_thresholds: int = 9,
+) -> DataFrame:
+    """Close :func:`mcc_thresholds` from the bucket-state frame."""
+    nb = n_thresholds + 1
     tot = per_bucket.agg(
         F.sum("_cnt").cast("bigint").alias("_n"),
         F.sum("_pos").cast("bigint").alias("_p"),
     )
     ks = F.broadcast(
-        df.sparkSession.range(1, nb).select(F.col("id").alias("_k"))
+        per_bucket.sparkSession.range(1, nb).select(
+            F.col("id").alias("_k")
+        )
     )
     # >= is a theta-join, but BOTH sides are metadata-sized (n_thresholds
     # + 1 buckets x n_thresholds grid rows) — the fact table never meets
@@ -1598,6 +1627,19 @@ def log_loss(
     nothing collected.  Output one row: (n, n_pos, loss_sum_q12 as
     double, log_loss).
     """
+    return log_loss_close(log_loss_state(df, score_col, label_col, denom))
+
+
+def log_loss_state(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    denom: int,
+) -> DataFrame:
+    """The mergeable state of :func:`log_loss`: one row of (count,
+    positive count, exact DECIMAL(28,12) sum of quantized per-row
+    terms) — all three merge associatively across partitions and
+    micro-batches."""
     p = (F.col(score_col).cast("double") + F.lit(1.0)) / F.lit(
         float(denom + 2)
     )
@@ -1608,11 +1650,15 @@ def log_loss(
     base = df.select(
         y.alias("_y"), F.round(term, 12).cast("decimal(28,12)").alias("_t")
     )
-    row = base.agg(
+    return base.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("_y").cast("bigint").alias("n_pos"),
         F.sum("_t").alias("_ts"),
     )
+
+
+def log_loss_close(row: DataFrame) -> DataFrame:
+    """Close :func:`log_loss` from its one-row state frame."""
     return row.select(
         "n",
         "n_pos",

@@ -4497,3 +4497,321 @@ def decode_exif_meta(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         batch, EXIF_META
     )
+
+
+# ---------------------------------------------------------------------------
+# Netpbm (P2/P3 ASCII, P5/P6 binary) and QOI (the 2021 lossless image
+# format, qoiformat.org public spec) — the remaining raster formats of
+# a scraped multimodal corpus.
+# ---------------------------------------------------------------------------
+
+
+def pnm_encode(doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic Netpbm fixture: ``doc_id % 4`` picks P2 (ASCII
+    gray) / P3 (ASCII RGB) / P5 (binary gray) / P6 (binary RGB); gray
+    pixels ``(doc_id*29 + p*7) % 256``, RGB channels
+    ``(doc_id*31 + p*3 + ch) % 256``; headers carry a comment line and
+    mixed whitespace — the tokenizer hazards of real NetPBM files."""
+    variant = doc_id % 4
+    magic = ["P2", "P3", "P5", "P6"][variant]
+    gray = variant in (0, 2)
+    vals = []
+    for p in range(w * h):
+        if gray:
+            vals.append((doc_id * 29 + p * 7) % 256)
+        else:
+            vals.extend(
+                (doc_id * 31 + p * 3 + ch) % 256 for ch in range(3)
+            )
+    header = (
+        f"{magic}\n# fixture {doc_id}\n{w} {h}\n255".encode()
+    )
+    if variant < 2:
+        body = b"\n" + " ".join(str(v) for v in vals).encode() + b"\n"
+    else:
+        body = b"\n" + bytes(vals)
+    return header + body
+
+
+def _pnm_decode(b: bytes):
+    """Netpbm -> (fmt, width, height, channels, c0, c1, c2, weighted)
+    or None.  ASCII variants tokenize on any whitespace with
+    ``#``-comment lines; binary variants read exactly one whitespace
+    byte after maxval then raw samples.  Only maxval 255."""
+    try:
+        if len(b) < 2 or b[0:1] != b"P" or b[1:2] not in b"2356":
+            return None
+        fmt = b[0:2].decode()
+        gray = fmt in ("P2", "P5")
+        binary = fmt in ("P5", "P6")
+        # tokenize the header: magic, width, height, maxval
+        pos = 2
+        fields = []
+        while len(fields) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(b) and b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                return None
+            fields.append(int(b[start:pos]))
+        w, h, maxval = fields
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None
+        n_vals = w * h * (1 if gray else 3)
+        if binary:
+            pos += 1  # exactly one whitespace byte after maxval
+            raw = b[pos : pos + n_vals]
+            if len(raw) != n_vals:
+                return None
+            vals = list(raw)
+        else:
+            toks = b[pos:].split()
+            if len(toks) < n_vals:
+                return None
+            vals = [int(t) for t in toks[:n_vals]]
+            if any(v < 0 or v > 255 for v in vals):
+                return None
+        sums = [0, 0, 0]
+        weighted = 0
+        spp = 1 if gray else 3
+        for p in range(w * h):
+            tot = 0
+            for ch in range(spp):
+                v = vals[p * spp + ch]
+                sums[ch] += v
+                tot += v
+            weighted += (p + 1) * tot
+        return (
+            fmt, w, h, spp,
+            sums[0],
+            sums[1] if spp > 1 else None,
+            sums[2] if spp > 2 else None,
+            weighted,
+        )
+    except (ValueError, IndexError):
+        return None
+
+
+PNM_PIXEL_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("c0_sum", T.LongType()),
+        T.StructField("c1_sum", T.LongType()),
+        T.StructField("c2_sum", T.LongType()),
+        T.StructField("weighted", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_pnm_pixel_stats(df_with_payload: DataFrame) -> DataFrame:
+    """Netpbm decode over a binary column (see :func:`_pnm_decode`);
+    malformed payloads quarantine.  Arrow ``mapInPandas``, map-only."""
+    import pandas as pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _pnm_decode(bytes(payload))
+                if dec is None:
+                    rows.append((doc_id,) + (None,) * 8 + (False,))
+                    continue
+                rows.append((doc_id,) + dec + (True,))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNM_PIXEL_STATS.fields]
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, PNM_PIXEL_STATS
+    )
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def qoi_encode(doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic QOI fixture over the RGB formula family
+    (``(doc_id*31 + p*3 + ch) % 256`` with runs injected: pixels where
+    ``p % 11 in (4, 5)`` repeat their predecessor, exercising
+    QOI_OP_RUN; the formula's small channel deltas exercise DIFF/LUMA;
+    revisited values hit INDEX).  Real greedy spec encoder: RUN, then
+    INDEX, then DIFF, then LUMA, else RGB; alpha fixed 255."""
+    import struct
+
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, 3, 0))
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    px = []
+    for p in range(w * h):
+        if p % 11 in (4, 5) and p > 0:
+            px.append(px[-1])
+        else:
+            px.append(
+                tuple((doc_id * 31 + p * 3 + ch) % 256 for ch in range(3))
+                + (255,)
+            )
+    for cur in px:
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hidx = _qoi_hash(*cur)
+        if index[hidx] == cur:
+            out.append(hidx)
+        else:
+            index[hidx] = cur
+            dr = (cur[0] - prev[0] + 128) % 256 - 128
+            dg = (cur[1] - prev[1] + 128) % 256 - 128
+            db = (cur[2] - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(
+                    0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)
+                )
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, cur[0], cur[1], cur[2]))
+        prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def _qoi_decode(b: bytes):
+    """QOI -> (width, height, channels, r_sum, g_sum, b_sum, weighted)
+    or None.  Full spec decode (RGB/RGBA/INDEX/DIFF/LUMA/RUN, the
+    running 64-slot index, the 8-byte end marker); pixel count must
+    match the header exactly."""
+    import struct
+
+    if len(b) < 22 or b[0:4] != b"qoif":
+        return None
+    try:
+        w, h, channels, _cs = struct.unpack_from(">IIBB", b, 4)
+        if w <= 0 or h <= 0 or channels not in (3, 4):
+            return None
+        if b[-8:] != b"\x00" * 7 + b"\x01":
+            return None
+        index = [(0, 0, 0, 0)] * 64
+        px = (0, 0, 0, 255)
+        n = w * h
+        pos = 14
+        end = len(b) - 8
+        rs = gs = bs = weighted = 0
+        p = 0
+        while p < n:
+            if pos >= end:
+                return None
+            byte = b[pos]
+            pos += 1
+            if byte == 0xFE:
+                px = (b[pos], b[pos + 1], b[pos + 2], px[3])
+                pos += 3
+            elif byte == 0xFF:
+                px = (b[pos], b[pos + 1], b[pos + 2], b[pos + 3])
+                pos += 4
+            elif byte >> 6 == 0:
+                px = index[byte]
+            elif byte >> 6 == 1:
+                dr = ((byte >> 4) & 3) - 2
+                dg = ((byte >> 2) & 3) - 2
+                db = (byte & 3) - 2
+                px = (
+                    (px[0] + dr) % 256, (px[1] + dg) % 256,
+                    (px[2] + db) % 256, px[3],
+                )
+            elif byte >> 6 == 2:
+                dg = (byte & 0x3F) - 32
+                b2 = b[pos]
+                pos += 1
+                dr = dg + ((b2 >> 4) & 0xF) - 8
+                db = dg + (b2 & 0xF) - 8
+                px = (
+                    (px[0] + dr) % 256, (px[1] + dg) % 256,
+                    (px[2] + db) % 256, px[3],
+                )
+            else:  # RUN
+                run = (byte & 0x3F) + 1
+                for _ in range(run):
+                    if p >= n:
+                        return None
+                    rs += px[0]
+                    gs += px[1]
+                    bs += px[2]
+                    weighted += (p + 1) * (px[0] + px[1] + px[2])
+                    p += 1
+                continue
+            index[_qoi_hash(*px)] = px
+            rs += px[0]
+            gs += px[1]
+            bs += px[2]
+            weighted += (p + 1) * (px[0] + px[1] + px[2])
+            p += 1
+        if pos != end:
+            return None
+        return (w, h, channels, rs, gs, bs, weighted)
+    except (IndexError, ValueError, struct.error):
+        return None
+
+
+QOI_PIXEL_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("weighted", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_qoi_pixel_stats(df_with_payload: DataFrame) -> DataFrame:
+    """QOI decode over a binary column (see :func:`_qoi_decode`);
+    malformed payloads quarantine.  Arrow ``mapInPandas``, map-only,
+    memory O(one raster)."""
+    import pandas as pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _qoi_decode(bytes(payload))
+                if dec is None:
+                    rows.append((doc_id,) + (None,) * 7 + (False,))
+                    continue
+                rows.append((doc_id,) + dec + (True,))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in QOI_PIXEL_STATS.fields]
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, QOI_PIXEL_STATS
+    )

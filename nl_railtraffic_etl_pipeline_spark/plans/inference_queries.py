@@ -237,9 +237,10 @@ def _stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pseudo-score predicting purchase — ONE bucket-keyed corpus pass; the
 # 9 confusion matrices derive from the 10-row bucket frame.
 # ---------------------------------------------------------------------------
-@query(
-    "ml_mcc",
-    f"""
+#: Shared with the streaming twin (streaming_queries::streaming_mcc):
+#: the bucket state (count, positives) merges associatively across
+#: micro-batches, so the batch oracle IS the streaming oracle.
+MCC_ORACLE_SQL = f"""
 WITH base AS (
     SELECT ({_H32_SQL} * 10) // {_DENOM} AS b,
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
@@ -278,8 +279,10 @@ SELECT CAST(k * {_DENOM} // 10 AS BIGINT) AS threshold_units,
                 9)
        END AS mcc
 FROM allk
-""",
-)
+"""
+
+
+@query("ml_mcc", MCC_ORACLE_SQL)
 def _ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.mleval import mcc_thresholds
     from ..functions.text import hash32
@@ -299,9 +302,11 @@ def _ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Laplace-shifted md5 pseudo-probability against the purchase label —
 # transcendental ln under the quantized-term contract.
 # ---------------------------------------------------------------------------
-@query(
-    "ml_log_loss",
-    f"""
+#: Shared with the streaming twin (streaming_queries::
+#: streaming_log_loss): the one-row state (count, positives, exact
+#: decimal term sum) merges associatively, so the batch oracle IS the
+#: streaming oracle.
+LOG_LOSS_ORACLE_SQL = f"""
 WITH base AS (
     SELECT (CAST({_H32_SQL} AS DOUBLE) + CAST(1 AS DOUBLE))
                / CAST({_DENOM + 2} AS DOUBLE) AS pr,
@@ -329,8 +334,10 @@ SELECT n, n_pos,
             THEN ROUND(CAST(ts_ AS DOUBLE) / CAST(n AS DOUBLE), 9)
        END AS log_loss
 FROM r
-""",
-)
+"""
+
+
+@query("ml_log_loss", LOG_LOSS_ORACLE_SQL)
 def _ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.mleval import log_loss
     from ..functions.text import hash32

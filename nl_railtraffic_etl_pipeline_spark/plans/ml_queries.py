@@ -8656,3 +8656,169 @@ def _mm_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = sel.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.decode_exif_meta(payload)
+
+
+# ---------------------------------------------------------------------------
+# Netpbm decode (multimodal.decode_pnm_pixel_stats): all four classic
+# variants — P2/P3 ASCII (whitespace tokenizing, # comments) and P5/P6
+# binary (single post-maxval whitespace byte) — over the shared pixel
+# formula family.  Every third doc ships truncated bytes.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_pnm",
+    """
+WITH sel AS (
+    SELECT doc_id,
+           CAST(5 + doc_id % 6 AS INTEGER) AS w,
+           CAST(3 + doc_id % 5 AS INTEGER) AS h,
+           doc_id % 4 IN (0, 2) AS gray,
+           ['P2', 'P3', 'P5', 'P6'][CAST(doc_id % 4 + 1 AS INTEGER)]
+               AS fmt,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 47 = 0
+),
+px AS (
+    SELECT doc_id, gray, unnest(range(0, w * h)) AS p
+    FROM sel WHERE NOT corrupt
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN gray THEN (doc_id * 29 + p * 7) % 256
+                         ELSE (doc_id * 31 + p * 3) % 256 END)
+                AS BIGINT) AS c0_sum,
+           CAST(SUM(CASE WHEN gray THEN NULL
+                         ELSE (doc_id * 31 + p * 3 + 1) % 256 END)
+                AS BIGINT) AS c1_sum,
+           CAST(SUM(CASE WHEN gray THEN NULL
+                         ELSE (doc_id * 31 + p * 3 + 2) % 256 END)
+                AS BIGINT) AS c2_sum,
+           CAST(SUM((p + 1) * (CASE WHEN gray
+                    THEN (doc_id * 29 + p * 7) % 256
+                    ELSE ((doc_id * 31 + p * 3) % 256)
+                         + ((doc_id * 31 + p * 3 + 1) % 256)
+                         + ((doc_id * 31 + p * 3 + 2) % 256) END))
+                AS BIGINT) AS weighted
+    FROM px GROUP BY doc_id, gray
+)
+SELECT sel.doc_id,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.fmt END AS fmt,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.w END AS width,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.h END AS height,
+       CAST(CASE WHEN sel.corrupt THEN NULL
+                 WHEN sel.gray THEN 1 ELSE 3 END AS INTEGER) AS channels,
+       sums.c0_sum, sums.c1_sum, sums.c2_sum, sums.weighted,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 47 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 6).cast("int").alias("_w"),
+        (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("_h"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import pnm_encode
+
+        for pdf in batches:
+            payloads = [
+                pnm_encode(int(doc), int(w), int(h))[
+                    : 20 if corrupt else None
+                ]
+                for doc, w, h, corrupt in zip(
+                    pdf["doc_id"], pdf["_w"], pdf["_h"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_pnm_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# QOI decode (multimodal.decode_qoi_pixel_stats): the 2021 lossless
+# format (qoiformat.org, public spec) — running 64-slot index, DIFF/
+# LUMA delta ops, RUN packing, 8-byte end marker — encoded by a real
+# greedy spec encoder with runs injected (pixels p % 11 in (4, 5)
+# repeat their predecessor).  Lossless means the oracle needs only the
+# resolved pixel formulas: the effective source index is
+# p - (CASE p%11 WHEN 4 THEN 1 WHEN 5 THEN 2 ELSE 0 END).  Every
+# third doc ships truncated bytes.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_qoi",
+    """
+WITH sel AS (
+    SELECT doc_id,
+           CAST(5 + doc_id % 6 AS INTEGER) AS w,
+           CAST(3 + doc_id % 5 AS INTEGER) AS h,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 53 = 0
+),
+px AS (
+    SELECT doc_id, p,
+           p - (CASE p % 11 WHEN 4 THEN 1 WHEN 5 THEN 2 ELSE 0 END) AS e
+    FROM (SELECT doc_id, unnest(range(0, w * h)) AS p
+          FROM sel WHERE NOT corrupt)
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM((doc_id * 31 + e * 3) % 256) AS BIGINT) AS r_sum,
+           CAST(SUM((doc_id * 31 + e * 3 + 1) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((doc_id * 31 + e * 3 + 2) % 256) AS BIGINT) AS b_sum,
+           CAST(SUM((p + 1) * (((doc_id * 31 + e * 3) % 256)
+                 + ((doc_id * 31 + e * 3 + 1) % 256)
+                 + ((doc_id * 31 + e * 3 + 2) % 256))) AS BIGINT)
+               AS weighted
+    FROM px GROUP BY 1
+)
+SELECT sel.doc_id,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.w END AS width,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.h END AS height,
+       CAST(CASE WHEN sel.corrupt THEN NULL ELSE 3 END AS INTEGER)
+           AS channels,
+       sums.r_sum, sums.g_sum, sums.b_sum, sums.weighted,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 53 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 6).cast("int").alias("_w"),
+        (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("_h"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import qoi_encode
+
+        for pdf in batches:
+            payloads = [
+                qoi_encode(int(doc), int(w), int(h))[
+                    : 16 if corrupt else None
+                ]
+                for doc, w, h, corrupt in zip(
+                    pdf["doc_id"], pdf["_w"], pdf["_h"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_qoi_pixel_stats(payload)

@@ -1088,3 +1088,70 @@ def _streaming_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_to_memory(per_bin, "streaming_isotonic_bins", "complete")
     return isotonic_close(spark.table("streaming_isotonic_bins"))
+
+
+from .inference_queries import (  # noqa: E402
+    LOG_LOSS_ORACLE_SQL,
+    MCC_ORACLE_SQL,
+    _DENOM as _INF_DENOM,
+)
+
+
+@query(
+    "streaming_mcc",
+    # Streaming twin of ml_mcc: the state is per-bucket (count,
+    # positives) — both merge associatively across micro-batches — so
+    # the drained 10-row bucket frame feeds the identical threshold
+    # derivation and the batch oracle IS the streaming oracle.
+    MCC_ORACLE_SQL,
+)
+def _streaming_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews-correlation threshold sweep THROUGH the streaming
+    engine: the events stream buckets the md5-contract score map-side,
+    per-bucket (count, positives) aggregate incrementally in complete
+    mode (state = n_thresholds + 1 BIGINT rows, watermark-free), and
+    the drained frame closes with functions/mleval.py::mcc_close —
+    hash-identical to the batch ml_mcc gate."""
+    from ..functions.mleval import mcc_bucket_stats, mcc_close
+    from ..functions.text import hash32
+
+    ev = _events_stream(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        hash32(F.col("event_id").cast("string")).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    per_bucket = mcc_bucket_stats(base, "score", "label", _INF_DENOM)
+    _drain_to_memory(per_bucket, "streaming_mcc_buckets", "complete")
+    return mcc_close(spark.table("streaming_mcc_buckets"), _INF_DENOM)
+
+
+@query(
+    "streaming_log_loss",
+    # Streaming twin of ml_log_loss: the state is ONE row of (count,
+    # positives, exact DECIMAL(28,12) sum of quantized per-row terms)
+    # — all three merge associatively across micro-batches under the
+    # quantized-term contract — so the drained row feeds the identical
+    # close and the batch oracle IS the streaming oracle.
+    LOG_LOSS_ORACLE_SQL,
+)
+def _streaming_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary cross-entropy THROUGH the streaming engine: per-row
+    quantized decimal terms aggregate incrementally in complete mode
+    (state = one row, watermark-free), and the drained state closes
+    with functions/mleval.py::log_loss_close — hash-identical to the
+    batch ml_log_loss gate."""
+    from ..functions.mleval import log_loss_close, log_loss_state
+    from ..functions.text import hash32
+
+    ev = _events_stream(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        hash32(F.col("event_id").cast("string")).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    state = log_loss_state(base, "score", "label", _INF_DENOM)
+    _drain_to_memory(state, "streaming_log_loss_state", "complete")
+    return log_loss_close(spark.table("streaming_log_loss_state"))
