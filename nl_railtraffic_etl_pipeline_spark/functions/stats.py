@@ -2952,3 +2952,66 @@ def kendall_tau_b(
             ),
         ).alias("tau_b"),
     )
+
+
+def esd_rounds(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    rounds: int = 3,
+) -> DataFrame:
+    """Generalized-ESD anomaly candidates (Rosner 1983, public
+    literature): ``rounds`` iterations of "remove the point with the
+    largest |x - mean| / s", each round recomputing mean and sample
+    standard deviation over the REMAINING points — the multi-outlier
+    test that plain z-scoring gets wrong because outliers inflate the
+    very std that should expose them.
+
+    Determinism: the argmax tie-breaks on (z DESC, day ASC) — a total
+    order both engines share; mean/std derive from exact decimal sums
+    through one fixed IEEE op tree, so the selected point is identical
+    cross-engine (the input values are integer counts, so the sums are
+    exact BIGINTs).  Output ``rounds`` rows: (round, day, value, z).
+
+    Plan: the input is the per-day aggregate (metadata-sized at any
+    corpus scale); each round is a 1-row stats broadcast + an ordered
+    LIMIT 1 + a day-keyed anti-join.  Never fact-sized.
+    """
+    picks = []
+    rem = daily.select(
+        F.col(day_col).alias("_d"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    )
+    for r in range(1, rounds + 1):
+        st = rem.agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum("_v").cast("bigint").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).cast("bigint").alias("_ss"),
+        )
+        n = F.col("_n").cast("double")
+        s = F.col("_s").cast("double")
+        ss = F.col("_ss").cast("double")
+        z = F.abs(F.col("_v").cast("double") - s / n) / F.sqrt(
+            (ss - s * s / n) / (n - 1)
+        )
+        pick = (
+            rem.crossJoin(F.broadcast(st))
+            .select("_d", "_v", z.alias("_z"))
+            .orderBy(F.col("_z").desc(), F.col("_d").asc())
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("_d").alias("day"),
+                F.col("_v").alias("value"),
+                F.round(F.col("_z"), 9).alias("z"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        picks.append(pick)
+        rem = rem.join(
+            pick.select(F.col("day").alias("_d")), "_d", "left_anti"
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out

@@ -1643,3 +1643,50 @@ def flesch_readability(
         F.when(t.isNotNull(), syllables).alias("n_syllables"),
         F.when(t.isNotNull() & (words > 0), score).alias("flesch"),
     )
+
+
+def utf8_validity_stats(df_with_payload):
+    """UTF-8 validity scan over a binary column: per document the byte
+    count, the count of replacement characters a strict
+    decode-with-replace produces (W3C/WHATWG maximal-subpart policy —
+    Python's 'replace' handler), and the repaired character length —
+    the corpus-hygiene pass that decides quarantine vs repair before
+    text ever enters the pipeline.
+
+    Arrow ``mapInPandas``, map-only; O(bytes) per document.  Expects
+    (doc_id, payload) columns; returns (doc_id, n_bytes, n_invalid,
+    n_chars_repaired).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_invalid", T.LongType()),
+            T.StructField("n_chars_repaired", T.LongType()),
+        ]
+    )
+
+    def batch(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                repaired = b.decode("utf-8", "replace")
+                rows.append(
+                    (
+                        doc_id,
+                        len(b),
+                        repaired.count("�"),
+                        len(repaired),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, schema
+    )

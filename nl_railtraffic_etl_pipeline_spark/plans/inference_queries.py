@@ -596,3 +596,144 @@ def _web_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("lastmod").alias("last_mod"),
     )
     return lk.join(lm, "source")
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer trust check (sources/lake.py::parquet_footer_stats):
+# the engine reads ONLY the documents.parquet FOOTER (the metadata
+# plane predicate pushdown relies on) and reports per-column
+# num_values / null_count / min / max; the oracle recomputes the same
+# numbers from the DATA.  Equality IS the verification that the file's
+# statistics can be trusted for pruning — a writer that mis-stamps
+# stats hash-mismatches here before it silently breaks a pushdown.
+# ---------------------------------------------------------------------------
+@query(
+    "lake_parquet_footer",
+    """
+SELECT 'doc_id' AS "column",
+       CAST(COUNT(doc_id) AS BIGINT) AS n_values,
+       CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+       CAST(MIN(doc_id) AS BIGINT) AS min_val,
+       CAST(MAX(doc_id) AS BIGINT) AS max_val
+FROM documents
+UNION ALL
+SELECT 'n_chars',
+       CAST(COUNT(n_chars) AS BIGINT),
+       CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+       CAST(MIN(n_chars) AS BIGINT),
+       CAST(MAX(n_chars) AS BIGINT)
+FROM documents
+""",
+)
+def _lake_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lake import parquet_footer_stats
+
+    return parquet_footer_stats(
+        spark, f"{sf_dir}/documents.parquet", ["doc_id", "n_chars"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generalized-ESD anomaly rounds (functions/stats.py::esd_rounds) over
+# per-day event counts: three remove-the-max-z iterations, each
+# recomputing mean/std over the remainder.  The oracle unrolls the
+# rounds as chained ordered-LIMIT CTEs with the identical (z DESC, day)
+# tie-break.
+# ---------------------------------------------------------------------------
+def _esd_round_sql(r: int) -> str:
+    return f"""
+s{r} AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS DOUBLE) AS s,
+           CAST(SUM(v * v) AS DOUBLE) AS ss
+    FROM rem{r - 1}
+),
+p{r} AS (
+    SELECT d, v,
+           ABS(CAST(v AS DOUBLE) - s / n) / sqrt((ss - s * s / n) / (n - 1))
+               AS z
+    FROM rem{r - 1}, s{r}
+    ORDER BY z DESC, d LIMIT 1
+),
+rem{r} AS (
+    SELECT rem{r - 1}.* FROM rem{r - 1}
+    LEFT JOIN p{r} USING (d) WHERE p{r}.v IS NULL
+)"""
+
+
+_ESD_ROUNDS = 3
+
+
+@query(
+    "events_anomaly_esd",
+    """
+WITH rem0 AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+),"""
+    + ",".join(_esd_round_sql(r) for r in range(1, _ESD_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, d AS day, v AS value,"
+        f" ROUND(z, 9) AS z FROM p{r}"
+        for r in range(1, _ESD_ROUNDS + 1)
+    ),
+)
+def _events_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import esd_rounds
+
+    e = load_table(spark, sf_dir, "events", spread=True)
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("value"))
+    )
+    return esd_rounds(daily, "day", "value", rounds=_ESD_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# UTF-8 validity scan (functions/text.py::utf8_validity_stats): the
+# document text travels as BYTES with 0xFF injected at every 97th
+# position (offset 50) for doc_id % 5 = 0 — the corpus is pure ASCII
+# (pinned by test), so each injected byte decodes to exactly one
+# U+FFFD under the maximal-subpart replace policy and the oracle's
+# closed form counts them without decoding.
+# ---------------------------------------------------------------------------
+@query(
+    "text_utf8_validity",
+    """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 5 = 0 AND strlen(text) > 50
+                 THEN (strlen(text) - 51) // 97 + 1 ELSE 0 END
+            AS BIGINT) AS n_invalid,
+       CAST(strlen(text) AS BIGINT) AS n_chars_repaired
+FROM documents WHERE text IS NOT NULL
+""",
+)
+def _text_utf8_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.text import utf8_validity_stats
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull()
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = bytearray(str(text).encode("utf-8"))
+                if doc_id % 5 == 0:
+                    for i in range(50, len(b), 97):
+                        b[i] = 0xFF
+                payloads.append(bytes(b))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+    return utf8_validity_stats(payload)

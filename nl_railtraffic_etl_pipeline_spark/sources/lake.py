@@ -208,3 +208,48 @@ def compact_partitions(
     if not fs.rename(hp_s, hp_t):
         raise IOError(f"compact: failed to promote {tmp} -> {path}")
     return before, _count_files(path)
+
+
+def parquet_footer_stats(
+    spark, path: str, columns: list[str]
+):
+    """Column-chunk statistics from the parquet FOOTER (no data scan):
+    per requested column, (column, n_values, n_nulls, min_val, max_val)
+    aggregated across row groups — min of chunk minima, max of maxima,
+    summed counts.  The metadata plane a table format trusts for
+    predicate pushdown; the gate's oracle recomputes the same numbers
+    from the DATA, so a stale or wrong footer hash-mismatches.
+
+    The footer read is a driver-side bounded metadata fetch (one footer,
+    KBs) — the documented exception class next to the IVF-centroid
+    artifact pattern; the result frame is |columns| rows.
+    """
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    agg: dict[str, list] = {c: [0, 0, None, None] for c in columns}
+    for rg in range(f.num_row_groups):
+        meta = f.metadata.row_group(rg)
+        for i in range(meta.num_columns):
+            col = meta.column(i)
+            name = col.path_in_schema
+            if name not in agg or col.statistics is None:
+                continue
+            s = col.statistics
+            a = agg[name]
+            a[0] += s.num_values
+            a[1] += s.null_count
+            if s.has_min_max:
+                a[2] = s.min if a[2] is None else min(a[2], s.min)
+                a[3] = s.max if a[3] is None else max(a[3], s.max)
+    rows = [
+        (c, int(a[0]), int(a[1]),
+         None if a[2] is None else int(a[2]),
+         None if a[3] is None else int(a[3]))
+        for c, a in agg.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, n_values long, n_nulls long,"
+        " min_val long, max_val long",
+    )
