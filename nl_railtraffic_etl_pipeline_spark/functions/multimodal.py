@@ -4815,3 +4815,177 @@ def decode_qoi_pixel_stats(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         batch, QOI_PIXEL_STATS
     )
+
+
+# ---------------------------------------------------------------------------
+# ISO BMFF / MP4 box walk — container-level video metadata (ISO/IEC
+# 14496-12 box grammar, public spec): the duration/track/size pass a
+# video corpus runs BEFORE any codec work, and the one video layer that
+# needs no codec libraries.  Codec-level frame decode remains the
+# declared stub (no codecs in this environment).
+# ---------------------------------------------------------------------------
+
+
+def _box(tag: bytes, body: bytes, largesize: bool = False) -> bytes:
+    import struct
+
+    if largesize:
+        return (
+            struct.pack(">I", 1) + tag
+            + struct.pack(">Q", 16 + len(body)) + body
+        )
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def mp4_encode(doc_id: int) -> bytes:
+    """Deterministic minimal MP4: ftyp(isom, [isom, mp42]) + moov(mvhd
+    timescale 1000, duration ``5000 + doc_id*37 % 100000``; one video
+    trak, plus an audio trak for odd docs) + free + mdat with
+    ``100 + doc_id % 50`` bytes ``(doc_id*13 + i*7) % 256``; every
+    third doc writes mdat with the 64-bit largesize convention."""
+    import struct
+
+    duration = 5000 + (doc_id * 37) % 100000
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp42")
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"                 # version/flags
+        + struct.pack(">II", 0, 0)           # ctime mtime
+        + struct.pack(">II", 1000, duration)
+        + struct.pack(">I", 0x00010000)      # rate
+        + struct.pack(">H", 0x0100)          # volume
+        + b"\x00" * 10                       # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)            # identity matrix
+        + b"\x00" * 24                       # predefined
+        + struct.pack(">I", 3),              # next track id
+    )
+
+    def trak(track_id: int) -> bytes:
+        tkhd = _box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", track_id)
+            + b"\x00" * 4
+            + struct.pack(">I", duration)
+            + b"\x00" * 60,
+        )
+        return _box(b"trak", tkhd)
+
+    traks = trak(1)
+    if doc_id % 2 == 1:
+        traks += trak(2)
+    moov = _box(b"moov", mvhd + traks)
+    free = _box(b"free", b"junk" * 3)
+    n = 100 + doc_id % 50
+    payload = bytes((doc_id * 13 + i * 7) % 256 for i in range(n))
+    mdat = _box(b"mdat", payload, largesize=doc_id % 3 == 1)
+    return ftyp + moov + free + mdat
+
+
+def _mp4_walk(b: bytes):
+    """ISO BMFF walk -> (brand, timescale, duration, n_tracks,
+    mdat_bytes, mdat_sum) or None (quarantine).  Handles the 64-bit
+    largesize and size-0 (to end of file) conventions; descends only
+    into the container boxes that matter (moov/trak)."""
+    import struct
+
+    CONTAINERS = {b"moov", b"trak"}
+    brand = None
+    timescale = None
+    duration = None
+    n_tracks = 0
+    mdat_bytes = None
+    mdat_sum = None
+
+    def walk(pos: int, end: int) -> bool:
+        nonlocal brand, timescale, duration, n_tracks
+        nonlocal mdat_bytes, mdat_sum
+        while pos < end:
+            if pos + 8 > end:
+                return False
+            size = struct.unpack_from(">I", b, pos)[0]
+            tag = b[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return False
+                size = struct.unpack_from(">Q", b, pos + 8)[0]
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return False
+            body_start, body_end = pos + hdr, pos + size
+            if tag == b"ftyp":
+                if body_end - body_start < 8:
+                    return False
+                brand = b[body_start : body_start + 4].decode(
+                    "ascii", "replace"
+                )
+            elif tag == b"mvhd":
+                ver = b[body_start]
+                off = body_start + 4 + (16 if ver == 1 else 8)
+                if ver == 1:
+                    timescale, = struct.unpack_from(">I", b, off)
+                    duration, = struct.unpack_from(">Q", b, off + 4)
+                else:
+                    timescale, duration = struct.unpack_from(
+                        ">II", b, off
+                    )
+            elif tag == b"tkhd":
+                n_tracks += 1
+            elif tag == b"mdat":
+                payload = b[body_start:body_end]
+                mdat_bytes = len(payload)
+                mdat_sum = sum(payload)
+            elif tag in CONTAINERS:
+                if not walk(body_start, body_end):
+                    return False
+            pos += size
+        return True
+
+    if not walk(0, len(b)):
+        return None
+    if brand is None or timescale is None or mdat_bytes is None:
+        return None
+    return (brand, timescale, duration, n_tracks, mdat_bytes, mdat_sum)
+
+
+MP4_META = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("duration", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("mdat_bytes", T.LongType()),
+        T.StructField("mdat_sum", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_mp4_meta(df_with_payload: DataFrame) -> DataFrame:
+    """MP4 container walk over a binary column (see :func:`_mp4_walk`);
+    malformed payloads quarantine.  Arrow ``mapInPandas``, map-only,
+    O(header + mdat scan) per file."""
+    import pandas as pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = _mp4_walk(bytes(payload))
+                if meta is None:
+                    rows.append((doc_id,) + (None,) * 6 + (False,))
+                    continue
+                rows.append((doc_id,) + meta + (True,))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP4_META.fields]
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, MP4_META
+    )

@@ -839,3 +839,136 @@ def negative_sampling(
             F.col("neg_rank").cast("int").alias("neg_rank"),
         )
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k_candidates: int = 8,
+    k_select: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, public literature) — the retrieval-diversification pass a RAG
+    pipeline runs between ANN recall and context assembly: greedily
+    pick ``k_select`` of the top-``k_candidates`` neighbors, each round
+    choosing argmax of lambda*rel - (1-lambda)*max-sim-to-selected with
+    lambda = 1/2.
+
+    Determinism: relevance and pairwise similarity ride as
+    integer-scaled rounded cosines (rel6 = round(cos * 1e6) BIGINT), and
+    with lambda = 1/2 the MMR ordering equals ordering by the INTEGER
+    rel6 - maxsim6 — so selection is exact integer arithmetic with a
+    (score DESC, neighbor_id) tie-break, bit-identical cross-engine.
+    The first pick maximizes bare relevance (maxsim coalesces to 0).
+
+    Plan: candidates come from :func:`knn_bruteforce` (broadcast query
+    side); the pairwise-sim frame is candidates x candidates PER QUERY
+    (k_candidates^2 rows per query — bounded by the fence, never
+    corpus-sized) behind a compute-once barrier; each greedy round is a
+    per-query window LIMIT over the candidate frame.  Output
+    k_select rows per query: (query_id, position, neighbor_id, rel6,
+    mmr2_6 = rel6 - maxsim6).
+    """
+    from pyspark.sql import Window
+
+    cands = (
+        knn_bruteforce(
+            embeddings, query_ids, k=k_candidates,
+            vec_col=vec_col, id_col=id_col,
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine") * 1e6).cast("bigint").alias("rel6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ev = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    a = (
+        cands.select("query_id", F.col("neighbor_id").alias("ca"))
+        .join(ev, F.col("ca") == F.col("_id"))
+        .select("query_id", "ca", F.col("_v").alias("va"))
+    )
+    b = (
+        cands.select("query_id", F.col("neighbor_id").alias("cb"))
+        .join(ev, F.col("cb") == F.col("_id"))
+        .select("query_id", "cb", F.col("_v").alias("vb"))
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "query_id", "ca", "cb",
+            F.round(
+                F.round(cosine(F.col("va"), F.col("vb")), 6) * 1e6
+            ).cast("bigint").alias("sim6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_score"), F.asc("neighbor_id")
+    )
+    first = (
+        cands.withColumn("_score", F.col("rel6"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("int").alias("position"),
+            "neighbor_id",
+            "rel6",
+            F.col("rel6").alias("mmr2_6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = [first]
+    selected = first.select("query_id", "neighbor_id")
+    for r in range(2, k_select + 1):
+        remaining = cands.join(
+            selected, ["query_id", "neighbor_id"], "left_anti"
+        )
+        ms = (
+            sims.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("cb")
+                ),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id", "ca")
+            .agg(F.max("sim6").cast("bigint").alias("maxsim6"))
+        )
+        pick = (
+            remaining.join(
+                ms,
+                (remaining.query_id == ms.query_id)
+                & (remaining.neighbor_id == ms.ca),
+            )
+            .select(
+                remaining.query_id,
+                "neighbor_id",
+                "rel6",
+                (F.col("rel6") - F.col("maxsim6")).alias("_score"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).cast("int").alias("position"),
+                "neighbor_id",
+                "rel6",
+                F.col("_score").cast("bigint").alias("mmr2_6"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        picks.append(pick)
+        selected = selected.union(
+            pick.select("query_id", "neighbor_id")
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out

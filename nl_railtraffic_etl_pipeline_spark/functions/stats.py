@@ -3015,3 +3015,105 @@ def esd_rounds(
     for p in picks[1:]:
         out = out.union(p)
     return out
+
+
+def holt_winters_additive(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    period: int = 7,
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing (Winters
+    1960, public literature) over a single day-ordered series — the
+    seasonal upgrade over :func:`holt_linear` for the weekly cycle
+    every event corpus carries:
+
+        l_t = alpha (v_t - s_{t-m}) + (1-alpha)(l_{t-1} + b_{t-1})
+        b_t = beta (l_t - l_{t-1}) + (1-beta) b_{t-1}
+        s_t = gamma (v_t - l_t) + (1-gamma) s_{t-m}
+
+    Init (lookahead-free): l_0 = mean of the first m values (explicit
+    left-to-right sum), b_0 = 0, s_j = v_j - l_0.  Determinism rides
+    the EWMA-family contract: the fold state is a DOUBLE[10] list
+    (level, trend, m seasonals, position), every constant binds as
+    CAST('<repr>' AS DOUBLE), and l_t inside the trend/seasonal
+    updates is RECOMPUTED with the identical token sequence — the
+    DuckDB oracle replays the same list_reduce and reproduces every
+    slot bit-identically.
+
+    Plan: the input is the per-day aggregate (metadata-sized); ONE
+    packed fold inside a single aggregation buffer.  Output one row:
+    (n, level, trend, s0..s{m-1}, forecast_next) — NULL-free only when
+    n >= m + 1; shorter series yield zero rows on both engines.
+    """
+    if period != 7:
+        raise ValueError("holt_winters_additive is fixed at period 7")
+    a = f"CAST('{float(alpha)!r}' AS DOUBLE)"
+    oma = f"CAST('{1.0 - float(alpha)!r}' AS DOUBLE)"
+    b = f"CAST('{float(beta)!r}' AS DOUBLE)"
+    omb = f"CAST('{1.0 - float(beta)!r}' AS DOUBLE)"
+    g = f"CAST('{float(gamma)!r}' AS DOUBLE)"
+    omg = f"CAST('{1.0 - float(gamma)!r}' AS DOUBLE)"
+    l0 = (
+        "(("
+        + " + ".join(f"element_at(_l, {j}).v" for j in range(1, 8))
+        + ") / CAST(7 AS DOUBLE))"
+    )
+    idx = "(CAST(element_at(acc, 10) AS INT) % 7)"
+    slot = f"element_at(acc, 3 + {idx})"
+    lt = f"({a} * (element_at(x, 1) - {slot}) + {oma} * (element_at(acc, 1) + element_at(acc, 2)))"
+    bt = f"({b} * ({lt} - element_at(acc, 1)) + {omb} * element_at(acc, 2))"
+    st = f"({g} * (element_at(x, 1) - {lt}) + {omg} * {slot})"
+    fold = (
+        "aggregate("
+        "transform(slice(_l, 8, size(_l) - 7), e -> array(e.v)), "
+        f"concat(array({l0}, CAST(0.0 AS DOUBLE)), "
+        f"transform(sequence(0, 6), j -> element_at(_l, j + 1).v - {l0}), "
+        "array(CAST(7.0 AS DOUBLE))), "
+        "(acc, x) -> concat("
+        f"array({lt}, {bt}), "
+        f"transform(sequence(0, 6), j -> IF(j = {idx}, {st}, "
+        "element_at(acc, 3 + j))), "
+        "array(element_at(acc, 10) + CAST(1.0 AS DOUBLE))))"
+    )
+    packed = (
+        daily.filter(
+            F.col(day_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(day_col).alias("d"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("_l")
+        )
+        .filter(F.size("_l") >= 8)
+    )
+    stx = packed.select(
+        F.size("_l").cast("bigint").alias("n"), F.expr(fold).alias("_s")
+    )
+    n7 = (F.col("n") % 7).cast("int")
+    out = [
+        "n",
+        F.round(F.element_at("_s", 1), 9).alias("level"),
+        F.round(F.element_at("_s", 2), 9).alias("trend"),
+    ]
+    out += [
+        F.round(F.element_at("_s", 3 + j), 9).alias(f"s{j}")
+        for j in range(7)
+    ]
+    out.append(
+        F.round(
+            F.element_at("_s", 1)
+            + F.element_at("_s", 2)
+            + F.element_at("_s", F.lit(3) + n7),
+            9,
+        ).alias("forecast_next")
+    )
+    return stx.select(*out)

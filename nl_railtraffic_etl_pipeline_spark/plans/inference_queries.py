@@ -737,3 +737,84 @@ def _text_utf8_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, "doc_id long, payload binary"
     )
     return utf8_validity_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# Additive Holt-Winters (functions/stats.py::holt_winters_additive)
+# over daily event counts, weekly seasonality — the seasonal member of
+# the EWMA/Holt family.  The oracle replays the identical DOUBLE[10]
+# list_reduce (level, trend, 7 seasonals, position) with recomputed
+# l_t token sequences; a swapped update order or a drifting seasonal
+# slot hash-mismatches.
+# ---------------------------------------------------------------------------
+_HW_A = "CAST('0.3' AS DOUBLE)"
+_HW_OMA = "CAST('0.7' AS DOUBLE)"
+_HW_B = "CAST('0.1' AS DOUBLE)"
+_HW_OMB = "CAST('0.9' AS DOUBLE)"
+_HW_G = "CAST('0.2' AS DOUBLE)"
+_HW_OMG = "CAST('0.8' AS DOUBLE)"
+_HW_L0 = (
+    "((" + " + ".join(f"l[{j}].v" for j in range(1, 8))
+    + ") / CAST(7 AS DOUBLE))"
+)
+_HW_IDX = "(CAST(acc[10] AS INTEGER) % 7)"
+_HW_SLOT = f"acc[3 + {_HW_IDX}]"
+_HW_LT = (
+    f"({_HW_A} * (x[1] - {_HW_SLOT})"
+    f" + {_HW_OMA} * (acc[1] + acc[2]))"
+)
+_HW_BT = f"({_HW_B} * ({_HW_LT} - acc[1]) + {_HW_OMB} * acc[2])"
+_HW_ST = f"({_HW_G} * (x[1] - {_HW_LT}) + {_HW_OMG} * {_HW_SLOT})"
+
+
+@query(
+    "events_holt_winters",
+    f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS v
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+packed AS (
+    SELECT list(struct_pack(d := d, v := v) ORDER BY d) AS l FROM daily
+),
+ok AS (
+    SELECT l, CAST(len(l) AS BIGINT) AS n FROM packed WHERE len(l) >= 8
+),
+folded AS (
+    SELECT n,
+           list_reduce(
+               list_prepend(
+                   list_concat(list_concat(
+                       [{_HW_L0}, CAST(0.0 AS DOUBLE)],
+                       list_transform([0, 1, 2, 3, 4, 5, 6],
+                                      j -> l[j + 1].v - {_HW_L0})),
+                       [CAST(7.0 AS DOUBLE)]),
+                   list_transform(l[8:], e -> [e.v])),
+               (acc, x) -> list_concat(list_concat(
+                   [{_HW_LT}, {_HW_BT}],
+                   list_transform([0, 1, 2, 3, 4, 5, 6],
+                                  j -> CASE WHEN j = {_HW_IDX}
+                                            THEN {_HW_ST}
+                                            ELSE acc[3 + j] END)),
+                   [acc[10] + CAST(1.0 AS DOUBLE)])
+           ) AS s
+    FROM ok
+)
+SELECT n,
+       ROUND(s[1], 9) AS level,
+       ROUND(s[2], 9) AS trend,
+       {", ".join(f"ROUND(s[{3 + j}], 9) AS s{j}" for j in range(7))},
+       ROUND(s[1] + s[2] + s[3 + n % 7], 9) AS forecast_next
+FROM folded
+""",
+)
+def _events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import holt_winters_additive
+
+    e = load_table(spark, sf_dir, "events", spread=True)
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("value"))
+    )
+    return holt_winters_additive(daily)

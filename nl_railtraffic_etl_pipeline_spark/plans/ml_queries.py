@@ -8822,3 +8822,162 @@ def _mm_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = sel.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.decode_qoi_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance re-ranking (simsearch.mmr_rerank): the
+# retrieval-diversification pass between ANN recall and RAG context
+# assembly.  With lambda = 1/2 the greedy ordering is EXACT integer
+# arithmetic over scaled rounded cosines (rel6 - maxsim6), so the
+# 4-round selection is bit-identical cross-engine; the oracle replays
+# the greedy as chained window-LIMIT CTEs over the same candidate and
+# pairwise-sim frames (k_candidates^2 per query, fence-bounded).
+# ---------------------------------------------------------------------------
+_MMR_K_CAND, _MMR_K_SEL = 8, 4
+
+
+def _mmr_round_sql(r: int) -> str:
+    return f"""
+ms{r} AS (
+    SELECT s.query_id, s.ca, MAX(s.sim6) AS maxsim6
+    FROM sims s JOIN sel{r - 1} t
+      ON s.query_id = t.query_id AND s.cb = t.neighbor_id
+    GROUP BY 1, 2
+),
+p{r} AS (
+    SELECT query_id, CAST({r} AS INTEGER) AS position, neighbor_id,
+           rel6, score AS mmr2_6
+    FROM (
+        SELECT c.query_id, c.neighbor_id, c.rel6,
+               c.rel6 - m.maxsim6 AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY c.rel6 - m.maxsim6 DESC, c.neighbor_id
+               ) AS rn
+        FROM cands c
+        JOIN ms{r} m
+          ON c.query_id = m.query_id AND c.neighbor_id = m.ca
+        LEFT JOIN sel{r - 1} x
+          ON c.query_id = x.query_id AND c.neighbor_id = x.neighbor_id
+        WHERE x.neighbor_id IS NULL
+    ) WHERE rn = 1
+),
+sel{r} AS (
+    SELECT query_id, neighbor_id FROM sel{r - 1}
+    UNION ALL SELECT query_id, neighbor_id FROM p{r}
+)"""
+
+
+@query(
+    "emb_mmr_rerank",
+    f"""
+WITH cands AS (
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(cosine * 1000000) AS BIGINT) AS rel6
+    FROM ({_ORACLES['sim_knn_bruteforce']})
+    WHERE rank <= {_MMR_K_CAND}
+),
+ce AS (
+    SELECT c.query_id, c.neighbor_id, c.rel6, e.embedding AS v
+    FROM cands c JOIN embeddings e ON c.neighbor_id = e.vec_id
+),
+sims AS (
+    SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+           CAST(ROUND(({_COS_SQL.format(va='v', vb='v')}) * 1000000)
+                AS BIGINT) AS sim6
+    FROM ce a JOIN ce b
+      ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+),
+p1 AS (
+    SELECT query_id, CAST(1 AS INTEGER) AS position, neighbor_id, rel6,
+           rel6 AS mmr2_6
+    FROM (
+        SELECT query_id, neighbor_id, rel6,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY rel6 DESC, neighbor_id
+               ) AS rn
+        FROM cands
+    ) WHERE rn = 1
+),
+sel1 AS (SELECT query_id, neighbor_id FROM p1),"""
+    + ",".join(_mmr_round_sql(r) for r in range(2, _MMR_K_SEL + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT query_id, position, neighbor_id, rel6, mmr2_6 FROM p{r}"
+        for r in range(1, _MMR_K_SEL + 1)
+    ),
+)
+def _emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"),
+        _KNN_QUERY_IDS,
+        k_candidates=_MMR_K_CAND,
+        k_select=_MMR_K_SEL,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP4 container walk (multimodal.decode_mp4_meta): ISO BMFF box grammar
+# — nested moov/trak descent, the 64-bit largesize convention (every
+# third doc's mdat), version-branched mvhd — the duration/track/size
+# pass a video corpus runs BEFORE any codec work; codec-level frame
+# decode remains the declared stub (no codec libs here).  The oracle
+# recomputes every field from the fixture formulas.  Every third doc
+# (offset 2) ships truncated bytes.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_mp4_meta",
+    """
+WITH sel AS (
+    SELECT doc_id, CAST(100 + doc_id % 50 AS BIGINT) AS n,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 59 = 0
+),
+bytes_ AS (
+    SELECT doc_id, i, (doc_id * 13 + i * 7) % 256 AS v
+    FROM (SELECT doc_id, unnest(range(0, n)) AS i
+          FROM sel WHERE NOT corrupt)
+),
+sums AS (
+    SELECT doc_id, CAST(SUM(v) AS BIGINT) AS mdat_sum
+    FROM bytes_ GROUP BY 1
+)
+SELECT sel.doc_id,
+       CASE WHEN sel.corrupt THEN NULL ELSE 'isom' END AS brand,
+       CASE WHEN sel.corrupt THEN NULL
+            ELSE CAST(1000 AS BIGINT) END AS timescale,
+       CASE WHEN sel.corrupt THEN NULL
+            ELSE CAST(5000 + (sel.doc_id * 37) % 100000 AS BIGINT)
+            END AS duration,
+       CAST(CASE WHEN sel.corrupt THEN NULL
+                 ELSE 1 + sel.doc_id % 2 END AS INTEGER) AS n_tracks,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.n END AS mdat_bytes,
+       sums.mdat_sum,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 59 == 0
+    )
+    sel = d.select(
+        "doc_id", (F.col("doc_id") % 3 == 2).alias("_corrupt")
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import mp4_encode
+
+        for pdf in batches:
+            payloads = [
+                mp4_encode(int(doc))[: 30 if corrupt else None]
+                for doc, corrupt in zip(pdf["doc_id"], pdf["_corrupt"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_mp4_meta(payload)
