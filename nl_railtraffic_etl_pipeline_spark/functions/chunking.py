@@ -519,3 +519,78 @@ def bpe_encode_pieces(
             )
 
     return docs.select(id_col, text_col).mapInPandas(batch, out_schema)
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    mask: int = 63,
+) -> DataFrame:
+    """Content-defined chunking over document bytes — the sub-document
+    dedup primitive (rsync/LBFS/FastCDC family, public literature):
+    chunk boundaries fall where a rolling content hash hits a mask, so
+    an insertion shifts ONE chunk instead of re-aligning every
+    fixed-size block after it.
+
+    This variant uses a STATELESS 4-byte window hash
+    ``H(i) = (8 g(b[i-3]) + 4 g(b[i-2]) + 2 g(b[i-1]) + g(b[i])) mod
+    2^32`` with the Knuth multiplicative ``g(b) = 2654435761 b mod
+    2^32`` — a closed form per position, so both engines compute
+    boundaries with pure window functions and the whole operator is
+    shuffle-bounded by the corpus token mass (production FastCDC adds
+    min/max chunk fences, which make the scan sequential; that
+    extension is the documented next step, not this contract).
+    A boundary after position ``i`` (0-based) opens a new chunk at
+    ``i + 1``.
+
+    Plan: one per-character explode (the corpus byte mass — the
+    irreducible input), three lags + one cumulative window on the
+    (doc, position) key, two keyed aggregations.  Output per doc:
+    (doc_id, n_bytes, n_chunks, max_chunk_bytes, chunks_weighted =
+    sum over chunks of (chunk_index + 1) * chunk byte sum — the
+    boundary-placement pin).
+    """
+    from pyspark.sql import Window
+
+    chars = docs.select(
+        F.col(doc_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("_p", "_c"),
+    ).filter(F.col("_c") != "")
+    g = lambda c: (F.ascii(c) * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("_doc").orderBy("_p")
+    h = (
+        F.lit(8) * g(F.lag("_c", 3).over(w))
+        + F.lit(4) * g(F.lag("_c", 2).over(w))
+        + F.lit(2) * g(F.lag("_c", 1).over(w))
+        + g(F.col("_c"))
+    ) % F.lit(4294967296)
+    flagged = chars.select(
+        "_doc", "_p", F.ascii("_c").alias("_b"),
+        F.when(
+            F.lag("_c", 3).over(w).isNotNull() & (h % (mask + 1) == 0),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("_cut"),
+    )
+    wc = Window.partitionBy("_doc").orderBy("_p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    assigned = flagged.select(
+        "_doc", "_b",
+        F.coalesce(F.sum("_cut").over(wc), F.lit(0)).alias("_chunk"),
+    )
+    per_chunk = assigned.groupBy("_doc", "_chunk").agg(
+        F.count("*").cast("bigint").alias("_cb"),
+        F.sum("_b").cast("bigint").alias("_cs"),
+    )
+    return per_chunk.groupBy("_doc").agg(
+        F.sum("_cb").cast("bigint").alias("n_bytes"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.max("_cb").cast("bigint").alias("max_chunk_bytes"),
+        F.sum((F.col("_chunk") + 1) * F.col("_cs"))
+        .cast("bigint")
+        .alias("chunks_weighted"),
+    ).select(
+        F.col("_doc").alias("doc_id"),
+        "n_bytes", "n_chunks", "max_chunk_bytes", "chunks_weighted",
+    )

@@ -972,3 +972,102 @@ def mmr_rerank(
     for p in picks[1:]:
         out = out.union(p)
     return out
+
+
+def triplet_mining(
+    embeddings: DataFrame,
+    anchor_mod: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-hard triplet mining (Schroff et al. 2015 FaceNet convention,
+    public literature) for contrastive-training data prep: per anchor,
+    the hardest positive (nearest same-label vector) and the SEMI-HARD
+    negative — the most similar different-label vector that is still
+    LESS similar than the positive; when none qualifies, the hardest
+    negative overall (the documented fallback), flagged.
+
+    Anchors come from the deterministic ``vec_id % anchor_mod == 0``
+    fence; similarity rides integer-scaled rounded cosines (cos6) so
+    the semi-hard comparison ``neg_cos6 < pos_cos6`` and every argmax
+    tie-break (cos6 DESC, vec_id) are exact cross-engine.  Anchors
+    whose label has no second member yield no row on either engine.
+
+    Plan: ONE broadcast of the fenced anchor frame against the corpus
+    (the knn_bruteforce shape: anchors x corpus, bounded by the fence),
+    two per-anchor window argmaxes.  Output per anchor:
+    (anchor_id, pos_id, pos_cos6, neg_id, neg_cos6, semi_hard).
+    """
+    from pyspark.sql import Window
+
+    anchors = embeddings.filter(
+        F.col(id_col) % anchor_mod == 0
+    ).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("av"),
+        F.col(label_col).alias("alab"),
+    )
+    corpus = _spread(
+        embeddings.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("clab"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "alab",
+            "cand_id",
+            "clab",
+            F.round(F.round(cosine(F.col("av"), F.col("cv")), 6) * 1e6)
+            .cast("bigint")
+            .alias("cos6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos6"), F.asc("cand_id")
+    )
+    pos = (
+        scored.filter(F.col("clab") == F.col("alab"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("pos_id"),
+            F.col("cos6").alias("pos_cos6"),
+        )
+    )
+    negs = scored.filter(F.col("clab") != F.col("alab")).join(
+        pos, "anchor_id"
+    )
+    semi = (
+        negs.filter(F.col("cos6") < F.col("pos_cos6"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cos6").alias("neg_cos6"),
+            F.lit(True).alias("semi_hard"),
+        )
+    )
+    hardest = (
+        negs.join(semi.select("anchor_id"), "anchor_id", "left_anti")
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cos6").alias("neg_cos6"),
+            F.lit(False).alias("semi_hard"),
+        )
+    )
+    return pos.join(semi.union(hardest), "anchor_id").select(
+        "anchor_id", "pos_id", "pos_cos6", "neg_id", "neg_cos6",
+        "semi_hard",
+    )

@@ -818,3 +818,234 @@ def _events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("value"))
     )
     return holt_winters_additive(daily)
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (functions/text.py::textrank_keywords): integer
+# PageRank over the adjacent-token co-occurrence graph fenced to the
+# top-200 vocabulary — graph centrality where RAKE/top-terms rank by
+# frequency.  The oracle rebuilds the same graph (post-filter
+# renumbered adjacency, both directions, vocab-restricted) and replays
+# the 5 integer PR rounds.
+# ---------------------------------------------------------------------------
+_TR_VOCAB, _TR_TOPK, _TR_ITERS = 200, 20, 5
+_TR_UNIT, _TR_TELEPORT = 10**12, 15 * 10**12 // 100
+
+
+def _tr_step_sql(k: int) -> str:
+    return f"""
+pr{k + 1} AS (
+    SELECT v.word AS node,
+           CAST({_TR_TELEPORT} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
+               AS r
+    FROM vocab v
+    LEFT JOIN (
+        SELECT e.dst AS nd, SUM(p.r // o.d) AS s
+        FROM edges e
+        JOIN pr{k} p ON e.src = p.node
+        JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+    ) s ON v.word = s.nd
+)"""
+
+
+@query(
+    "text_textrank_keywords",
+    f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest([{{'p': i, 'w': w[i]}} for i in range(1, len(w) + 1)])
+               AS u
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE text IS NOT NULL)
+),
+tok2 AS (
+    SELECT doc_id, u.w AS w,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.p) AS rn
+    FROM toks WHERE u.w <> ''
+),
+counts AS (SELECT w, COUNT(*) AS n FROM tok2 GROUP BY 1),
+vocab AS (
+    SELECT w AS word FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rn
+        FROM counts
+    ) WHERE rn <= {_TR_VOCAB}
+),
+adj AS (
+    SELECT t1.w AS a, t2.w AS b
+    FROM tok2 t1 JOIN tok2 t2
+      ON t1.doc_id = t2.doc_id AND t2.rn = t1.rn + 1
+    WHERE t1.w <> t2.w
+),
+bidir AS (SELECT a, b FROM adj UNION ALL SELECT b AS a, a AS b FROM adj),
+edges AS (
+    SELECT DISTINCT bidir.a AS src, bidir.b AS dst
+    FROM bidir
+    JOIN vocab va ON bidir.a = va.word
+    JOIN vocab vb ON bidir.b = vb.word
+),
+outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+pr0 AS (SELECT word AS node, CAST({_TR_UNIT} AS BIGINT) AS r FROM vocab),"""
+    + ",".join(_tr_step_sql(k) for k in range(_TR_ITERS))
+    + f"""
+SELECT CAST(rn AS INTEGER) AS rank, node AS word, r AS pr_units FROM (
+    SELECT node, r, ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rn
+    FROM pr{_TR_ITERS}
+) WHERE rn <= {_TR_TOPK}
+""",
+)
+def _text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import textrank_keywords
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull()
+    )
+    return textrank_keywords(
+        d, vocab_size=_TR_VOCAB, top_k=_TR_TOPK, iterations=_TR_ITERS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (functions/chunking.py::cdc_chunk_stats):
+# stateless 4-byte-window rolling hash (Knuth multiplicative), boundary
+# where the hash hits the 1/64 mask — sub-document dedup alignment that
+# survives insertions.  Pure window functions on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cdc_chunks",
+    """
+WITH chars AS (
+    SELECT doc_id,
+           unnest([{'p': i, 'b': ascii(c[i])} for i in range(1, len(c) + 1)])
+               AS u
+    FROM (SELECT doc_id, string_split(text, '') AS c FROM documents
+          WHERE text IS NOT NULL)
+),
+ch AS (SELECT doc_id, u.p AS p, u.b AS b FROM chars),
+lagged AS (
+    SELECT doc_id, p, b,
+           LAG(b, 3) OVER w AS b3,
+           LAG(b, 2) OVER w AS b2,
+           LAG(b, 1) OVER w AS b1
+    FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+flags AS (
+    SELECT doc_id, p, b,
+           CASE WHEN b3 IS NOT NULL
+                     AND (8 * ((b3 * 2654435761) % 4294967296)
+                          + 4 * ((b2 * 2654435761) % 4294967296)
+                          + 2 * ((b1 * 2654435761) % 4294967296)
+                          + ((b * 2654435761) % 4294967296))
+                         % 4294967296 % 64 = 0
+                THEN 1 ELSE 0 END AS cut
+    FROM lagged
+),
+assigned AS (
+    SELECT doc_id, b,
+           COALESCE(SUM(cut) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk
+    FROM flags
+),
+per_chunk AS (
+    SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS cb,
+           CAST(SUM(b) AS BIGINT) AS cs
+    FROM assigned GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(cb) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(MAX(cb) AS BIGINT) AS max_chunk_bytes,
+       CAST(SUM((chunk + 1) * cs) AS BIGINT) AS chunks_weighted
+FROM per_chunk GROUP BY 1
+""",
+)
+def _dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.chunking import cdc_chunk_stats
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull()
+    )
+    return cdc_chunk_stats(d)
+
+
+_COS_SQL_INF = """
+ROUND(
+  list_sum(list_transform(list_zip(a.{va}, b.{vb}),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(a.{va}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.{vb}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+6)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-hard triplet mining (functions/simsearch.py::triplet_mining):
+# per fenced anchor the hardest positive and the FaceNet semi-hard
+# negative (most similar different-label vector still below the
+# positive), hardest-negative fallback flagged.  Integer cos6
+# comparisons keep the semi-hard boundary and every argmax exact.
+# ---------------------------------------------------------------------------
+_TRIP_MOD = 50
+
+
+@query(
+    "emb_triplet_mining",
+    f"""
+WITH anchors AS (
+    SELECT vec_id AS anchor_id, embedding AS av, label AS alab
+    FROM embeddings WHERE vec_id % {_TRIP_MOD} = 0
+),
+scored AS (
+    SELECT a.anchor_id, a.alab, b.vec_id AS cand_id, b.label AS clab,
+           CAST(ROUND(({_COS_SQL_INF.format(va='av', vb='embedding')})
+                      * 1000000) AS BIGINT) AS cos6
+    FROM embeddings b CROSS JOIN anchors a
+    WHERE b.vec_id <> a.anchor_id
+),
+pos AS (
+    SELECT anchor_id, cand_id AS pos_id, cos6 AS pos_cos6 FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY anchor_id ORDER BY cos6 DESC, cand_id) AS rn
+        FROM scored WHERE clab = alab
+    ) WHERE rn = 1
+),
+negs AS (
+    SELECT s.anchor_id, s.cand_id, s.cos6, p.pos_cos6
+    FROM scored s JOIN pos p USING (anchor_id)
+    WHERE s.clab <> s.alab
+),
+semineg AS (
+    SELECT anchor_id, cand_id AS neg_id, cos6 AS neg_cos6,
+           TRUE AS semi_hard
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY anchor_id ORDER BY cos6 DESC, cand_id) AS rn
+        FROM negs WHERE cos6 < pos_cos6
+    ) WHERE rn = 1
+),
+hardest AS (
+    SELECT anchor_id, cand_id AS neg_id, cos6 AS neg_cos6,
+           FALSE AS semi_hard
+    FROM (
+        SELECT n.anchor_id, n.cand_id, n.cos6, ROW_NUMBER() OVER (
+            PARTITION BY n.anchor_id ORDER BY n.cos6 DESC, n.cand_id)
+            AS rn
+        FROM negs n LEFT JOIN semineg x ON n.anchor_id = x.anchor_id
+        WHERE x.neg_id IS NULL
+    ) WHERE rn = 1
+)
+SELECT p.anchor_id, p.pos_id, p.pos_cos6, q.neg_id, q.neg_cos6,
+       q.semi_hard
+FROM pos p
+JOIN (SELECT * FROM semineg UNION ALL SELECT * FROM hardest) q
+  USING (anchor_id)
+""",
+)
+def _emb_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.simsearch import triplet_mining
+
+    return triplet_mining(
+        load_table(spark, sf_dir, "embeddings"), anchor_mod=_TRIP_MOD
+    )
