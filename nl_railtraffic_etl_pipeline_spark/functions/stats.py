@@ -3117,3 +3117,94 @@ def holt_winters_additive(
         ).alias("forecast_next")
     )
     return stx.select(*out)
+
+
+def dtw_distance_units(
+    series: DataFrame,
+    part_col: str,
+    idx_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dynamic Time Warping distance (Sakoe & Chiba 1978, public
+    literature) between the two ``part_col`` (0/1) series, unit cost
+    ``|a_i - b_j|`` — the alignment-tolerant series distance a plain
+    pointwise L1 cannot give (a one-hour phase shift destroys L1 but
+    barely moves DTW).
+
+    Integer-exact: values are BIGINT counts, so every DP cell is a
+    BIGINT and the result hash-matches any engine.  The classic DP
+
+        D[i][j] = |a_i - b_j| + min(D[i-1][j], D[i][j-1], D[i-1][j-1])
+
+    runs as a NESTED fold: the outer fold walks a's points carrying the
+    previous DP ROW as a BIGINT list; the inner fold rebuilds the row
+    left-to-right (the j-1 dependency).  Both engines replay identical
+    integer ops, so no quantization is needed anywhere.
+
+    Plan: both series are metadata-sized profiles (the caller
+    aggregates first); ONE packed fold in a single aggregation buffer.
+    Output one row: (n_a, n_b, dtw_units).
+    """
+    packed = (
+        series.filter(
+            F.col(part_col).isin(0, 1)
+            & F.col(idx_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col(part_col) == 0,
+                        F.struct(
+                            F.col(idx_col).alias("i"),
+                            F.col(value_col).cast("bigint").alias("v"),
+                        ),
+                    )
+                )
+            ).alias("_a"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col(part_col) == 1,
+                        F.struct(
+                            F.col(idx_col).alias("i"),
+                            F.col(value_col).cast("bigint").alias("v"),
+                        ),
+                    )
+                )
+            ).alias("_b"),
+        )
+        .select(
+            F.expr("transform(_a, e -> e.v)").alias("_av"),
+            F.expr("transform(_b, e -> e.v)").alias("_bv"),
+        )
+        .filter((F.size("_av") > 0) & (F.size("_bv") > 0))
+    )
+    # row 0: running horizontal sum of |a_1 - b_j|
+    row0 = (
+        "aggregate(slice(_bv, 2, size(_bv) - 1), "
+        "array(abs(element_at(_av, 1) - element_at(_bv, 1))), "
+        "(acc, y) -> concat(acc, array(element_at(acc, size(acc))"
+        " + abs(element_at(_av, 1) - y))))"
+    )
+    # outer fold over a_2..: inner fold rebuilds the row left-to-right
+    step = (
+        "aggregate(slice(_av, 2, size(_av) - 1), "
+        + row0
+        + ", (prev, xa) -> "
+        "aggregate(slice(_bv, 2, size(_bv) - 1), "
+        "array(abs(xa - element_at(_bv, 1)) + element_at(prev, 1)), "
+        "(acc, y) -> concat(acc, array(abs(xa - y) + least("
+        "element_at(prev, size(acc) + 1), "
+        "element_at(prev, size(acc)), "
+        "element_at(acc, size(acc)))))))"
+    )
+    return packed.select(
+        F.size("_av").cast("bigint").alias("n_a"),
+        F.size("_bv").cast("bigint").alias("n_b"),
+        F.expr(f"element_at({step}, size(_bv))")
+        .cast("bigint")
+        .alias("dtw_units"),
+    )

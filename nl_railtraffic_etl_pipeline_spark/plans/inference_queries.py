@@ -1049,3 +1049,142 @@ def _emb_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triplet_mining(
         load_table(spark, sf_dir, "embeddings"), anchor_mod=_TRIP_MOD
     )
+
+
+# ---------------------------------------------------------------------------
+# DTW distance (functions/stats.py::dtw_distance_units) between the
+# even-day and odd-day hourly count profiles — the alignment-tolerant
+# series distance (a one-hour phase shift destroys pointwise L1 but
+# barely moves DTW).  Integer-exact DP replayed in the oracle as the
+# same NESTED list_reduce (outer over a's points carrying the previous
+# DP row, inner rebuilding the row left-to-right).
+# ---------------------------------------------------------------------------
+_DTW_ROW0 = (
+    "list_reduce(list_prepend([abs(av[1] - bv[1])], "
+    "list_transform(bv[2:], y -> [y])), "
+    "(acc, x) -> list_concat(acc, "
+    "[acc[len(acc)] + abs(av[1] - x[1])]))"
+)
+_DTW_STEP = (
+    "list_reduce(list_prepend(" + _DTW_ROW0 + ", "
+    "list_transform(av[2:], xa -> [xa])), "
+    "(prev, xe) -> list_reduce("
+    "list_prepend([abs(xe[1] - bv[1]) + prev[1]], "
+    "list_transform(bv[2:], y -> [y])), "
+    "(acc, x) -> list_concat(acc, [abs(xe[1] - x[1]) + least("
+    "prev[len(acc) + 1], prev[len(acc)], acc[len(acc)])])))"
+)
+
+
+@query(
+    "events_dtw_profiles",
+    f"""
+WITH hourly AS (
+    SELECT CAST(CAST(ts AS DATE) AS DATE) AS d,
+           CAST(EXTRACT(day FROM CAST(ts AS DATE)) % 2 AS INTEGER)
+               AS part,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h
+    FROM events WHERE ts IS NOT NULL
+),
+prof AS (
+    SELECT part, h, CAST(COUNT(*) AS BIGINT) AS v
+    FROM hourly GROUP BY 1, 2
+),
+packed AS (
+    SELECT list(v ORDER BY h) FILTER (part = 0) AS av,
+           list(v ORDER BY h) FILTER (part = 1) AS bv
+    FROM prof
+),
+ok AS (SELECT av, bv FROM packed WHERE len(av) > 0 AND len(bv) > 0)
+SELECT CAST(len(av) AS BIGINT) AS n_a,
+       CAST(len(bv) AS BIGINT) AS n_b,
+       CAST(({_DTW_STEP})[len(bv)] AS BIGINT) AS dtw_units
+FROM ok
+""",
+)
+def _events_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import dtw_distance_units
+
+    e = load_table(spark, sf_dir, "events", spread=True)
+    prof = (
+        e.filter(F.col("ts").isNotNull())
+        .select(
+            (F.dayofmonth(F.to_date("ts")) % 2).cast("int").alias("part"),
+            F.hour("ts").cast("int").alias("h"),
+        )
+        .groupBy("part", "h")
+        .agg(F.count("*").cast("bigint").alias("v"))
+    )
+    return dtw_distance_units(prof, "part", "h", "v")
+
+
+# ---------------------------------------------------------------------------
+# Paired sign test over week-on-week daily counts: the distribution-
+# free "did this week beat last week" monitor.  Pairs (day, day-7);
+# ties drop (the textbook convention); z = (n_pos - n_neg)/sqrt(n)
+# without continuity correction (documented choice) — all counts
+# integer, one closing IEEE op pair.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_sign_test",
+    """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+pairs AS (
+    SELECT a.d, a.v AS cur, b.v AS prev
+    FROM daily a JOIN daily b ON b.d = a.d - INTERVAL 7 DAY
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (cur > prev) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) FILTER (cur < prev) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) FILTER (cur = prev) AS BIGINT) AS n_ties
+    FROM pairs
+)
+SELECT n_pairs, n_pos, n_neg, n_ties,
+       CASE WHEN n_pos + n_neg > 0 THEN
+           ROUND(CAST(n_pos - n_neg AS DOUBLE)
+                 / sqrt(CAST(n_pos + n_neg AS DOUBLE)), 9)
+       END AS z
+FROM agg
+""",
+)
+def _stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events", spread=True)
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("v"))
+    )
+    prev = daily.select(
+        F.date_add(F.col("d"), 7).alias("d"), F.col("v").alias("prev")
+    )
+    pairs = daily.join(prev, "d").select(
+        F.col("v").alias("cur"), "prev"
+    )
+    agg = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count_if(F.col("cur") > F.col("prev"))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.count_if(F.col("cur") < F.col("prev"))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.count_if(F.col("cur") == F.col("prev"))
+        .cast("bigint")
+        .alias("n_ties"),
+    )
+    nn = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    return agg.select(
+        "n_pairs", "n_pos", "n_neg", "n_ties",
+        F.when(
+            F.col("n_pos") + F.col("n_neg") > 0,
+            F.round(
+                (F.col("n_pos") - F.col("n_neg")).cast("double")
+                / F.sqrt(nn),
+                9,
+            ),
+        ).alias("z"),
+    )

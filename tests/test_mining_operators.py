@@ -146,3 +146,41 @@ def test_triplet_hardest_fallback_flagged(spark):
     a = out[0]
     assert a["pos_id"] == 100 and a["neg_id"] == 1
     assert a["semi_hard"] is False
+
+
+def test_dtw_known_distance(spark):
+    """Hand-checkable DP: dtw([3,1,4,1,5], [2,7,1,8]) = 8, and a pure
+    shift has a much smaller DTW than L1."""
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import (
+        dtw_distance_units,
+    )
+
+    rows = [(0, i, v) for i, v in enumerate([3, 1, 4, 1, 5])]
+    rows += [(1, i, v) for i, v in enumerate([2, 7, 1, 8])]
+    df = spark.createDataFrame(rows, "part int, idx int, value long")
+    out = dtw_distance_units(df, "part", "idx", "value").collect()[0]
+    assert out["dtw_units"] == 8 and out["n_a"] == 5 and out["n_b"] == 4
+
+    # phase shift: b = a shifted by one
+    a = [0, 10, 0, 0, 10, 0, 0, 10, 0]
+    b = [0, 0, 10, 0, 0, 10, 0, 0, 10]
+    rows = [(0, i, v) for i, v in enumerate(a)]
+    rows += [(1, i, v) for i, v in enumerate(b)]
+    df = spark.createDataFrame(rows, "part int, idx int, value long")
+    out = dtw_distance_units(df, "part", "idx", "value").collect()[0]
+    l1 = sum(abs(x - y) for x, y in zip(a, b))
+    assert out["dtw_units"] < l1  # alignment tolerance: 0 < 60
+
+
+def test_sign_test_direction(spark):
+    """The week-on-week z is positive when the series grows."""
+    from nl_railtraffic_etl_pipeline_spark.plans.registry import QUERIES
+
+    out = QUERIES["stats_sign_test"](
+        __import__(
+            "nl_railtraffic_etl_pipeline_spark.session",
+            fromlist=["get_spark"],
+        ).get_spark(),
+        "/root/testdata/sf0.001",
+    ).collect()[0]
+    assert out["n_pairs"] == out["n_pos"] + out["n_neg"] + out["n_ties"]
