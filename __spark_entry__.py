@@ -8,11 +8,11 @@ full DuckDB oracle (the streaming sessionizer and duplicate-clustering
 gates via gaps-and-islands and recursive-CTE reachability; the former
 rows-only exception ``text_compression_ratio`` now joins a published
 driver-local pyarrow+zlib reference artifact, the IVF-centroid
-pattern).  The committed ``CORRECTNESS_local_r9.json`` records the
+pattern).  The committed ``CORRECTNESS_local_r11.json`` records the
 full-registry oracle run at sf0.001/0.01/0.1.
 
 Sampling rotation: the driver's correctness gate checks the FIRST 50
-entries of ``queries()`` each round, so a registry this size (292+)
+entries of ``queries()`` each round, so a registry this size (391)
 would leave most gates driver-unverified forever under a fixed order.
 ``queries()`` therefore orders gates by (1) most-recent driver sample
 FAILED — a fix must be re-verified by the driver, not just locally
