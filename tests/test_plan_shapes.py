@@ -164,6 +164,14 @@ def test_python_only_in_arrow_kernels(spark):
             "text_bpe_encode",  # greedy BPE apply kernel (merge loop)
             "text_unicode_nfc",  # CPython unicodedata NFC kernel
             "text_compression_ratio",
+            "mm_decode_wav_adpcm",  # IMA fixture + step-machine kernels
+            "mm_decode_tar",  # ustar fixture + header-walk kernels
+            "mm_decode_tiff",  # TIFF fixture + IFD/strip decode kernels
+            "mm_exif_meta",  # EXIF fixture + segment/IFD walk kernels
+            "mm_decode_pnm",  # Netpbm fixture + tokenizer/binary kernels
+            "mm_decode_qoi",  # QOI fixture + spec decode kernels
+            "mm_decode_mp4_meta",  # ISO-BMFF fixture + box-walk kernels
+            "text_utf8_validity",  # byte fixture + decode-replace kernel
         ):
             assert has_python, name
         else:
