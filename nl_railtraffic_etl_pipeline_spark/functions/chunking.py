@@ -546,7 +546,11 @@ def cdc_chunk_stats(
 
     Plan: one per-character explode (the corpus byte mass — the
     irreducible input), three lags + one cumulative window on the
-    (doc, position) key, two keyed aggregations.  Output per doc:
+    (doc, position) key, two keyed aggregations.  The row-per-byte
+    formulation is the ORACLE-SHARED reference; at petabyte scale the
+    same closed form runs as a per-document Arrow byte kernel (one row
+    per doc, identical boundaries) — the window form is what makes the
+    operator SQL-checkable.  Output per doc:
     (doc_id, n_bytes, n_chunks, max_chunk_bytes, chunks_weighted =
     sum over chunks of (chunk_index + 1) * chunk byte sum — the
     boundary-placement pin).
