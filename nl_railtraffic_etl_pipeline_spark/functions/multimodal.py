@@ -4989,3 +4989,157 @@ def decode_mp4_meta(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         batch, MP4_META
     )
+
+
+# ---------------------------------------------------------------------------
+# Truevision TGA — uncompressed (type 2) and RLE (type 10) truecolor
+# plus the origin-bit row order, the fourth classic bitmap family.
+# ---------------------------------------------------------------------------
+
+
+def tga_encode(doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic TGA fixture: pixel p (TOP-DOWN raster) has
+    channels ``(doc_id*31 + e*3 + ch) % 256`` with the QOI fixture's
+    run injection (``e = p - (1 if p%11==4 else 2 if p%11==5 else 0)``);
+    odd docs use RLE (type 10), even uncompressed (type 2);
+    ``doc_id % 4 < 2`` stores BOTTOM-UP (origin bit clear) — the row
+    flip every hand-rolled reader gets wrong.  24bpp BGR."""
+    import struct
+
+    rle = doc_id % 2 == 1
+    top_down = doc_id % 4 >= 2
+    px = []
+    for p in range(w * h):
+        e = p - (1 if p % 11 == 4 else 2 if p % 11 == 5 else 0)
+        px.append(
+            tuple((doc_id * 31 + e * 3 + ch) % 256 for ch in range(3))
+        )
+    rows = [px[y * w : (y + 1) * w] for y in range(h)]
+    if not top_down:
+        rows = rows[::-1]
+    stored = [c for row in rows for c in row]
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB",
+        0, 0, 10 if rle else 2, 0, 0, 0, 0, 0, w, h, 24,
+        0x20 if top_down else 0x00,
+    )
+    body = bytearray()
+    if not rle:
+        for r, g, b in stored:
+            body += bytes((b, g, r))
+    else:
+        i = 0
+        n = len(stored)
+        while i < n:
+            j = i
+            while j + 1 < n and stored[j + 1] == stored[i] and j - i < 127:
+                j += 1
+            if j > i:  # run of (j - i + 1) identical pixels
+                r, g, b = stored[i]
+                body += bytes((0x80 | (j - i), b, g, r))
+                i = j + 1
+            else:  # raw literals until the next run begins
+                k = i
+                while (
+                    k + 1 < n
+                    and stored[k + 1] != stored[k]
+                    and k - i < 127
+                ):
+                    k += 1
+                body += bytes((k - i,))
+                for r, g, b in stored[i : k + 1]:
+                    body += bytes((b, g, r))
+                i = k + 1
+    return hdr + bytes(body)
+
+
+def _tga_decode(b: bytes):
+    """TGA types 2/10, 24bpp -> (width, height, rle, r_sum, g_sum,
+    b_sum, weighted) in TOP-DOWN raster order, or None."""
+    import struct
+
+    if len(b) < 18:
+        return None
+    (id_len, cmap, itype, _co, _cl, _ce, _xo, _yo, w, h, bpp,
+     desc) = struct.unpack_from("<BBBHHBHHHHBB", b, 0)
+    if cmap != 0 or itype not in (2, 10) or bpp != 24:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    pos = 18 + id_len
+    n = w * h
+    stored = []
+    try:
+        if itype == 2:
+            raw = b[pos : pos + n * 3]
+            if len(raw) != n * 3:
+                return None
+            stored = [
+                (raw[i * 3 + 2], raw[i * 3 + 1], raw[i * 3])
+                for i in range(n)
+            ]
+        else:
+            while len(stored) < n:
+                hdrb = b[pos]
+                pos += 1
+                cnt = (hdrb & 0x7F) + 1
+                if hdrb & 0x80:
+                    bl, g, r = b[pos], b[pos + 1], b[pos + 2]
+                    pos += 3
+                    stored.extend([(r, g, bl)] * cnt)
+                else:
+                    for _ in range(cnt):
+                        bl, g, r = b[pos], b[pos + 1], b[pos + 2]
+                        pos += 3
+                        stored.append((r, g, bl))
+            if len(stored) != n:
+                return None
+    except IndexError:
+        return None
+    rows = [stored[y * w : (y + 1) * w] for y in range(h)]
+    if not (desc & 0x20):  # bottom-up storage -> flip to top-down
+        rows = rows[::-1]
+    flat = [c for row in rows for c in row]
+    rs = sum(c[0] for c in flat)
+    gs = sum(c[1] for c in flat)
+    bs = sum(c[2] for c in flat)
+    wt = sum((p + 1) * sum(c) for p, c in enumerate(flat))
+    return (w, h, itype == 10, rs, gs, bs, wt)
+
+
+TGA_PIXEL_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("rle", T.BooleanType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("weighted", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_tga_pixel_stats(df_with_payload: DataFrame) -> DataFrame:
+    """TGA decode over a binary column (see :func:`_tga_decode`);
+    malformed payloads quarantine.  Arrow ``mapInPandas``, map-only."""
+    import pandas as pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _tga_decode(bytes(payload))
+                if dec is None:
+                    rows.append((doc_id,) + (None,) * 7 + (False,))
+                    continue
+                rows.append((doc_id,) + dec + (True,))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TGA_PIXEL_STATS.fields]
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batch, TGA_PIXEL_STATS
+    )

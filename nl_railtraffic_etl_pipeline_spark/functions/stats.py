@@ -2828,12 +2828,27 @@ def cramers_v(
     CELL frame (categorical cardinality squared, metadata-sized at any
     corpus scale); the fold runs over that same frame.
     """
+    return cramers_close(cramers_cells(df, row_col, col_col))
+
+
+def cramers_cells(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """The mergeable state of :func:`cramers_v`: per-(row, col) cell
+    counts — summable across partitions AND micro-batches, so this
+    frame is the streaming twin's complete-mode aggregation state."""
     base = df.filter(
         F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
     ).select(F.col(row_col).alias("_r"), F.col(col_col).alias("_c"))
-    cells = base.groupBy("_r", "_c").agg(
+    return base.groupBy("_r", "_c").agg(
         F.count("*").cast("bigint").alias("_o")
     )
+
+
+def cramers_close(cells: DataFrame) -> DataFrame:
+    """Close :func:`cramers_v` from the cell-state frame."""
     rm = cells.groupBy("_r").agg(F.sum("_o").cast("bigint").alias("_rt"))
     cm = cells.groupBy("_c").agg(F.sum("_o").cast("bigint").alias("_ct"))
     joined = cells.join(F.broadcast(rm), "_r").join(F.broadcast(cm), "_c")

@@ -115,9 +115,10 @@ def _stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
 # day-of-week contingency table — a metadata-sized cell frame at any
 # corpus scale; the cell-term sum is the anova_f strict left fold.
 # ---------------------------------------------------------------------------
-@query(
-    "stats_cramers_v",
-    """
+#: Shared with the streaming twin (streaming_queries::
+#: streaming_cramers_v): the (row, col) cell counts merge associatively
+#: across micro-batches, so the batch oracle IS the streaming oracle.
+CRAMERS_ORACLE_SQL = """
 WITH base AS (
     SELECT event_type AS r, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS c
     FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
@@ -155,8 +156,10 @@ SELECT n, n_rows, n_cols,
                    * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))), 9)
        END AS v
 FROM agg
-""",
-)
+"""
+
+
+@query("stats_cramers_v", CRAMERS_ORACLE_SQL)
 def _stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.stats import cramers_v
 
@@ -664,8 +667,10 @@ rem{r} AS (
 _ESD_ROUNDS = 3
 
 
-@query(
-    "events_anomaly_esd",
+#: Shared with the streaming twin (streaming_queries::
+#: streaming_anomaly_esd): the per-day counts merge associatively, so
+#: the drained daily frame closes with the identical rounds.
+ESD_ORACLE_SQL = (
     """
 WITH rem0 AS (
     SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS v
@@ -677,8 +682,11 @@ WITH rem0 AS (
         f"SELECT CAST({r} AS INTEGER) AS round, d AS day, v AS value,"
         f" ROUND(z, 9) AS z FROM p{r}"
         for r in range(1, _ESD_ROUNDS + 1)
-    ),
+    )
 )
+
+
+@query("events_anomaly_esd", ESD_ORACLE_SQL)
 def _events_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.stats import esd_rounds
 
@@ -1188,3 +1196,132 @@ def _stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TGA decode (multimodal.decode_tga_pixel_stats): types 2 and 10
+# (RLE) truecolor with BOTH row origins (the bottom-up default and the
+# top-down origin bit) — the fourth classic bitmap next to BMP/PNG/
+# TIFF; the QOI fixture's run injection exercises RLE run and raw
+# packets.  The weighted sum pins the row flip.  Every third doc ships
+# truncated bytes.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_decode_tga",
+    """
+WITH sel AS (
+    SELECT doc_id,
+           CAST(5 + doc_id % 6 AS INTEGER) AS w,
+           CAST(3 + doc_id % 5 AS INTEGER) AS h,
+           doc_id % 2 = 1 AS rle,
+           doc_id % 3 = 2 AS corrupt
+    FROM documents WHERE doc_id % 61 = 0
+),
+px AS (
+    SELECT doc_id, p,
+           p - (CASE p % 11 WHEN 4 THEN 1 WHEN 5 THEN 2 ELSE 0 END) AS e
+    FROM (SELECT doc_id, unnest(range(0, w * h)) AS p
+          FROM sel WHERE NOT corrupt)
+),
+sums AS (
+    SELECT doc_id,
+           CAST(SUM((doc_id * 31 + e * 3) % 256) AS BIGINT) AS r_sum,
+           CAST(SUM((doc_id * 31 + e * 3 + 1) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((doc_id * 31 + e * 3 + 2) % 256) AS BIGINT) AS b_sum,
+           CAST(SUM((p + 1) * (((doc_id * 31 + e * 3) % 256)
+                 + ((doc_id * 31 + e * 3 + 1) % 256)
+                 + ((doc_id * 31 + e * 3 + 2) % 256))) AS BIGINT)
+               AS weighted
+    FROM px GROUP BY 1
+)
+SELECT sel.doc_id,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.w END AS width,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.h END AS height,
+       CASE WHEN sel.corrupt THEN NULL ELSE sel.rle END AS rle,
+       sums.r_sum, sums.g_sum, sums.b_sum, sums.weighted,
+       NOT sel.corrupt AS decoded
+FROM sel LEFT JOIN sums ON sel.doc_id = sums.doc_id
+""",
+)
+def _mm_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions import multimodal
+
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 61 == 0
+    )
+    sel = d.select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 6).cast("int").alias("_w"),
+        (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("_h"),
+        (F.col("doc_id") % 3 == 2).alias("_corrupt"),
+    )
+
+    def gen(batches):
+        from ..functions.multimodal import tga_encode
+
+        for pdf in batches:
+            payloads = [
+                tga_encode(int(doc), int(w), int(h))[
+                    : 12 if corrupt else None
+                ]
+                for doc, w, h, corrupt in zip(
+                    pdf["doc_id"], pdf["_w"], pdf["_h"], pdf["_corrupt"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload = sel.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_tga_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# Systematic sampling per stratum: every k-th element in id order with
+# a deterministic hash-derived phase per stratum — the evenly-spaced
+# design-based sample (vs Bernoulli's random mass and PPS's weighted
+# mass), reproducible under any partitioning.
+# ---------------------------------------------------------------------------
+_SYS_K = 10
+_SYS_H32 = (
+    "CAST(('0x' || substr(md5('sys:' || event_type), 1, 8)) AS BIGINT)"
+)
+
+
+@query(
+    "sample_systematic",
+    f"""
+WITH ranked AS (
+    SELECT event_type, event_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY event_id) AS rn,
+           {_SYS_H32} % {_SYS_K} AS phase
+    FROM events WHERE event_type IS NOT NULL
+)
+SELECT event_type, event_id, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE (rn - 1) % {_SYS_K} = phase
+""",
+)
+def _sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import hash32
+
+    e = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ranked = e.select(
+        "event_type",
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        (
+            hash32(F.concat(F.lit("sys:"), F.col("event_type")))
+            % _SYS_K
+        ).alias("phase"),
+    )
+    return ranked.filter(
+        (F.col("rn") - 1) % _SYS_K == F.col("phase")
+    ).select("event_type", "event_id", "rn")

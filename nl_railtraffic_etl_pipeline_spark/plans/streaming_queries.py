@@ -1155,3 +1155,68 @@ def _streaming_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = log_loss_state(base, "score", "label", _INF_DENOM)
     _drain_to_memory(state, "streaming_log_loss_state", "complete")
     return log_loss_close(spark.table("streaming_log_loss_state"))
+
+
+from .inference_queries import (  # noqa: E402
+    CRAMERS_ORACLE_SQL,
+    ESD_ORACLE_SQL,
+)
+
+
+@query(
+    "streaming_cramers_v",
+    # Streaming twin of stats_cramers_v: the (event_type, iso-dow) cell
+    # counts merge associatively across micro-batches, so the drained
+    # cell frame feeds the identical margins + strict-left-fold close
+    # and the batch oracle IS the streaming oracle.
+    CRAMERS_ORACLE_SQL,
+)
+def _streaming_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V THROUGH the streaming engine: cell counts aggregate
+    incrementally in complete mode (state = |types| x 7 BIGINT rows,
+    watermark-free) and close with functions/stats.py::cramers_close —
+    hash-identical to the batch stats_cramers_v gate."""
+    from ..functions.stats import cramers_cells, cramers_close
+
+    ev = _events_stream(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        (F.weekday(F.to_date("ts")) + 1).cast("bigint").alias("iso_dow"),
+    )
+    cells = cramers_cells(base, "event_type", "iso_dow")
+    _drain_to_memory(cells, "streaming_cramers_cells", "complete")
+    # the close self-joins the cell frame (margins); a MemorySink view
+    # cannot appear on both sides of a join (conflicting references) —
+    # materialize the tiny drained frame into a fresh plan first
+    drained = spark.table("streaming_cramers_cells").localCheckpoint(
+        eager=True
+    )
+    return cramers_close(drained)
+
+
+@query(
+    "streaming_anomaly_esd",
+    # Streaming twin of events_anomaly_esd: the per-day counts merge
+    # associatively across micro-batches, so the drained daily frame
+    # closes with the identical three remove-the-max-z rounds and the
+    # batch oracle IS the streaming oracle.
+    ESD_ORACLE_SQL,
+)
+def _streaming_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD anomaly rounds THROUGH the streaming engine:
+    daily counts aggregate incrementally in complete mode (state =
+    |days| BIGINT rows, watermark-free) and the drained frame closes
+    with functions/stats.py::esd_rounds — hash-identical to the batch
+    events_anomaly_esd gate."""
+    from ..functions.stats import esd_rounds
+
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("value")
+    )
+    _drain_to_memory(daily, "streaming_esd_daily", "complete")
+    return esd_rounds(
+        spark.table("streaming_esd_daily"), "day", "value", rounds=3
+    )

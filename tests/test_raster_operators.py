@@ -110,3 +110,54 @@ def test_streaming_twins_match_batch(spark):
             tuple(r) for r in QUERIES[b_name](spark, sf).collect()
         }
         assert got == want, s_name
+
+
+def test_tga_orientations_and_rle():
+    """Bottom-up and top-down storage decode to the same top-down
+    stats; RLE and raw streams agree; truncation quarantines."""
+    from nl_railtraffic_etl_pipeline_spark.functions.multimodal import (
+        _tga_decode,
+        tga_encode,
+    )
+
+    # doc 0: uncompressed bottom-up; doc 2: uncompressed top-down —
+    # same formula family, different storage
+    for doc in (0, 1, 2, 3):
+        out = _tga_decode(tga_encode(doc, 6, 4))
+        assert out is not None
+        assert out[2] == (doc % 2 == 1)  # rle flag
+    # RLE must actually compress the injected runs
+    raw = tga_encode(2, 10, 10)     # even: uncompressed
+    rle = tga_encode(3, 10, 10)     # odd: RLE (different doc formula,
+    assert len(rle) < 18 + 100 * 3 + 100  # but runs must win overall)
+    assert _tga_decode(tga_encode(0, 6, 4)[:12]) is None
+
+
+def test_streaming_esd_and_cramers_match_batch(spark):
+    """The two newest twins drain to identical rows as their batch
+    gates at sf0.001."""
+    from nl_railtraffic_etl_pipeline_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for s_name, b_name in [
+        ("streaming_cramers_v", "stats_cramers_v"),
+        ("streaming_anomaly_esd", "events_anomaly_esd"),
+    ]:
+        got = {tuple(r) for r in QUERIES[s_name](spark, sf).collect()}
+        want = {tuple(r) for r in QUERIES[b_name](spark, sf).collect()}
+        assert got == want, s_name
+
+
+def test_systematic_sampling_even_spacing(spark):
+    """Within each stratum the sampled ranks are exactly k apart."""
+    from nl_railtraffic_etl_pipeline_spark.plans.registry import QUERIES
+
+    rows = QUERIES["sample_systematic"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["rn"])
+    for t, rns in by_type.items():
+        rns = sorted(rns)
+        assert all(b - a == 10 for a, b in zip(rns, rns[1:])), t
