@@ -3223,3 +3223,66 @@ def dtw_distance_units(
         .cast("bigint")
         .alias("dtw_units"),
     )
+
+
+def theil_u(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(R|C) — the ASYMMETRIC
+    categorical association (how much knowing C reduces the entropy of
+    R), the directional companion to the symmetric :func:`cramers_v`:
+
+        U(R|C) = (H(R) - H(R|C)) / H(R)
+
+    The transcendental entropy terms ride the quantized-term contract:
+    each cell/margin contribution (p * ln p form) is rounded to 12
+    digits and summed as DECIMAL(28,12) — exact, order-insensitive —
+    and the closing combination is a fixed IEEE op tree rounded to 9.
+
+    Plan: ONE cell-keyed partial-agg shuffle (the cramers_cells frame),
+    margins derived from it, two decimal sums.  Output one row:
+    (n, h_r, h_r_given_c, u).
+    """
+    cells = cramers_cells(df, row_col, col_col)
+    cm = cells.groupBy("_c").agg(F.sum("_o").cast("bigint").alias("_ct"))
+    rm = cells.groupBy("_r").agg(F.sum("_o").cast("bigint").alias("_rt"))
+    tot = cells.agg(F.sum("_o").cast("bigint").alias("_n"))
+    nd = F.col("_n").cast("double")
+    # H(R): margin terms -(rt/n) ln(rt/n)
+    hr_terms = rm.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            -(F.col("_rt").cast("double") / nd)
+            * F.log(F.col("_rt").cast("double") / nd),
+            12,
+        ).cast("decimal(28,12)").alias("_t")
+    )
+    hr_row = hr_terms.agg(F.sum("_t").alias("_hr"))
+    # H(R|C): cell terms -(o/n) ln(o/ct)
+    hc_terms = (
+        cells.join(F.broadcast(cm), "_c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -(F.col("_o").cast("double") / nd)
+                * F.log(
+                    F.col("_o").cast("double")
+                    / F.col("_ct").cast("double")
+                ),
+                12,
+            ).cast("decimal(28,12)").alias("_t")
+        )
+    )
+    hc_row = hc_terms.agg(F.sum("_t").alias("_hc"))
+    row = (
+        tot.crossJoin(F.broadcast(hr_row)).crossJoin(F.broadcast(hc_row))
+    )
+    hr = F.col("_hr").cast("double")
+    hc = F.col("_hc").cast("double")
+    return row.select(
+        F.col("_n").alias("n"),
+        F.round(hr, 9).alias("h_r"),
+        F.round(hc, 9).alias("h_r_given_c"),
+        F.when(hr > 0, F.round((hr - hc) / hr, 9)).alias("u"),
+    )

@@ -1133,9 +1133,10 @@ def _events_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
 # without continuity correction (documented choice) — all counts
 # integer, one closing IEEE op pair.
 # ---------------------------------------------------------------------------
-@query(
-    "stats_sign_test",
-    """
+#: Shared with the streaming twin (streaming_queries::
+#: streaming_sign_test): per-day counts merge associatively, so the
+#: batch oracle IS the streaming oracle.
+SIGN_TEST_ORACLE_SQL = """
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS v
     FROM events WHERE ts IS NOT NULL GROUP BY 1
@@ -1157,8 +1158,10 @@ SELECT n_pairs, n_pos, n_neg, n_ties,
                  / sqrt(CAST(n_pos + n_neg AS DOUBLE)), 9)
        END AS z
 FROM agg
-""",
-)
+"""
+
+
+@query("stats_sign_test", SIGN_TEST_ORACLE_SQL)
 def _stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events", spread=True)
     daily = (
@@ -1325,3 +1328,58 @@ def _sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         (F.col("rn") - 1) % _SYS_K == F.col("phase")
     ).select("event_type", "event_id", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Theil's uncertainty coefficient (functions/stats.py::theil_u) over
+# the same (event_type x ISO dow) table as Cramér's V — the asymmetric
+# "how much does the weekday tell you about the event type" companion.
+# Quantized-term contract for the entropy chain.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_theil_u",
+    f"""
+WITH base AS (
+    SELECT event_type AS r, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS c
+    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+cells AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+cm AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+rm AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+hr AS (
+    SELECT SUM(CAST({_r(
+        "-(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))",
+        12,
+    )} AS DECIMAL(28,12))) AS h FROM rm, tot
+),
+hc AS (
+    SELECT SUM(CAST({_r(
+        "-(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(o AS DOUBLE) / CAST(ct AS DOUBLE))",
+        12,
+    )} AS DECIMAL(28,12))) AS h
+    FROM cells JOIN cm USING (c), tot
+)
+SELECT tot.n,
+       ROUND(CAST(hr.h AS DOUBLE), 9) AS h_r,
+       ROUND(CAST(hc.h AS DOUBLE), 9) AS h_r_given_c,
+       CASE WHEN CAST(hr.h AS DOUBLE) > 0 THEN
+           ROUND((CAST(hr.h AS DOUBLE) - CAST(hc.h AS DOUBLE))
+                 / CAST(hr.h AS DOUBLE), 9)
+       END AS u
+FROM tot, hr, hc
+""",
+)
+def _stats_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import theil_u
+
+    e = load_table(spark, sf_dir, "events", spread=True)
+    base = e.filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        (F.weekday(F.to_date("ts")) + 1).cast("bigint").alias("iso_dow"),
+    )
+    return theil_u(base, "event_type", "iso_dow")

@@ -1220,3 +1220,61 @@ def _streaming_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return esd_rounds(
         spark.table("streaming_esd_daily"), "day", "value", rounds=3
     )
+
+
+from .inference_queries import SIGN_TEST_ORACLE_SQL  # noqa: E402
+
+
+@query(
+    "streaming_sign_test",
+    # Streaming twin of stats_sign_test: the per-day counts merge
+    # associatively (the same daily state as streaming_anomaly_esd),
+    # so the drained daily frame feeds the identical pairing + z close
+    # and the batch oracle IS the streaming oracle.
+    SIGN_TEST_ORACLE_SQL,
+)
+def _streaming_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-on-week sign test THROUGH the streaming engine: daily
+    counts aggregate incrementally in complete mode and the drained
+    frame closes with the identical pairing arithmetic — hash-identical
+    to the batch stats_sign_test gate."""
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    _drain_to_memory(daily, "streaming_sign_daily", "complete")
+    # the close self-joins the daily frame (current vs previous week) —
+    # materialize the drained view into a fresh plan first
+    drained = spark.table("streaming_sign_daily").localCheckpoint(
+        eager=True
+    )
+    prev = drained.select(
+        F.date_add(F.col("d"), 7).alias("d"), F.col("v").alias("prev")
+    )
+    pairs = drained.join(prev, "d").select(
+        F.col("v").alias("cur"), "prev"
+    )
+    agg = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count_if(F.col("cur") > F.col("prev"))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.count_if(F.col("cur") < F.col("prev"))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.count_if(F.col("cur") == F.col("prev"))
+        .cast("bigint")
+        .alias("n_ties"),
+    )
+    nn = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    return agg.select(
+        "n_pairs", "n_pos", "n_neg", "n_ties",
+        F.when(
+            F.col("n_pos") + F.col("n_neg") > 0,
+            F.round(
+                (F.col("n_pos") - F.col("n_neg")).cast("double")
+                / F.sqrt(nn),
+                9,
+            ),
+        ).alias("z"),
+    )

@@ -181,3 +181,32 @@ def test_soundex_oracle_sql_matches_native(spark):
     )
     for token, sdx in con.execute(ORACLES["text_soundex"]).fetchall():
         assert native[token] == sdx, (token, native[token], sdx)
+
+
+def test_theil_u_known_table(spark):
+    """Perfect determinism (each column value maps to one row value)
+    gives U = 1; independence gives U = 0."""
+    from nl_railtraffic_etl_pipeline_spark.functions.stats import theil_u
+
+    det = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 2)] * 5, "r string, c int"
+    )
+    out = theil_u(det, "r", "c").collect()[0]
+    assert abs(out["u"] - 1.0) < 1e-9
+    ind = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 2)] * 3, "r string, c int"
+    )
+    out = theil_u(ind, "r", "c").collect()[0]
+    assert abs(out["u"] - 0.0) < 1e-9
+    assert out["h_r"] > 0
+
+
+def test_streaming_sign_test_matches_batch(spark):
+    from nl_railtraffic_etl_pipeline_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in
+           QUERIES["streaming_sign_test"](spark, sf).collect()}
+    want = {tuple(r) for r in
+            QUERIES["stats_sign_test"](spark, sf).collect()}
+    assert got == want
