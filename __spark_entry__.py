@@ -12,7 +12,7 @@ pattern).  The committed ``CORRECTNESS_local_r11.json`` records the
 full-registry oracle run at sf0.001/0.01/0.1.
 
 Sampling rotation: the driver's correctness gate checks the FIRST 50
-entries of ``queries()`` each round, so a registry this size (391)
+entries of ``queries()`` each round, so a registry this size (397)
 would leave most gates driver-unverified forever under a fixed order.
 ``queries()`` therefore orders gates by (1) most-recent driver sample
 FAILED — a fix must be re-verified by the driver, not just locally
