@@ -172,6 +172,7 @@ def test_python_only_in_arrow_kernels(spark):
             "mm_decode_qoi",  # QOI fixture + spec decode kernels
             "mm_decode_mp4_meta",  # ISO-BMFF fixture + box-walk kernels
             "text_utf8_validity",  # byte fixture + decode-replace kernel
+            "mm_decode_tga",  # TGA fixture + RLE/raw pixel decode kernels
         ):
             assert has_python, name
         else:
