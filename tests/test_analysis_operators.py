@@ -402,3 +402,42 @@ def test_sax_symbols_hand_computed(spark):
     assert all(
         r.sym is None and r.z is None for r in out if r.event_type == "y"
     )
+
+
+def test_duckdb_pair_kernels_match_python_reference(spark):
+    """The r11-optimized kernel path (DuckDB native C++ per Arrow batch,
+    guide §4.2) must stay bit-exact with the pure-Python reference
+    implementations on the same pair frame — including None/empty edges
+    and multi-batch row alignment (the ORDER BY _rn pin)."""
+    import random
+
+    from nl_railtraffic_etl_pipeline_spark.functions.fuzzy import (
+        _damerau_levenshtein,
+        _jaro_winkler,
+        damerau_levenshtein_pairs,
+        jaro_winkler_pairs,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            "".join(rng.choices("abcdef ", k=rng.randint(0, 20))),
+            "".join(rng.choices("abcdef ", k=rng.randint(0, 20))),
+        )
+        for i in range(400)
+    ]
+    rows += [(1000, None, "abc"), (1001, "abc", None), (1002, None, None)]
+    df = spark.createDataFrame(
+        rows, "pid bigint, txt_a string, txt_b string"
+    ).repartition(7)
+
+    got_dl = {
+        r.pid: r.dl for r in damerau_levenshtein_pairs(df).collect()
+    }
+    got_jw = {r.pid: r.jw for r in jaro_winkler_pairs(df).collect()}
+    for pid, a, b in rows:
+        assert got_dl[pid] == _damerau_levenshtein(a or "", b or ""), (
+            pid, a, b,
+        )
+        assert got_jw[pid] == _jaro_winkler(a or "", b or ""), (pid, a, b)
