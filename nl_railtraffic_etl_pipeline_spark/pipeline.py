@@ -234,7 +234,14 @@ class SparkETLPipeline:
         artifacts: bool = True,
     ) -> dict:
         run_ts = run_ts or _dt.datetime.now(_dt.timezone.utc)
-        raw = self.extract(payload_path)
+        # Materialize the extract ONCE: the parsed payload feeds the
+        # emptiness probe, the raw-zone merge, the clean-zone merge and
+        # (with artifacts) both archive writers — each a separate action
+        # that would otherwise re-execute the single-partition Python
+        # data source end to end (guide §5: cut lineage of a reused
+        # intermediate; the payload is one bounded HTTP response, so the
+        # checkpoint is metadata-sized by construction).
+        raw = self.extract(payload_path).localCheckpoint(eager=True)
         if raw.isEmpty():
             logger.warning("no data extracted; stopping run")
             return {"raw_total": 0, "clean_total": 0}

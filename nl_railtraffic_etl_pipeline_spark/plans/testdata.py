@@ -101,17 +101,35 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Lazy scan-PLAN memo, keyed on applicationId — NOT result caching: a
+#: DataFrame is an unexecuted plan, so every action on it still reads the
+#: parquet inputs from scratch.  What it avoids is the driver-side cost of
+#: re-resolving the same scan per query call (footer/schema read + relation
+#: resolution + the ``_spread`` partition probe: measured 90-130 ms per
+#: ``spark.read.parquet`` on this box), which a ~400-query bench paid
+#: hundreds of times per run.  Same pattern and key as _DISRUPTIONS_CACHE
+#: below; a stopped-and-recreated session gets fresh entries.
+_SCAN_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
     ensure_session_confs(spark)
-    df = normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    if spread:
-        # Bench-scale files arrive as one input split, serializing the first
-        # stage of every consumer; no-op when the scan is already parallel.
-        from ..functions.dedup import _spread
+    key = (spark.sparkContext.applicationId, sf_dir, name, spread)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = normalize_timestamps(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        )
+        if spread:
+            # Bench-scale files arrive as one input split, serializing the
+            # first stage of every consumer; no-op when the scan is already
+            # parallel.
+            from ..functions.dedup import _spread
 
-        df = _spread(df)
+            df = _spread(df)
+        _SCAN_CACHE[key] = df
     return df
 
 
