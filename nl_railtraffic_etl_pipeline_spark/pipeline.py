@@ -153,11 +153,24 @@ class SparkETLPipeline:
 
     def ensure_stations(self, run_ts: _dt.datetime) -> int:
         """Seed the station dimension, ``INSERT ... ON CONFLICT DO NOTHING``
-        semantics (schema.sql:79-86): existing rows win, new codes append."""
+        semantics (schema.sql:79-86): existing rows win, new codes append.
+
+        When the zone already holds every seed code the merge result is
+        byte-identical to the existing zone, so the rewrite is skipped —
+        the reference's ON CONFLICT DO NOTHING never rewrites the table
+        either, and the anti-join emptiness probe is far cheaper than a
+        full stage-write-swap of the dimension (returns 0, meaning "no
+        rows written"; the return value has no consumers)."""
         seed = self.spark.createDataFrame(
             [(*row, run_ts) for row in SEED_STATIONS], STATIONS
         )
         existing = self._read_zone("stations", seed)
+        if self._exists(f"{self.lake}/stations") and (
+            seed.join(
+                existing.select("station_code"), ["station_code"], "left_anti"
+            ).isEmpty()
+        ):
+            return 0
         return self._overwrite(
             "stations", insert_ignore(existing, seed, ["station_code"])
         )
