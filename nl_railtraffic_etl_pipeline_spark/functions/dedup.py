@@ -462,15 +462,60 @@ def duplicate_clusters(
         .withColumn("label", F.col("doc"))
     )
     gate = max(2, max_iter // 4) if doubling_gate is None else doubling_gate
-    changed = 1
-    for rnd in range(max_iter):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("doc", "src"), "src")
+
+    def _propagate(cur: DataFrame) -> tuple[DataFrame, F.Column]:
+        """One plain propagation step over ``cur`` (no jump): the joined
+        frame plus the min-of-(own, neighbor) column."""
+        nbr = (
+            edges.join(cur.withColumnRenamed("doc", "src"), "src")
             .groupBy(F.col("dst").alias("doc"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        with_nbr = labels.join(nbr_min, "doc", "left")
-        srcs = [F.col("label"), F.coalesce("nbr_min", F.col("label"))]
+        out = cur.join(nbr, "doc", "left")
+        return out, F.least(
+            F.col("label"), F.coalesce("nbr_min", F.col("label"))
+        )
+
+    changed = 1
+    rnd = 0
+    while rnd < max_iter:
+        # Pre-gate ROUND FUSION: while the doubling jump is disengaged, run
+        # TWO plain propagation steps inside ONE checkpointed job — at the
+        # sf0.1 scheduling floor (~0.2 s/job) the fixpoint's cost is job
+        # count, not shuffle bytes, and the step-1 intermediate has exactly
+        # two consumers (the step-2 neighbor join and its own left side),
+        # which Catalyst's ReusedExchange covers without a barrier.  The
+        # label trajectory is IDENTICAL to single-step rounds (each step
+        # applies the same update), so convergence depth and final labels
+        # are unchanged; only the job count halves for the plain phase.
+        # Jump-engaged steps stay single-step: fusing them would give the
+        # lazy step-1 frame a THIRD consumer (its own jump table) — the
+        # re-embedding pathology the r11 exploration hit — while a stale
+        # (round-start) jump table measurably loses a doubling step, which
+        # the deep-chain budget (ceil(log2 d) + 2 rounds) cannot afford.
+        if rnd + 1 < min(gate, max_iter):
+            out1, best1 = _propagate(labels)
+            l1 = out1.select("doc", best1.alias("label"))
+            out2, best2 = _propagate(l1)
+            obs = Observation()
+            new_labels = _materialize(
+                out2.select(
+                    "doc",
+                    best2.alias("label"),
+                    (best2 < F.col("label")).cast("long").alias("_chg"),
+                ).observe(obs, F.sum("_chg").alias("n_changed"))
+            )
+            # step 2 making no change means step-1's labels were already a
+            # propagation fixpoint (labels only ever decrease), so checking
+            # the fused pair's SECOND step alone is a sound convergence test.
+            changed = obs.get["n_changed"] or 0
+            labels = new_labels.drop("_chg")
+            rnd += 2
+            if changed == 0:
+                break
+            continue
+        with_nbr, plain_best = _propagate(labels)
+        srcs = [plain_best]
         # Pointer doubling: label(label(u)) — halves pointer-chain depth
         # so a deep path converges in O(gate + log d) rounds instead of
         # O(d).  Gated ADAPTIVELY to round >= max(2, max_iter // 4): the
@@ -513,6 +558,7 @@ def duplicate_clusters(
         )
         changed = obs.get["n_changed"] or 0
         labels = new_labels.drop("_chg")
+        rnd += 1
         if changed == 0:
             break
     if changed != 0:
@@ -930,6 +976,19 @@ def prefix_filter_pairs(
     prefix = F.transform(
         F.slice(F.col("_l"), 1, pref_len), lambda x: F.substring(x, 12, 1 << 30)
     )
+    # MEASURED NEGATIVE RESULT (r11 barrier-only, r12 barrier+broadcast):
+    # the self-join consumes this postings subtree from both sides with NO
+    # ReusedExchange (plan operators 1-19 duplicated as 20-38), yet every
+    # attempt to compute it once has LOST.  r11: bare localCheckpoint
+    # erased size statistics, BHJ degraded to a shuffle join, 5.63 vs
+    # 3.86 s.  r12: checkpoint + observe row count + explicit F.broadcast
+    # of the verified-small side (107k postings at sf0.1, bound 4M) KEPT
+    # the BroadcastHashJoin and still measured 6.15 vs 4.56 s min over 3
+    # one-session alternations — the barrier serializes two jobs
+    # (materialize, then broadcast-collect + probe) where the recompute
+    # plan runs both postings builds CONCURRENTLY inside one job on idle
+    # cores.  Recompute-behind-broadcast wins whenever the cluster has
+    # spare parallelism; leave the double subtree alone.
     pre = packed.select("doc", F.explode(prefix).alias("shingle"))
     a, b = pre.alias("a"), pre.alias("b")
     cand = (

@@ -143,6 +143,14 @@ def _duck_con():
     if _DUCK_CON is None or _DUCK_CON[0] != pid:
         import duckdb
 
+        if _DUCK_CON is not None:
+            # a forked child inherited the parent's handle object: close
+            # our copy so the in-memory DB's resources are released
+            # promptly rather than at GC time (ADVICE r11)
+            try:
+                _DUCK_CON[1].close()
+            except Exception:
+                pass
         con = duckdb.connect()
         # Spark owns the cores — one task must not fan out its own pool.
         con.execute("SET threads=1")
@@ -159,12 +167,20 @@ def _duckdb_pair_kernel(
     Jaro-Winkler) runs as DuckDB's native C++ implementation over each
     Arrow batch (guide §4.2: hand whole batches to vectorized native
     libraries) — measured 40x the pure-Python DP on the DL gate's pair
-    frame.  The pure-Python kernels below stay as the independent
-    reference implementations; ``tests/test_analysis_operators.py``
-    pins bit-equality between the two on random transposition-dense
-    pairs, so the cross-implementation evidence is preserved while the
-    query path pays native speed.  Row order is pinned by an explicit
-    ``ORDER BY`` on an input-position column — never left to scan order.
+    frame.  LOAD-BEARING INDEPENDENCE EVIDENCE — do not clean up: the
+    correctness oracle runs these same DuckDB functions, so the driver's
+    hash-match no longer independently verifies the metric, only the
+    plumbing.  The pure-Python kernels below are the independent
+    reference implementations, and ``tests/test_analysis_operators.py``
+    pins DuckDB==Python equality on transposition-dense random pairs and
+    the None/empty edges; deleting either side of that pairing as "dead
+    code" would delete the gates' only cross-implementation check.
+    Validated scope is ASCII: DuckDB's string metrics are BYTE-based
+    while the Python references count CODEPOINTS, so non-ASCII pairs can
+    legitimately differ (e.g. DL('café','cafe') = 1 codepoint-wise but 2
+    byte-wise); the same test module pins that divergence explicitly.
+    Row order is pinned by an explicit ``ORDER BY`` on an input-position
+    column — never left to scan order.
     """
     import numpy as np
     from pyspark.sql import types as T
@@ -172,16 +188,23 @@ def _duckdb_pair_kernel(
     in_fields = list(pairs.schema.fields)
     out_schema = T.StructType(in_fields + [T.StructField(out_col, out_type)])
     cols = [f.name for f in in_fields]
-    sql = f"SELECT {expr} AS v FROM _b ORDER BY _rn"
 
     def batch(batches):
         con = _duck_con()
-        for pdf in batches:
+        for i, pdf in enumerate(batches):
             pdf = pdf[cols].copy()
             pdf["_rn"] = np.arange(len(pdf), dtype=np.int64)
-            con.register("_b", pdf)
-            vals = con.execute(sql).fetchnumpy()["v"]
-            con.unregister("_b")
+            # per-iteration view name + finally-unregister: a failed batch
+            # must not leave a stale registration behind for the reused
+            # worker's next task (ADVICE r11)
+            view = f"_b_{i}"
+            con.register(view, pdf)
+            try:
+                vals = con.execute(
+                    f"SELECT {expr} AS v FROM {view} ORDER BY _rn"
+                ).fetchnumpy()["v"]
+            finally:
+                con.unregister(view)
             pdf = pdf.drop(columns=["_rn"])
             pdf[out_col] = vals
             yield pdf
@@ -194,8 +217,11 @@ def _jaro_winkler(s1: str, s2: str) -> float:
     half-transpositions, prefix bonus capped at 4 chars, scale 0.1,
     boost threshold 0.7; empty strings score 0) — validated bit-exact
     against DuckDB's native C++ ``jaro_winkler_similarity`` on 5000
-    random pairs, the same foreign-implementation oracle pattern as the
-    NFC/utf8proc gate."""
+    random ASCII pairs, the same foreign-implementation oracle pattern
+    as the NFC/utf8proc gate.  ASCII scope (ADVICE r11): this reference
+    counts CODEPOINTS while DuckDB counts BYTES, so non-ASCII pairs can
+    differ (JW('één','een'): 0.556 codepoint-wise vs 0.0 byte-wise);
+    the divergence is pytest-pinned, not hidden."""
     l1, l2 = len(s1), len(s2)
     if not l1 or not l2:
         return 0.0
@@ -245,8 +271,10 @@ def jaro_winkler_pairs(
     runs DuckDB's native C++ ``jaro_winkler_similarity`` (guide §4.2;
     measured ~100x the per-row Python loop); the pure-Python
     ``_jaro_winkler`` above remains the independent reference
-    implementation, bit-equality pytest-pinned on random pairs AND on
-    the textbook/empty edge cases (empty string scores 0.0 on both).
+    implementation, bit-equality pytest-pinned on random ASCII pairs AND
+    on the textbook/empty edge cases (empty string scores 0.0 on both).
+    Non-ASCII input scores under DuckDB's BYTE semantics — see the
+    scope note on ``_duckdb_pair_kernel``.
 
     Scale shape: map-only over the (already blocked) pair frame, zero
     shuffles; per-pair cost O(len_a * len_b) bounded by the caller's
@@ -376,8 +404,11 @@ def _damerau_levenshtein(s1: str, s2: str) -> int:
     Lowrance-Wagner alphabet-indexed DP, where a transposition may span
     intervening edits (dl('ca','abc') = 2, unlike OSA's 3).  Validated
     bit-exact against DuckDB's native C++ ``damerau_levenshtein`` on
-    5000 random pairs over small alphabets (transposition-dense), the
-    same foreign-implementation oracle pattern as Jaro-Winkler/NFC."""
+    5000 random ASCII pairs over small alphabets (transposition-dense),
+    the same foreign-implementation oracle pattern as Jaro-Winkler/NFC.
+    ASCII scope (ADVICE r11): this DP counts CODEPOINTS, DuckDB counts
+    BYTES — DL('café','cafe') is 1 here, 2 there; the divergence is
+    pytest-pinned."""
     la, lb = len(s1), len(s2)
     if not la:
         return lb
@@ -426,9 +457,11 @@ def damerau_levenshtein_pairs(
     Lowrance-Wagner DP on the gate's 36k-pair frame — the DP is ~145M
     cells at sf0.1); ``_damerau_levenshtein`` above remains the
     independent reference implementation with pytest-pinned
-    bit-equality on random transposition-dense pairs.  Map-only over
-    the (already blocked) pair frame, zero shuffles; per-pair cost
-    O(len_a * len_b) bounded by the caller's prefix truncation."""
+    bit-equality on random transposition-dense ASCII pairs (non-ASCII
+    input measures BYTE distance — see ``_duckdb_pair_kernel``'s scope
+    note).  Map-only over the (already blocked) pair frame, zero
+    shuffles; per-pair cost O(len_a * len_b) bounded by the caller's
+    prefix truncation."""
     from pyspark.sql import types as T
 
     return _duckdb_pair_kernel(

@@ -140,16 +140,27 @@ class SparkETLPipeline:
         merged_raw = insert_ignore(
             raw_existing, raw_rows, ["disruption_id"], order_col="raw_json"
         )
-        raw_total = self._overwrite("raw_disruptions", merged_raw)
-
         clean_existing = self._read_zone(
             "disruptions", self.spark.createDataFrame([], CLEAN_DISRUPTION)
         )
         merged_clean = upsert_latest_wins(
             clean_existing, cleaned, ["disruption_id"], "updated_at"
         )
-        clean_total = self._overwrite("disruptions", merged_clean)
-        return {"raw_total": raw_total, "clean_total": clean_total}
+        # The two zone merges touch disjoint zones and share only the
+        # checkpointed extract, so their write jobs are independent —
+        # submit both and let the scheduler overlap them (guide §2.6:
+        # the second job's tasks back-fill executors freed by the first
+        # job's straggler tail, instead of idling through two serial
+        # commit waits).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_raw = pool.submit(self._overwrite, "raw_disruptions", merged_raw)
+            f_clean = pool.submit(self._overwrite, "disruptions", merged_clean)
+            return {
+                "raw_total": f_raw.result(),
+                "clean_total": f_clean.result(),
+            }
 
     def ensure_stations(self, run_ts: _dt.datetime) -> int:
         """Seed the station dimension, ``INSERT ... ON CONFLICT DO NOTHING``
@@ -253,21 +264,37 @@ class SparkETLPipeline:
         # that would otherwise re-execute the single-partition Python
         # data source end to end (guide §5: cut lineage of a reused
         # intermediate; the payload is one bounded HTTP response, so the
-        # checkpoint is metadata-sized by construction).
-        raw = self.extract(payload_path).localCheckpoint(eager=True)
-        if raw.isEmpty():
+        # checkpoint is metadata-sized by construction).  The emptiness
+        # probe RIDES the checkpoint action as an observe metric — the
+        # separate isEmpty() job it replaces was one more full scheduling
+        # round-trip per run.
+        obs = Observation()
+        raw = self.extract(payload_path).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        ).localCheckpoint(eager=True)
+        if (obs.get["rows"] or 0) == 0:
             logger.warning("no data extracted; stopping run")
             return {"raw_total": 0, "clean_total": 0}
         cleaned = self.transform(raw, run_ts)
-        self.ensure_stations(run_ts)
-        stats = self.load(raw, cleaned, run_ts)
+        # The station seed touches its own zone, independent of the
+        # raw/clean merges — overlap it with stage 3 (guide §2.6).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_stations = pool.submit(self.ensure_stations, run_ts)
+            f_load = pool.submit(self.load, raw, cleaned, run_ts)
+            f_stations.result()
+            stats = f_load.result()
         if artifacts:
             stats["artifacts"] = self.write_run_artifacts(raw, cleaned, run_ts)
+        # one scan resolution of the freshly-published zone serves both the
+        # daily roll-up and the report (the read must follow the swap — the
+        # pre-merge plan's lineage points at the DELETED old zone files)
+        disruptions = self.spark.read.parquet(f"{self.lake}/disruptions")
         stats["daily_stats_total"] = self._overwrite(
-            "daily_stats",
-            build_daily_stats(
-                self.spark.read.parquet(f"{self.lake}/disruptions"), run_ts
-            ),
+            "daily_stats", build_daily_stats(disruptions, run_ts)
         )
-        stats["report"] = self.report(run_ts.date()).collect()[0].asDict()
+        stats["report"] = (
+            run_report(disruptions, run_ts.date()).collect()[0].asDict()
+        )
         return stats

@@ -44,6 +44,17 @@ from .testdata import (
 _DRAIN_TIMEOUT_S = 300
 
 
+#: Raw parquet schema memo for the stream readers, keyed like testdata's
+#: _SCAN_CACHE (applicationId, path) — the streaming source needs the
+#: PRE-normalization schema (it applies normalize_timestamps itself), so it
+#: cannot reuse load_table's memoized frame directly.  Same driver-side cost
+#: class as the scan memo: every `spark.read.parquet(...).schema` re-resolves
+#: the footer (measured 90-130 ms), which 26 streaming gates x 3 bench reps
+#: paid on every call.  Static-input assumption is the same as _SCAN_CACHE's:
+#: the testdata files are immutable for the life of the run.
+_STREAM_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """File-source stream over one synthetic table (pinned schema).
 
@@ -61,7 +72,11 @@ def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     link = os.path.join(stream_dir, f"{table}.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
-    schema = spark.read.parquet(path).schema
+    key = (spark.sparkContext.applicationId, path)
+    schema = _STREAM_SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _STREAM_SCHEMA_CACHE[key] = schema
     ev = spark.readStream.schema(schema).parquet(stream_dir)
     return normalize_timestamps(ev)
 
@@ -70,19 +85,35 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _table_stream(spark, sf_dir, "events")
 
 
-def _drain_to_memory(result: DataFrame, name: str, output_mode: str) -> None:
+def _start_drain(
+    result: DataFrame, name: str, output_mode: str, no_data_batch: bool = True
+):
     # Stateful operators allocate one state-store instance (and, for the
     # Pandas sessionizer, one Python worker) per shuffle partition, fixed at
     # query start.  These drains hold days×types / per-user-session state —
     # 8 stores cover it; 32 would be per-drain startup overhead.  The conf
     # is restored after start (captured at start time); an unbounded
     # deployment sizes this to its key cardinality instead.
+    #
+    # ``no_data_batch=False`` additionally skips the CLOSING no-data
+    # micro-batch for drains whose SINK CONTENTS it provably cannot change:
+    # an inner stream-stream join emits each pair when its second side
+    # arrives, and dropDuplicatesWithinWatermark emits first occurrences on
+    # arrival — for both, the closing batch only EVICTS state that the
+    # terminating availableNow drain discards anyway (measured: a full
+    # second micro-batch cycle, ~0.6-1.9 s/drain, byte-identical sink
+    # either way).  Drains whose EMISSION is watermark-gated (the left-
+    # outer attribution join's null-padded rows, event-time timeouts) must
+    # keep the default: there the no-data batch IS the emission trigger.
     spark = result.sparkSession
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    confs = {"spark.sql.shuffle.partitions": "8"}
+    if not no_data_batch:
+        confs["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
-        q = (
+        return (
             result.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
@@ -90,7 +121,11 @@ def _drain_to_memory(result: DataFrame, name: str, output_mode: str) -> None:
             .start()
         )
     finally:
-        spark.conf.set(key, prev)
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def _await_drain(q, name: str) -> None:
     try:
         if not q.awaitTermination(_DRAIN_TIMEOUT_S):
             raise TimeoutError(f"{name}: stream did not drain in {_DRAIN_TIMEOUT_S}s")
@@ -99,6 +134,33 @@ def _drain_to_memory(result: DataFrame, name: str, output_mode: str) -> None:
             q.stop()
     if q.exception() is not None:
         raise q.exception()
+
+
+def _drain_to_memory(
+    result: DataFrame, name: str, output_mode: str, no_data_batch: bool = True
+) -> None:
+    _await_drain(_start_drain(result, name, output_mode, no_data_batch), name)
+
+
+def _drain_all(*drains: tuple[DataFrame, str, str]) -> None:
+    """Start several INDEPENDENT drains, then await them all: streaming
+    queries run in their own scheduler threads, so two availableNow drains
+    over disjoint state overlap their micro-batch execution instead of
+    serializing two full start/drain/commit cycles (guide §2.6 — overlap
+    independent jobs).  Results, state, and per-query semantics are
+    untouched; only the wall-clock serialization goes away."""
+    started = [
+        (_start_drain(result, name, mode), name)
+        for result, name, mode in drains
+    ]
+    first_err: Exception | None = None
+    for q, name in started:
+        try:
+            _await_drain(q, name)
+        except Exception as exc:  # await every query before re-raising
+            first_err = first_err or exc
+    if first_err is not None:
+        raise first_err
 
 
 @query(
@@ -287,7 +349,12 @@ def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup_stream(doubled, keys=["event_id"]).select(
         "event_id", "ts", "event_type", "value"
     )
-    _drain_to_memory(out, "streaming_dedup_result", "append")
+    # first occurrences emit ON ARRIVAL; the closing no-data batch only
+    # evicts expired keys (A/B: sink hash-identical, one full micro-batch
+    # cycle saved)
+    _drain_to_memory(
+        out, "streaming_dedup_result", "append", no_data_batch=False
+    )
     return spark.table("streaming_dedup_result")
 
 
@@ -390,7 +457,17 @@ def _streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
         ),
     ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
-    _drain_to_memory(joined, "streaming_attribution_join_result", "append")
+    # INNER stream-stream join: a pair emits when its second side arrives,
+    # so the closing no-data batch only evicts state (A/B: sink
+    # hash-identical, 4.43 -> 2.51 s on the isolated drain).  The LEFT
+    # variant below must NOT do this — its null-padded rows emit only when
+    # the final watermark passes, i.e. in exactly that closing batch.
+    _drain_to_memory(
+        joined,
+        "streaming_attribution_join_result",
+        "append",
+        no_data_batch=False,
+    )
     return spark.table("streaming_attribution_join_result")
 
 
@@ -824,11 +901,15 @@ def _streaming_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mask"),
     )
     bm = m.groupBy("day", "bucket").agg(F.expr("bit_or(mask)").alias("bits"))
-    _drain_to_memory(bm, "streaming_bitmap_bm", "complete")
     ud = ev.select(F.to_date("ts").alias("day"), "user_id").groupBy(
         "day", "user_id"
     ).agg(F.count("*").alias("_n"))
-    _drain_to_memory(ud, "streaming_bitmap_users", "complete")
+    # the two drains hold disjoint state (bitmaps vs distinct pairs) over
+    # the same file stream — overlap them instead of two serial cycles
+    _drain_all(
+        (bm, "streaming_bitmap_bm", "complete"),
+        (ud, "streaming_bitmap_users", "complete"),
+    )
     b = (
         spark.table("streaming_bitmap_bm")
         .groupBy("day")

@@ -109,6 +109,15 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
 #: ``spark.read.parquet`` on this box), which a ~400-query bench paid
 #: hundreds of times per run.  Same pattern and key as _DISRUPTIONS_CACHE
 #: below; a stopped-and-recreated session gets fresh entries.
+#:
+#: STATIC-INPUT ASSUMPTION (ADVICE r11): the memo pins the file listing
+#: and schema observed at first load, so it is only valid for immutable
+#: inputs — which the driver's testdata tables are by contract.  Code
+#: that rewrites or appends to a table under ``sf_dir`` mid-application
+#: must NOT read it through ``load_table`` (zone/lake paths correctly
+#: bypass this memo and re-resolve per read); tests that regenerate
+#: testdata in place should ``_SCAN_CACHE.clear()`` first.  The cache is
+#: bounded in practice by |tables| x |SF dirs| x 2 per application.
 _SCAN_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
 
 

@@ -441,3 +441,50 @@ def test_duckdb_pair_kernels_match_python_reference(spark):
             pid, a, b,
         )
         assert got_jw[pid] == _jaro_winkler(a or "", b or ""), (pid, a, b)
+
+
+def test_duckdb_pair_kernels_non_ascii_scope(spark):
+    """ADVICE r11: the DuckDB==Python equality holds for ASCII only —
+    DuckDB's string metrics are BYTE-based, the Python references count
+    CODEPOINTS.  This test PINS the documented divergence (so a silent
+    semantic change on either side fails loudly) and pins that the QUERY
+    path scores byte-wise, i.e. exactly what the gates' DuckDB oracle
+    computes for non-ASCII input."""
+    import duckdb
+
+    from nl_railtraffic_etl_pipeline_spark.functions.fuzzy import (
+        _damerau_levenshtein,
+        _jaro_winkler,
+        damerau_levenshtein_pairs,
+        jaro_winkler_pairs,
+    )
+
+    cases = [(1, "café", "cafe"), (2, "één", "een"), (3, "ça", "ca")]
+    # codepoint-wise references
+    assert _damerau_levenshtein("café", "cafe") == 1
+    assert abs(_jaro_winkler("één", "een") - 0.5555555555555555) < 1e-15
+
+    con = duckdb.connect()
+    df = spark.createDataFrame(cases, "pid bigint, txt_a string, txt_b string")
+    got_dl = {r.pid: r.dl for r in damerau_levenshtein_pairs(df).collect()}
+    got_jw = {r.pid: r.jw for r in jaro_winkler_pairs(df).collect()}
+    diverged = 0
+    for pid, a, b in cases:
+        duck_dl = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        duck_jw = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        # the kernel path IS DuckDB byte semantics (oracle-consistent)
+        assert got_dl[pid] == duck_dl, (pid, a, b)
+        assert got_jw[pid] == duck_jw, (pid, a, b)
+        diverged += int(
+            duck_dl != _damerau_levenshtein(a, b)
+            or duck_jw != _jaro_winkler(a, b)
+        )
+    # the byte-vs-codepoint divergence is REAL on these inputs — if this
+    # ever reads 0, one implementation changed semantics silently and the
+    # ASCII-scope docstrings upstream are stale
+    assert diverged >= 2, "expected byte-vs-codepoint divergence vanished"
+    con.close()

@@ -189,6 +189,38 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert {r.cluster_rep for r in clusters.collect()} == {0}
 
 
+def test_duplicate_clusters_fused_rounds_match_single_step(spark):
+    """r12 pre-gate round fusion: two plain propagation steps per
+    checkpointed job while the doubling jump is disengaged.  The label
+    trajectory must be IDENTICAL to single-step rounds — ``doubling_gate=0``
+    forces every step through the unfused jump-engaged path, so comparing
+    the two configurations on a branchy random graph pins the fusion's
+    equivalence (final labels are the component minima either way)."""
+    import random
+
+    rng = random.Random(123)
+    n = 400
+    edges = set()
+    for _ in range(420):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        sorted(edges), "doc_a bigint, doc_b bigint"
+    )
+    fused = {
+        r.doc: r.cluster_rep
+        for r in dedup.duplicate_clusters(pairs, max_iter=64).collect()
+    }
+    single = {
+        r.doc: r.cluster_rep
+        for r in dedup.duplicate_clusters(
+            pairs, max_iter=64, doubling_gate=0
+        ).collect()
+    }
+    assert fused == single and len(fused) > 0
+
+
 def test_duplicate_clusters_deep_chain_log_rounds(spark):
     """Pointer doubling makes convergence O(log d), not O(d): a path of
     diameter 99 must finish within ceil(log2 d) + 2 rounds — plain

@@ -592,3 +592,37 @@ def test_transitions_stream_matches_batch_pairs(spark, tmp_path):
     # NULL->purchase (state carried the null-typed predecessor across
     # the batch boundary); user 2's single event emits nothing
     assert got == [(1, "", "purchase"), (1, "view", "click")]
+
+
+def test_drain_conf_restored_and_no_data_batch_scoped(spark):
+    """r12: the drain helper's per-drain confs (shuffle partitions, the
+    noDataMicroBatches opt-out) must be scoped to the start() call — the
+    session the next query sees keeps its prior values either way."""
+    from nl_railtraffic_etl_pipeline_spark.plans.streaming_queries import (
+        _drain_to_memory,
+    )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    spark.conf.set(key, "true")
+
+    import os
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="drain_conf_src_")
+    spark.range(10).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(CAST(1700000000000000 + id * 1000000 AS BIGINT))"
+        " AS ts",
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    _drain_to_memory(stream, "drain_conf_out", "append", no_data_batch=False)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert spark.conf.get(key) == "true"
+    assert spark.table("drain_conf_out").count() == 10
